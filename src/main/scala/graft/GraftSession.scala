@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * One place for every engine-level knob so Verify/Bench/tests all run the
+  * same configuration. Sized for local[32] testing but with settings chosen
+  * to survive a real multi-executor cluster at 100 TB:
+  *   - AQE on (runtime coalesce / skew-join handling replaces static tuning)
+  *   - shuffle.partitions=32 locally; AQE coalesces further, and on a real
+  *     cluster this is overridden by spark.sql.adaptive settings anyway
+  *   - UTC session timezone (oracle parity + sane lake semantics)
+  *   - parquet pushdown/pruning left at defaults (on) — the plans rely on it
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      // events.parquet carries timestamp[ns], which Spark's parquet reader
+      // rejects; read as long nanos and normalize in Tables.events (DuckDB
+      // truncates ns→µs the same way, keeping the oracle comparable).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

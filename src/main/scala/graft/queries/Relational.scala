@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational surface: scans, filters, joins, aggregations, windows,
+  * set ops, explode, string/date scalar functions.
+  *
+  * Re-expresses every operator family from SURVEY.md §2 over the TPC-H-ish
+  * testdata: P1-P6 (filters/projections), J1-J3 (joins), A1-A4 (aggs),
+  * T1-T6 (scalar functions), M3 (explode), F1/F2 (conditional semantics).
+  *
+  * Scale notes (100 TB): all joins against the small dimension tables
+  * (region/nation/customer at TPC-H proportions) are explicitly
+  * broadcast; fact-fact joins (orders⋈lineitem) shuffle on the join key
+  * and rely on AQE for skew handling. Aggregations are plain
+  * groupBy→HashAggregate with map-side partial aggregation. Every filter
+  * and projection is declarative so it reaches the parquet scan
+  * (PushedFilters / ReadSchema).
+  */
+object Relational {
+
+  /** Exact cross-engine arithmetic: cast clean 2-decimal doubles to tight
+    * decimals, do exact decimal math, cast the final aggregate to double.
+    * Bit-identical between Spark and DuckDB regardless of summation order.
+    */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+            sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum((dec2($"l_extendedprice") * (lit(1).cast("decimal(8,2)") - dec2($"l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      doc = "TPC-H Q1-style pricing summary: filtered scan + grouped agg (SURVEY A1)."),
+
+    Q(
+      "q02_filter_pushdown",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .filter($"l_returnflag".isin("A", "R") &&
+            $"l_quantity" < 5 &&
+            $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE l_returnflag IN ('A','R') AND l_quantity < 5
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        ORDER BY l_orderkey, l_linenumber"""),
+      doc = "Whitelist IN-filter + range predicate, projection pruned to 4 cols (SURVEY P1/P2); predicates reach the parquet scan."),
+
+    Q(
+      "q03_topk_revenue",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(8,2)") - dec2($"l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""),
+      doc = "TPC-H Q3-style: fact-fact shuffle join + broadcast dim join + top-k (SURVEY J3); customer side is broadcast."),
+
+    Q(
+      "q04_semijoin_priority",
+      (s, d) => {
+        import s.implicits._
+        val o = Tables.orders(s, d)
+        val bigLines = Tables.lineitem(s, d).filter($"l_quantity" > 45)
+          .select($"l_orderkey".as("o_orderkey"))
+        o.join(bigLines, Seq("o_orderkey"), "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "Left-semi join (EXISTS) + agg (SURVEY J1/P3): no row duplication, build side pre-filtered."),
+
+    Q(
+      "q05_star_join",
+      (s, d) => {
+        import s.implicits._
+        val r = Tables.region(s, d)
+        val n = Tables.nation(s, d)
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d)
+        // Star: one shuffle (orders⋈lineitem on orderkey); every dimension
+        // hop is a broadcast hash join — no extra exchanges at 100 TB.
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(
+            sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(8,2)") - dec2($"l_discount")))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      doc = "Full star join lineitem⋈orders⋈customer⋈nation⋈region (SURVEY J3): dims broadcast, single fact shuffle."),
+
+    Q(
+      "q06_exists_flag",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val haveOrders = Tables.orders(s, d).select($"o_custkey".as("c_custkey")).distinct()
+          .withColumn("has_order", lit(true))
+        // Left-outer existence flag with null→false, SURVEY P4/J2 semantics
+        // (requested ⟕ catalog → exists flag).
+        c.join(broadcast(haveOrders), Seq("c_custkey"), "left")
+          .na.fill(false, Seq("has_order"))
+          .groupBy($"c_mktsegment", $"has_order")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"c_mktsegment", $"has_order")
+      },
+      Some("""
+        SELECT c_mktsegment, COALESCE(h.has_order, FALSE) AS has_order, COUNT(*) AS n_customers
+        FROM customer LEFT JOIN
+          (SELECT DISTINCT o_custkey AS c_custkey, TRUE AS has_order FROM orders) h
+          USING (c_custkey)
+        GROUP BY c_mktsegment, COALESCE(h.has_order, FALSE)
+        ORDER BY c_mktsegment, has_order"""),
+      doc = "Left-outer existence flag, null→false (SURVEY P4/J2), then agg."),
+
+    Q(
+      "q07_group_stats",
+      (s, d) => {
+        import s.implicits._
+        // A1 grouped max + A2 collect-list + A3 distinct in one shape:
+        // per-customer order stats; collect list sorted for determinism.
+        Tables.orders(s, d)
+          .groupBy($"o_custkey")
+          .agg(
+            max($"o_orderdate").as("last_order"),
+            count(lit(1)).as("n_orders"),
+            countDistinct($"o_orderpriority").as("n_priorities"),
+            sum(dec2($"o_totalprice")).cast("double").as("total_spend"),
+            array_sort(collect_list($"o_orderkey")).as("order_keys"))
+          .filter($"n_orders" >= 20)
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+               LIST_SORT(LIST(o_orderkey)) AS order_keys
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 20
+        ORDER BY o_custkey"""),
+      doc = "Grouped max + collect_list + distinct count (SURVEY A1/A2/A3) with HAVING (P5)."),
+
+    Q(
+      "q08_distinct",
+      (s, d) => {
+        import s.implicits._
+        Tables.customer(s, d)
+          .select($"c_nationkey", $"c_mktsegment")
+          .distinct()
+          .orderBy($"c_nationkey", $"c_mktsegment")
+      },
+      Some("""
+        SELECT DISTINCT c_nationkey, c_mktsegment
+        FROM customer
+        ORDER BY c_nationkey, c_mktsegment"""),
+      doc = "Distinct projection (SURVEY A3)."),
+
+    Q(
+      "q09_window_topn",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 2)
+          .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_custkey", $"rk")
+      },
+      Some("""
+        SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) t
+        WHERE rk <= 2
+        ORDER BY o_custkey, rk"""),
+      doc = "Window top-N per group (row_number), deterministic tie-break."),
+
+    Q(
+      "q10_set_ops",
+      (s, d) => {
+        import s.implicits._
+        val custNations = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+        val suppNations = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+        custNations.union(suppNations).distinct()
+          .except(Tables.nation(s, d).filter($"n_name" < "C").select($"n_nationkey".as("nationkey")))
+          .orderBy($"nationkey")
+      },
+      Some("""
+        SELECT nationkey FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION
+          SELECT s_nationkey AS nationkey FROM supplier)
+        EXCEPT
+        SELECT n_nationkey AS nationkey FROM nation WHERE n_name < 'C'
+        ORDER BY nationkey"""),
+      doc = "Set operations: UNION DISTINCT + EXCEPT."),
+
+    Q(
+      "q11_explode_tokens",
+      (s, d) => {
+        import s.implicits._
+        // M3 explode: array → rows. At 100 TB this is the shuffle-free
+        // flatMap shape; the agg after it is map-side-combined.
+        Tables.documents(s, d)
+          .select(explode(split($"text", " ")).as("token"))
+          .filter(length($"token") > 0)
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token")
+          .limit(20)
+      },
+      Some("""
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+        WHERE LENGTH(token) > 0
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20"""),
+      doc = "Explode/flatten (SURVEY M3) + token frequency top-k."),
+
+    Q(
+      "q12_name_normalize",
+      (s, d) => {
+        import s.implicits._
+        // SURVEY T1 semantics: lower(pre-dot segment) stripped to alpha-only
+        // (reference: Empresas0.zip → empresas). Demonstrated over p_type
+        // with a synthetic ".zip" suffix.
+        Tables.part(s, d)
+          .withColumn("fname", concat($"p_type", lit(".zip")))
+          .withColumn("norm",
+            regexp_replace(lower(expr("split_part(fname, '.', 1)")), "[^a-z]", ""))
+          .groupBy($"norm")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"norm")
+      },
+      Some("""
+        SELECT REGEXP_REPLACE(LOWER(SPLIT_PART(p_type || '.zip', '.', 1)), '[^a-z]', '', 'g') AS norm,
+               COUNT(*) AS n
+        FROM part
+        GROUP BY 1
+        ORDER BY norm"""),
+      doc = "Reference T1 table-name normalization: lower + pre-dot + alpha-only."),
+
+    Q(
+      "q13_date_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        // SURVEY T3/T6: date ↔ yyyymmdd int round-trip; month-level agg.
+        Tables.orders(s, d)
+          .withColumn("date_int", date_format($"o_orderdate", "yyyyMMdd").cast("int"))
+          .withColumn("month_int", ($"date_int" / 100).cast("int"))
+          .groupBy($"month_int")
+          .agg(count(lit(1)).as("n_orders"), max($"date_int").as("max_date_int"))
+          .orderBy($"month_int")
+      },
+      Some("""
+        SELECT CAST(CAST(STRFTIME(o_orderdate, '%Y%m%d') AS INT) / 100 AS INT) AS month_int,
+               COUNT(*) AS n_orders,
+               MAX(CAST(STRFTIME(o_orderdate, '%Y%m%d') AS INT)) AS max_date_int
+        FROM orders
+        GROUP BY 1
+        ORDER BY month_int"""),
+      doc = "Reference T3/T6: timestamp → yyyymmdd int and back, monthly agg."),
+
+    Q(
+      "q14_decimal_comma",
+      (s, d) => {
+        import s.implicits._
+        // SURVEY T2: decimal-comma strings → double. Format with fixed
+        // 2-decimal pattern, comma-ize, parse back, aggregate exactly.
+        Tables.lineitem(s, d)
+          .withColumn("comma_str", regexp_replace(format_string("%.2f", $"l_extendedprice"), "\\.", ","))
+          .withColumn("parsed", regexp_replace($"comma_str", ",", ".").cast("double"))
+          .groupBy($"l_returnflag")
+          .agg(sum(dec2($"parsed")).cast("double").as("sum_parsed"), count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(CAST(REPLACE(REPLACE(PRINTF('%.2f', l_extendedprice), '.', ','), ',', '.') AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE) AS sum_parsed,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "Reference T2 decimal-comma → double round-trip."),
+
+    Q(
+      "q15_case_bucket",
+      (s, d) => {
+        import s.implicits._
+        // F1/F2 conditional semantics as CASE WHEN buckets.
+        Tables.orders(s, d)
+          .withColumn("bucket",
+            when($"o_totalprice" < 50000, "small")
+              .when($"o_totalprice" < 200000, "medium")
+              .otherwise("large"))
+          .groupBy($"bucket", $"o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2($"o_totalprice")).cast("double").as("total"))
+          .orderBy($"bucket", $"o_orderstatus")
+      },
+      Some("""
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS bucket,
+               o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY bucket, o_orderstatus"""),
+      doc = "CASE WHEN bucketing (SURVEY F1/F2 conditional semantics)."),
+
+    Q(
+      "q16_events_hourly",
+      (s, d) => {
+        import s.implicits._
+        // Batch-expressible tumbling window over the events stream table;
+        // the streaming variant lives in graft.streaming.
+        Tables.events(s, d)
+          .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
+          .groupBy($"hour", $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"),
+            countDistinct($"user_id").as("n_users"))
+          .filter($"n" >= 5)
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""
+        SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 5
+        ORDER BY hour, event_type"""),
+      doc = "Tumbling hourly window over events (batch form); HAVING = SURVEY P5.")
+  )
+}
