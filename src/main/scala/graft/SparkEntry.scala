@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** All registered queries, from the per-area registries. */
   def allQueries: Seq[Q] =
-    Relational.queries
+    Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++ SimQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

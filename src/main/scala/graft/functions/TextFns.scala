@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * normalization, tokenization, quality scoring, language ID,
+  * fingerprinting. All built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so they stay inside whole-stage codegen and scale linearly —
+  * every function here is a per-row scalar expression with no shuffle.
+  */
+object TextFns {
+
+  /** Canonical normalization: lowercase, strip non-alphanumerics (keep
+    * spaces), collapse whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Stable document fingerprint: md5 of the normalized text. Identical
+    * in any engine with md5 — used for cross-system dedup keys.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single
+    * non-alphanumeric marks, counted over the lowercased text.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** Language marker words (classic high-frequency stopwords). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Count of occurrences of any marker of `lang`, word-bounded. */
+  def langScore(text: Column, lang: String): Column = {
+    val pat = LangMarkers.toMap.apply(lang).mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  /** Heuristic language ID: argmax of marker scores, ties broken by the
+    * fixed marker-list order (en, de, es, fr, zh).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.tail.foldLeft(when(scores.head._2 === m, lit(scores.head._1))) {
+      case (acc, (l, s)) => acc.when(s === m, lit(l))
+    }
+  }
+
+  /** English stopword ratio over whitespace tokens (quality signal). */
+  def stopwordRatio(text: Column): Column =
+    langScore(text, "en").cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length signal + token-count signal
+    * + stopword signal. Pure double arithmetic with an explicit expression
+    * tree, reproducible bit-for-bit in any IEEE engine.
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), length(text) / lit(400.0)) * lit(0.5) +
+      least(lit(1.0), tokenCount(text) / lit(80.0)) * lit(0.3) +
+      stopwordRatio(text) * lit(0.2)
+
+  /** Word n-gram shingles (space-joined), distinct not applied. Guarded for
+    * texts shorter than n tokens (empty array, not Spark's descending
+    * `sequence` surprise).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFns
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four families, each with an explicit 100 TB scale story:
+  *
+  *  - exact: hash-groupBy on a key (one shuffle, map-side combine);
+  *  - n-gram Jaccard: inverted-index join on shingles — pairs are only
+  *    generated for documents sharing at least one shingle, never O(n²);
+  *  - MinHash+LSH: constant-size signatures (64 hashes), banded bucketing,
+  *    candidate verification — shuffle carries signatures, not documents;
+  *  - SimHash: 60-bit fingerprint + pigeonhole banding for hamming ≤ k —
+  *    recall is exactly 1 (any pair within hamming 3 shares one of 4 bands).
+  *
+  * Fingerprints/hashes are md5-derived where the DuckDB oracle must
+  * reproduce them, xxhash64 (cheaper) where only Spark-side agreement
+  * matters (MinHash candidates are re-verified with exact Jaccard, so the
+  * hash function never leaks into the result).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first row per key under `orderCols` ordering.
+    * One shuffle on the key; at 100 TB prefer this over dropDuplicates
+    * because the tie-break is explicit and deterministic.
+    */
+  def exactDedup(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle) pairs, distinct, from a text column: word `n`-grams. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold) via
+    * inverted-index join on shingles. `sh` must be (doc, sh) distinct.
+    *
+    * Scale: the self-join only touches shingles shared by ≥2 docs; hot
+    * shingles (boilerplate) are the skew risk — AQE skew-join splits them.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs, verified: signature of `numHashes`
+    * min-hashes over the shingle set, banded `bands` × rows; bucket
+    * collisions become candidates; candidates are verified with exact
+    * Jaccard, so the output equals exact `jaccardPairs` up to LSH recall
+    * (1 - (1-t^r)^b, ≈1 for near-dup thresholds with r=2,b=32).
+    */
+  def minhashLshPairs(sh: DataFrame, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sig = sh.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(parts: _*).as("bv"))
+    }
+    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bv"))
+
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+
+    // Verify candidates with exact Jaccard (restricted inverted-index join).
+    val aSh = sh.select(col("doc").as("doc_a"), col("sh").as("sha"))
+    val bSh = sh.select(col("doc").as("cand_b"), col("sh").as("shb"))
+    val inter = candidates
+      .join(aSh, "doc_a")
+      .join(bSh, col("doc_b") === col("cand_b") && col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 60-bit SimHash fingerprint per document over distinct whitespace
+    * tokens. Bit k of the fingerprint is the sign of Σ_tokens ±1 where the
+    * sign is bit k of the token's md5-derived 60-bit hash. md5 (not
+    * xxhash64) so external engines can reproduce fingerprints exactly.
+    */
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    toks
+      .select(col("doc"), col("hv"), explode(sequence(lit(0), lit(59))).as("b"))
+      .groupBy("doc", "b")
+      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy("doc")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+        .cast("long").as("fp"))
+  }
+
+  /** Near-dup pairs with hamming(fp_a, fp_b) <= maxHamming, via pigeonhole
+    * banding: 4 bands of 15 bits — any pair within hamming 3 must agree on
+    * at least one full band, so banding has recall exactly 1. Verified with
+    * exact bit_count(xor), so the result is exact.
+    */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x15-bit pigeonhole banding guarantees recall only to hamming 3")
+    val bands = (0 until 4).map { k =>
+      struct(lit(k).as("band"), shiftright(col("fp"), k * 15).bitwiseAND(0x7fffL).as("bv"))
+    }
+    val banded = fps.select(col("doc"), col("fp"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc"), col("fp"), col("bk.band"), col("bk.bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

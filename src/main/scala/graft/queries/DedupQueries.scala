@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup queries: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  * The Jaccard brute-force SQL is the oracle for both the exact
+  * inverted-index implementation and the LSH one (candidates are
+  * verified, and the LSH miss probability at the near-dup thresholds in
+  * this data is < 1e-20, so outputs are identical).
+  */
+object DedupQueries {
+
+  /** Shared oracle CTE prefix: distinct word-trigram shingles per doc. */
+  private def jaccardOracle(threshold: String): String = s"""
+    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+             i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = inter.doc_a
+    JOIN sizes sb ON sb.doc = inter.doc_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold
+    ORDER BY doc_a, doc_b"""
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q20_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        Dedup.exactDedup(Tables.events(s, d),
+            Seq("user_id", "event_type"), Seq($"ts", $"event_id"))
+          .select($"user_id", $"event_type", $"event_id")
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+          FROM events) t
+        WHERE rn = 1
+        ORDER BY user_id, event_type"""),
+      doc = "Exact dedup: first event per (user_id, event_type) by (ts, event_id)."),
+
+    Q(
+      "q21_dedup_jaccard",
+      (s, d) => {
+        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+        Dedup.jaccardPairs(sh, 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle("0.5")),
+      doc = "Exact n-gram Jaccard near-dup pairs via inverted-index join (word trigrams, t=0.5)."),
+
+    Q(
+      "q22_dedup_minhash",
+      (s, d) => {
+        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+        Dedup.minhashLshPairs(sh, 0.7, numHashes = 64, bands = 32)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle("0.7")),
+      doc = "MinHash(64)+LSH(32 bands x 2 rows) near-dup pairs, candidates verified with exact Jaccard (t=0.7); output equals brute force."),
+
+    Q(
+      "q23_dedup_simhash",
+      (s, d) => {
+        val fps = Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashPairs(fps, maxHamming = 3)
+          .withColumnRenamed("doc_a", "doc_a").orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH toks AS (SELECT DISTINCT doc_id AS doc, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+        bits AS (SELECT doc, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+                 FROM h CROSS JOIN (SELECT UNNEST(RANGE(60)) AS b) bb GROUP BY doc, b),
+        fp AS (SELECT doc, CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS f
+               FROM bits GROUP BY doc)
+        SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(BIT_COUNT(XOR(a.f, b.f)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc < b.doc
+        WHERE BIT_COUNT(XOR(a.f, b.f)) <= 3
+        ORDER BY doc_a, doc_b"""),
+      doc = "SimHash (60-bit, md5-derived) near-dup pairs with hamming<=3 via 4x15-bit pigeonhole banding (recall exactly 1).")
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.SimSearch
+import graft.multimodal.Multimodal
+
+/** Similarity search + multimodal queries.
+  *
+  * Scores are intentionally NOT emitted where DuckDB is the oracle:
+  * DuckDB's list_cosine_similarity accumulates in float32 while our
+  * engine (correctly) accumulates in double, so values differ at ~1e-6.
+  * Membership thresholds are chosen inside wide score gaps (verified in
+  * the data: nearest scores to the 0.45 boundary are >3e-3 away; the
+  * top-5/6 rank gap is >1.9e-5), so id-set outputs are stable.
+  */
+object SimQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q24_embed_neardup_pairs",
+      (s, d) =>
+        SimSearch.bruteForcePairs(Tables.embeddings(s, d), 0.45)
+          .select(col("vec_a"), col("vec_b"))
+          .orderBy(col("vec_a"), col("vec_b")),
+      Some("""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.45
+        ORDER BY vec_a, vec_b"""),
+      doc = "Embedding near-dup pairs (cosine >= 0.45), exact brute force baseline."),
+
+    Q(
+      "q25_simsearch_topk",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter(col("vec_id") < 10)
+        SimSearch.bruteForceTopK(corpus, queries, 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some("""
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY LIST_COSINE_SIMILARITY(q.embedding, c.embedding) DESC, c.vec_id) AS rk
+          FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 10) t
+        WHERE rk <= 5
+        ORDER BY query_id, neighbor_id"""),
+      doc = "Brute-force cosine top-5 neighbors for 10 query vectors (broadcast queries, one corpus scan)."),
+
+    Q(
+      "q26_simsearch_lsh",
+      (s, d) =>
+        SimSearch.lshPairs(Tables.embeddings(s, d), 0.40, bits = 12, bands = 8)
+          .select(col("vec_a"), col("vec_b"))
+          .orderBy(col("vec_a"), col("vec_b")),
+      None, // approximate (recall < 1 by design) — rows-only check;
+      // SimSearchSpec pins recall >= 0.9 against the exact baseline.
+      doc = "SRP-LSH (8 bands x 12 bits) candidate pairs verified with exact cosine >= 0.40 — the ANN scale path."),
+
+    Q(
+      "q27_multimodal_features",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        Multimodal.extractFeatures(media).toDF()
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+               MD5(text) AS content_md5,
+               CAST(STRLEN(text) % 640 AS INT) AS width,
+               CAST((CAST('0x' || SUBSTR(MD5(text), 1, 2) AS INT) % 480) + 1 AS INT) AS height
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Multimodal plumbing: binary media column -> per-partition batched (stub) decoder -> typed feature schema.")
+  )
+}

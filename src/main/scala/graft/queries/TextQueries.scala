@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis queries over the documents table: token counting,
+  * quality scoring, language ID, fingerprinting. All per-row scalar
+  * pipelines (no shuffle except the final ORDER BY) — the 100 TB shape is
+  * a single codegen'd scan.
+  */
+object TextQueries {
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q17_text_stats",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            length($"text").as("n_chars_calc"),
+            TextFns.tokenCount($"text").as("n_tok"),
+            TextFns.bpeishCount($"text").as("n_bpe"),
+            TextFns.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_calc,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+               LEAST(CAST(1.0 AS DOUBLE), LENGTH(text) / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                 + LEAST(CAST(1.0 AS DOUBLE), LEN(STRING_SPLIT(text, ' ')) / CAST(80.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                 + (CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) * CAST(0.2 AS DOUBLE)
+                 AS quality
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Per-doc token counts (whitespace + BPE-ish regex) and composite quality score."),
+
+    Q(
+      "q18_text_langid",
+      (s, d) => {
+        import s.implicits._
+        val scored = Tables.documents(s, d)
+          .select(Seq($"doc_id", $"lang") ++
+            TextFns.LangMarkers.map { case (l, _) => TextFns.langScore($"text", l).as(s"s_$l") }: _*)
+        scored
+          .withColumn("pred_lang", {
+            val m = greatest(TextFns.LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+            TextFns.LangMarkers.tail.foldLeft(
+              when(col(s"s_${TextFns.LangMarkers.head._1}") === m, lit(TextFns.LangMarkers.head._1))) {
+              case (acc, (l, _)) => acc.when(col(s"s_$l") === m, lit(l))
+            }
+          })
+          .withColumn("agrees", ($"pred_lang" === $"lang").cast("boolean"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+               CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' WHEN s_es = m THEN 'es'
+                    WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' END AS pred_lang,
+               (CASE WHEN s_en = m THEN 'en' WHEN s_de = m THEN 'de' WHEN s_es = m THEN 'es'
+                     WHEN s_fr = m THEN 'fr' WHEN s_zh = m THEN 'zh' END) = lang AS agrees
+        FROM (
+          SELECT doc_id, lang,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')) AS s_en,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|los|que|una)\b')) AS s_es,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|les|des|est|une)\b')) AS s_fr,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(的|是|了|在|和)\b')) AS s_zh,
+                 GREATEST(
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')),
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|und|das|ist)\b')),
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|los|que|una)\b')),
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|les|des|est|une)\b')),
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(的|是|了|在|和)\b'))) AS m
+          FROM documents) t
+        ORDER BY doc_id"""),
+      doc = "Marker-word language ID: argmax of per-language stopword hit counts, fixed tie order."),
+
+    Q(
+      "q19_text_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextFns.fingerprint($"text").as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Deterministic md5-of-normalized-text document fingerprint.")
+  )
+}

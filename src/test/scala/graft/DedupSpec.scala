@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("exactDedup keeps exactly one row per key, the ordered-first one") {
+    import spark.implicits._
+    val df = Seq((1, "a", 10), (1, "a", 5), (1, "b", 7), (2, "a", 3))
+      .toDF("k1", "k2", "v")
+    val got = Dedup.exactDedup(df, Seq("k1", "k2"), Seq($"v"))
+      .orderBy($"k1", $"k2").as[(Int, String, Int)].collect().toSeq
+    assert(got == Seq((1, "a", 5), (1, "b", 7), (2, "a", 3)))
+  }
+
+  test("jaccardPairs finds identical docs with jaccard 1.0 and skips disjoint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v u t s"),
+      (2L, "x y z w v u t s"),     // identical to 1
+      (3L, "p q r p2 q2 r2 p3 q3") // disjoint shingles
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+    val got = Dedup.jaccardPairs(sh, 0.5).as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhashLshPairs equals exact jaccardPairs on real documents") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    val exact = Dedup.jaccardPairs(sh, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(sh, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain near-dup documents")
+    assert(lsh == exact)
+    sh.unpersist()
+  }
+
+  test("simhashPairs equals exact brute-force hamming pairs (recall 1 by pigeonhole)") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text").cache()
+    val banded = Dedup.simhashPairs(fps, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = fps.as("a").join(fps.as("b"), col("a.doc") < col("b.doc"))
+      .select(col("a.doc"), col("b.doc"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    fps.unpersist()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+
+class TextFnsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  test("normalize lowercases, strips punct, collapses whitespace") {
+    import spark.implicits._
+    val got = Seq("  Hello,   WORLD!! 42  ").toDF("t")
+      .select(TextFns.normalize($"t")).as[String].head()
+    assert(got == "hello world 42")
+  }
+
+  test("shingles: 3-grams of a 5-token text; short texts yield empty") {
+    import spark.implicits._
+    val got = Seq("a b c d e").toDF("t")
+      .select(TextFns.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d e"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFns.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("langId picks the marker-richest language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist gut",
+      "el perro y la casa que una vez").toDF("t")
+    val got = df.select(TextFns.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "es"))
+  }
+
+  test("fingerprint is md5 of normalized text") {
+    import spark.implicits._
+    val got = Seq("Hello World").toDF("t")
+      .select(TextFns.fingerprint($"t")).as[String].head()
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got == exp)
+  }
+
+  test("quality score is bounded and monotone-ish in length") {
+    import spark.implicits._
+    val df = Seq("word", ("the and of to a " * 30).trim).toDF("t")
+      .select(TextFns.qualityScore($"t").as("q")).as[Double].collect()
+    assert(df.forall(q => q >= 0.0 && q <= 1.0))
+    assert(df(1) > df(0))
+  }
+}
