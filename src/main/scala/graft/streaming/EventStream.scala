@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference is batch-only (weekly EventBridge trigger); streaming is
+  * a north-star extension: the same hourly aggregation as the batch query
+  * q16, expressed as an incremental watermarked stream, plus stateful
+  * sessionization with flatMapGroupsWithState. File-source streams make
+  * this testable against the static parquet (Trigger.AvailableNow
+  * semantics via processAllAvailable in specs).
+  *
+  * Scale: watermark bounds state; the windowed agg shuffles on
+  * (window, event_type) exactly like the batch plan; session state is
+  * per-user and evicted on timeout.
+  */
+object EventStream {
+
+  /** Parquet-on-disk schema of events (ts is int64 nanos in the files). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (read with nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked hourly tumbling-window aggregation (streaming analog of
+    * batch query q16_events_hourly).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"), col("approx_users"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,
+                     last_ts: java.sql.Timestamp, total_value: Double)
+  case class SessionState(n: Long, first: Long, last: Long, total: Double)
+
+  /** Session aggregation with the built-in event-time session window:
+    * per (user, session) event counts/value totals. The zero-custom-code
+    * path — prefer this when the output is plain aggregates.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState: per-user
+    * session closed after `gapMinutes` of EVENT-TIME inactivity (timeout
+    * fires when the watermark passes last_event + gap — deterministic,
+    * replayable, unlike processing-time timeouts). Emits the closed
+    * session row. Use over sessionWindowAgg when the state transition is
+    * genuinely custom (e.g. carrying first/last event payloads).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n,
+              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last), s.total))
+          } else {
+            val evs = batch.toSeq
+            if (evs.nonEmpty) {
+              val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue, 0.0))
+              val next = SessionState(
+                prev.n + evs.size,
+                math.min(prev.first, evs.map(_.ts.getTime).min),
+                math.max(prev.last, evs.map(_.ts.getTime).max),
+                prev.total + evs.map(_.value).sum)
+              state.update(next)
+              state.setTimeoutTimestamp(next.last + gapMinutes * 60000L)
+            }
+            Iterator.empty
+          }
+        })
+  }
+}

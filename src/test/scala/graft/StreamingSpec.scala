@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg over the file source matches the batch computation") {
+    import spark.implicits._
+    // FileStreamSource needs a directory/glob, not a bare file path
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    assert(stream.isStreaming)
+    val q = EventStream.hourlyAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with one batch the
+      // final watermark closes all but the trailing 2h. Compare those rows
+      // against the batch plan.
+      val got = spark.table("hourly")
+        .select($"hour", $"event_type", $"n", $"sum_value")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Tables.events(spark, sf)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.nonEmpty)
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+
+  test("sessionize: event-time gap closes the session when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 1)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:30")
+      input.addData(
+        EventStream.Event(1, t0, 42L, "click", 1.0),
+        EventStream.Event(2, t1, 42L, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+
+      // a much later event advances the watermark past 10:01:30 → timeout
+      input.addData(EventStream.Event(3,
+        java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the timed-out state is evaluated
+      input.addData(EventStream.Event(4,
+        java.sql.Timestamp.valueOf("2024-01-01 11:00:01"), 7L, "click", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events", $"total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((42L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_window agg groups events by event-time gaps") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "click", 1.0, ""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 42L, "view", 2.0, ""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 42L, "click", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // session_window also works on batch DataFrames — verify grouping there
+    val got = EventStream.sessionWindowAgg(batch, "30 minutes")
+      .orderBy($"session_start")
+      .select($"n_events", $"total_value")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 3.0), (1L, 4.0)))
+  }
+}
