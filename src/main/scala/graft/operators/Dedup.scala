@@ -44,7 +44,10 @@ object Dedup {
     * Scale: the self-join only touches shingles shared by ≥2 docs; hot
     * shingles (boilerplate) are the skew risk — AQE skew-join splits them.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // shuffle/join on 8-byte hashed shingles, not strings (collision odds
+    // over a shingle vocabulary are ~|V|²/2^65 — immaterial)
+    val sh = shRaw.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -63,8 +66,9 @@ object Dedup {
     * Jaccard, so the output equals exact `jaccardPairs` up to LSH recall
     * (1 - (1-t^r)^b, ≈1 for near-dup thresholds with r=2,b=32).
     */
-  def minhashLshPairs(sh: DataFrame, threshold: Double,
+  def minhashLshPairs(shRaw: DataFrame, threshold: Double,
                       numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = shRaw.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val rows = numHashes / bands
     val sigCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
     val sig = sh.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
