@@ -17,9 +17,11 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++ SimQueries.queries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full star join: one fact shuffle, every dimension broadcast.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.head.run(spark, "/root/testdata/sf0.001")
+    queries("q05_star_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allQueries.map(q => q.name -> q.run).toMap
