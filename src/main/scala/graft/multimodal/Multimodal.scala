@@ -60,4 +60,32 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media")).as[MediaRow]
   }
+
+  /** STUB resize: a real implementation decodes, scales to `w`×`h`, and
+    * re-encodes; the stub deterministically samples every k-th byte so the
+    * output size tracks the target dimensions. Plumbing (binary in/out,
+    * per-partition batching) is real.
+    */
+  def resizeStub(row: MediaRow, w: Int, h: Int): MediaRow = {
+    val target = math.max(1, w * h / 256)
+    val step = math.max(1, row.media.length / target)
+    MediaRow(row.doc_id, row.media.grouped(step).map(_.head).toArray)
+  }
+
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame-sampler: a real implementation demuxes video and decodes
+    * every `stride`-th frame; the stub slices the byte stream into
+    * fixed-size fake "frames" and keeps every `stride`-th — producing the
+    * 1→N row fan-out shape (flatMap) a real sampler has.
+    */
+  def sampleFramesStub(media: Dataset[MediaRow], frameBytes: Int = 64,
+                       stride: Int = 2)(implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { row =>
+      row.media.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, idx) if idx % stride == 0 => Frame(row.doc_id, idx, bytes)
+      }
+    }
+  }
 }

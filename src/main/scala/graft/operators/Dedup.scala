@@ -113,13 +113,17 @@ object Dedup {
       .select(col(idCol).as("doc"), explode(TextFns.tokens(col(textCol))).as("tok"))
       .distinct()
       .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    // One shuffle of 60 map-side-combined counter columns per doc — not an
+    // explode×60, which would shuffle 60x the token rows at cluster scale.
+    val bitSums = (0 until 60).map { b =>
+      sum(when(expr(s"shiftright(hv, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
     toks
-      .select(col("doc"), col("hv"), explode(sequence(lit(0), lit(59))).as("b"))
-      .groupBy("doc", "b")
-      .agg(sum(when(expr("shiftright(hv, b) & 1") === 1, 1).otherwise(-1)).as("s"))
       .groupBy("doc")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .cast("long").as("fp"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).cast("long").as("fp"))
   }
 
   /** Near-dup pairs with hamming(fp_a, fp_b) <= maxHamming, via pigeonhole
