@@ -9,33 +9,38 @@ import org.apache.spark.sql.SparkSession
   */
 object CatalogOps {
 
-  /** S3: table names currently in the catalog (reference GetTables,
-    * `state_machine.asl:5-13`).
+  /** S3: table names currently in the catalog database (reference
+    * GetTables, `state_machine.asl:5-13`).
     */
-  def listTables(spark: SparkSession): Set[String] =
-    spark.catalog.listTables().collect().map(_.name).toSet
+  def listTables(spark: SparkSession, db: String = "default"): Set[String] = {
+    if (!spark.catalog.databaseExists(db)) return Set.empty
+    spark.catalog.listTables(db).collect().map(_.name).toSet
+  }
 
   /** K5: register <lakeRoot>/cnpj_db/<table> as an external partitioned
     * parquet table if absent, then sync partitions (reference crawler,
-    * `state_machine.asl:132-138`).
+    * `state_machine.asl:132-138`). The database plays the reference's
+    * Glue database role — one per lake.
     */
-  def ensureTable(spark: SparkSession, table: String, lakeRoot: String): Unit = {
-    if (!spark.catalog.tableExists(table)) {
+  def ensureTable(spark: SparkSession, table: String, lakeRoot: String,
+                  db: String = "default"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    if (!spark.catalog.tableExists(s"`$db`.`$table`")) {
       val cols = Schemas(table).map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
       spark.sql(
-        s"""CREATE TABLE `$table` ($cols)
+        s"""CREATE TABLE `$db`.`$table` ($cols)
            |USING parquet
            |PARTITIONED BY (ref_date STRING)
            |LOCATION '$lakeRoot/cnpj_db/$table'""".stripMargin)
     }
-    spark.catalog.recoverPartitions(table)
+    spark.catalog.recoverPartitions(s"`$db`.`$table`")
   }
 
   /** S4: partition values of a table (reference GetPartitions,
     * `state_machine.asl:43-55`). Values of the single ref_date key.
     */
-  def listPartitions(spark: SparkSession, table: String): Seq[String] =
-    spark.sql(s"SHOW PARTITIONS `$table`").collect()
+  def listPartitions(spark: SparkSession, table: String, db: String = "default"): Seq[String] =
+    spark.sql(s"SHOW PARTITIONS `$db`.`$table`").collect()
       .map(_.getString(0).stripPrefix("ref_date=")).toSeq
 }
 

@@ -27,14 +27,15 @@ object IngestJob {
       repositoryUrl: String,
       lakeRoot: String,
       stagingDir: String,
-      bucketName: String = "local"): Seq[TableResult] = {
+      bucketName: String = "local",
+      db: String = "default"): Seq[TableResult] = {
 
-    val tablesInCatalog = CatalogOps.listTables(spark) // S3
+    val tablesInCatalog = CatalogOps.listTables(spark, db) // S3
     val html = Retry.withBackoff(attempts = 3, firstDelayMs = 1000) {
       ListingScraper.fetch(repositoryUrl) // S1, 15s timeout + F4 retry
     }
     runWithListing(spark, ListingScraper.parse(html), requestedTables,
-      tablesInCatalog, repositoryUrl, lakeRoot, stagingDir, bucketName)
+      tablesInCatalog, repositoryUrl, lakeRoot, stagingDir, bucketName, db)
   }
 
   /** Entry point with a pre-fetched listing (testable without network). */
@@ -46,7 +47,8 @@ object IngestJob {
       repositoryUrl: String,
       lakeRoot: String,
       stagingDir: String,
-      bucketName: String): Seq[TableResult] = {
+      bucketName: String,
+      db: String = "default"): Seq[TableResult] = {
     import spark.implicits._
 
     val manifest = ManifestBuilder.build(spark, listing, requestedTables,
@@ -56,15 +58,15 @@ object IngestJob {
       try {
         // F1/F2/F3: skip fresh tables (no-op branch, reference asl:90-92)
         val stale = !tm.exists ||
-          FreshnessGate.shouldUpdate(tm, CatalogOps.listPartitions(spark, tm.name))
+          FreshnessGate.shouldUpdate(tm, CatalogOps.listPartitions(spark, tm.name, db))
         if (!stale) TableResult(tm.name, updated = false, 0L, None)
         else {
           val staged = Ingest.fetchAndStage(
             spark.createDataset(tm.files), s"$stagingDir/${tm.name}").collect() // M2
           val df = Ingest.readCsv(spark, tm.name, staged.map(_._2).toSeq)
           Ingest.writeSnapshot(df, lakeRoot, tm.name, tm.ref_date)
-          CatalogOps.ensureTable(spark, tm.name, lakeRoot) // K5
-          val rows = spark.table(tm.name)
+          CatalogOps.ensureTable(spark, tm.name, lakeRoot, db) // K5
+          val rows = spark.table(s"`$db`.`${tm.name}`")
             .where($"ref_date" === tm.ref_date.toString).count()
           staged.foreach(s => new java.io.File(s._2).delete()) // K4
           TableResult(tm.name, updated = true, rows, None)

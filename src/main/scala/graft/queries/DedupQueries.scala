@@ -49,7 +49,8 @@ object DedupQueries {
     Q(
       "q21_dedup_jaccard",
       (s, d) => {
-        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+        // the shingle set feeds sizes + both join sides: materialize once
+        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3).cache()
         Dedup.jaccardPairs(sh, 0.5)
           .orderBy(col("doc_a"), col("doc_b"))
       },
@@ -59,7 +60,7 @@ object DedupQueries {
     Q(
       "q22_dedup_minhash",
       (s, d) => {
-        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+        val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3).cache()
         Dedup.minhashLshPairs(sh, 0.7, numHashes = 64, bands = 32)
           .orderBy(col("doc_a"), col("doc_b"))
       },

@@ -95,7 +95,7 @@ class CnpjIngestSpec extends AnyFunSuite {
     import spark.implicits._
     val results = IngestJob.runWithListing(spark, ListingScraper.parse(html),
       Seq("municipios", "empresas"), tablesInCatalog = Set(),
-      repoUrl, lakeRoot, staging, "bkt")
+      repoUrl, lakeRoot, staging, "bkt", db = "cnpj_ing")
     assert(results.forall(_.error.isEmpty), results.mkString("; "))
     assert(results.forall(_.updated))
 
@@ -103,12 +103,12 @@ class CnpjIngestSpec extends AnyFunSuite {
     assert(new File(s"$lakeRoot/cnpj_db/municipios/ref_date=20230516").exists())
     assert(new File(s"$lakeRoot/cnpj_db/empresas/ref_date=20230516").exists())
 
-    val mun = spark.table("municipios")
+    val mun = spark.table("cnpj_ing.municipios")
     assert(mun.count() == 3)
     // T5 latin-1 decode
     assert(mun.filter($"codigo" === 1).select($"desc").as[String].head() == "SÃO PAULO")
 
-    val emp = spark.table("empresas").orderBy($"cnpj_raiz")
+    val emp = spark.table("cnpj_ing.empresas").orderBy($"cnpj_raiz")
     // first-member-only: 3 rows from the two zips' FIRST members, none from the decoy
     assert(emp.count() == 3)
     assert(!emp.select($"raz_soc").as[String].collect().contains("WRONG"))
@@ -135,13 +135,13 @@ class CnpjIngestSpec extends AnyFunSuite {
     import spark.implicits._
     val second = IngestJob.runWithListing(spark, ListingScraper.parse(html),
       Seq("municipios", "empresas"), tablesInCatalog = Set("municipios", "empresas"),
-      repoUrl, lakeRoot, staging, "bkt")
+      repoUrl, lakeRoot, staging, "bkt", db = "cnpj_ing")
     assert(second.forall(r => !r.updated && r.error.isEmpty), second.mkString("; ")) // F2 no-op branch
 
     // same-date re-ingest (forced, exists=false path) must not duplicate rows
     IngestJob.runWithListing(spark, ListingScraper.parse(html),
       Seq("municipios"), tablesInCatalog = Set(),
-      repoUrl, lakeRoot, staging, "bkt")
-    assert(spark.table("municipios").count() == 3) // dynamic overwrite, not append
+      repoUrl, lakeRoot, staging, "bkt", db = "cnpj_ing")
+    assert(spark.table("cnpj_ing.municipios").count() == 3) // dynamic overwrite, not append
   }
 }
