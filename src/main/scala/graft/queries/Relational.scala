@@ -408,6 +408,72 @@ object Relational {
         GROUP BY 1, 2
         HAVING COUNT(*) >= 5
         ORDER BY hour, event_type"""),
-      doc = "Tumbling hourly window over events (batch form); HAVING = SURVEY P5.")
+      doc = "Tumbling hourly window over events (batch form); HAVING = SURVEY P5."),
+
+    Q(
+      "q28_anti_join",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).select($"o_custkey".as("c_custkey"))
+        c.join(o, Seq("c_custkey"), "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orderless"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_orderless
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      doc = "Left-anti join (NOT EXISTS): customers with no orders."),
+
+    Q(
+      "q29_rollup",
+      (s, d) => {
+        import s.implicits._
+        Tables.lineitem(s, d)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+            coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+            $"n", $"sum_qty")
+          .orderBy($"returnflag", $"linestatus")
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus"""),
+      doc = "ROLLUP hierarchy totals (subtotal + grand-total rows via grouping sets)."),
+
+    Q(
+      "q30_pivot_conditional",
+      (s, d) => {
+        import s.implicits._
+        // pivot via conditional aggregation (engine-portable form)
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+            count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+            count(when($"o_orderstatus" === "P", 1)).as("n_p"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "Pivot as conditional aggregation: status counts per priority.")
   )
 }
