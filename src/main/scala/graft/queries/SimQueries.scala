@@ -61,6 +61,20 @@ object SimQueries {
       doc = "SRP-LSH (8 bands x 12 bits) candidate pairs verified with exact cosine >= 0.40 — the ANN scale path."),
 
     Q(
+      "q31_simsearch_ivf",
+      (s, d) => {
+        val corpus = Tables.embeddings(s, d)
+        val index = graft.operators.IvfSearch.build(corpus, k = 16, iters = 3)
+        graft.operators.IvfSearch.topK(corpus, corpus.filter(col("vec_id") < 10), index,
+            k = 5, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      None, // approximate by design (probes nprobe/k of the lists) —
+      // rows-only check; IvfSearchSpec pins recall vs the exact baseline.
+      doc = "IVF ANN: deterministic k-means inverted lists, nprobe probing, exact re-scoring."),
+
+    Q(
       "q27_multimodal_features",
       (s, d) => {
         implicit val sp = s

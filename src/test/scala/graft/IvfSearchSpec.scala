@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IvfSearch, SimSearch}
+
+class IvfSearchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("index build is deterministic and partitions the corpus") {
+    val corpus = Tables.embeddings(spark, sf)
+    val i1 = IvfSearch.build(corpus, k = 8, iters = 2)
+    val i2 = IvfSearch.build(corpus, k = 8, iters = 2)
+    assert(i1.centroids.map(_.toSeq).toSeq == i2.centroids.map(_.toSeq).toSeq)
+    val counts = IvfSearch.assign(corpus, i1)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(counts.sum == 500 && counts.forall(_ > 0))
+  }
+
+  test("probed search recalls most exact top-5 neighbors") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val index = IvfSearch.build(corpus, k = 16, iters = 3)
+    val exact = SimSearch.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = IvfSearch.topK(corpus, queries, index, k = 5, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(exact.size == 50)
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
