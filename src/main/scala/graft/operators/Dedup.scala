@@ -70,11 +70,13 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 32): DataFrame = {
     val sh = shRaw.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val rows = numHashes / bands
-    val sigCols = (0 until numHashes).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-    val sig = sh.groupBy("doc").agg(sigCols.head, sigCols.tail: _*)
+    // single constant-size sketch buffer per group (TypedImperativeAggregate)
+    // — the shuffle carries sketches, not 64 separate agg columns
+    val sig = sh.groupBy("doc")
+      .agg(graft.functions.MinHashSketch(col("sh"), numHashes).as("sig"))
 
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      val parts = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bv"))
     }
     val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
