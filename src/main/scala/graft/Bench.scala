@@ -12,9 +12,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    // Warmup: JIT + codegen + parquet footer caches.
-    SparkEntry.allQueries.headOption.foreach { q =>
-      try q.run(spark, sfDir).count() catch { case _: Throwable => () }
+    // Warmup: run every query once at the smallest SF so the timed pass
+    // measures steady-state execution, not whole-stage-codegen/janino
+    // compilation (measured ~2.5 s of one-time compile on some plans).
+    // Generated code is keyed by plan shape, so sf0.001 warms the same
+    // compiled classes the timed sfDir run uses.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.allQueries.foreach { q =>
+      try q.run(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.allQueries.map { q =>

@@ -33,9 +33,13 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) pairs, distinct, from a text column: word `n`-grams. */
+  /** (id, shingle) pairs, distinct, from a text column: word `n`-grams,
+    * pre-hashed to 8-byte keys BEFORE the distinct so the dedup shuffle
+    * carries (long, long) rows instead of strings.
+    */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("sh"))
+    df.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+      .select(col("doc"), xxhash64(col("s")).as("sh"))
       .distinct()
 
   /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold) via

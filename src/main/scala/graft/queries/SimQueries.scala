@@ -64,7 +64,7 @@ object SimQueries {
       "q31_simsearch_ivf",
       (s, d) => {
         val corpus = Tables.embeddings(s, d)
-        val index = graft.operators.IvfSearch.build(corpus, k = 16, iters = 3)
+        val index = graft.operators.IvfSearch.build(corpus, k = 16, iters = 2)
         graft.operators.IvfSearch.topK(corpus, corpus.filter(col("vec_id") < 10), index,
             k = 5, nprobe = 4)
           .select(col("query_id"), col("neighbor_id"))

@@ -26,6 +26,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("custom functions are registered in the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    val dot = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d))")
+      .collect()(0).getDouble(0)
+    assert(dot == 10.0)
+    graft.queries.SqlSurface.registerViews(spark, sf)
+    val sig = spark.sql(
+      "SELECT minhash_sketch(xxhash64(text), 16) FROM documents")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
+  }
+
   test("SQL joins and subqueries work over the views") {
     val n = SqlSurface.sql(spark, sf,
       """SELECT COUNT(*) FROM orders o
