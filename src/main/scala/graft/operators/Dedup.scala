@@ -109,6 +109,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair graph
+    * (doc_a, doc_b): returns (doc, component) where component is the
+    * MINIMUM doc id in the component — the canonical dedup survivor.
+    *
+    * Iterative min-label propagation with a driver convergence loop;
+    * diameter of near-dup clusters is tiny (they're cliques-ish), so
+    * it converges in a couple of rounds. At extreme scale swap the body
+    * for the alternating large-star/small-star formulation — the API
+    * (pairs in, labels out) stays the same.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("component", col("doc"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src").as("doc2")).agg(min(col("component")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc") === neighborMin("doc2"), "left")
+        .select(col("doc"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 60-bit SimHash fingerprint per document over distinct whitespace
     * tokens. Bit k of the fingerprint is the sign of Σ_tokens ±1 where the
     * sign is bit k of the token's md5-derived 60-bit hash. md5 (not

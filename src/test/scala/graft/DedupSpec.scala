@@ -42,6 +42,15 @@ class DedupSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("connectedComponents: chains collapse to the min id, singletons excluded") {
+    import spark.implicits._
+    // chain 1-2-3 plus pair 10-11: transitive closure must label 3 with 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhashPairs equals exact brute-force hamming pairs (recall 1 by pigeonhole)") {
     val docs = Tables.documents(spark, sf).limit(100)
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text").cache()
