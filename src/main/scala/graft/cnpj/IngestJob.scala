@@ -63,13 +63,18 @@ object IngestJob {
         else {
           val staged = Ingest.fetchAndStage(
             spark.createDataset(tm.files), s"$stagingDir/${tm.name}").collect() // M2
-          val df = Ingest.readCsv(spark, tm.name, staged.map(_._2).toSeq)
-          Ingest.writeSnapshot(df, lakeRoot, tm.name, tm.ref_date)
-          CatalogOps.ensureTable(spark, tm.name, lakeRoot, db) // K5
-          val rows = spark.table(s"`$db`.`${tm.name}`")
-            .where($"ref_date" === tm.ref_date.toString).count()
-          staged.foreach(s => new java.io.File(s._2).delete()) // K4
-          TableResult(tm.name, updated = true, rows, None)
+          try {
+            val df = Ingest.readCsv(spark, tm.name, staged.map(_._2).toSeq)
+            Ingest.writeSnapshot(df, lakeRoot, tm.name, tm.ref_date)
+            CatalogOps.ensureTable(spark, tm.name, lakeRoot, db) // K5
+            val rows = spark.table(s"`$db`.`${tm.name}`")
+              .where($"ref_date" === tm.ref_date.toString).count()
+            TableResult(tm.name, updated = true, rows, None)
+          } finally {
+            // K4: scratch cleanup must also run on failed decodes, or
+            // multi-GB extracted CSVs pile up across retried runs
+            staged.foreach(s => new java.io.File(s._2).delete())
+          }
         }
       } catch {
         // M1: per-table failure isolation

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** SQL registration for the engine's custom Catalyst functions, so the
   * spark.sql surface is at parity with the Column API:
@@ -12,10 +14,23 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("array_dot",
-      exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2, "array_dot(a, b) takes exactly 2 array arguments")
+        // ArrayDot reads 8-byte doubles from the array data; cast so
+        // array<int>/array<float> inputs are promoted, not misread.
+        ArrayDot(
+          Cast(exprs(0), ArrayType(DoubleType)),
+          Cast(exprs(1), ArrayType(DoubleType)))
+      }, "built-in")
     registry.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
-        val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        require(exprs.length == 2,
+          "minhash_sketch(col, numHashes) takes exactly 2 arguments")
+        val n = exprs(1) match {
+          case Literal(v: Number, _) if v.intValue() > 0 => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"minhash_sketch numHashes must be a positive integer literal, got: ${other.sql}")
+        }
         MinHashSketch(exprs(0), n)
       }, "built-in")
   }

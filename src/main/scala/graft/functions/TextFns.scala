@@ -43,10 +43,18 @@ object TextFns {
     "fr" -> Seq("le", "les", "des", "est", "une"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
-  /** Count of occurrences of any marker of `lang`, word-bounded. */
-  def langScore(text: Column, lang: String): Column = {
-    val pat = LangMarkers.toMap.apply(lang).mkString("\\b(", "|", ")\\b")
-    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  /** Count of occurrences of any marker of `lang`. ASCII markers are
+    * word-bounded; CJK markers are counted bare — regex \b is ASCII-based
+    * (in both Java regex and RE2), so `\b的\b` can never match inside
+    * Chinese text.
+    */
+  def langScore(text: Column, lang: String): Column =
+    size(regexp_extract_all(lower(text), lit(langPattern(lang)), lit(0)))
+
+  def langPattern(lang: String): String = {
+    val markers = LangMarkers.toMap.apply(lang)
+    if (lang == "zh") markers.mkString("(", "|", ")")
+    else markers.mkString("\\b(", "|", ")\\b")
   }
 
   /** Heuristic language ID: argmax of marker scores, ties broken by the
@@ -60,13 +68,17 @@ object TextFns {
     }
   }
 
-  /** English stopword ratio over whitespace tokens (quality signal). */
+  /** English stopword ratio over whitespace tokens (quality signal).
+    * Clamped to 1: regex matches are counted against whitespace tokens,
+    * and a token like "the,the" yields more matches than tokens.
+    */
   def stopwordRatio(text: Column): Column =
-    langScore(text, "en").cast("double") / tokenCount(text)
+    least(lit(1.0), langScore(text, "en").cast("double") / tokenCount(text))
 
-  /** Composite quality score in [0,1]: length signal + token-count signal
-    * + stopword signal. Pure double arithmetic with an explicit expression
-    * tree, reproducible bit-for-bit in any IEEE engine.
+  /** Composite quality score in [0,1] (all three terms clamped): length
+    * signal + token-count signal + stopword signal. Pure double arithmetic
+    * with an explicit expression tree, reproducible bit-for-bit in any
+    * IEEE engine.
     */
   def qualityScore(text: Column): Column =
     least(lit(1.0), length(text) / lit(400.0)) * lit(0.5) +

@@ -19,8 +19,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<double>; callers (VectorFns) promote elements
   override def dataType: DataType = DoubleType
+
+  // inputs MUST be array<double>: eval/codegen read 8-byte strides, so a
+  // mis-typed array would be silently misread as garbage, not error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_dot requires array<double> inputs, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
   override def prettyName: String = "array_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

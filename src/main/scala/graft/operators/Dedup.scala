@@ -43,15 +43,13 @@ object Dedup {
       .distinct()
 
   /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold) via
-    * inverted-index join on shingles. `sh` must be (doc, sh) distinct.
+    * inverted-index join on shingles. `sh` must be (doc, sh) distinct —
+    * shingleSets output (8-byte hashed keys, so shuffles stay compact).
     *
     * Scale: the self-join only touches shingles shared by ≥2 docs; hot
     * shingles (boilerplate) are the skew risk — AQE skew-join splits them.
     */
-  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
-    // shuffle/join on 8-byte hashed shingles, not strings (collision odds
-    // over a shingle vocabulary are ~|V|²/2^65 — immaterial)
-    val sh = shRaw.select(col("doc"), xxhash64(col("sh")).as("sh"))
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -70,9 +68,8 @@ object Dedup {
     * Jaccard, so the output equals exact `jaccardPairs` up to LSH recall
     * (1 - (1-t^r)^b, ≈1 for near-dup thresholds with r=2,b=32).
     */
-  def minhashLshPairs(shRaw: DataFrame, threshold: Double,
+  def minhashLshPairs(sh: DataFrame, threshold: Double,
                       numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    val sh = shRaw.select(col("doc"), xxhash64(col("sh")).as("sh"))
     val rows = numHashes / bands
     // single constant-size sketch buffer per group (TypedImperativeAggregate)
     // — the shuffle carries sketches, not 64 separate agg columns
@@ -144,6 +141,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters) — raise maxIters; returning " +
+          "partial labels would silently mislabel survivors")
     labels
   }
 

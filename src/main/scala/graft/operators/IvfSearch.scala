@@ -61,8 +61,12 @@ object IvfSearch {
         val cl = r.getInt(0)
         val byPos = r.getMap[Int, Double](1)
         val dim = centroids(cl).length
-        centroids = centroids.updated(cl,
-          Array.tabulate(dim)(i => byPos.getOrElse(i, 0.0)))
+        val mean = Array.tabulate(dim)(i => byPos.getOrElse(i, 0.0))
+        // spherical k-means: re-normalize, else argmax-dot assignment is
+        // biased toward longer (tighter-cluster) centroids and stops
+        // agreeing with argmax-cosine
+        val n = math.sqrt(mean.map(x => x * x).sum)
+        if (n > 0) centroids = centroids.updated(cl, mean.map(_ / n))
       }
     }
     u.unpersist()

@@ -61,7 +61,13 @@ object SimSearch {
     * 100 TB the bucket join replaces the O(n²) cross join.
     */
   def lshPairs(corpus: DataFrame, threshold: Double,
-               bits: Int = 12, bands: Int = 8, dim: Int = 64): DataFrame = {
+               bits: Int = 12, bands: Int = 8, dimOverride: Int = -1): DataFrame = {
+    // hyperplanes must span the FULL vector: a too-short plane would
+    // silently sign only a prefix (ArrayDot stops at min length) and
+    // quietly wreck recall — infer the dimension from the data.
+    val dim =
+      if (dimOverride > 0) dimOverride
+      else corpus.select(size(col("embedding"))).head().getInt(0)
     val unit = corpus.select(col("vec_id"),
       VectorFns.unitVector(col("embedding")).as("uv"))
     val sigCols = (0 until bands).map { bd =>

@@ -32,7 +32,7 @@ object TextQueries {
                LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
                LEAST(CAST(1.0 AS DOUBLE), LENGTH(text) / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
                  + LEAST(CAST(1.0 AS DOUBLE), LEN(STRING_SPLIT(text, ' ')) / CAST(80.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
-                 + (CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) * CAST(0.2 AS DOUBLE)
+                 + LEAST(CAST(1.0 AS DOUBLE), CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) * CAST(0.2 AS DOUBLE)
                  AS quality
         FROM documents
         ORDER BY doc_id"""),
@@ -68,13 +68,13 @@ object TextQueries {
                  LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|und|das|ist)\b')) AS s_de,
                  LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|los|que|una)\b')) AS s_es,
                  LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|les|des|est|une)\b')) AS s_fr,
-                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(的|是|了|在|和)\b')) AS s_zh,
+                 LEN(REGEXP_EXTRACT_ALL(LOWER(text), '(的|是|了|在|和)')) AS s_zh,
                  GREATEST(
                    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|of|and|to)\b')),
                    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|die|und|das|ist)\b')),
                    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|los|que|una)\b')),
                    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|les|des|est|une)\b')),
-                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(的|是|了|在|和)\b'))) AS m
+                   LEN(REGEXP_EXTRACT_ALL(LOWER(text), '(的|是|了|在|和)'))) AS m
           FROM documents) t
         ORDER BY doc_id"""),
       doc = "Marker-word language ID: argmax of per-language stopword hit counts, fixed tie order."),

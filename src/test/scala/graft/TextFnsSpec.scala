@@ -30,9 +30,10 @@ class TextFnsSpec extends AnyFunSuite {
     val df = Seq(
       "the cat and the dog of the house",
       "der hund und die katze ist gut",
-      "el perro y la casa que una vez").toDF("t")
+      "el perro y la casa que una vez",
+      "我是学生他的书在这里").toDF("t") // CJK: no \b boundaries exist
     val got = df.select(TextFns.langId($"t")).as[String].collect().toSeq
-    assert(got == Seq("en", "de", "es"))
+    assert(got == Seq("en", "de", "es", "zh"))
   }
 
   test("fingerprint is md5 of normalized text") {

@@ -38,11 +38,11 @@ class HttpIngestSpec extends AnyFunSuite {
         """<td>2023-07-01 10:00</td></tr></table>"""
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    var hits = List.empty[String]
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     server.createContext("/CNPJ/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val path = ex.getRequestURI.getPath
-        hits.synchronized { hits = path :: hits }
+        hits.add(path)
         val body: Array[Byte] =
           if (path.endsWith("Motivos.zip")) motivos else listing.getBytes("UTF-8")
         ex.sendResponseHeaders(200, body.length)
@@ -56,8 +56,10 @@ class HttpIngestSpec extends AnyFunSuite {
       val res = IngestJob.run(spark, Seq("motivos"), url, lakeRoot, staging,
         bucketName = "bkt", db = "cnpj_http")
       assert(res == Seq(IngestJob.TableResult("motivos", updated = true, 2L, None)))
-      assert(hits.exists(_.endsWith("/CNPJ/")), "listing must be fetched over HTTP")
-      assert(hits.exists(_.endsWith("Motivos.zip")), "zip must be downloaded over HTTP")
+      import scala.jdk.CollectionConverters._
+      val paths = hits.asScala.toList
+      assert(paths.exists(_.endsWith("/CNPJ/")), "listing must be fetched over HTTP")
+      assert(paths.exists(_.endsWith("Motivos.zip")), "zip must be downloaded over HTTP")
       import spark.implicits._
       assert(spark.table("cnpj_http.motivos").where($"codigo" === 1)
         .select($"desc").as[String].head() == "EXTINÇÃO")
