@@ -57,6 +57,15 @@ object EventStream {
                      last_ts: java.sql.Timestamp, total_value: Double)
   case class SessionState(n: Long, first: Long, last: Long, total: Double)
 
+  /** Streaming exact dedup: drops events whose `event_id` was already
+    * seen within the watermark horizon — the streaming analog of the
+    * batch exactDedup operator; state is bounded by the watermark.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session aggregation with the built-in event-time session window:
     * per (user, session) event counts/value totals. The zero-custom-code
     * path — prefer this when the output is plain aggregates.

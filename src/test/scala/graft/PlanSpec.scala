@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties the queries are
+  * designed around must survive refactors — filters reaching the parquet
+  * scan, dimensions broadcast, codegen'd scoring, no stray cartesian
+  * products.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicates and projection are pushed to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(500))
+    assert(p.contains("In(l_returnflag"), "IN filter must reach the scan")
+    // pruned read schema: only the referenced columns
+    assert(!p.contains("l_extendedprice"), "untouched columns must be pruned from the scan")
+  }
+
+  test("q05: every dimension join is a broadcast hash join, no sort-merge") {
+    val p = plan("q05_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "customer/nation/region hops must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q24: pairwise scoring uses the codegen'd array_dot, not interpreted HOFs") {
+    val p = plan("q24_embed_neardup_pairs")
+    assert(p.contains("array_dot"), "custom ArrayDot expression must be in the plan")
+    // the per-PAIR score must be a single dot (normalization happens once
+    // per side) — an aggregate(zip_with(...)) in the join condition would
+    // mean the interpreted fallback crept back in
+    val joinCond = p.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinCond.contains("array_dot") && !joinCond.contains("aggregate("),
+      s"join condition must score via array_dot only: $joinCond")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial + final HashAggregate around the exchange")
+  }
+}

@@ -66,6 +66,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered event ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val deduped = EventStream.dedupStream(
+      input.toDS().toDF(), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData(EventStream.Event(1, t, 1L, "click", 1.0))
+      q.processAllAvailable()
+      // same event re-delivered in a later batch + one new event
+      input.addData(
+        EventStream.Event(1, t, 1L, "click", 1.0),
+        EventStream.Event(2, t, 1L, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("session_window agg groups events by event-time gaps") {
     import spark.implicits._
     val batch = Seq(
