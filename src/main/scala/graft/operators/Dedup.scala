@@ -110,13 +110,46 @@ object Dedup {
     * (doc_a, doc_b): returns (doc, component) where component is the
     * MINIMUM doc id in the component — the canonical dedup survivor.
     *
-    * Iterative min-label propagation with a driver convergence loop;
-    * diameter of near-dup clusters is tiny (they're cliques-ish), so
-    * it converges in a couple of rounds. At extreme scale swap the body
-    * for the alternating large-star/small-star formulation — the API
-    * (pairs in, labels out) stays the same.
+    * Hybrid execution: driver-side union-find when the pair graph fits
+    * (the common case — pairs are the output of the similarity filter),
+    * distributed iterative min-label propagation otherwise. Same labels
+    * either way.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          driverThreshold: Long = 1000000L): DataFrame = {
+    // The near-dup pair graph is tiny relative to the corpus (it's the
+    // OUTPUT of the similarity filter). When it fits on the driver,
+    // union-find there beats a multi-job distributed loop by orders of
+    // magnitude in stage overhead; the distributed propagation below is
+    // the fallback for pathological pair volumes.
+    val spark = pairs.sparkSession
+    val edgeList = pairs.select(col("doc_a"), col("doc_b")).limit(driverThreshold.toInt + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (edgeList.length <= driverThreshold) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      return parent.keys.toSeq.sorted
+        .map(d => (d, find(d))).toDF("doc", "component")
+    }
+    distributedComponents(pairs, maxIters)
+  }
+
+  /** Distributed min-label propagation fallback (driver convergence loop;
+    * swap in large-star/small-star for extreme diameters).
+    */
+  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
