@@ -67,6 +67,24 @@ class CnpjQueriesSpec extends AnyFunSuite {
     assert(byNature == Seq(("Sociedade Limitada", 2L, 3000.50), ("Empresa Publica", 1L, 500.00)))
   }
 
+  test("ref_date predicates prune partitions down to the matching snapshot files") {
+    import spark.implicits._
+    // second snapshot partition written directly (newer ref_date)
+    val extra = Seq((900L, "NOVA CIDADE")).toDF("codigo", "desc")
+    Ingest.writeSnapshot(extra, lakeRoot, "municipios", 20230701)
+    CatalogOps.ensureTable(spark, "municipios", lakeRoot, db = "cnpj_q")
+    assert(CatalogOps.listPartitions(spark, "municipios", db = "cnpj_q").sorted ==
+      Seq("20230601", "20230701"))
+
+    val pruned = spark.table("cnpj_q.municipios").where($"ref_date" === "20230601")
+    // partition pruning: only the matching snapshot's files are read
+    assert(pruned.inputFiles.nonEmpty)
+    assert(pruned.inputFiles.forall(_.contains("ref_date=20230601")), pruned.inputFiles.mkString(","))
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(400))
+  }
+
   test("date views expose typed DATE columns over yyyymmdd ints") {
     import spark.implicits._
     CnpjQueries.registerDateViews(spark, db = "cnpj_q")
