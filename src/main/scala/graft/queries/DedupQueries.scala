@@ -55,7 +55,7 @@ object DedupQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(jaccardOracle("0.5")),
-      doc = "Exact n-gram Jaccard near-dup pairs via inverted-index join (word trigrams, t=0.5)."),
+      doc = "Exact n-gram Jaccard near-dup pairs via inverted-index join (word trigrams, t=0.5); jaccardPairsPrefix is the skew-robust variant."),
 
     Q(
       "q22_dedup_minhash",

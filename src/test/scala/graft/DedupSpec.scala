@@ -30,6 +30,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1.0)))
   }
 
+  test("jaccardPairsPrefix equals the naive inverted-index join exactly") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = collectPairs(Dedup.jaccardPairs(sh, 0.5))
+    val prefix = collectPairs(Dedup.jaccardPairsPrefix(sh, 0.5))
+    assert(naive.nonEmpty)
+    assert(prefix == naive)
+    // also at a lower threshold where prefixes are longer
+    assert(collectPairs(Dedup.jaccardPairsPrefix(sh, 0.3)) ==
+      collectPairs(Dedup.jaccardPairs(sh, 0.3)))
+    sh.unpersist()
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on real documents") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
