@@ -474,6 +474,41 @@ object Relational {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority"""),
-      doc = "Pivot as conditional aggregation: status counts per priority.")
+      doc = "Pivot as conditional aggregation: status counts per priority."),
+
+    Q(
+      "q34_asof_join",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // As-of join composed from built-ins (no operator Spark lacks:
+        // union the two streams, forward-fill the last click id with a
+        // running window — one shuffle on user_id, no join at all).
+        // Matches ASOF semantics: greatest click ts <= error ts; clicks
+        // sort before errors at equal ts ((user_id, ts) is unique per
+        // stream in this data).
+        val ev = Tables.events(s, d).select($"event_id", $"ts", $"user_id", $"event_type")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id".as("click_id"),
+            lit(0).as("kind"), lit(null).cast("long").as("error_id"))
+        val errors = ev.filter($"event_type" === "error")
+          .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+            lit(1).as("kind"), $"event_id".as("error_id"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"kind")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        clicks.union(errors)
+          .withColumn("prior_click_id", last($"click_id", ignoreNulls = true).over(w))
+          .filter($"kind" === 1)
+          .select($"error_id".as("event_id"), $"user_id", $"prior_click_id")
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, c.event_id AS prior_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id"""),
+      doc = "As-of join (each error to the user's most recent prior click), composed as union + forward-fill window; oracle uses DuckDB's native ASOF JOIN.")
   )
 }
