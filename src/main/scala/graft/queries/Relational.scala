@@ -509,6 +509,32 @@ object Relational {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON e.user_id = c.user_id AND e.ts >= c.ts
         ORDER BY e.event_id"""),
-      doc = "As-of join (each error to the user's most recent prior click), composed as union + forward-fill window; oracle uses DuckDB's native ASOF JOIN.")
+      doc = "As-of join (each error to the user's most recent prior click), composed as union + forward-fill window; oracle uses DuckDB's native ASOF JOIN."),
+
+    Q(
+      "q35_percentiles",
+      (s, d) => {
+        import s.implicits._
+        // exact interpolated percentiles (not approx_percentile — its
+        // sketch is engine-specific); both engines define quantile_cont
+        // by linear interpolation over the sorted values
+        Tables.lineitem(s, d)
+          .groupBy($"l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+            expr("percentile(l_extendedprice, array(0.25, 0.95))").as("price_quartiles"))
+          .select($"l_returnflag", $"p50_qty",
+            $"price_quartiles"(0).as("p25_price"), $"price_quartiles"(1).as("p95_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
+               QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price,
+               QUANTILE_CONT(l_extendedprice, 0.95) AS p95_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "Exact interpolated percentiles per group (single + array form).")
   )
 }
