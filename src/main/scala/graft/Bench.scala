@@ -1,25 +1,49 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}} for the driver.
   *
-  * Each query is forced with .count() (full plan execution, no result
-  * materialization to the driver beyond the count). A warmup pass on the
-  * first query amortizes JVM/codegen startup out of the per-query numbers.
+  * Forcing: each query is executed with a noop-sink write
+  * (`df.write.format("noop")`), which computes EVERY output column on the
+  * executors and discards the rows. Unlike `.count()`, Catalyst cannot
+  * prune away the per-row expression work (md5/regex/agg expressions) —
+  * the timed number is the cost of producing the full result.
+  *
+  * Failure tracking: a query that throws records -1.0 (never a partial
+  * elapsed time) and its name is listed in the "errors" field, so a
+  * regression can't masquerade as a speedup.
+  *
+  * Output: the JSON line is written to bench.json in the working
+  * directory AND printed on System.out after spark.stop() — the file is
+  * the robust channel if a log framework prefixes stdout lines.
   */
 object Bench {
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    // Warmup: run every query once at the smallest SF so the timed pass
-    // measures steady-state execution, not whole-stage-codegen/janino
-    // compilation (measured ~2.5 s of one-time compile on some plans).
-    // Generated code is keyed by plan shape, so sf0.001 warms the same
-    // compiled classes the timed sfDir run uses.
-    val warmDir = "/root/testdata/sf0.001"
+    // Warmup: run every query once at the smallest available SF so the
+    // timed pass measures steady-state execution, not whole-stage-codegen/
+    // janino compilation (measured ~2.5 s of one-time compile on some
+    // plans). Generated code is keyed by plan shape, so a small dir warms
+    // the same compiled classes the timed sfDir run uses. Warmup dir is
+    // derived from sfDir's parent (smallest sf* sibling), overridable via
+    // SPARK_GRAFT_WARM_DIR; falls back to sfDir itself.
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val parent = Paths.get(sfDir).toAbsolutePath.getParent
+      val siblings = Option(parent).map(_.toFile.listFiles()).filter(_ != null)
+        .map(_.filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath).sorted)
+        .getOrElse(Array.empty[String])
+      siblings.headOption.getOrElse(sfDir)
+    }
     SparkEntry.allQueries.foreach { q =>
-      try q.run(spark, warmDir).count() catch { case _: Throwable => () }
+      try force(q.run(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
@@ -28,15 +52,30 @@ object Bench {
     val results = SparkEntry.allQueries.map { q =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(q.run(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }.sorted
-      q.name -> times(times.length / 2)
+      // any failed rep poisons the query: report -1, never a partial time
+      val t = if (times.head < 0) -1.0 else times(times.length / 2)
+      q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
+    // print AFTER stop so no log line can interleave; System.out directly
+    // (sbt may still prefix, hence the bench.json file above)
+    System.out.println(line)
+    System.out.flush()
   }
 }

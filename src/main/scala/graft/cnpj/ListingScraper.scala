@@ -28,7 +28,13 @@ object ListingScraper {
   def fetch(url: String, timeout: Duration = Duration.ofSeconds(15)): String = {
     val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).GET().build()
-    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    // Fail loud on non-2xx: an error page parsed as an empty listing would
+    // turn a transient server failure into a silent ingest no-op, and the
+    // retry wrapper only engages on a throw.
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"GET $url returned HTTP ${resp.statusCode()}")
+    resp.body()
   }
 
   def parse(html: String): Seq[ListingEntry] =

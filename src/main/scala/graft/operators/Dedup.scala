@@ -153,34 +153,48 @@ object Dedup {
     * either way.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          driverThreshold: Long = 1000000L): DataFrame = {
+                          driverThreshold: Int = 1000000): DataFrame = {
+    require(driverThreshold >= 0 && driverThreshold < Int.MaxValue,
+      s"driverThreshold must be in [0, ${Int.MaxValue - 1}]; got $driverThreshold")
     // The near-dup pair graph is tiny relative to the corpus (it's the
     // OUTPUT of the similarity filter). When it fits on the driver,
     // union-find there beats a multi-job distributed loop by orders of
     // magnitude in stage overhead; the distributed propagation below is
     // the fallback for pathological pair volumes.
     val spark = pairs.sparkSession
-    val edgeList = pairs.select(col("doc_a"), col("doc_b")).limit(driverThreshold.toInt + 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (edgeList.length <= driverThreshold) {
-      import spark.implicits._
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
-      }
-      edgeList.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
-      }
-      return parent.keys.toSeq.sorted
-        .map(d => (d, find(d))).toDF("doc", "component")
+    // Persist the edge projection before the sizing collect so the
+    // fallback path reuses it instead of re-running the whole upstream
+    // similarity pipeline; callers that already persisted are respected.
+    val wasCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val edges = if (wasCached) pairs.select(col("doc_a"), col("doc_b"))
+      else pairs.select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edgeList = edges.limit(driverThreshold + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (edgeList.length <= driverThreshold) {
+        import spark.implicits._
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        edgeList.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+        }
+        parent.keys.toSeq.sorted
+          .map(d => (d, find(d))).toDF("doc", "component")
+      } else distributedComponents(edges, maxIters)
+    } finally {
+      // distributedComponents materializes its labels before returning, so
+      // releasing the edge cache here is safe on both paths
+      if (!wasCached) edges.unpersist()
     }
-    distributedComponents(pairs, maxIters)
   }
 
   /** Distributed min-label propagation fallback (driver convergence loop;

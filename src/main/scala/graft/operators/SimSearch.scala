@@ -42,9 +42,19 @@ object SimSearch {
   }
 
   /** Exact all-pairs near-duplicates: (vec_a < vec_b, cosine >= threshold).
-    * O(n²) — correct baseline at test scale; use `lshPairs` at corpus scale.
+    *
+    * O(n²) cross join with a full-corpus broadcast — this is the
+    * CORRECTNESS BASELINE for `lshPairs`/IVF, NOT a scale path. Never run
+    * it above ~10⁵ rows: at corpus scale both the broadcast and the pair
+    * count explode. The `maxRows` guard makes the footgun explicit —
+    * raise it only for a deliberate offline baseline run.
     */
-  def bruteForcePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  def bruteForcePairs(corpus: DataFrame, threshold: Double,
+                      maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"bruteForcePairs is the O(n²) exact baseline: corpus has $n rows > maxRows=$maxRows. " +
+        "Use lshPairs/IvfSearch at scale, or raise maxRows explicitly for an offline baseline.")
     val a = corpus.select(col("vec_id").as("vec_a"),
       VectorFns.unitVector(col("embedding")).as("va"))
     val b = corpus.select(col("vec_id").as("vec_b"),

@@ -189,7 +189,9 @@ object Relational {
       (s, d) => {
         import s.implicits._
         // A1 grouped max + A2 collect-list + A3 distinct in one shape:
-        // per-customer order stats; collect list sorted for determinism.
+        // per-customer order stats; collect list sorted for determinism and
+        // emitted as a comma-joined string (hashable by any downstream
+        // comparator — raw array cells are not).
         Tables.orders(s, d)
           .groupBy($"o_custkey")
           .agg(
@@ -197,7 +199,8 @@ object Relational {
             count(lit(1)).as("n_orders"),
             countDistinct($"o_orderpriority").as("n_priorities"),
             sum(dec2($"o_totalprice")).cast("double").as("total_spend"),
-            array_sort(collect_list($"o_orderkey")).as("order_keys"))
+            concat_ws(",",
+              transform(array_sort(collect_list($"o_orderkey")), _.cast("string"))).as("order_keys"))
           .filter($"n_orders" >= 20)
           .orderBy($"o_custkey")
       },
@@ -207,7 +210,7 @@ object Relational {
                COUNT(*) AS n_orders,
                COUNT(DISTINCT o_orderpriority) AS n_priorities,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
-               LIST_SORT(LIST(o_orderkey)) AS order_keys
+               ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') AS order_keys
         FROM orders
         GROUP BY o_custkey
         HAVING COUNT(*) >= 20

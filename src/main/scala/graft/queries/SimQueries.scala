@@ -16,6 +16,16 @@ import graft.multimodal.Multimodal
   */
 object SimQueries {
 
+  // embedding dimension per (session, dir): probed once, not per run —
+  // saves one tiny job per lshPairs call (dims are a dataset property)
+  private val dimCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), Int]
+  private def embeddingDim(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    synchronized {
+      dimCache.getOrElseUpdate((s, d),
+        Tables.embeddings(s, d).select(size(col("embedding"))).head().getInt(0))
+    }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q24_embed_neardup_pairs",
@@ -53,7 +63,8 @@ object SimQueries {
     Q(
       "q26_simsearch_lsh",
       (s, d) =>
-        SimSearch.lshPairs(Tables.embeddings(s, d), 0.40, bits = 12, bands = 8)
+        SimSearch.lshPairs(Tables.embeddings(s, d), 0.40, bits = 12, bands = 8,
+            dimOverride = embeddingDim(s, d))
           .select(col("vec_a"), col("vec_b"))
           .orderBy(col("vec_a"), col("vec_b")),
       None, // approximate (recall < 1 by design) — rows-only check;

@@ -26,11 +26,13 @@ class IvfSearchSpec extends AnyFunSuite {
     val exact = SimSearch.bruteForceTopK(corpus, queries, 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = IvfSearch.topK(corpus, queries, index, k = 5, nprobe = 6)
+    val approx = IvfSearch.topK(corpus, queries, index, k = 5, nprobe = 8)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(exact.size == 50)
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // pinned to the measured margin (like SimSearchSpec's >=0.9 on planted
+    // pairs) so a regression toward random bucketing fails the spec
+    assert(recall >= 0.8, s"IVF recall too low: $recall")
   }
 }
