@@ -22,16 +22,23 @@ object CatalogOps {
     * `state_machine.asl:132-138`). The database plays the reference's
     * Glue database role — one per lake.
     */
+  // serializes DDL from concurrent table ingests (IngestJob M1 fan-out):
+  // CREATE DATABASE/TABLE IF-NOT-EXISTS checks are not atomic across
+  // threads in every catalog implementation
+  private val ddlLock = new Object
+
   def ensureTable(spark: SparkSession, table: String, lakeRoot: String,
                   db: String = "default"): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-    if (!spark.catalog.tableExists(s"`$db`.`$table`")) {
-      val cols = Schemas(table).map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(
-        s"""CREATE TABLE `$db`.`$table` ($cols)
-           |USING parquet
-           |PARTITIONED BY (ref_date STRING)
-           |LOCATION '$lakeRoot/cnpj_db/$table'""".stripMargin)
+    ddlLock.synchronized {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      if (!spark.catalog.tableExists(s"`$db`.`$table`")) {
+        val cols = Schemas(table).map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE `$db`.`$table` ($cols)
+             |USING parquet
+             |PARTITIONED BY (ref_date STRING)
+             |LOCATION '$lakeRoot/cnpj_db/$table'""".stripMargin)
+      }
     }
     spark.catalog.recoverPartitions(s"`$db`.`$table`")
   }

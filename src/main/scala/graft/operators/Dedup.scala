@@ -93,6 +93,51 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Physical strategy for the exact Jaccard pair join — the logical
+    * result is identical either way (both are spec-pinned equal).
+    */
+  sealed trait JaccardStrategy
+  case object NaiveInvertedIndex extends JaccardStrategy
+  case object PrefixFiltered extends JaccardStrategy
+
+  /** Pick the Jaccard join strategy from the measured shingle frequency
+    * distribution, so the caller doesn't need to know whether the corpus
+    * is boilerplate-skewed.
+    *
+    * The naive inverted-index join materializes Σ_s f_s·(f_s−1)/2
+    * candidate incidences (f_s = docs containing shingle s) — the term a
+    * hot boilerplate shingle turns quadratic. One cheap aggregate over
+    * the shingle table measures that sum exactly; when it exceeds
+    * `candFactor` × |shingle rows| the candidate volume dominates the
+    * join and the prefix-filtered variant (which never joins on hot
+    * shingles) wins. Measured on the unskewed testdata cand/rows is
+    * 0.5–5 (naive wins, the ranking windows aren't free); a corpus where
+    * one shingle appears in n docs has cand/rows ≈ n/20 (prefix wins).
+    */
+  def chooseJaccardStrategy(sh: DataFrame, candFactor: Double = 16.0): JaccardStrategy = {
+    val r = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f")).as("rows"),
+        sum(col("f") * (col("f") - 1) / 2).as("cand"))
+      .head()
+    val rows = r.getLong(0)
+    val cand = r.getDouble(1)
+    if (rows > 0 && cand > candFactor * rows) PrefixFiltered else NaiveInvertedIndex
+  }
+
+  /** Skew-adaptive exact Jaccard pairs: one aggregate over the shingle
+    * table decides between `jaccardPairs` (unskewed: cheapest) and
+    * `jaccardPairsPrefix` (heavy-tailed: avoids the hot-shingle Σf²
+    * blowup). Same output either way — the choice is purely physical, so
+    * at 100 TB the pipeline doesn't depend on the operator knowing the
+    * corpus' boilerplate profile up front.
+    */
+  def jaccardPairsAdaptive(sh: DataFrame, threshold: Double,
+                           candFactor: Double = 16.0): DataFrame =
+    chooseJaccardStrategy(sh, candFactor) match {
+      case NaiveInvertedIndex => jaccardPairs(sh, threshold)
+      case PrefixFiltered     => jaccardPairsPrefix(sh, threshold)
+    }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle sets (restricted inverted-index join).
     */

@@ -37,11 +37,14 @@ object DedupQueries {
   }
 
   /** Exact t=0.5 Jaccard pair set, shared by q21 (reports it) and q32
-    * (clusters it). Tiny output (near-dup pairs), cheap to keep.
+    * (clusters it). Tiny output (near-dup pairs), cheap to keep. Goes
+    * through the skew-adaptive entry point: the strategy aggregate runs
+    * once per dir (memoized here) and picks naive vs prefix-filtered from
+    * the measured shingle distribution.
     */
   private def sharedPairs(s: SparkSession, d: String): DataFrame = synchronized {
     pairsCache.getOrElseUpdate((s, d),
-      Dedup.jaccardPairs(sharedShingles(s, d), 0.5)
+      Dedup.jaccardPairsAdaptive(sharedShingles(s, d), 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 

@@ -45,6 +45,30 @@ class DedupSpec extends AnyFunSuite {
     sh.unpersist()
   }
 
+  test("adaptive Jaccard: naive on unskewed data, prefix on boilerplate skew, identical output") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // real documents: measured cand/rows ≈ 0.5 — the naive join is cheapest
+    val real = Dedup.shingleSets(Tables.documents(spark, sf), "doc_id", "text", 3).cache()
+    assert(Dedup.chooseJaccardStrategy(real) == Dedup.NaiveInvertedIndex)
+    assert(pairSet(Dedup.jaccardPairsAdaptive(real, 0.5)) == pairSet(Dedup.jaccardPairs(real, 0.5)))
+    real.unpersist()
+
+    // boilerplate regime: every doc opens with the same sentence, so its
+    // shingles appear in all 200 docs — hot-shingle candidate volume is
+    // quadratic and the prefix variant must be chosen
+    val boiler = "terms of service apply to all content on this site"
+    val skewDocs = (0 until 200)
+      .map(i => (i.toLong, s"$boiler unique$i token$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val skewed = Dedup.shingleSets(skewDocs, "doc_id", "text", 3).cache()
+    assert(Dedup.chooseJaccardStrategy(skewed) == Dedup.PrefixFiltered)
+    assert(pairSet(Dedup.jaccardPairsAdaptive(skewed, 0.5)) == pairSet(Dedup.jaccardPairs(skewed, 0.5)))
+    skewed.unpersist()
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on real documents") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()

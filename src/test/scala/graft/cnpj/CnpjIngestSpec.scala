@@ -131,6 +131,29 @@ class CnpjIngestSpec extends AnyFunSuite {
     assert(FreshnessGate.shouldUpdate(tm, Seq())) // existing but no partitions
   }
 
+  test("M1 fan-out: tables ingest concurrently; one table's failure is isolated") {
+    // Cnaes.zip is listed on the site but missing on disk — its fetch must
+    // fail without aborting the other two tables (reference TableLoop
+    // isolation, state_machine.asl:24-131, now with the INLINE-Map fan-out)
+    val htmlWithBroken = html.replace("</table>",
+      autoindexRow("/icons/compressed.gif", "Cnaes.zip", "2023-05-16 09:18") + "</table>")
+    val results = IngestJob.runWithListing(spark, ListingScraper.parse(htmlWithBroken),
+      Seq("municipios", "empresas", "cnaes"), tablesInCatalog = Set(),
+      repoUrl, s"$lakeRoot-par", s"$staging-par", "bkt", db = "cnpj_par",
+      maxConcurrentTables = 3)
+    val byName = results.map(r => r.table -> r).toMap
+    assert(byName.keySet == Set("municipios", "empresas", "cnaes"))
+    assert(byName("cnaes").error.isDefined && !byName("cnaes").updated)
+    assert(byName("municipios").updated && byName("municipios").error.isEmpty)
+    assert(byName("empresas").updated && byName("empresas").error.isEmpty)
+    // the three tables were handled by the bounded pool, not one thread:
+    // a fixed pool spawns one thread per queued task up to its bound
+    val threads = Seq("municipios", "empresas", "cnaes")
+      .map(IngestJob.processingThreads.get)
+    assert(threads.forall(_ != null))
+    assert(threads.distinct.size >= 2, s"expected concurrent threads, got $threads")
+  }
+
   test("re-run with same site state is a no-op; newer site date re-ingests idempotently") {
     import spark.implicits._
     val second = IngestJob.runWithListing(spark, ListingScraper.parse(html),
