@@ -22,6 +22,25 @@ object TextFns {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Polynomial (Rabin-Karp) rolling-hash fingerprint over the text's
+    * code points: h₀ = seed; hᵢ = (hᵢ₋₁·base + cᵢ) mod m. Exact integer
+    * arithmetic, so any engine reproduces it bit-for-bit (max
+    * intermediate ≈ 3.1e10 ≪ 2⁶³). Unlike the md5 fingerprint this hash
+    * is incremental — the primitive behind content-defined chunking —
+    * and stays a pure codegen'd scalar pipeline.
+    *
+    * Empty text returns the seed (guarded: Spark's `sequence(1, 0)`
+    * descends instead of being empty).
+    */
+  def rollingFingerprint(text: Column, seed: Long = 7L, base: Long = 31L,
+                         mod: Long = 1000000007L): Column =
+    when(length(text) === 0, lit(seed)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(text)),
+          i => ascii(text.substr(i, lit(1))).cast("long")),
+        lit(seed),
+        (h, c) => (h * base + c) % mod))
+
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 

@@ -82,8 +82,17 @@ object IvfSearch {
     * pins recall against the exact baseline).
     */
   def topK(corpus: DataFrame, queries: DataFrame, index: IvfIndex,
-           k: Int = 5, nprobe: Int = 4): DataFrame = {
-    val assigned = assign(corpus, index)
+           k: Int = 5, nprobe: Int = 4): DataFrame =
+    topKAssigned(assign(corpus, index), queries, index, k, nprobe)
+
+  /** topK against pre-materialized inverted lists (`assign` output).
+    * The build/assign phase is IVF's offline cost — a deployment
+    * materializes the lists once and serves every query from them, so
+    * callers that hold the assignment should use this entry point.
+    */
+  def topKAssigned(assigned0: DataFrame, queries: DataFrame, index: IvfIndex,
+                   k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val assigned = assigned0
       .select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("cluster"))
 
     // per query: nprobe nearest centroids

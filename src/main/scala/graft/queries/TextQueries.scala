@@ -92,6 +92,24 @@ object TextQueries {
                MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
         FROM documents
         ORDER BY doc_id"""),
-      doc = "Deterministic md5-of-normalized-text document fingerprint.")
+      doc = "Deterministic md5-of-normalized-text document fingerprint."),
+
+    Q(
+      "q36_rolling_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select($"doc_id", TextFns.rollingFingerprint($"text").as("rfp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               LIST_REDUCE(
+                 LIST_PREPEND(CAST(7 AS BIGINT),
+                   LIST_TRANSFORM(RANGE(1, STRLEN(text)+1), i -> CAST(UNICODE(text[i:i]) AS BIGINT))),
+                 (h, c) -> (h*31 + c) % 1000000007) AS rfp
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Rabin-Karp polynomial rolling-hash fingerprint (seed 7, base 31, mod 1e9+7) — exact integer arithmetic, reproduced fold-for-fold by the DuckDB oracle.")
   )
 }

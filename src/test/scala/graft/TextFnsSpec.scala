@@ -45,6 +45,17 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("rollingFingerprint matches the reference fold; empty text = seed") {
+    import spark.implicits._
+    // reference: h=7; for c in "hello world": h = (h*31 + c) mod 1e9+7
+    var h = 7L
+    "hello world".foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+    val got = Seq("hello world", "").toDF("t")
+      .select(TextFns.rollingFingerprint($"t")).as[Long].collect().toSeq
+    assert(got == Seq(h, 7L))
+    assert(h == 234728892L) // pinned cross-engine value (same in DuckDB oracle)
+  }
+
   test("quality score is bounded and monotone-ish in length") {
     import spark.implicits._
     val df = Seq("word", ("the and of to a " * 30).trim).toDF("t")
