@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Training-data curation operators: deterministic dataset splits,
+  * repetition-based quality signals (Gopher-style), and an end-to-end
+  * curation manifest composing quality + dedup + split.
+  *
+  * All per-row work is codegen'd scalar expressions; the only shuffles
+  * are the per-doc bigram aggregation (map-side combined) and the dedup
+  * survivor reuse — the 100 TB shape is one scan plus one bounded
+  * aggregation, and the split assignment is embarrassingly parallel.
+  */
+object CurationQueries {
+
+  /** Deterministic md5-based bucket in [0, 100): the industry-standard
+    * way to make train/val/test membership a pure function of the id —
+    * stable across runs, engines, and data orderings, no RNG state.
+    */
+  private def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  private val bucketSql =
+    "CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q37_hash_split",
+      (s, d) => {
+        import s.implicits._
+        val bucket = hashBucket($"doc_id")
+        Tables.documents(s, d)
+          .select($"doc_id", bucket.as("bucket"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, $bucketSql AS bucket,
+               CASE WHEN $bucketSql < 80 THEN 'train'
+                    WHEN $bucketSql < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Deterministic 80/10/10 train/val/test split: md5(doc_id) bucket — stable across runs/engines/orderings, no RNG state."),
+
+    Q(
+      "q38_repetition_stats",
+      (s, d) => {
+        import s.implicits._
+        // Gopher-style repetition signals: duplicate-word fraction (pure
+        // scalar) and top-bigram fraction (per-doc agg, map-side combined).
+        val docs = Tables.documents(s, d)
+        val scalar = docs.select($"doc_id",
+          TextFns.tokenCount($"text").as("n_tok"),
+          size(array_distinct(TextFns.tokens($"text"))).as("n_distinct"))
+        val top = docs
+          .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg((max($"c").cast("double") / sum($"c").cast("double")).as("top_bigram_frac"))
+        scalar.join(top, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tok", $"n_distinct",
+            (($"n_tok" - $"n_distinct").cast("double") / $"n_tok").as("dup_word_frac"),
+            coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        scalar AS (SELECT doc_id, LEN(t) AS n_tok, LEN(LIST_DISTINCT(t)) AS n_distinct FROM toks),
+        bi AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+                 i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS bg FROM toks),
+        cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+        top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_frac
+                FROM cnt GROUP BY doc_id)
+        SELECT s.doc_id, s.n_tok, s.n_distinct,
+               CAST(s.n_tok - s.n_distinct AS DOUBLE) / s.n_tok AS dup_word_frac,
+               COALESCE(top.top_bigram_frac, CAST(0.0 AS DOUBLE)) AS top_bigram_frac
+        FROM scalar s LEFT JOIN top ON s.doc_id = top.doc_id
+        ORDER BY s.doc_id"""),
+      doc = "Gopher-style repetition quality signals: duplicate-word fraction and top-bigram fraction per document."),
+
+    Q(
+      "q39_curation_manifest",
+      (s, d) => {
+        import s.implicits._
+        // End-to-end curation: quality gate + near-dup victim removal
+        // (reusing the memoized Jaccard pair set + connected components:
+        // a doc survives unless its component representative is another
+        // doc) + deterministic split. The anti-join build side is the
+        // victim list — tiny (it's the dedup output), broadcast by AQE.
+        val docs = Tables.documents(s, d)
+        val victims = graft.operators.Dedup
+          .connectedComponents(DedupQueries.sharedPairs(s, d))
+          .filter($"component" =!= $"doc")
+          .select($"doc".as("doc_id"))
+        val bucket = hashBucket($"doc_id")
+        docs
+          .withColumn("quality", TextFns.qualityScore($"text"))
+          .filter($"quality" >= 0.5)
+          .join(victims, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"quality",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b FROM inter
+               JOIN sizes sa ON sa.doc = inter.doc_a
+               JOIN sizes sb ON sb.doc = inter.doc_b
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+        victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc),
+        q AS (SELECT doc_id,
+               LEAST(CAST(1.0 AS DOUBLE), LENGTH(text) / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+                 + LEAST(CAST(1.0 AS DOUBLE), LEN(STRING_SPLIT(text, ' ')) / CAST(80.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
+                 + LEAST(CAST(1.0 AS DOUBLE), CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|a|of|and|to)\\b')) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) * CAST(0.2 AS DOUBLE)
+                 AS quality
+              FROM documents)
+        SELECT d.doc_id, q.quality,
+               CASE WHEN CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents d JOIN q ON d.doc_id = q.doc_id
+        WHERE q.quality >= 0.5
+          AND NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "End-to-end curation manifest: quality gate (>=0.5) + near-dup victim removal (Jaccard t=0.5 connected components, min-id survivor) + deterministic md5 split — the composed training-data pipeline in one query.")
+  )
+}

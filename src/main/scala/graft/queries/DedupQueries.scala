@@ -42,7 +42,7 @@ object DedupQueries {
     * once per dir (memoized here) and picks naive vs prefix-filtered from
     * the measured shingle distribution.
     */
-  private def sharedPairs(s: SparkSession, d: String): DataFrame = synchronized {
+  private[queries] def sharedPairs(s: SparkSession, d: String): DataFrame = synchronized {
     pairsCache.getOrElseUpdate((s, d),
       Dedup.jaccardPairsAdaptive(sharedShingles(s, d), 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -47,4 +47,27 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expect partial + final HashAggregate around the exchange")
   }
+
+  test("q37: split assignment is a pure scalar scan — no shuffle except the sort") {
+    val p = plan("q37_hash_split")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("HashAggregate"), "split must not join or aggregate")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "scan must be pruned to doc_id only (text never read)")
+  }
+
+  test("q38: bigram aggregation is partial before the shuffle; scalar side stays pruned") {
+    val p = plan("q38_repetition_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc bigram counts must map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q39: victim removal is a broadcast left-anti join") {
+    val p = plan("q39_curation_manifest")
+    assert(p.contains("LeftAnti"), "victim removal must be an anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the tiny victim list must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
