@@ -5,10 +5,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed by a per-partition batch decoder.
   *
-  * The image/audio codec libraries aren't in this container, so the decode
-  * step is a clearly-marked deterministic STUB (`decodeStub`): it derives
-  * fake width/height/caption features from the bytes (length + md5). The
-  * Spark-side plumbing is real and what matters at 100 TB:
+  * Decode is REAL for the uncompressed formats implementable in pure JVM
+  * bytes (see `Codecs`): 24-bit BMP images (decode + nearest-neighbor
+  * resize) and PCM16 WAV audio (decode + exact energy + per-frame RMS) —
+  * both oracle-verified end-to-end (q40/q41). Codec-dependent formats
+  * (JPEG/MP4) keep the clearly-marked deterministic STUB (`decodeStub`)
+  * as the plug-point, since their libraries aren't in this container.
+  * The Spark-side plumbing is the same either way and is what matters at
+  * 100 TB:
   *   - media never leaves `binary` (no base64 blowup, no driver collect);
   *   - decode runs in `mapPartitions` so a real decoder amortizes model /
   *     codec init once per partition (the same batch shape a Pandas UDF
@@ -70,6 +74,86 @@ object Multimodal {
     val target = math.max(1, w * h / 256)
     val step = math.max(1, row.media.length / target)
     MediaRow(row.doc_id, row.media.grouped(step).map(_.head).toArray)
+  }
+
+  // ------------------------------------------------------ REAL decode paths
+
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int, sum_pixels: Long)
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long, energy: Long)
+  case class AudioFrame(doc_id: Long, frame_idx: Int, rms: Double)
+
+  /** Build a REAL 24-bit BMP per document: pixel bytes are the text's
+    * UTF-8 bytes zero-padded into a 16×⌈len/48⌉ image (width 16 → 48-byte
+    * rows, no BMP row padding in the data path). Deterministic by
+    * construction, so an external oracle can predict every decoded
+    * feature from the text alone — which is what lets q40 verify the
+    * DECODER, not just the plumbing.
+    */
+  def bmpFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val width = 16
+      val height = math.max(1, (bytes.length + 47) / 48)
+      val px = java.util.Arrays.copyOf(bytes, width * height * 3)
+      MediaRow(id, Codecs.encodeBmp(Codecs.Image(width, height, px)))
+    }
+  }
+
+  /** REAL image decode: parse the BMP container, emit dimensions and the
+    * exact unsigned pixel sum (integer — bit-identical in any engine).
+    */
+  def decodeImageFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodeBmp(r.media)
+        ImageFeatures(r.doc_id, img.width, img.height,
+          img.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }
+  }
+
+  /** Build a REAL PCM16 WAV per document: sample i is (cᵢ − 64)·256 for
+    * code point cᵢ at 16 kHz — again deterministic so q41's oracle
+    * predicts the decoded energy exactly.
+    */
+  def wavFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+      MediaRow(id, Codecs.encodeWav(Codecs.Audio(16000, samples)))
+    }
+  }
+
+  /** REAL audio decode: parse RIFF/WAVE chunks, emit sample rate, count,
+    * and the exact integer signal energy Σs².
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val a = Codecs.decodeWav(r.media)
+        AudioFeatures(r.doc_id, a.sampleRate, a.samples.length.toLong, Codecs.energy(a))
+      }
+    }
+  }
+
+  /** REAL frame sampling over decoded audio: fixed windows, every
+    * `stride`-th kept, per-frame RMS — the 1→N flatMap fan-out with a
+    * real windowed statistic instead of byte slices.
+    */
+  def sampleAudioFrames(media: Dataset[MediaRow], frameSize: Int = 1024,
+                        stride: Int = 2)(implicit spark: SparkSession): Dataset[AudioFrame] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      val a = Codecs.decodeWav(r.media)
+      Codecs.frameRms(a, frameSize).zipWithIndex.collect {
+        case (rms, idx) if idx % stride == 0 => AudioFrame(r.doc_id, idx, rms)
+      }
+    }
   }
 
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])

@@ -120,6 +120,46 @@ object SimQueries {
                CAST((CAST('0x' || SUBSTR(MD5(text), 1, 2) AS INT) % 480) + 1 AS INT) AS height
         FROM documents
         ORDER BY doc_id"""),
-      doc = "Multimodal plumbing: binary media column -> per-partition batched (stub) decoder -> typed feature schema.")
+      doc = "Multimodal plumbing: binary media column -> per-partition batched (stub) decoder -> typed feature schema."),
+
+    Q(
+      "q40_image_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // REAL BMP codec round-trip: build a 24-bit BMP from the text
+        // bytes, decode it with the pure-JVM parser, emit exact integer
+        // features the oracle predicts from the text alone — a header,
+        // offset, or row-order bug in the decoder breaks the pixel sums.
+        val media = Multimodal.bmpFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeImageFeatures(media).toDF().orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(16 AS INT) AS width,
+               CAST(GREATEST(1, (STRLEN(text) + 47) // 48) AS INT) AS height,
+               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, STRLEN(text)+1),
+                 i -> CAST(UNICODE(text[i:i]) AS BIGINT))) AS BIGINT) AS sum_pixels
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "REAL 24-bit BMP decode (pure-JVM parser, no codec lib): dimensions + exact unsigned pixel sum, oracle-predicted from the source text."),
+
+    Q(
+      "q41_audio_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // REAL PCM16 WAV codec round-trip: RIFF chunk walk + exact
+        // integer signal energy, oracle-predicted from the code points.
+        val media = Multimodal.wavFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeAudioFeatures(media).toDF().orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
+               CAST(STRLEN(text) AS BIGINT) AS n_samples,
+               CAST(65536 * LIST_SUM(LIST_TRANSFORM(RANGE(1, STRLEN(text)+1),
+                 i -> (CAST(UNICODE(text[i:i]) AS BIGINT) - 64) * (CAST(UNICODE(text[i:i]) AS BIGINT) - 64))) AS BIGINT) AS energy
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "REAL PCM16 WAV decode (RIFF chunk walk, no codec lib): sample rate, count, exact integer energy, oracle-predicted from the source text.")
   )
 }

@@ -41,4 +41,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(small.media.length < row.media.length)
     assert(small.media.sameElements(Multimodal.resizeStub(row, 64, 64).media))
   }
+
+  test("BMP codec round-trips, including odd widths that need row padding") {
+    import graft.multimodal.Codecs
+    for (w <- Seq(16, 5, 3, 1); h <- Seq(1, 4, 7)) {
+      val img = Codecs.Image(w, h, Array.tabulate[Byte](w * h * 3)(i => (i * 37 + w).toByte))
+      val back = Codecs.decodeBmp(Codecs.encodeBmp(img))
+      assert(back.width == w && back.height == h, s"${w}x$h dims")
+      assert(back.pixels.sameElements(img.pixels), s"${w}x$h pixels (stride=${(w * 3 + 3) / 4 * 4})")
+    }
+  }
+
+  test("nearest-neighbor resize: corners preserved, dims exact, deterministic") {
+    import graft.multimodal.Codecs
+    val img = Codecs.Image(8, 8, Array.tabulate[Byte](8 * 8 * 3)(_.toByte))
+    val half = Codecs.resizeNearest(img, 4, 4)
+    assert(half.width == 4 && half.height == 4)
+    // top-left corner pixel maps to source (0,0)
+    assert(half.pixels.take(3).sameElements(img.pixels.take(3)))
+    // upscale then check the sampled grid is from the source
+    val big = Codecs.resizeNearest(img, 16, 16)
+    assert(big.width == 16 && big.pixels.take(3).sameElements(img.pixels.take(3)))
+  }
+
+  test("WAV codec round-trips and energy/frame-RMS are exact") {
+    import graft.multimodal.Codecs
+    val samples = Array.tabulate[Short](2500)(i => ((i % 200 - 100) * 256).toShort)
+    val a = Codecs.Audio(16000, samples)
+    val back = Codecs.decodeWav(Codecs.encodeWav(a))
+    assert(back.sampleRate == 16000 && back.samples.sameElements(samples))
+    assert(Codecs.energy(back) == samples.foldLeft(0L)((acc, s) => acc + s.toLong * s))
+    val rms = Codecs.frameRms(back, 1024)
+    assert(rms.length == 3) // 1024 + 1024 + 452
+    assert(rms.forall(r => r >= 0.0 && r <= 32768.0))
+  }
+
+  test("real decode paths run distributed over the documents corpus") {
+    val docs = Tables.documents(spark, sf)
+    val imgFeats = Multimodal.decodeImageFeatures(Multimodal.bmpFromDocuments(docs)).collect()
+    assert(imgFeats.length == 500)
+    assert(imgFeats.forall(f => f.width == 16 && f.height >= 1 && f.sum_pixels > 0))
+    val audio = Multimodal.wavFromDocuments(docs)
+    val auFeats = Multimodal.decodeAudioFeatures(audio).collect()
+    assert(auFeats.forall(f => f.sample_rate == 16000 && f.n_samples > 0 && f.energy > 0))
+    // frame sampling keeps every 2nd frame
+    val frames = Multimodal.sampleAudioFrames(audio, frameSize = 64, stride = 2).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_idx % 2 == 0))
+  }
 }
