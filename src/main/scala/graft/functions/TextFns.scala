@@ -36,8 +36,10 @@ object TextFns {
                          mod: Long = 1000000007L): Column =
     when(length(text) === 0, lit(seed)).otherwise(
       aggregate(
-        transform(sequence(lit(1), length(text)),
-          i => ascii(text.substr(i, lit(1))).cast("long")),
+        // split-on-empty yields one element per character (no trailing
+        // empty); positional substr would rescan the string per index —
+        // O(len²) per doc instead of this O(len) pass
+        transform(split(text, ""), c => ascii(c).cast("long")),
         lit(seed),
         (h, c) => (h * base + c) % mod))
 

@@ -39,6 +39,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
   }
 
+  test("events view carries the normalized timestamp (SQL == DataFrame surface)") {
+    // regression pin: registerViews must route events through
+    // Tables.events — the raw reader exposes ts as int64 nanos and
+    // date_trunc SQL would fail or silently diverge
+    val viaSql = SqlSurface.sql(spark, sf,
+      """SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin).collect()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaDf = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", $"ts").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"h").collect()
+    assert(viaSql.nonEmpty && viaSql.toSeq == viaDf.toSeq)
+  }
+
   test("SQL joins and subqueries work over the views") {
     val n = SqlSurface.sql(spark, sf,
       """SELECT COUNT(*) FROM orders o
