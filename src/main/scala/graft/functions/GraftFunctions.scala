@@ -22,6 +22,19 @@ object GraftFunctions {
           Cast(exprs(0), ArrayType(DoubleType)),
           Cast(exprs(1), ArrayType(DoubleType)))
       }, "built-in")
+    registry.createOrReplaceTempFunction("rolling_hash",
+      exprs => {
+        require(exprs.nonEmpty && exprs.length <= 4,
+          "rolling_hash(text[, seed[, base[, mod]]]) takes 1-4 arguments")
+        def longLit(i: Int, default: Long): Long =
+          if (exprs.length <= i) default
+          else exprs(i) match {
+            case Literal(v: Number, _) => v.longValue()
+            case other => throw new IllegalArgumentException(
+              s"rolling_hash argument ${i + 1} must be an integer literal, got: ${other.sql}")
+          }
+        RollingHash(exprs(0), longLit(1, 7L), longLit(2, 31L), longLit(3, 1000000007L))
+      }, "built-in")
     registry.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
         require(exprs.length == 2,

@@ -26,19 +26,25 @@ object TextFns {
     * code points: h₀ = seed; hᵢ = (hᵢ₋₁·base + cᵢ) mod m. Exact integer
     * arithmetic, so any engine reproduces it bit-for-bit (max
     * intermediate ≈ 3.1e10 ≪ 2⁶³). Unlike the md5 fingerprint this hash
-    * is incremental — the primitive behind content-defined chunking —
-    * and stays a pure codegen'd scalar pipeline.
-    *
-    * Empty text returns the seed (guarded: Spark's `sequence(1, 0)`
-    * descends instead of being empty).
+    * is incremental — the primitive behind content-defined chunking.
+    * Delegates to the native codegen'd `RollingHash` expression (the
+    * HOF `aggregate(transform(split(...)))` formulation is interpreted
+    * and allocates per character; see TextFnsSpec for the equivalence
+    * cross-check). Empty text returns the seed.
     */
   def rollingFingerprint(text: Column, seed: Long = 7L, base: Long = 31L,
                          mod: Long = 1000000007L): Column =
+    RollingHash(text, seed, base, mod)
+
+  /** Interpreted HOF formulation of the same fold — kept as the
+    * independent cross-check implementation for the spec (BMP-equal to
+    * the native expression; split-on-empty yields one element per
+    * character with no trailing empty).
+    */
+  private[graft] def rollingFingerprintHof(text: Column, seed: Long = 7L, base: Long = 31L,
+                                           mod: Long = 1000000007L): Column =
     when(length(text) === 0, lit(seed)).otherwise(
       aggregate(
-        // split-on-empty yields one element per character (no trailing
-        // empty); positional substr would rescan the string per index —
-        // O(len²) per doc instead of this O(len) pass
         transform(split(text, ""), c => ascii(c).cast("long")),
         lit(seed),
         (h, c) => (h * base + c) % mod))

@@ -37,6 +37,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT minhash_sketch(xxhash64(text), 16) FROM documents")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == 16 && sig.forall(_ != Long.MaxValue))
+    val rh = spark.sql("SELECT rolling_hash('hello world')")
+      .collect()(0).getLong(0)
+    assert(rh == 234728892L) // pinned value, same fold as the Column API
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {

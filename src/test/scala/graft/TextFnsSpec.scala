@@ -56,6 +56,17 @@ class TextFnsSpec extends AnyFunSuite {
     assert(h == 234728892L) // pinned cross-engine value (same in DuckDB oracle)
   }
 
+  test("native RollingHash expression == interpreted HOF fold on real documents") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select($"text")
+      .union(Seq("päällekkäisyys — ASCII and BMP ümlauts").toDF("text"))
+    val diff = docs.select(
+        TextFns.rollingFingerprint($"text").as("native"),
+        TextFns.rollingFingerprintHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0, "codegen'd expression must agree with the HOF formulation")
+  }
+
   test("quality score is bounded and monotone-ish in length") {
     import spark.implicits._
     val df = Seq("word", ("the and of to a " * 30).trim).toDF("t")
