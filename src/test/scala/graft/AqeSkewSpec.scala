@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AQE skew-join engagement: the documented mitigation for hot-key joins
+  * (hot shingles in the dedup inverted index, hot join keys in fact-fact
+  * joins) is Spark's adaptive skew split. This spec proves it actually
+  * engages on a skewed key under the thresholds, so the claim in the
+  * dedup scale story is backed by an executed plan, not a comment.
+  */
+class AqeSkewSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // one hot key (0) carrying 90% of all rows, 99 cold keys for the rest
+      val left = spark.range(100000).select(
+          (when($"id" < 90000, 0L).otherwise($"id" % 100)).as("k"),
+          concat(lit("padpadpadpadpadpadpadpadpadpad-"), $"id").as("payload"))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS Dataset's QueryExecution runs —
+      // count() builds a separate aggregate execution and would leave
+      // joined.queryExecution un-finalized
+      assert(joined.collect().length == 100000) // execute → AQE finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the hot-key join as skewed:\n${plan.take(1200)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
