@@ -163,14 +163,26 @@ object Dedup {
     * Jaccard, so the output equals exact `jaccardPairs` up to LSH recall
     * (1 - (1-t^r)^b, ≈1 for near-dup thresholds with r=2,b=32).
     */
-  def minhashLshPairs(sh: DataFrame, threshold: Double,
-                      numHashes: Int = 64, bands: Int = 32): DataFrame = {
-    val rows = numHashes / bands
-    // single constant-size sketch buffer per group (TypedImperativeAggregate)
-    // — the shuffle carries sketches, not 64 separate agg columns
-    val sig = sh.groupBy("doc")
+  /** MinHash signature table: one constant-size sketch per doc
+    * (TypedImperativeAggregate — the shuffle carries sketches, not 64
+    * separate agg columns). The materialize-once index artifact of the
+    * MinHash family; `minhashLshPairsFromSignatures` consumes it.
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame =
+    sh.groupBy("doc")
       .agg(graft.functions.MinHashSketch(col("sh"), numHashes).as("sig"))
 
+  def minhashLshPairs(sh: DataFrame, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 32): DataFrame =
+    minhashLshPairsFromSignatures(minhashSignatures(sh, numHashes), sh,
+      threshold, numHashes, bands)
+
+  /** Banded bucketing + exact verification against pre-materialized
+    * signatures (`sig`) and shingle sets (`sh`).
+    */
+  def minhashLshPairsFromSignatures(sig: DataFrame, sh: DataFrame, threshold: Double,
+                                    numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(parts: _*).as("bv"))

