@@ -38,13 +38,22 @@ object Bench {
     val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
       val parent = Paths.get(sfDir).toAbsolutePath.getParent
       val siblings = Option(parent).map(_.toFile.listFiles()).filter(_ != null)
-        .map(_.filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath).sorted)
+        .map(_.filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath))
         .getOrElse(Array.empty[String])
-      siblings.headOption.getOrElse(sfDir)
+      // NUMERIC sort on the sf suffix: lexicographic would rank sf10
+      // before sf2 and warm on a larger dataset than intended
+      siblings
+        .sortBy(p => Paths.get(p).getFileName.toString.stripPrefix("sf")
+          .toDoubleOption.getOrElse(Double.MaxValue))
+        .headOption.getOrElse(sfDir)
     }
     SparkEntry.allQueries.foreach { q =>
       try force(q.run(spark, warmDir)) catch { case _: Throwable => () }
     }
+    // release warmup-dir index artifacts (shingle/signature/IVF caches):
+    // they are useless for the timed dir and would hold executor storage
+    // through the run the warmup exists to stabilize
+    graft.queries.QueryCaches.clear()
 
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
     // shared box; the median is what the engine actually costs.
@@ -71,7 +80,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    // the file is the redundant channel: an unwritable cwd must not lose
+    // the stdout line (or skip spark.stop) after all queries already ran
+    try Files.writeString(Paths.get("bench.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
     // print AFTER stop so no log line can interleave; System.out directly
     // (sbt may still prefix, hence the bench.json file above)

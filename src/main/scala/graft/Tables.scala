@@ -17,6 +17,17 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Typed loader dispatch: the single place that knows which tables
+    * need a normalizing loader (events' ns-timestamp today; any future
+    * one slots in here). Views and generic table access should use THIS,
+    * not the raw `apply`, so the SQL and DataFrame surfaces can't
+    * silently diverge.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" => events(spark, dir)
+    case other    => apply(spark, dir, other)
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -38,7 +38,9 @@ case class RollingHash(child: Expression, seed: Long, base: Long, mod: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    var h = seed
+    // reduce the seed first: a raw seed >= mod would overflow h*base on
+    // the first character (floorMod also normalizes negative seeds)
+    var h = java.lang.Math.floorMod(seed, mod)
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
@@ -56,7 +58,7 @@ case class RollingHash(child: Expression, seed: Long, base: Long, mod: Long)
       val cp = ctx.freshName("cp")
       s"""
          |java.lang.String $str = $c.toString();
-         |long $h = ${seed}L;
+         |long $h = java.lang.Math.floorMod(${seed}L, ${mod}L);
          |int $i = 0;
          |while ($i < $str.length()) {
          |  int $cp = $str.codePointAt($i);

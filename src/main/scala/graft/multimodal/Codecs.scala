@@ -117,6 +117,9 @@ object Codecs {
     while (pos + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
+      // a corrupt/truncated chunk with a negative size would advance pos
+      // by <= 0 and spin this loop forever — fail loud instead
+      require(size >= 0, s"corrupt RIFF chunk '$id' at offset $pos: negative size $size")
       id match {
         case "fmt " =>
           require(buf.getShort(pos + 8) == 1, "only PCM supported")

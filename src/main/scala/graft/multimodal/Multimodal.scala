@@ -82,21 +82,24 @@ object Multimodal {
   case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long, energy: Long)
   case class AudioFrame(doc_id: Long, frame_idx: Int, rms: Double)
 
-  /** Build a REAL 24-bit BMP per document: pixel bytes are the text's
-    * UTF-8 bytes zero-padded into a 16×⌈len/48⌉ image (width 16 → 48-byte
-    * rows, no BMP row padding in the data path). Deterministic by
-    * construction, so an external oracle can predict every decoded
-    * feature from the text alone — which is what lets q40 verify the
-    * DECODER, not just the plumbing.
+  /** Build a REAL 24-bit BMP per document: pixel i is code point cᵢ
+    * mod 256, zero-padded into a 16×⌈n/48⌉ image (width 16 → 48-byte
+    * rows, no BMP row padding in the data path). Code points — not UTF-8
+    * bytes — so the construction matches per-CHARACTER SQL exactly for
+    * non-ASCII text too. Deterministic by construction, so an external
+    * oracle can predict every decoded feature from the text alone —
+    * which is what lets q40 verify the DECODER, not just the plumbing.
     */
   def bmpFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.col
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val bytes = text.getBytes("UTF-8")
+      val cps = text.codePoints().toArray
       val width = 16
-      val height = math.max(1, (bytes.length + 47) / 48)
-      val px = java.util.Arrays.copyOf(bytes, width * height * 3)
+      val height = math.max(1, (cps.length + 47) / 48)
+      val px = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < cps.length) { px(i) = (cps(i) % 256).toByte; i += 1 }
       MediaRow(id, Codecs.encodeBmp(Codecs.Image(width, height, px)))
     }
   }
@@ -115,15 +118,18 @@ object Multimodal {
     }
   }
 
-  /** Build a REAL PCM16 WAV per document: sample i is (cᵢ − 64)·256 for
-    * code point cᵢ at 16 kHz — again deterministic so q41's oracle
-    * predicts the decoded energy exactly.
+  /** Build a REAL PCM16 WAV per document: sample i is
+    * ((cᵢ mod 256) − 128)·256 for code point cᵢ at 16 kHz — the mod-256
+    * keeps every code point's sample inside Short range (no silent
+    * wraparound for non-ASCII), so q41's oracle predicts the decoded
+    * energy exactly for any text.
     */
   def wavFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions.col
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val samples = text.map(c => ((c - 64) * 256).toShort).toArray
+      val samples = text.codePoints().toArray
+        .map(cp => (((cp % 256) - 128) * 256).toShort)
       MediaRow(id, Codecs.encodeWav(Codecs.Audio(16000, samples)))
     }
   }

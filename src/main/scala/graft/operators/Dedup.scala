@@ -119,6 +119,9 @@ object Dedup {
       .agg(sum(col("f")).as("rows"),
         sum(col("f") * (col("f") - 1) / 2).as("cand"))
       .head()
+    // empty shingle table → global sums are NULL; either strategy returns
+    // an empty result, so pick the naive one rather than NPE
+    if (r.isNullAt(0)) return NaiveInvertedIndex
     val rows = r.getLong(0)
     val cand = r.getDouble(1)
     if (rows > 0 && cand > candFactor * rows) PrefixFiltered else NaiveInvertedIndex

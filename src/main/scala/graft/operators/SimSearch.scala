@@ -51,9 +51,12 @@ object SimSearch {
     */
   def bruteForcePairs(corpus: DataFrame, threshold: Double,
                       maxRows: Long = 100000L): DataFrame = {
-    val n = corpus.count()
+    // bound the guard's own scan: limit(maxRows+1) answers "more than
+    // maxRows?" without a full pass over a derived/filtered corpus
+    val probe = math.min(maxRows, Int.MaxValue - 2L).toInt
+    val n = corpus.limit(probe + 1).count()
     require(n <= maxRows,
-      s"bruteForcePairs is the O(n²) exact baseline: corpus has $n rows > maxRows=$maxRows. " +
+      s"bruteForcePairs is the O(n²) exact baseline: corpus has > maxRows=$maxRows rows. " +
         "Use lshPairs/IvfSearch at scale, or raise maxRows explicitly for an offline baseline.")
     val a = corpus.select(col("vec_id").as("vec_a"),
       VectorFns.unitVector(col("embedding")).as("va"))

@@ -72,6 +72,17 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** Unpersist and drop every memoized artifact (all dirs). Bench calls
+    * this between the warmup and timed passes so warmup-dir artifacts
+    * don't occupy executor storage during measurement.
+    */
+  private[queries] def clearCaches(): Unit = synchronized {
+    Seq(shingleCache, pairsCache, sigCache, fpCache).foreach { m =>
+      m.values.foreach(_.unpersist())
+      m.clear()
+    }
+  }
+
   /** Shared oracle CTE prefix: distinct word-trigram shingles per doc. */
   private def jaccardOracle(threshold: String): String = s"""
     WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),

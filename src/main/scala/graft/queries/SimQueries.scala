@@ -57,6 +57,17 @@ object SimQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Unpersist and drop every memoized artifact (all dirs) — see
+    * DedupQueries.clearCaches.
+    */
+  private[queries] def clearCaches(): Unit = synchronized {
+    srpCache.values.foreach(_.unpersist())
+    srpCache.clear()
+    ivfCache.values.foreach { case (_, lists) => lists.unpersist() }
+    ivfCache.clear()
+    dimCache.clear()
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q24_embed_neardup_pairs",
@@ -148,9 +159,9 @@ object SimQueries {
       },
       Some("""
         SELECT doc_id, CAST(16 AS INT) AS width,
-               CAST(GREATEST(1, (STRLEN(text) + 47) // 48) AS INT) AS height,
-               CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, STRLEN(text)+1),
-                 i -> CAST(UNICODE(text[i:i]) AS BIGINT))) AS BIGINT) AS sum_pixels
+               CAST(GREATEST(1, (LENGTH(text) + 47) // 48) AS INT) AS height,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(text)+1),
+                 i -> CAST(UNICODE(text[i:i]) % 256 AS BIGINT))), 0) AS BIGINT) AS sum_pixels
         FROM documents
         ORDER BY doc_id"""),
       doc = "REAL 24-bit BMP decode (pure-JVM parser, no codec lib): dimensions + exact unsigned pixel sum, oracle-predicted from the source text."),
@@ -167,9 +178,9 @@ object SimQueries {
       },
       Some("""
         SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
-               CAST(STRLEN(text) AS BIGINT) AS n_samples,
-               CAST(65536 * LIST_SUM(LIST_TRANSFORM(RANGE(1, STRLEN(text)+1),
-                 i -> (CAST(UNICODE(text[i:i]) AS BIGINT) - 64) * (CAST(UNICODE(text[i:i]) AS BIGINT) - 64))) AS BIGINT) AS energy
+               CAST(LENGTH(text) AS BIGINT) AS n_samples,
+               CAST(65536 * COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(text)+1),
+                 i -> ((CAST(UNICODE(text[i:i]) AS BIGINT) % 256) - 128) * ((CAST(UNICODE(text[i:i]) AS BIGINT) % 256) - 128))), 0) AS BIGINT) AS energy
         FROM documents
         ORDER BY doc_id"""),
       doc = "REAL PCM16 WAV decode (RIFF chunk walk, no codec lib): sample rate, count, exact integer energy, oracle-predicted from the source text.")

@@ -14,15 +14,11 @@ object SqlSurface {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     Tables.all.foreach { t =>
-      // Go through the typed loaders, not the raw reader, so views carry
-      // the same normalizations as the DataFrame surface (events.ts is
+      // Tables.load is the typed-loader dispatch, so views carry the
+      // same normalizations as the DataFrame surface (events.ts is
       // parquet ns read as long — Tables.events turns it into a real
-      // microsecond timestamp; the raw view would silently diverge).
-      val df = t match {
-        case "events" => Tables.events(spark, dir)
-        case _        => Tables(spark, dir, t)
-      }
-      df.createOrReplaceTempView(t)
+      // microsecond timestamp; the raw reader would silently diverge).
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
       ()
     }
 

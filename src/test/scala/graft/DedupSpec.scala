@@ -56,6 +56,13 @@ class DedupSpec extends AnyFunSuite {
     assert(pairSet(Dedup.jaccardPairsAdaptive(real, 0.5)) == pairSet(Dedup.jaccardPairs(real, 0.5)))
     real.unpersist()
 
+    // empty shingle table (all docs shorter than the shingle width):
+    // strategy choice must not NPE on the null global aggregates, and
+    // the adaptive join returns empty like the direct one
+    val empty = Dedup.shingleSets(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(Dedup.chooseJaccardStrategy(empty) == Dedup.NaiveInvertedIndex)
+    assert(Dedup.jaccardPairsAdaptive(empty, 0.5).isEmpty)
+
     // boilerplate regime: every doc opens with the same sentence, so its
     // shingles appear in all 200 docs — hot-shingle candidate volume is
     // quadratic and the prefix variant must be chosen

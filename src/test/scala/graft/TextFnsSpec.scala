@@ -54,6 +54,12 @@ class TextFnsSpec extends AnyFunSuite {
       .select(TextFns.rollingFingerprint($"t")).as[Long].collect().toSeq
     assert(got == Seq(h, 7L))
     assert(h == 234728892L) // pinned cross-engine value (same in DuckDB oracle)
+
+    // a seed >= mod must be reduced up front, not overflow h*base on the
+    // first character: congruent seeds give identical hashes
+    val bigSeed = Seq("hello world").toDF("t")
+      .select(TextFns.rollingFingerprint($"t", seed = 1000000007L + 7L)).as[Long].head()
+    assert(bigSeed == h)
   }
 
   test("native RollingHash expression == interpreted HOF fold on real documents") {
