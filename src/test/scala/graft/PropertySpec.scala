@@ -1,0 +1,77 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Codecs
+
+/** Property-based invariants for the pure (non-Spark) kernels: codec
+  * round-trips over arbitrary payloads, hash-fold congruences, resize
+  * dimension laws. These run without a SparkSession, so hundreds of
+  * random cases cost milliseconds. (Raw ScalaCheck — the scalatestplus
+  * bridge isn't on the offline classpath.)
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val dims = for {
+    w <- Gen.choose(1, 24)
+    h <- Gen.choose(1, 24)
+  } yield (w, h)
+
+  test("BMP encode/decode round-trips for arbitrary dimensions and pixels") {
+    check(Prop.forAll(dims) { case (w, h) =>
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 131 + w * 7 + h) % 256).toByte)
+      val back = Codecs.decodeBmp(Codecs.encodeBmp(Codecs.Image(w, h, px)))
+      back.width == w && back.height == h && back.pixels.sameElements(px)
+    })
+  }
+
+  test("WAV encode/decode round-trips; energy matches the direct sum") {
+    check(Prop.forAll(
+      Gen.listOfN(200, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)),
+      Gen.choose(8000, 48000)) { (xs, rate) =>
+      val samples = xs.map(_.toShort).toArray
+      val back = Codecs.decodeWav(Codecs.encodeWav(Codecs.Audio(rate, samples)))
+      back.sampleRate == rate && back.samples.sameElements(samples) &&
+        Codecs.energy(back) == samples.foldLeft(0L)((a, s) => a + s.toLong * s)
+    })
+  }
+
+  test("resizeNearest output dims are exact; identity resize is the identity") {
+    check(Prop.forAll(dims, dims) { case ((w, h), (w2, h2)) =>
+      val img = Codecs.Image(w, h,
+        Array.tabulate[Byte](w * h * 3)(i => (i % 251).toByte))
+      val r = Codecs.resizeNearest(img, w2, h2)
+      r.width == w2 && r.height == h2 && r.pixels.length == w2 * h2 * 3 &&
+        Codecs.resizeNearest(img, w, h).pixels.sameElements(img.pixels)
+    })
+  }
+
+  test("frameRms frame count and range laws") {
+    check(Prop.forAll(Gen.choose(1, 5000), Gen.choose(1, 512)) { (n, frame) =>
+      val a = Codecs.Audio(16000, Array.tabulate[Short](n)(i => (i * 37 % 65536 - 32768).toShort))
+      val rms = Codecs.frameRms(a, frame)
+      rms.length == (n + frame - 1) / frame && rms.forall(r => r >= 0.0 && r <= 32768.0)
+    })
+  }
+
+  test("rolling-hash reference fold: congruent seeds agree; prefix property holds") {
+    def fold(s: String, seed: Long): Long = {
+      var h = java.lang.Math.floorMod(seed, 1000000007L)
+      s.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+      h
+    }
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(0L, 1000000006L)) { (s, seed) =>
+      // congruence: seed and seed + mod produce the same hash, and
+      // incrementality: hash(s + c) is one fold step from hash(s) —
+      // the property that makes the rolling form usable for chunking
+      val c = 'x'
+      fold(s, seed) == fold(s, seed + 1000000007L) &&
+        fold(s + c, seed) == (fold(s, seed) * 31 + c.toLong) % 1000000007L
+    })
+  }
+}
