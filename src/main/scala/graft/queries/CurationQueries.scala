@@ -140,6 +140,66 @@ object CurationQueries {
         WHERE q.quality >= 0.5
           AND NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
         ORDER BY d.doc_id"""),
-      doc = "End-to-end curation manifest: quality gate (>=0.5) + near-dup victim removal (Jaccard t=0.5 connected components, min-id survivor) + deterministic md5 split — the composed training-data pipeline in one query.")
+      doc = "End-to-end curation manifest: quality gate (>=0.5) + near-dup victim removal (Jaccard t=0.5 connected components, min-id survivor) + deterministic md5 split — the composed training-data pipeline in one query."),
+
+    Q(
+      "q42_sequence_pack",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Greedy contiguous sequence packing: walk docs in doc_id order,
+        // a doc goes to pack floor(tokens_before_it / budget) — the
+        // standard approximation of first-fit packing for pretraining
+        // batch assembly. One window pass, no join; at 100 TB the order
+        // would be within-partition (pack ids prefixed by partition).
+        val budget = 2000
+        val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select($"doc_id", TextFns.tokenCount($"text").as("n_tok"))
+          .withColumn("tok_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+          .withColumn("pack_id", ($"tok_before" / budget).cast("long"))
+          .select($"doc_id", $"n_tok", $"pack_id")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS pack_id
+        FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents) t
+        ORDER BY doc_id"""),
+      doc = "Sequence packing for pretraining batches: docs assigned to token-budget packs (2000) by a running-sum window — one pass, no join."),
+
+    Q(
+      "q43_chunking",
+      (s, d) => {
+        import s.implicits._
+        // Fixed-token chunking with overlap (size 50, stride 40): the
+        // standard RAG/pretraining document splitter. Chunk starts are
+        // computed per row (scalar sequence), then explode fans 1→N —
+        // shuffle-free except the final sort.
+        val chunkSize = 50
+        val strideLen = 40
+        val toks = TextFns.tokens($"text")
+        val nChunks = greatest(lit(1),
+          ceil((size(toks) - lit(chunkSize)).cast("double") / strideLen).cast("int") + 1)
+        Tables.documents(s, d)
+          .select($"doc_id", toks.as("toks"), nChunks.as("n_chunks"))
+          .select($"doc_id",
+            posexplode(transform(sequence(lit(0), $"n_chunks" - 1),
+              i => concat_ws(" ", slice($"toks", i * strideLen + 1, lit(chunkSize))))))
+          .withColumnRenamed("pos", "chunk_idx")
+          .withColumnRenamed("col", "chunk_text")
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+                GREATEST(1, CAST(CEIL(CAST(LEN(toks) - 50 AS DOUBLE) / 40) AS INT) + 1) AS n_chunks
+              FROM t)
+        SELECT doc_id, i AS chunk_idx,
+               ARRAY_TO_STRING(toks[i*40 + 1 : i*40 + 50], ' ') AS chunk_text
+        FROM n, UNNEST(RANGE(0, n_chunks)) AS u(i)
+        ORDER BY doc_id, chunk_idx"""),
+      doc = "Fixed-token document chunking with overlap (size 50, stride 40): per-row chunk starts + explode fan-out, the RAG/pretraining splitter shape.")
   )
 }
