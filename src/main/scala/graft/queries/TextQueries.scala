@@ -110,6 +110,20 @@ object TextQueries {
                  (h, c) -> (h*31 + c) % 1000000007) AS rfp
         FROM documents
         ORDER BY doc_id"""),
-      doc = "Rabin-Karp polynomial rolling-hash fingerprint (seed 7, base 31, mod 1e9+7) — exact integer arithmetic, reproduced fold-for-fold by the DuckDB oracle.")
+      doc = "Rabin-Karp polynomial rolling-hash fingerprint (seed 7, base 31, mod 1e9+7) — exact integer arithmetic, reproduced fold-for-fold by the DuckDB oracle."),
+
+    Q(
+      "q44_compression_quality",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        graft.operators.TextQuality.compressionStats(Tables.documents(s, d))
+          .toDF()
+          .select($"doc_id", $"raw_len", $"comp_len")
+          .orderBy($"doc_id")
+      },
+      None, // zlib isn't expressible in SQL — rows-only at the driver
+      // gate; TextQualitySpec pins determinism + the redundancy ordering
+      doc = "Deflate compression ratio per document (Gopher/CCNet redundancy filter): one Deflater per partition, linear scan, no shuffle. Spec-verified (zlib has no SQL oracle).")
   )
 }
