@@ -200,6 +200,57 @@ object CurationQueries {
                ARRAY_TO_STRING(toks[i*40 + 1 : i*40 + 50], ' ') AS chunk_text
         FROM n, UNNEST(RANGE(0, n_chunks)) AS u(i)
         ORDER BY doc_id, chunk_idx"""),
-      doc = "Fixed-token document chunking with overlap (size 50, stride 40): per-row chunk starts + explode fan-out, the RAG/pretraining splitter shape.")
+      doc = "Fixed-token document chunking with overlap (size 50, stride 40): per-row chunk starts + explode fan-out, the RAG/pretraining splitter shape."),
+
+    Q(
+      "q45_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic stratified sampling: per-language keep rates
+        // applied via the md5 bucket — membership is a pure function of
+        // the id (reproducible across runs/engines), rates differ per
+        // stratum (the "data mixing" knob). Pure filter, no shuffle.
+        val bucket = hashBucket($"doc_id")
+        val rate = when($"lang" === "en", 80)
+          .when($"lang" === "de", 50)
+          .otherwise(20)
+        Tables.documents(s, d)
+          .filter(bucket < rate)
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE $bucketSql < CASE WHEN lang = 'en' THEN 80
+                                WHEN lang = 'de' THEN 50
+                                ELSE 20 END
+        ORDER BY doc_id"""),
+      doc = "Deterministic stratified sampling: per-language keep rates (en 80% / de 50% / rest 20%) on the md5 bucket — reproducible membership, no RNG, no shuffle."),
+
+    Q(
+      "q46_lang_cap",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Per-group cap (data-mixing rebalance): at most 100 docs per
+        // language, deterministic order. One shuffle on the group key.
+        val w = Window.partitionBy($"lang").orderBy($"doc_id")
+        Tables.documents(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 100)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"), max($"doc_id").as("max_kept_id"))
+          .orderBy($"lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_id
+        FROM (SELECT lang, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+              FROM documents) t
+        WHERE rk <= 100
+        GROUP BY lang
+        ORDER BY lang"""),
+      doc = "Per-language cap at 100 docs (data-mixing rebalance): deterministic row_number window, one shuffle on the group key.")
   )
 }
