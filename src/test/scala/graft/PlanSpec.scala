@@ -63,6 +63,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q42: sequence packing is one window pass — no join, single sort lineage") {
+    val p = plan("q42_sequence_pack")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), "packing must not join")
+  }
+
+  test("q45: stratified sample is a pure filter with a pruned scan") {
+    val p = plan("q45_stratified_sample")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "sampling must not join or aggregate")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "scan must be pruned to doc_id+lang (text never read)")
+  }
+
   test("q39: victim removal is a broadcast left-anti join") {
     val p = plan("q39_curation_manifest")
     assert(p.contains("LeftAnti"), "victim removal must be an anti join")
