@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global running sums and sequence packing.
+  *
+  * A global cumulative sum expressed as `Window.orderBy(key)` (no
+  * partitionBy) funnels EVERY row through one task — the classic
+  * single-partition window bottleneck, a scale-killer at 100 TB. The
+  * standard fix is the two-phase prefix sum implemented here:
+  *
+  *   1. assign each row a range BUCKET from quantile boundaries of the
+  *      ordering key — a pure function of the key VALUE (literals in the
+  *      plan), so every job that evaluates it agrees. (Physical ids like
+  *      spark_partition_id are NOT stable across the two jobs below —
+  *      that design fails subtly; buckets-from-values is the fix.)
+  *   2. per-BUCKET running sums (parallel windows, one shuffle);
+  *   3. aggregate one total per bucket (tiny — numBuckets rows), prefix
+  *      them on the driver, fold the offsets back in as literals;
+  *   4. global_running = local_running + offset(bucket).
+  *
+  * Identical to the single-task window result (spec-pinned equality).
+  */
+object Packing {
+
+  /** Add `outCol` = sum of `valueCol` over all rows strictly BEFORE the
+    * current row in `orderCol` order (exclusive prefix sum), computed
+    * with the two-phase plan above. `orderCol` must be globally unique
+    * and numeric.
+    */
+  def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                         outCol: String, numBuckets: Int = 0): DataFrame = {
+    val n = math.max(1, if (numBuckets > 0) numBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // quantile boundaries of the ordering key: one sketch pass; bucket
+    // membership becomes a pure function of the key value
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (n == 1) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001)
+    val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__bkt", bucketCol)
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("__local", coalesce(sum(col(valueCol)).over(w), lit(0L)))
+    // one row per bucket — the only driver-side data, O(numBuckets)
+    val totals = bucketed.groupBy("__bkt")
+      .agg(sum(col(valueCol)).cast("long").as("__btotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L))
+    val offsetCol: Column = offsets.zipWithIndex.init.foldLeft(lit(0L)) {
+      case (acc, (off, b)) => when(col("__bkt") === b, lit(off)).otherwise(acc)
+    }
+    local
+      .withColumn(outCol, col("__local") + offsetCol)
+      .drop("__bkt", "__local")
+  }
+
+  /** Greedy contiguous sequence packing at scale: doc i goes to pack
+    * floor(tokens_before_i / budget) in `orderCol` order. Same result as
+    * the single-task global window, without the bottleneck.
+    */
+  def packByBudget(df: DataFrame, orderCol: String, tokenCol: String,
+                   budget: Long, packCol: String = "pack_id"): DataFrame =
+    exclusivePrefixSum(df, orderCol, tokenCol, "__tok_before")
+      .withColumn(packCol, (col("__tok_before") / budget).cast("long"))
+      .drop("__tok_before")
+}

@@ -146,18 +146,16 @@ object CurationQueries {
       "q42_sequence_pack",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         // Greedy contiguous sequence packing: walk docs in doc_id order,
         // a doc goes to pack floor(tokens_before_it / budget) — the
         // standard approximation of first-fit packing for pretraining
-        // batch assembly. One window pass, no join; at 100 TB the order
-        // would be within-partition (pack ids prefixed by partition).
-        val budget = 2000
-        val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
+        // batch assembly. Runs as the two-phase prefix sum
+        // (Packing.packByBudget): per-range-partition windows + driver
+        // prefix of numPartitions totals — NOT a global-order window,
+        // which would funnel the corpus through one task at 100 TB.
+        val docs = Tables.documents(s, d)
           .select($"doc_id", TextFns.tokenCount($"text").as("n_tok"))
-          .withColumn("tok_before", coalesce(sum($"n_tok").over(w), lit(0L)))
-          .withColumn("pack_id", ($"tok_before" / budget).cast("long"))
+        graft.operators.Packing.packByBudget(docs, "doc_id", "n_tok", 2000L)
           .select($"doc_id", $"n_tok", $"pack_id")
           .orderBy($"doc_id")
       },
