@@ -40,4 +40,22 @@ class AqeSkewSpec extends AnyFunSuite {
         s"expected AQE to mark the hot-key join as skewed:\n${plan.take(1200)}")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("salted equi-join equals the plain join on hot-key data and spreads the key") {
+    import spark.implicits._
+    import graft.operators.Salting
+    val left = spark.range(20000).select(
+        (when($"id" < 18000, 0L).otherwise($"id" % 50)).as("k"), $"id".as("payload"))
+    val right = spark.range(50).select($"id".as("rk"), ($"id" * 10).as("v"))
+    val salted = Salting.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .select($"payload", $"v").as[(Long, Long)].collect().toSet
+    val plain = left.join(right, $"k" === $"rk")
+      .select($"payload", $"v").as[(Long, Long)].collect().toSet
+    assert(salted == plain && plain.size == 20000)
+    // the hot key's rows really do carry multiple distinct salts
+    val saltSpread = left.filter($"k" === 0L)
+      .select(pmod(xxhash64(left.columns.map(col): _*), lit(8)))
+      .distinct().count()
+    assert(saltSpread >= 4, s"hot key spread over only $saltSpread salt buckets")
+  }
 }
