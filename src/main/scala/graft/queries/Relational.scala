@@ -538,6 +538,33 @@ object Relational {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""),
-      doc = "Exact interpolated percentiles per group (single + array form).")
+      doc = "Exact interpolated percentiles per group (single + array form)."),
+
+    Q(
+      "q47_json_extract",
+      (s, d) => {
+        import s.implicits._
+        // Semi-structured surface: per-row JSON path extraction from the
+        // events props column (codegen'd get_json_object — no UDF), then
+        // a grouped agg. The 100 TB shape is scan + map-side-combined agg.
+        Tables.events(s, d)
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"k".cast("long")).as("sum_k"),
+            max($"k").as("max_k"),
+            count(when($"k".isNull, 1)).as("n_null_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k,
+               COUNT(CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NULL THEN 1 END) AS n_null_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "Semi-structured JSON extraction from the events props column (get_json_object path query) + grouped agg, null-path accounting included.")
   )
 }
