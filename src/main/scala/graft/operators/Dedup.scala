@@ -93,6 +93,28 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Incremental exact Jaccard: near-dup pairs between a NEW batch and an
+    * EXISTING corpus index (doc sets must be disjoint), plus nothing else.
+    * This is how dedup runs in a production pipeline: the corpus shingle
+    * index is materialized once; each incoming batch joins against it
+    * (and self-joins internally) instead of recomputing the corpus
+    * self-join. Candidates touch only shingles present in the NEW batch —
+    * cost scales with the batch, not the corpus.
+    *
+    * Completeness: pairs(old ∪ new) == pairs(old) ∪ pairsAgainst(new, old)
+    * ∪ pairs(new) — spec-pinned. Output keeps (doc_a, doc_b) ordered
+    * doc_a < doc_b like the batch API.
+    */
+  def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
+                          threshold: Double): DataFrame = {
+    val candidates = shNew.as("a")
+      .join(shIndex.as("b"), col("a.sh") === col("b.sh"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, shNew.union(shIndex), threshold)
+  }
+
   /** Physical strategy for the exact Jaccard pair join — the logical
     * result is identical either way (both are spec-pinned equal).
     */

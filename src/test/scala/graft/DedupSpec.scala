@@ -76,6 +76,26 @@ class DedupSpec extends AnyFunSuite {
     skewed.unpersist()
   }
 
+  test("incremental jaccardPairsAgainst: batch-vs-index + intra-batch covers the full join") {
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val shAll = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    val shOld = shAll.filter(col("doc") < 400).cache()
+    val shNew = shAll.filter(col("doc") >= 400).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.jaccardPairs(shAll, 0.5))
+    val incremental = pairSet(Dedup.jaccardPairs(shOld, 0.5)) ++
+      pairSet(Dedup.jaccardPairsAgainst(shNew, shOld, 0.5)) ++
+      pairSet(Dedup.jaccardPairs(shNew, 0.5))
+    assert(full.nonEmpty)
+    assert(incremental == full,
+      s"missing=${(full -- incremental).take(5)} extra=${(incremental -- full).take(5)}")
+    // and the cross-batch piece is genuinely non-trivial in this data
+    assert(pairSet(Dedup.jaccardPairsAgainst(shNew, shOld, 0.5)).nonEmpty)
+    Seq(shAll, shOld, shNew).foreach(_.unpersist())
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on real documents") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
