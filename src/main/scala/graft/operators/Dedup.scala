@@ -108,11 +108,24 @@ object Dedup {
   def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                           threshold: Double): DataFrame = {
     val candidates = shNew.as("a")
-      .join(shIndex.as("b"), col("a.sh") === col("b.sh"))
+      .join(shIndex.as("b"), col("a.sh") === col("b.sh") &&
+        // overlap between the inputs would otherwise surface as
+        // jaccard-1.0 self pairs; the disjointness contract still holds
+        // for SIZES (an overlapping doc's shingles would double-count),
+        // but self pairs are cheap to exclude structurally
+        col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .distinct()
-    verifyJaccard(candidates, shNew.union(shIndex), threshold)
+    // verification must scale with the BATCH: restrict the corpus-side
+    // shingle table to candidate docs (left-semi) before sizing — without
+    // this, sizes = groupBy over the full corpus union and every batch
+    // pays an O(corpus) shuffle, breaking the operator's contract
+    val candDocs = candidates.select(col("doc_a").as("doc"))
+      .union(candidates.select(col("doc_b").as("doc")))
+      .distinct()
+    val shRelevant = shNew.union(shIndex).join(candDocs, Seq("doc"), "left_semi")
+    verifyJaccard(candidates, shRelevant, threshold)
   }
 
   /** Physical strategy for the exact Jaccard pair join — the logical

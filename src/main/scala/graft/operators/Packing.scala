@@ -34,12 +34,31 @@ object Packing {
                          outCol: String, numBuckets: Int = 0): DataFrame = {
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    // quantile boundaries of the ordering key: one sketch pass; bucket
-    // membership becomes a pure function of the key value
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val bounds =
-      if (n == 1) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probs, 0.001)
+    // The two driver actions below (quantile sketch + bucket totals) read
+    // a persisted pruned projection so the upstream lineage (scan +
+    // per-row value computation, e.g. tokenization) runs ONCE for both;
+    // the cache is released before returning — the final windowed job
+    // recomputes the cheap projection from lineage, keeping the operator
+    // leak-free across repeated calls.
+    val projected = df.select(col(orderCol), col(valueCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bounds, totals) =
+      try {
+        // quantile boundaries of the ordering key: bucket membership
+        // becomes a pure function of the key value (plan literals)
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val bs =
+          if (n == 1) Array.empty[Double]
+          else projected.stat.approxQuantile(orderCol, probs, 0.001)
+        val bCol = bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(orderCol) > b, 1).otherwise(0)
+        }
+        // one row per bucket — the only driver-side data, O(numBuckets)
+        val ts = projected.withColumn("__bkt", bCol).groupBy("__bkt")
+          .agg(sum(col(valueCol)).cast("long").as("__btotal"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (bs, ts)
+      } finally projected.unpersist()
     val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(orderCol) > b, 1).otherwise(0)
     }
@@ -48,10 +67,6 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed
       .withColumn("__local", coalesce(sum(col(valueCol)).over(w), lit(0L)))
-    // one row per bucket — the only driver-side data, O(numBuckets)
-    val totals = bucketed.groupBy("__bkt")
-      .agg(sum(col(valueCol)).cast("long").as("__btotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).scanLeft(0L)((acc, b) => acc + totals.getOrElse(b, 0L))
     val offsetCol: Column = offsets.zipWithIndex.init.foldLeft(lit(0L)) {
       case (acc, (off, b)) => when(col("__bkt") === b, lit(off)).otherwise(acc)

@@ -25,11 +25,15 @@ object TextQuality {
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
-        // one codec per partition, reused — NOT one per row
+        // one codec per partition, reused — NOT one per row; native zlib
+        // memory is released at task end (not left to GC finalization)
         val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](64 * 1024)
         rows.map { case (id, text) =>
-          val raw = text.getBytes("UTF-8")
+          // null text → empty payload (ratio 1.0), not a task-killing NPE
+          val raw = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(raw)
           deflater.finish()

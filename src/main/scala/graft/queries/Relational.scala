@@ -559,9 +559,9 @@ object Relational {
       },
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
-               MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k,
-               COUNT(CASE WHEN JSON_EXTRACT_STRING(props, '$.k') IS NULL THEN 1 END) AS n_null_k
+               SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k,
+               COUNT(CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) IS NULL THEN 1 END) AS n_null_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
