@@ -565,6 +565,95 @@ object Relational {
         FROM events
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "Semi-structured JSON extraction from the events props column (get_json_object path query) + grouped agg, null-path accounting included.")
+      doc = "Semi-structured JSON extraction from the events props column (get_json_object path query) + grouped agg, null-path accounting included."),
+
+    Q(
+      "q48_sessionize_batch",
+      (s, d) => {
+        import s.implicits._
+        // Batch sessionization as gaps-and-islands: a session breaks when
+        // the gap to the previous event exceeds 30 min; session id is the
+        // running count of breaks. Two windows, both partitioned by user
+        // (shuffle once on user_id) — the batch analog of the streaming
+        // session_window operator, oracle-checkable unlike the stream.
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          .withColumn("brk",
+            when($"prev_ts".isNull ||
+              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+          .withColumn("session_id",
+            sum($"brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+          .filter($"n_events" >= 3)
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN prev_ts IS NULL
+                        OR EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS brk
+            FROM (
+              SELECT user_id, ts, event_id,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events) a) b) c
+        GROUP BY user_id, session_id
+        HAVING COUNT(*) >= 3
+        ORDER BY user_id, session_id"""),
+      doc = "Batch sessionization (gaps-and-islands, 30-min gap): lag + running break-count windows, one shuffle on user_id — the oracle-checkable analog of the streaming session_window."),
+
+    Q(
+      "q49_funnel",
+      (s, d) => {
+        import s.implicits._
+        // Conversion funnel: per user, did a purchase follow a view
+        // within 1 h? Shaped like the as-of join (q34): union both event
+        // streams, one forward-looking window per user — ONE shuffle, no
+        // join, no per-view subquery.
+        val ev = Tables.events(s, d).select($"user_id", $"ts", $"event_type", $"event_id")
+          .filter($"event_type".isin("view", "purchase"))
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val nextPurchase = min(when($"event_type" === "purchase", $"ts")).over(w)
+        ev.withColumn("next_purchase_ts", nextPurchase)
+          .filter($"event_type" === "view")
+          .withColumn("converted",
+            $"next_purchase_ts".isNotNull &&
+              unix_timestamp($"next_purchase_ts") - unix_timestamp($"ts") <= 3600)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_views"),
+            count(when($"converted", 1)).as("n_converted"))
+          .filter($"n_converted" >= 1)
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_views,
+               COUNT(CASE WHEN converted THEN 1 END) AS n_converted
+        FROM (
+          SELECT user_id, ts, event_type,
+                 next_purchase_ts IS NOT NULL
+                   AND EPOCH(next_purchase_ts) - EPOCH(ts) <= 3600 AS converted
+          FROM (
+            SELECT user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+            FROM events
+            WHERE event_type IN ('view', 'purchase')) a) b
+        WHERE event_type = 'view'
+        GROUP BY user_id
+        HAVING COUNT(CASE WHEN converted THEN 1 END) >= 1
+        ORDER BY user_id"""),
+      doc = "Conversion funnel (view -> purchase within 1 h): forward-looking min window over the unioned event stream — one shuffle, no join, same family as the as-of composition.")
   )
 }
