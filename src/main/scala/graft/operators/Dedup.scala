@@ -93,6 +93,35 @@ object Dedup {
     verifyJaccard(candidates, sh, threshold)
   }
 
+  /** Frequency-capped candidate generation: drop shingles whose document
+    * frequency exceeds `maxDocFreq` from the CANDIDATE join only —
+    * verification still scores the full shingle sets, so reported
+    * jaccard values stay exact. This is the web-scale stop-shingle
+    * mitigation (boilerplate appears in millions of docs and generates
+    * c² candidates while carrying no discriminative signal).
+    *
+    * APPROXIMATE: a pair whose shared shingles are ALL hotter than the
+    * cap produces no candidate and is missed — that is the deliberate
+    * trade (such pairs share only boilerplate). With a cap at or above
+    * the max observed frequency the output equals `jaccardPairs` exactly
+    * (spec-pinned). Prefer `jaccardPairsAdaptive` when exactness is
+    * required; use this when the corpus carries heavy boilerplate AND
+    * recall on boilerplate-only pairs is explicitly not wanted.
+    */
+  def jaccardPairsCapped(sh: DataFrame, threshold: Double,
+                         maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+      .filter(col("f") <= maxDocFreq)
+      .select("sh")
+    val indexable = sh.join(rare, Seq("sh"), "left_semi")
+    val candidates = indexable.as("a")
+      .join(indexable.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
   /** Incremental exact Jaccard: near-dup pairs between a NEW batch and an
     * EXISTING corpus index (doc sets must be disjoint), plus nothing else.
     * This is how dedup runs in a production pipeline: the corpus shingle

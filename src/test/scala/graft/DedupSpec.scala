@@ -76,6 +76,33 @@ class DedupSpec extends AnyFunSuite {
     skewed.unpersist()
   }
 
+  test("jaccardPairsCapped: exact at a high cap; drops only boilerplate-only pairs at a low cap") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // real documents: cap above the max observed frequency → identical output
+    val real = Dedup.shingleSets(Tables.documents(spark, sf), "doc_id", "text", 3).cache()
+    assert(pairSet(Dedup.jaccardPairsCapped(real, 0.5, maxDocFreq = 1000000)) ==
+      pairSet(Dedup.jaccardPairs(real, 0.5)))
+    real.unpersist()
+    // boilerplate corpus: docs 1/2 are near-dups sharing RARE shingles;
+    // docs 3/4 share ONLY the boilerplate. A low cap keeps the rare-shingle
+    // pair and (deliberately) drops the boilerplate-only pair.
+    val boiler = "terms of service apply here now"
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta"),
+      (2L, s"$boiler alpha beta gamma delta epsilon eta"),
+      (3L, s"$boiler one two"),
+      (4L, s"$boiler six seven")).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    val exact = pairSet(Dedup.jaccardPairs(sh, 0.3))
+    assert(exact.contains((1L, 2L)) && exact.contains((3L, 4L)))
+    val capped = pairSet(Dedup.jaccardPairsCapped(sh, 0.3, maxDocFreq = 2))
+    assert(capped.contains((1L, 2L)), "rare-shingle pair must survive the cap")
+    assert(!capped.contains((3L, 4L)), "boilerplate-only pair is deliberately dropped")
+    sh.unpersist()
+  }
+
   test("incremental jaccardPairsAgainst: batch-vs-index + intra-batch covers the full join") {
     val docs = Tables.documents(spark, sf)
     import org.apache.spark.sql.functions.col
