@@ -86,11 +86,7 @@ object Dedup {
     val prefix = ranked
       .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
       .select("doc", "sh")
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidatePairs(prefix), sh, threshold)
   }
 
   /** Frequency-capped candidate generation: drop shingles whose document
@@ -115,11 +111,7 @@ object Dedup {
       .filter(col("f") <= maxDocFreq)
       .select("sh")
     val indexable = sh.join(rare, Seq("sh"), "left_semi")
-    val candidates = indexable.as("a")
-      .join(indexable.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidatePairs(indexable), sh, threshold)
   }
 
   /** Incremental exact Jaccard: near-dup pairs between a NEW batch and an
@@ -204,6 +196,17 @@ object Dedup {
       case NaiveInvertedIndex => jaccardPairs(sh, threshold)
       case PrefixFiltered     => jaccardPairsPrefix(sh, threshold)
     }
+
+  /** Candidate (doc_a < doc_b) pairs from a (doc, sh) table: self-join on
+    * the shingle key, deduplicated. Shared by the prefix-filtered and
+    * frequency-capped variants so a future change to the candidate join
+    * cannot silently diverge between them.
+    */
+  private def candidatePairs(indexed: DataFrame): DataFrame =
+    indexed.as("a")
+      .join(indexed.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle sets (restricted inverted-index join).

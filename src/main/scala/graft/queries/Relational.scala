@@ -579,9 +579,12 @@ object Relational {
         val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         Tables.events(s, d)
           .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+          // integer MICROSECONDS on both sides: unix_timestamp truncates
+          // to whole seconds while the oracle's epoch is µs-exact — the
+          // two disagree for gaps within ±1 s of the threshold
           .withColumn("brk",
             when($"prev_ts".isNull ||
-              unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1).otherwise(0))
+              unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
           .withColumn("session_id",
             sum($"brk").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
           .groupBy($"user_id", $"session_id")
@@ -602,7 +605,7 @@ object Relational {
           FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL
-                        OR EPOCH(ts) - EPOCH(prev_ts) > 1800 THEN 1 ELSE 0 END AS brk
+                        OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS brk
             FROM (
               SELECT user_id, ts, event_id,
                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -627,9 +630,11 @@ object Relational {
         val nextPurchase = min(when($"event_type" === "purchase", $"ts")).over(w)
         ev.withColumn("next_purchase_ts", nextPurchase)
           .filter($"event_type" === "view")
+          // µs-exact on both sides (see q48): second-truncated diffs
+          // disagree with the oracle within ±1 s of the 1 h boundary
           .withColumn("converted",
             $"next_purchase_ts".isNotNull &&
-              unix_timestamp($"next_purchase_ts") - unix_timestamp($"ts") <= 3600)
+              unix_micros($"next_purchase_ts") - unix_micros($"ts") <= 3600L * 1000000L)
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_views"),
             count(when($"converted", 1)).as("n_converted"))
@@ -642,7 +647,7 @@ object Relational {
         FROM (
           SELECT user_id, ts, event_type,
                  next_purchase_ts IS NOT NULL
-                   AND EPOCH(next_purchase_ts) - EPOCH(ts) <= 3600 AS converted
+                   AND EPOCH_US(next_purchase_ts) - EPOCH_US(ts) <= 3600000000 AS converted
           FROM (
             SELECT user_id, ts, event_type,
                    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
