@@ -559,7 +559,7 @@ object Relational {
       },
       Some("""
         SELECT event_type, COUNT(*) AS n,
-               SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS max_k,
                COUNT(CASE WHEN TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) IS NULL THEN 1 END) AS n_null_k
         FROM events
@@ -600,8 +600,8 @@ object Relational {
                STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         FROM (
           SELECT user_id, ts,
-                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN prev_ts IS NULL

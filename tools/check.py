@@ -6,6 +6,13 @@ Runs graft.Verify output (parquet per query) against the DuckDB oracle SQL
 row count, column names (sorted), and cell values (exact, after sorting
 columns by name and rows by all values). Exits nonzero on any mismatch.
 
+IMPORTANT: both sides are fetched through pandas (`rel.df()`), matching the
+driver's comparator. This is what surfaces the DuckDB HUGEINT class: an
+un-cast integral SUM comes back HUGEINT, pandas renders it float64, and the
+stringified cells diverge from Spark's int64 ("3.0" vs "3"). The old
+`fetchall()` path silently converted HUGEINT to Python int and hid the bug
+from the local gate (round-2/3 q47/q48 finding).
+
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
 import json
@@ -13,26 +20,40 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    """Sort columns by name, then rows; stringify cells for exact compare."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def cell(v):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(cell(x) for x in v) + "]"
+    if v is None:
+        return "None"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    try:
+        if pd.isna(v):
+            return "None"
+    except (TypeError, ValueError):
+        pass
+    return repr(v)
 
-    def cell(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return repr(v)
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
-        return repr(v)
 
-    out = [tuple(cell(r[i]) for i in order) for r in rows]
-    return sorted(out), [cols[i] for i in order]
+def canon(df):
+    """Sort columns by name, then rows; stringify pandas cells for compare."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(cell(v) for v in r)
+            for r in df.itertuples(index=False, name=None)]
+    return sorted(rows), cols, [str(t) for t in df.dtypes]
 
 
 def main():
@@ -44,10 +65,9 @@ def main():
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_rows, got_cols = canon(got_rel.fetchall(), got_rel.columns)
-            exp_rel = con.sql(sql)
-            exp_rows, exp_cols = canon(exp_rel.fetchall(), exp_rel.columns)
+            got_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_rows, got_cols, got_dt = canon(got_df)
+            exp_rows, exp_cols, exp_dt = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failed.append(name)
@@ -60,9 +80,14 @@ def main():
             failed.append(name)
         elif got_rows != exp_rows:
             bad = next(i for i, (a, b) in enumerate(zip(got_rows, exp_rows)) if a != b)
-            print(f"FAIL {name}: first diff at sorted row {bad}:\n  got {got_rows[bad]}\n  exp {exp_rows[bad]}")
+            print(f"FAIL {name}: first diff at sorted row {bad}:\n"
+                  f"  got {got_rows[bad]}\n  exp {exp_rows[bad]}\n"
+                  f"  dtypes got {got_dt} exp {exp_dt}")
             failed.append(name)
         else:
+            if got_dt != exp_dt:
+                print(f"WARN {name}: values match but dtypes differ: "
+                      f"got {got_dt} exp {exp_dt}")
             print(f"OK   {name} ({len(got_rows)} rows)")
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
     sys.exit(1 if failed else 0)
