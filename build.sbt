@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `run` stdout through verbatim (no `[info] ` prefix): the
+// round driver parses the single JSON line graft.Bench prints, and sbt's
+// default logged output strategy prefixed it for three rounds running
+// ("parsed": null). StdoutOutput inherits sbt's own stdout/stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,15 +71,25 @@ object Bench {
       }.sorted
       // any failed rep poisons the query: report -1, never a partial time
       val t = if (times.head < 0) -1.0 else times(times.length / 2)
-      q.name -> t
+      (q.name, t, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // per-rep arrays (sorted asc) + min: box contention swung identical
+    // code 22x between rounds — make scheduling noise visible in the
+    // artifact itself rather than only in round-over-round medians
+    val qsReps = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, v, ts) =>
+      val mn = if (v < 0) -1.0 else ts.head
+      "\"" + k + "\":" + f"$mn%.3f"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
     // the file is the redundant channel: an unwritable cwd must not lose
     // the stdout line (or skip spark.stop) after all queries already ran
     try Files.writeString(Paths.get("bench.json"), line + "\n")
