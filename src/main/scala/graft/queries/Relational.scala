@@ -28,6 +28,22 @@ object Relational {
     */
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Shared verbatim between `spark.sql` and the DuckDB oracle (see
+    * q51_sql_surface). Portable ANSI only: ordinal GROUP BY, DATE_TRUNC,
+    * COUNT DISTINCT — COUNT returns BIGINT in both engines, no HUGEINT
+    * cast needed (NOTES rule 9 applies to SUM, not COUNT). Declared BEFORE
+    * `queries`: object vals initialize in order, and the Some(...) capture
+    * would otherwise see null.
+    */
+  private val SqlSurfaceQuery: String = """
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, event_day"""
+
   val queries: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
@@ -659,6 +675,17 @@ object Relational {
         GROUP BY user_id
         HAVING COUNT(CASE WHEN converted THEN 1 END) >= 1
         ORDER BY user_id"""),
-      doc = "Conversion funnel (view -> purchase within 1 h): forward-looking min window over the unioned event stream — one shuffle, no join, same family as the as-of composition.")
+      doc = "Conversion funnel (view -> purchase within 1 h): forward-looking min window over the unioned event stream — one shuffle, no join, same family as the as-of composition."),
+
+    Q(
+      "q51_sql_surface",
+      // The Spark side is a SQL STRING through SqlSurface.sql — the
+      // registered-temp-view path end-to-end at the driver gate, not just
+      // in SqlSurfaceSpec. The SAME string is the DuckDB oracle: views
+      // registered by the normalizing loader (events ns→µs timestamps)
+      // must make verbatim ANSI SQL agree across engines.
+      (s, d) => SqlSurface.sql(s, d, SqlSurfaceQuery),
+      Some(SqlSurfaceQuery),
+      doc = "SQL-string surface: one shared ANSI query (daily per-type event counts + distinct users) run verbatim via spark.sql over the registered views AND as the DuckDB oracle — proves the view path carries the loader normalizations.")
   )
 }
