@@ -51,6 +51,25 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"), col("approx_users"))
 
+  /** Exact-distinct variant of [[hourlyAgg]] — the streaming twin of batch
+    * q16 (countDistinct). COUNT(DISTINCT) is unsupported inside streaming
+    * aggregations, so distinct users are computed exactly as
+    * `size(collect_set(user_id))`: per-(window,type) state bounded by that
+    * window's user cardinality, fine at hourly granularity. Run in
+    * COMPLETE output mode for full-history parity with the batch plan —
+    * append mode holds back windows the watermark hasn't closed.
+    */
+  def hourlyAggExact(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class Session(user_id: Long, n_events: Long, first_ts: java.sql.Timestamp,

@@ -34,6 +34,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly agg (exact distinct, complete mode) EQUALS the q16 batch result") {
+    import spark.implicits._
+    // sf0.01, not the suite default: q16's HAVING n >= 5 filters sf0.001
+    // to zero groups (max hourly group there is 3 events) — parity over an
+    // empty set would pin nothing
+    val sf = "/root/testdata/sf0.01"
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    val q = EventStream.hourlyAggExact(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_exact").start()
+    try {
+      q.processAllAvailable()
+      // same HAVING n >= 5 as q16; complete mode emits every window, so
+      // this is full equality, not the append-mode subset check above
+      val got = spark.table("hourly_exact")
+        .filter($"n" >= 5)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      val batch = SparkEntry.queries("q16_events_hourly")(spark, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toSet
+      assert(got.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: event-time gap closes the session when the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
