@@ -149,4 +149,166 @@ object Codecs {
     a.samples.grouped(frameSize).map { fr =>
       math.sqrt(fr.foldLeft(0.0)((acc, s) => acc + s.toDouble * s) / fr.length)
     }.toArray
+
+  // ---------------------------------------------------------------- PNG
+  //
+  // A COMPRESSED format in pure JVM: PNG's container is chunks with CRC32
+  // and its compression is zlib (RFC 1950), both in java.util.zip — only
+  // the scanline filters (PNG spec §9, incl. the Paeth predictor) need
+  // hand implementation. Scope: 8-bit truecolor RGB (color type 2),
+  // non-interlaced — the exact subset the encoder below emits. Pixel
+  // bytes in [[Image]] are RGB for PNG (channel order never matters to
+  // the per-byte features we extract; dims and sums are order-agnostic).
+
+  private val pngSignature =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Paeth predictor (PNG spec §9.4): pick whichever of left/up/up-left
+    * is closest to left + up − upLeft, tie-breaking in that order.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+                         data: Array[Byte]): Unit = {
+    out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+    val typeBytes = chunkType.getBytes("US-ASCII")
+    out.write(typeBytes)
+    out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeBytes); crc.update(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode 8-bit RGB non-interlaced PNG. The filter type CYCLES 0..4 by
+    * row, so any image of height ≥ 5 forces a decoder through every
+    * unfilter path (None/Sub/Up/Average/Paeth) — that is what makes the
+    * q50 oracle a test of the full filter suite, not just the container.
+    */
+  def encodePng(img: Image): Array[Byte] = {
+    val bpp = 3
+    val stride = img.width * bpp
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      val ft = y % 5
+      raw((stride + 1) * y) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(y * stride + x) & 0xff
+        val left = if (x >= bpp) img.pixels(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) img.pixels((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) img.pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val filtered = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, upLeft)
+        }
+        raw((stride + 1) * y + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val idat = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(img.width).putInt(img.height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    writeChunk(out, "IHDR", ihdr.array())
+    writeChunk(out, "IDAT", idat.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode 8-bit RGB non-interlaced PNG: signature check, chunk walk
+    * with per-chunk CRC32 verification (ancillary chunks skipped, IDAT
+    * concatenated per spec), zlib inflate, then per-row unfilter of all
+    * five filter types. Fails loud on truncation, CRC mismatch, or any
+    * feature outside the supported subset.
+    */
+  def decodePng(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 8 && pngSignature.indices.forall(i => bytes(i) == pngSignature(i)),
+      "not a PNG (bad signature)")
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian, the buffer default
+    var pos = 8
+    var width = -1
+    var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var seenEnd = false
+    while (!seenEnd && pos + 8 <= bytes.length) {
+      val len = buf.getInt(pos)
+      val chunkType = new String(bytes, pos + 4, 4, "US-ASCII")
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated or corrupt $chunkType chunk at offset $pos (len $len)")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"CRC mismatch in $chunkType chunk")
+      chunkType match {
+        case "IHDR" =>
+          width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
+          require(bytes(pos + 16) == 8, s"only bit depth 8 supported, got ${bytes(pos + 16)}")
+          require(bytes(pos + 17) == 2, s"only truecolor RGB supported, got color type ${bytes(pos + 17)}")
+          require(bytes(pos + 20) == 0, "interlaced (Adam7) PNGs not supported")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => seenEnd = true
+        case _      => () // ancillary chunk (tEXt, pHYs, ...): skip per spec
+      }
+      pos += 12 + len
+    }
+    require(width > 0 && height > 0 && idat.size > 0, "missing IHDR or IDAT chunk")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished(), "truncated or corrupt IDAT zlib stream")
+        off += n
+      }
+      require(off == raw.length, s"IDAT inflated to $off bytes, expected ${raw.length}")
+    } finally inflater.end()
+    val out = new Array[Byte](stride * height)
+    val bpp = 3
+    var y = 0
+    while (y < height) {
+      val ft = raw((stride + 1) * y) & 0xff
+      var x = 0
+      while (x < stride) {
+        val f = raw((stride + 1) * y + 1 + x) & 0xff
+        val left = if (x >= bpp) out(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) out((y - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, upLeft)
+          case other => throw new IllegalArgumentException(
+            s"unknown PNG filter type $other at row $y")
+        }
+        out(y * stride + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, out)
+  }
 }

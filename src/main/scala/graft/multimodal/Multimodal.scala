@@ -94,13 +94,49 @@ object Multimodal {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val cps = text.codePoints().toArray
-      val width = 16
-      val height = math.max(1, (cps.length + 47) / 48)
-      val px = new Array[Byte](width * height * 3)
-      var i = 0
-      while (i < cps.length) { px(i) = (cps(i) % 256).toByte; i += 1 }
-      MediaRow(id, Codecs.encodeBmp(Codecs.Image(width, height, px)))
+      MediaRow(id, Codecs.encodeBmp(docImage(text)))
+    }
+  }
+
+  /** The shared deterministic text→pixels construction behind q40 (BMP)
+    * and q50 (PNG): pixel byte i is code point cᵢ mod 256, zero-padded
+    * into a 16×⌈n/48⌉ buffer. Both formats carrying the SAME image means
+    * one analytic oracle predicts both decoders' outputs.
+    */
+  private def docImage(text: String): Codecs.Image = {
+    val cps = text.codePoints().toArray
+    val width = 16
+    val height = math.max(1, (cps.length + 47) / 48)
+    val px = new Array[Byte](width * height * 3)
+    var i = 0
+    while (i < cps.length) { px(i) = (cps(i) % 256).toByte; i += 1 }
+    Codecs.Image(width, height, px)
+  }
+
+  /** Build a REAL compressed PNG per document — same pixel construction
+    * as [[bmpFromDocuments]], but through zlib deflate + cycling scanline
+    * filters, so q50 verifies a *compressed* format (inflate + all five
+    * PNG unfilters incl. Paeth) against the same analytic oracle.
+    */
+  def pngFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRow(id, Codecs.encodePng(docImage(text)))
+    }
+  }
+
+  /** REAL PNG decode: chunk walk + CRC + inflate + unfilter, then the
+    * same exact integer features as the BMP path.
+    */
+  def decodePngFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = Codecs.decodePng(r.media)
+        ImageFeatures(r.doc_id, img.width, img.height,
+          img.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
     }
   }
 

@@ -183,6 +183,28 @@ object SimQueries {
                  i -> ((CAST(UNICODE(text[i:i]) AS BIGINT) % 256) - 128) * ((CAST(UNICODE(text[i:i]) AS BIGINT) % 256) - 128))), 0) AS BIGINT) AS energy
         FROM documents
         ORDER BY doc_id"""),
-      doc = "REAL PCM16 WAV decode (RIFF chunk walk, no codec lib): sample rate, count, exact integer energy, oracle-predicted from the source text.")
+      doc = "REAL PCM16 WAV decode (RIFF chunk walk, no codec lib): sample rate, count, exact integer energy, oracle-predicted from the source text."),
+
+    Q(
+      "q50_png_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // COMPRESSED-format round-trip: same deterministic image as q40,
+        // but carried as a real PNG (zlib deflate, per-row cycling
+        // filters). Decode walks chunks, checks CRC32s, inflates, and
+        // unfilters all five PNG filter types — any bug there breaks the
+        // exact pixel sums the oracle predicts from the text alone.
+        val media = Multimodal.pngFromDocuments(Tables.documents(s, d))
+        Multimodal.decodePngFeatures(media).toDF().orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(16 AS INT) AS width,
+               CAST(GREATEST(1, (LENGTH(text) + 47) // 48) AS INT) AS height,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(text)+1),
+                 i -> CAST(UNICODE(text[i:i]) % 256 AS BIGINT))), 0) AS BIGINT) AS sum_pixels
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "REAL PNG decode (pure-JVM: chunk walk + CRC32 + zlib inflate + all 5 scanline unfilters incl. Paeth): dimensions + exact pixel sum, oracle-predicted from the source text.")
   )
 }

@@ -64,6 +64,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(big.width == 16 && big.pixels.take(3).sameElements(img.pixels.take(3)))
   }
 
+  test("PNG codec round-trips; height >= 5 exercises every scanline filter incl. Paeth") {
+    import graft.multimodal.Codecs
+    for (w <- Seq(16, 5, 3, 1); h <- Seq(1, 5, 7)) {
+      // gradient-ish pattern so Sub/Up/Average/Paeth all produce non-trivial deltas
+      val img = Codecs.Image(w, h, Array.tabulate[Byte](w * h * 3)(i => (i * 41 + w).toByte))
+      val back = Codecs.decodePng(Codecs.encodePng(img))
+      assert(back.width == w && back.height == h, s"${w}x$h dims")
+      assert(back.pixels.sameElements(img.pixels), s"${w}x$h pixels")
+    }
+    // the PNG is genuinely compressed for repetitive content
+    val flat = Codecs.Image(16, 16, new Array[Byte](16 * 16 * 3))
+    assert(Codecs.encodePng(flat).length < 16 * 16 * 3 / 2)
+  }
+
+  test("PNG decode: CRC corruption fails loud; ancillary chunks are skipped") {
+    import graft.multimodal.Codecs
+    import java.nio.ByteBuffer
+    val img = Codecs.Image(4, 6, Array.tabulate[Byte](4 * 6 * 3)(i => (i * 7).toByte))
+    val png = Codecs.encodePng(img)
+    // flip one byte inside the IDAT payload (IHDR chunk ends at offset 33)
+    val corrupt = png.clone()
+    corrupt(33 + 8 + 2) = (corrupt(33 + 8 + 2) ^ 0x55).toByte
+    val err = intercept[IllegalArgumentException](Codecs.decodePng(corrupt))
+    assert(err.getMessage.contains("CRC"))
+    // splice a valid ancillary tEXt chunk between IHDR and IDAT -> still decodes
+    val text = "comment".getBytes("US-ASCII")
+    val chunk = ByteBuffer.allocate(12 + text.length)
+    chunk.putInt(text.length).put("tEXt".getBytes("US-ASCII")).put(text)
+    val crc = new java.util.zip.CRC32()
+    crc.update("tEXt".getBytes("US-ASCII")); crc.update(text)
+    chunk.putInt(crc.getValue.toInt)
+    val spliced = png.take(33) ++ chunk.array() ++ png.drop(33)
+    val back = Codecs.decodePng(spliced)
+    assert(back.pixels.sameElements(img.pixels))
+  }
+
+  test("PNG and BMP decode agree on features for the same source image") {
+    import graft.multimodal.Codecs
+    val img = Codecs.Image(16, 9, Array.tabulate[Byte](16 * 9 * 3)(i => (i * 13 + 5).toByte))
+    val viaPng = Codecs.decodePng(Codecs.encodePng(img))
+    val viaBmp = Codecs.decodeBmp(Codecs.encodeBmp(img))
+    assert(viaPng.pixels.sameElements(viaBmp.pixels))
+  }
+
   test("WAV codec round-trips and energy/frame-RMS are exact") {
     import graft.multimodal.Codecs
     val samples = Array.tabulate[Short](2500)(i => ((i % 200 - 100) * 256).toShort)

@@ -30,6 +30,14 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PNG encode/decode round-trips for arbitrary dimensions and pixels") {
+    check(Prop.forAll(dims) { case (w, h) =>
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 193 + w * 11 + h) % 256).toByte)
+      val back = Codecs.decodePng(Codecs.encodePng(Codecs.Image(w, h, px)))
+      back.width == w && back.height == h && back.pixels.sameElements(px)
+    })
+  }
+
   test("WAV encode/decode round-trips; energy matches the direct sum") {
     check(Prop.forAll(
       Gen.listOfN(200, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)),
