@@ -55,8 +55,8 @@ object CurationQueries {
         // scalar) and top-bigram fraction (per-doc agg, map-side combined).
         val docs = Tables.documents(s, d)
         val scalar = docs.select($"doc_id",
-          TextFns.tokenCount($"text").as("n_tok"),
-          size(array_distinct(TextFns.tokens($"text"))).as("n_distinct"))
+          TextFns.tokenCount($"text").cast("long").as("n_tok"),
+          size(array_distinct(TextFns.tokens($"text"))).cast("long").as("n_distinct"))
         val top = docs
           .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
           .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
@@ -156,7 +156,7 @@ object CurationQueries {
         val docs = Tables.documents(s, d)
           .select($"doc_id", TextFns.tokenCount($"text").as("n_tok"))
         graft.operators.Packing.packByBudget(docs, "doc_id", "n_tok", 2000L)
-          .select($"doc_id", $"n_tok", $"pack_id")
+          .select($"doc_id", $"n_tok".cast("long").as("n_tok"), $"pack_id")
           .orderBy($"doc_id")
       },
       Some("""
@@ -187,6 +187,7 @@ object CurationQueries {
               i => concat_ws(" ", slice($"toks", i * strideLen + 1, lit(chunkSize))))))
           .withColumnRenamed("pos", "chunk_idx")
           .withColumnRenamed("col", "chunk_text")
+          .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"), $"chunk_text")
           .orderBy($"doc_id", $"chunk_idx")
       },
       Some("""

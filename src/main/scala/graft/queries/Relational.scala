@@ -256,7 +256,7 @@ object Relational {
         Tables.orders(s, d)
           .withColumn("rk", row_number().over(w))
           .filter($"rk" <= 2)
-          .select($"o_custkey", $"rk", $"o_orderkey", $"o_totalprice")
+          .select($"o_custkey", $"rk".cast("long").as("rk"), $"o_orderkey", $"o_totalprice")
           .orderBy($"o_custkey", $"rk")
       },
       Some("""

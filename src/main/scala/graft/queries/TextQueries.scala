@@ -19,9 +19,9 @@ object TextQueries {
         Tables.documents(s, d)
           .select(
             $"doc_id",
-            length($"text").as("n_chars_calc"),
-            TextFns.tokenCount($"text").as("n_tok"),
-            TextFns.bpeishCount($"text").as("n_bpe"),
+            length($"text").cast("long").as("n_chars_calc"),
+            TextFns.tokenCount($"text").cast("long").as("n_tok"),
+            TextFns.bpeishCount($"text").cast("long").as("n_bpe"),
             TextFns.qualityScore($"text").as("quality"))
           .orderBy($"doc_id")
       },
@@ -44,7 +44,7 @@ object TextQueries {
         import s.implicits._
         val scored = Tables.documents(s, d)
           .select(Seq($"doc_id", $"lang") ++
-            TextFns.LangMarkers.map { case (l, _) => TextFns.langScore($"text", l).as(s"s_$l") }: _*)
+            TextFns.LangMarkers.map { case (l, _) => TextFns.langScore($"text", l).cast("long").as(s"s_$l") }: _*)
         scored
           .withColumn("pred_lang", {
             val m = greatest(TextFns.LangMarkers.map { case (l, _) => col(s"s_$l") }: _*)
