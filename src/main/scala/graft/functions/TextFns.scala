@@ -123,4 +123,22 @@ object TextFns {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
+
+  /** PII patterns, deliberately RE2-safe (no backreferences/lookaround)
+    * so the DuckDB oracle can run the IDENTICAL regex strings.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and SSN-shaped ids with placeholder
+    * tokens, in that fixed order (mirrored verbatim in the q53 oracle).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), SsnPattern, "<SSN>")
+
+  /** Per-class PII hit count for one of the patterns above. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 }

@@ -250,6 +250,70 @@ object CurationQueries {
         WHERE rk <= 100
         GROUP BY lang
         ORDER BY lang"""),
-      doc = "Per-language cap at 100 docs (data-mixing rebalance): deterministic row_number window, one shuffle on the group key.")
+      doc = "Per-language cap at 100 docs (data-mixing rebalance): deterministic row_number window, one shuffle on the group key."),
+
+    Q(
+      "q52_decontamination",
+      (s, d) => {
+        import s.implicits._
+        // Benchmark decontamination: flag corpus docs sharing any word
+        // trigram with the "benchmark" subset (doc_id % 50 == 0 stands in
+        // for an eval set). At 100 TB the benchmark shingle set is tiny
+        // relative to the corpus (eval benchmarks are fixed-size), so the
+        // join side is broadcast-able and the corpus is one scan; the
+        // per-doc distinct-shingle count partial-aggregates before the
+        // shuffle.
+        val sh = Tables.documents(s, d)
+          .select($"doc_id", explode(array_distinct(TextFns.shingles($"text", 3))).as("sh"))
+        val benchSh = sh.filter($"doc_id" % 50 === 0).select($"sh").distinct()
+        sh.filter($"doc_id" % 50 =!= 0)
+          .join(benchSh, Seq("sh"))
+          .groupBy($"doc_id")
+          .agg(countDistinct($"sh").as("n_shared"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s AS sh FROM (
+                 SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                        i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+                 FROM toks WHERE LEN(t) >= 3))
+        SELECT c.doc_id, COUNT(DISTINCT c.sh) AS n_shared
+        FROM sh c
+        JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) b ON c.sh = b.sh
+        WHERE c.doc_id % 50 <> 0
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id"""),
+      doc = "Benchmark decontamination (train/eval overlap): word-trigram inverted-index semi-join against the benchmark shingle set, per-doc shared-shingle counts — the standard pretraining contamination check."),
+
+    Q(
+      "q53_pii_redact",
+      (s, d) => {
+        import s.implicits._
+        // PII redaction: scrub emails, IPv4s, and SSN-shaped ids with
+        // placeholder tokens and count the hits. Pure codegen'd scalar
+        // scan — the 100 TB shape is a single pass, no shuffle except the
+        // final sort. Patterns are RE2-safe (no backrefs/lookahead) so
+        // the DuckDB oracle runs the IDENTICAL regexes.
+        Tables.documents(s, d)
+          .select($"doc_id",
+            TextFns.redactPii($"text").as("redacted"),
+            TextFns.piiCount($"text", TextFns.EmailPattern).as("n_email"),
+            TextFns.piiCount($"text", TextFns.Ipv4Pattern).as("n_ip"),
+            TextFns.piiCount($"text", TextFns.SsnPattern).as("n_ssn"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "PII redaction (emails / IPv4 / SSN-shaped ids -> placeholder tokens, with per-class hit counts): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle.")
   )
 }
