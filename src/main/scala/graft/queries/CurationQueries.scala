@@ -263,10 +263,13 @@ object CurationQueries {
         // join side is broadcast-able and the corpus is one scan; the
         // per-doc distinct-shingle count partial-aggregates before the
         // shuffle.
-        val sh = Tables.documents(s, d)
-          .select($"doc_id", explode(array_distinct(TextFns.shingles($"text", 3))).as("sh"))
-        val benchSh = sh.filter($"doc_id" % 50 === 0).select($"sh").distinct()
-        sh.filter($"doc_id" % 50 =!= 0)
+        def docShingles(df: org.apache.spark.sql.DataFrame) =
+          df.select($"doc_id", explode(array_distinct(TextFns.shingles($"text", 3))).as("sh"))
+        val docs = Tables.documents(s, d)
+        // filter BEFORE shingling: the benchmark side explodes 1/50 of the
+        // corpus, not all of it, and each side's scan prunes on doc_id
+        val benchSh = docShingles(docs.filter($"doc_id" % 50 === 0)).select($"sh").distinct()
+        docShingles(docs.filter($"doc_id" % 50 =!= 0))
           .join(benchSh, Seq("sh"))
           .groupBy($"doc_id")
           .agg(countDistinct($"sh").as("n_shared"))
