@@ -317,6 +317,37 @@ object CurationQueries {
                CAST(LEN(REGEXP_EXTRACT_ALL(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
         FROM documents
         ORDER BY doc_id"""),
-      doc = "PII redaction (emails / IPv4 / SSN-shaped ids -> placeholder tokens, with per-class hit counts): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle.")
+      doc = "PII redaction (emails / IPv4 / SSN-shaped ids -> placeholder tokens, with per-class hit counts): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle."),
+
+    Q(
+      "q54_upsample_balance",
+      (s, d) => {
+        import s.implicits._
+        // Low-resource upsampling (data-mixing rebalance by repetition):
+        // each language is repeated floor(n_max / n_l) times, capped at
+        // 4 epochs — the standard mitigation for under-represented
+        // domains in a pretraining mix. Pure INTEGER arithmetic (`div`)
+        // so both engines agree exactly; no RNG. Scale shape: the
+        // per-language rep table is tiny and broadcast; repetition is a
+        // streaming explode over one corpus scan — no extra shuffle.
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+        val reps = counts
+          .crossJoin(broadcast(counts.agg(max($"n_l").as("n_max"))))
+          .select($"lang", least(lit(4L), expr("n_max div n_l")).as("rep"))
+        docs.join(broadcast(reps), Seq("lang"))
+          .select($"doc_id", $"lang", explode(sequence(lit(1L), $"rep")).as("copy_idx"))
+          .orderBy($"doc_id", $"copy_idx")
+      },
+      Some("""
+        WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        reps AS (SELECT lang,
+                        LEAST(4, (SELECT MAX(n_l) FROM counts) // n_l) AS rep
+                 FROM counts)
+        SELECT d.doc_id, d.lang, i AS copy_idx
+        FROM documents d
+        JOIN reps r ON d.lang = r.lang, UNNEST(RANGE(1, r.rep + 1)) AS u(i)
+        ORDER BY d.doc_id, copy_idx"""),
+      doc = "Low-resource upsampling: per-language repetition factor floor(n_max/n_l) capped at 4 epochs, broadcast rep table + streaming explode — deterministic integer-only data mixing.")
   )
 }
