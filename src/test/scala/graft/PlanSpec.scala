@@ -77,6 +77,31 @@ class PlanSpec extends AnyFunSuite {
       "scan must be pruned to doc_id+lang (text never read)")
   }
 
+  test("q52: benchmark shingle set broadcasts; per-doc counts partial-aggregate") {
+    val p = plan("q52_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (tiny) benchmark shingle set must be the broadcast build side")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "distinct-shingle counts must combine before the shuffle")
+  }
+
+  test("q53: PII redaction is a pure scalar scan — no join, no aggregate") {
+    val p = plan("q53_pii_redact")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "redaction must be a single codegen'd pass")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must read only doc_id+text")
+  }
+
+  test("q54: rep table broadcasts; repetition adds no extra shuffle") {
+    val p = plan("q54_upsample_balance")
+    assert(p.contains("BroadcastHashJoin"), "per-language rep factors must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // the 1-row n_max cross join may plan as BNLJ
+      s"corpus must not shuffle for the join:\n${p.take(800)}")
+  }
+
   test("q39: victim removal is a broadcast left-anti join") {
     val p = plan("q39_curation_manifest")
     assert(p.contains("LeftAnti"), "victim removal must be an anti join")
