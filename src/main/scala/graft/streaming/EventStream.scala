@@ -85,6 +85,31 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream INTERVAL join (click→purchase attribution):
+    * each purchase joins the same user's clicks in the preceding
+    * `horizonMinutes`. Both sides carry watermarks and the join condition
+    * bounds event time on both ends, so Spark can size state and evict —
+    * the requirements for stream-stream joins to be unbounded-safe. At
+    * scale this shuffles both streams once on user_id and keeps
+    * O(horizon × rate) state per key.
+    */
+  def attributionJoin(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Session aggregation with the built-in event-time session window:
     * per (user, session) event counts/value totals. The zero-custom-code
     * path — prefer this when the output is plain aggregates.

@@ -62,6 +62,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: click->purchase attribution equals the batch join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    val q = EventStream.attributionJoin(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ev = Tables.events(spark, sf)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"), $"event_id".as("cid"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+      val batch = purchases.join(clicks,
+          $"pu" === $"cu" && $"cts" <= $"pts" &&
+            $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"))
+        .select($"pid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.nonEmpty, "expected some attributed purchases at sf0.01")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: event-time gap closes the session when the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
