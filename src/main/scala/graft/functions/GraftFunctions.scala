@@ -35,6 +35,20 @@ object GraftFunctions {
           }
         RollingHash(exprs(0), longLit(1, 7L), longLit(2, 31L), longLit(3, 1000000007L))
       }, "built-in")
+    registry.createOrReplaceTempFunction("cdc_boundaries",
+      exprs => {
+        require(exprs.nonEmpty && exprs.length <= 5,
+          "cdc_boundaries(text[, window[, base[, mod[, div]]]]) takes 1-5 arguments")
+        def longLit(i: Int, default: Long): Long =
+          if (exprs.length <= i) default
+          else exprs(i) match {
+            case Literal(v: Number, _) => v.longValue()
+            case other => throw new IllegalArgumentException(
+              s"cdc_boundaries argument ${i + 1} must be an integer literal, got: ${other.sql}")
+          }
+        CdcBoundaries(exprs(0), longLit(1, 8L).toInt, longLit(2, 31L),
+          longLit(3, 1000000007L), longLit(4, 64L))
+      }, "built-in")
     registry.createOrReplaceTempFunction("minhash_sketch",
       exprs => {
         require(exprs.length == 2,

@@ -78,3 +78,104 @@ object RollingHash {
             mod: Long = 1000000007L): Column =
     Bridge.column(RollingHash(Bridge.expression(c), seed, base, mod))
 }
+
+/** Content-defined chunking boundaries (basic Rabin CDC): the windowed
+  * polynomial hash h(i) = Σ_{j<w} c_{i-j}·base^j mod m is computed over a
+  * sliding `window` of code points, and position i (1-based window END)
+  * is a boundary when h(i) % div == 0. Chunk edges follow CONTENT, so an
+  * insertion early in a document only reshuffles boundaries locally —
+  * the primitive behind byte/char-level dedup of near-identical blobs at
+  * scale (rsync/LBFS lineage; FastCDC adds min/max clamps on top).
+  *
+  * This expression maintains the hash incrementally (subtract the
+  * outgoing code point's base^(w-1) term, shift, add the incoming one):
+  * O(n) per document inside whole-stage codegen. The DuckDB oracle
+  * recomputes every window's fold from scratch (O(n·w)) — agreeing
+  * results check the rolling update's modular arithmetic, not just the
+  * plumbing.
+  */
+case class CdcBoundaries(child: Expression, window: Int, base: Long,
+                         mod: Long, div: Long)
+    extends UnaryExpression {
+
+  require(window > 0, s"window must be positive: $window")
+  require(div > 0, s"div must be positive: $div")
+  require(mod > 0 && base > 0, s"base/mod must be positive: base=$base mod=$mod")
+  require(mod - 1 <= (Long.MaxValue - 0x10FFFF) / base,
+    s"(mod-1)*base + maxCodePoint would overflow Long: base=$base mod=$mod")
+  // cOut * base^(w-1) mod m is computed as (cOut * bw) with bw < mod:
+  // max code point (0x10FFFF) * (mod-1) must fit in a Long
+  require(mod - 1 <= Long.MaxValue / 0x10FFFF,
+    s"maxCodePoint * (mod-1) would overflow Long: mod=$mod")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries requires a string input, got ${child.dataType.sql}")
+
+  /** base^(window-1) mod m, precomputed once. */
+  private lazy val bw: Long = {
+    var r = 1L
+    var i = 0
+    while (i < window - 1) { r = (r * base) % mod; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      h = (h * base + cps(i)) % mod
+      if (i >= window) {
+        // fully-formed windows only: drop the code point that left
+        h = java.lang.Math.floorMod(h - (cps(i - window) * bw % mod) * base % mod, mod)
+      }
+      if (i >= window - 1 && h % div == 0) out += i + 1 // 1-based window end
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = $cps.length;
+         |java.util.ArrayList<Integer> $out = new java.util.ArrayList<Integer>();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h = ($h * ${base}L + $cps[$i]) % ${mod}L;
+         |  if ($i >= $window) {
+         |    $h = java.lang.Math.floorMod(
+         |      $h - ($cps[$i - $window] * ${bw}L % ${mod}L) * ${base}L % ${mod}L, ${mod}L);
+         |  }
+         |  if ($i >= ${window - 1} && $h % ${div}L == 0L) $out.add($i + 1);
+         |}
+         |int[] ${out}Arr = new int[$out.size()];
+         |for (int $i = 0; $i < $out.size(); $i++) ${out}Arr[$i] = $out.get($i);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${out}Arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
+object CdcBoundaries {
+  def apply(c: Column, window: Int = 8, base: Long = 31L,
+            mod: Long = 1000000007L, div: Long = 64L): Column =
+    Bridge.column(CdcBoundaries(Bridge.expression(c), window, base, mod, div))
+}

@@ -113,6 +113,37 @@ object TextQueries {
       doc = "Rabin-Karp polynomial rolling-hash fingerprint (seed 7, base 31, mod 1e9+7) — exact integer arithmetic, reproduced fold-for-fold by the DuckDB oracle."),
 
     Q(
+      "q55_cdc_chunking",
+      (s, d) => {
+        import s.implicits._
+        // Content-defined chunking: boundary positions from the native
+        // O(n) rolling windowed hash (codegen'd CdcBoundaries). The
+        // oracle recomputes every window's fold from scratch (O(n·w)),
+        // so agreement checks the incremental modular arithmetic itself.
+        // Boundaries emitted as a csv string (NOTES rule 7).
+        Tables.documents(s, d)
+          .select($"doc_id", graft.functions.CdcBoundaries($"text").as("b"))
+          .select($"doc_id",
+            size($"b").cast("long").as("n_boundaries"),
+            concat_ws(",", transform($"b", x => x.cast("string"))).as("boundaries"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH cps AS (SELECT doc_id,
+               LIST_TRANSFORM(RANGE(1, STRLEN(text) + 1),
+                 i -> CAST(UNICODE(text[i:i]) AS BIGINT)) AS c
+             FROM documents),
+        b AS (SELECT doc_id,
+                LIST_FILTER(RANGE(8, LEN(c) + 1),
+                  p -> LIST_REDUCE(c[p-7:p], (h, x) -> (h*31 + x) % 1000000007) % 64 = 0) AS bs
+              FROM cps)
+        SELECT doc_id, CAST(LEN(bs) AS BIGINT) AS n_boundaries,
+               COALESCE(ARRAY_TO_STRING(bs, ','), '') AS boundaries
+        FROM b
+        ORDER BY doc_id"""),
+      doc = "Content-defined chunking boundaries (Rabin CDC, window 8 / div 64): native codegen'd rolling hash, oracle-checked against a per-window fold — the byte-level dedup primitive."),
+
+    Q(
       "q44_compression_quality",
       (s, d) => {
         implicit val sp = s

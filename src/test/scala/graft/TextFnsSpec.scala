@@ -91,6 +91,41 @@ class TextFnsSpec extends AnyFunSuite {
     assert(diff == 0, "codegen'd expression must agree with the HOF formulation")
   }
 
+  test("cdc_boundaries: rolling hash == per-window recompute; insertion shifts boundaries locally") {
+    import spark.implicits._
+    import graft.functions.CdcBoundaries
+    val (w, b, m, dv) = (8, 31L, 1000000007L, 64L)
+    // reference: recompute each window's fold from scratch
+    def reference(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      (w to cps.length).filter { p =>
+        cps.slice(p - w, p).foldLeft(0L)((h, c) => (h * b + c) % m) % dv == 0
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps on running through fields",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", // degenerate repetition
+      "短い非ASCIIのテキスト、絵文字も😀含む繰り返しテスト" * 3, // astral pair
+      "x" * 7, // shorter than the window -> no boundaries
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString)
+    val df = texts.toDF("t").select(CdcBoundaries($"t").as("bs"))
+    val got = df.as[Seq[Int]].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == reference(t), s"rolling != recompute for: ${t.take(40)}")
+    }
+    // content-defined locality: inserting one char at the FRONT shifts
+    // every fully-post-insertion boundary by exactly 1
+    val base = texts.head
+    val shifted = CdcBoundariesOf(spark, "Z" + base)
+    assert(shifted.filter(_ > w) == reference(base).map(_ + 1),
+      "boundaries past the first window must shift by exactly the insertion length")
+  }
+
+  private def CdcBoundariesOf(spark: SparkSession, s: String): Seq[Int] = {
+    import spark.implicits._
+    Seq(s).toDF("t").select(graft.functions.CdcBoundaries($"t")).as[Seq[Int]].head()
+  }
+
   test("quality score is bounded and monotone-ish in length") {
     import spark.implicits._
     val df = Seq("word", ("the and of to a " * 30).trim).toDF("t")
