@@ -125,6 +125,9 @@ class MultimodalSpec extends AnyFunSuite {
     val imgFeats = Multimodal.decodeImageFeatures(Multimodal.bmpFromDocuments(docs)).collect()
     assert(imgFeats.length == 500)
     assert(imgFeats.forall(f => f.width == 16 && f.height >= 1 && f.sum_pixels > 0))
+    // PNG carries the same image -> decoded features must agree with BMP
+    val pngFeats = Multimodal.decodePngFeatures(Multimodal.pngFromDocuments(docs)).collect()
+    assert(pngFeats.sortBy(_.doc_id).sameElements(imgFeats.sortBy(_.doc_id)))
     val audio = Multimodal.wavFromDocuments(docs)
     val auFeats = Multimodal.decodeAudioFeatures(audio).collect()
     assert(auFeats.forall(f => f.sample_rate == 16000 && f.n_samples > 0 && f.energy > 0))

@@ -40,6 +40,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val rh = spark.sql("SELECT rolling_hash('hello world')")
       .collect()(0).getLong(0)
     assert(rh == 234728892L) // pinned value, same fold as the Column API
+    // cdc_boundaries: SQL registration == Column API on the same text
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog and keeps on running"
+    val viaSql = spark.sql(s"SELECT cdc_boundaries('$txt')")
+      .collect()(0).getSeq[Int](0)
+    val viaCol = Seq(txt).toDF("t")
+      .select(graft.functions.CdcBoundaries($"t")).as[Seq[Int]].head()
+    assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {
