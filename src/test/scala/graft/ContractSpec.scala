@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants. The registries are Seqs concatenated into
+  * Maps, so a duplicate query name would SILENTLY shadow an earlier query
+  * and drop its correctness-gate row — this spec makes that (and a
+  * drifting no-oracle set) a loud failure instead.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  /** Queries intentionally without a DuckDB oracle, each with a reason
+    * documented at its definition site (approximate by design, or not
+    * SQL-expressible). Growing this set should be a conscious act.
+    */
+  private val noOracle = Set(
+    "q26_simsearch_lsh",       // approximate (SRP-LSH); recall spec-pinned
+    "q31_simsearch_ivf",       // approximate (IVF probing); recall spec-pinned
+    "q44_compression_quality") // zlib has no SQL analog; determinism spec
+
+  test("query names are unique (no silent map shadowing)") {
+    val names = SparkEntry.allQueries.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
+  test("every query is oracle-checked except the documented no-oracle set") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without a query: ${(o -- q).mkString(", ")}")
+    assert((q -- o) == noOracle,
+      s"undocumented no-oracle queries: ${(q -- o -- noOracle).mkString(", ")}; " +
+        s"stale noOracle entries: ${(noOracle -- (q -- o)).mkString(", ")}")
+  }
+
+  test("every oracle aliases result columns deterministically (ORDER BY present)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY"),
+        s"$name oracle lacks a deterministic ORDER BY")
+    }
+  }
+}
