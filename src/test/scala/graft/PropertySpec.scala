@@ -67,6 +67,27 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CdcBoundaries interpreted eval == reference per-window fold for arbitrary unicode") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val (w, b, m, dv) = (8, 31L, 1000000007L, 64L)
+    def reference(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      (w to cps.length).filter { p =>
+        cps.slice(p - w, p).foldLeft(0L)((h, c) => (h * b + c) % m) % dv == 0
+      }
+    }
+    val pieceGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(" ", "é", "ß", "中", "😀", "Ж")) // 😀 = astral (surrogate pair)
+    check(Prop.forAll(Gen.listOf(pieceGen).map(_.mkString)) { s =>
+      // interpreted path (nullSafeEval) — the DataFrame specs cover codegen
+      val expr = graft.functions.CdcBoundaries(Literal(s), w, b, m, dv)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      got == reference(s)
+    })
+  }
+
   test("rolling-hash reference fold: congruent seeds agree; prefix property holds") {
     def fold(s: String, seed: Long): Long = {
       var h = java.lang.Math.floorMod(seed, 1000000007L)
