@@ -234,6 +234,194 @@ object Codecs {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------- GIF
+  //
+  // GIF87a with a 256-entry global color table, single image, no
+  // interlace. Unlike PNG (zlib via java.util.zip), GIF's LZW has NO JVM
+  // library — the variable-width LSB-first code stream, dictionary
+  // growth, and CLEAR-on-full reset below are implemented from scratch
+  // per the GIF87a specification's LZW appendix. Lossless, so decoded
+  // pixel features stay exactly oracle-predictable (q56).
+
+  /** Palette-indexed image: one byte per pixel, `palette` is 256 RGB
+    * triplets (768 bytes).
+    */
+  case class Gif(width: Int, height: Int, palette: Array[Byte], indices: Array[Byte]) {
+    require(palette.length == 768, s"palette must be 256*3 bytes, got ${palette.length}")
+    require(indices.length == width * height,
+      s"index buffer ${indices.length} != $width x $height")
+  }
+
+  /** Identity grayscale palette: entry i = (i, i, i) — palette lookup of
+    * any channel returns the index byte itself.
+    */
+  val GrayPalette: Array[Byte] =
+    Array.tabulate[Byte](768)(i => (i / 3).toByte)
+
+  private final val GifMinCodeSize = 8  // 256-color images
+  private final val GifClear = 256
+  private final val GifEoi = 257
+  private final val GifMaxDict = 4096
+
+  /** LSB-first variable-width bit stream writer (the GIF packing order). */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def write(code: Int, size: Int): Unit = {
+      cur |= code << nbits
+      nbits += size
+      while (nbits >= 8) { out.write(cur & 0xff); cur >>>= 8; nbits -= 8 }
+    }
+    def finish(): Array[Byte] = { if (nbits > 0) out.write(cur & 0xff); out.toByteArray }
+  }
+
+  /** GIF-variant LZW: starts with CLEAR, grows code width 9→12 bits as
+    * the dictionary fills, emits CLEAR + resets when it reaches 4096
+    * entries, ends with EOI.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    val dict = new java.util.HashMap[String, Integer]()
+    var next = GifEoi + 1
+    var codeSize = GifMinCodeSize + 1
+    def codeOf(s: String): Int =
+      if (s.length == 1) s.charAt(0) else dict.get(s).intValue()
+    bw.write(GifClear, codeSize)
+    var w = ""
+    var i = 0
+    while (i < data.length) {
+      val k = (data(i) & 0xff).toChar
+      val wk = w + k
+      if (w.isEmpty) w = wk
+      else if (wk.length > 1 && dict.containsKey(wk)) w = wk
+      else {
+        bw.write(codeOf(w), codeSize)
+        dict.put(wk, next); next += 1
+        if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+        w = k.toString
+        if (next == GifMaxDict) { // full: clear and start a fresh dictionary
+          bw.write(GifClear, codeSize)
+          dict.clear(); next = GifEoi + 1; codeSize = GifMinCodeSize + 1
+        }
+      }
+      i += 1
+    }
+    if (w.nonEmpty) bw.write(codeOf(w), codeSize)
+    bw.write(GifEoi, codeSize)
+    bw.finish()
+  }
+
+  private def lzwDecode(bytes: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val dict = new java.util.HashMap[Integer, String]()
+    var next = GifEoi + 1
+    var codeSize = GifMinCodeSize + 1
+    var acc = 0L
+    var nbits = 0
+    var pos = 0
+    var prev: String = null
+    def seqOf(c: Int): String =
+      if (c < 256) c.toChar.toString
+      else { val s = dict.get(c); require(s != null, s"LZW code $c not in dictionary"); s }
+    var done = false
+    while (!done) {
+      while (nbits < codeSize && pos < bytes.length) {
+        acc |= (bytes(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+      }
+      require(nbits >= codeSize, "truncated LZW stream (no EOI)")
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize; nbits -= codeSize
+      if (code == GifClear) {
+        dict.clear(); next = GifEoi + 1; codeSize = GifMinCodeSize + 1; prev = null
+      } else if (code == GifEoi) {
+        done = true
+      } else {
+        val seq =
+          if (code < next) seqOf(code)
+          else {
+            // KwKwK: the one code the encoder can emit before the decoder
+            // has added it — it is always prev + prev.head
+            require(code == next && prev != null, s"LZW code $code out of range (next=$next)")
+            prev + prev.charAt(0)
+          }
+        seq.foreach(c => out.write(c & 0xff))
+        if (prev != null) {
+          dict.put(next, prev + seq.charAt(0)); next += 1
+          // "early change": the decoder's dictionary runs one entry
+          // behind the encoder's (no add on the first code after CLEAR),
+          // so its width bump fires one entry earlier to stay bit-aligned
+          if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = seq
+      }
+    }
+    out.toByteArray
+  }
+
+  def encodeGif(img: Gif): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    // logical screen descriptor: dims, global color table present, 256 entries
+    out.write(img.width & 0xff); out.write((img.width >> 8) & 0xff)
+    out.write(img.height & 0xff); out.write((img.height >> 8) & 0xff)
+    out.write(0xF7) // GCT present, 8 bits/channel, 2^(7+1)=256 entries
+    out.write(0); out.write(0) // background index, aspect
+    out.write(img.palette)
+    out.write(0x2C) // image descriptor
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(img.width & 0xff); out.write((img.width >> 8) & 0xff)
+    out.write(img.height & 0xff); out.write((img.height >> 8) & 0xff)
+    out.write(0) // no local color table, no interlace
+    out.write(GifMinCodeSize)
+    val lzw = lzwEncode(img.indices)
+    var off = 0
+    while (off < lzw.length) { // data sub-blocks, max 255 bytes each
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  def decodeGif(bytes: Array[Byte]): Gif = {
+    require(bytes.length > 13 &&
+      new String(bytes, 0, 6, "US-ASCII").startsWith("GIF8"), "not a GIF (bad magic)")
+    val width = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+    val height = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val flags = bytes(10) & 0xff
+    require((flags & 0x80) != 0, "global color table required")
+    val gctSize = 2 << (flags & 0x07)
+    require(gctSize == 256, s"only 256-entry color tables supported, got $gctSize")
+    var pos = 13
+    val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 768)
+    pos += 768
+    require((bytes(pos) & 0xff) == 0x2C, s"expected image descriptor at $pos")
+    val iw = (bytes(pos + 5) & 0xff) | ((bytes(pos + 6) & 0xff) << 8)
+    val ih = (bytes(pos + 7) & 0xff) | ((bytes(pos + 8) & 0xff) << 8)
+    require(iw == width && ih == height, "sub-rectangle images not supported")
+    require((bytes(pos + 9) & 0x40) == 0, "interlaced GIFs not supported")
+    require((bytes(pos + 9) & 0x80) == 0, "local color tables not supported")
+    pos += 10
+    require((bytes(pos) & 0xff) == GifMinCodeSize, s"unexpected LZW min code size ${bytes(pos)}")
+    pos += 1
+    val lzw = new java.io.ByteArrayOutputStream()
+    var blockLen = bytes(pos) & 0xff
+    pos += 1
+    while (blockLen != 0) { // concatenate data sub-blocks
+      lzw.write(bytes, pos, blockLen)
+      pos += blockLen
+      blockLen = bytes(pos) & 0xff
+      pos += 1
+    }
+    val indices = lzwDecode(lzw.toByteArray, width * height)
+    require(indices.length == width * height,
+      s"LZW decoded ${indices.length} pixels, expected ${width * height}")
+    Gif(width, height, palette, indices)
+  }
+
   /** Decode 8-bit RGB non-interlaced PNG: signature check, chunk walk
     * with per-chunk CRC32 verification (ancillary chunks skipped, IDAT
     * concatenated per spec), zlib inflate, then per-row unfilter of all

@@ -140,6 +140,47 @@ object Multimodal {
     }
   }
 
+  /** Build a REAL GIF87a per document: the same flat byte construction as
+    * [[bmpFromDocuments]] (byte i = code point cᵢ mod 256), carried as a
+    * palette-INDEXED image — width 48 (one byte per pixel vs BMP's three),
+    * identity grayscale palette — and compressed with the from-scratch
+    * LZW. Same analytic oracle as q40/q50, width aside.
+    */
+  def gifFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val width = 48
+      val height = math.max(1, (cps.length + 47) / 48)
+      val idx = new Array[Byte](width * height)
+      var i = 0
+      while (i < cps.length) { idx(i) = (cps(i) % 256).toByte; i += 1 }
+      MediaRow(id, Codecs.encodeGif(Codecs.Gif(width, height, Codecs.GrayPalette, idx)))
+    }
+  }
+
+  /** REAL GIF decode: header + color table + LZW, then dimensions and the
+    * exact sum of the palette-resolved red channel (identity palette ⇒
+    * equals the index-byte sum, but the lookup keeps the decode honest
+    * for any palette).
+    */
+  def decodeGifFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val g = Codecs.decodeGif(r.media)
+        var sum = 0L
+        var i = 0
+        while (i < g.indices.length) {
+          sum += g.palette((g.indices(i) & 0xff) * 3) & 0xff
+          i += 1
+        }
+        ImageFeatures(r.doc_id, g.width, g.height, sum)
+      }
+    }
+  }
+
   /** REAL image decode: parse the BMP container, emit dimensions and the
     * exact unsigned pixel sum (integer — bit-identical in any engine).
     */

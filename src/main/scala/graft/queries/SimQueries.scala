@@ -205,6 +205,28 @@ object SimQueries {
                  i -> CAST(UNICODE(text[i:i]) % 256 AS BIGINT))), 0) AS BIGINT) AS sum_pixels
         FROM documents
         ORDER BY doc_id"""),
-      doc = "REAL PNG decode (pure-JVM: chunk walk + CRC32 + zlib inflate + all 5 scanline unfilters incl. Paeth): dimensions + exact pixel sum, oracle-predicted from the source text.")
+      doc = "REAL PNG decode (pure-JVM: chunk walk + CRC32 + zlib inflate + all 5 scanline unfilters incl. Paeth): dimensions + exact pixel sum, oracle-predicted from the source text."),
+
+    Q(
+      "q56_gif_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // Second COMPRESSED format, this time with the compression
+        // implemented from scratch: GIF87a's variable-width LZW (no JVM
+        // library exists for it, unlike PNG's zlib). Lossless, so the
+        // decoded palette-resolved pixel sum is exactly the q40/q50
+        // oracle (width 48: one palette index per byte vs BMP's 3).
+        val media = Multimodal.gifFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeGifFeatures(media).toDF().orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(48 AS INT) AS width,
+               CAST(GREATEST(1, (LENGTH(text) + 47) // 48) AS INT) AS height,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(text)+1),
+                 i -> CAST(UNICODE(text[i:i]) % 256 AS BIGINT))), 0) AS BIGINT) AS sum_pixels
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "REAL GIF87a decode (pure-JVM, from-scratch variable-width LZW incl. early-change width bumps and CLEAR-on-full): dimensions + exact palette-resolved pixel sum, oracle-predicted from the source text.")
   )
 }

@@ -38,6 +38,33 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("GIF encode/decode round-trips: random, repetitive, and dict-reset-forcing inputs") {
+    // random bytes (low compressibility), small alphabets (deep dict
+    // chains + KwKwK), and sizes past 4096 entries (forces the CLEAR-on-
+    // full reset and every code-width bump 9→12)
+    val gen = for {
+      n <- Gen.oneOf(Gen.choose(1, 300), Gen.choose(6000, 24000))
+      alphabet <- Gen.oneOf(2, 3, 17, 256)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield (n, alphabet, seed)
+    check(Prop.forAll(gen) { case (n, alphabet, seed) =>
+      val data = Array.tabulate[Byte](n)(i => (((i * 2654435761L + seed) >>> 7) % alphabet).toByte)
+      val w = math.max(1, math.min(n, 255))
+      val h = (n + w - 1) / w
+      val padded = java.util.Arrays.copyOf(data, w * h)
+      val img = Codecs.Gif(w, h, Codecs.GrayPalette, padded)
+      val back = Codecs.decodeGif(Codecs.encodeGif(img))
+      back.width == w && back.height == h &&
+        back.indices.sameElements(padded) && back.palette.sameElements(Codecs.GrayPalette)
+    })
+  }
+
+  test("GIF LZW actually compresses repetitive input") {
+    val img = Codecs.Gif(100, 100, Codecs.GrayPalette, new Array[Byte](100 * 100))
+    val enc = Codecs.encodeGif(img)
+    assert(enc.length < 100 * 100 / 4, s"10000 constant pixels encoded to ${enc.length} bytes")
+  }
+
   test("WAV encode/decode round-trips; energy matches the direct sum") {
     check(Prop.forAll(
       Gen.listOfN(200, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)),
