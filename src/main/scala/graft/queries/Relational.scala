@@ -535,15 +535,17 @@ object Relational {
       (s, d) => {
         import s.implicits._
         // exact interpolated percentiles (not approx_percentile — its
-        // sketch is engine-specific); both engines define quantile_cont
-        // by linear interpolation over the sorted values
-        Tables.lineitem(s, d)
-          .groupBy($"l_returnflag")
-          .agg(
-            expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-            expr("percentile(l_extendedprice, array(0.25, 0.95))").as("price_quartiles"))
-          .select($"l_returnflag", $"p50_qty",
-            $"price_quartiles"(0).as("p25_price"), $"price_quartiles"(1).as("p95_price"))
+        // sketch is engine-specific), via distributed rank selection:
+        // Spark's built-in `percentile` is equally exact but buffers a
+        // per-group value map in one aggregation buffer (executor-memory
+        // bomb for near-unique doubles at 100 TB). Percentiles is
+        // bit-identical (PercentilesSpec) and never co-locates a group.
+        graft.operators.Percentiles.exactInterpolated(
+            Tables.lineitem(s, d), "l_returnflag", Seq(
+              ("l_quantity", 0.5, "p50_qty"),
+              ("l_extendedprice", 0.25, "p25_price"),
+              ("l_extendedprice", 0.95, "p95_price")))
+          .select($"l_returnflag", $"p50_qty", $"p25_price", $"p95_price")
           .orderBy($"l_returnflag")
       },
       Some("""
