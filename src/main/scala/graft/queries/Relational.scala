@@ -207,7 +207,10 @@ object Relational {
         // A1 grouped max + A2 collect-list + A3 distinct in one shape:
         // per-customer order stats; collect list sorted for determinism and
         // emitted as a comma-joined string (hashable by any downstream
-        // comparator — raw array cells are not).
+        // comparator — raw array cells are not). collect_list state is
+        // bounded by ONE customer's order count (group key = the natural
+        // entity), not corpus-scaled — the semantics require the full
+        // per-customer key list.
         Tables.orders(s, d)
           .groupBy($"o_custkey")
           .agg(
