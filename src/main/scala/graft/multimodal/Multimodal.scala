@@ -239,6 +239,41 @@ object Multimodal {
     }
   }
 
+  /** Build a REAL baseline JPEG per document: the same flat byte
+    * construction (byte i = code point cᵢ mod 256) as a 48-wide GRAYSCALE
+    * image, DCT-compressed. JPEG is lossy, so q57 has no exact SQL oracle
+    * — JpegSpec pins determinism, exact dimensions, and PSNR instead.
+    */
+  def jpegFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val width = 48
+      val height = math.max(1, (cps.length + 47) / 48)
+      val px = new Array[Byte](width * height)
+      var i = 0
+      while (i < cps.length) { px(i) = (cps(i) % 256).toByte; i += 1 }
+      MediaRow(id, Jpeg.encode(Jpeg.Gray(width, height, px)))
+    }
+  }
+
+  /** REAL JPEG decode: marker walk, Huffman entropy decode, dequantize,
+    * IDCT. Emits dimensions (exact) and the decoded pixel sum
+    * (deterministic; differs from the source by bounded quantization
+    * error — spec-verified, not oracle-predictable).
+    */
+  def decodeJpegFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val g = Jpeg.decode(r.media)
+        ImageFeatures(r.doc_id, g.width, g.height,
+          g.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      }
+    }
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** STUB frame-sampler: a real implementation demuxes video and decodes

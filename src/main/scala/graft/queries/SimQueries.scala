@@ -227,6 +227,22 @@ object SimQueries {
                  i -> CAST(UNICODE(text[i:i]) % 256 AS BIGINT))), 0) AS BIGINT) AS sum_pixels
         FROM documents
         ORDER BY doc_id"""),
-      doc = "REAL GIF87a decode (pure-JVM, from-scratch variable-width LZW incl. early-change width bumps and CLEAR-on-full): dimensions + exact palette-resolved pixel sum, oracle-predicted from the source text.")
+      doc = "REAL GIF87a decode (pure-JVM, from-scratch variable-width LZW incl. early-change width bumps and CLEAR-on-full): dimensions + exact palette-resolved pixel sum, oracle-predicted from the source text."),
+
+    Q(
+      "q57_jpeg_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // The LOSSY frontier: real baseline JPEG (DCT + quantization +
+        // canonical Huffman, pure JVM). Lossy decode has no exact SQL
+        // oracle even in principle, so this is a rows-only gate query —
+        // JpegSpec + MultimodalSpec pin determinism, exact dimensions,
+        // and PSNR bounds instead.
+        val media = Multimodal.jpegFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeJpegFeatures(media).toDF().orderBy($"doc_id")
+      },
+      None, // lossy: decoded sums are deterministic but not SQL-derivable
+      doc = "REAL baseline JPEG decode (pure-JVM: marker walk, canonical Huffman entropy decode, dequantize, IDCT): exact dimensions + deterministic decoded pixel sum; spec-verified (lossy - no SQL oracle exists).")
   )
 }

@@ -108,6 +108,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPng.pixels.sameElements(viaBmp.pixels))
   }
 
+  test("JPEG decode over the corpus: exact dims, bounded reconstruction drift") {
+    val docs = Tables.documents(spark, sf)
+    val jpeg = Multimodal.decodeJpegFeatures(Multimodal.jpegFromDocuments(docs)).collect()
+    assert(jpeg.length == 500 && jpeg.forall(_.width == 48))
+    // GIF is lossless over the SAME 48-wide construction -> exact truth
+    val truth = Multimodal.decodeGifFeatures(Multimodal.gifFromDocuments(docs)).collect()
+      .map(f => f.doc_id -> f).toMap
+    jpeg.foreach { f =>
+      val t = truth(f.doc_id)
+      assert(f.height == t.height, s"doc ${f.doc_id} height")
+      // quantization shifts individual pixels but must preserve mean
+      // luminance: allow <= 16/pixel of signed drift on the sum
+      assert(math.abs(f.sum_pixels - t.sum_pixels) <= 16L * 48 * f.height,
+        s"doc ${f.doc_id} decoded sum drifted: ${f.sum_pixels} vs ${t.sum_pixels}")
+    }
+  }
+
   test("WAV codec round-trips and energy/frame-RMS are exact") {
     import graft.multimodal.Codecs
     val samples = Array.tabulate[Short](2500)(i => ((i % 200 - 100) * 256).toShort)
