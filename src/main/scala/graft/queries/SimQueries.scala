@@ -243,6 +243,23 @@ object SimQueries {
         Multimodal.decodeJpegFeatures(media).toDF().orderBy($"doc_id")
       },
       None, // lossy: decoded sums are deterministic but not SQL-derivable
-      doc = "REAL baseline JPEG decode (pure-JVM: marker walk, canonical Huffman entropy decode, dequantize, IDCT): exact dimensions + deterministic decoded pixel sum; spec-verified (lossy - no SQL oracle exists).")
+      doc = "REAL baseline JPEG decode (pure-JVM: marker walk, canonical Huffman entropy decode, dequantize, IDCT): exact dimensions + deterministic decoded pixel sum; spec-verified (lossy - no SQL oracle exists)."),
+
+    Q(
+      "q58_video_frames",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // REAL video: AVI/MJPEG container (RIFF mux/demux) over per-frame
+        // baseline JPEGs. Frame sampling keeps every 2nd frame and runs a
+        // real DCT decode on each — the 1→N fan-out the old stub only
+        // imitated. Lossy frames ⇒ rows-only gate; specs pin the
+        // container as byte-lossless and the sampling stride.
+        val media = Multimodal.videoFromDocuments(Tables.documents(s, d), nFrames = 4)
+        Multimodal.sampleVideoFrames(media, stride = 2).toDF()
+          .orderBy($"doc_id", $"frame_idx")
+      },
+      None, // frames are lossy JPEG: deterministic but not SQL-derivable
+      doc = "REAL video frame sampling (pure-JVM AVI/MJPEG: RIFF demux + per-frame baseline JPEG decode, every 2nd frame): per-frame dims + deterministic pixel sums; spec-verified (container byte-lossless, frames lossy).")
   )
 }

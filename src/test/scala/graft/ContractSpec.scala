@@ -17,7 +17,8 @@ class ContractSpec extends AnyFunSuite {
     "q26_simsearch_lsh",       // approximate (SRP-LSH); recall spec-pinned
     "q31_simsearch_ivf",       // approximate (IVF probing); recall spec-pinned
     "q44_compression_quality", // zlib has no SQL analog; determinism spec
-    "q57_jpeg_decode")         // lossy DCT: no exact SQL oracle; JpegSpec PSNR/determinism
+    "q57_jpeg_decode",         // lossy DCT: no exact SQL oracle; JpegSpec PSNR/determinism
+    "q58_video_frames")        // AVI/MJPEG: lossy frames; container byte-lossless spec
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)

@@ -125,6 +125,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video path over the corpus: RIFF demux + per-frame JPEG decode, stride sampling") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.videoFromDocuments(docs, nFrames = 4)
+    val frames = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    assert(frames.length == 500 * 2, "4 frames per doc, every 2nd kept")
+    assert(frames.forall(f => f.frame_idx % 2 == 0 && f.width == 48 && f.height >= 1))
+    assert(frames.forall(_.sum_pixels >= 0))
+    // deterministic end to end
+    val again = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
   test("WAV codec round-trips and energy/frame-RMS are exact") {
     import graft.multimodal.Codecs
     val samples = Array.tabulate[Short](2500)(i => ((i % 200 - 100) * 256).toShort)

@@ -59,6 +59,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("AVI container round-trips frame payloads byte-exactly (incl. odd-length padding)") {
+    import graft.multimodal.Avi
+    val frameGen = Gen.choose(1, 600).map(n =>
+      Array.tabulate[Byte](n)(i => (i * 31 + n).toByte)) // odd+even lengths
+    check(Prop.forAll(Gen.nonEmptyListOf(frameGen), Gen.choose(1, 60)) { (frames, fps) =>
+      val back = Avi.decode(Avi.encode(Avi.Video(48, 16, fps, frames)))
+      back.width == 48 && back.height == 16 && back.fps == fps &&
+        back.frames.length == frames.length &&
+        back.frames.zip(frames).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
+
   test("GIF LZW actually compresses repetitive input") {
     val img = Codecs.Gif(100, 100, Codecs.GrayPalette, new Array[Byte](100 * 100))
     val enc = Codecs.encodeGif(img)
