@@ -5,12 +5,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 /** Multimodal column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, processed by a per-partition batch decoder.
   *
-  * Decode is REAL for the uncompressed formats implementable in pure JVM
-  * bytes (see `Codecs`): 24-bit BMP images (decode + nearest-neighbor
-  * resize) and PCM16 WAV audio (decode + exact energy + per-frame RMS) —
-  * both oracle-verified end-to-end (q40/q41). Codec-dependent formats
-  * (JPEG/MP4) keep the clearly-marked deterministic STUB (`decodeStub`)
-  * as the plug-point, since their libraries aren't in this container.
+  * Decode is REAL across every modality, all pure JVM (see `Codecs`,
+  * `Jpeg`, `Avi`): images lossless (24-bit BMP; PNG via zlib + all five
+  * scanline filters; GIF87a via from-scratch LZW) and lossy (baseline
+  * JPEG: FDCT, Annex-K quantization, canonical Huffman), PCM16 WAV audio
+  * (exact energy + per-frame RMS), and AVI/MJPEG video (RIFF demux +
+  * per-frame JPEG decode with stride sampling). The lossless paths are
+  * oracle-verified (q40/q41/q50/q56); the lossy ones are spec-verified
+  * (q57/q58 — no exact SQL oracle exists for DCT decode even in
+  * principle). `decodeStub`/`resizeStub`/`sampleFramesStub` remain as
+  * the documented plug-points for EXTERNAL codec libraries (H.264/MP4,
+  * ONNX feature extractors) that aren't in this container.
   * The Spark-side plumbing is the same either way and is what matters at
   * 100 TB:
   *   - media never leaves `binary` (no base64 blowup, no driver collect);
