@@ -216,6 +216,35 @@ object Multimodal {
     }
   }
 
+  /** Build a compressed-audio stream per document: same deterministic
+    * sample construction as [[wavFromDocuments]], IMA-ADPCM encoded
+    * (4 bits/sample). Lossy integer codec ⇒ q59 is rows-only; specs pin
+    * determinism, exact sample counts, and SNR.
+    */
+  def adpcmFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val samples = text.codePoints().toArray
+        .map(cp => (((cp % 256) - 128) * 256).toShort)
+      MediaRow(id, Adpcm.encode(Codecs.Audio(16000, samples)))
+    }
+  }
+
+  /** REAL compressed-audio decode: IMA-ADPCM state machine, then the
+    * same feature shape as the WAV path (decoded energy is deterministic
+    * but lossy — spec-bounded against the lossless WAV truth).
+    */
+  def decodeAdpcmFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val a = Adpcm.decode(r.media)
+        AudioFeatures(r.doc_id, a.sampleRate, a.samples.length.toLong, Codecs.energy(a))
+      }
+    }
+  }
+
   /** REAL audio decode: parse RIFF/WAVE chunks, emit sample rate, count,
     * and the exact integer signal energy Σs².
     */

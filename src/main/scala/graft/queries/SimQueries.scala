@@ -260,6 +260,21 @@ object SimQueries {
           .orderBy($"doc_id", $"frame_idx")
       },
       None, // frames are lossy JPEG: deterministic but not SQL-derivable
-      doc = "REAL video frame sampling (pure-JVM AVI/MJPEG: RIFF demux + per-frame baseline JPEG decode, every 2nd frame): per-frame dims + deterministic pixel sums; spec-verified (container byte-lossless, frames lossy).")
+      doc = "REAL video frame sampling (pure-JVM AVI/MJPEG: RIFF demux + per-frame baseline JPEG decode, every 2nd frame): per-frame dims + deterministic pixel sums; spec-verified (container byte-lossless, frames lossy)."),
+
+    Q(
+      "q59_adpcm_decode",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // Compressed AUDIO (4 bits/sample IMA ADPCM): a pure-integer
+        // adaptive state machine — deterministic but lossy, so rows-only;
+        // AdpcmSpec pins determinism, exact counts/silence/stream size,
+        // SNR, and corpus energy drift vs the lossless WAV truth.
+        val media = Multimodal.adpcmFromDocuments(Tables.documents(s, d))
+        Multimodal.decodeAdpcmFeatures(media).toDF().orderBy($"doc_id")
+      },
+      None, // lossy integer codec: deterministic, not SQL-derivable
+      doc = "REAL IMA-ADPCM decode (pure-JVM 4:1 compressed audio, integer state machine): sample rate/count + deterministic decoded energy; spec-verified (lossy - no SQL oracle exists).")
   )
 }
