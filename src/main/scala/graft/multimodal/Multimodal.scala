@@ -310,6 +310,38 @@ object Multimodal {
 
   case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int, sum_pixels: Long)
 
+  case class SafeImageFeatures(doc_id: Long, ok: Boolean, error: String,
+                               width: Int, height: Int, sum_pixels: Long)
+
+  /** Quarantining decode: at 100 TB some media blobs WILL be malformed,
+    * and one bad row must not kill a 1000-executor job. Each row decodes
+    * inside a per-row catch; failures come back as `ok = false` rows
+    * carrying the decoder's message, so a pipeline can route them to a
+    * quarantine table with a plain filter. Works with any of the image
+    * codecs (pass `Codecs.decodeBmp`, `Codecs.decodePng`, or a
+    * GIF/JPEG adapter).
+    */
+  def decodeImageFeaturesSafe(media: Dataset[MediaRow],
+                              decoder: Array[Byte] => Codecs.Image)
+                             (implicit spark: SparkSession): Dataset[SafeImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val img = decoder(r.media)
+          SafeImageFeatures(r.doc_id, ok = true, error = "",
+            img.width, img.height,
+            img.pixels.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            SafeImageFeatures(r.doc_id, ok = false,
+              error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}",
+              width = -1, height = -1, sum_pixels = -1L)
+        }
+      }
+    }
+  }
+
   /** Build a REAL video per document: the text's code points split into
     * `nFrames` consecutive chunks, each rendered as a 48-wide grayscale
     * plane and JPEG-encoded, muxed into an AVI/MJPEG container.

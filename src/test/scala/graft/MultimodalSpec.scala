@@ -138,6 +138,25 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  test("corrupt media is quarantined per row — the job completes, bad rows carry the error") {
+    import spark.implicits._
+    import graft.multimodal.Codecs
+    val good = Codecs.encodePng(Codecs.Image(4, 4, Array.tabulate[Byte](48)(_.toByte)))
+    val corruptCrc = good.clone(); corruptCrc(40) = (corruptCrc(40) ^ 0x7f).toByte
+    val media = Seq(
+      Multimodal.MediaRow(1L, good),
+      Multimodal.MediaRow(2L, "not a png at all".getBytes),
+      Multimodal.MediaRow(3L, corruptCrc),
+      Multimodal.MediaRow(4L, good.take(20)), // truncated
+      Multimodal.MediaRow(5L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.decodeImageFeaturesSafe(media, Codecs.decodePng)
+      .collect().sortBy(_.doc_id)
+    assert(out.map(_.ok).toSeq == Seq(true, false, false, false, false))
+    assert(out.head.sum_pixels == (0 until 48).sum)
+    assert(out.filter(!_.ok).forall(_.error.nonEmpty))
+    assert(out(2).error.contains("CRC"), s"CRC corruption should say so: ${out(2).error}")
+  }
+
   test("WAV codec round-trips and energy/frame-RMS are exact") {
     import graft.multimodal.Codecs
     val samples = Array.tabulate[Short](2500)(i => ((i % 200 - 100) * 256).toShort)
