@@ -312,29 +312,37 @@ object Codecs {
     bw.finish()
   }
 
-  private def lzwDecode(bytes: Array[Byte], expected: Int): Array[Byte] = {
+  private def lzwDecode(bytes: Array[Byte], expected: Int,
+                        minCodeSize: Int = GifMinCodeSize): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
     val out = new java.io.ByteArrayOutputStream(expected)
     val dict = new java.util.HashMap[Integer, String]()
-    var next = GifEoi + 1
-    var codeSize = GifMinCodeSize + 1
+    var next = eoi + 1
+    var codeSize = minCodeSize + 1
     var acc = 0L
     var nbits = 0
     var pos = 0
     var prev: String = null
     def seqOf(c: Int): String =
-      if (c < 256) c.toChar.toString
+      if (c < clear) c.toChar.toString
       else { val s = dict.get(c); require(s != null, s"LZW code $c not in dictionary"); s }
     var done = false
     while (!done) {
       while (nbits < codeSize && pos < bytes.length) {
         acc |= (bytes(pos) & 0xffL) << nbits; nbits += 8; pos += 1
       }
-      require(nbits >= codeSize, "truncated LZW stream (no EOI)")
+      // a stream may simply end after the last full code (some encoders
+      // omit EOI); stop if no further code fits
+      if (nbits < codeSize) {
+        require(prev != null, "truncated LZW stream (no output before it ended)")
+        done = true
+      } else {
       val code = (acc & ((1 << codeSize) - 1)).toInt
       acc >>>= codeSize; nbits -= codeSize
-      if (code == GifClear) {
-        dict.clear(); next = GifEoi + 1; codeSize = GifMinCodeSize + 1; prev = null
-      } else if (code == GifEoi) {
+      if (code == clear) {
+        dict.clear(); next = eoi + 1; codeSize = minCodeSize + 1; prev = null
+      } else if (code == eoi) {
         done = true
       } else {
         val seq =
@@ -354,6 +362,7 @@ object Codecs {
           if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
         }
         prev = seq
+      }
       }
     }
     out.toByteArray
@@ -392,20 +401,38 @@ object Codecs {
     val width = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
     val height = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
     val flags = bytes(10) & 0xff
-    require((flags & 0x80) != 0, "global color table required")
-    val gctSize = 2 << (flags & 0x07)
-    require(gctSize == 256, s"only 256-entry color tables supported, got $gctSize")
     var pos = 13
-    val palette = java.util.Arrays.copyOfRange(bytes, pos, pos + 768)
-    pos += 768
-    require((bytes(pos) & 0xff) == 0x2C, s"expected image descriptor at $pos")
+    var palette: Array[Byte] = null
+    if ((flags & 0x80) != 0) { // global color table, any size, padded to 256
+      val gctSize = 2 << (flags & 0x07)
+      palette = java.util.Arrays.copyOf(
+        java.util.Arrays.copyOfRange(bytes, pos, pos + gctSize * 3), 768)
+      pos += gctSize * 3
+    }
+    // skip GIF89a extension blocks (0x21 introducer + label + sub-blocks)
+    while (pos < bytes.length && (bytes(pos) & 0xff) == 0x21) {
+      pos += 2
+      var bl = bytes(pos) & 0xff
+      pos += 1
+      while (bl != 0) { pos += bl; bl = bytes(pos) & 0xff; pos += 1 }
+    }
+    require(pos < bytes.length && (bytes(pos) & 0xff) == 0x2C,
+      s"expected image descriptor at $pos")
     val iw = (bytes(pos + 5) & 0xff) | ((bytes(pos + 6) & 0xff) << 8)
     val ih = (bytes(pos + 7) & 0xff) | ((bytes(pos + 8) & 0xff) << 8)
     require(iw == width && ih == height, "sub-rectangle images not supported")
-    require((bytes(pos + 9) & 0x40) == 0, "interlaced GIFs not supported")
-    require((bytes(pos + 9) & 0x80) == 0, "local color tables not supported")
+    val idFlags = bytes(pos + 9) & 0xff
+    val interlaced = (idFlags & 0x40) != 0
     pos += 10
-    require((bytes(pos) & 0xff) == GifMinCodeSize, s"unexpected LZW min code size ${bytes(pos)}")
+    if ((idFlags & 0x80) != 0) { // local color table overrides the global
+      val lctSize = 2 << (idFlags & 0x07)
+      palette = java.util.Arrays.copyOf(
+        java.util.Arrays.copyOfRange(bytes, pos, pos + lctSize * 3), 768)
+      pos += lctSize * 3
+    }
+    require(palette != null, "no global or local color table present")
+    val minCodeSize = bytes(pos) & 0xff
+    require(minCodeSize >= 2 && minCodeSize <= 8, s"bad LZW min code size $minCodeSize")
     pos += 1
     val lzw = new java.io.ByteArrayOutputStream()
     var blockLen = bytes(pos) & 0xff
@@ -416,9 +443,21 @@ object Codecs {
       blockLen = bytes(pos) & 0xff
       pos += 1
     }
-    val indices = lzwDecode(lzw.toByteArray, width * height)
-    require(indices.length == width * height,
-      s"LZW decoded ${indices.length} pixels, expected ${width * height}")
+    val decoded = lzwDecode(lzw.toByteArray, width * height, minCodeSize)
+    require(decoded.length == width * height,
+      s"LZW decoded ${decoded.length} pixels, expected ${width * height}")
+    val indices =
+      if (!interlaced) decoded
+      else { // GIF87a Adam-style 4-pass interlace is a pure row reordering
+        val out = new Array[Byte](decoded.length)
+        var src = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until height by step) {
+          System.arraycopy(decoded, src * width, out, y * width, width)
+          src += 1
+        }
+        out
+      }
     Gif(width, height, palette, indices)
   }
 

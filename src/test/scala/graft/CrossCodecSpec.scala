@@ -85,6 +85,89 @@ class CrossCodecSpec extends AnyFunSuite {
     assert(Jpeg.psnr(Jpeg.Gray(w, h, px), Jpeg.Gray(w, h, jdkPx)) > 30.0)
   }
 
+  // ---- the reverse direction: OUR decoders on FOREIGN-encoded files.
+  // The JDK writers choose their own PNG scanline filters, their own GIF
+  // LZW clear strategy, their own Huffman tables — reading them proves
+  // the decoders handle the formats, not just our encoders' dialect.
+
+  private def jdkEncode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+    out.toByteArray
+  }
+
+  test("our PNG decoder reads a JDK-encoded PNG pixel-exactly (foreign filter choices)") {
+    val (w, h) = (37, 21)
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 11) % 256 << 16) | ((y * 29) % 256 << 8) | ((x + y * 3) % 256))
+    val ours = Codecs.decodePng(jdkEncode(bi, "png"))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3 // our PNG pixel order is RGB
+      assert((ours.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == (rgb & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("our GIF decoder reads a JDK-encoded GIF89a (foreign LZW, extensions, small palette)") {
+    val (w, h) = (50, 30)
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13) % 256
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val gif = Codecs.decodeGif(jdkEncode(bi, "gif"))
+    assert(gif.width == w && gif.height == h)
+    // palette-resolve and compare against what the JDK itself re-reads
+    val rere = imageio(jdkEncode(bi, "gif"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = gif.indices(y * w + x) & 0xff
+      val ourGray = gif.palette(idx * 3) & 0xff
+      assert(ourGray == (rere.getRGB(x, y) & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("our BMP decoder reads a JDK-encoded BMP pixel-exactly") {
+    val (w, h) = (19, 7) // odd width: foreign row padding
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.setRGB(x, y, ((x * 31) % 256 << 16) | ((y * 17) % 256 << 8) | ((x ^ y) % 256))
+    val ours = Codecs.decodeBmp(jdkEncode(bi, "bmp"))
+    assert(ours.width == w && ours.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = bi.getRGB(x, y)
+      val o = (y * w + x) * 3 // our BMP pixel order is BGR
+      assert((ours.pixels(o) & 0xff) == (rgb & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == ((rgb >> 16) & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("our JPEG decoder reads a JDK-encoded grayscale JPEG (foreign Huffman tables)") {
+    val (w, h) = (64, 40)
+    val bi = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / (w - 1)
+      bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = jdkEncode(bi, "jpg")
+    val ours = Jpeg.decode(bytes)
+    assert(ours.width == w && ours.height == h)
+    // compare against the JDK's own raw-raster decode of the same stream
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    val raster = reader.readRaster(0, null)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(raster.getSample(x, y, 0) - (ours.pixels(y * w + x) & 0xff)))
+    assert(maxDiff <= 2, s"decoders disagree by $maxDiff on a JDK-encoded stream")
+  }
+
   test("JDK javax.sound decodes our WAV to the exact same PCM16 samples") {
     val samples = Array.tabulate[Short](3000)(i => ((i * 177 % 65536) - 32768).toShort)
     val bytes = Codecs.encodeWav(Codecs.Audio(16000, samples))
