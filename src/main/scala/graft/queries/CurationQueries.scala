@@ -348,6 +348,38 @@ object CurationQueries {
         FROM documents d
         JOIN reps r ON d.lang = r.lang, UNNEST(RANGE(1, r.rep + 1)) AS u(i)
         ORDER BY d.doc_id, copy_idx"""),
-      doc = "Low-resource upsampling: per-language repetition factor floor(n_max/n_l) capped at 4 epochs, broadcast rep table + streaming explode — deterministic integer-only data mixing.")
+      doc = "Low-resource upsampling: per-language repetition factor floor(n_max/n_l) capped at 4 epochs, broadcast rep table + streaming explode — deterministic integer-only data mixing."),
+
+    Q(
+      "q60_ngram_novelty",
+      (s, d) => {
+        import s.implicits._
+        // Corpus-RELATIVE quality signal (vs q38's doc-local stats): a
+        // doc's mean corpus frequency over its bigram multiset — low
+        // mean ⇒ novel text, high ⇒ boilerplate. The perplexity-proxy
+        // shape without a language model: the corpus bigram-frequency
+        // table is the (re-usable) index artifact; the per-doc pass is
+        // one join + map-side-combined agg. Mean computed as one IEEE
+        // double division of two exact BIGINTs — engine-identical.
+        val bg = Tables.documents(s, d)
+          .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
+        val freq = bg.groupBy($"bg").agg(count(lit(1)).as("f"))
+        bg.join(freq, Seq("bg"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            (sum($"f").cast("double") / count(lit(1)).cast("double")).as("mean_bg_freq"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        bg AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t), 1)),
+                 i -> ARRAY_TO_STRING(t[i:i+1], ' '))) AS bg FROM toks),
+        freq AS (SELECT bg, COUNT(*) AS f FROM bg GROUP BY bg)
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+               CAST(CAST(SUM(f.f) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_bg_freq
+        FROM bg b JOIN freq f ON b.bg = f.bg
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id"""),
+      doc = "Corpus-relative n-gram novelty (perplexity proxy without an LM): mean corpus bigram frequency per doc — the boilerplate-vs-novel curation signal; corpus frequency table as the reusable index, one join + combined agg.")
   )
 }
