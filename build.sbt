@@ -16,6 +16,10 @@ run / fork := true
 // default logged output strategy prefixed it for three rounds running
 // ("parsed": null). StdoutOutput inherits sbt's own stdout/stderr.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." trailer: it printed AFTER
+// the bench JSON, so a last-line parser still failed even once the JSON
+// itself was unprefixed. With this off, the JSON is the last stdout line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

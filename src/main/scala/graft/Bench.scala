@@ -48,7 +48,13 @@ object Bench {
         .headOption.getOrElse(sfDir)
     }
     SparkEntry.allQueries.foreach { q =>
-      try force(q.run(spark, warmDir)) catch { case _: Throwable => () }
+      // a warmup failure is tolerated (the timed pass reports real
+      // failures) but must not be silent: a query that only breaks at
+      // warmup scale would otherwise vanish from every artifact
+      try force(q.run(spark, warmDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup ${q.name} threw: ${e.getMessage}")
+      }
     }
     // release warmup-dir index artifacts (shingle/signature/IVF caches):
     // they are useless for the timed dir and would hold executor storage
@@ -88,8 +94,12 @@ object Bench {
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // total_min = sum of per-query minima: a contended driver window shows
+    // total >> total_min, making scheduling noise self-diagnosing at the
+    // headline level (not just per-query)
+    val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
     // the file is the redundant channel: an unwritable cwd must not lose
     // the stdout line (or skip spark.stop) after all queries already ran
     try Files.writeString(Paths.get("bench.json"), line + "\n")

@@ -81,7 +81,9 @@ object Adpcm {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val rate = buf.getInt(4)
     val n = buf.getInt(8)
-    require(n >= 0 && 16 + (n + 1) / 2 <= bytes.length, s"truncated ADP1 stream (n=$n)")
+    // bound check in Long arithmetic: with n == Int.MaxValue the Int form
+    // overflows, passes, and then OOMs on a ~4 GB allocation below
+    require(n >= 0 && 16L + (n.toLong + 1) / 2 <= bytes.length, s"truncated ADP1 stream (n=$n)")
     var predictor: Int = buf.getShort(12)
     var index: Int = buf.getShort(14)
     require(index >= 0 && index <= 88, s"initial step index out of range: $index")

@@ -38,7 +38,7 @@ object Avi {
     val maxFrame = v.frames.map(_.length).max
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       .putInt(1000000 / math.max(1, v.fps)) // microseconds per frame
-      .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, AVIF_HASINDEX off
+      .putInt(0).putInt(0).putInt(0) // maxBytesPerSec, padding, dwFlags=0 (no idx1 chunk is written, so AVIF_HASINDEX must be off)
       .putInt(v.frames.length).putInt(0)
       .putInt(1).putInt(maxFrame) // one stream, suggested buffer
       .putInt(v.width).putInt(v.height)

@@ -35,30 +35,43 @@ object Percentiles {
   /** One output column per spec: (valueCol, p, outName). Returns one row
     * per group: groupCol plus every outName, ordered by nothing (caller
     * sorts).
+    *
+    * Null handling matches the built-in `percentile` for any group with at
+    * least one non-null value (nulls are ignored, not ranked); a group
+    * whose values are ALL null is omitted from the output, where the
+    * built-in would emit a null row.
     */
   def exactInterpolated(df: DataFrame, groupCol: String,
                         specs: Seq[(String, Double, String)],
                         numBuckets: Int = 0): DataFrame = {
     require(specs.nonEmpty, "at least one (valueCol, p, outName) spec required")
     specs.foreach { case (_, p, _) => require(p >= 0.0 && p <= 1.0, s"p out of range: $p") }
+    val spark = df.sparkSession
+    val n = math.max(1, if (numBuckets > 0) numBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val byValueCol = specs.groupBy(_._1).toSeq
+    val valueCols = byValueCol.map(_._1)
+    // ONE approxQuantile pass computes every value column's bucket bounds
+    // (the multi-column overload scans the input once), instead of one
+    // driver job per distinct value column
+    val boundsByCol: Map[String, Array[Double]] =
+      if (n == 1) valueCols.map(_ -> Array.empty[Double]).toMap
+      else valueCols.zip(df.stat.approxQuantile(valueCols.toArray,
+        (1 until n).map(_.toDouble / n).toArray, 0.001)).toMap
     byValueCol.map { case (valueCol, colSpecs) =>
-      forOneColumn(df, groupCol, valueCol, colSpecs, numBuckets)
+      forOneColumn(df, groupCol, valueCol, colSpecs, boundsByCol(valueCol))
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
   }
 
   private def forOneColumn(df: DataFrame, groupCol: String, valueCol: String,
                            colSpecs: Seq[(String, Double, String)],
-                           numBuckets: Int): DataFrame = {
-    val spark = df.sparkSession
-    val n = math.max(1, if (numBuckets > 0) numBuckets
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+                           bounds: Array[Double]): DataFrame = {
+    // nulls are ignored like the built-in percentile's (unfiltered they
+    // would be counted in __n and ranked first by row_number)
     val projected = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
     // global value-domain bounds; as literals, every job below agrees on
     // bucket membership (physical partition ids would not be stable)
-    val bounds =
-      if (n == 1) Array.empty[Double]
-      else projected.stat.approxQuantile(valueCol, (1 until n).map(_.toDouble / n).toArray, 0.001)
     val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(valueCol) > b, 1).otherwise(0)
     }

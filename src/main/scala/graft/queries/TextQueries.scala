@@ -130,7 +130,7 @@ object TextQueries {
       },
       Some("""
         WITH cps AS (SELECT doc_id,
-               LIST_TRANSFORM(RANGE(1, STRLEN(text) + 1),
+               LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
                  i -> CAST(UNICODE(text[i:i]) AS BIGINT)) AS c
              FROM documents),
         b AS (SELECT doc_id,

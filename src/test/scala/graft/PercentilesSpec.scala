@@ -57,6 +57,26 @@ class PercentilesSpec extends AnyFunSuite {
     assertEqual(df, "g", Seq(("v", 0.5, "p50")), buckets = 1)
   }
 
+  test("nulls in the value column are ignored like the builtin's") {
+    import spark.implicits._
+    // scattered nulls: every group keeps ≥1 non-null value, so output
+    // groups align with the builtin (all-null groups are documented as
+    // omitted rather than emitted null)
+    val df = Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)),
+      ("b", None), ("b", Some(1.0)), ("c", Some(5.0)), ("c", Some(6.0)), ("c", None))
+      .toDF("g", "v")
+    assertEqual(df, "g", Seq(("v", 0.5, "p50"), ("v", 0.9, "p90")))
+  }
+
+  test("all-null group is omitted (documented divergence from the builtin's null row)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("z", None), ("z", None)).toDF("g", "v")
+    val got = Percentiles.exactInterpolated(df, "g", Seq(("v", 0.5, "p50")))
+      .orderBy("g").collect().toSeq
+    assert(got.map(_.getString(0)) == Seq("a"))
+    assert(got.head.getDouble(1) == 2.0)
+  }
+
   test("plan has no single-task group window: ranks partition by (group, bucket)") {
     val df = Percentiles.exactInterpolated(Tables.lineitem(spark, sf), "l_returnflag",
       Seq(("l_extendedprice", 0.5, "p50")))
