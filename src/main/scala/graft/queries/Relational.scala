@@ -44,6 +44,24 @@ object Relational {
     GROUP BY 1, 2
     ORDER BY event_type, event_day"""
 
+  /** Shared verbatim between `spark.sql` and DuckDB (q62): a CORRELATED
+    * scalar subquery (TPC-H Q2/Q17 family — join back to a per-group
+    * extremum). MIN of clean 2-decimal doubles compares exactly in both
+    * engines — no arithmetic, so no decimal-vs-double drift at the
+    * predicate boundary. Spark rewrites the subquery into an aggregate +
+    * join (RewriteCorrelatedScalarSubquery): one extra shuffle over
+    * lineitem, no per-row probing — the 100 TB-safe plan.
+    */
+  private val CorrelatedMinQuery: String = """
+    SELECT p_brand, COUNT(*) AS n_min_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_line_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand
+    ORDER BY p_brand"""
+
   val queries: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
@@ -697,6 +715,79 @@ object Relational {
       // must make verbatim ANSI SQL agree across engines.
       (s, d) => SqlSurface.sql(s, d, SqlSurfaceQuery),
       Some(SqlSurfaceQuery),
-      doc = "SQL-string surface: one shared ANSI query (daily per-type event counts + distinct users) run verbatim via spark.sql over the registered views AND as the DuckDB oracle — proves the view path carries the loader normalizations.")
+      doc = "SQL-string surface: one shared ANSI query (daily per-type event counts + distinct users) run verbatim via spark.sql over the registered views AND as the DuckDB oracle — proves the view path carries the loader normalizations."),
+
+    Q(
+      "q62_correlated_scalar",
+      // Verbatim shared string (like q51): the correlated-subquery SHAPE
+      // itself goes through spark.sql, exercising Catalyst's
+      // RewriteCorrelatedScalarSubquery decorrelation — not a hand-rolled
+      // join-back that merely mimics it.
+      (s, d) => SqlSurface.sql(s, d, CorrelatedMinQuery),
+      Some(CorrelatedMinQuery),
+      doc = "Correlated scalar subquery (TPC-H Q2/Q17 family): lineitems at their part's minimum extendedprice, decorrelated by Catalyst into aggregate+join."),
+
+    Q(
+      "q63_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        // sets chosen so neither rollup nor cube expresses them:
+        // (l_linestatus) appears WITHOUT its (l_returnflag, ...) prefix and
+        // (l_returnflag) alone is absent. grouping_id disambiguates
+        // aggregated-away nulls; (gid, returnflag, linestatus) is a unique
+        // order key across sets.
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq.empty),
+            $"l_returnflag", $"l_linestatus")
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+            coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+            $"gid", $"n", $"sum_qty")
+          .orderBy($"gid", $"returnflag", $"linestatus")
+      },
+      Some("""
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY gid, returnflag, linestatus"""),
+      doc = "GROUPING SETS beyond rollup/cube (a non-prefix set mix) with grouping_id disambiguation — Dataset.groupingSets on the Spark side, GROUP BY GROUPING SETS in DuckDB."),
+
+    Q(
+      "q64_range_frame",
+      (s, d) => {
+        import s.implicits._
+        // RANGE frame (value-based, peer-inclusive), the one window-frame
+        // family not yet covered. Both sides order by the SAME integer
+        // day-offset expression: Spark's Window.rangeBetween takes longs
+        // only, and integer days sidestep any interval-semantics drift.
+        val w = Window.partitionBy($"o_custkey").orderBy($"day_n").rangeBetween(-6, 0)
+        Tables.orders(s, d)
+          .select(
+            $"o_orderkey", $"o_custkey",
+            datediff(to_date($"o_orderdate"), to_date(lit("1970-01-01"))).cast("long").as("day_n"),
+            dec2($"o_totalprice").as("price"))
+          .withColumn("rev7", sum($"price").over(w).cast("double"))
+          .select($"o_orderkey", $"o_custkey", $"day_n", $"rev7")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
+        FROM orders
+        ORDER BY o_orderkey"""),
+      doc = "RANGE window frame: 7-day trailing revenue per customer over an integer day-offset ordering — value-based frame with peer-row inclusion, exact decimal window sum.")
   )
 }
