@@ -100,14 +100,29 @@ object Bench {
     val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
+    // Compact line for the driver: its stdout capture keeps only the LAST
+    // 2000 chars, and the full-detail line above is ~5 KB — a last-line
+    // parse saw a mid-JSON fragment for five rounds running. Short keys
+    // (the qNN prefix) keep this line well under the window even as the
+    // query count grows; the full names live in the detail line/file.
+    val qsShort = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val errorsShort = results
+      .collect { case (k, v, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
+      .mkString("[", ",", "]")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
     // the file is the redundant channel: an unwritable cwd must not lose
     // the stdout line (or skip spark.stop) after all queries already ran
-    try Files.writeString(Paths.get("bench.json"), line + "\n")
+    try Files.writeString(Paths.get("bench.json"), line + "\n" + compact + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
-    // print AFTER stop so no log line can interleave; System.out directly
-    // (sbt may still prefix, hence the bench.json file above)
+    // print AFTER stop so no log line can interleave; System.out directly.
+    // Detail first, compact LAST: the driver's truncated-tail last-line
+    // parse must always land on the short, complete line.
     System.out.println(line)
+    System.out.println(compact)
     System.out.flush()
   }
 }
