@@ -16,7 +16,8 @@ object SparkEntry {
   /** All registered queries, from the per-area registries. */
   def allQueries: Seq[Q] =
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimQueries.queries ++ TypedQueries.queries ++ CurationQueries.queries
+      SimQueries.queries ++ TypedQueries.queries ++ CurationQueries.queries ++
+      CnpjLakeQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full star join: one fact shuffle, every dimension broadcast.

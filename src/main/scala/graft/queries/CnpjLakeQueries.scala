@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.io.File
+import java.nio.charset.Charset
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.cnpj.Ingest
+
+/** Gate-checked queries over a CNPJ-shaped partitioned lake — the
+  * reference's own physical design (`ref_date=` string partition dirs,
+  * reference `fetch_data.py:82-83`, README.md:81) exercised end to end:
+  * deterministic latin-1 `;`-CSV fixtures → `Ingest.readCsv` (decimal-comma
+  * doubles, FAILFAST) → `Ingest.writeSnapshot` (hive layout, dynamic
+  * partition overwrite) → a partition-pruned star join, oracle-checked by
+  * DuckDB reading the SAME hive-partitioned parquet dirs.
+  *
+  * The lake lives at a FIXED path (`Lake.Root`): the oracle SQL is a static
+  * string, so both engines must agree on the location. Content is a pure
+  * function of row index — no RNG, no clock — and is rebuilt from scratch
+  * once per JVM (stale dirs from older code versions are deleted first).
+  * TWO snapshots with different row counts and changed dimension names are
+  * written, so the `ref_date` predicate is load-bearing: reading both
+  * partitions would change every output row, not just slow the scan.
+  *
+  * Scale note (100 TB): the query never lists or reads the newer snapshot's
+  * files — partition pruning happens at planning time (PartitionFilters,
+  * pinned in PlanSpec). Dimensions broadcast; the single fact shuffle is the
+  * grouped aggregation.
+  */
+object CnpjLakeQueries {
+
+  object Lake {
+    /** Fixed, absolute, inside the repo's build dir (gitignored). */
+    val Root = "/root/repo/target/cnpj_lake"
+    val OldSnap = 20230601
+    val NewSnap = 20230701
+  }
+
+  private val latin1 = Charset.forName("ISO-8859-1")
+  private val lock = new Object
+  @volatile private var built = false
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
+  // ---- deterministic fixture rows (pure functions of index) ------------
+
+  /** Accented names exercise the latin-1 decode path (T5). */
+  private def muniName(i: Int): String = {
+    val prefixes = Seq("SÃO", "SANTA", "NOVA", "PORTO", "VILA", "CAMPO")
+    s"${prefixes(i % prefixes.size)} CIDADE $i"
+  }
+
+  private def muniCsv(n: Int, renamedEvery: Int): String =
+    (0 until n).map { i =>
+      val name = if (renamedEvery > 0 && i % renamedEvery == 0) muniName(i) + " NOVO" else muniName(i)
+      s"${1000 + i};$name"
+    }.mkString("", "\n", "\n")
+
+  /** Decimal-COMMA capital (T2) and an accent in the razão social. */
+  private def empresasCsv(n: Int): String =
+    (0 until n).map { i =>
+      val whole = (i * 137) % 90000
+      val cents = (i * 53) % 100
+      f"$i;AÇO EMPRESA $i LTDA;${2000 + i % 5};49;$whole%d,$cents%02d;${1 + i % 3};SP"
+    }.mkString("", "\n", "\n")
+
+  /** Full 30-column estabelecimentos row; only the fields the query touches
+    * vary (cnpj_raiz, end_cod_muni), the rest are fixed valid-shaped values.
+    */
+  private def estabCsv(n: Int, nEmp: Int, nMuni: Int): String =
+    (0 until n).map { i =>
+      val raiz = (i * 7) % nEmp   // gcd(7, nEmp)=1 for our sizes: covers all
+      val muni = 1000 + (i * 13) % nMuni
+      Seq(raiz, 1 + i % 4, "11", "1", s"FANT $i", "2", "20230101", "0", "", "105",
+        (20200101 + i % 28).toString, "47113", "", "RUA", "DAS FLORES", "100", "",
+        "CENTRO", "01000000", "SP", muni.toString, "11", "99999999",
+        "", "", "", "", "a@b.c", "", "").mkString(";")
+    }.mkString("", "\n", "\n")
+
+  /** Build the two-snapshot lake once per JVM through the real ingest path. */
+  def ensureLake(spark: SparkSession): String = lock.synchronized {
+    if (built) return Lake.Root
+    val root = new File(Lake.Root)
+    deleteRec(root)
+    val staging = new File(Lake.Root + "_staging")
+    deleteRec(staging); staging.mkdirs()
+
+    def writeCsv(name: String, content: String): String = {
+      val f = new File(staging, name)
+      Files.write(f.toPath, content.getBytes(latin1))
+      f.getAbsolutePath
+    }
+    def snapshot(refDate: Int, nMuni: Int, nEmp: Int, nEstab: Int, renamedEvery: Int): Unit = {
+      val m = writeCsv(s"municipios_$refDate.csv", muniCsv(nMuni, renamedEvery))
+      val e = writeCsv(s"empresas_$refDate.csv", empresasCsv(nEmp))
+      val s = writeCsv(s"estabelecimentos_$refDate.csv", estabCsv(nEstab, nEmp, nMuni))
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "municipios", Seq(m)), Lake.Root, "municipios", refDate)
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "empresas", Seq(e)), Lake.Root, "empresas", refDate)
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "estabelecimentos", Seq(s)), Lake.Root, "estabelecimentos", refDate)
+    }
+    // the newer snapshot is bigger AND renames every 3rd municipality: a
+    // broken ref_date filter changes counts and names, not just runtimes
+    snapshot(Lake.OldSnap, nMuni = 50, nEmp = 400, nEstab = 1600, renamedEvery = 0)
+    snapshot(Lake.NewSnap, nMuni = 60, nEmp = 450, nEstab = 1800, renamedEvery = 3)
+    built = true
+    Lake.Root
+  }
+
+  val queries: Seq[Q] = Seq(
+    Q(
+      "q61_cnpj_lake_star",
+      (s, _) => {   // fixture lake is SF-independent; dir arg unused
+        val root = ensureLake(s)
+        import s.implicits._
+        val e = s.read.parquet(s"$root/cnpj_db/estabelecimentos")
+          .where($"ref_date" === Lake.OldSnap)
+          .select($"cnpj_raiz", $"end_cod_muni")
+        val emp = s.read.parquet(s"$root/cnpj_db/empresas")
+          .where($"ref_date" === Lake.OldSnap)
+          .select($"cnpj_raiz", $"cap_soc")
+        val m = s.read.parquet(s"$root/cnpj_db/municipios")
+          .where($"ref_date" === Lake.OldSnap)
+          .select($"codigo", $"desc")
+        e.join(emp, "cnpj_raiz")
+          .join(broadcast(m), $"end_cod_muni" === $"codigo")
+          .groupBy($"desc")
+          .agg(
+            count(lit(1)).as("n_estab"),
+            countDistinct($"cnpj_raiz").as("n_empresas"),
+            sum($"cap_soc".cast("decimal(28,2)")).cast("double").as("total_capital"))
+          .select($"desc".as("municipio"), $"n_estab", $"n_empresas", $"total_capital")
+          .orderBy($"municipio")
+      },
+      Some(s"""
+        SELECT m."desc" AS municipio,
+               COUNT(*) AS n_estab,
+               COUNT(DISTINCT e.cnpj_raiz) AS n_empresas,
+               CAST(SUM(CAST(emp.cap_soc AS DECIMAL(28,2))) AS DOUBLE) AS total_capital
+        FROM read_parquet('${Lake.Root}/cnpj_db/estabelecimentos/*/*.parquet', hive_partitioning=1) e
+        JOIN read_parquet('${Lake.Root}/cnpj_db/empresas/*/*.parquet', hive_partitioning=1) emp
+          ON emp.cnpj_raiz = e.cnpj_raiz AND emp.ref_date = ${Lake.OldSnap}
+        JOIN read_parquet('${Lake.Root}/cnpj_db/municipios/*/*.parquet', hive_partitioning=1) m
+          ON m.codigo = e.end_cod_muni AND m.ref_date = ${Lake.OldSnap}
+        WHERE e.ref_date = ${Lake.OldSnap}
+        GROUP BY m."desc"
+        ORDER BY municipio"""),
+      doc = "Partition-pruned CNPJ-lake star join over hive ref_date= dirs; " +
+        "oracle reads the SAME partitioned parquet (reference README.md:81 physical design).")
+  )
+}

@@ -110,6 +110,28 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Exactly-once file sink for a non-transactional target: foreachBatch is
+    * only at-least-once — a crash after the sink write but before the
+    * checkpoint commit redelivers the SAME (batchId, data) on restart. The
+    * write is made idempotent by keying it on batchId: each batch lands in
+    * its own `batch_id=` partition under dynamic partition overwrite
+    * (GraftSession default), so a redelivered batch overwrites its own
+    * files instead of appending duplicates. This is the standard
+    * exactly-once recipe for file/key-value sinks; `onBatch` is a test
+    * hook that runs AFTER the write and BEFORE the commit (the crash
+    * window this construction exists to survive).
+    */
+  def exactlyOnceFileSink(df: DataFrame, outDir: String, checkpoint: String,
+                          onBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+        onBatch(id)
+      }
+      .start()
+
   /** Session aggregation with the built-in event-time session window:
     * per (user, session) event counts/value totals. The zero-custom-code
     * path — prefer this when the output is plain aggregates.

@@ -19,6 +19,31 @@ class IvfSearchSpec extends AnyFunSuite {
     assert(counts.sum == 500 && counts.forall(_ > 0))
   }
 
+  test("serving path: COLD queries (vectors not in the corpus) are answered from the probed lists") {
+    val corpus = Tables.embeddings(spark, sf)
+    val index = IvfSearch.build(corpus, k = 16, iters = 3)
+    val assigned = IvfSearch.assign(corpus, index) // materialized-once serving index
+    // cold queries: perturbed copies of 10 corpus vectors, ids disjoint from
+    // every corpus id — the vectors themselves exist nowhere in the index
+    val cold = corpus.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.7) + lit(0.013)).as("embedding"))
+    val approx = IvfSearch.topKAssigned(assigned, cold, index, k = 5, nprobe = 8)
+      .collect()
+    // shape: every cold query gets exactly k neighbors, all from the corpus
+    val byQuery = approx.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0 until 10).map(_ + 1000000L).toSet)
+    assert(byQuery.values.forall(_.length == 5))
+    assert(approx.forall(_.getLong(1) < 1000000L), "neighbors must come from the corpus")
+    // quality: recall vs the exact scan over the SAME cold queries
+    val exact = SimSearch.bruteForceTopK(corpus, cold, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"cold-query IVF recall too low: $recall")
+  }
+
   test("probed search recalls most exact top-5 neighbors") {
     val corpus = Tables.embeddings(spark, sf)
     val queries = corpus.filter(col("vec_id") < 10)

@@ -41,6 +41,21 @@ class PlanSpec extends AnyFunSuite {
       s"join condition must score via array_dot only: $joinCond")
   }
 
+  test("q61: ref_date predicate prunes lake partitions at planning time") {
+    val df = SparkEntry.queries("q61_cnpj_lake_star")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every one of the 3 scans carries the ref_date partition filter —
+    // planning-time pruning, not a runtime row filter. (inputFiles can't
+    // pin this: for path-based reads it reports the UNPRUNED listing.)
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(scans.size == 3, p.take(800))
+    assert(scans.forall(_.contains("= 20230601")), scans.mkString("\n"))
+    // and no scan reads the newer snapshot
+    assert(!p.contains("20230701"))
+    // star shape: municipios broadcast
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
