@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.{Merge, RangeJoin}
 
 /** Core relational surface: scans, filters, joins, aggregations, windows,
   * set ops, explode, string/date scalar functions.
@@ -788,6 +789,180 @@ object Relational {
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev7
         FROM orders
         ORDER BY o_orderkey"""),
-      doc = "RANGE window frame: 7-day trailing revenue per customer over an integer day-offset ordering — value-based frame with peer-row inclusion, exact decimal window sum.")
+      doc = "RANGE window frame: 7-day trailing revenue per customer over an integer day-offset ordering — value-based frame with peer-row inclusion, exact decimal window sum."),
+
+    Q(
+      "q65_window_family",
+      (s, d) => {
+        import s.implicits._
+        // the remaining ranking/distribution window functions in one pass:
+        // ntile, percent_rank, cume_dist, lag-with-default. The window
+        // orders by (price, key) so the total order is UNIQUE — percent_rank
+        // and cume_dist are then pure integer-ratio divisions, identical
+        // across engines (no peer-group ambiguity).
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+        Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .withColumn("tile", ntile(7).over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("prev_price", lag($"o_totalprice", 1, -1.0).over(w))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(NTILE(7) OVER w AS BIGINT) AS tile,
+               PERCENT_RANK() OVER w AS pr,
+               CUME_DIST() OVER w AS cd,
+               LAG(o_totalprice, 1, CAST(-1 AS DOUBLE)) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey"""),
+      doc = "Ranking/distribution window family (ntile, percent_rank, cume_dist, lag-with-default) over a unique total order — one shuffle on the partition key."),
+
+    Q(
+      "q66_range_join",
+      (s, d) => {
+        import s.implicits._
+        // point-in-interval via the binned RangeJoin operator: probe dates
+        // against lineitem [ship, receipt] transit windows. A naive BETWEEN
+        // join would plan as BroadcastNestedLoopJoin (O(P·I)); the operator
+        // turns it into a hash join on 32-day bins.
+        def dayN(c: Column): Column =
+          datediff(to_date(c), to_date(lit("1970-01-01"))).cast("long")
+        val pts = Tables.orders(s, d)
+          .filter($"o_orderkey" % 200 === 0)
+          .select(dayN($"o_orderdate").as("d")).distinct()
+        // transit window: ship date + a 3..30-day key-derived duration
+        // (this lake's lineitem carries no receiptdate column)
+        val iv = Tables.lineitem(s, d)
+          .select(dayN($"l_shipdate").as("lo"),
+            (dayN($"l_shipdate") + lit(3) + $"l_orderkey" % 28).as("hi"))
+        RangeJoin.pointInInterval(pts, "d", iv, "lo", "hi", binWidth = 32)
+          .groupBy($"d")
+          .agg(count(lit(1)).as("n_in_transit"))
+          .orderBy($"d")
+      },
+      Some("""
+        SELECT d, COUNT(*) AS n_in_transit
+        FROM (SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+              FROM orders WHERE o_orderkey % 200 = 0) p
+        JOIN lineitem
+          ON d >= CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         AND d <= CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 3 + l_orderkey % 28
+        GROUP BY d
+        ORDER BY d"""),
+      doc = "Range join (points in intervals): in-transit lineitems per probe date through the binned equi-join operator — hash join on bin ids, never a nested loop (operators/RangeJoin.scala)."),
+
+    Q(
+      "q67_edit_distance",
+      (s, d) => {
+        import s.implicits._
+        // fuzzy entity matching's VERIFY kernel: exact edit distance over
+        // candidate pairs. Here the candidate set is a dimension self-join
+        // (25×25 rows — broadcast, trivially safe); at corpus scale the
+        // candidates come from blocking (shingle/LSH, q21/q22) and this
+        // kernel re-verifies them, exactly like the dedup family's
+        // verify-after-bucket pattern.
+        val n = Tables.nation(s, d)
+        val a = n.select($"n_nationkey".as("key_a"), $"n_name".as("name_a"))
+        val b = n.select($"n_nationkey".as("key_b"), $"n_name".as("name_b"))
+        a.join(b, $"key_a" < $"key_b")
+          .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+          .filter($"dist" <= 6)
+          .select($"name_a", $"name_b", $"dist")
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               CAST(LEVENSHTEIN(a.n_name, b.n_name) AS BIGINT) AS dist
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE LEVENSHTEIN(a.n_name, b.n_name) <= 6
+        ORDER BY name_a, name_b"""),
+      doc = "Exact Levenshtein edit distance as the fuzzy-match verify kernel (codegen'd built-in); candidate generation at scale is the dedup family's blocking, not this join."),
+
+    Q(
+      "q68_merge_upsert",
+      (s, d) => {
+        import s.implicits._
+        // lakehouse MERGE via operators/Merge: a deterministic change batch
+        // (updates %10=0, deletes %10=3, inserts %10=7 re-keyed +1e6)
+        // applied to the customer snapshot in one anti-join + union.
+        val base = Tables.customer(s, d).select($"c_custkey", $"c_name", $"c_acctbal")
+        val ups = Tables.customer(s, d).filter($"c_custkey" % 10 === 0)
+          .select($"c_custkey", upper($"c_name").as("c_name"),
+            ($"c_acctbal" + 1000.0d).as("c_acctbal"), lit("U").as("op"))
+        val dels = Tables.customer(s, d).filter($"c_custkey" % 10 === 3)
+          .select($"c_custkey", $"c_name", $"c_acctbal", lit("D").as("op"))
+        val ins = Tables.customer(s, d).filter($"c_custkey" % 10 === 7)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            concat($"c_name", lit(" NEW")).as("c_name"),
+            lit(0.0).cast("double").as("c_acctbal"), lit("U").as("op"))
+        Merge.upsert(base, ups.unionByName(dels).unionByName(ins), "c_custkey")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        WITH changes AS (
+          SELECT c_custkey AS k, UPPER(c_name) AS name,
+                 c_acctbal + 1000 AS acctbal, 'U' AS op
+          FROM customer WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey, c_name, c_acctbal, 'D'
+          FROM customer WHERE c_custkey % 10 = 3
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name || ' NEW', CAST(0 AS DOUBLE), 'U'
+          FROM customer WHERE c_custkey % 10 = 7)
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM changes)
+        UNION ALL
+        SELECT k AS c_custkey, name AS c_name, acctbal AS c_acctbal
+        FROM changes WHERE op = 'U'
+        ORDER BY c_custkey"""),
+      doc = "MERGE/upsert (CDC apply): update+delete+insert batch applied in one broadcast anti-join + union (operators/Merge.scala) — the incremental-lake write path."),
+
+    Q(
+      "q69_time_weighted_avg",
+      (s, d) => {
+        import s.implicits._
+        // time-weighted mean event value per user: each value is held until
+        // the user's next event. Duration weights are exact integer MICROS
+        // (rule 8); values are exact CENTS (testdata values are clean
+        // 2-decimal doubles), so the weighted sum is a pure INTEGER on both
+        // engines — decimal(38,0) here, HUGEINT in DuckDB. Integer→double
+        // casts are correctly rounded in BOTH engines; a scaled-decimal →
+        // double cast is NOT in DuckDB (it double-rounds via int128·10⁻ˢ,
+        // measured: 149131191133147.29 → …47.3) — hence cents, not
+        // decimal(38,6). The twa is then the same two IEEE divisions on
+        // both sides. (ts, event_id) ordering makes the lead total order
+        // unique under same-microsecond collisions.
+        val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        Tables.events(s, d)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+            round($"value" * 100).cast("decimal(20,0)").as("cents"))
+          .withColumn("dur_us", lead($"ts_us", 1).over(w) - $"ts_us")
+          .filter($"dur_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(
+            sum($"dur_us").as("sum_dur_us"),
+            sum(($"cents" * $"dur_us").cast("decimal(38,0)")).as("wv_cents"))
+          .filter($"sum_dur_us" > 0)
+          .select($"user_id", $"sum_dur_us",
+            ($"wv_cents".cast("double") / $"sum_dur_us".cast("double") / lit(100.0)).as("twa"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id,
+               CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS HUGEINT) * dur_us) AS DOUBLE)
+                 / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) / CAST(100 AS DOUBLE) AS twa
+        FROM (SELECT user_id, value,
+                     LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                       ORDER BY EPOCH_US(ts), event_id) - EPOCH_US(ts) AS dur_us
+              FROM events) t
+        WHERE dur_us IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dur_us) > 0
+        ORDER BY user_id"""),
+      doc = "Time-weighted average (hold-until-next-event): lead window for exact micro durations, decimal-exact weighted sum, one IEEE division at the end — one user_id shuffle, no join.")
   )
 }

@@ -56,6 +56,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q66: range join runs as a hash join on bin ids — no nested loop against the fact table") {
+    val p = plan("q66_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(l => l.contains("Join") || l.contains("Cartesian")).mkString("\n"))
+    assert(p.contains("Join"), "the containment must still be a join")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
