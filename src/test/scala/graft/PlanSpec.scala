@@ -63,6 +63,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), "the containment must still be a join")
   }
 
+  test("q72: bucketed join key never re-shuffles — the exchange was paid at layout time") {
+    val p = plan("q72_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    assert(!p.contains("hashpartitioning(l_orderkey") && !p.contains("hashpartitioning(o_orderkey"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Bucketed: true"), "scans must report the bucketed layout")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
