@@ -110,6 +110,31 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoin]]: every purchase emits, with
+    * null click columns when no click preceded it in the horizon. Outer
+    * stream-stream joins are strictly harder than inner: the null row for
+    * an unmatched purchase can only be emitted once the WATERMARK proves no
+    * matching click can still arrive, so results trail the inner join by
+    * the watermark delay — state size and eviction are identical.
+    */
+  def attributionJoinOuter(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Exactly-once file sink for a non-transactional target: foreachBatch is
     * only at-least-once — a crash after the sink write but before the
     * checkpoint commit redelivers the SAME (batchId, data) on restart. The

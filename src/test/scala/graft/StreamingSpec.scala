@@ -108,6 +108,49 @@ class StreamingSpec extends AnyFunSuite {
       "restart from checkpoint reprocessed already-committed files")
   }
 
+  test("stream-stream LEFT OUTER join: unmatched purchase emits its null row once the watermark proves no click can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val joined = EventStream.attributionJoinOuter(input.toDF(), horizonMinutes = 30)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_outer").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        EventStream.Event(1, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+        EventStream.Event(2, ts("2024-01-01 10:10:00"), 1L, "purchase", 9.0),
+        EventStream.Event(3, ts("2024-01-01 10:15:00"), 2L, "purchase", 7.0)) // no click
+      q.processAllAvailable()
+      // the matched row emits immediately; the null row must NOT yet —
+      // a qualifying click for user 2 could still arrive
+      val early = spark.table("attr_outer")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(early == Set((2L, 1L)), s"inner match should emit first, got $early")
+
+      // advance BOTH branch watermarks (global = min of the two, and each
+      // only advances on data flowing through ITS branch) far past
+      // purchase_ts + horizon, then one more batch so the state-eviction
+      // pass emits the null row. The 13:00+ pairs inner-match each other
+      // (click_ts == purchase_ts is inside the horizon) and emit eagerly.
+      input.addData(
+        EventStream.Event(4, ts("2024-01-01 13:00:00"), 9L, "click", 0.0),
+        EventStream.Event(5, ts("2024-01-01 13:00:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStream.Event(6, ts("2024-01-01 13:30:00"), 8L, "click", 0.0),
+        EventStream.Event(7, ts("2024-01-01 13:30:00"), 8L, "purchase", 1.0))
+      q.processAllAvailable()
+
+      val got = spark.table("attr_outer")
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == Set((2L, 1L), (5L, 4L), (7L, 6L), (3L, -1L)),
+        s"unmatched purchase must surface with null click after the watermark: $got")
+    } finally q.stop()
+  }
+
   test("exactly-once sink: crash AFTER the write, BEFORE the commit — restart emits no duplicates") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("eo_ckpt").toString
