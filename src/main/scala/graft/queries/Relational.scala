@@ -1075,7 +1075,65 @@ object Relational {
           ON NULLIF(l_returnflag, 'N') IS NOT DISTINCT FROM flag2
         GROUP BY bucket
         ORDER BY bucket"""),
-      doc = "Null semantics: null-safe equality join (<=> vs IS NOT DISTINCT FROM) over NULLIF-derived null keys, with null-keyed rows surviving the group — the classic cross-engine divergence area, pinned.")
+      doc = "Null semantics: null-safe equality join (<=> vs IS NOT DISTINCT FROM) over NULLIF-derived null keys, with null-keyed rows surviving the group — the classic cross-engine divergence area, pinned."),
+
+    Q(
+      "q74_exact_moments",
+      (s, d) => {
+        import s.implicits._
+        // correlation/covariance WITHOUT the built-in corr/covar_samp:
+        // those accumulate doubles in partition order, so no two engines
+        // (or two runs at different parallelism) agree bitwise. Here every
+        // moment (Σx, Σy, Σxy, Σx², Σy², n) is an EXACT INTEGER of cents
+        // (rule 11: integer→double casts are correctly rounded in both
+        // engines; scaled-decimal→double is NOT once the scaled value
+        // passes 2^53 — Σy²·10⁴ ≈ 1.5e19 at sf0.1 would trip it), and the
+        // finishing formula is the same fixed sequence of IEEE ops on both
+        // sides — deterministic at any cluster size, still one
+        // map-side-combined aggregation pass.
+        val xc = round($"l_quantity" * 100).cast("long")
+        val yc = round($"l_extendedprice" * 100).cast("long")
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", xc.as("xc"), yc.as("yc"))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"xc").as("sxc"), sum($"yc").as("syc"),
+            sum(($"xc" * $"yc").cast("decimal(38,0)")).as("sxyc"),
+            sum(($"xc" * $"xc").cast("decimal(38,0)")).as("sxxc"),
+            sum(($"yc" * $"yc").cast("decimal(38,0)")).as("syyc"))
+          .select($"l_returnflag", $"n",
+            ($"n".cast("double")).as("nd"),
+            ($"sxc".cast("double") / 100.0).as("sx"),
+            ($"syc".cast("double") / 100.0).as("sy"),
+            ($"sxyc".cast("double") / 10000.0).as("sxy"),
+            ($"sxxc".cast("double") / 10000.0).as("sxx"),
+            ($"syyc".cast("double") / 10000.0).as("syy"))
+          .select($"l_returnflag", $"n",
+            (($"sxy" - $"sx" * $"sy" / $"nd") / ($"nd" - 1.0)).as("covar"),
+            (($"nd" * $"sxy" - $"sx" * $"sy") /
+              sqrt(($"nd" * $"sxx" - $"sx" * $"sx") * ($"nd" * $"syy" - $"sy" * $"sy"))).as("corr"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / nd) / (nd - 1.0) AS covar,
+               (nd * sxy - sx * sy) / SQRT((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS corr
+        FROM (SELECT l_returnflag,
+                     COUNT(*) AS n,
+                     CAST(COUNT(*) AS DOUBLE) AS nd,
+                     CAST(CAST(SUM(xc) AS HUGEINT) AS DOUBLE) / 100.0 AS sx,
+                     CAST(CAST(SUM(yc) AS HUGEINT) AS DOUBLE) / 100.0 AS sy,
+                     CAST(SUM(xc * yc) AS DOUBLE) / 10000.0 AS sxy,
+                     CAST(SUM(xc * xc) AS DOUBLE) / 10000.0 AS sxx,
+                     CAST(SUM(yc * yc) AS DOUBLE) / 10000.0 AS syy
+              FROM (SELECT l_returnflag,
+                           CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS xc,
+                           CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS yc
+                    FROM lineitem) c
+              GROUP BY l_returnflag) m
+        ORDER BY l_returnflag"""),
+      doc = "Exact second moments: covariance/correlation from decimal-exact Σx/Σy/Σxy/Σx²/Σy² with an identical IEEE finishing sequence — deterministic at any parallelism, unlike the built-in corr/covar accumulators.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)

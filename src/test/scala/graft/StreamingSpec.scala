@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
       "duplicate event_ids after redelivery — batchId-keyed overwrite failed")
   }
 
+  test("streaming CDC apply: foreachBatch + Merge.upsert maintains a versioned snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_snap").toString
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.parquet(s"$dir/v0")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, String)]
+    // each micro-batch advances the snapshot one version: vN + changes →
+    // vN+1 (overwrite mode = idempotent on batch replay). This is the
+    // operators composing: the streaming surface feeding the MERGE
+    // operator, i.e. a minimal incremental lake table.
+    val q = input.toDF().toDF("k", "name", "v", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cur = spark.read.parquet(s"$dir/v$id")
+        graft.operators.Merge.upsert(cur, batch, "k")
+          .write.mode("overwrite").parquet(s"$dir/v${id + 1}")
+      }
+      .start()
+    try {
+      input.addData((2L, "B", 9.0, "U"), (3L, "c", 3.0, "U"))   // update + insert
+      q.processAllAvailable()
+      input.addData((1L, "", 0.0, "D"), (4L, "d", 4.0, "U"))    // delete + insert
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/v2")
+        .orderBy($"k").as[(Long, String, Double)].collect().toSeq
+      assert(got == Seq((2L, "B", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionize: event-time gap closes the session when the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
