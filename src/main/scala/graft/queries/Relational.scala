@@ -1133,7 +1133,31 @@ object Relational {
                     FROM lineitem) c
               GROUP BY l_returnflag) m
         ORDER BY l_returnflag"""),
-      doc = "Exact second moments: covariance/correlation from decimal-exact Σx/Σy/Σxy/Σx²/Σy² with an identical IEEE finishing sequence — deterministic at any parallelism, unlike the built-in corr/covar accumulators.")
+      doc = "Exact second moments: covariance/correlation from decimal-exact Σx/Σy/Σxy/Σx²/Σy² with an identical IEEE finishing sequence — deterministic at any parallelism, unlike the built-in corr/covar accumulators."),
+
+    Q(
+      "q75_hll_distinct",
+      (s, d) => {
+        import s.implicits._
+        // the 100 TB COUNT DISTINCT: a DataSketches HLL sketch aggregates
+        // in constant memory per group and merges associatively map-side —
+        // no expand, no per-group value set. Registers are max-based, so
+        // the estimate is deterministic and order/partitioning-insensitive.
+        // Exact distinct rides along to expose the error; DuckDB's
+        // approx_distinct is a different sketch, so this row is rows-only
+        // (SketchSpec pins the error bound and determinism).
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("approx_users"),
+            countDistinct($"user_id").as("exact_users"))
+          .select($"event_type", $"approx_users", $"exact_users",
+            (abs($"approx_users" - $"exact_users").cast("double") /
+              $"exact_users".cast("double")).as("rel_err"))
+          .orderBy($"event_type")
+      },
+      None,
+      doc = "HLL sketch distinct (DataSketches, lgK=12): constant-memory, merge-associative COUNT DISTINCT — the sketch path exact distinct can't scale past; error pinned <2% in SketchSpec.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)

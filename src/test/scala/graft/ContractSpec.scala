@@ -19,7 +19,8 @@ class ContractSpec extends AnyFunSuite {
     "q44_compression_quality", // zlib has no SQL analog; determinism spec
     "q57_jpeg_decode",         // lossy DCT: no exact SQL oracle; JpegSpec PSNR/determinism
     "q58_video_frames",        // AVI/MJPEG: lossy frames; container byte-lossless spec
-    "q59_adpcm_decode")        // lossy integer codec; AdpcmSpec SNR/determinism/drift
+    "q59_adpcm_decode",        // lossy integer codec; AdpcmSpec SNR/determinism/drift
+    "q75_hll_distinct")        // sketch estimate; DuckDB's approx_distinct is a different sketch — SketchSpec error/determinism
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
