@@ -34,4 +34,50 @@ object Layout {
     spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+
+  // ---- Z-order (Morton) clustering -------------------------------------
+
+  /** Interleave zeros into the low 16 bits (x15 x14 … x0 →
+    * x15 0 x14 0 … x0): the classic magic-mask spread, expressed in
+    * codegen'd builtin column ops (no UDF).
+    */
+  private def spreadBits16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Write `df` as `numFiles` parquet files clustered on the Z-ORDER
+    * (Morton) curve over TWO numeric columns. A 1-D sort gives perfect
+    * pruning on its sort column and NONE on any other; the Z-curve trades
+    * a little of the first column's locality for locality in BOTH — a
+    * predicate on either column (or a 2-D box) skips most files via the
+    * same per-file min/max stats.
+    *
+    * Scale shape: one tiny bounds aggregate (min/max of both columns, a
+    * driver scalar), then the same repartitionByRange+sort pipeline as
+    * `writeSorted` keyed on the interleaved 32-bit z-value. Linear
+    * min/max normalization to 16 bits per dimension — rank-normalize
+    * upstream if a dimension is pathologically skewed.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, c1: String, c2: String,
+                    numFiles: Int): Unit = {
+    val b = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def norm(c: String, lo: Double, hi: Double) = {
+      val span = if (hi > lo) hi - lo else 1.0
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0), lit(65535.0))
+        .cast("long")
+    }
+    val z = spreadBits16(norm(c1, b.getDouble(0), b.getDouble(1)))
+      .bitwiseOR(shiftleft(spreadBits16(norm(c2, b.getDouble(2), b.getDouble(3))), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }

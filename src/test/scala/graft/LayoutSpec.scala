@@ -51,6 +51,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey"), p.take(500))
   }
 
+  test("z-order: a predicate on EITHER dimension skips files; the 1-D sort prunes only its own key") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    // uniform 100×100 grid — every (x, y) combination present
+    val grid = (0 until 10000).map(i => (i % 100, i / 100)).toDF("x", "y")
+    Layout.writeSorted(grid, s"$base/sorted_x", "x", 16)
+    Layout.writeZOrdered(grid, s"$base/zorder", "x", "y", 16)
+
+    // pruning-reader model: file [flo, fhi] must be read iff it overlaps [lo, hi]
+    def overlap(dir: String, c: String, lo: Int, hi: Int): Int =
+      Layout.fileRanges(spark, dir, c).collect()
+        .count { r => val flo = r.getInt(1); val fhi = r.getInt(2); fhi >= lo && flo <= hi }
+
+    // selective on the SECOND dimension: the 1-D layout reads everything,
+    // the z-layout skips most files (quadtree-block locality)
+    assert(overlap(s"$base/sorted_x", "y", 10, 15) == 16,
+      "every x-sorted file spans the full y domain")
+    val zy = overlap(s"$base/zorder", "y", 10, 15)
+    assert(zy <= 8, s"z-order should skip most files on a y-band, touched $zy/16")
+    // selective on x: the 1-D sort is near-perfect, z-order still prunes
+    assert(overlap(s"$base/sorted_x", "x", 10, 15) <= 3)
+    val zx = overlap(s"$base/zorder", "x", 10, 15)
+    assert(zx <= 8, s"z-order should keep x locality too, touched $zx/16")
+    // layout changes nothing about the data
+    val got = spark.read.parquet(s"$base/zorder").as[(Int, Int)].collect().toSet
+    assert(got == (0 until 10000).map(i => (i % 100, i / 100)).toSet)
+  }
+
   test("runtime bloom filter injects on the big side of a selective shuffle join") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
