@@ -148,13 +148,19 @@ case class CdcBoundaries(child: Expression, window: Int, base: Long,
     nullSafeCodeGen(ctx, ev, c => {
       val cps = ctx.freshName("cps")
       val out = ctx.freshName("out")
+      val cnt = ctx.freshName("cnt")
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // primitive growable buffer, not ArrayList<Integer>: Janino ignores
+      // generics (get() returns Object) and does not auto-unbox, so the
+      // boxed version fails to compile and silently de-codegens the
+      // whole projection (round-6 finding; was an interpreted fallback)
       s"""
          |int[] $cps = $c.toString().codePoints().toArray();
          |int $n = $cps.length;
-         |java.util.ArrayList<Integer> $out = new java.util.ArrayList<Integer>();
+         |int[] $out = new int[16];
+         |int $cnt = 0;
          |long $h = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $h = ($h * ${base}L + $cps[$i]) % ${mod}L;
@@ -162,11 +168,13 @@ case class CdcBoundaries(child: Expression, window: Int, base: Long,
          |    $h = java.lang.Math.floorMod(
          |      $h - ($cps[$i - $window] * ${bw}L % ${mod}L) * ${base}L % ${mod}L, ${mod}L);
          |  }
-         |  if ($i >= ${window - 1} && $h % ${div}L == 0L) $out.add($i + 1);
+         |  if ($i >= ${window - 1} && $h % ${div}L == 0L) {
+         |    if ($cnt == $out.length) $out = java.util.Arrays.copyOf($out, $cnt * 2);
+         |    $out[$cnt++] = $i + 1;
+         |  }
          |}
-         |int[] ${out}Arr = new int[$out.size()];
-         |for (int $i = 0; $i < $out.size(); $i++) ${out}Arr[$i] = $out.get($i);
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${out}Arr);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $cnt));
        """.stripMargin
     })
 

@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BitmapDistinct
+import graft.multimodal.{Multimodal, Phash}
+
+/** Round-6 widening: weighted similarity join, table reconciliation,
+  * SCD Type-2 history build, higher-order array functions, argmax/argmin,
+  * exact bitmap distinct, and the codec→dedup bridge (perceptual hash).
+  *
+  * Shared discipline with the other registries: deterministic ORDER BY,
+  * integer/decimal-exact aggregation with double casts only in a fixed
+  * finishing sequence, identical column aliases on both engines.
+  */
+object AnalyticsQueries {
+
+  // pHash fingerprint table per (session, dir): decode+hash is the
+  // materialize-once offline artifact (like the dedup/SRP/IVF indexes —
+  // a deployment persists fingerprints next to the media, not re-decodes
+  // per query); pair mining joins against it.
+  private val phashCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def phashFingerprints(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      phashCache.getOrElseUpdate((s, d), {
+        implicit val sp: SparkSession = s
+        Phash.fingerprints(Multimodal.bmpFromDocuments(Tables.documents(s, d)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
+  private[queries] def clearCaches(): Unit = synchronized {
+    phashCache.values.foreach(_.unpersist())
+    phashCache.clear()
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    Q(
+      "q76_tfidf_cosine",
+      (s, d) => {
+        import s.implicits._
+        // Weighted (term-frequency) cosine similarity JOIN over documents —
+        // the scored upgrade of q21's set-Jaccard. Candidates come from an
+        // inverted-index self-join; the df <= N/10 cap prunes stop-token
+        // posting lists FIRST, which is what bounds the candidate blowup:
+        // join work is Σ df² over KEPT tokens <= (N/10)·Σdf — never
+        // all-pairs, and the cap scales with the corpus instead of
+        // silently emptying at 10× the docs (the fixed-cap failure mode).
+        // The N scalar is one control-plane count, same class as IVF's
+        // driver centroids. Dot products and norms are exact integers;
+        // cosine = one fixed IEEE sequence (int→double, sqrt, mul, div)
+        // so both engines agree bitwise.
+        val docs = Tables.documents(s, d)
+        val dfCap = docs.count() / 10
+        val tok = docs
+          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("tf"))
+        val rare = tok.groupBy($"token").agg(count(lit(1)).as("df"))
+          .filter($"df" <= dfCap).select($"token")
+        val kept = tok.join(rare, "token")
+        val norms = kept.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+        kept.as("a")
+          .join(kept.as("b"),
+            $"a.token" === $"b.token" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(sum($"a.tf" * $"b.tf").as("dot"))
+          .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na")), "doc_a")
+          .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb")), "doc_b")
+          .select($"doc_a", $"doc_b", $"dot",
+            ($"dot".cast("double") /
+              (sqrt($"na".cast("double")) * sqrt($"nb".cast("double")))).as("cosine"))
+          .filter($"cosine" >= 0.6)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, t AS token, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+                FROM documents) u
+          WHERE t <> ''
+          GROUP BY doc_id, t
+        ),
+        kept AS (
+          SELECT tok.* FROM tok
+          JOIN (SELECT token FROM tok GROUP BY token
+                HAVING COUNT(*) <= (SELECT COUNT(*) // 10 FROM documents)) f USING (token)
+        ),
+        norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2 FROM kept GROUP BY doc_id)
+        SELECT doc_a, doc_b, dot,
+               CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cosine
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(SUM(a.tf*b.tf) AS BIGINT) AS dot
+              FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id) d
+        JOIN norms na ON d.doc_a = na.doc_id
+        JOIN norms nb ON d.doc_b = nb.doc_id
+        WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.6
+        ORDER BY doc_a, doc_b"""),
+      doc = "TF-weighted cosine similarity join via a df-capped inverted index: stop-token posting lists pruned before the self-join bound candidates at (N/10)·Σdf; integer dot/norms make the double cosine bit-identical cross-engine."),
+
+    Q(
+      "q77_table_diff",
+      (s, d) => {
+        import s.implicits._
+        // Reconciliation of two 100 TB tables WITHOUT a row-level join:
+        // each side collapses to 256 bucket digests (count + exact integer
+        // fingerprint sum — commutative, so partition order can't matter),
+        // and only the tiny digest tables meet. Mismatched buckets name
+        // exactly where to drill down; matched buckets need no further IO.
+        // The "other" table is derived in-query (keys %97 perturbed,
+        // keys %101 deleted) so both engines see identical inputs.
+        val o = Tables.orders(s, d).select(
+          $"o_orderkey",
+          ($"o_orderkey" % 256).as("bucket"),
+          ($"o_orderkey" * 1000003L + round($"o_totalprice" * 100).cast("long")).as("fp"))
+        val a = o.groupBy($"bucket")
+          .agg(count(lit(1)).as("n_a"), sum($"fp").as("s_a"))
+        val b = o.filter($"o_orderkey" % 101 =!= 0)
+          .select($"bucket",
+            ($"fp" + when($"o_orderkey" % 97 === 0, 1L).otherwise(0L)).as("fp"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_b"), sum($"fp").as("s_b"))
+        a.join(b, Seq("bucket"), "full_outer")
+          .select($"bucket",
+            coalesce($"n_a", lit(0L)).as("n_a"), coalesce($"n_b", lit(0L)).as("n_b"),
+            coalesce($"s_a", lit(0L)).as("s_a"), coalesce($"s_b", lit(0L)).as("s_b"))
+          .filter($"n_a" =!= $"n_b" || $"s_a" =!= $"s_b")
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH src AS (
+          SELECT o_orderkey,
+                 o_orderkey % 256 AS bucket,
+                 o_orderkey * 1000003 + CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS fp
+          FROM orders
+        ),
+        a AS (SELECT bucket, COUNT(*) AS n_a, CAST(SUM(fp) AS BIGINT) AS s_a
+              FROM src GROUP BY bucket),
+        b AS (SELECT bucket, COUNT(*) AS n_b, CAST(SUM(fp) AS BIGINT) AS s_b
+              FROM (SELECT bucket,
+                           fp + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS fp
+                    FROM src WHERE o_orderkey % 101 <> 0) v
+              GROUP BY bucket)
+        SELECT bucket,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+               COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b
+        FROM a FULL JOIN b USING (bucket)
+        WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0) OR COALESCE(s_a, 0) <> COALESCE(s_b, 0)
+        ORDER BY bucket"""),
+      doc = "Table reconciliation by bucket digest: two scans collapse to 256 (count, Σfingerprint) digests each, no row-level join; mismatched buckets localize the diff — the anti-entropy pattern for verifying 100 TB copies."),
+
+    Q(
+      "q78_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        // SCD Type-2 dimension build from a change log — the warehouse
+        // operator behind the reference lake's monthly ref_date versions:
+        // collapse each customer's observed attribute sequence into
+        // non-overlapping validity intervals [eff_from, eff_to), open
+        // interval coalesced to the 9999-12-31 sentinel (no null cells in
+        // the gate output). Snapshot semantics first: the LAST observation
+        // per (key, date) wins — two same-date observations must not mint
+        // a zero-length interval. Three window passes partitioned by the
+        // key and one grouped agg — no self-join, no driver state; each
+        // customer's history lives in one partition's sort run.
+        val wd = Window.partitionBy($"o_custkey", $"o_orderdate").orderBy($"o_orderkey".desc)
+        val daily = Tables.orders(s, d)
+          .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+          .withColumn("rn", row_number().over(wd))
+          .filter($"rn" === 1)
+          .drop("rn")
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate")
+        val versioned = daily
+          .withColumn("chg",
+            when(lag($"o_orderpriority", 1).over(w) === $"o_orderpriority", 0L).otherwise(1L))
+          .withColumn("version", sum($"chg").over(w))
+        val grouped = versioned
+          .groupBy($"o_custkey", $"version", $"o_orderpriority")
+          .agg(min($"o_orderdate").as("eff_from_ts"), count(lit(1)).as("n_obs"))
+        val wv = Window.partitionBy($"o_custkey").orderBy($"version")
+        grouped
+          .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
+            date_format($"eff_from_ts", "yyyy-MM-dd HH:mm:ss").as("eff_from"),
+            coalesce(date_format(lead($"eff_from_ts", 1).over(wv), "yyyy-MM-dd HH:mm:ss"),
+              lit("9999-12-31 00:00:00")).as("eff_to"),
+            $"n_obs",
+            lead($"eff_from_ts", 1).over(wv).isNull.as("is_current"))
+          .orderBy($"o_custkey", $"version")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_custkey, o_orderpriority, o_orderdate
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey DESC) AS rn
+                FROM orders) r
+          WHERE rn = 1
+        ),
+        h AS (
+          SELECT o_custkey, o_orderpriority, o_orderdate,
+                 CASE WHEN LAG(o_orderpriority) OVER w = o_orderpriority THEN 0 ELSE 1 END AS chg
+          FROM daily
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        ),
+        v AS (
+          SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS version
+          FROM h
+        ),
+        g AS (
+          SELECT o_custkey, version, o_orderpriority AS priority,
+                 MIN(o_orderdate) AS eff_from_ts, COUNT(*) AS n_obs
+          FROM v GROUP BY o_custkey, version, o_orderpriority
+        )
+        SELECT o_custkey, version, priority,
+               strftime(eff_from_ts, '%Y-%m-%d %H:%M:%S') AS eff_from,
+               COALESCE(strftime(LEAD(eff_from_ts) OVER wv, '%Y-%m-%d %H:%M:%S'),
+                        '9999-12-31 00:00:00') AS eff_to,
+               n_obs,
+               LEAD(eff_from_ts) OVER wv IS NULL AS is_current
+        FROM g
+        WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+        ORDER BY o_custkey, version"""),
+      doc = "SCD Type-2 build: snapshot dedup (last observation per key+date) then lag-change detection + running version + lead close-off into non-overlapping validity intervals; key-partitioned window passes, zero joins."),
+
+    Q(
+      "q79_array_hof",
+      (s, d) => {
+        import s.implicits._
+        // Higher-order array functions kept INSIDE codegen: per-order
+        // sorted quantity vectors built once, then transform / filter /
+        // aggregate lambdas run over the array without exploding it back
+        // to rows — at 100 TB that's the difference between one shuffle
+        // of packed arrays and re-shuffling every element. Integer math
+        // throughout; the transformed array is emitted as a joined string
+        // (determinism rule for array-valued outputs).
+        Tables.lineitem(s, d)
+          .filter($"l_orderkey" % 50 === 0)
+          .select($"l_orderkey", round($"l_quantity" * 100).cast("long").as("qc"))
+          .groupBy($"l_orderkey")
+          .agg(array_sort(collect_list($"qc")).as("qs"))
+          .select($"l_orderkey",
+            concat_ws(",", transform($"qs", x => x * 2)).as("doubled"),
+            aggregate(filter($"qs", _ > 2500L), lit(0L), (acc, x) => acc + x).as("big_sum"),
+            size(filter($"qs", _ > 2500L)).cast("long").as("n_big"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""
+        SELECT l_orderkey,
+               array_to_string(list_transform(qs, x -> x * 2), ',') AS doubled,
+               COALESCE(CAST(list_sum(list_filter(qs, x -> x > 2500)) AS BIGINT), 0) AS big_sum,
+               CAST(length(list_filter(qs, x -> x > 2500)) AS BIGINT) AS n_big
+        FROM (SELECT l_orderkey,
+                     list(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) ORDER BY CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS qs
+              FROM lineitem
+              WHERE l_orderkey % 50 = 0
+              GROUP BY l_orderkey) g
+        ORDER BY l_orderkey"""),
+      doc = "Higher-order array functions (transform/filter/aggregate lambdas) over per-order packed vectors — array-local compute instead of explode+reshuffle; oracle uses DuckDB's list lambdas."),
+
+    Q(
+      "q80_argmax",
+      (s, d) => {
+        import s.implicits._
+        // argmax/argmin as single-pass aggregates (max_by/min_by — no
+        // self-join back to the max row, no window sort): WHICH part takes
+        // the extreme price per return flag. Ties are impossible by
+        // construction: the ordering key packs (price_cents, partkey) into
+        // one bigint, so both engines pick the same row deterministically.
+        val pc = round($"l_extendedprice" * 100).cast("long")
+        Tables.lineitem(s, d)
+          .select($"l_returnflag", $"l_partkey", (pc * 100000000L + $"l_partkey").as("key"), pc.as("pc"))
+          .groupBy($"l_returnflag")
+          .agg(
+            max_by($"l_partkey", $"key").as("best_part"),
+            min_by($"l_partkey", $"key").as("worst_part"),
+            max($"pc").as("max_price_cents"),
+            min($"pc").as("min_price_cents"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               arg_max(l_partkey, key) AS best_part,
+               arg_min(l_partkey, key) AS worst_part,
+               MAX(pc) AS max_price_cents,
+               MIN(pc) AS min_price_cents
+        FROM (SELECT l_returnflag, l_partkey,
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * 100000000 + l_partkey AS key,
+                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS pc
+              FROM lineitem) t
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "argmax/argmin via max_by/min_by with a packed tie-free ordering key — one aggregation pass instead of a window sort or a join-back-to-max."),
+
+    Q(
+      "q81_bitmap_distinct",
+      (s, d) => {
+        import s.implicits._
+        // EXACT distinct users per event type through the paged-bitmap
+        // aggregate — the exact sibling of q75's HLL. countDistinct plans
+        // as Expand + double aggregation (shuffles one row per distinct
+        // (group, value) pair); the bitmap absorbs duplicates map-side and
+        // ships ~1 bit per distinct id, merging with bitwise OR. The
+        // oracle is plain COUNT(DISTINCT): the bitmap must match it
+        // exactly, which is the whole point.
+        Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(BitmapDistinct($"user_id").as("n_users"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "Exact COUNT DISTINCT via a paged-bitmap TypedImperativeAggregate (ClickHouse groupBitmap on Spark's aggregation frame): map-side dedup into set bits, OR-merge, ~1 bit per distinct id on the exchange — oracle-equal to COUNT(DISTINCT)."),
+
+    Q(
+      "q82_phash_neardup",
+      (s, d) => {
+        import s.implicits._
+        // Codec→dedup bridge: decode every document's BMP rendering and
+        // find near-duplicate IMAGES by 64-bit DCT perceptual hash —
+        // robustness text dedup can't have (pHash survives brightness
+        // shifts and pixel noise; PhashSpec pins both). Candidates come
+        // from the same 4-band pigeonhole join as text SimHash; pixels
+        // never shuffle, only (doc, fp) — memoized per dir like the other
+        // index artifacts. No SQL oracle (DCT thresholding isn't
+        // SQL-expressible): rows-only + PhashSpec.
+        Phash.nearPairs(phashFingerprints(s, d), maxHamming = 3)
+          .select($"doc_a", $"doc_b", $"hamming".cast("long").as("hamming"))
+          .orderBy($"doc_a", $"doc_b")
+      },
+      None,
+      doc = "Perceptual-hash (DCT pHash) image near-dup: decode + hash partition-local, 4x16-bit pigeonhole candidate join, exact hamming verify — the image-side SimHash; spec-pinned brightness invariance and noise tolerance.")
+  )
+}

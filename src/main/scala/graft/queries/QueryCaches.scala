@@ -9,5 +9,6 @@ object QueryCaches {
   def clear(): Unit = {
     DedupQueries.clearCaches()
     SimQueries.clearCaches()
+    AnalyticsQueries.clearCaches()
   }
 }

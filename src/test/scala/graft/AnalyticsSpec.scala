@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-6 analytics operators beyond the DuckDB
+  * hash-equality gate: the *properties* each operator promises.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  test("q76: pairs canonical, cosine in (0,1], and bit-equal to a from-scratch recompute") {
+    val rows = SparkEntry.queries("q76_tfidf_cosine")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      val c = r.getDouble(3)
+      assert(c > 0.0 && c <= 1.0, s"cosine out of range: $c")
+    }
+    assert(rows.exists(_.getDouble(3) == 1.0),
+      "near-dup clusters should yield proportional pruned vectors (cosine exactly 1.0)")
+
+    // independent pure-Scala recompute (tokenize → df cap → tf vectors →
+    // integer dot/norms → same IEEE finishing sequence) for every pair of
+    // the first reported cluster plus the single highest-id pair
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }
+    val dfCap = docs.size / 10
+    val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val kept: Map[Long, Map[String, Long]] =
+      tf.map { case (id, v) => id -> v.filter { case (t, _) => df(t) <= dfCap } }
+    def cosine(a: Long, b: Long): Double = {
+      val (va, vb) = (kept(a), kept(b))
+      val dot = va.iterator.map { case (t, f) => f * vb.getOrElse(t, 0L) }.sum
+      val na = va.values.map(f => f * f).sum
+      val nb = vb.values.map(f => f * f).sum
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    (rows.take(20) ++ rows.takeRight(1)).foreach { r =>
+      val expect = cosine(r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) == expect,
+        s"pair (${r.getLong(0)},${r.getLong(1)}): got ${r.getDouble(3)}, recompute $expect")
+    }
+  }
+
+  test("q77: flagged buckets are exactly the buckets touched by the planted divergence") {
+    val o = Tables.orders(spark, sf)
+    val expected = o
+      .filter(col("o_orderkey") % 97 === 0 || col("o_orderkey") % 101 === 0)
+      .select((col("o_orderkey") % 256).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q77_table_diff")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"flagged ${got.size} buckets, planted ${expected.size}")
+  }
+
+  test("q77: count deltas localize deletions per bucket") {
+    val o = Tables.orders(spark, sf)
+    val deletes = o.filter(col("o_orderkey") % 101 === 0)
+      .groupBy((col("o_orderkey") % 256).as("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("q77_table_diff")(spark, sf).collect().foreach { r =>
+      val (bucket, nA, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nA - nB == deletes.getOrElse(bucket, 0L),
+        s"bucket $bucket: count delta ${nA - nB} != planted deletes ${deletes.getOrElse(bucket, 0L)}")
+    }
+  }
+
+  test("q78: per-key intervals are contiguous, non-overlapping, with exactly one open row") {
+    val rows = SparkEntry.queries("q78_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4), r.getBoolean(6)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (cust, hist) =>
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"cust $cust: versions not contiguous")
+      assert(sorted.count(_._5) == 1, s"cust $cust: open-row count != 1")
+      assert(sorted.last._5, s"cust $cust: open row is not the last version")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, effTo, _), (_, _, effFromNext, _, _)) =>
+          assert(effTo == effFromNext, s"cust $cust: interval gap $effTo vs $effFromNext")
+        case _ => ()
+      }
+      sorted.foreach { case (_, _, from, to, _) =>
+        assert(from < to, s"cust $cust: empty/inverted interval [$from, $to)")
+      }
+    }
+  }
+
+  test("q78: version count equals observed attribute changes (reconstructed independently)") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("d"), col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q78_scd2_history")(spark, sf)
+      .groupBy(col("o_custkey")).agg(max(col("version")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    o.foreach { case (cust, obs) =>
+      // snapshot semantics: last orderkey per date wins, then count runs
+      val seq = obs.groupBy(_._3).map { case (d, xs) => d -> xs.maxBy(_._4)._2 }
+        .toSeq.sortBy(_._1).map(_._2)
+      val changes = 1 + seq.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      assert(got(cust) == changes.toLong, s"cust $cust: ${got(cust)} versions, expected $changes")
+    }
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types.StringType
+import graft.functions.{CdcBoundaries, RollingHash}
+
+/** Janino-compilability pin for the custom codegen expressions. Spark
+  * hides a generated-code compile error behind a silent interpreted
+  * fallback (CodeGeneratorWithInterpretedFallback), so a doGenCode bug
+  * shows up only as a WARN and a slow plan — this spec calls the code
+  * generator DIRECTLY, where a Janino error still throws. Round-6
+  * finding: ArrayList<Integer>.get under Janino returns Object (no
+  * generics, no auto-unboxing), which de-codegen'd q55's projection.
+  */
+class CodegenProbe extends AnyFunSuite {
+  lazy val spark = GraftSession.builder("local[4]").getOrCreate()
+
+  private def mustCompile(e: Expression): Unit =
+    GenerateUnsafeProjection.generate(Seq(org.apache.spark.sql.catalyst.expressions.Alias(e, "x")()))
+
+  test("CdcBoundaries doGenCode compiles under janino") {
+    mustCompile(CdcBoundaries(BoundReference(0, StringType, nullable = true), 16, 257L, 1000003L, 64L))
+  }
+
+  test("RollingHash doGenCode compiles under janino") {
+    mustCompile(RollingHash(BoundReference(0, StringType, nullable = true), 8L, 257L, 1000003L))
+  }
+
+  test("q55 end-to-end still returns boundaries") {
+    val rows = SparkEntry.queries("q55_cdc_chunking")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+  }
+}
