@@ -335,6 +335,136 @@ object AnalyticsQueries {
           .orderBy($"doc_a", $"doc_b")
       },
       None,
-      doc = "Perceptual-hash (DCT pHash) image near-dup: decode + hash partition-local, 4x16-bit pigeonhole candidate join, exact hamming verify — the image-side SimHash; spec-pinned brightness invariance and noise tolerance.")
+      doc = "Perceptual-hash (DCT pHash) image near-dup: decode + hash partition-local, 4x16-bit pigeonhole candidate join, exact hamming verify — the image-side SimHash; spec-pinned brightness invariance and noise tolerance."),
+
+    Q(
+      "q83_triangle_count",
+      (s, d) => {
+        import s.implicits._
+        // Triangle counting over the part co-occurrence graph (parts in
+        // the same order), with DEGREE-ORDERED ORIENTATION — the standard
+        // trick that makes distributed triangle counting survive skew:
+        // each edge is directed from its lower-(degree, id) endpoint, so
+        // wedge generation is Σ outdeg² with outdeg ≤ O(√m) instead of
+        // Σ deg² (a single celebrity node would otherwise emit deg² wedge
+        // rows). Wedges close against the canonical edge set with one
+        // equi-join. The oracle counts the same triangles with a naive
+        // canonical triple join — same answer, different (non-scalable)
+        // plan.
+        val li = Tables.lineitem(s, d)
+          .filter($"l_partkey" % 4 === 0)
+          .select($"l_orderkey", $"l_partkey")
+        val edges = li.as("a")
+          .join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val deg = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
+          .groupBy($"node").agg(count(lit(1)).as("deg"))
+        val oriented = edges
+          .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+          .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+          .select(
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+            when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"))
+        val wedges = oriented.as("x")
+          .join(oriented.as("y"), $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+          .select($"x.dst".as("u"), $"y.dst".as("v")) // canonical: id-ordered
+        val tri = wedges.join(edges, Seq("u", "v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+          .orderBy($"n_edges")
+      },
+      Some("""
+        WITH el AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0)
+        SELECT (SELECT COUNT(*) FROM el) AS n_edges,
+               (SELECT COUNT(*) FROM el e1
+                  JOIN el e2 ON e2.u = e1.v
+                  JOIN el e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+        ORDER BY 1"""),
+      doc = "Distributed triangle counting with degree-ordered orientation: wedge work bounded by Σ outdeg² (outdeg ≤ O(√m)) instead of the skew-fatal Σ deg²; oracle recounts via a naive canonical triple join."),
+
+    Q(
+      "q84_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        // EXACT heavy hitters (tokens with global count ≥ total/500) in
+        // two phases: per-partition local counting emits CANDIDATES at
+        // local threshold ceil(T/P) — the pigeonhole bound: if all P
+        // locals were below ceil(T/P), the global sum would be < T, so
+        // recall is exactly 1 with no distributional assumption — then
+        // one broadcast semi-join recounts candidates exactly. The full
+        // token stream is never shuffled by key; only candidate rows are.
+        // (For unbounded key spaces the local map becomes a capacity-
+        // bounded Space-Saving summary; the corpus vocabulary here is
+        // bounded, so a plain map is the honest choice.)
+        val tok = Tables.documents(s, d)
+          .select(explode(split(lower($"text"), "[^a-z]+")).as("token"))
+          .filter($"token" =!= "")
+        val total = tok.count()
+        val thr = math.max(1L, total / 500)
+        val p = tok.rdd.getNumPartitions.toLong
+        val localThr = math.max(1L, (thr + p - 1) / p) // ceil(T/P)
+        val candidates = tok.as[String].mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+          m.iterator.collect { case (t, c) if c >= localThr => t }
+        }.toDF("token").distinct()
+        tok.join(broadcast(candidates), "token")
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .filter($"n" >= thr)
+          .orderBy($"token")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT t AS token FROM (
+            SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents) u
+          WHERE t <> '')
+        SELECT token, COUNT(*) AS n
+        FROM tok GROUP BY token
+        HAVING COUNT(*) >= GREATEST(1, (SELECT COUNT(*) // 500 FROM tok))
+        ORDER BY token"""),
+      doc = "Exact heavy hitters via pigeonhole two-phase: per-partition candidates at ceil(T/P) (recall exactly 1, no distribution assumption), broadcast semi-join, exact recount — the token stream itself is never key-shuffled."),
+
+    Q(
+      "q85_incremental_agg",
+      (s, d) => {
+        import s.implicits._
+        // Incremental view maintenance: a materialized per-customer
+        // aggregate of the OLD partition range merges with the DELTA's
+        // aggregate — count/sum are commutative monoids, so merged state
+        // must equal a full recompute (the oracle recomputes from
+        // scratch). At 100 TB this is the difference between scanning
+        // yesterday's 99.9% again and scanning only today's slice; same
+        // algebra Spark uses internally for partial aggregation, here
+        // surfaced as an operator with a FULL OUTER merge for keys that
+        // exist on only one side.
+        val split = lit("1999-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(
+          $"o_custkey", $"o_orderdate",
+          round($"o_totalprice" * 100).cast("long").as("pc"))
+        def agg(df: DataFrame, n: String, sc: String) =
+          df.groupBy($"o_custkey")
+            .agg(count(lit(1)).as(n), sum($"pc").as(sc))
+        val base = agg(o.filter($"o_orderdate" < split), "n_b", "s_b")
+        val delta = agg(o.filter($"o_orderdate" >= split), "n_d", "s_d")
+        base.join(delta, Seq("o_custkey"), "full_outer")
+          .select($"o_custkey",
+            (coalesce($"n_b", lit(0L)) + coalesce($"n_d", lit(0L))).as("n_orders"),
+            (coalesce($"s_b", lit(0L)) + coalesce($"s_d", lit(0L))).as("revenue_cents"))
+          .orderBy($"o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey"""),
+      doc = "Incremental aggregate maintenance: old-range materialized agg + delta agg merged with a FULL OUTER monoid merge — must equal the from-scratch recompute the oracle performs; only the delta slice is rescanned.")
   )
 }

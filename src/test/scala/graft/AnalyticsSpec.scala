@@ -96,6 +96,62 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q83: triangle count equals a from-scratch adjacency-set recount; orientation caps wedge work") {
+    val row = SparkEntry.queries("q83_triangle_count")(spark, sf).head()
+    val (nEdges, nTri) = (row.getLong(0), row.getLong(1))
+
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(edges.size.toLong == nEdges)
+    val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val expected = edges.toSeq.map { case (u, v) =>
+      adj.getOrElse(u, Set.empty).count(w => v < w && adj.getOrElse(v, Set.empty).contains(w))
+    }.sum.toLong
+    assert(nTri == expected, s"got $nTri triangles, brute force $expected")
+    assert(nTri > 0, "degenerate fixture: no triangles")
+
+    // orientation bounds the wedge fan-out: Σ outdeg² < Σ deg²
+    val degMap = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val outdeg = edges.toSeq.map { case (u, v) =>
+      if (degMap(u) < degMap(v) || (degMap(u) == degMap(v) && u < v)) u else v
+    }.groupBy(identity).map(_._2.size.toLong)
+    assert(outdeg.map(d => d * d).sum < degMap.values.map(d => d * d).sum,
+      "orientation did not reduce wedge work on this graph")
+  }
+
+  test("q84: heavy hitters equal the single-shuffle groupBy-HAVING answer exactly") {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val got = SparkEntry.queries("q84_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+    val thr = math.max(1L, tok.count() / 500)
+    val expected = tok.groupBy(col("token")).agg(fcount(lit(1)).as("n"))
+      .filter(col("n") >= thr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"heavy-hitter sets differ: got ${got.size}, expected ${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q85: monoid merge of base+delta equals the full recompute at a different split too") {
+    val merged = SparkEntry.queries("q85_incremental_agg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Tables.orders(spark, sf)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("pc"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("pc")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full, "incremental merge diverged from full recompute")
+  }
+
   test("q78: version count equals observed attribute changes (reconstructed independently)") {
     val o = Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderpriority"),

@@ -49,7 +49,11 @@ class IngestThroughputSpec extends AnyFunSuite {
 
     val mbPerSec = csvBytes / 1e6 / secs
     info(f"converted ${csvBytes / 1e6}%.1f MB CSV in $secs%.1f s (${mbPerSec}%.1f MB/s)")
-    // reference envelope: ~1 GB zip in 480 s ≈ 2 MB/s; require 4x that pace
-    assert(mbPerSec > 8.0, f"too slow: $mbPerSec%.1f MB/s")
+    // reference envelope: ~1 GB zip in 480 s ≈ 2 MB/s. Require 2x that
+    // pace: idle-box throughput here is ~14 MB/s, but this is a WALL-CLOCK
+    // assertion and a contended box (parallel suite runs, co-located jobs)
+    // has been observed at 7 MB/s — the margin separates "regression" from
+    // "noisy neighbor" so the envelope pin doesn't flake.
+    assert(mbPerSec > 4.4, f"too slow: $mbPerSec%.1f MB/s (reference envelope ~2.2)")
   }
 }
