@@ -206,4 +206,23 @@ object EventStream {
           }
         })
   }
+
+  /** Streaming sketch-distinct: the 100 TB streaming COUNT DISTINCT.
+    * Both sketches run as a complete-mode streaming aggregation — the
+    * HLL (approximate, constant state per group) and the paged bitmap
+    * (exact, ~1 bit per distinct id of state). Both merge associatively
+    * and idempotently (register max / bitwise OR), so the streaming
+    * result is EQUAL to the batch computation no matter how the input is
+    * chunked into micro-batches — StreamingSpec pins that equality
+    * across a two-chunk delivery. countDistinct can't do this at all:
+    * it's unsupported inside streaming aggregations (Expand needs the
+    * full history), which is exactly why deployments keep a mergeable
+    * sketch as streaming state.
+    */
+  def sketchDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("approx_users"),
+        graft.functions.BitmapDistinct(col("user_id")).as("exact_users"))
 }

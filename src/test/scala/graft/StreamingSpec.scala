@@ -283,4 +283,43 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(got == Seq((2L, 3.0), (1L, 4.0)))
   }
+
+  test("streaming sketch distinct (HLL + bitmap) equals batch, chunked across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => EventStream.Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val (chunk1, chunk2) = all.splitAt(all.length / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.sketchDistinct(input.toDS().toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sketch_distinct").start()
+    try {
+      input.addData(chunk1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(chunk2.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("sketch_distinct")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // batch truth on the SAME rows: exact countDistinct and the same
+      // HLL sketch — max-based registers make streaming == batch exact,
+      // and the bitmap's OR-merge across micro-batch state must be exact
+      val batch = Tables.events(spark, sf)
+        .groupBy($"event_type")
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("approx"),
+          countDistinct($"user_id").as("exact"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == batch.keySet)
+      got.foreach { case (et, (approx, exact)) =>
+        assert(exact == batch(et)._2, s"$et: bitmap $exact != countDistinct ${batch(et)._2}")
+        assert(approx == batch(et)._1, s"$et: streaming HLL $approx != batch HLL ${batch(et)._1}")
+      }
+    } finally q.stop()
+  }
 }
