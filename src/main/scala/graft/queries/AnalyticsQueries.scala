@@ -466,5 +466,114 @@ object AnalyticsQueries {
         GROUP BY o_custkey
         ORDER BY o_custkey"""),
       doc = "Incremental aggregate maintenance: old-range materialized agg + delta agg merged with a FULL OUTER monoid merge — must equal the from-scratch recompute the oracle performs; only the delta slice is rescanned.")
+  ,
+
+    Q(
+      "q86_pagerank",
+      (s, d) => {
+        import s.implicits._
+        // Two PageRank iterations over the (undirected) part co-occurrence
+        // graph in EXACT INTEGER arithmetic: ranks scaled by 10^12, every
+        // division a floor division at the same point in the formula on
+        // both engines — so the distributed Σ over in-neighbors is an
+        // integer sum (order-independent) and the oracle matches bitwise,
+        // which double-typed PageRank can never promise across engines or
+        // parallelism. Each iteration = one join + one aggregation; the
+        // rank vector (node, long) is all that flows between iterations —
+        // the edge list is never rewritten. Floor losses bound total mass
+        // drift below 1e-7 of S.
+        val S = 1000000000000L
+        val li = Tables.lineitem(s, d)
+          .filter($"l_partkey" % 4 === 0)
+          .select($"l_orderkey", $"l_partkey")
+        val eu = li.as("a")
+          .join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        val el = eu.union(eu.select($"v".as("u"), $"u".as("v")))
+        val deg = el.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = deg.count() // control-plane scalar, one job over the tiny degree table
+        val base = (S * 15L) / (100L * n)
+        val pr0 = deg.select($"node", lit(S / n).as("pr"))
+        def iterate(pr: DataFrame): DataFrame =
+          el.join(pr.select($"node".as("u"), $"pr"), "u")
+            .join(deg.select($"node".as("u"), $"d"), "u")
+            .select($"v", expr("pr div d").as("contrib"))
+            .groupBy($"v".as("node"))
+            .agg(sum($"contrib").as("c"))
+            .select($"node", (lit(base) + expr("(85 * c) div 100")).as("pr"))
+        val pr2 = iterate(iterate(pr0))
+        pr2.select($"node", $"pr".as("pagerank_scaled")).orderBy($"node")
+      },
+      Some("""
+        WITH eu AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        el AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu),
+        deg AS (SELECT u AS node, COUNT(*) AS d FROM el GROUP BY u),
+        n AS (SELECT COUNT(*) AS n FROM deg),
+        pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM n) AS pr FROM deg),
+        pr1 AS (
+          SELECT el.v AS node,
+                 (1000000000000 * 15) // (100 * (SELECT n FROM n))
+                 + (85 * CAST(SUM(pr0.pr // deg.d) AS BIGINT)) // 100 AS pr
+          FROM el JOIN pr0 ON el.u = pr0.node JOIN deg ON el.u = deg.node
+          GROUP BY el.v),
+        pr2 AS (
+          SELECT el.v AS node,
+                 (1000000000000 * 15) // (100 * (SELECT n FROM n))
+                 + (85 * CAST(SUM(pr1.pr // deg.d) AS BIGINT)) // 100 AS pr
+          FROM el JOIN pr1 ON el.u = pr1.node JOIN deg ON el.u = deg.node
+          GROUP BY el.v)
+        SELECT node, pr AS pagerank_scaled FROM pr2 ORDER BY node"""),
+      doc = "PageRank (2 iterations, d=0.85) in exact scaled-integer arithmetic: floor divisions at identical formula points make the distributed in-neighbor sums order-independent and the oracle bitwise-equal — impossible with double ranks; per iteration one join + one agg, only the (node, rank) vector flows."),
+
+    Q(
+      "q87_bloom_semijoin",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.Bridge
+        import org.apache.spark.sql.types.BinaryType
+        // EXPLICIT bloom-filter semi-join — the manual twin of the runtime
+        // injection LayoutSpec pins: build a bloom over the small side's
+        // join keys (one tiny agg), ship ~100 KB to every probe task as a
+        // literal, and drop probe rows BEFORE the exact semi-join. At
+        // 100 TB the prefilter kills the shuffle of rows that cannot
+        // match; false positives are removed by the exact join that
+        // follows, so the oracle (plain semi-join, no bloom) must match
+        // exactly. Probe stays whole-stage-codegen (BloomFilterMightContain
+        // has doGenCode).
+        val keys = Tables.orders(s, d)
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_orderkey")
+        val bf = keys.agg(Bridge.column(
+            new BloomFilterAggregate(Bridge.expression(xxhash64($"o_orderkey")), 50000L)
+              .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val prefiltered = Tables.lineitem(s, d)
+          .filter(Bridge.column(BloomFilterMightContain(
+            Literal(bf, BinaryType),
+            Bridge.expression(xxhash64($"l_orderkey")))))
+        prefiltered
+          .join(keys, $"l_orderkey" === $"o_orderkey", "left_semi")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(($"l_extendedprice".cast("decimal(18,2)"))).cast("double").as("revenue"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "Explicit bloom-prefiltered semi-join: ~100 KB bloom literal drops non-matching probe rows before the exact semi-join (which removes false positives) — the shuffle-avoidance pattern for selective joins at 100 TB; oracle is the plain semi-join.")
   )
 }

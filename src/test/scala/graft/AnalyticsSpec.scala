@@ -152,6 +152,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(merged == full, "incremental merge diverged from full recompute")
   }
 
+  test("q86: integer pagerank equals a from-scratch Scala recompute bit-for-bit; mass conserved") {
+    val got = SparkEntry.queries("q86_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val S = 1000000000000L
+    assert(math.abs(got.values.sum - S) < S / 10000000L, "mass drifted beyond floor losses")
+
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eu = li.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val el = eu.toSeq ++ eu.toSeq.map(e => (e._2, e._1))
+    val deg = el.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = deg.size.toLong
+    val base = (S * 15L) / (100L * n)
+    var pr: Map[Long, Long] = deg.map { case (node, _) => node -> S / n }
+    for (_ <- 1 to 2) {
+      val sums = scala.collection.mutable.HashMap.empty[Long, Long]
+      el.foreach { case (u, v) =>
+        sums.update(v, sums.getOrElse(v, 0L) + pr(u) / deg(u))
+      }
+      pr = sums.map { case (node, c) => node -> (base + (85L * c) / 100L) }.toMap
+    }
+    assert(got == pr, "distributed integer pagerank diverged from the sequential recompute")
+  }
+
+  test("q87: bloom-prefiltered semi-join equals the plain semi-join; might_contain is in the plan") {
+    val df = SparkEntry.queries("q87_bloom_semijoin")(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val expected = Tables.lineitem(spark, sf)
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, "bloom prefilter changed the exact result")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from the physical plan")
+  }
+
   test("q78: version count equals observed attribute changes (reconstructed independently)") {
     val o = Tables.orders(spark, sf)
       .select(col("o_custkey"), col("o_orderpriority"),
