@@ -60,5 +60,10 @@ object GraftFunctions {
         }
         MinHashSketch(exprs(0), n)
       }, "built-in")
+    registry.createOrReplaceTempFunction("bitmap_distinct",
+      exprs => {
+        require(exprs.length == 1, "bitmap_distinct(idCol) takes exactly 1 argument")
+        BitmapDistinct(exprs(0)).toAggregateExpression()
+      }, "built-in")
   }
 }

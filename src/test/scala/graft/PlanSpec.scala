@@ -139,4 +139,33 @@ class PlanSpec extends AnyFunSuite {
       "the tiny victim list must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q76: inverted-index candidate join never degenerates to all-pairs") {
+    val p = plan("q76_tfidf_cosine")
+    assert(!p.contains("CartesianProduct"), "token self-join degenerated to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join lost its equi-key")
+  }
+
+  test("q84: the candidate set broadcasts for the exact recount") {
+    // AQE picks the broadcast at runtime — pin the FINAL plan
+    val df = SparkEntry.queries("q84_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "candidates must broadcast, not shuffle the token stream")
+    assert(!p.contains("SortMergeJoin"), "the token stream must never key-shuffle for the join")
+  }
+
+  test("q83: wedge closing is an equi hash join; only the 1-row total cross-joins") {
+    val p = plan("q83_triangle_count")
+    assert(!p.contains("CartesianProduct"), "wedge join degenerated to a cartesian")
+    // the single BroadcastNestedLoopJoin is the deliberate 1-row x 1-row
+    // final (n_edges x n_triangles) combine — anything more is a bug
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, "unexpected nested-loop joins")
+  }
+
+  test("q87: bloom prefilter sits in the scan stage before the exact semi join") {
+    val p = plan("q87_bloom_semijoin")
+    assert(p.contains("might_contain"), "bloom prefilter missing")
+    assert(p.contains("LeftSemi"), "exact semi join must remain after the prefilter")
+  }
 }

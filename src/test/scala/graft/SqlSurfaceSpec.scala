@@ -48,6 +48,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaCol = Seq(txt).toDF("t")
       .select(graft.functions.CdcBoundaries($"t")).as[Seq[Int]].head()
     assert(viaSql == viaCol && viaSql.nonEmpty)
+    // bitmap_distinct: exact distinct through SQL == COUNT(DISTINCT)
+    val bd = spark.sql(
+      "SELECT bitmap_distinct(doc_id), COUNT(DISTINCT doc_id) FROM documents").head()
+    assert(bd.getLong(0) == bd.getLong(1) && bd.getLong(0) > 0)
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {
