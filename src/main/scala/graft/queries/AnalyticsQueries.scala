@@ -574,6 +574,55 @@ object AnalyticsQueries {
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         GROUP BY l_returnflag
         ORDER BY l_returnflag"""),
-      doc = "Explicit bloom-prefiltered semi-join: ~100 KB bloom literal drops non-matching probe rows before the exact semi-join (which removes false positives) — the shuffle-avoidance pattern for selective joins at 100 TB; oracle is the plain semi-join.")
+      doc = "Explicit bloom-prefiltered semi-join: ~100 KB bloom literal drops non-matching probe rows before the exact semi-join (which removes false positives) — the shuffle-avoidance pattern for selective joins at 100 TB; oracle is the plain semi-join."),
+
+    Q(
+      "q88_equiheight_histogram",
+      (s, d) => {
+        import s.implicits._
+        // Equi-height histogram — optimizer-statistics material: bucket
+        // BOUNDS come from the distributed exact-percentile operator
+        // (q35's bucketed rank selection, which never co-locates a group),
+        // then one scan buckets rows against the three literal bounds.
+        // Works because exactInterpolated is bit-equal to QUANTILE_CONT
+        // (PercentilesSpec): identical double bounds + identical `<`
+        // comparisons → identical bucket membership on both engines. The
+        // bounds are 3 driver scalars, the same control-plane class as
+        // IVF's centroids.
+        val li = Tables.lineitem(s, d)
+          .select(lit(1).as("g"), $"l_extendedprice",
+            round($"l_extendedprice" * 100).cast("long").as("pc"))
+        val b = graft.operators.Percentiles.exactInterpolated(
+          li, "g", Seq(
+            ("l_extendedprice", 0.25, "q1"),
+            ("l_extendedprice", 0.50, "q2"),
+            ("l_extendedprice", 0.75, "q3")))
+          .head()
+        val (q1, q2, q3) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
+        li.select(
+            when($"l_extendedprice" < q1, 0L)
+              .when($"l_extendedprice" < q2, 1L)
+              .when($"l_extendedprice" < q3, 2L)
+              .otherwise(3L).as("bucket"), $"pc")
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n"), sum($"pc").as("cents"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH b AS (
+          SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1,
+                 QUANTILE_CONT(l_extendedprice, 0.50) AS q2,
+                 QUANTILE_CONT(l_extendedprice, 0.75) AS q3
+          FROM lineitem)
+        SELECT CAST(CASE WHEN l_extendedprice < (SELECT q1 FROM b) THEN 0
+                         WHEN l_extendedprice < (SELECT q2 FROM b) THEN 1
+                         WHEN l_extendedprice < (SELECT q3 FROM b) THEN 2
+                         ELSE 3 END AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY bucket"""),
+      doc = "Equi-height histogram: bucket bounds from the distributed exact-percentile operator (bit-equal to QUANTILE_CONT), one bucketing scan against 3 literal bounds — optimizer-statistics construction as a first-class, oracle-checked operator.")
   )
 }
