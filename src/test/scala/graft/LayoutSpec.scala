@@ -36,6 +36,38 @@ class LayoutSpec extends AnyFunSuite {
       li.agg(sum("l_quantity")).head.getDouble(0))
   }
 
+  test("compact: many small files become few sorted files; data survives; ranges disjoint") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/frag"
+    val li = Tables.lineitem(spark, sf)
+    // simulate a year of incremental appends: 64 unsorted fragments
+    li.repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"fixture not fragmented enough: $before files")
+    val (cnt, qty) = (li.count(),
+      li.agg(org.apache.spark.sql.functions.sum("l_quantity")).head.getDouble(0))
+
+    Layout.compact(spark, dir, "l_shipdate", 4)
+
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 4, s"expected 4 compacted files, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == cnt)
+    assert(back.agg(org.apache.spark.sql.functions.sum("l_quantity")).head.getDouble(0) == qty)
+    // compaction restores the pruning invariant, not just the file budget
+    val ranges = Layout.fileRanges(spark, dir, "l_shipdate")
+      .selectExpr("CAST(lo AS STRING)", "CAST(hi AS STRING)")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, "compacted ranges overlap")
+      case _ =>
+    }
+    // tmp/old staging dirs are gone after the atomic swap
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact-tmp")) && !parent.exists(_.contains("compact-old")),
+      s"staging dirs leaked: ${parent.mkString(",")}")
+  }
+
   test("a narrow predicate on the sort key intersects ~1 of N disjoint file ranges") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/li"
     Layout.writeSorted(Tables.lineitem(spark, sf), dir, "l_orderkey", 8)
