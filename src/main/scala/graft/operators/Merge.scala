@@ -30,4 +30,46 @@ object Merge {
       .select(payloadCols.map(col): _*)
     kept.unionByName(upserts)
   }
+
+  // ---- Versioned snapshot table (time travel) --------------------------
+  //
+  // The minimal lakehouse version layer: a table is a directory of
+  // immutable `v<N>` parquet snapshots; every CDC apply writes vN+1 from
+  // vN + changes, never mutating history. Readers pick a version (time
+  // travel) or the latest. This is the layout the streaming CDC-apply
+  // test maintains through foreachBatch — promoted to the operator
+  // surface so batch callers share one implementation. Old versions are
+  // retention, not garbage: drop them with an explicit vacuum policy.
+
+  import org.apache.spark.sql.SparkSession
+
+  /** Highest committed version N of `dir` (v0..vN), or -1 if none. */
+  def latestVersion(spark: SparkSession, dir: String): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .sorted.lastOption.getOrElse(-1L)
+  }
+
+  /** Time-travel read: the table exactly as of version `v`. */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
+    spark.read.parquet(s"$dir/v$v")
+
+  /** Apply one change batch to the latest snapshot, committing vN+1.
+    * Overwrite mode makes a replayed apply of the same (version, batch)
+    * idempotent — the exactly-once story under at-least-once delivery.
+    * Returns the new version.
+    */
+  def applyVersioned(spark: SparkSession, dir: String, changes: DataFrame, key: String): Long = {
+    val cur = latestVersion(spark, dir)
+    require(cur >= 0, s"no v0 snapshot under $dir — seed the table first")
+    val next = cur + 1
+    upsert(readVersion(spark, dir, cur), changes, key)
+      .write.mode("overwrite").parquet(s"$dir/v$next")
+    next
+  }
 }

@@ -31,4 +31,25 @@ class MergeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(600))
     assert(!p.contains("SortMergeJoin"), "anti-join must not shuffle the snapshot")
   }
+
+  test("versioned table: applies commit immutable vN+1; every version stays time-travel readable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_vt").toString + "/tbl"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.parquet(s"$dir/v0")
+    assert(Merge.latestVersion(spark, dir) == 0L)
+
+    val v1 = Merge.applyVersioned(spark, dir,
+      Seq((2L, "B", 9.0, "U"), (3L, "c", 3.0, "U")).toDF("k", "name", "v", "op"), "k")
+    val v2 = Merge.applyVersioned(spark, dir,
+      Seq((1L, "", 0.0, "D")).toDF("k", "name", "v", "op"), "k")
+    assert((v1, v2) == (1L, 2L) && Merge.latestVersion(spark, dir) == 2L)
+
+    def snap(v: Long) = Merge.readVersion(spark, dir, v)
+      .orderBy($"k").as[(Long, String, Double)].collect().toSeq
+    // history is immutable: each version still reads back exactly
+    assert(snap(0) == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(snap(1) == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0)))
+    assert(snap(2) == Seq((2L, "B", 9.0), (3L, "c", 3.0)))
+  }
 }
