@@ -465,8 +465,7 @@ object AnalyticsQueries {
         FROM orders
         GROUP BY o_custkey
         ORDER BY o_custkey"""),
-      doc = "Incremental aggregate maintenance: old-range materialized agg + delta agg merged with a FULL OUTER monoid merge — must equal the from-scratch recompute the oracle performs; only the delta slice is rescanned.")
-  ,
+      doc = "Incremental aggregate maintenance: old-range materialized agg + delta agg merged with a FULL OUTER monoid merge — must equal the from-scratch recompute the oracle performs; only the delta slice is rescanned."),
 
     Q(
       "q86_pagerank",
@@ -623,6 +622,35 @@ object AnalyticsQueries {
         FROM lineitem
         GROUP BY 1
         ORDER BY bucket"""),
-      doc = "Equi-height histogram: bucket bounds from the distributed exact-percentile operator (bit-equal to QUANTILE_CONT), one bucketing scan against 3 literal bounds — optimizer-statistics construction as a first-class, oracle-checked operator.")
+      doc = "Equi-height histogram: bucket bounds from the distributed exact-percentile operator (bit-equal to QUANTILE_CONT), one bucketing scan against 3 literal bounds — optimizer-statistics construction as a first-class, oracle-checked operator."),
+
+    Q(
+      "q89_bag_set_ops",
+      (s, d) => {
+        import s.implicits._
+        // Multiset (bag) set operations — the ALL variants q10's
+        // set-semantics row doesn't touch. Catalyst plans these as
+        // count-aggregate + multiplicity replication (no row-by-row
+        // matching): one shuffle per side keyed on the value, min/diff of
+        // the counts, generate to re-expand — the only shape that holds
+        // at 100 TB, where "pair up duplicate rows" is not a plan.
+        val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+        val sup = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+        c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+          .unionByName(c.exceptAll(sup).withColumn("op", lit("except_all")))
+          .orderBy($"op", $"nationkey")
+      },
+      Some("""
+        SELECT nationkey, 'intersect_all' AS op FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nationkey FROM supplier) i
+        UNION ALL
+        SELECT nationkey, 'except_all' AS op FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          EXCEPT ALL
+          SELECT s_nationkey AS nationkey FROM supplier) e
+        ORDER BY op, nationkey"""),
+      doc = "Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): multiplicity-exact via count-aggregate + replication, never row pairing — completes the set-op family next to q10's DISTINCT variants.")
   )
 }
