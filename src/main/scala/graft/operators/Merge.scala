@@ -72,4 +72,26 @@ object Merge {
       .write.mode("overwrite").parquet(s"$dir/v$next")
     next
   }
+
+  /** Retention: drop all but the newest `keepLast` versions. Never
+    * touches the latest snapshot (keepLast is clamped to ≥ 1), deletes
+    * strictly oldest-first, and returns the dropped version numbers —
+    * the explicit vacuum policy the version layer's docs promise. Time
+    * travel to a vacuumed version then fails loudly at read (the dir is
+    * gone), never silently serves a different state.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    val latest = latestVersion(spark, dir)
+    require(latest >= 0, s"no versions under $dir")
+    val cutoff = latest - math.max(1, keepLast) + 1
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val dropped = fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .filter(_ < cutoff).sorted
+    dropped.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$dir/v$v"), true))
+    dropped
+  }
 }

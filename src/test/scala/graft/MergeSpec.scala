@@ -51,5 +51,13 @@ class MergeSpec extends AnyFunSuite {
     assert(snap(0) == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
     assert(snap(1) == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0)))
     assert(snap(2) == Seq((2L, "B", 9.0), (3L, "c", 3.0)))
+
+    // retention: vacuum keeps the newest 2, drops v0, never the latest
+    assert(Merge.vacuum(spark, dir, keepLast = 2) == Seq(0L))
+    assert(Merge.latestVersion(spark, dir) == 2L)
+    assert(snap(2) == Seq((2L, "B", 9.0), (3L, "c", 3.0)))
+    intercept[Exception](snap(0)) // vacuumed version fails loudly, not silently
+    assert(Merge.vacuum(spark, dir, keepLast = 0) == Seq(1L)) // clamped to keep >= 1
+    assert(snap(2).nonEmpty)
   }
 }
