@@ -64,7 +64,62 @@ object Bench {
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
     // shared box; the median is what the engine actually costs.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.allQueries.map { q =>
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
+
+    def detailLine(): String = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      // per-rep arrays (sorted asc) + min: box contention swung identical
+      // code 22x between rounds — make scheduling noise visible in the
+      // artifact itself rather than only in round-over-round medians
+      val qsReps = results.map { case (k, _, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val qsMin = results.map { case (k, v, ts) =>
+        val mn = if (v < 0) -1.0 else ts.head
+        "\"" + k + "\":" + f"$mn%.3f"
+      }.mkString("{", ",", "}")
+      val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      // total_min = sum of per-query minima: a contended driver window shows
+      // total >> total_min, making scheduling noise self-diagnosing at the
+      // headline level (not just per-query)
+      val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
+    }
+    // Compact line for the driver: its stdout capture keeps only the LAST
+    // 2000 chars, and the full-detail line above is ~5 KB — a last-line
+    // parse saw a mid-JSON fragment for five rounds running. Short keys
+    // (the qNN prefix) keep this line well under the window even as the
+    // query count grows; the full names live in the detail line/file.
+    def compactLine(): String = {
+      val qsShort = results.map { case (k, v, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      }.mkString("{", ",", "}")
+      val errorsShort = results
+        .collect { case (k, v, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
+    }
+    // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
+    // bench artifact because the driver killed a contended window before
+    // the single end-of-run write. Rewriting bench.json and printing the
+    // cumulative compact line per query means a killed run still leaves
+    // the latest cumulative snapshot as the last parseable stdout line
+    // and on disk; a COMPLETE run's final lines are identical to the old
+    // all-at-once format (the last snapshot covers all queries).
+    def emitSnapshot(): Unit = {
+      val line = detailLine(); val compact = compactLine()
+      try Files.writeString(Paths.get("bench.json"), line + "\n" + compact + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+      System.out.println(compact)
+      System.out.flush()
+    }
+
+    SparkEntry.allQueries.foreach { q =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -77,46 +132,10 @@ object Bench {
       }.sorted
       // any failed rep poisons the query: report -1, never a partial time
       val t = if (times.head < 0) -1.0 else times(times.length / 2)
-      (q.name, t, times)
+      results += ((q.name, t, times))
+      emitSnapshot()
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // per-rep arrays (sorted asc) + min: box contention swung identical
-    // code 22x between rounds — make scheduling noise visible in the
-    // artifact itself rather than only in round-over-round medians
-    val qsReps = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, v, ts) =>
-      val mn = if (v < 0) -1.0 else ts.head
-      "\"" + k + "\":" + f"$mn%.3f"
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // total_min = sum of per-query minima: a contended driver window shows
-    // total >> total_min, making scheduling noise self-diagnosing at the
-    // headline level (not just per-query)
-    val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
-    // Compact line for the driver: its stdout capture keeps only the LAST
-    // 2000 chars, and the full-detail line above is ~5 KB — a last-line
-    // parse saw a mid-JSON fragment for five rounds running. Short keys
-    // (the qNN prefix) keep this line well under the window even as the
-    // query count grows; the full names live in the detail line/file.
-    val qsShort = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
-    val errorsShort = results
-      .collect { case (k, v, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
-      .mkString("[", ",", "]")
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
-    // the file is the redundant channel: an unwritable cwd must not lose
-    // the stdout line (or skip spark.stop) after all queries already ran
-    try Files.writeString(Paths.get("bench.json"), line + "\n" + compact + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
+    val line = detailLine(); val compact = compactLine()
     spark.stop()
     // print AFTER stop so no log line can interleave; System.out directly.
     // Detail first, compact LAST: the driver's truncated-tail last-line

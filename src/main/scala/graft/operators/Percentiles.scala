@@ -63,6 +63,22 @@ object Percentiles {
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
   }
 
+  /** True iff the group column folds to a literal (e.g. a caller passed
+    * `lit(1).as("g")` to get global percentiles). Checked on the OPTIMIZED
+    * plan of a one-column projection so constant propagation through
+    * intermediate projects is applied; anything unrecognized conservatively
+    * answers false (the grouped path is always correct, just windowed).
+    */
+  private def groupIsConstant(df: DataFrame, groupCol: String): Boolean =
+    df.select(col(groupCol)).queryExecution.optimizedPlan match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.forall {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.foldable
+          case e => e.foldable
+        }
+      case _ => false
+    }
+
   private def forOneColumn(df: DataFrame, groupCol: String, valueCol: String,
                            colSpecs: Seq[(String, Double, String)],
                            bounds: Array[Double]): DataFrame = {
@@ -78,32 +94,50 @@ object Percentiles {
     val bucketed = projected.withColumn("__bkt", bucketCol)
 
     val counts = bucketed.groupBy(col(groupCol), col("__bkt")).agg(count(lit(1)).as("__c"))
-    val offW = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
-      .select(col(groupCol), col("__bkt"), col("__off"))
-
     val localW = Window.partitionBy(col(groupCol), col("__bkt")).orderBy(col(valueCol))
-    val ranked = bucketed
-      .withColumn("__local", row_number().over(localW).cast("long"))
-      .join(offsets, Seq(groupCol, "__bkt"))
-      .select(col(groupCol), col(valueCol), (col("__local") + col("__off")).as("__grank"))
+    val local = bucketed.withColumn("__local", row_number().over(localW).cast("long"))
+    val ranked = (if (groupIsConstant(df, groupCol)) {
+      // The group key folds to a literal (q88 passes lit(1)): the per-group
+      // cumulative window below would fold to a no-partition global
+      // WindowExec ("No Partition Defined" WARN per run). With ONE group
+      // the bucket counts are ≤ numBuckets driver rows — the same
+      // control-plane class as the approxQuantile bounds — so compute the
+      // exclusive prefix sums on the driver and inline them as a literal
+      // CASE on __bkt: one window and one join fewer than the grouped path.
+      val cRows = counts.select(col("__bkt"), col("__c")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offs = cRows.map { case (b, c) => val o = acc; acc += c; (b, o) }
+      val offExpr = offs.foldLeft(lit(0L)) { case (e, (b, o)) =>
+        when(col("__bkt") === b, lit(o)).otherwise(e)
+      }
+      local.withColumn("__off", offExpr)
+    } else {
+      val offW = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts.withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
+        .select(col(groupCol), col("__bkt"), col("__off"))
+      local.join(offsets, Seq(groupCol, "__bkt"))
+    }).select(col(groupCol), col(valueCol), (col("__local") + col("__off")).as("__grank"))
 
     val ngroups = projected.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    // two target ranks per (group, spec): lo = ⌊p(n−1)⌋+1 and hi = min(lo+1, n)
+    // two target ranks per (group, spec): lo = ⌊p(n−1)⌋+1 and hi = min(lo+1, n).
+    // The group column is RENAMED (__tgrp) on this side: both frames derive
+    // from the same parent, and a same-attribute equality would make Spark
+    // log a "trivially true equals predicate" warning per execution.
     val targets = colSpecs.zipWithIndex.map { case ((_, p, _), i) =>
       val r = lit(p) * (col("__n") - 1).cast("double")
       val lo = floor(r)
       ngroups.select(
-        col(groupCol), lit(i).as("__spec"), (r - lo).as("__frac"),
+        col(groupCol).as("__tgrp"), lit(i).as("__spec"), (r - lo).as("__frac"),
         (lo.cast("long") + 1).as("__lorank"),
         least(lo.cast("long") + 2, col("__n")).as("__hirank"))
     }.reduce(_ unionAll _)
 
     val matched = ranked.join(targets,
-        ranked(groupCol) === targets(groupCol) &&
+        col(groupCol) === col("__tgrp") &&
           (col("__grank") === col("__lorank") || col("__grank") === col("__hirank")))
-      .select(ranked(groupCol), col("__spec"), col("__frac"),
+      .select(col(groupCol), col("__spec"), col("__frac"),
         col("__lorank"), col("__hirank"), col("__grank"), col(valueCol))
 
     val perSpec = matched.groupBy(col(groupCol), col("__spec"), col("__frac"))
