@@ -47,20 +47,48 @@ object Layout {
     * a failed compaction can never eat the table.
     */
   def compact(spark: SparkSession, dir: String, sortCol: String, numFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(dir)
+    val tmpP = new Path(tmp)
+    val oldP = new Path(dir.stripSuffix("/") + ".compact-old")
+    // Fail fast on leftovers from a crashed run: with an EXISTING
+    // .compact-old, HDFS rename(dst, old) silently moves the table INTO it
+    // as a child (rename-into-directory semantics), corrupting the swap.
+    // Unknown prior state is an operator decision, not something to guess.
+    require(!fs.exists(tmpP) && !fs.exists(oldP),
+      s"leftover $tmpP or $oldP from a previous compaction — resolve manually before compacting")
     val src = spark.read.parquet(dir)
     val expected = src.count()
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
     writeSorted(src, tmp, sortCol, numFiles)
     val actual = spark.read.parquet(tmp).count()
     require(actual == expected,
       s"compaction audit failed: $expected rows in, $actual out — keeping the original")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val old = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + ".compact-old")
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-    fs.delete(old, true)
+    // Publish = two renames, EACH checked: FileSystem.rename reports most
+    // failures by returning false rather than throwing, and ignoring that
+    // here is how a failed swap eats the table.
+    def renamed(a: Path, b: Path): Boolean =
+      try fs.rename(a, b) catch { case _: java.io.IOException => false }
+    if (!renamed(dst, oldP)) {
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(s"compaction aborted: could not move $dst aside; table untouched")
+    }
+    if (!renamed(tmpP, dst)) {
+      // the backup is now the ONLY copy — restore it before failing
+      if (!renamed(oldP, dst))
+        throw new java.io.IOException(
+          s"compaction publish AND rollback failed: table data is intact at $oldP — restore manually")
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(s"compaction publish failed; original restored at $dst")
+    }
+    // drop the backup only after the published dir verifiably reads back
+    val published = try spark.read.parquet(dir).count() catch { case _: Throwable => -1L }
+    if (published != expected)
+      throw new java.io.IOException(
+        s"published $dst reads $published rows, expected $expected — backup kept at $oldP")
+    fs.delete(oldP, true)
   }
 
   // ---- Z-order (Morton) clustering -------------------------------------

@@ -68,6 +68,27 @@ class LayoutSpec extends AnyFunSuite {
       s"staging dirs leaked: ${parent.mkString(",")}")
   }
 
+  test("compact fails fast on staging leftovers from a crashed run; the table is untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/tbl"
+    val df = (1L to 100L).map(i => (i, s"r$i")).toDF("k", "s")
+    df.write.parquet(dir)
+    // a leftover .compact-old is the dangerous one: on HDFS, rename(dst, old)
+    // with old existing moves the table INTO it as a child — compact must
+    // refuse up front rather than guess at the crashed run's state
+    for (leftover <- Seq(".compact-old", ".compact-tmp")) {
+      val stale = new java.io.File(dir + leftover)
+      assert(stale.mkdirs())
+      intercept[IllegalArgumentException](Layout.compact(spark, dir, "k", 2))
+      assert(stale.delete())
+      // untouched: same rows, original (uncompacted) file layout
+      assert(spark.read.parquet(dir).count() == 100L)
+    }
+    // with the leftovers cleared, the same compact succeeds
+    Layout.compact(spark, dir, "k", 2)
+    assert(spark.read.parquet(dir).count() == 100L)
+  }
+
   test("a narrow predicate on the sort key intersects ~1 of N disjoint file ranges") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/li"
     Layout.writeSorted(Tables.lineitem(spark, sf), dir, "l_orderkey", 8)
