@@ -43,7 +43,14 @@ object Merge {
 
   import org.apache.spark.sql.SparkSession
 
-  /** Highest committed version N of `dir` (v0..vN), or -1 if none. */
+  /** Highest COMMITTED version N of `dir` (v0..vN), or -1 if none.
+    * Committed = the snapshot dir carries the `_SUCCESS` marker Spark's
+    * parquet committer writes after the job completes. A crash mid-write
+    * of v(N+1) leaves a partial dir WITHOUT the marker; counting it would
+    * make the next apply read the partial snapshot as its base
+    * (propagating missing rows into every later version) and would let
+    * time travel serve an uncommitted state.
+    */
   def latestVersion(spark: SparkSession, dir: String): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -52,6 +59,7 @@ object Merge {
     else fs.listStatus(p).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.matches("v\\d+") => n.drop(1).toLong }
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v$v/_SUCCESS")))
       .sorted.lastOption.getOrElse(-1L)
   }
 
@@ -59,14 +67,23 @@ object Merge {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame =
     spark.read.parquet(s"$dir/v$v")
 
-  /** Apply one change batch to the latest snapshot, committing vN+1.
-    * Overwrite mode makes a replayed apply of the same (version, batch)
-    * idempotent — the exactly-once story under at-least-once delivery.
+  /** Apply one change batch to the latest committed snapshot, committing
+    * vN+1. Overwrite mode makes a replayed apply of the same
+    * (version, batch) idempotent — the exactly-once story under
+    * at-least-once delivery. Pass `expectedVersion` (the base version the
+    * caller believes is latest) to make the replay DETERMINISTIC: a retry
+    * of apply(base = N) always rewrites v(N+1) from v(N), even if an
+    * uncommitted partial v(N+1) is lying around, and fails loudly if the
+    * table has meanwhile advanced past N (a concurrent writer — minting
+    * v(N+2) from a stale base would silently drop that writer's commit).
     * Returns the new version.
     */
-  def applyVersioned(spark: SparkSession, dir: String, changes: DataFrame, key: String): Long = {
+  def applyVersioned(spark: SparkSession, dir: String, changes: DataFrame, key: String,
+                     expectedVersion: Long = -1L): Long = {
     val cur = latestVersion(spark, dir)
     require(cur >= 0, s"no v0 snapshot under $dir — seed the table first")
+    require(expectedVersion < 0 || cur == expectedVersion,
+      s"expected latest v$expectedVersion but found v$cur — concurrent writer or stale replay")
     val next = cur + 1
     upsert(readVersion(spark, dir, cur), changes, key)
       .write.mode("overwrite").parquet(s"$dir/v$next")

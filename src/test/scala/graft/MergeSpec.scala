@@ -32,6 +32,68 @@ class MergeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "anti-join must not shuffle the snapshot")
   }
 
+  test("lifecycle composition: CDC apply → compact the new snapshot → time travel → vacuum") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("merge_life").toString + "/tbl"
+    // seed v0 fragmented (8 files) — the state incremental ingest leaves
+    (1L to 50L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "v")
+      .repartition(8).write.parquet(s"$dir/v0")
+
+    // 1. CDC apply commits v1 (delete k=1, insert k=51)
+    val v1 = Merge.applyVersioned(spark, dir,
+      Seq((1L, "", 0.0, "D"), (51L, "x", 51.0, "U")).toDF("k", "name", "v", "op"), "k",
+      expectedVersion = 0L)
+    assert(v1 == 1L)
+
+    // 2. lake maintenance: compact the NEW snapshot in place; the commit
+    //    marker and content must survive the write-audit-publish swap
+    Layout.compact(spark, s"$dir/v1", "k", 2)
+    assert(Merge.latestVersion(spark, dir) == 1L,
+      "compaction must not un-commit the snapshot")
+    assert(new java.io.File(s"$dir/v1").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    val expectV1 = (2L to 50L).map(i => (i, s"n$i", i * 1.0)) :+ ((51L, "x", 51.0))
+    assert(Merge.readVersion(spark, dir, 1L).orderBy($"k")
+      .as[(Long, String, Double)].collect().toSeq == expectV1)
+
+    // 3. time travel: v0 is bit-identical through both apply and compact
+    assert(Merge.readVersion(spark, dir, 0L).orderBy($"k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      (1L to 50L).map(i => (i, s"n$i", i * 1.0)))
+
+    // 4. retention: vacuum drops v0 only; the compacted latest still reads
+    assert(Merge.vacuum(spark, dir, keepLast = 1) == Seq(0L))
+    assert(Merge.readVersion(spark, dir, 1L).count() == 50L)
+    intercept[Exception](Merge.readVersion(spark, dir, 0L).count())
+  }
+
+  test("crash-safety: an uncommitted v dir (no _SUCCESS) is invisible; expectedVersion gates replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_crash").toString + "/tbl"
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v").write.parquet(s"$dir/v0")
+    // simulate a crash mid-write of v1: the dir exists with data files but
+    // the committer never wrote _SUCCESS
+    assert(new java.io.File(s"$dir/v1").mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v1/part-00000.parquet"), "partial garbage")
+    assert(Merge.latestVersion(spark, dir) == 0L,
+      "a partial snapshot must not count as committed")
+    // a replay that declares its base deterministically REWRITES v1 from v0
+    // instead of minting v2 on top of the partial dir
+    val v1 = Merge.applyVersioned(spark, dir,
+      Seq((2L, "b", 2.0, "U")).toDF("k", "name", "v", "op"), "k", expectedVersion = 0L)
+    assert(v1 == 1L && Merge.latestVersion(spark, dir) == 1L)
+    assert(Merge.readVersion(spark, dir, 1L).orderBy($"k")
+      .as[(Long, String, Double)].collect().toSeq == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // a stale replay (the table has advanced past the declared base) fails
+    // loudly instead of silently dropping the concurrent commit
+    intercept[IllegalArgumentException] {
+      Merge.applyVersioned(spark, dir,
+        Seq((3L, "c", 3.0, "U")).toDF("k", "name", "v", "op"), "k", expectedVersion = 0L)
+    }
+  }
+
   test("versioned table: applies commit immutable vN+1; every version stays time-travel readable") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("merge_vt").toString + "/tbl"
