@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank in EXACT scaled-integer arithmetic (ranks scaled by 10^12,
+  * damping 0.85, every division a floor division at a fixed point in the
+  * formula). Integer ranks make the distributed Σ over in-neighbors
+  * order-independent — the same input always yields the bitwise-same
+  * vector regardless of partitioning or parallelism, which double-typed
+  * PageRank can never promise. Floor losses bound total mass drift below
+  * 1e-7 of the scale per iteration.
+  *
+  * Per iteration: one join (rank vector → edge list) + one aggregation;
+  * only the (node, rank) vector flows between iterations — the edge and
+  * degree tables are read-only inputs the caller typically memoizes.
+  * That shape is exactly Pregel's message-passing round expressed as
+  * relational ops, and survives 100×: the vector is O(|V|), edges are
+  * never rewritten.
+  *
+  * Two driving modes:
+  *   - [[fixed]]: exactly `iters` rounds — the cross-engine-reproducible
+  *     shape (q86's oracle runs the same two rounds in DuckDB);
+  *   - [[converge]]: rounds until the integer L1 delta Σ|pr−pr'| drops to
+  *     `epsScaled` (same 10^12 scale) or `maxIter` is hit. The delta is
+  *     an exact integer, so "converged" is a deterministic predicate, not
+  *     a float threshold race. Each intermediate vector is persisted and
+  *     the predecessor released — lineage stays one round deep.
+  */
+object PageRank {
+
+  /** Rank scale: 1.0 ≡ 10^12. */
+  val Scale: Long = 1000000000000L
+
+  /** Both-direction edge list of an undirected (u, v) pair table. */
+  def bothWays(undirected: DataFrame): DataFrame =
+    undirected.union(undirected.select(col("v").as("u"), col("u").as("v")))
+
+  /** (node, d) out-degree table of a both-ways edge list. */
+  def degrees(el: DataFrame): DataFrame =
+    el.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+
+  private def base(n: Long): Long = (Scale * 15L) / (100L * n)
+
+  /** One synchronous round: pr' = base + ⌊0.85 · Σ_in ⌊pr/d⌋⌋. */
+  def step(el: DataFrame, deg: DataFrame, pr: DataFrame, n: Long): DataFrame =
+    el.join(pr.select(col("node").as("u"), col("pr")), "u")
+      .join(deg.select(col("node").as("u"), col("d")), "u")
+      .select(col("v"), expr("pr div d").as("contrib"))
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("contrib")).as("c"))
+      .select(col("node"), (lit(base(n)) + expr("(85 * c) div 100")).as("pr"))
+
+  /** Uniform start vector ⌊S/n⌋ over the degree table's nodes. */
+  def initial(deg: DataFrame, n: Long): DataFrame =
+    deg.select(col("node"), lit(Scale / n).as("pr"))
+
+  /** Exactly `iters` rounds from the uniform start. */
+  def fixed(el: DataFrame, deg: DataFrame, n: Long, iters: Int): DataFrame =
+    (0 until iters).foldLeft(initial(deg, n))((pr, _) => step(el, deg, pr, n))
+
+  /** Iterate to fixpoint: stop when the integer L1 delta ≤ `epsScaled`
+    * or after `maxIter` rounds. Returns (final vector, rounds run,
+    * final delta). The returned vector is persisted — caller unpersists.
+    */
+  def converge(el: DataFrame, deg: DataFrame, epsScaled: Long,
+               maxIter: Int = 20): (DataFrame, Int, Long) = {
+    val n = deg.count()
+    var pr = initial(deg, n).persist(StorageLevel.MEMORY_AND_DISK)
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta > epsScaled && it < maxIter) {
+      val next = step(el, deg, pr, n).persist(StorageLevel.MEMORY_AND_DISK)
+      // exact integer L1 distance — one tiny join over two (node, long)
+      // vectors; an action, so `next` materializes here and the loop's
+      // lineage never grows past one round
+      delta = next.select(col("node"), col("pr").as("__npr"))
+        .join(pr, "node")
+        .agg(sum(abs(col("__npr") - col("pr"))))
+        .head().getLong(0)
+      pr.unpersist()
+      pr = next
+      it += 1
+    }
+    (pr, it, delta)
+  }
+}

@@ -182,6 +182,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == pr, "distributed integer pagerank diverged from the sequential recompute")
   }
 
+  test("PageRank.converge reaches an integer-L1 fixpoint under the cap and one further step stays inside eps") {
+    import graft.operators.PageRank
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val eu = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val el = PageRank.bothWays(eu).persist()
+    val deg = PageRank.degrees(el).persist()
+    val S = PageRank.Scale
+    val eps = S / 1000L
+    val (pr, iters, delta) = PageRank.converge(el, deg, eps, maxIter = 60)
+    assert(delta <= eps, s"no fixpoint: delta=$delta after $iters rounds")
+    assert(iters < 60, "hit the iteration cap instead of the early exit")
+    // mass is conserved at the fixpoint up to accumulated floor losses
+    val mass = pr.agg(sum(col("pr"))).head().getLong(0)
+    assert(math.abs(mass - S) < S / 100000L, s"mass drifted: $mass vs $S")
+    // stability: the integer delta is a contraction (factor 0.85 plus
+    // bounded floor noise), so one more synchronous round stays inside eps
+    val n = deg.count()
+    val next = PageRank.step(el, deg, pr, n)
+    val delta2 = next.select(col("node"), col("pr").as("__npr"))
+      .join(pr, "node")
+      .agg(sum(abs(col("__npr") - col("pr")))).head().getLong(0)
+    assert(delta2 <= eps, s"fixpoint not stable: a further round moved L1 by $delta2")
+    pr.unpersist(); el.unpersist(); deg.unpersist()
+  }
+
   test("q87: bloom-prefiltered semi-join equals the plain semi-join; might_contain is in the plan") {
     val df = SparkEntry.queries("q87_bloom_semijoin")(spark, sf)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
