@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling with DETERMINISTIC integer priorities — the curation
+  * operator for mixing corpora by a quality/length weight ("sample 10k
+  * docs per language, proportional to quality") that must be reproducible
+  * across runs, engines, and partitionings.
+  *
+  * The A-ES weighted-reservoir family draws key U^(1/w) per item and keeps
+  * the top-k; anything built on an RNG or on float keys is neither
+  * replayable nor cross-engine stable. This variant keeps the
+  * weight-biased-rank idea but makes the key a pure INTEGER function of
+  * the id:
+  *
+  *   x        = (id + seed) mod M                  (M = 2^31−1, prime)
+  *   h(id)    = (x·x mod M) * A mod M              (A = 48271)
+  *   priority = (h(id) * 10^6) div weight
+  *
+  * and keeps the k SMALLEST priorities per group (ties broken by id).
+  * The SQUARE is load-bearing: a purely affine mixer (Lehmer alone) turns
+  * an additive seed into a constant shift of every hash — same ordering,
+  * same sample for every seed. Squaring makes the seed interact with the
+  * id (2·id·seed cross-term), so each seed draws a fresh ordering, while
+  * h stays a pure function: re-running, repartitioning, or replaying in
+  * another engine selects the same rows. Doubling an item's weight halves
+  * its expected priority — heavier items win proportionally more often
+  * across seeds (pinned in SamplingSpec).
+  *
+  * The widest intermediate is x² < M² ≈ 2^62, inside signed-64 range, so
+  * engines that ERROR on BIGINT overflow rather than wrap (DuckDB)
+  * compute the identical value — the q90 oracle runs this formula
+  * verbatim in SQL.
+  *
+  * Scale shape: one window shuffle on the group key; the priority is a
+  * codegen'd per-row expression. For k ≪ group size, a per-partition
+  * top-k pre-prune (rank within partition ≤ k) can bound the shuffle —
+  * not needed until group cardinalities are extreme.
+  */
+object Sampling {
+
+  /** Park–Miller modulus (prime) and multiplier. */
+  val M = 2147483647L
+  val A = 48271L
+  private val Scale = 1000000L
+
+  /** The deterministic priority as a SQL expression over the two column
+    * names — `div` is integer division, `weight` is clamped to ≥ 1 so a
+    * zero/negative weight degrades to uniform instead of dividing by zero.
+    * The identical text (with DuckDB's `//` for `div`) is the oracle side.
+    */
+  def prioritySql(idCol: String, weightCol: String, seed: Long): String =
+    s"(((($idCol + $seed) % $M) * (($idCol + $seed) % $M)) % $M * $A % $M * $Scale)" +
+      s" div greatest($weightCol, 1)"
+
+  def priority(idCol: String, weightCol: String, seed: Long): Column =
+    expr(prioritySql(idCol, weightCol, seed))
+
+  /** Keep the k smallest-priority rows per group. Output = input columns
+    * plus the integer `__priority` (callers project/rename as needed).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__priority"), col(idCol))
+    df.withColumn("__priority", priority(idCol, weightCol, seed))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -380,6 +380,42 @@ object CurationQueries {
         FROM bg b JOIN freq f ON b.bg = f.bg
         GROUP BY b.doc_id
         ORDER BY b.doc_id"""),
-      doc = "Corpus-relative n-gram novelty (perplexity proxy without an LM): mean corpus bigram frequency per doc — the boilerplate-vs-novel curation signal; corpus frequency table as the reusable index, one join + combined agg.")
+      doc = "Corpus-relative n-gram novelty (perplexity proxy without an LM): mean corpus bigram frequency per doc — the boilerplate-vs-novel curation signal; corpus frequency table as the reusable index, one join + combined agg."),
+
+    Q(
+      "q90_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        // Weighted sampling with deterministic integer priorities (the
+        // A-ES weighted-reservoir idea with the RNG replaced by a
+        // mid-square integer mixer of (id+seed)): keep the 10 smallest
+        // h(id) · 10^6 div weight per language, weight = document length.
+        // Weight-proportional selection that is a pure function of
+        // (id, weight, seed) — replayable bit-for-bit across runs,
+        // partitionings, and engines. One window shuffle on the group
+        // key; the priority is a codegen'd per-row integer expression
+        // (widest intermediate < 2^62, inside DuckDB's non-wrapping
+        // BIGINT range).
+        graft.operators.Sampling.weightedSamplePerGroup(
+            Tables.documents(s, d), "lang", "doc_id", "n_chars", k = 10, seed = 42L)
+          .select($"lang", $"doc_id", $"__priority".as("priority"))
+          .orderBy($"lang", $"doc_id")
+      },
+      Some("""
+        SELECT lang, doc_id, priority
+        FROM (
+          SELECT lang, doc_id,
+                 ((((doc_id + 42) % 2147483647) * ((doc_id + 42) % 2147483647))
+                   % 2147483647 * 48271 % 2147483647 * 1000000)
+                   // GREATEST(n_chars, 1) AS priority,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((((doc_id + 42) % 2147483647) * ((doc_id + 42) % 2147483647))
+                              % 2147483647 * 48271 % 2147483647 * 1000000)
+                              // GREATEST(n_chars, 1), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 10
+        ORDER BY lang, doc_id"""),
+      doc = "Weighted reservoir sampling (A-ES family) with deterministic integer priorities: mid-square-mixed id scaled-div weight, k smallest per stratum — weight-proportional corpus mixing that replays bit-for-bit in any engine; one window shuffle.")
   )
 }
