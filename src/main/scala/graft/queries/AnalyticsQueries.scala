@@ -440,27 +440,38 @@ object AnalyticsQueries {
       (s, d) => {
         import s.implicits._
         // EXACT heavy hitters (tokens with global count ≥ total/500) in
-        // two phases: per-partition local counting emits CANDIDATES at
-        // local threshold ceil(T/P) — the pigeonhole bound: if all P
-        // locals were below ceil(T/P), the global sum would be < T, so
-        // recall is exactly 1 with no distributional assumption — then
-        // one broadcast semi-join recounts candidates exactly. The full
-        // token stream is never shuffled by key; only candidate rows are.
+        // two phases, ONE candidate scan: each partition counts locally,
+        // emits its own total T_p as a marker row plus every token with
+        // 500·c_p + 499 ≥ T_p. Pigeonhole against PER-PARTITION totals:
+        // if 500·c_p + 499 < T_p on every partition then
+        // n = Σc_p < (T − 499P)/500 ≤ ⌊T/500⌋ = thr, so recall is
+        // exactly 1 with no distributional assumption — and unlike a
+        // ceil(T/P) local threshold, no preliminary count of T is needed.
+        // The emitted set is ≲ 500 rows per partition (each emitted count
+        // is ≥ (T_p−499)/500 of its partition), so collecting it is a
+        // bounded, labeled driver materialization like q87's bloom bytes;
+        // the global total falls out of the same rows. One broadcast
+        // semi-join then recounts candidates exactly. The token stream is
+        // scanned twice total (was three times) and never key-shuffled.
         // (For unbounded key spaces the local map becomes a capacity-
         // bounded Space-Saving summary; the corpus vocabulary here is
         // bounded, so a plain map is the honest choice.)
         val tok = Tables.documents(s, d)
           .select(explode(split(lower($"text"), "[^a-z]+")).as("token"))
           .filter($"token" =!= "")
-        val total = tok.count()
-        val thr = math.max(1L, total / 500)
-        val p = tok.rdd.getNumPartitions.toLong
-        val localThr = math.max(1L, (thr + p - 1) / p) // ceil(T/P)
-        val candidates = tok.as[String].mapPartitions { it =>
+        val localRows = tok.as[String].mapPartitions { it =>
           val m = scala.collection.mutable.HashMap.empty[String, Long]
-          it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
-          m.iterator.collect { case (t, c) if c >= localThr => t }
-        }.toDF("token").distinct()
+          var tot = 0L
+          it.foreach { t => tot += 1L; m.update(t, m.getOrElse(t, 0L) + 1L) }
+          // "" is the per-partition total marker: it cannot collide with a
+          // token (empty strings are filtered out of the stream above)
+          Iterator.single(("", tot)) ++
+            m.iterator.collect { case (t, c) if 500L * c + 499L >= tot => (t, c) }
+        }.collect()
+        val total = localRows.collect { case ("", t) => t }.sum
+        val thr = math.max(1L, total / 500)
+        val candidates = localRows.collect { case (t, _) if t.nonEmpty => t }
+          .distinct.toSeq.toDF("token")
         tok.join(broadcast(candidates), "token")
           .groupBy($"token")
           .agg(count(lit(1)).as("n"))
