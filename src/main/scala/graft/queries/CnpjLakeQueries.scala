@@ -149,6 +149,92 @@ object CnpjLakeQueries {
         GROUP BY m."desc"
         ORDER BY municipio"""),
       doc = "Partition-pruned CNPJ-lake star join over hive ref_date= dirs; " +
-        "oracle reads the SAME partitioned parquet (reference README.md:81 physical design).")
+        "oracle reads the SAME partitioned parquet (reference README.md:81 physical design)."),
+
+    Q(
+      "q93_freshness_gate",
+      (s, _) => {
+        // The reference's incremental-update decision (F1-F3, README.md:222)
+        // as an ORACLE row, not just a spec: the REAL control-plane path —
+        // catalog registration, SHOW PARTITIONS, FreshnessGate.shouldUpdate
+        // — runs per table against fixed manifest dates chosen to land on
+        // both sides of the max partition, and DuckDB independently derives
+        // the same decision from the same hive dirs. Partition listing is a
+        // metadata operation: no data file is read at any scale.
+        val root = ensureLake(s)
+        import s.implicits._
+        val db = "cnpj_gate"
+        val manifests = Seq(
+          ("municipios", 20230801),        // newer than max → update
+          ("empresas", Lake.NewSnap),      // equal to max → no update
+          ("estabelecimentos", Lake.OldSnap)) // older than max → no update
+        manifests.map { case (t, mdate) =>
+          graft.cnpj.CatalogOps.ensureTable(s, t, root, db)
+          val parts = graft.cnpj.CatalogOps.listPartitions(s, t, db)
+          val decision = graft.cnpj.FreshnessGate.shouldUpdate(
+            graft.cnpj.TableManifest(t, exists = true, Seq.empty, mdate), parts)
+          (t, parts.map(_.toInt).max, mdate, decision)
+        }.toDF("table_name", "max_ref_date", "manifest_date", "should_update")
+          .orderBy($"table_name")
+      },
+      Some(s"""
+        SELECT * FROM (
+          SELECT 'municipios' AS table_name,
+                 MAX(CAST(ref_date AS INT)) AS max_ref_date,
+                 20230801 AS manifest_date,
+                 20230801 > MAX(CAST(ref_date AS INT)) AS should_update
+          FROM read_parquet('${Lake.Root}/cnpj_db/municipios/*/*.parquet', hive_partitioning=1)
+          UNION ALL
+          SELECT 'empresas', MAX(CAST(ref_date AS INT)),
+                 ${Lake.NewSnap}, ${Lake.NewSnap} > MAX(CAST(ref_date AS INT))
+          FROM read_parquet('${Lake.Root}/cnpj_db/empresas/*/*.parquet', hive_partitioning=1)
+          UNION ALL
+          SELECT 'estabelecimentos', MAX(CAST(ref_date AS INT)),
+                 ${Lake.OldSnap}, ${Lake.OldSnap} > MAX(CAST(ref_date AS INT))
+          FROM read_parquet('${Lake.Root}/cnpj_db/estabelecimentos/*/*.parquet', hive_partitioning=1)
+        ) ORDER BY table_name"""),
+      doc = "CNPJ freshness gate (F1-F3) as an oracle row: max(ref_date) from the real catalog partition listing + FreshnessGate.shouldUpdate vs per-table manifest dates straddling the max; DuckDB re-derives the decision from the same hive dirs."),
+
+    Q(
+      "q94_partition_stats",
+      (s, _) => {
+        // The crawler's per-partition `recordCount` (reference
+        // check_update.py:138) gate-checked: ANALYZE every partition of
+        // every lake table, read the persisted stats back off the catalog
+        // (DESCRIBE ... PARTITION), and let DuckDB independently COUNT(*)
+        // the same hive dirs. The emitted numbers come from CATALOG
+        // METADATA, not a query-time scan — the point of publishing stats.
+        val root = ensureLake(s)
+        import s.implicits._
+        val db = "cnpj_stats_gate"
+        Seq("municipios", "empresas", "estabelecimentos").flatMap { t =>
+          graft.cnpj.CatalogOps.ensureTable(s, t, root, db)
+          graft.cnpj.CatalogOps.listPartitions(s, t, db).sorted.map { p =>
+            graft.cnpj.CatalogStats.analyzePartition(s, db, t, p)
+            val st = graft.cnpj.CatalogStats.partitionStats(s, db, t, p)
+              .getOrElse(sys.error(s"no partition stats for $t/$p after ANALYZE"))
+            val rows = st.rowCount
+              .getOrElse(sys.error(s"no rowCount for $t/$p after ANALYZE"))
+            (t, p.toInt, rows)
+          }
+        }.toDF("table_name", "ref_date", "record_count")
+          .orderBy($"table_name", $"ref_date")
+      },
+      Some(s"""
+        SELECT * FROM (
+          SELECT 'municipios' AS table_name, CAST(ref_date AS INT) AS ref_date,
+                 COUNT(*) AS record_count
+          FROM read_parquet('${Lake.Root}/cnpj_db/municipios/*/*.parquet', hive_partitioning=1)
+          GROUP BY 2
+          UNION ALL
+          SELECT 'empresas', CAST(ref_date AS INT), COUNT(*)
+          FROM read_parquet('${Lake.Root}/cnpj_db/empresas/*/*.parquet', hive_partitioning=1)
+          GROUP BY 2
+          UNION ALL
+          SELECT 'estabelecimentos', CAST(ref_date AS INT), COUNT(*)
+          FROM read_parquet('${Lake.Root}/cnpj_db/estabelecimentos/*/*.parquet', hive_partitioning=1)
+          GROUP BY 2
+        ) ORDER BY table_name, ref_date"""),
+      doc = "Catalog statistics surface: per-partition recordCount published by ANALYZE TABLE ... PARTITION and read back from catalog metadata (the reference crawler's check_update.py:134-139 parameters), gated against DuckDB's independent COUNT(*) over the same dirs.")
   )
 }

@@ -63,6 +63,39 @@ object Relational {
     GROUP BY p_brand
     ORDER BY p_brand"""
 
+  /** Shared verbatim between `spark.sql` and DuckDB (q91): EXISTS and
+    * NOT EXISTS correlated predicates in one query. Catalyst plans EXISTS
+    * as a left-semi and NOT EXISTS as a left-anti join against the same
+    * aggregable probe — no per-row subquery execution, two key-partitioned
+    * joins at any scale. Pure key/string predicates, no arithmetic, so the
+    * two engines cannot drift.
+    */
+  private val ExistsShapesQuery: String = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '1-URGENT')
+    ORDER BY c.c_custkey"""
+
+  /** Shared verbatim between `spark.sql` and DuckDB (q92): IN and NOT IN
+    * subqueries. NOT IN is the classic three-valued-logic trap — one NULL
+    * in the subquery empties the result — so the subquery column
+    * (l_suppkey) is a non-null key and the semantics coincide with the
+    * null-aware anti join Spark plans. Both subqueries aggregate to small
+    * key sets (broadcast-able at any corpus scale: 25 nations, the
+    * high-quantity supplier set).
+    */
+  private val InSubqueryQuery: String = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 2))
+      AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                            WHERE l_quantity > 49 AND l_discount > 0.09)
+    ORDER BY s_suppkey"""
+
   val queries: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
@@ -1157,7 +1190,23 @@ object Relational {
           .orderBy($"event_type")
       },
       None,
-      doc = "HLL sketch distinct (DataSketches, lgK=12): constant-memory, merge-associative COUNT DISTINCT — the sketch path exact distinct can't scale past; error pinned <2% in SketchSpec.")
+      doc = "HLL sketch distinct (DataSketches, lgK=12): constant-memory, merge-associative COUNT DISTINCT — the sketch path exact distinct can't scale past; error pinned <2% in SketchSpec."),
+
+    Q(
+      "q91_exists_shapes",
+      // Verbatim shared string (q51/q62 pattern): the EXISTS / NOT EXISTS
+      // SHAPES go through spark.sql so Catalyst's RewritePredicateSubquery
+      // (semi/anti join conversion) is what's under test, not a hand-built
+      // join that merely mimics it.
+      (s, d) => SqlSurface.sql(s, d, ExistsShapesQuery),
+      Some(ExistsShapesQuery),
+      doc = "EXISTS + NOT EXISTS correlated predicates as one verbatim ANSI string through spark.sql and DuckDB — planned as left-semi + left-anti joins (RewritePredicateSubquery), never per-row subqueries."),
+
+    Q(
+      "q92_in_subquery",
+      (s, d) => SqlSurface.sql(s, d, InSubqueryQuery),
+      Some(InSubqueryQuery),
+      doc = "IN + NOT IN subqueries as one verbatim ANSI string — left-semi and null-aware anti join plans; the NOT IN column is a non-null key so three-valued logic cannot diverge between engines.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)
