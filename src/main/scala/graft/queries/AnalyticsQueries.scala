@@ -89,6 +89,23 @@ object AnalyticsQueries {
     })
   }
 
+  // BFS level table per (session, dir) — the frontier loop's result is
+  // persisted by the operator (its accumulated lineage would otherwise
+  // replay every level on each downstream action); memoized and released
+  // like the other per-corpus artifacts.
+  private val bfsCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def bfsLevels(s: SparkSession, d: String): DataFrame = synchronized {
+    bfsCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val ed = graft.operators.PageRank.bothWays(coEdges(s, d))
+      // deterministic, scale-independent source: the smallest node id
+      // present in the edge set (one driver scalar, like q88's bounds)
+      val src = ed.agg(min($"u")).head().getLong(0)
+      graft.operators.Bfs.levels(ed, src, 4)
+    })
+  }
+
   private[queries] def clearCaches(): Unit = synchronized {
     phashCache.values.foreach(_.unpersist())
     phashCache.clear()
@@ -98,6 +115,8 @@ object AnalyticsQueries {
     graphCache.clear()
     degCache.values.foreach(_.unpersist())
     degCache.clear()
+    bfsCache.values.foreach(_.unpersist())
+    bfsCache.clear()
   }
 
   val queries: Seq[Q] = Seq(
@@ -691,6 +710,144 @@ object AnalyticsQueries {
           EXCEPT ALL
           SELECT s_nationkey AS nationkey FROM supplier) e
         ORDER BY op, nationkey"""),
-      doc = "Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): multiplicity-exact via count-aggregate + replication, never row pairing — completes the set-op family next to q10's DISTINCT variants.")
+      doc = "Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): multiplicity-exact via count-aggregate + replication, never row pairing — completes the set-op family next to q10's DISTINCT variants."),
+
+    Q(
+      "q96_bfs_levels",
+      (s, d) => {
+        import s.implicits._
+        // Single-source BFS over the part co-occurrence graph (the same
+        // memoized edge table as q83/q86): minimum hop distance within 4
+        // hops of the smallest node id. The operator's frontier loop does
+        // one join + one anti-join per level (each node expanded exactly
+        // once → O(|E|) total work); the oracle re-derives the same
+        // levels with a capped recursive CTE + MIN(lvl). Node ids and
+        // small integer levels flow unchanged — nothing to drift.
+        bfsLevels(s, d).orderBy($"node")
+      },
+      Some("""
+        WITH RECURSIVE el AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        ed AS (SELECT u, v FROM el UNION ALL SELECT v, u FROM el),
+        bfs(node, lvl) AS (
+          SELECT (SELECT MIN(u) FROM ed), 0
+          UNION
+          SELECT ed.v, bfs.lvl + 1 FROM bfs JOIN ed ON ed.u = bfs.node
+          WHERE bfs.lvl < 4)
+        SELECT node, CAST(MIN(lvl) AS INT) AS lvl
+        FROM bfs GROUP BY node ORDER BY node"""),
+      doc = "Single-source BFS (min hop distance, depth 4) as an iterative frontier expansion — one equi-join + one anti-join per level, O(|E|) total work, lineage cut per round; oracle is a capped WITH RECURSIVE closure."),
+
+    Q(
+      "q97_dq_audit",
+      (s, d) => {
+        import s.implicits._
+        // Data-quality audit suite (the Deequ/expectation-suite operator
+        // class): completeness, uniqueness, distinctness, pattern
+        // conformance, range and mean metrics — ALL computed in ONE
+        // aggregate pass over the table (map-side partial agg, no second
+        // scan), then melted to (metric, value) rows. Ratios divide
+        // exact integers as doubles and the mean divides the exact
+        // decimal sum — both IEEE-identical across engines.
+        val m = Tables.customer(s, d).agg(
+          count(lit(1)).as("n"),
+          countDistinct($"c_custkey").as("dk"),
+          countDistinct($"c_mktsegment").as("dm"),
+          sum(when($"c_name".isNotNull, 1L).otherwise(0L)).as("nn"),
+          sum(when($"c_name".rlike("^Customer#[0-9]{8}0$"), 1L).otherwise(0L)).as("pat"),
+          sum(when($"c_acctbal" < 0, 1L).otherwise(0L)).as("neg"),
+          min($"c_acctbal").as("mn"),
+          max($"c_acctbal").as("mx"),
+          sum($"c_acctbal".cast("decimal(18,2)")).cast("double").as("sm"))
+        m.select(explode(map(
+            lit("row_count"), $"n".cast("double"),
+            lit("uniqueness_c_custkey"), $"dk".cast("double") / $"n".cast("double"),
+            lit("distinct_c_mktsegment"), $"dm".cast("double"),
+            lit("completeness_c_name"), $"nn".cast("double") / $"n".cast("double"),
+            lit("pattern_rate_c_name"), $"pat".cast("double") / $"n".cast("double"),
+            lit("negative_rate_c_acctbal"), $"neg".cast("double") / $"n".cast("double"),
+            lit("min_c_acctbal"), $"mn",
+            lit("max_c_acctbal"), $"mx",
+            lit("mean_c_acctbal"), $"sm" / $"n".cast("double")))
+            .as(Seq("metric", "value")))
+          .orderBy($"metric")
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n,
+                 COUNT(DISTINCT c_custkey) AS dk,
+                 COUNT(DISTINCT c_mktsegment) AS dm,
+                 SUM(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+                 SUM(CASE WHEN regexp_full_match(c_name, 'Customer#[0-9]{8}0') THEN 1 ELSE 0 END) AS pat,
+                 SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS neg,
+                 MIN(c_acctbal) AS mn,
+                 MAX(c_acctbal) AS mx,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sm
+          FROM customer)
+        SELECT metric, value FROM (
+          SELECT 'row_count' AS metric, CAST(n AS DOUBLE) AS value FROM a
+          UNION ALL SELECT 'uniqueness_c_custkey', CAST(dk AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+          UNION ALL SELECT 'distinct_c_mktsegment', CAST(dm AS DOUBLE) FROM a
+          UNION ALL SELECT 'completeness_c_name', CAST(nn AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+          UNION ALL SELECT 'pattern_rate_c_name', CAST(pat AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+          UNION ALL SELECT 'negative_rate_c_acctbal', CAST(neg AS DOUBLE) / CAST(n AS DOUBLE) FROM a
+          UNION ALL SELECT 'min_c_acctbal', mn FROM a
+          UNION ALL SELECT 'max_c_acctbal', mx FROM a
+          UNION ALL SELECT 'mean_c_acctbal', sm / CAST(n AS DOUBLE) FROM a) m
+        ORDER BY metric"""),
+      doc = "Data-quality audit suite (completeness / uniqueness / distinctness / pattern conformance / range / mean) — nine metrics in ONE aggregate pass, melted to (metric, value) rows; exact-integer ratios and decimal-exact mean finish as identical IEEE divisions."),
+
+    Q(
+      "q98_countmin_sketch",
+      (s, d) => {
+        import s.implicits._
+        // Count-Min sketch (depth 4 × width 256) over the event stream's
+        // user ids — the classic CMS workload (per-key frequency in a
+        // stream whose key space outgrows memory). Building it is one
+        // map-side-combinable groupBy onto ≤1024 cells, so the shuffle is
+        // bounded no matter how many rows or distinct keys exist. Hashes
+        // are md5-derived (CountMin.cell), a pure function of the key, so
+        // every counter is an order-independent integer sum and the
+        // DuckDB oracle reproduces the WHOLE sketch and every estimate
+        // exactly — an approximate operator under an exact cross-engine
+        // gate. The width is sized so collisions are REAL at test scale
+        // (nonzero overcount rows prove the approximation path is
+        // exercised, not vacuously exact); probes are the top-20
+        // true-count keys (deterministic tie-break); overcount =
+        // est − truth ≥ 0 by the CMS one-sided guarantee.
+        val k = Tables.events(s, d).select($"user_id".cast("string").as("key"))
+        val sk = graft.operators.CountMin.sketch(k, "key", 4, 256)
+        val truth = k.groupBy($"key").agg(count(lit(1)).as("true_cnt"))
+        val probes = truth.orderBy($"true_cnt".desc, $"key").limit(20)
+        graft.operators.CountMin
+          .estimate(sk, probes.select($"key"), "key", 4, 256)
+          .join(probes, "key")
+          .select($"key", $"true_cnt", $"cms_est",
+            ($"cms_est" - $"true_cnt").as("overcount"))
+          .orderBy($"key")
+      },
+      Some("""
+        WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+        sk AS (
+          SELECT d, CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(d AS VARCHAR), '|', key)), 1, 8)) AS BIGINT) % 256 AS cell,
+                 COUNT(*) AS cnt
+          FROM k CROSS JOIN ds
+          GROUP BY 1, 2),
+        truth AS (SELECT key, COUNT(*) AS true_cnt FROM k GROUP BY key),
+        probes AS (SELECT key, true_cnt FROM truth ORDER BY true_cnt DESC, key LIMIT 20),
+        est AS (
+          SELECT p.key, MIN(s.cnt) AS cms_est
+          FROM probes p CROSS JOIN ds
+          JOIN sk s ON s.d = ds.d
+            AND s.cell = CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(ds.d AS VARCHAR), '|', p.key)), 1, 8)) AS BIGINT) % 256
+          GROUP BY p.key)
+        SELECT p.key, p.true_cnt, e.cms_est, e.cms_est - p.true_cnt AS overcount
+        FROM probes p JOIN est e ON e.key = p.key
+        ORDER BY p.key"""),
+      doc = "Count-Min sketch (4x256, md5-derived hashes) over event-stream user ids: constant-memory frequency summary built with one bounded groupBy; cell-wise mergeable; the DuckDB oracle replays the ENTIRE sketch and every point estimate exactly, including real collisions.")
   )
 }

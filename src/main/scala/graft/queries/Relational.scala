@@ -96,6 +96,58 @@ object Relational {
                             WHERE l_quantity > 49 AND l_discount > 0.09)
     ORDER BY s_suppkey"""
 
+  /** Shared verbatim between `spark.sql` and DuckDB (q95): a CORRELATED
+    * LATERAL subquery with ORDER BY + LIMIT — top-N-per-group as the SQL
+    * shape (the DataFrame analog is q09's rank window). Catalyst
+    * decorrelates the limited subquery (DecorrelateInnerQuery) into a
+    * per-key window over one orders scan — NO per-customer re-execution
+    * and no nested-loop join, so the plan is two shuffles at any scale.
+    * o_totalprice flows through unchanged (no arithmetic) and ties are
+    * broken by o_orderkey, so row selection is deterministic in both
+    * engines.
+    */
+  private val LateralTopNQuery: String = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY c.c_custkey, t.o_orderkey"""
+
+  /** Shared verbatim between `spark.sql` and DuckDB (q99): a RECURSIVE
+    * CTE — ancestor closure over the ⌊p/4⌋ forest derived from partkeys
+    * (acyclic, ⌈log₄ maxkey⌉ rounds). Spark 4 executes WITH RECURSIVE as
+    * an iterated union (each round one distributed step over the
+    * previous round's output — the relational fixpoint operator BFS/
+    * PageRank hand-roll); depth is data-bounded, not cap-bounded.
+    * Integer division is spelled CAST(FLOOR(x / 4) AS BIGINT) because
+    * bare `/` is float division in BOTH engines and `DIV`/`//` spellings
+    * differ; FLOOR on exactly-representable doubles is engine-identical.
+    * SUM is cast to BIGINT (DuckDB would return HUGEINT — NOTES rule 9).
+    */
+  private val RecursiveCteQuery: String = """
+    WITH RECURSIVE anc(node, a, depth) AS (
+      SELECT p_partkey, CAST(FLOOR(p_partkey / 4) AS BIGINT), 1 FROM part
+      UNION ALL
+      SELECT node, CAST(FLOOR(a / 4) AS BIGINT), depth + 1 FROM anc WHERE a > 0)
+    SELECT node, COUNT(*) AS n_anc, MAX(depth) AS max_depth,
+           CAST(SUM(a) AS BIGINT) AS sum_anc
+    FROM anc GROUP BY node ORDER BY node"""
+
+  /** Shared verbatim between `spark.sql` and DuckDB (q100): FILTER
+    * (WHERE ...) aggregate modifiers — per-aggregate predicates in ONE
+    * grouped pass (the portable spelling of conditional aggregation;
+    * q15's CASE buckets are the other classic). A FILTER that matches
+    * nothing yields NULL from SUM in both engines; the decimal sum
+    * finishes as a double cast per the exactness discipline.
+    */
+  private val FilterAggQuery: String = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
@@ -1206,7 +1258,25 @@ object Relational {
       "q92_in_subquery",
       (s, d) => SqlSurface.sql(s, d, InSubqueryQuery),
       Some(InSubqueryQuery),
-      doc = "IN + NOT IN subqueries as one verbatim ANSI string — left-semi and null-aware anti join plans; the NOT IN column is a non-null key so three-valued logic cannot diverge between engines.")
+      doc = "IN + NOT IN subqueries as one verbatim ANSI string — left-semi and null-aware anti join plans; the NOT IN column is a non-null key so three-valued logic cannot diverge between engines."),
+
+    Q(
+      "q95_lateral_topn",
+      (s, d) => SqlSurface.sql(s, d, LateralTopNQuery),
+      Some(LateralTopNQuery),
+      doc = "Correlated LATERAL subquery with ORDER BY/LIMIT (top-2 orders per customer) as one verbatim ANSI string — Catalyst decorrelates it into a per-key window, never a per-row nested loop; deterministic tie-break on o_orderkey."),
+
+    Q(
+      "q99_recursive_cte",
+      (s, d) => SqlSurface.sql(s, d, RecursiveCteQuery),
+      Some(RecursiveCteQuery),
+      doc = "WITH RECURSIVE ancestor closure over the partkey div-4 forest as one verbatim ANSI string — Spark 4's iterated-union execution of the relational fixpoint operator, depth bounded by the data (log4 of the key space), exact integer outputs."),
+
+    Q(
+      "q100_filter_agg",
+      (s, d) => SqlSurface.sql(s, d, FilterAggQuery),
+      Some(FilterAggQuery),
+      doc = "FILTER (WHERE ...) aggregate modifiers as one verbatim ANSI string — per-aggregate predicates in a single grouped pass; empty-filter SUM yields NULL identically in both engines.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)

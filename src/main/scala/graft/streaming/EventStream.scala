@@ -135,6 +135,32 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** LEFT SEMI variant of [[attributionJoin]]: purchases that HAD at
+    * least one click in the horizon — each emitted ONCE no matter how
+    * many clicks matched (the inner join would fan out per click, and
+    * deduping its output downstream needs a second stateful stage). Semi
+    * is also cheaper than inner at scale: the click side's rows are never
+    * materialized into results, only probed, so output volume is bounded
+    * by the purchase rate. State sizing/eviction rules are identical to
+    * the inner join (watermarks + time-bounded condition on both sides).
+    */
+  def attributionSemi(events: DataFrame, horizonMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "left_semi")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
   /** Exactly-once file sink for a non-transactional target: foreachBatch is
     * only at-least-once — a crash after the sink write but before the
     * checkpoint commit redelivers the SAME (batchId, data) on restart. The

@@ -248,4 +248,62 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got(cust) == changes.toLong, s"cust $cust: ${got(cust)} versions, expected $changes")
     }
   }
+
+  test("CountMin: one-sided guarantee over EVERY key, exact merge of split sketches, zero for unseen") {
+    import graft.operators.CountMin
+    val k = Tables.events(spark, sf).select(col("user_id").cast("string").as("key"))
+    val (depth, width) = (4, 8) // narrow: force real collisions at sf0.001 (15 users)
+    val sk = CountMin.sketch(k, "key", depth, width)
+    val truth = k.groupBy(col("key")).agg(count(lit(1)).as("true_cnt"))
+    val est = CountMin.estimate(sk, truth.select(col("key")), "key", depth, width)
+      .join(truth, "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (key, e, t) =>
+      assert(e >= t, s"CMS under-estimated $key: $e < $t")
+    }
+    // the narrow sketch must actually collide somewhere, or the test is vacuous
+    assert(est.exists { case (_, e, t) => e > t },
+      s"no collisions at width $width - widen the test's claim")
+
+    // merge: sketch(A ++ B) == merge(sketch(A), sketch(B)) cell-for-cell
+    val a = k.filter(col("key").cast("long") % 2 === 0)
+    val b = k.filter(col("key").cast("long") % 2 =!= 0)
+    val merged = CountMin.merge(
+        CountMin.sketch(a, "key", depth, width),
+        CountMin.sketch(b, "key", depth, width))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "merged split sketches differ from the whole-corpus sketch")
+
+    // a key that never occurred estimates 0 (untouched cells join to null -> 0)
+    val unseen = spark.range(1).select(lit("graft-unseen-key-xyzzy").as("key"))
+    val z = CountMin.estimate(sk, unseen, "key", depth, width).collect()
+    assert(z.length == 1 && z(0).getLong(1) >= 0, "unseen key must estimate >= 0")
+  }
+
+  test("Bfs: levels match a sequential BFS recompute; depth cap respected; unreachable absent") {
+    import graft.operators.{Bfs, PageRank}
+    // small deterministic graph: path 1-2-3-4-5-6 plus a triangle 1-7-8
+    // and an isolated edge 100-101 (unreachable from 1)
+    val edges = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L),(5L,6L),(1L,7L),(7L,8L),(8L,1L),(100L,101L))
+    val el = PageRank.bothWays(
+      spark.createDataFrame(edges).toDF("u", "v"))
+    val got = Bfs.levels(el, 1L, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // sequential BFS truth
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    var dist = Map(1L -> 0)
+    var frontier = Set(1L)
+    for (lvl <- 1 to 3) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ nxt.map(_ -> lvl)
+      frontier = nxt
+    }
+    assert(got == dist, s"got $got, expected $dist")
+    assert(!got.contains(100L) && !got.contains(101L), "unreachable nodes leaked in")
+    assert(got.values.max <= 3, "depth cap violated")
+    assert(got(4L) == 3 && !got.contains(5L), "path distances wrong at the cap boundary")
+  }
 }

@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), "the containment must still be a join")
   }
 
+  test("q95: LATERAL ORDER BY/LIMIT decorrelates to a window group-limit, never a per-row nested loop") {
+    val p = plan("q95_lateral_topn")
+    // DecorrelateInnerQuery + InferWindowGroupLimit: the correlated LIMIT 2
+    // becomes partial+final WindowGroupLimit (distributed top-k) feeding a
+    // row_number window, joined back with one hash join
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q72: bucketed join key never re-shuffles — the exchange was paid at layout time") {
     val p = plan("q72_bucketed_join")
     assert(p.contains("SortMergeJoin"), p.take(600))

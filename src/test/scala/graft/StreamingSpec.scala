@@ -89,6 +89,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT SEMI join: attributed purchases emit once each, equal to the batch semi-join") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    val q = EventStream.attributionSemi(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib_semi").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attrib_semi").select($"purchase_id").collect()
+        .map(_.getLong(0)).toSeq
+      // once each: no per-click fan-out in the output
+      assert(got.size == got.toSet.size,
+        "semi join emitted a purchase more than once")
+      val ev = Tables.events(spark, sf)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"ts".as("cts"))
+      val batch = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("pu"), $"ts".as("pts"), $"event_id".as("pid"))
+        .join(clicks,
+          $"pu" === $"cu" && $"cts" <= $"pts" &&
+            $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+        .select($"pid").collect().map(_.getLong(0)).toSet
+      assert(got.nonEmpty, "expected some attributed purchases at sf0.01")
+      assert(got.toSet == batch)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: a restarted query does not reprocess committed input") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
