@@ -473,7 +473,8 @@ object AnalyticsQueries {
         // semi-join then recounts candidates exactly. The token stream is
         // scanned twice total (was three times) and never key-shuffled.
         // (For unbounded key spaces the local map becomes a capacity-
-        // bounded Space-Saving summary; the corpus vocabulary here is
+        // bounded Space-Saving summary — materialized as
+        // operators/SpaceSaving + q101; the corpus vocabulary here is
         // bounded, so a plain map is the honest choice.)
         val tok = Tables.documents(s, d)
           .select(explode(split(lower($"text"), "[^a-z]+")).as("token"))
@@ -848,6 +849,29 @@ object AnalyticsQueries {
         SELECT p.key, p.true_cnt, e.cms_est, e.cms_est - p.true_cnt AS overcount
         FROM probes p JOIN est e ON e.key = p.key
         ORDER BY p.key"""),
-      doc = "Count-Min sketch (4x256, md5-derived hashes) over event-stream user ids: constant-memory frequency summary built with one bounded groupBy; cell-wise mergeable; the DuckDB oracle replays the ENTIRE sketch and every point estimate exactly, including real collisions.")
+      doc = "Count-Min sketch (4x256, md5-derived hashes) over event-stream user ids: constant-memory frequency summary built with one bounded groupBy; cell-wise mergeable; the DuckDB oracle replays the ENTIRE sketch and every point estimate exactly, including real collisions."),
+
+    Q(
+      "q101_space_saving",
+      (s, d) => {
+        import s.implicits._
+        // Mergeable Space-Saving summary (capacity 8 per partition) over
+        // the token stream — the operator q84's exact heavy hitters
+        // defers to when the key space is unbounded: O(k) state per
+        // partition, merged relationally into per-key [lb, ub] count
+        // bounds plus the global containment floor (no key above it can
+        // be missed). Bounds are data-dependent on the partition layout,
+        // so this row is rows-only; AnalyticsSpec pins the guarantees
+        // (sandwich on every key, containment on a skewed stream,
+        // degeneration to exact counts when capacity covers the space).
+        val tok = Tables.documents(s, d)
+          .select(explode(split(lower($"text"), "[^a-z]+")).as("token"))
+          .filter($"token" =!= "")
+        graft.operators.SpaceSaving.summarize(tok, "token", 8)
+          .orderBy($"ub".desc, $"lb".desc, $"key")
+          .limit(10)
+      },
+      None,
+      doc = "Space-Saving mergeable top-k summary (ICDT'05 / PODS'12): capacity-8 per-partition counter sets merged into per-key [lb, ub] bounds with a containment floor — the constant-state heavy-hitter path for unbounded key spaces; guarantees pinned in AnalyticsSpec.")
   )
 }

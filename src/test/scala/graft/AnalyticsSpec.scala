@@ -282,6 +282,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(z.length == 1 && z(0).getLong(1) >= 0, "unseen key must estimate >= 0")
   }
 
+  test("SpaceSaving: bounds sandwich every true count; skewed heavy hitter cannot be missed; exact at full capacity") {
+    import graft.operators.SpaceSaving
+    import spark.implicits._
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+    val truth = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // capacity 8 over a ~31-token vocabulary: heavy eviction churn, and
+    // the [lb, ub] sandwich must still hold for every surviving key
+    val rows8 = SpaceSaving.summarize(tok, "token", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows8.nonEmpty)
+    rows8.foreach { case (k, lb, ub, _) =>
+      assert(lb <= truth(k), s"$k: lb $lb > true ${truth(k)}")
+      assert(ub >= truth(k), s"$k: ub $ub < true ${truth(k)}")
+    }
+
+    // containment: a key holding 50% of a skewed stream sits above the
+    // floor and MUST survive into the merged summary
+    val skewed = ((1 to 500).map(_ => "hot") ++
+        (1 to 100).flatMap(i => Seq.fill(5)(s"cold$i")))
+      .toDF("key").repartition(4)
+    val sk = SpaceSaving.summarize(skewed, "key", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val floor = sk.head._4
+    assert(500L > floor, s"test graph not skewed enough: floor $floor")
+    val hot = sk.find(_._1 == "hot")
+    assert(hot.isDefined, "the 50% key was evicted - containment guarantee broken")
+    assert(hot.get._2 <= 500L && hot.get._3 >= 500L, s"hot bounds wrong: ${hot.get}")
+
+    // capacity >= cardinality: no evictions anywhere, so lb == ub == truth
+    val exact = SpaceSaving.summarize(tok, "token", 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.map(_._1).toSet == truth.keySet, "full-capacity summary must cover every key")
+    exact.foreach { case (k, lb, ub) =>
+      assert(lb == truth(k) && ub == truth(k), s"$k: ($lb, $ub) != exact ${truth(k)}")
+    }
+  }
+
   test("Bfs: levels match a sequential BFS recompute; depth cap respected; unreachable absent") {
     import graft.operators.{Bfs, PageRank}
     // small deterministic graph: path 1-2-3-4-5-6 plus a triangle 1-7-8
