@@ -85,6 +85,19 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment join: each micro-batch joins the event
+    * stream against a static dimension (user attributes, feature tables,
+    * allow-lists). Unlike stream-stream joins this needs no watermark and
+    * keeps NO join state — the static side is just re-joined per batch —
+    * and broadcasting it keeps the stream side shuffle-free, which is the
+    * plan you want when the stream is 100 TB/day and the dimension is
+    * megabytes. `left_outer` (stream side left) is the other supported
+    * shape for optional attributes; stateless either way.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    joinType: String = "inner"): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), joinType)
+
   /** Watermarked stream-stream INTERVAL join (click→purchase attribution):
     * each purchase joins the same user's clicks in the preceding
     * `horizonMinutes`. Both sides carry watermarks and the join condition

@@ -89,6 +89,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join; outer keeps unmatched stream rows") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    // static dimension: a tier for 2/3 of users (pure function of the id,
+    // so the batch oracle is exact); held-out third exercises the outer path
+    val dim = Tables.events(spark, sf).select($"user_id").distinct()
+      .filter($"user_id" % 3 =!= 0)
+      .withColumn("tier", concat(lit("t"), ($"user_id" % 3).cast("string")))
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    val q = EventStream.enrichWithDim(stream, dim, "left_outer")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      val batch = Tables.events(spark, sf)
+        .join(dim, Seq("user_id"), "left_outer")
+        .select($"event_id", $"user_id", $"tier").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      assert(got.nonEmpty)
+      assert(got.exists(_._3.isEmpty), "expected unmatched stream rows to survive the outer join")
+      assert(got.exists(_._3.nonEmpty), "expected some enriched rows")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT SEMI join: attributed purchases emit once each, equal to the batch semi-join") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
