@@ -226,5 +226,74 @@ object BehaviorQueries {
         GROUP BY event_type, next_type
         ORDER BY event_type, next_type"""),
       doc = "First-order event-transition matrix: per-user lead() pairing on a unique total order, then a bounded type-pair aggregation — the Markov-chain input for journey modeling.")
+  ,
+
+    Q(
+      "q107_percentile_disc",
+      (s, d) => {
+        import s.implicits._
+        // Exact PERCENTILE_DISC (smallest value whose cumulative
+        // distribution >= p) per group, with the target rank ceil(p*n)
+        // computed in EXACT integer arithmetic — 0.9*n in doubles lands
+        // an epsilon off an integer and ceil diverges across engines.
+        // DuckDB's quantile_disc follows the same cumdist>=p convention
+        // (probed: n=4 p=0.5 -> rank 2; n=5 p=0.9 -> rank 5), so the
+        // oracle uses the NATIVE aggregate — a conformance row, not a
+        // formula replay. One rank window per group (the group key is
+        // the partition key, so the sort is distributed); the q35
+        // bucketed-selection operator remains the path for near-unique
+        // doubles where a per-group sort would skew.
+        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        Tables(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+          .groupBy($"l_returnflag")
+          .agg(
+            max(when($"rn" === expr("(n + 1) div 2"), $"l_quantity")).as("p50_disc"),
+            max(when($"rn" === expr("(9 * n + 9) div 10"), $"l_quantity")).as("p90_disc"),
+            max(when($"rn" === expr("(99 * n + 99) div 100"), $"l_quantity")).as("p99_disc"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               QUANTILE_DISC(l_quantity, 0.5)  AS p50_disc,
+               QUANTILE_DISC(l_quantity, 0.9)  AS p90_disc,
+               QUANTILE_DISC(l_quantity, 0.99) AS p99_disc
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      doc = "Exact PERCENTILE_DISC per group: rank = ceil(p*n) in pure integer arithmetic (never FP, where 0.9*n straddles an integer), one distributed per-group rank window; oracle is DuckDB's NATIVE quantile_disc — a cross-engine conformance row."),
+
+    Q(
+      "q108_hopping_windows",
+      (s, d) => {
+        import s.implicits._
+        // Hopping (sliding) window aggregation in batch: 1-hour windows
+        // every 15 minutes, so each event lands in exactly 4 windows.
+        // Spark's built-in window() generator expands rows window-side
+        // BEFORE the shuffle (no self-join against a calendar table) and
+        // aligns window starts to the epoch — replayed in the oracle as
+        // floor-to-15min minus k*15min for k in 0..3. Value sums route
+        // through exact decimals (rule 2); window identity crosses the
+        // gate as integer epoch microseconds (rule 8).
+        Tables.events(s, d)
+          .select(window($"ts", "1 hour", "15 minutes").as("w"), $"value")
+          .groupBy(unix_micros($"w.start").as("win_start_us"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(Q.DEC)).cast("double").as("sum_value"))
+          .orderBy($"win_start_us")
+      },
+      Some("""
+        SELECT win_start_us, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT (EPOCH_US(ts) // 900000000) * 900000000
+                   - CAST(k AS BIGINT) * 900000000 AS win_start_us,
+                 value
+          FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) hops
+        ) a
+        GROUP BY win_start_us
+        ORDER BY win_start_us"""),
+      doc = "Hopping-window aggregation (1 h windows, 15 min hop): the built-in window() generator fans each event into its 4 windows map-side, epoch-aligned starts, one shuffle on the window key; exact-decimal value sums, integer-microsecond window identity.")
   )
 }
