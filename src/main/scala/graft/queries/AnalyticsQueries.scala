@@ -872,6 +872,27 @@ object AnalyticsQueries {
           .limit(10)
       },
       None,
-      doc = "Space-Saving mergeable top-k summary (ICDT'05 / PODS'12): capacity-8 per-partition counter sets merged into per-key [lb, ub] bounds with a containment floor — the constant-state heavy-hitter path for unbounded key spaces; guarantees pinned in AnalyticsSpec.")
+      doc = "Space-Saving mergeable top-k summary (ICDT'05 / PODS'12): capacity-8 per-partition counter sets merged into per-key [lb, ub] bounds with a containment floor — the constant-state heavy-hitter path for unbounded key spaces; guarantees pinned in AnalyticsSpec."),
+
+    Q(
+      "q109_quantile_summary",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic mergeable quantile summary (m=64 samples per
+        // partition, exact local ranks) over document lengths —
+        // completing the sketch family: frequency (q98 CMS, q101
+        // SpaceSaving), distinct (q75 HLL, q81 bitmap), membership
+        // (q87 bloom), quantiles (this). Rank-error bound is
+        // Σ_p ceil(n_p/64); estimates depend on the partition layout,
+        // so this row is rows-only and AnalyticsSpec pins the bound,
+        // the lower-bound property, and exactness at full capacity
+        // against the q107 PERCENTILE_DISC convention.
+        val lens = Tables.documents(s, d)
+          .select(length($"text").cast("long").as("len"))
+        val summary = graft.operators.QuantileSummary.summarize(lens, "len", 64)
+        graft.operators.QuantileSummary.quantiles(summary, Seq(500, 900, 990))
+      },
+      None,
+      doc = "Deterministic mergeable quantile summary: m equi-spaced per-partition samples with exact local ranks, merged relationally into rank estimates with a provable sum-of-ceil(n_p/m) error bound — the constant-state quantile path (PODS'12 mergeable-summaries framing); guarantees pinned in AnalyticsSpec.")
   )
 }

@@ -22,7 +22,8 @@ class ContractSpec extends AnyFunSuite {
     "q59_adpcm_decode",        // lossy integer codec; AdpcmSpec SNR/determinism/drift
     "q75_hll_distinct",        // sketch estimate; DuckDB's approx_distinct is a different sketch — SketchSpec error/determinism
     "q82_phash_neardup",       // DCT perceptual hash: thresholded DCT isn't SQL-expressible — PhashSpec invariance/recall
-    "q101_space_saving")       // bounds depend on partition layout; AnalyticsSpec pins sandwich/containment/exactness
+    "q101_space_saving",       // bounds depend on partition layout; AnalyticsSpec pins sandwich/containment/exactness
+    "q109_quantile_summary")   // estimates depend on partition layout; AnalyticsSpec pins error bound/exactness
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
