@@ -37,6 +37,7 @@ object Bfs {
       .select(lit(source).cast("long").as("node"), lit(0).as("lvl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = dist.select(col("node"))
+    var prevDist: DataFrame = null
     var prevFrontier: DataFrame = null
     var lvl = 0
     var frontierSize = 1L
@@ -50,19 +51,27 @@ object Bfs {
         .select(col("e.v").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // an action per level: materializes `next` (cutting lineage) and
-      // detects exhaustion — a diameter-sized cap stops early instead of
-      // running maxDepth empty rounds
+      // the ONLY action per level: materializes `next` and — via the
+      // anti-join's scan of `dist` — populates the current distance
+      // vector's cache, so the PREVIOUS round's inputs can be released
+      // now (releasing them eagerly would force an uncached lineage
+      // walk; releasing dist itself would re-run the whole chain). One
+      // O(V) pass per level, not two: the old per-level `grown.count()`
+      // re-scanned the growing vector purely to allow an eager release.
       frontierSize = next.count()
+      if (prevDist != null) prevDist.unpersist()
+      if (prevFrontier != null) prevFrontier.unpersist()
       val grown = dist.union(next.withColumn("lvl", lit(lvl)))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      grown.count()
-      dist.unpersist()
-      if (prevFrontier != null) prevFrontier.unpersist()
+      prevDist = dist
       dist = grown
       prevFrontier = next
       frontier = next
     }
+    // materialize the final vector before releasing the cached frames it
+    // unions over, then hand it to the caller one round deep
+    dist.count()
+    if (prevDist != null) prevDist.unpersist()
     if (prevFrontier != null) prevFrontier.unpersist()
     dist
   }
