@@ -44,6 +44,22 @@ object Tables {
     apply(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Sargable time-range scan of events: the normalized view above wraps
+    * `ts` in arithmetic, so a filter on it can never reach the parquet
+    * scan — at 100 TB that's the difference between reading a day and
+    * reading the lake. This loader pushes the range as an exact int64
+    * NANOSECOND predicate on the raw column (floor(ns/1000) >= fromUs
+    * iff ns >= fromUs*1000, and < untilUs iff ns < untilUs*1000, so the
+    * µs-truncation semantics are preserved exactly), then normalizes.
+    * PlanSpec pins the predicate in PushedFilters.
+    */
+  def eventsRange(s: SparkSession, d: String, fromUs: Long, untilUs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    apply(s, d, "events")
+      .filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

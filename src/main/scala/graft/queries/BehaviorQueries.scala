@@ -294,6 +294,70 @@ object BehaviorQueries {
         ) a
         GROUP BY win_start_us
         ORDER BY win_start_us"""),
-      doc = "Hopping-window aggregation (1 h windows, 15 min hop): the built-in window() generator fans each event into its 4 windows map-side, epoch-aligned starts, one shuffle on the window key; exact-decimal value sums, integer-microsecond window identity.")
+      doc = "Hopping-window aggregation (1 h windows, 15 min hop): the built-in window() generator fans each event into its 4 windows map-side, epoch-aligned starts, one shuffle on the window key; exact-decimal value sums, integer-microsecond window identity."),
+
+    Q(
+      "q110_temporal_functions",
+      (s, d) => {
+        import s.implicits._
+        // Temporal-kernel conformance row: the extract/trunc/shift/diff
+        // functions every reporting query leans on, row-level so any
+        // single-date divergence between engines is a hash mismatch.
+        // Calendar outputs cross the gate as formatted strings (never
+        // raw date/timestamp cells) and counts as longs (rule 10);
+        // day-of-week is deliberately absent — the engines number
+        // weekdays differently.
+        Tables(s, d, "orders")
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").cast("long").as("y"),
+            quarter($"o_orderdate").cast("long").as("q"),
+            month($"o_orderdate").cast("long").as("m"),
+            dayofmonth($"o_orderdate").cast("long").as("dom"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+            date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+            date_format(date_add(to_date($"o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+            datediff(to_date($"o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               EXTRACT(YEAR FROM o_orderdate) AS y,
+               EXTRACT(QUARTER FROM o_orderdate) AS q,
+               EXTRACT(MONTH FROM o_orderdate) AS m,
+               EXTRACT(DAY FROM o_orderdate) AS dom,
+               STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+               STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS days_since
+        FROM orders
+        ORDER BY o_orderkey"""),
+      doc = "Temporal-kernel conformance: extract (year/quarter/month/day), month truncation, last_day, 30-day shift, and date difference agree row-for-row across engines; calendar values cross the gate as formatted strings."),
+
+    Q(
+      "q111_pushdown_time_range",
+      (s, d) => {
+        import s.implicits._
+        // Ten-day slice of the event stream through the SARGABLE loader:
+        // the range reaches the parquet scan as an int64 nanosecond
+        // predicate (PlanSpec pins PushedFilters), so row groups outside
+        // the window are skipped on statistics — the normalized view's
+        // ts arithmetic would read the whole lake instead. Jan 10-20
+        // bounds in epoch microseconds; DuckDB applies the same
+        // truncation reading ns parquet.
+        Tables.eventsRange(s, d, 1704844800000000L, 1705708800000000L)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(Q.DEC)).cast("double").as("sum_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE EPOCH_US(ts) >= 1704844800000000 AND EPOCH_US(ts) < 1705708800000000
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      doc = "Sargable time-range scan: the range predicate is pushed to the parquet scan as exact int64 nanosecond bounds (row groups outside the window never leave disk) — the normalized timestamp view cannot push this filter; the 100 TB read-a-day-not-the-lake path.")
   )
 }

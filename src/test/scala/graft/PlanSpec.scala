@@ -23,6 +23,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "untouched columns must be pruned from the scan")
   }
 
+  test("q111: the time-range predicate reaches the parquet scan as int64 nanosecond bounds") {
+    val p = plan("q111_pushdown_time_range")
+    // the sargable loader filters the RAW ns column before normalizing,
+    // so the range lands in PushedFilters; the normalized view's
+    // timestamp arithmetic could never push it
+    assert(p.contains("GreaterThanOrEqual(ts,1704844800000000000)"), p.take(800))
+    assert(p.contains("LessThan(ts,1705708800000000000)"), p.take(800))
+  }
+
   test("q05: every dimension join is a broadcast hash join, no sort-merge") {
     val p = plan("q05_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
