@@ -358,6 +358,76 @@ object BehaviorQueries {
         WHERE EPOCH_US(ts) >= 1704844800000000 AND EPOCH_US(ts) < 1705708800000000
         GROUP BY event_type
         ORDER BY event_type"""),
-      doc = "Sargable time-range scan: the range predicate is pushed to the parquet scan as exact int64 nanosecond bounds (row groups outside the window never leave disk) — the normalized timestamp view cannot push this filter; the 100 TB read-a-day-not-the-lake path.")
+      doc = "Sargable time-range scan: the range predicate is pushed to the parquet scan as exact int64 nanosecond bounds (row groups outside the window never leave disk) — the normalized timestamp view cannot push this filter; the 100 TB read-a-day-not-the-lake path."),
+
+    Q(
+      "q112_string_functions",
+      (s, d) => {
+        import s.implicits._
+        // String-kernel conformance row (the q110 pattern for text): the
+        // case/pad/translate/reverse/search/split primitives the text
+        // pipeline leans on, row-level over documents so any divergence
+        // in 1-based indexing, absent-match conventions (instr/STRPOS
+        // return 0), or no-delimiter split behavior is a hash mismatch.
+        // All pure codegen'd scalar pipelines — one scan, no shuffle
+        // before the final sort.
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            length($"text").cast("long").as("len"),
+            upper(substring($"text", 1, 12)).as("up12"),
+            lower(substring($"text", 1, 12)).as("lo12"),
+            lpad(substring($"text", 1, 5), 8, "*").as("lp"),
+            rpad(substring($"text", 1, 5), 8, "*").as("rp"),
+            translate(substring($"text", 1, 20), "aeiou", "AEIOU").as("tr"),
+            reverse(substring($"text", 1, 10)).as("rev"),
+            instr($"text", "data").cast("long").as("pos"),
+            substring_index($"text", " ", 1).as("first_word"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len,
+               UPPER(SUBSTR(text, 1, 12)) AS up12,
+               LOWER(SUBSTR(text, 1, 12)) AS lo12,
+               LPAD(SUBSTR(text, 1, 5), 8, '*') AS lp,
+               RPAD(SUBSTR(text, 1, 5), 8, '*') AS rp,
+               TRANSLATE(SUBSTR(text, 1, 20), 'aeiou', 'AEIOU') AS tr,
+               REVERSE(SUBSTR(text, 1, 10)) AS rev,
+               CAST(STRPOS(text, 'data') AS BIGINT) AS pos,
+               SPLIT_PART(text, ' ', 1) AS first_word
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "String-kernel conformance: case mapping, padding, translate, reverse, 1-based substring search (0 when absent), and first-token split agree row-for-row across engines — pure codegen scalar pipelines, one scan."),
+
+    Q(
+      "q113_window_sql_verbatim",
+      (s, d) => SqlSurface.sql(s, d, WindowSqlQuery),
+      Some(WindowSqlQuery),
+      doc = "Windowed aggregation as ONE verbatim ANSI string through spark.sql AND DuckDB (the q51/q91 evidence class): running exact-decimal sum, rank, ntile, first_value and a moving max over explicit ROWS frames on a unique total order; rank-family outputs cast to BIGINT inside the shared string so dtypes agree.")
   )
+
+  /** Shared verbatim window-function string (q113): identical ANSI syntax
+    * in Spark SQL and DuckDB. The decimal-routed running sum is exact in
+    * both engines (rule 2); every OVER clause orders by the FULL unique
+    * key (l_orderkey, l_linenumber, l_partkey, l_suppkey — linenumber
+    * alone is NOT unique per order in this testdata) so ROWS frames are
+    * tie-free.
+    */
+  private val WindowSqlQuery: String = """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER
+             (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+           CAST(RANK() OVER
+             (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rk,
+           CAST(NTILE(4) OVER
+             (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS nt,
+           FIRST_VALUE(l_quantity) OVER
+             (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv,
+           MAX(l_quantity) OVER
+             (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
 }
