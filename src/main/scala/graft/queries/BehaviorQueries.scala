@@ -403,7 +403,47 @@ object BehaviorQueries {
       "q113_window_sql_verbatim",
       (s, d) => SqlSurface.sql(s, d, WindowSqlQuery),
       Some(WindowSqlQuery),
-      doc = "Windowed aggregation as ONE verbatim ANSI string through spark.sql AND DuckDB (the q51/q91 evidence class): running exact-decimal sum, rank, ntile, first_value and a moving max over explicit ROWS frames on a unique total order; rank-family outputs cast to BIGINT inside the shared string so dtypes agree.")
+      doc = "Windowed aggregation as ONE verbatim ANSI string through spark.sql AND DuckDB (the q51/q91 evidence class): running exact-decimal sum, rank, ntile, first_value and a moving max over explicit ROWS frames on a unique total order; rank-family outputs cast to BIGINT inside the shared string so dtypes agree."),
+
+    Q(
+      "q114_numeric_functions",
+      (s, d) => {
+        import s.implicits._
+        // Numeric-kernel conformance row (the q110/q112 pattern): round,
+        // floor/ceil, abs/sign, sqrt and integer mod agree row-for-row.
+        // Caveats baked in: Spark round() rounds the double's SHORTEST
+        // DECIMAL representation (BigDecimal.valueOf) while DuckDB
+        // rounds in scaled arithmetic — they agree on this corpus's
+        // 2-decimal values at 1 decimal, but constants like 1.005
+        // diverge (Spark 1.01, DuckDB 1.0), so rounding never targets
+        // the data's own precision edge; sqrt is IEEE-correctly-rounded
+        // in both engines (libm guarantees it, unlike pow/log); mod
+        // operands stay non-negative (engines differ on negative mod
+        // sign conventions).
+        Tables.events(s, d)
+          .select(
+            $"event_id",
+            round($"value", 1).as("r1"),
+            floor($"value").cast("long").as("fl"),
+            ceil($"value").cast("long").as("ce"),
+            abs($"value" - lit(100.0)).as("ab"),
+            signum($"value" - lit(100.0)).cast("long").as("sg"),
+            sqrt($"value").as("sq"),
+            ($"event_id" % 97).as("md"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id,
+               ROUND(value, 1) AS r1,
+               CAST(FLOOR(value) AS BIGINT) AS fl,
+               CAST(CEIL(value) AS BIGINT) AS ce,
+               ABS(value - 100.0::DOUBLE) AS ab,
+               CAST(SIGN(value - 100.0::DOUBLE) AS BIGINT) AS sg,
+               SQRT(value) AS sq,
+               event_id % 97 AS md
+        FROM events
+        ORDER BY event_id"""),
+      doc = "Numeric-kernel conformance: round/floor/ceil/abs/sign/sqrt/mod agree row-for-row — sqrt is IEEE-correctly-rounded in both engines; rounding avoids the shortest-repr divergence edge (Spark rounds the decimal string, DuckDB scaled arithmetic); mod stays non-negative.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax
