@@ -893,6 +893,49 @@ object AnalyticsQueries {
         graft.operators.QuantileSummary.quantiles(summary, Seq(500, 900, 990))
       },
       None,
-      doc = "Deterministic mergeable quantile summary: m equi-spaced per-partition samples with exact local ranks, merged relationally into rank estimates with a provable sum-of-ceil(n_p/m) error bound — the constant-state quantile path (PODS'12 mergeable-summaries framing); guarantees pinned in AnalyticsSpec.")
+      doc = "Deterministic mergeable quantile summary: m equi-spaced per-partition samples with exact local ranks, merged relationally into rank estimates with a provable sum-of-ceil(n_p/m) error bound — the constant-state quantile path (PODS'12 mergeable-summaries framing); guarantees pinned in AnalyticsSpec."),
+
+    Q(
+      "q115_bitmap_overlap",
+      (s, d) => {
+        import s.implicits._
+        // Segment-overlap matrix via bitmap set algebra: one scan builds
+        // a membership bitmap per event_type (map-side dedup into bits,
+        // OR-merge — q81's aggregate emitting the BITMAP instead of its
+        // count), then every pairwise |A ∩ B| is an AND+popcount over
+        // ~1 bit/user bitmaps. The user level is never joined or
+        // re-shuffled — the relational alternative self-joins the
+        // distinct (type, user) pairs on user_id, a second full shuffle
+        // that grows with membership, which is exactly what the DuckDB
+        // oracle does to verify this exactly. The pair join is a
+        // bounded 5x5 cross of segment rows, not data.
+        val seg = Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(graft.functions.BitmapBits($"user_id").as("bits"))
+        val a = seg.select($"event_type".as("et_a"), $"bits".as("ba"))
+        val b = seg.select($"event_type".as("et_b"), $"bits".as("bb"))
+        a.join(b, $"et_a" < $"et_b")
+          .select($"et_a", $"et_b",
+            graft.functions.BitmapCardinality($"ba").as("n_a"),
+            graft.functions.BitmapCardinality($"bb").as("n_b"),
+            graft.functions.BitmapAndCount($"ba", $"bb").as("overlap"))
+          .orderBy($"et_a", $"et_b")
+      },
+      Some("""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        cnt AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
+        ov AS (
+          SELECT x.event_type AS et_a, y.event_type AS et_b, COUNT(*) AS c
+          FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+          GROUP BY x.event_type, y.event_type)
+        SELECT p.et_a, p.et_b, ca.n AS n_a, cb.n AS n_b,
+               CAST(COALESCE(ov.c, 0) AS BIGINT) AS overlap
+        FROM (SELECT a.event_type AS et_a, b.event_type AS et_b
+              FROM cnt a JOIN cnt b ON a.event_type < b.event_type) p
+        JOIN cnt ca ON ca.event_type = p.et_a
+        JOIN cnt cb ON cb.event_type = p.et_b
+        LEFT JOIN ov ON ov.et_a = p.et_a AND ov.et_b = p.et_b
+        ORDER BY p.et_a, p.et_b"""),
+      doc = "Audience-overlap matrix via bitmap set algebra: per-segment membership bitmaps (one scan, ~1 bit/user on the exchange), pairwise AND+popcount — the user level is never self-joined; the oracle verifies exactly via the distinct-pair self-join this operator avoids.")
   )
 }

@@ -3,8 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
-import org.apache.spark.sql.types.StringType
-import graft.functions.{CdcBoundaries, RollingHash}
+import org.apache.spark.sql.types.{BinaryType, StringType}
+import graft.functions.{BitmapAndCount, BitmapCardinality, CdcBoundaries, RollingHash}
 
 /** Janino-compilability pin for the custom codegen expressions. Spark
   * hides a generated-code compile error behind a silent interpreted
@@ -26,6 +26,13 @@ class CodegenProbe extends AnyFunSuite {
 
   test("RollingHash doGenCode compiles under janino") {
     mustCompile(RollingHash(BoundReference(0, StringType, nullable = true), 8L, 257L, 1000003L))
+  }
+
+  test("BitmapAndCount / BitmapCardinality doGenCode compile under janino") {
+    mustCompile(BitmapAndCount(
+      BoundReference(0, BinaryType, nullable = true),
+      BoundReference(1, BinaryType, nullable = true)))
+    mustCompile(BitmapCardinality(BoundReference(0, BinaryType, nullable = true)))
   }
 
   test("q55 end-to-end still returns boundaries") {
