@@ -51,6 +51,21 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"), col("approx_users"))
 
+  /** Watermarked HOPPING-window aggregation (streaming twin of batch
+    * q108): 1-hour windows every 15 minutes — the window() generator
+    * fans each event into its 4 windows map-side exactly as in batch,
+    * then the windowed agg is ordinary watermark-evicted state. Run in
+    * complete mode for full-history parity with the batch plan.
+    */
+  def hoppingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n_events"), col("sum_value"))
+
   /** Exact-distinct variant of [[hourlyAgg]] — the streaming twin of batch
     * q16 (countDistinct). COUNT(DISTINCT) is unsupported inside streaming
     * aggregations, so distinct users are computed exactly as

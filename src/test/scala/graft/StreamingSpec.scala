@@ -89,6 +89,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping-window agg (complete mode) EQUALS the batch q108 result") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val stream = EventStream.readEvents(spark, s"$sf/events*.parquet")
+    val q = EventStream.hoppingAgg(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hopping").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hopping").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = SparkEntry.queries("q108_hopping_windows")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty)
+      assert(got == batch, "streaming hopping windows must equal the batch plan exactly")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch join; outer keeps unmatched stream rows") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
