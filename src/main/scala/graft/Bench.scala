@@ -93,9 +93,16 @@ object Bench {
     // parse saw a mid-JSON fragment for five rounds running. Short keys
     // (the qNN prefix) keep this line well under the window even as the
     // query count grows; the full names live in the detail line/file.
+    // Adaptive value precision: 100 ms resolution under 100 s, whole
+    // seconds above — the compact value is for driver-side grading, and
+    // a value never exceeds 5 chars ("99999" / "999.9" / "99.9"), which
+    // is what ContractSpec's worst-case line-length bound assumes. Full
+    // 1 ms precision stays in the detail line / bench.json.
+    def fmtCompact(v: Double): String =
+      if (v >= 100) f"$v%.0f" else f"$v%.1f"
     def compactLine(): String = {
       val qsShort = results.map { case (k, v, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmtCompact(v)
       }.mkString("{", ",", "}")
       val errorsShort = results
         .collect { case (k, v, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }

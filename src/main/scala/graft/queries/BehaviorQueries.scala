@@ -443,7 +443,153 @@ object BehaviorQueries {
                event_id % 97 AS md
         FROM events
         ORDER BY event_id"""),
-      doc = "Numeric-kernel conformance: round/floor/ceil/abs/sign/sqrt/mod agree row-for-row — sqrt is IEEE-correctly-rounded in both engines; rounding avoids the shortest-repr divergence edge (Spark rounds the decimal string, DuckDB scaled arithmetic); mod stays non-negative.")
+      doc = "Numeric-kernel conformance: round/floor/ceil/abs/sign/sqrt/mod agree row-for-row — sqrt is IEEE-correctly-rounded in both engines; rounding avoids the shortest-repr divergence edge (Spark rounds the decimal string, DuckDB scaled arithmetic); mod stays non-negative."),
+
+    Q(
+      "q117_windowed_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        // Hopping-window heavy hitters (q108 × q84 composition): per
+        // 1-hour/15-min-hop window, the event types carrying > 10% of
+        // that window's events. ONE shuffle on (window, type) — the
+        // window() generator fans rows map-side exactly as in q108 — and
+        // the per-window total comes from a window function over the
+        // already-AGGREGATED (window, type) table (|windows| × |types|
+        // rows, tiny), never a second scan of the raw events. The 10%
+        // gate is exact integer arithmetic (n*10 > total), no doubles.
+        val perType = Tables.events(s, d)
+          .select(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+          .groupBy(unix_micros($"w.start").as("win_start_us"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+        val winTotal = org.apache.spark.sql.expressions.Window
+          .partitionBy($"win_start_us")
+        perType
+          .withColumn("win_total", sum($"n").over(winTotal))
+          .filter($"n" * 10 > $"win_total")
+          .select($"win_start_us", $"event_type", $"n", $"win_total")
+          .orderBy($"win_start_us", $"event_type")
+      },
+      Some("""
+        WITH expanded AS (
+          SELECT (EPOCH_US(ts) // 900000000) * 900000000
+                   - CAST(k AS BIGINT) * 900000000 AS win_start_us,
+                 event_type
+          FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) hops),
+        per_type AS (
+          SELECT win_start_us, event_type, COUNT(*) AS n
+          FROM expanded GROUP BY win_start_us, event_type)
+        SELECT win_start_us, event_type, n,
+               CAST(SUM(n) OVER (PARTITION BY win_start_us) AS BIGINT) AS win_total
+        FROM per_type
+        QUALIFY n * 10 > win_total
+        ORDER BY win_start_us, event_type"""),
+      doc = "Hopping-window heavy hitters (q108 x q84 composition): per 1-hour/15-min window, event types above 10% of window volume — one shuffle on (window, type), per-window totals via a window function over the aggregated table (never a raw rescan), exact integer threshold."),
+
+    Q(
+      "q120_conditional_functions",
+      (s, d) => {
+        import s.implicits._
+        // Conditional-kernel conformance row (the q110/q112/q114 family):
+        // COALESCE / NULLIF / GREATEST / LEAST / CASE with NULLs in
+        // play. Pinned semantics both engines share: GREATEST/LEAST
+        // IGNORE NULL arguments (return the extreme of the non-null
+        // ones, NULL only when all are) — the Postgres convention, NOT
+        // the standard's null-poisoning; NULLIF(x, x) is NULL; CASE
+        // branches evaluate top-down. NULLs are injected on
+        // deterministic id subsets so every code path appears in the
+        // data. All pure codegen, one scan.
+        Tables.events(s, d)
+          .select(
+            $"event_id",
+            coalesce(nullif($"event_type", lit("click")), lit("was_click")).as("co"),
+            nullif($"event_id" % 3, lit(0L)).as("nf"),
+            greatest($"value", lit(100.0d),
+              when($"event_id" % 2 === 0, $"value" * 2).otherwise(lit(null))).as("gr"),
+            least($"value", when($"event_id" % 7 === 0, lit(null)).otherwise(lit(50.0d))).as("le"),
+            when($"value" > 150, lit("hi")).when($"value" > 50, lit("mid"))
+              .otherwise(lit("lo")).as("band"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id,
+               COALESCE(NULLIF(event_type, 'click'), 'was_click') AS co,
+               NULLIF(event_id % 3, 0) AS nf,
+               GREATEST(value, 100.0::DOUBLE,
+                        CASE WHEN event_id % 2 = 0 THEN value * 2 ELSE NULL END) AS gr,
+               LEAST(value, CASE WHEN event_id % 7 = 0 THEN NULL ELSE 50.0::DOUBLE END) AS le,
+               CASE WHEN value > 150 THEN 'hi' WHEN value > 50 THEN 'mid' ELSE 'lo' END AS band
+        FROM events
+        ORDER BY event_id"""),
+      doc = "Conditional-kernel conformance: COALESCE/NULLIF/GREATEST/LEAST/CASE agree row-for-row with NULLs exercised on every path — both engines use the Postgres convention (GREATEST ignores NULL args, not the standard's null-poisoning), pinned here so a dialect shift is a hash mismatch."),
+
+    Q(
+      "q121_regex_functions",
+      (s, d) => {
+        import s.implicits._
+        // Regex-kernel conformance row. Spark executes java.util.regex,
+        // DuckDB executes RE2 — the row sticks to the shared-safe
+        // subset (literal classes, +/* quantifiers, anchored groups; no
+        // backrefs, no lookaround — the same discipline as q53's PII
+        // redaction). Pinned conventions: Spark regexp_replace is
+        // global by default while DuckDB needs the explicit 'g' flag;
+        // absent-match regexp_extract returns EMPTY STRING (not NULL)
+        // in both; rlike/REGEXP_MATCHES is unanchored contains-match.
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            regexp_extract($"text", "([a-z]+)", 1).as("first_word"),
+            regexp_extract($"text", "([0-9]+)", 1).as("first_num"),
+            regexp_replace($"text", "[aeiou]", "_").as("devowel"),
+            $"text".rlike("ing\\b").cast("long").as("has_ing"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+               REGEXP_EXTRACT(text, '([0-9]+)', 1) AS first_num,
+               REGEXP_REPLACE(text, '[aeiou]', '_', 'g') AS devowel,
+               CAST(REGEXP_MATCHES(text, 'ing\b') AS BIGINT) AS has_ing
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Regex-kernel conformance over the java.util.regex/RE2 shared-safe subset: group extraction (empty string on absent match), global replace (Spark default vs DuckDB 'g' flag — pinned), word-boundary contains-match; no backrefs or lookaround ever enter the engine.")
+  ,
+
+    Q(
+      "q122_array_functions",
+      (s, d) => {
+        import s.implicits._
+        // Array-kernel conformance row: the lambda-free array primitives
+        // (q79 covers higher-order transform/filter/aggregate). Arrays
+        // cross the gate as space-joined strings (NOTES determinism
+        // rule) after a SORT, because Spark array_distinct preserves
+        // first-occurrence order while DuckDB LIST_DISTINCT does not
+        // guarantee one — sorting pins a canonical form both agree on.
+        // Pinned 1-based conventions: slice(arr, 2, 3) == arr[2:4];
+        // array_position returns 0 when absent in BOTH engines (DuckDB
+        // v1.0 LIST_POSITION, matching Spark — not the documented NULL).
+        val toks = split($"text", " ")
+        Tables.documents(s, d)
+          .select(
+            $"doc_id",
+            array_join(sort_array(toks), " ").as("sorted_toks"),
+            array_join(sort_array(array_distinct(toks)), " ").as("distinct_toks"),
+            array_join(slice(toks, 2, 3), " ").as("slice_2_3"),
+            array_contains(toks, "the").cast("long").as("has_the"),
+            array_position(toks, "data").cast("long").as("pos_data"),
+            size(toks).cast("long").as("n_toks"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               ARRAY_TO_STRING(LIST_SORT(STRING_SPLIT(text, ' ')), ' ') AS sorted_toks,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' ') AS distinct_toks,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[2:4], ' ') AS slice_2_3,
+               CAST(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'the') AS BIGINT) AS has_the,
+               CAST(LIST_POSITION(STRING_SPLIT(text, ' '), 'data') AS BIGINT) AS pos_data,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Array-kernel conformance: sort/distinct/slice/contains/position/length agree row-for-row — arrays cross as sorted space-joined strings (distinct ordering is engine-defined, sorting canonicalizes), 1-based slice and position conventions pinned (absent position is 0 in both).")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

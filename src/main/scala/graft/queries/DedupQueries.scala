@@ -175,6 +175,44 @@ object DedupQueries {
         FROM fp a JOIN fp b ON a.doc < b.doc
         WHERE BIT_COUNT(XOR(a.f, b.f)) <= 3
         ORDER BY doc_a, doc_b"""),
-      doc = "SimHash (60-bit, md5-derived) near-dup pairs with hamming<=3 via 4x15-bit pigeonhole banding (recall exactly 1).")
+      doc = "SimHash (60-bit, md5-derived) near-dup pairs with hamming<=3 via 4x15-bit pigeonhole banding (recall exactly 1)."),
+
+    Q(
+      "q116_labelprop_components",
+      // Same clustering task as q32, but FORCED through the distributed
+      // min-label-propagation fallback (driverThreshold = 0) — the path
+      // the operator takes when the near-dup pair graph exceeds driver
+      // memory at 100 TB. q32 oracle-verifies the union-find fast path;
+      // this row oracle-verifies the scale path against the identical
+      // recursive-CTE closure, so BOTH algorithms are pinned to the same
+      // answer. Convergence is a synchronous fixpoint: one join + one
+      // grouped min per round, labels materialized and lineage cut per
+      // round, rounds bounded by component diameter.
+      (s, d) => Dedup.connectedComponents(sharedPairs(s, d), driverThreshold = 0)
+        .withColumnRenamed("doc", "doc_id")
+        .withColumnRenamed("component", "survivor_id")
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b FROM inter
+               JOIN sizes sa ON sa.doc = inter.doc_a
+               JOIN sizes sb ON sb.doc = inter.doc_b
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
+        SELECT doc AS doc_id, MIN(r) AS survivor_id
+        FROM reach GROUP BY doc
+        ORDER BY doc_id"""),
+      doc = "Distributed min-label-propagation connected components (the >driver-memory scale path of q32's operator, forced via driverThreshold=0) verified against the same recursive-closure oracle — both CC algorithms pinned to identical clusters.")
   )
 }

@@ -50,12 +50,12 @@ class ContractSpec extends AnyFunSuite {
 
   test("Bench's compact stdout line stays inside the driver's 2000-char tail capture") {
     // The driver parses the LAST stdout line from a 2000-char tail (NOTES
-    // rule 12). The compact line is {"metric":...,"queries":{"qNN":X.XXX,...}}
-    // with short qNN keys — estimate its worst case (4-digit seconds per
-    // query) and fail BEFORE the artifact silently truncates as the query
-    // count grows.
+    // rule 12). The compact line is {"metric":...,"queries":{"qNN":X.X,...}}
+    // with short qNN keys and Bench.fmtCompact's 5-char-max values —
+    // estimate its worst case and fail BEFORE the artifact silently
+    // truncates as the query count grows.
     val overhead = """{"metric":"total","value":99999.999,"unit":"sec","total_min":99999.999,"queries":{},"errors":[],"sf":"/root/testdata/sf0.1"}""".length
-    val perQuery = "\"q00\":9999.999,".length
+    val perQuery = "\"q000\":999.9,".length
     val estimate = overhead + SparkEntry.queries.size * perQuery
     assert(estimate < 1900,
       s"estimated compact bench line $estimate chars — nearing the 2000-char tail capture; shorten keys or split the artifact")
