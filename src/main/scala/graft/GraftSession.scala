@@ -26,9 +26,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
-      // events.parquet carries timestamp[ns], which Spark's parquet reader
-      // rejects; read as long nanos and normalize in Tables.events (DuckDB
-      // truncates ns→µs the same way, keeping the oracle comparable).
+      // Older testdata eras shipped events.ts as timestamp[ns], which
+      // Spark's parquet reader rejects; reading it as long nanos keeps
+      // those fixtures loadable (Tables.events normalizes either era;
+      // the conf is inert on today's timestamp[us] files).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

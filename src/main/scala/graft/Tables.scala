@@ -35,30 +35,50 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.ts is parquet timestamp[ns]; Spark reads it as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong). Normalize to a microsecond
-    * timestamp — the same truncation DuckDB applies when reading ns.
+  /** events.ts has shipped as parquet timestamp[ns] (read as long nanos
+    * via spark.sql.legacy.parquet.nanosAsLong) and as timestamp[us]
+    * (read as TIMESTAMP_NTZ since the files carry no UTC flag), depending
+    * on the generator era. Normalize BOTH to a session-zone (UTC)
+    * microsecond TimestampType so every downstream query sees one schema
+    * — the same value DuckDB produces reading the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
-  /** Sargable time-range scan of events: the normalized view above wraps
-    * `ts` in arithmetic, so a filter on it can never reach the parquet
-    * scan — at 100 TB that's the difference between reading a day and
-    * reading the lake. This loader pushes the range as an exact int64
-    * NANOSECOND predicate on the raw column (floor(ns/1000) >= fromUs
-    * iff ns >= fromUs*1000, and < untilUs iff ns < untilUs*1000, so the
-    * µs-truncation semantics are preserved exactly), then normalizes.
-    * PlanSpec pins the predicate in PushedFilters.
+  /** Sargable time-range scan of events: a filter written against the
+    * NORMALIZED view wraps `ts` in arithmetic/cast, so it can never reach
+    * the parquet scan — at 100 TB that's the difference between reading a
+    * day and reading the lake. This loader pushes the range predicate in
+    * the file's native representation (int64 nanos for the ns era —
+    * floor(ns/1000) >= fromUs iff ns >= fromUs*1000 — or an NTZ literal
+    * for the µs era), THEN normalizes, so row groups outside the window
+    * never leave disk. PlanSpec pins the predicate in PushedFilters.
     */
   def eventsRange(s: SparkSession, d: String, fromUs: Long, untilUs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    apply(s, d, "events")
-      .filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        raw.filter(col("ts") >= lit(ntz(fromUs)) && col("ts") < lit(ntz(untilUs)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        raw.filter(col("ts") >= timestamp_micros(lit(fromUs)) && col("ts") < timestamp_micros(lit(untilUs)))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -20,21 +20,26 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet-on-disk schema of events (ts is int64 nanos in the files). */
+  /** Parquet-on-disk schema of events (ts is timestamp[us] with no UTC
+    * flag in the files → TIMESTAMP_NTZ on read).
+    */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read with nanosAsLong)
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of events parquet files. */
+  /** Streaming source over a directory of events parquet files,
+    * normalized to the same session-zone (UTC) TimestampType the batch
+    * loader `Tables.events` produces.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Watermarked hourly tumbling-window aggregation (streaming analog of
     * batch query q16_events_hourly).
