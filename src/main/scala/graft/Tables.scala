@@ -48,9 +48,22 @@ object Tables {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampNTZType => requireUtc(s); raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — unknown fixture era; extend Tables.events/eventsRange together")
     }
+  }
+
+  /** The NTZ→TimestampType cast is session-timezone dependent: it is only
+    * value-preserving because GraftSession pins the session zone to UTC.
+    * Fail loudly on a mis-configured session instead of silently shifting
+    * every event timestamp.
+    */
+  private def requireUtc(s: SparkSession): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC" || tz == "Etc/UTC",
+      s"events NTZ normalization requires spark.sql.session.timeZone=UTC (GraftSession sets it); found '$tz'")
   }
 
   /** Sargable time-range scan of events: a filter written against the
@@ -71,13 +84,16 @@ object Tables {
         raw.filter(col("ts") >= fromUs * 1000L && col("ts") < untilUs * 1000L)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        requireUtc(s)
         def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
           Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
         raw.filter(col("ts") >= lit(ntz(fromUs)) && col("ts") < lit(ntz(untilUs)))
           .withColumn("ts", col("ts").cast(TimestampType))
-      case _ =>
+      case TimestampType =>
         raw.filter(col("ts") >= timestamp_micros(lit(fromUs)) && col("ts") < timestamp_micros(lit(untilUs)))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as $other — unknown fixture era; extend Tables.events/eventsRange together")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

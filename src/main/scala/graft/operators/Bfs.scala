@@ -16,10 +16,11 @@ import org.apache.spark.storage.StorageLevel
   * rounds — the edge table is a read-only join side, never rewritten.
   * The anti-join keeps every node's FIRST discovery only, so each node
   * is expanded exactly once and total work is O(|E|) across all levels,
-  * the textbook BFS bound. Each level's frontier is persisted and its
-  * predecessor released, so lineage stays one round deep instead of
-  * accumulating a level-deep plan (the classic iterative-DataFrame
-  * trap). Levels are small integers and node ids flow unchanged — no
+  * the textbook BFS bound. Each level's frontier is localCheckpoint'ed,
+  * so both the physical and the LOGICAL lineage stay one round deep
+  * instead of accumulating a level-deep plan (the classic
+  * iterative-DataFrame trap). Levels are small integers and node ids
+  * flow unchanged — no
   * arithmetic at all — so results are trivially engine-independent
   * (q96's DuckDB oracle re-derives the same levels with a capped
   * recursive CTE).
@@ -29,16 +30,26 @@ object Bfs {
   /** (node, lvl) minimum hop distances for every node within `maxDepth`
     * hops of `source` (source itself at lvl 0). Unreached nodes are
     * absent. The returned frame is persisted — caller unpersists.
+    *
+    * Lineage is cut per round with `localCheckpoint`, not `persist`:
+    * persist caches only the PHYSICAL result — the logical plan still
+    * nests every prior round twice (the expansion references the old
+    * frontier AND the distance vector), so Catalyst analysis + codegen
+    * grew exponentially with depth and dominated wall time (measured:
+    * ~36 s of pure driver-side planning for depth 4 at sf0.01, and every
+    * later action on the result re-paid ~8 s to re-plan the nested tree).
+    * Checkpointing resets each round's plan to a LogicalRDD leaf, so the
+    * accumulated distance vector is a flat union of leaves — planning is
+    * O(1) per round and O(depth) at the end. On a multi-executor cluster
+    * swap in reliable `checkpoint()` if executor loss must be survivable
+    * mid-loop; the algorithm is unchanged.
     */
   def levels(el: DataFrame, source: Long, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val spark = el.sparkSession
     var dist = spark.range(1)
       .select(lit(source).cast("long").as("node"), lit(0).as("lvl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = dist.select(col("node"))
-    var prevDist: DataFrame = null
-    var prevFrontier: DataFrame = null
     var lvl = 0
     var frontierSize = 1L
     while (lvl < maxDepth && frontierSize > 0) {
@@ -50,29 +61,15 @@ object Bfs {
         .join(el.as("e"), col("f.node") === col("e.u"))
         .select(col("e.v").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // the ONLY action per level: materializes `next` and — via the
-      // anti-join's scan of `dist` — populates the current distance
-      // vector's cache, so the PREVIOUS round's inputs can be released
-      // now (releasing them eagerly would force an uncached lineage
-      // walk; releasing dist itself would re-run the whole chain). One
-      // O(V) pass per level, not two: the old per-level `grown.count()`
-      // re-scanned the growing vector purely to allow an eager release.
+        .localCheckpoint(false) // lazy: the count below is the round's ONE materializing job
       frontierSize = next.count()
-      if (prevDist != null) prevDist.unpersist()
-      if (prevFrontier != null) prevFrontier.unpersist()
-      val grown = dist.union(next.withColumn("lvl", lit(lvl)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      prevDist = dist
-      dist = grown
-      prevFrontier = next
+      // flat growth: a union of checkpointed leaves — each level's blocks
+      // live until the returned vector is released (O(V) total)
+      dist = dist.union(next.withColumn("lvl", lit(lvl)))
       frontier = next
     }
-    // materialize the final vector before releasing the cached frames it
-    // unions over, then hand it to the caller one round deep
-    dist.count()
-    if (prevDist != null) prevDist.unpersist()
-    if (prevFrontier != null) prevFrontier.unpersist()
-    dist
+    val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
   }
 }

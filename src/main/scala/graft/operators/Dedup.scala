@@ -276,7 +276,7 @@ object Dedup {
     *
     * Hybrid execution: driver-side union-find when the pair graph fits
     * (the common case — pairs are the output of the similarity filter),
-    * distributed iterative min-label propagation otherwise. Same labels
+    * distributed pointer-doubling min-label propagation otherwise. Same labels
     * either way.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
@@ -316,24 +316,92 @@ object Dedup {
         }
         parent.keys.toSeq.sorted
           .map(d => (d, find(d))).toDF("doc", "component")
-      } else distributedComponents(edges, maxIters)
+      } else pointerDoublingComponents(edges, maxIters)
     } finally {
-      // distributedComponents materializes its labels before returning, so
+      // the distributed path materializes its labels before returning, so
       // releasing the edge cache here is safe on both paths
       if (!wasCached) edges.unpersist()
     }
   }
 
-  /** Distributed min-label propagation fallback (driver convergence loop;
-    * swap in large-star/small-star for extreme diameters).
+  /** Pointer-doubling min-label connected components — the distributed
+    * scale path of [[connectedComponents]]. Labels start at
+    * parent(v) = min(v, min neighbor); each round composes
+    *
+    *   1. a pointer JUMP  parent(v) ← parent(parent(v))   (one self-join), and
+    *   2. a neighbor-min  parent(v) ← min over edges       (one join + grouped min),
+    *
+    * so label chains HALVE per round: a diameter-d path converges in
+    * ~log₂(d) rounds where plain propagation ([[labelPropComponents]])
+    * needs d — at 100 TB web-graph scale (diameter 50+) that is ~6
+    * synchronous job launches instead of ~50. Labels are monotone
+    * non-increasing and always node ids inside the same component (the
+    * jump target is a label, hence a node; the neighbor min is a
+    * neighbor's label), so the self-join key always resolves and the
+    * fixpoint is exactly the component minimum — the identical answer
+    * q32 (union-find) and q116 (label-prop) pin; q123 pins this path.
     */
-  private def distributedComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
+  private[graft] def pointerDoublingComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-round label tables are localCheckpoint'ed, not persisted: the
+    // round's plan references the previous labels THREE times (both sides
+    // of the jump self-join + the neighbor propagation), so without
+    // cutting the LOGICAL lineage Catalyst re-plans an exponentially
+    // nested tree every round (see Bfs.levels for the measured cost)
+    var parent = edges.groupBy(col("src").as("doc"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc"), least(col("doc"), col("nmin")).as("component"))
+      .localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // explicit aliases: parent self-joins on its own label column
+      val jumped = parent.as("p")
+        .join(parent.as("q"), col("p.component") === col("q.doc"))
+        .select(col("p.doc").as("doc"), col("q.component").as("component"))
+      val nmin = edges
+        .join(jumped.select(col("doc").as("dst2"), col("component")),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("doc")).agg(min(col("component")).as("nmin"))
+      val next = jumped
+        .join(nmin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(false)
+      // ONE action per round: the inequality join materializes `next`'s
+      // checkpoint blocks as a side effect; superseded label blocks are
+      // released by the context cleaner once unreferenced
+      converged = next.join(parent.withColumnRenamed("component", "old"), "doc")
+        .filter(col("component") =!= col("old")).isEmpty
+      parent = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"pointerDoublingComponents did not converge in $maxIters iterations " +
+          "— raise maxIters; returning partial labels would silently mislabel survivors")
+    parent
+  }
+
+  /** Distributed min-label propagation (synchronous fixpoint, rounds ∝
+    * component diameter). Kept as the simplest distributed CC — q116 pins
+    * it to the same oracle as q32/q123 — but the production fallback of
+    * [[connectedComponents]] is [[pointerDoublingComponents]], which
+    * converges in log(diameter) rounds instead.
+    */
+  private[graft] def labelPropComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // localCheckpoint per round for the same reason as
+    // pointerDoublingComponents: cut the LOGICAL lineage, not just the
+    // physical one, or per-round planning cost compounds
     var labels = edges.select(col("src").as("doc")).distinct()
       .withColumn("component", col("doc"))
-      .cache()
+      .localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -344,17 +412,16 @@ object Dedup {
         .join(neighborMin, labels("doc") === neighborMin("doc2"), "left")
         .select(col("doc"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .cache()
+        .localCheckpoint(false)
       converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
         .filter(col("component") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations " +
+        s"labelPropComponents did not converge in $maxIters iterations " +
           "(component diameter exceeds maxIters) — raise maxIters; returning " +
           "partial labels would silently mislabel survivors")
     labels

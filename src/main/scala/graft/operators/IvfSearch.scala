@@ -77,6 +77,23 @@ object IvfSearch {
   def assign(corpus: DataFrame, index: IvfIndex): DataFrame =
     unit(corpus).withColumn("cluster", assignCol(index.centroids))
 
+  /** INCREMENTAL index maintenance: route an appended batch through the
+    * EXISTING centroids and union it with the already-materialized
+    * inverted lists — no re-clustering, so the append costs one scan of
+    * the batch (k codegen'd dots per row), never a pass over the corpus.
+    * This mirrors the batch-vs-index shape of `Dedup.dedupIncremental`:
+    * the index is the long-lived artifact, each arriving batch folds in.
+    *
+    * Trade (documented, spec-pinned): appended mass does not move the
+    * centroids until the next offline [[build]], so recall degrades only
+    * if the batch's distribution drifts from the corpus the centroids
+    * were trained on — IvfSearchSpec pins recall ≥ 0.8 for search over
+    * an appended split against the exact full-corpus scan. Re-run
+    * [[build]] when drift accumulates (the usual IVF deployment cadence).
+    */
+  def appendAssigned(assigned: DataFrame, batch: DataFrame, index: IvfIndex): DataFrame =
+    assigned.unionByName(assign(batch, index))
+
   /** Top-k cosine neighbors per query, probing `nprobe` inverted lists.
     * Approximate: neighbors outside the probed lists are missed (spec
     * pins recall against the exact baseline).

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** PageRank in EXACT scaled-integer arithmetic (ranks scaled by 10^12,
   * damping 0.85, every division a floor division at a fixed point in the
@@ -25,8 +24,8 @@ import org.apache.spark.storage.StorageLevel
   *   - [[converge]]: rounds until the integer L1 delta Σ|pr−pr'| drops to
   *     `epsScaled` (same 10^12 scale) or `maxIter` is hit. The delta is
   *     an exact integer, so "converged" is a deterministic predicate, not
-  *     a float threshold race. Each intermediate vector is persisted and
-  *     the predecessor released — lineage stays one round deep.
+  *     a float threshold race. Each intermediate vector is checkpointed so
+  *     both the physical AND logical lineage stay one round deep.
   */
 object PageRank {
 
@@ -67,19 +66,22 @@ object PageRank {
   def converge(el: DataFrame, deg: DataFrame, epsScaled: Long,
                maxIter: Int = 20): (DataFrame, Int, Long) = {
     val n = deg.count()
-    var pr = initial(deg, n).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist) between rounds: persist cuts only the
+    // physical lineage — round k's LOGICAL plan would still nest all k
+    // predecessors and Catalyst would re-analyze the whole chain every
+    // round (see Bfs.levels for the measured cost of that trap)
+    var pr = initial(deg, n).localCheckpoint(false)
     var it = 0
     var delta = Long.MaxValue
     while (delta > epsScaled && it < maxIter) {
-      val next = step(el, deg, pr, n).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = step(el, deg, pr, n).localCheckpoint(false)
       // exact integer L1 distance — one tiny join over two (node, long)
-      // vectors; an action, so `next` materializes here and the loop's
-      // lineage never grows past one round
+      // vectors; an action, so `next`'s checkpoint blocks materialize
+      // here and the superseded vector is released by the context cleaner
       delta = next.select(col("node"), col("pr").as("__npr"))
         .join(pr, "node")
         .agg(sum(abs(col("__npr") - col("pr"))))
         .head().getLong(0)
-      pr.unpersist()
       pr = next
       it += 1
     }

@@ -179,20 +179,45 @@ object DedupQueries {
 
     Q(
       "q116_labelprop_components",
-      // Same clustering task as q32, but FORCED through the distributed
-      // min-label-propagation fallback (driverThreshold = 0) — the path
-      // the operator takes when the near-dup pair graph exceeds driver
-      // memory at 100 TB. q32 oracle-verifies the union-find fast path;
-      // this row oracle-verifies the scale path against the identical
-      // recursive-CTE closure, so BOTH algorithms are pinned to the same
-      // answer. Convergence is a synchronous fixpoint: one join + one
-      // grouped min per round, labels materialized and lineage cut per
-      // round, rounds bounded by component diameter.
+      // Same clustering task as q32, but through the distributed
+      // min-label-propagation algorithm — the simplest >driver-memory
+      // path. q32 oracle-verifies the union-find fast path; this row
+      // oracle-verifies label propagation against the identical
+      // recursive-CTE closure, and q123 pins the pointer-doubling
+      // variant (the production fallback), so ALL THREE algorithms are
+      // pinned to the same answer. Convergence here is a synchronous
+      // fixpoint: one join + one grouped min per round, labels
+      // materialized and lineage cut per round, rounds bounded by
+      // component diameter.
+      (s, d) => Dedup.labelPropComponents(sharedPairs(s, d))
+        .withColumnRenamed("doc", "doc_id")
+        .withColumnRenamed("component", "survivor_id")
+        .orderBy(col("doc_id")),
+      Some(ccClosureOracle),
+      doc = "Distributed min-label-propagation connected components (the simplest >driver-memory scale path of q32's operator) verified against the same recursive-closure oracle — pinned to the identical clusters as the union-find (q32) and pointer-doubling (q123) algorithms."),
+
+    Q(
+      "q123_doubling_components",
+      // The PRODUCTION >driver-memory path: forcing driverThreshold=0
+      // routes connectedComponents through pointerDoublingComponents —
+      // per round one pointer-jump self-join plus one neighbor-min, so
+      // label chains halve and rounds scale with log(diameter), not
+      // diameter (q116's propagation). Third algorithm pinned to the
+      // same recursive-closure answer: union-find (q32), label-prop
+      // (q116), pointer doubling (here).
       (s, d) => Dedup.connectedComponents(sharedPairs(s, d), driverThreshold = 0)
         .withColumnRenamed("doc", "doc_id")
         .withColumnRenamed("component", "survivor_id")
         .orderBy(col("doc_id")),
-      Some("""
+      Some(ccClosureOracle),
+      doc = "Pointer-doubling connected components (the production distributed path, forced via driverThreshold=0): jump + neighbor-min per round, log(diameter) convergence — third CC algorithm pinned to the identical recursive-closure oracle as q32/q116.")
+  )
+
+  /** Recursive-CTE transitive-closure oracle shared verbatim by q116 and
+    * q123 (and mirroring q32's): three different CC algorithms, one
+    * answer — the adversarial pairing that keeps the scale paths honest.
+    */
+  private def ccClosureOracle: String = """
         WITH RECURSIVE
         docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
         sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
@@ -212,7 +237,5 @@ object DedupQueries {
           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
         SELECT doc AS doc_id, MIN(r) AS survivor_id
         FROM reach GROUP BY doc
-        ORDER BY doc_id"""),
-      doc = "Distributed min-label-propagation connected components (the >driver-memory scale path of q32's operator, forced via driverThreshold=0) verified against the same recursive-closure oracle — both CC algorithms pinned to identical clusters.")
-  )
+        ORDER BY doc_id"""
 }

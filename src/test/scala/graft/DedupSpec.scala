@@ -144,6 +144,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pointerDoublingComponents: a 64-node chain converges within log-bounded rounds where plain propagation cannot") {
+    import spark.implicits._
+    // path graph 1-2-...-64: diameter 63. Min-label PROPAGATION moves the
+    // label one hop per round, so 10 rounds provably cannot converge; the
+    // pointer-doubling path halves label chains per round and finishes in
+    // ~log2(63) rounds — the log(diameter) claim, pinned adversarially.
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException](
+      Dedup.labelPropComponents(chain, maxIters = 10))
+    val got = Dedup.pointerDoublingComponents(chain, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 64L).toSet)
+    assert(got.values.forall(_ == 1L), s"all labels must be the chain min: $got")
+  }
+
+  test("all three CC algorithms produce identical labels on the same pair graph") {
+    import spark.implicits._
+    // two chains, one pair, one triangle-with-tail — enough shape to
+    // catch an algorithm that mislabels merges of distinct local minima
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (32L, 33L)).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val uf = toMap(Dedup.connectedComponents(pairs)) // driver union-find
+    val lp = toMap(Dedup.labelPropComponents(pairs))
+    val pd = toMap(Dedup.pointerDoublingComponents(pairs))
+    assert(uf == lp, "union-find vs label-prop")
+    assert(uf == pd, "union-find vs pointer doubling")
+  }
+
   test("simhashPairs equals exact brute-force hamming pairs (recall 1 by pigeonhole)") {
     val docs = Tables.documents(spark, sf).limit(100)
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text").cache()

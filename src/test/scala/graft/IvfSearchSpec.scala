@@ -44,6 +44,33 @@ class IvfSearchSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"cold-query IVF recall too low: $recall")
   }
 
+  test("incremental append: batch assigned to existing centroids, then searched with recall >= 0.8") {
+    val corpus = Tables.embeddings(spark, sf)
+    // 80/20 split: centroids trained on the base only; the batch arrives later
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 5 === 0)
+    val index = IvfSearch.build(base, k = 16, iters = 3)
+    val assignedBase = IvfSearch.assign(base, index)
+    // append WITHOUT re-clustering — the incremental path under test
+    val assignedAll = IvfSearch.appendAssigned(assignedBase, batch, index)
+    assert(assignedAll.count() == corpus.count(), "append must cover every vector")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val approx = IvfSearch.topKAssigned(assignedAll, queries, index, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact baseline over the FULL (base + appended) corpus: the search
+    // must find appended vectors too, not just the trained base
+    val exact = SimSearch.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"append-then-search recall too low: $recall")
+    // and appended ids are actually reachable as neighbors
+    assert(approx.exists { case (_, n) => n % 5 == 0 },
+      "no appended vector ever surfaced as a neighbor — append path broken")
+  }
+
   test("probed search recalls most exact top-5 neighbors") {
     val corpus = Tables.embeddings(spark, sf)
     val queries = corpus.filter(col("vec_id") < 10)

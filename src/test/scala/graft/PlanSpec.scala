@@ -23,13 +23,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_extendedprice"), "untouched columns must be pruned from the scan")
   }
 
-  test("q111: the time-range predicate reaches the parquet scan as int64 nanosecond bounds") {
+  test("q111: the time-range predicate reaches the parquet scan in the file's native representation") {
+    import org.apache.spark.sql.types._
     val p = plan("q111_pushdown_time_range")
-    // the sargable loader filters the RAW ns column before normalizing,
-    // so the range lands in PushedFilters; the normalized view's
-    // timestamp arithmetic could never push it
+    // the sargable loader filters the RAW column before normalizing, so
+    // the range lands in PushedFilters; the normalized view's timestamp
+    // arithmetic could never push it. The pushed literal's rendering
+    // depends on the fixture era — int64 nanos (nanosAsLong) vs
+    // timestamp[us]/NTZ — so pin the shape the data on disk dictates.
+    Tables(spark, sf, "events").schema("ts").dataType match {
+      case LongType =>
+        assert(p.contains("GreaterThanOrEqual(ts,1704844800000000000)"), p.take(800))
+        assert(p.contains("LessThan(ts,1705708800000000000)"), p.take(800))
+      case TimestampNTZType =>
+        assert(p.contains("GreaterThanOrEqual(ts,2024-01-10T00:00"), p.take(800))
+        assert(p.contains("LessThan(ts,2024-01-20T00:00"), p.take(800))
+      case other => fail(s"unexpected events.ts parquet type $other — extend Tables.eventsRange and this pin")
+    }
+  }
+
+  test("q111 ns era: int64-nanos fixtures push the range as exact nanosecond bounds") {
+    // today's testdata ships timestamp[us], so the LongType branch of the
+    // sargable loader would go untested — synthesize the ns-era shape
+    // (a plain int64 ts column, exactly what nanosAsLong-era files look
+    // like to the reader) and pin its pushed rendering too
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ns-era").toString
+    Seq((1L, 1704844800000000000L), (2L, 1705000000000000000L), (3L, 1706000000000000000L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val df = Tables.eventsRange(spark, tmp, 1704844800000000L, 1705708800000000L)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("GreaterThanOrEqual(ts,1704844800000000000)"), p.take(800))
     assert(p.contains("LessThan(ts,1705708800000000000)"), p.take(800))
+    assert(df.count() == 2, "range must keep exactly the two in-window rows")
   }
 
   test("q05: every dimension join is a broadcast hash join, no sort-merge") {
