@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable.ArrayBuffer
+
+/** KLL-style UPDATABLE quantile sketch — the streaming member of the
+  * quantile family, next to [[QuantileSummary]] (partition-sort summary,
+  * no per-row update path) and [[Percentiles]] (exact).
+  *
+  * Structure (Karnin–Lang–Liberty 2016, simplified to fixed per-level
+  * capacity à la Manku–Rajagopalan–Lindsay): a stack of buffers where
+  * level i holds items of weight 2^i. An update appends to level 0; a
+  * full level sorts, pairs adjacent items, keeps one per pair and
+  * promotes the survivors one level up (weight doubles), leaving any odd
+  * leftover in place. Where KLL flips a coin for which half survives,
+  * this sketch ALTERNATES the surviving parity per level — fully
+  * deterministic: the same update sequence always yields the identical
+  * sketch, which is what makes its guarantees spec-pinnable (same trade
+  * [[Sampling]] makes with hash-derived priorities). The price is the
+  * loss of KLL's unbiasedness/variance argument; what remains — and what
+  * the spec pins — is the certified WORST-CASE bound below.
+  *
+  * Certified error bound: compacting level i perturbs the rank of any
+  * query point by at most 2^i (total weight is preserved; pairing a
+  * sorted buffer and keeping one item per pair misplaces at most weight
+  * 2^i across any threshold). The sketch ACCUMULATES that bound in
+  * `errBound` as it compacts, so every instance carries its own proof:
+  * |estRankLe(v) − trueRankLe(v)| ≤ errBound for EVERY v, always —
+  * KllSpec pins exactly this. With capacity k per level the bound grows
+  * as O((n/k)·log(n/k)) and space as O(k·log(n/k)).
+  *
+  * Mergeable: level-wise concatenation + recompaction; bounds add. At
+  * cluster scale each partition streams into its own sketch (constant
+  * state, one pass, no sort — unlike QuantileSummary's partition sort)
+  * and the P sketches merge in partition-id order: deterministic given
+  * the partition layout, O(P·k·log n) driver work, nothing unbounded.
+  */
+final class KllSketch private (val k: Int) extends Serializable {
+
+  private var levels: ArrayBuffer[ArrayBuffer[Long]] =
+    ArrayBuffer(ArrayBuffer.empty[Long])
+  private var parities: ArrayBuffer[Boolean] = ArrayBuffer(false)
+
+  /** Total updates folded in (== total retained weight, invariant). */
+  var count: Long = 0L
+
+  /** Certified worst-case rank error of every estimate, maintained
+    * through updates and merges.
+    */
+  var errBound: Long = 0L
+
+  def update(v: Long): Unit = {
+    levels(0) += v
+    count += 1
+    compress()
+  }
+
+  def merge(o: KllSketch): KllSketch = {
+    require(o.k == k, s"cannot merge sketches of different k: $k vs ${o.k}")
+    while (levels.length < o.levels.length) addLevel()
+    var i = 0
+    while (i < o.levels.length) { levels(i) ++= o.levels(i); i += 1 }
+    count += o.count
+    errBound += o.errBound
+    compress()
+    this
+  }
+
+  private def addLevel(): Unit = { levels += ArrayBuffer.empty[Long]; parities += false }
+
+  private def compress(): Unit = {
+    var i = 0
+    while (i < levels.length) {
+      while (levels(i).length >= k) compact(i)
+      i += 1
+    }
+  }
+
+  private def compact(i: Int): Unit = {
+    if (i + 1 >= levels.length) addLevel()
+    val arr = levels(i).toArray
+    java.util.Arrays.sort(arr)
+    val even = arr.length & ~1
+    val offset = if (parities(i)) 1 else 0
+    parities(i) = !parities(i) // deterministic alternation replaces the coin flip
+    val up = levels(i + 1)
+    var j = offset
+    while (j < even) { up += arr(j); j += 2 }
+    val keep = ArrayBuffer.empty[Long]
+    if (even < arr.length) keep += arr(even) // odd leftover stays at weight 2^i
+    levels(i) = keep
+    errBound += 1L << i
+  }
+
+  /** Estimated count of stream elements <= v: Σ_i 2^i · |{x ∈ level_i : x ≤ v}|.
+    * Within `errBound` of the true count, for every v.
+    */
+  def estRankLe(v: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < levels.length) {
+      val buf = levels(i)
+      var j = 0
+      while (j < buf.length) { if (buf(j) <= v) r += 1L << i; j += 1 }
+      i += 1
+    }
+    r
+  }
+
+  /** All retained values, ascending distinct — the candidate set every
+    * quantile answer is drawn from.
+    */
+  def retained: Array[Long] = {
+    val all = levels.iterator.flatten.toArray
+    java.util.Arrays.sort(all)
+    all.distinct
+  }
+
+  /** Approximate PERCENTILE_DISC at integer permille q: the smallest
+    * retained value whose estimated rank reaches ceil(q·count/1000) —
+    * the q107/q109 convention. A pick always exists: retained weight
+    * equals count exactly (compaction preserves weight), so the largest
+    * retained value always estimates to count ≥ target. The certified
+    * part of the pick's quality — |est − true| ≤ errBound for every
+    * value — is what KllSpec pins.
+    */
+  def quantile(permille: Int): Long = {
+    require(permille >= 1 && permille <= 1000, s"permille out of range: $permille")
+    require(count > 0, "empty sketch has no quantiles")
+    val target = (permille * count + 999) / 1000
+    val cands = retained
+    var i = 0
+    while (i < cands.length - 1 && estRankLe(cands(i)) < target) i += 1
+    cands(i)
+  }
+
+  /** Retained-weight invariant — compaction and merge preserve total
+    * weight exactly; exposed for the spec.
+    */
+  def retainedWeight: Long = {
+    var w = 0L
+    var i = 0
+    while (i < levels.length) { w += levels(i).length.toLong << i; i += 1 }
+    w
+  }
+
+  /** Retained items with weights, for structural equality in specs. */
+  def structure: Seq[(Int, Seq[Long])] =
+    levels.zipWithIndex.map { case (b, i) => (i, b.toSeq.sorted) }.toSeq
+}
+
+object KllSketch {
+  def empty(k: Int): KllSketch = {
+    require(k >= 4, s"k must be >= 4, got $k")
+    new KllSketch(k)
+  }
+}
+
+object Kll {
+
+  /** One sketch per partition (single streaming pass, constant state, no
+    * partition sort), merged on the driver in PARTITION-ID order —
+    * deterministic given the partition layout, like QuantileSummary.
+    * Driver state is P bounded sketches (O(k·log n) longs each), the
+    * same bounded-collect class as Percentiles' bucket counts.
+    */
+  def sketch(rows: DataFrame, keyCol: String, k: Int = 200): KllSketch = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val parts = rows.select(col(keyCol).cast("long")).as[Long]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val s = KllSketch.empty(k)
+        it.foreach(s.update)
+        Iterator.single((pid, s))
+      }.collect()
+    parts.sortBy(_._1).map(_._2)
+      .foldLeft(KllSketch.empty(k))((acc, s) => acc.merge(s))
+  }
+
+  /** DataFrame surface for the q-row: (permille, value, est_rank,
+    * err_bound, n) per requested permille.
+    */
+  def quantiles(rows: DataFrame, keyCol: String, permille: Seq[Int],
+                k: Int = 200): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val s = sketch(rows, keyCol, k)
+    permille.sorted.map { q =>
+      val v = s.quantile(q)
+      (q.toLong, v, s.estRankLe(v), s.errBound, s.count)
+    }.toDF("permille", "value", "est_rank", "err_bound", "n")
+  }
+}

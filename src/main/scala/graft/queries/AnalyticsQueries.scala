@@ -896,6 +896,26 @@ object AnalyticsQueries {
       doc = "Deterministic mergeable quantile summary: m equi-spaced per-partition samples with exact local ranks, merged relationally into rank estimates with a provable sum-of-ceil(n_p/m) error bound — the constant-state quantile path (PODS'12 mergeable-summaries framing); guarantees pinned in AnalyticsSpec."),
 
     Q(
+      "q124_kll_quantiles",
+      (s, d) => {
+        import s.implicits._
+        // KLL-style UPDATABLE quantile sketch (deterministic alternating
+        // compaction) over document lengths — the streaming quantile
+        // path q109's sort-based summary cannot provide: per-row update,
+        // level-wise merge, and a CERTIFIED worst-case rank bound the
+        // sketch carries in itself (err_bound column). Estimates depend
+        // on the partition layout, so this row is rows-only; KllSpec
+        // pins |est − true| ≤ errBound on every probe, weight
+        // conservation, merge-bound additivity, below-capacity
+        // exactness, and bit-identical reruns.
+        val lens = Tables.documents(s, d)
+          .select(length($"text").cast("long").as("len"))
+        graft.operators.Kll.quantiles(lens, "len", Seq(500, 900, 990), k = 64)
+      },
+      None,
+      doc = "KLL-style updatable quantile sketch (KLL'16 structure, deterministic alternating-parity compaction): constant-state per-partition streaming build, pid-ordered merge, self-certified worst-case rank bound emitted alongside each estimate; guarantees pinned in KllSpec."),
+
+    Q(
       "q115_bitmap_overlap",
       (s, d) => {
         import s.implicits._

@@ -590,6 +590,48 @@ object BehaviorQueries {
         FROM documents
         ORDER BY doc_id"""),
       doc = "Array-kernel conformance: sort/distinct/slice/contains/position/length agree row-for-row — arrays cross as sorted space-joined strings (distinct ordering is engine-defined, sorting canonicalizes), 1-based slice and position conventions pinned (absent position is 0 in both).")
+  ,
+
+    Q(
+      "q125_rounding_modes",
+      (s, d) => {
+        import s.implicits._
+        // Rounding-MODE conformance row, completing q114's numeric
+        // kernels: exact binary halves (k + 0.5 and k/8 doubles are
+        // exactly representable, so no shortest-repr ambiguity) pushed
+        // through BOTH modes — round() is HALF AWAY FROM ZERO in both
+        // engines (Spark HALF_UP via BigDecimal on positives AND
+        // negatives matches DuckDB ROUND), bround() is HALF TO EVEN
+        // (matches DuckDB ROUND_EVEN: 2.5→2, 3.5→4, −2.5→−2). A mode
+        // drift in either engine is a hash mismatch on every .5 row.
+        // SIGNED ZERO pin: bround(-0.5) is +0.0 in Spark (BigDecimal has
+        // no −0) but ROUND_EVEN yields IEEE −0.0 in DuckDB — the one
+        // genuine divergence this row found; both sides normalize with
+        // `+ 0.0` (IEEE: −0.0 + 0.0 = +0.0), documented here so the
+        // edge stays visible. Pure codegen scalar pipeline, one scan.
+        val h = ($"l_orderkey" % 100).cast("double") + lit(0.5)
+        val e = ($"l_orderkey" % 800).cast("double") / lit(8.0)
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            round(h).as("r_away"),
+            bround(h).as("r_even"),
+            (round(-h) + lit(0.0)).as("r_away_neg"),
+            (bround(-h) + lit(0.0)).as("r_even_neg"),
+            round(e, 2).as("r2_away"),
+            bround(e, 2).as("r2_even"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               ROUND(CAST(l_orderkey % 100 AS DOUBLE) + 0.5, 0) AS r_away,
+               ROUND_EVEN(CAST(l_orderkey % 100 AS DOUBLE) + 0.5, 0) AS r_even,
+               ROUND(-(CAST(l_orderkey % 100 AS DOUBLE) + 0.5), 0) + 0.0 AS r_away_neg,
+               ROUND_EVEN(-(CAST(l_orderkey % 100 AS DOUBLE) + 0.5), 0) + 0.0 AS r_even_neg,
+               ROUND(CAST(l_orderkey % 800 AS DOUBLE) / 8.0, 2) AS r2_away,
+               ROUND_EVEN(CAST(l_orderkey % 800 AS DOUBLE) / 8.0, 2) AS r2_even
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+      doc = "Rounding-mode conformance on exact binary halves: round == half-away-from-zero (Spark HALF_UP ↔ DuckDB ROUND, negatives included), bround == half-to-even (↔ ROUND_EVEN) — the two modes that silently corrupt financial aggregates when an engine swap changes them; every .5 row is a live tripwire. Found divergence, pinned: DuckDB ROUND_EVEN(-0.5) is IEEE −0.0 while Spark bround is +0.0 — normalized with +0.0 on both sides.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

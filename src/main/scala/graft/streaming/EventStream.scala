@@ -22,6 +22,15 @@ object EventStream {
 
   /** Parquet-on-disk schema of events (ts is timestamp[us] with no UTC
     * flag in the files → TIMESTAMP_NTZ on read).
+    *
+    * Era support matrix (deliberately ASYMMETRIC): the BATCH loaders
+    * (`Tables.events`/`eventsRange`) normalize both the legacy int64-ns
+    * era and today's timestamp[us]/NTZ era; the STREAMING source supports
+    * the µs/NTZ era only — streams require an explicit schema up front,
+    * and carrying a second schema for fixtures that no generator has
+    * produced since the ns era would double every streaming test matrix
+    * for no live data. Feeding ns-era files here fails fast on schema
+    * mismatch; route them through the batch loader instead.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -104,6 +113,25 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CONTENT dedup — the streaming twin of the batch
+    * fingerprint-dedup family (q35's md5-of-normalized-text fingerprint
+    * keyed like q20's exact dedup): each event's payload is fingerprinted
+    * with the SAME deterministic normalization as the batch path, and
+    * rows whose fingerprint was already seen within the watermark horizon
+    * are dropped. State is one fingerprint per retained row, bounded and
+    * evicted by the watermark — within the horizon the kept set is
+    * EXACTLY the batch `dropDuplicates(fp)` answer (StreamingSpec pins
+    * the equality across chunked + re-delivered micro-batches); content
+    * duplicates farther apart than the horizon are the documented trade
+    * for bounded state at 100 TB/day.
+    */
+  def dedupByFingerprint(events: DataFrame, contentCol: String = "props",
+                         watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("fp", graft.functions.TextFns.fingerprint(col(contentCol)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Stream-STATIC enrichment join: each micro-batch joins the event
     * stream against a static dimension (user attributes, feature tables,

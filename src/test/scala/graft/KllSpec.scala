@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Kll, KllSketch}
+
+/** The KLL-style updatable sketch's guarantees, pinned:
+  * the certified rank-error bound holds for EVERY probe value, weight is
+  * conserved, merge adds bounds, small streams stay exact, and the
+  * deterministic compaction makes reruns bit-identical.
+  */
+class KllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  /** Deterministic pseudo-shuffled stream 0..n-1 (fixed LCG permutation —
+    * adversarial enough to exercise compaction, reproducible always).
+    */
+  private def stream(n: Int): Array[Long] = {
+    // prime-multiplier walk: a permutation of 0..n-1 whenever 7919 ∤ n
+    require(n % 7919 != 0)
+    Array.tabulate(n)(i => (7919L * i + 12345) % n)
+  }
+
+  test("certified bound: |est - true| <= errBound for every probe, and the bound is non-trivial") {
+    val n = 10000
+    val s = KllSketch.empty(64)
+    stream(n).foreach(s.update)
+    assert(s.count == n)
+    assert(s.retainedWeight == n, "compaction must conserve total weight")
+    // probe every 37th value plus the extremes: true rank of v is v+1
+    val probes = (0L until n.toLong by 37L) ++ Seq(0L, n - 1L)
+    probes.foreach { v =>
+      val est = s.estRankLe(v)
+      val truth = v + 1
+      assert(math.abs(est - truth) <= s.errBound,
+        s"v=$v est=$est true=$truth bound=${s.errBound}")
+    }
+    // the bound must certify something useful: well under n (k=64 over
+    // 10k values lands near (n/k)·log2(n/k) ~ 1100; n/4 is the red line)
+    assert(s.errBound > 0 && s.errBound <= n / 4,
+      s"certified bound degenerate: ${s.errBound} for n=$n")
+  }
+
+  test("updatable: estimates stay bound-certified mid-stream, not only at the end") {
+    val s = KllSketch.empty(32)
+    val data = stream(5000)
+    var fed = 0
+    data.grouped(1000).foreach { chunk =>
+      chunk.foreach(s.update)
+      fed += chunk.length
+      val sorted = data.take(fed).sorted
+      val v = sorted(fed / 2)
+      val truth = sorted.count(_ <= v).toLong
+      assert(math.abs(s.estRankLe(v) - truth) <= s.errBound,
+        s"after $fed updates: est=${s.estRankLe(v)} true=$truth bound=${s.errBound}")
+    }
+  }
+
+  test("merge: level-wise union keeps the summed certified bound over the combined stream") {
+    val a = KllSketch.empty(64)
+    val b = KllSketch.empty(64)
+    val dataA = stream(4000)
+    val dataB = stream(6000).map(_ + 2500L) // overlapping range
+    dataA.foreach(a.update)
+    dataB.foreach(b.update)
+    val boundA = a.errBound; val boundB = b.errBound
+    val m = a.merge(b)
+    assert(m.count == 10000 && m.retainedWeight == 10000)
+    assert(m.errBound >= boundA + boundB, "merge must not forget either side's error")
+    val all = (dataA ++ dataB).sorted
+    (0L until 8500L by 53L).foreach { v =>
+      val truth = {
+        var lo = 0; var hi = all.length
+        while (lo < hi) { val mid = (lo + hi) >>> 1; if (all(mid) <= v) lo = mid + 1 else hi = mid }
+        lo.toLong
+      }
+      assert(math.abs(m.estRankLe(v) - truth) <= m.errBound,
+        s"v=$v est=${m.estRankLe(v)} true=$truth bound=${m.errBound}")
+    }
+  }
+
+  test("exact below capacity: no compaction, errBound 0, quantiles are exact PERCENTILE_DISC") {
+    val s = KllSketch.empty(200)
+    val data = Array(5L, 1L, 9L, 3L, 7L, 2L, 8L, 4L, 6L, 10L)
+    data.foreach(s.update)
+    assert(s.errBound == 0)
+    // ceil(q*n/1000) ranks over 1..10: p500 -> rank 5 -> value 5; p900 -> 9; p1000 -> 10
+    assert(s.quantile(500) == 5L)
+    assert(s.quantile(900) == 9L)
+    assert(s.quantile(1000) == 10L)
+  }
+
+  test("deterministic: identical update sequence yields the identical sketch structure") {
+    def build() = { val s = KllSketch.empty(16); stream(3000).foreach(s.update); s }
+    val s1 = build(); val s2 = build()
+    assert(s1.structure == s2.structure, "alternating-parity compaction must be reproducible")
+    assert(s1.errBound == s2.errBound && s1.count == s2.count)
+    assert(Seq(500, 900, 990).map(s1.quantile) == Seq(500, 900, 990).map(s2.quantile))
+  }
+
+  test("Spark path: per-partition sketches merged in pid order, bound holds vs the exact ranks") {
+    import spark.implicits._
+    val lens = Tables.documents(spark, sf)
+      .select(length($"text").cast("long").as("len"))
+    val s = Kll.sketch(lens, "len", k = 64)
+    val exact = lens.as[Long].collect().sorted
+    assert(s.count == exact.length)
+    Seq(500, 900, 990).foreach { q =>
+      val v = s.quantile(q)
+      val truth = exact.count(_ <= v).toLong
+      assert(math.abs(s.estRankLe(v) - truth) <= s.errBound,
+        s"p$q: est=${s.estRankLe(v)} true=$truth bound=${s.errBound}")
+    }
+    // determinism given the layout: the whole pipeline reruns identically
+    val s2 = Kll.sketch(lens, "len", k = 64)
+    assert(s.structure == s2.structure && s.errBound == s2.errBound)
+  }
+}

@@ -344,6 +344,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup equals batch dropDuplicates(fp), chunked and re-delivered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4), r.getString(5)))
+    val (chunk1, chunk2) = all.splitAt(all.length / 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    // watermark far beyond the fixture's time span: no state evicts, so
+    // the streaming answer must EQUAL the global batch dedup exactly
+    val deduped = EventStream.dedupByFingerprint(
+      input.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      watermark = "3650 days")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("fp_dedup").start()
+    try {
+      input.addData(chunk1.toIndexedSeq)
+      q.processAllAvailable()
+      // chunk1 RE-DELIVERED in full alongside the new chunk: every
+      // re-delivered row is a content duplicate and must be dropped
+      input.addData((chunk1 ++ chunk2).toIndexedSeq)
+      q.processAllAvailable()
+      val gotFps = spark.table("fp_dedup").select($"fp").as[String].collect().toSeq
+      assert(gotFps.distinct.size == gotFps.size, "stream emitted a duplicate fingerprint")
+      val batchFps = Tables.events(spark, sf)
+        .select(graft.functions.TextFns.fingerprint($"props").as("fp"))
+        .distinct().as[String].collect().toSet
+      assert(gotFps.toSet == batchFps,
+        s"stream kept ${gotFps.size} fps, batch has ${batchFps.size}")
+    } finally q.stop()
+  }
+
   test("session_window agg groups events by event-time gaps") {
     import spark.implicits._
     val batch = Seq(
