@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import graft.operators.KllSketch
+
+/** Grouped KLL quantiles as ONE typed-imperative aggregate: each group's
+  * rows stream into a KllSketch buffer, partial aggregation works as
+  * usual, and the SHUFFLE CARRIES SKETCHES, NOT ROWS — at 100 TB a
+  * per-group quantile needs one map-side-combined pass instead of
+  * co-locating any group (the exact path, [[graft.operators.Percentiles]],
+  * exists for when exactness is required; `Kll.sketch` covers the
+  * ungrouped driver-merge path).
+  *
+  * Output struct per group: (n, err_bound, q_<permille>…). Merge order
+  * inside Spark's aggregation is partitioning-dependent and KLL merge is
+  * deterministic but not order-invariant, so estimates (and the bound)
+  * may vary run to run — the CERTIFIED invariant that holds under EVERY
+  * merge order is |estimate − true rank| ≤ err_bound, which is exactly
+  * what the emitted bound lets a consumer (and KllSpec/StreamingSpec)
+  * check. This is why the sketch carries its own proof instead of
+  * relying on replayable layout.
+  */
+case class KllAgg(
+    child: Expression,
+    k: Int,
+    permilles: Seq[Int],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch] {
+
+  require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+    s"permilles must be in [1, 1000]: $permilles")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_quantiles"
+
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+    StructField("err_bound", LongType, nullable = false) +:
+    permilles.map(p => StructField(s"q_$p", LongType, nullable = false)))
+
+  override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
+
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
+
+  override def eval(buf: KllSketch): Any =
+    if (buf.count == 0) null // all-null group: no quantiles to report
+    else new GenericInternalRow(
+      (buf.count +: buf.errBound +: permilles.map(p => buf.quantile(p))).toArray[Any])
+
+  override def serialize(buf: KllSketch): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllAgg =
+    copy(child = newChildren.head)
+}
+
+object KllAgg {
+  /** Column API: kll_quantiles(longCol) → struct(n, err_bound, q_<p>…).
+    * The child must be LongType (cast upstream — quantiles of scaled
+    * integers keep the engine's exact-arithmetic discipline).
+    */
+  def apply(c: Column, k: Int, permilles: Seq[Int]): Column =
+    Bridge.column(KllAgg(Bridge.expression(c), k, permilles)
+      .toAggregateExpression())
+}

@@ -148,12 +148,43 @@ final class KllSketch private (val k: Int) extends Serializable {
   /** Retained items with weights, for structural equality in specs. */
   def structure: Seq[(Int, Seq[Long])] =
     levels.zipWithIndex.map { case (b, i) => (i, b.toSeq.sorted) }.toSeq
+
+  /** Compact byte form for aggregation-buffer shuffles:
+    * [k][nLevels][count][errBound] then per level [parity][len][values…].
+    */
+  def toBytes: Array[Byte] = {
+    val size = 4 + 4 + 8 + 8 + levels.iterator.map(b => 1 + 4 + 8 * b.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(k).putInt(levels.length).putLong(count).putLong(errBound)
+    var i = 0
+    while (i < levels.length) {
+      bb.put(if (parities(i)) 1.toByte else 0.toByte).putInt(levels(i).length)
+      levels(i).foreach(bb.putLong)
+      i += 1
+    }
+    bb.array()
+  }
 }
 
 object KllSketch {
   def empty(k: Int): KllSketch = {
     require(k >= 4, s"k must be >= 4, got $k")
     new KllSketch(k)
+  }
+
+  def fromBytes(bytes: Array[Byte]): KllSketch = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new KllSketch(bb.getInt)
+    val nLevels = bb.getInt
+    s.count = bb.getLong
+    s.errBound = bb.getLong
+    s.levels = ArrayBuffer.tabulate(nLevels) { i =>
+      val parity = bb.get() == 1.toByte
+      if (i < s.parities.length) s.parities(i) = parity else s.parities += parity
+      val len = bb.getInt
+      ArrayBuffer.fill(len)(bb.getLong)
+    }
+    s
   }
 }
 

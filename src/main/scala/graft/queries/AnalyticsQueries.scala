@@ -916,6 +916,31 @@ object AnalyticsQueries {
       doc = "KLL-style updatable quantile sketch (KLL'16 structure, deterministic alternating-parity compaction): constant-state per-partition streaming build, pid-ordered merge, self-certified worst-case rank bound emitted alongside each estimate; guarantees pinned in KllSpec."),
 
     Q(
+      "q126_kll_grouped",
+      (s, d) => {
+        import s.implicits._
+        // GROUPED KLL quantiles as one TypedImperativeAggregate: the
+        // shuffle carries constant-size sketches (not rows), partial
+        // aggregation combines map-side — at 100 TB a per-group
+        // quantile profile costs one pass and never co-locates a group
+        // (q35/q107 are the exact paths; this is the sketch path).
+        // Aggregation merge order is partitioning-dependent and KLL
+        // merge is not order-invariant, so the row is rows-only; the
+        // invariant that holds under EVERY merge order — true rank of
+        // each estimate within the EMITTED err_bound — is pinned in
+        // KllSpec (batch groups + streaming complete mode).
+        Tables.documents(s, d)
+          .groupBy($"lang")
+          .agg(graft.functions.KllAgg(
+            length($"text").cast("long"), 64, Seq(500, 900)).as("qs"))
+          .select($"lang", $"qs.n".as("n"), $"qs.err_bound".as("err_bound"),
+            $"qs.q_500".as("q_500"), $"qs.q_900".as("q_900"))
+          .orderBy($"lang")
+      },
+      None,
+      doc = "Grouped KLL quantiles in ONE aggregate pass: per-group sketches with map-side partial aggregation (the shuffle carries sketches, not rows), each emitting its self-certified worst-case rank bound — the constant-state grouped-quantile path next to the exact q35/q107; bound invariance under any merge order pinned in KllSpec."),
+
+    Q(
       "q115_bitmap_overlap",
       (s, d) => {
         import s.implicits._

@@ -24,7 +24,8 @@ class ContractSpec extends AnyFunSuite {
     "q82_phash_neardup",       // DCT perceptual hash: thresholded DCT isn't SQL-expressible — PhashSpec invariance/recall
     "q101_space_saving",       // bounds depend on partition layout; AnalyticsSpec pins sandwich/containment/exactness
     "q109_quantile_summary",   // estimates depend on partition layout; AnalyticsSpec pins error bound/exactness
-    "q124_kll_quantiles")      // sketch estimates depend on partition layout; KllSpec pins the certified bound
+    "q124_kll_quantiles",      // sketch estimates depend on partition layout; KllSpec pins the certified bound
+    "q126_kll_grouped")        // grouped-sketch estimates depend on merge order; KllSpec pins the emitted bound
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)

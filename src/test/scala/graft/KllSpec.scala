@@ -100,6 +100,67 @@ class KllSpec extends AnyFunSuite {
     assert(Seq(500, 900, 990).map(s1.quantile) == Seq(500, 900, 990).map(s2.quantile))
   }
 
+  test("grouped aggregate: per-group sketches, each estimate's true rank within its emitted bound") {
+    import spark.implicits._
+    val byLang = Tables.documents(spark, sf)
+      .groupBy($"lang")
+      .agg(graft.functions.KllAgg(length($"text").cast("long"), 32, Seq(500, 900)).as("qs"))
+      .select($"lang", $"qs.n", $"qs.err_bound", $"qs.q_500", $"qs.q_900")
+      .collect()
+    assert(byLang.nonEmpty)
+    val exactByLang = Tables.documents(spark, sf)
+      .select($"lang", length($"text").cast("long").as("len"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byLang.foreach { r =>
+      val (lang, n, err) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val exact = exactByLang(lang)
+      assert(n == exact.length, s"$lang: n=$n vs ${exact.length}")
+      Seq((500, r.getLong(3)), (900, r.getLong(4))).foreach { case (p, v) =>
+        val target = (p * n + 999) / 1000
+        val trueRank = exact.count(_ <= v).toLong
+        // the certified pick guarantee: est(v) >= target and |est-true| <= err
+        // => true rank can undershoot the target by at most err
+        assert(trueRank >= target - err && trueRank <= n,
+          s"$lang p$p: v=$v trueRank=$trueRank target=$target err=$err")
+      }
+      assert(err < math.max(4, n), s"$lang: degenerate bound $err for n=$n")
+    }
+  }
+
+  test("streaming complete-mode grouped KLL: certified bound survives arbitrary micro-batch merge order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select($"event_type", ($"value" * 100).cast("long").as("v100"))
+      .as[(String, Long)].collect()
+    val (chunk1, chunk2) = rows.splitAt(rows.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = input.toDS().toDF("event_type", "v100")
+      .groupBy($"event_type")
+      .agg(graft.functions.KllAgg($"v100", 32, Seq(500)).as("qs"))
+      .select($"event_type", $"qs.n", $"qs.err_bound", $"qs.q_500")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kll_stream").start()
+    try {
+      input.addData(chunk1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(chunk2.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("kll_stream").collect()
+      val exactBy = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(got.map(_.getString(0)).toSet == exactBy.keySet)
+      got.foreach { r =>
+        val (et, n, err, v) = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val exact = exactBy(et)
+        assert(n == exact.length, s"$et: streamed n=$n vs ${exact.length}")
+        val target = (500 * n + 999) / 1000
+        val trueRank = exact.count(_ <= v).toLong
+        assert(trueRank >= target - err && trueRank <= n,
+          s"$et: v=$v trueRank=$trueRank target=$target err=$err")
+      }
+    } finally q.stop()
+  }
+
   test("Spark path: per-partition sketches merged in pid order, bound holds vs the exact ranks") {
     import spark.implicits._
     val lens = Tables.documents(spark, sf)
