@@ -57,11 +57,12 @@ object Bfs {
       // explicit aliases: the frontier's lineage already contains the
       // edge attributes (it was derived from `el` last round), so an
       // unqualified join would be an ambiguous self-join
-      val next = frontier.as("f")
+      // lazy lineage cut (local or reliable per Lineage.cut's session
+      // conf): the count below is the round's ONE materializing job
+      val next = Lineage.cut(frontier.as("f")
         .join(el.as("e"), col("f.node") === col("e.u"))
         .select(col("e.v").as("node")).distinct()
-        .join(dist.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(false) // lazy: the count below is the round's ONE materializing job
+        .join(dist.select(col("node")), Seq("node"), "left_anti"))
       frontierSize = next.count()
       // flat growth: a union of checkpointed leaves — each level's blocks
       // live until the returned vector is released (O(V) total)

