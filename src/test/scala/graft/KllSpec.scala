@@ -100,6 +100,21 @@ class KllSpec extends AnyFunSuite {
     assert(Seq(500, 900, 990).map(s1.quantile) == Seq(500, 900, 990).map(s2.quantile))
   }
 
+  test("serialization round-trip: fromBytes(toBytes) preserves structure, bound, and every estimate") {
+    val s = KllSketch.empty(16)
+    stream(3000).foreach(s.update)
+    val back = KllSketch.fromBytes(s.toBytes)
+    assert(back.k == s.k && back.count == s.count && back.errBound == s.errBound)
+    assert(back.structure == s.structure)
+    (0L until 3000L by 97L).foreach(v => assert(back.estRankLe(v) == s.estRankLe(v)))
+    // and the revived sketch still UPDATES and MERGES like the original
+    // (it is the aggregation-buffer wire format, not a read-only export)
+    val o = KllSketch.empty(16)
+    (3000L until 4000L).foreach(o.update)
+    back.merge(o)
+    assert(back.count == 4000 && back.retainedWeight == 4000)
+  }
+
   test("grouped aggregate: per-group sketches, each estimate's true rank within its emitted bound") {
     import spark.implicits._
     val byLang = Tables.documents(spark, sf)

@@ -209,6 +209,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1, "unexpected nested-loop joins")
   }
 
+  test("q126: sketch aggregation is partial (map-side sketches) before the shuffle") {
+    val p = plan("q126_kll_grouped")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final around the exchange proves the shuffle carries SKETCHES,
+    // not rows — the whole point of the aggregate at 100 TB
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial + final ObjectHashAggregate:\n${p.take(800)}")
+    assert(p.contains("kll_quantiles"), "the KllAgg expression must be in the plan")
+  }
+
   test("q87: bloom prefilter sits in the scan stage before the exact semi join") {
     val p = plan("q87_bloom_semijoin")
     assert(p.contains("might_contain"), "bloom prefilter missing")
