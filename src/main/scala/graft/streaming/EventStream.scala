@@ -80,6 +80,31 @@ object EventStream {
       .select(unix_micros(col("window.start")).as("win_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked per-window VALUE QUANTILES in append mode — the
+    * streaming percentile path at 100 TB: each (hour window, event_type)
+    * holds ONE constant-size KLL sketch as aggregation state (exact
+    * streaming percentiles would need the window's full value multiset
+    * in the state store), and the row emits once the watermark closes
+    * the window. Values enter as centi-units (×100 longs) to keep the
+    * sketch in exact integer arithmetic. Merge order across
+    * micro-batches is nondeterministic, so the certified per-sketch
+    * `err_bound` column — valid under EVERY merge order — is the
+    * consumer contract, exactly as in the batch q126 row.
+    */
+  def windowedQuantiles(events: DataFrame,
+                        permilles: Seq[Int] = Seq(500, 900)): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.KllAgg(
+        (col("value") * 100).cast("long"), 64, permilles).as("qs"))
+      .select(
+        (unix_micros(col("window.start")).as("win_start_us") +:
+          col("event_type") +:
+          col("qs.n").as("n") +:
+          col("qs.err_bound").as("err_bound") +:
+          permilles.map(p => col(s"qs.q_$p").as(s"q_$p"))): _*)
+
   /** Exact-distinct variant of [[hourlyAgg]] — the streaming twin of batch
     * q16 (countDistinct). COUNT(DISTINCT) is unsupported inside streaming
     * aggregations, so distinct users are computed exactly as

@@ -344,6 +344,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed streaming quantiles (append mode): every closed window's estimate is within its emitted bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .collect()
+      .map(r => EventStream.Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(_.ts.getTime)
+    val (chunk1, chunk2) = all.splitAt(all.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.windowedQuantiles(input.toDS().toDF(), Seq(500))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_kll").start()
+    try {
+      input.addData(chunk1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(chunk2.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("win_kll").collect()
+      // append mode withholds the trailing 2h of windows; everything
+      // older must have emitted
+      assert(got.nonEmpty, "watermark never closed a window")
+      // batch truth per (window, type): exact per-window value multisets
+      val batch = Tables.events(spark, sf)
+        .select(unix_micros(date_trunc("hour", $"ts")).as("w"), $"event_type",
+          ($"value" * 100).cast("long").as("v100"))
+        .as[(Long, String, Long)].collect()
+        .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+      got.foreach { r =>
+        val key = (r.getLong(0), r.getString(1))
+        val (n, err, v) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val exact = batch(key)
+        assert(n == exact.length, s"$key: streamed n=$n vs ${exact.length}")
+        val target = (500 * n + 999) / 1000
+        val trueRank = exact.count(_ <= v).toLong
+        assert(trueRank >= target - err && trueRank <= n,
+          s"$key: v=$v trueRank=$trueRank target=$target err=$err")
+      }
+      // no window emitted twice (append-mode exactly-once per closed window)
+      assert(got.map(r => (r.getLong(0), r.getString(1))).distinct.length == got.length)
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup equals batch dropDuplicates(fp), chunked and re-delivered") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
