@@ -49,7 +49,10 @@ case class KllAgg(
 
   override def update(buf: KllSketch, input: InternalRow): KllSketch = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Long])
+    // Number.longValue, not asInstanceOf[Long]: an integer-typed child
+    // (e.g. length()) must aggregate, not ClassCastException per row —
+    // same defensive widening as BitmapAgg in this package
+    if (v != null) buf.update(v.asInstanceOf[Number].longValue())
     buf
   }
 

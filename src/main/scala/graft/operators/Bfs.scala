@@ -64,8 +64,13 @@ object Bfs {
         .select(col("e.v").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti"))
       frontierSize = next.count()
-      // flat growth: a union of checkpointed leaves — each level's blocks
-      // live until the returned vector is released (O(V) total)
+      // flat growth: a union of checkpointed leaves (O(V) total blocks).
+      // The leaf blocks are the TRUTH of the truncated lineage, so they
+      // must outlive the returned vector: caller unpersist() frees only
+      // the final union's cache; the leaves free via the context
+      // cleaner once the frame is garbage-collected — which is why the
+      // query layer memoizes ONE result per (session, dir) rather than
+      // rebuilding per call
       dist = dist.union(next.withColumn("lvl", lit(lvl)))
       frontier = next
     }

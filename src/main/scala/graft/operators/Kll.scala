@@ -129,10 +129,32 @@ final class KllSketch private (val k: Int) extends Serializable {
     require(permille >= 1 && permille <= 1000, s"permille out of range: $permille")
     require(count > 0, "empty sketch has no quantiles")
     val target = (permille * count + 999) / 1000
-    val cands = retained
+    // one sorted pass over (value, weight): the running cumulative
+    // weight at a value equals estRankLe(value) exactly (all equal
+    // values are folded before testing), so this is the same answer as
+    // scanning candidates with estRankLe — at O(R log R) instead of the
+    // O(R²) repeated-estRank scan, which matters once KllAgg.eval pays
+    // this per group
+    val pairs = {
+      val buf = ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < levels.length) {
+        levels(i).foreach(v => buf += ((v, 1L << i)))
+        i += 1
+      }
+      buf.sortInPlaceBy(_._1)
+      buf
+    }
+    var cum = 0L
     var i = 0
-    while (i < cands.length - 1 && estRankLe(cands(i)) < target) i += 1
-    cands(i)
+    var last = 0L
+    while (i < pairs.length) {
+      val v = pairs(i)._1
+      while (i < pairs.length && pairs(i)._1 == v) { cum += pairs(i)._2; i += 1 }
+      last = v
+      if (cum >= target) return v
+    }
+    last // unreachable while the weight invariant holds (cum ends at count ≥ target)
   }
 
   /** Retained-weight invariant — compaction and merge preserve total
@@ -199,7 +221,10 @@ object Kll {
   def sketch(rows: DataFrame, keyCol: String, k: Int = 200): KllSketch = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val parts = rows.select(col(keyCol).cast("long")).as[Long]
+    // nulls are SKIPPED, matching KllAgg.update's contract (without the
+    // filter, the primitive Long encoder would throw on the first null)
+    val parts = rows.select(col(keyCol).cast("long"))
+      .filter(col(keyCol).isNotNull).as[Long]
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         val s = KllSketch.empty(k)
         it.foreach(s.update)

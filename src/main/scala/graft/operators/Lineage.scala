@@ -29,9 +29,15 @@ object Lineage {
 
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val reliable =
-      try spark.conf.get(ReliableConf, "false").toBoolean
-      catch { case _: IllegalArgumentException => false }
+    // unparsable values fail LOUDLY: silently falling back to the
+    // non-durable mode would hand the operator exactly the
+    // executor-loss failure the flag was set to survive
+    val reliable = spark.conf.get(ReliableConf, "false").trim.toLowerCase match {
+      case "true"  => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"$ReliableConf must be 'true' or 'false', got '$other'")
+    }
     if (reliable) {
       require(spark.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableConf=true requires SparkContext.setCheckpointDir(...) — " +

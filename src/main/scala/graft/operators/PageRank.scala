@@ -61,7 +61,11 @@ object PageRank {
 
   /** Iterate to fixpoint: stop when the integer L1 delta ≤ `epsScaled`
     * or after `maxIter` rounds. Returns (final vector, rounds run,
-    * final delta). The returned vector is persisted — caller unpersists.
+    * final delta). The returned vector is checkpoint-backed: its blocks
+    * (and intermediate rounds') release via the context cleaner when the
+    * frame is garbage-collected — an explicit unpersist() is a no-op on
+    * checkpoint blocks, so callers should hold ONE memoized result, not
+    * rebuild per call.
     */
   def converge(el: DataFrame, deg: DataFrame, epsScaled: Long,
                maxIter: Int = 20): (DataFrame, Int, Long) = {
