@@ -682,6 +682,48 @@ object BehaviorQueries {
         FROM orders
         ORDER BY o_orderkey"""),
       doc = "Error-handling (TRY) kernel conformance: try_divide(x,0)==NULL matches DuckDB's native never-raising division (doubles included); try_cast(malformed|padded-digits)==TRY_CAST (decimal-string-to-int deliberately excluded — DuckDB rounds '3.9'→4 where Spark yields NULL, divergence documented in-source); try_add BIGINT-overflow-to-NULL pinned against an explicit CASE because DuckDB's overflow raises — the dirty-data survival contract at 100 TB. Measured: each caught overflow costs ~17 µs (JVM exception), so TRY arithmetic is priced for RARE corruption — overflow kept at 0.1% of rows here, and the trade documented in-source.")
+  ,
+
+    Q(
+      "q128_bitwise_functions",
+      (s, d) => {
+        import s.implicits._
+        // Bitwise-kernel conformance row, closing the scalar-kernel
+        // family (temporal/string/numeric/conditional/regex/array/
+        // rounding/TRY/this): AND/OR/XOR, shifts, popcount, complement
+        // over BIGINT — the primitives the engine's own bitmap algebra
+        // (q81/q115), SimHash banding (q23), and hash mixing lean on.
+        // Pinned conventions: right shift is ARITHMETIC
+        // (sign-extending) in BOTH engines — (-x) >> 2 on every row
+        // makes a logical-shift regression a hash mismatch — and
+        // BIT_COUNT of a negative counts the two's-complement ones.
+        // Pure codegen, one scan.
+        val x = $"o_orderkey".cast("long")
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            x.bitwiseAND(lit(255L)).as("b_and"),
+            x.bitwiseOR(lit(16L)).as("b_or"),
+            x.bitwiseXOR(lit(85L)).as("b_xor"),
+            shiftleft(x, 3).as("shl"),
+            shiftright(-x, 2).as("shr_neg"),
+            bit_count(x).cast("long").as("bits"),
+            bit_count(-x).cast("long").as("bits_neg"),
+            bitwise_not(x).as("b_not"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS BIGINT) & 255 AS b_and,
+               CAST(o_orderkey AS BIGINT) | 16 AS b_or,
+               XOR(CAST(o_orderkey AS BIGINT), 85) AS b_xor,
+               CAST(o_orderkey AS BIGINT) << 3 AS shl,
+               (-CAST(o_orderkey AS BIGINT)) >> 2 AS shr_neg,
+               CAST(BIT_COUNT(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS bits,
+               CAST(BIT_COUNT(-CAST(o_orderkey AS BIGINT)) AS BIGINT) AS bits_neg,
+               ~CAST(o_orderkey AS BIGINT) AS b_not
+        FROM orders
+        ORDER BY o_orderkey"""),
+      doc = "Bitwise-kernel conformance: AND/OR/XOR/shifts/popcount/complement over BIGINT agree row-for-row — arithmetic (sign-extending) right shift pinned on negatives, two's-complement popcount pinned via BIT_COUNT(-x); the primitives under the engine's bitmap algebra, SimHash banding, and hash mixing.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax
