@@ -724,6 +724,36 @@ object BehaviorQueries {
         FROM orders
         ORDER BY o_orderkey"""),
       doc = "Bitwise-kernel conformance: AND/OR/XOR/shifts/popcount/complement over BIGINT agree row-for-row — arithmetic (sign-extending) right shift pinned on negatives, two's-complement popcount pinned via BIT_COUNT(-x); the primitives under the engine's bitmap algebra, SimHash banding, and hash mixing.")
+  ,
+
+    Q(
+      "q129_digest_functions",
+      (s, d) => {
+        import s.implicits._
+        // Digest-kernel conformance: content addressing is how a 100 TB
+        // pipeline names things (dedup keys, cache keys, provenance
+        // ids), so the digest bytes must be IDENTICAL across engines.
+        // Pinned: md5 and sha-256 over the raw UTF-8 text (lowercase
+        // hex in both engines), plus a keyed content address
+        // (id ':' text) proving concat feeds the digest byte-identically.
+        // The shared subset is {md5, sha256} — DuckDB has no sha1/crc32,
+        // Spark's fingerprint family (q35/q36) already leans on md5 —
+        // so this row pins the primitive those rows build on.
+        Tables.documents(s, d)
+          .select($"doc_id",
+            md5($"text").as("d_md5"),
+            sha2($"text", 256).as("d_sha256"),
+            md5(concat($"doc_id".cast("string"), lit(":"), $"text")).as("keyed_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               MD5(text) AS d_md5,
+               SHA256(text) AS d_sha256,
+               MD5(CAST(doc_id AS VARCHAR) || ':' || text) AS keyed_md5
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Digest-kernel conformance: md5 and sha-256 hex digests (and a keyed id:text content address) byte-identical across engines over UTF-8 text — the primitive under content-addressed dedup, cache keys, and the q35/q36 fingerprint family; shared subset pinned (DuckDB lacks sha1/crc32).")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax
