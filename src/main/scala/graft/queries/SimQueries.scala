@@ -83,6 +83,42 @@ object SimQueries {
       doc = "Embedding near-dup pairs (cosine >= 0.45), exact brute force baseline."),
 
     Q(
+      "q130_semantic_survivors",
+      (s, d) => {
+        // SemDeDup-shaped semantic dedup, END TO END: cosine near-dup
+        // pair graph → connected components → min-id survivor per
+        // semantic cluster — the embedding-space twin of q32's shingle
+        // closure, so BOTH dedup modalities (lexical and semantic) share
+        // the survivor-selection operator. Pairs here are the exact
+        // guard-bounded baseline (q24); at corpus scale the candidate
+        // generation swaps to the bucketed SRP-LSH/IVF paths with the
+        // same downstream closure. Only ids cross the gate (rule 3:
+        // DuckDB's float32 cosine never agrees bitwise; the 0.45
+        // threshold sits in a verified score gap).
+        graft.operators.Dedup.connectedComponents(
+            SimSearch.bruteForcePairs(Tables.embeddings(s, d), 0.45)
+              .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+          .withColumnRenamed("doc", "vec_id")
+          .withColumnRenamed("component", "survivor_id")
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        jp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.45),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
+        SELECT doc AS vec_id, MIN(r) AS survivor_id
+        FROM reach GROUP BY doc
+        ORDER BY vec_id"""),
+      doc = "Semantic (embedding-space) dedup survivors: cosine near-dup pair graph → connected components → min-id survivor per semantic cluster, verified against a recursive-CTE closure over DuckDB's own cosine pairs — the SemDeDup pipeline shape, sharing q32's survivor-selection operator across both dedup modalities."),
+
+    Q(
       "q25_simsearch_topk",
       (s, d) => {
         val corpus = Tables.embeddings(s, d)
