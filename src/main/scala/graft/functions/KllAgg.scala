@@ -83,3 +83,102 @@ object KllAgg {
     Bridge.column(KllAgg(Bridge.expression(c), k, permilles)
       .toAggregateExpression())
 }
+
+/** The SKETCH-STORE half of the KLL family: aggregate values into a
+  * sketch and emit its BYTES — a sketch-as-data column a table can
+  * persist next to its group keys. Together with [[KllMergeAgg]] this is
+  * the stored-partial-aggregate pattern for quantiles: pre-aggregate
+  * once per fine key (per day, per shard, per language), keep only the
+  * constant-size sketch bytes, and answer any coarser rollup later
+  * WITHOUT the raw data — the sketch analog of q85's algebraic-monoid
+  * incremental aggregates, for a statistic no monoid of scalars can
+  * carry.
+  */
+case class KllSketchBytesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch_bytes"
+
+  override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Number].longValue())
+    buf
+  }
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
+  override def eval(buf: KllSketch): Any = buf.toBytes
+  override def serialize(buf: KllSketch): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchBytesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchBytesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllSketchBytesAgg =
+    copy(child = newChildren.head)
+}
+
+object KllSketchBytesAgg {
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(KllSketchBytesAgg(Bridge.expression(c), k).toAggregateExpression())
+}
+
+/** Rollup over STORED sketches: merges a BINARY sketch column (the
+  * [[KllSketchBytesAgg]] output) and reports quantiles from the merged
+  * sketch — the read side of the sketch store. All sketches must share
+  * `k` (fromBytes carries it; merge enforces equality). The certified
+  * bound composes: the merged `err_bound` covers every estimate over
+  * the UNION of the original streams, no matter how the stored rows
+  * were grouped or in which order they merge.
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    permilles: Seq[Int],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch] {
+
+  require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+    s"permilles must be in [1, 1000]: $permilles")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def prettyName: String = "kll_merge"
+
+  override def dataType: DataType = StructType(
+    StructField("n", LongType, nullable = false) +:
+    StructField("err_bound", LongType, nullable = false) +:
+    permilles.map(p => StructField(s"q_$p", LongType, nullable = false)))
+
+  override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.merge(KllSketch.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
+  override def eval(buf: KllSketch): Any =
+    if (buf.count == 0) null
+    else new GenericInternalRow(
+      (buf.count +: buf.errBound +: permilles.map(p => buf.quantile(p))).toArray[Any])
+  override def serialize(buf: KllSketch): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+}
+
+object KllMergeAgg {
+  def apply(c: Column, k: Int, permilles: Seq[Int]): Column =
+    Bridge.column(KllMergeAgg(Bridge.expression(c), k, permilles).toAggregateExpression())
+}

@@ -941,6 +941,32 @@ object AnalyticsQueries {
       doc = "Grouped KLL quantiles in ONE aggregate pass: per-group sketches with map-side partial aggregation (the shuffle carries sketches, not rows), each emitting its self-certified worst-case rank bound — the constant-state grouped-quantile path next to the exact q35/q107; bound invariance under any merge order pinned in KllSpec."),
 
     Q(
+      "q131_kll_rollup",
+      (s, d) => {
+        import s.implicits._
+        // SKETCH STORE + ROLLUP: stage 1 materializes one BINARY KLL
+        // sketch per language (the stored-partial-aggregate a warehouse
+        // persists next to its group keys); stage 2 answers the GLOBAL
+        // quantile by merging only those bytes — the raw rows are never
+        // touched again. This is the sketch analog of q85's
+        // monoid-merge incremental aggregates, for a statistic no
+        // scalar monoid carries; the merged err_bound certifies every
+        // estimate over the union regardless of how the store was
+        // grouped. Rows-only; KllSpec pins the parquet round-trip and
+        // the rollup-equals-direct-aggregation property.
+        val perLang = Tables.documents(s, d)
+          .groupBy($"lang")
+          .agg(graft.functions.KllSketchBytesAgg(
+            length($"text").cast("long"), 64).as("sk"))
+        perLang
+          .agg(graft.functions.KllMergeAgg($"sk", 64, Seq(500, 900)).as("qs"))
+          .select($"qs.n".as("n"), $"qs.err_bound".as("err_bound"),
+            $"qs.q_500".as("q_500"), $"qs.q_900".as("q_900"))
+      },
+      None,
+      doc = "KLL sketch store + rollup: per-group BINARY sketches materialized once, global quantiles answered later by merging only the stored bytes (raw data never re-read) — the stored-partial-aggregate pattern for quantiles, with the merged self-certified bound covering the union; round-trip and rollup-equality pinned in KllSpec."),
+
+    Q(
       "q115_bitmap_overlap",
       (s, d) => {
         import s.implicits._

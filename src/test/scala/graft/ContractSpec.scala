@@ -25,7 +25,8 @@ class ContractSpec extends AnyFunSuite {
     "q101_space_saving",       // bounds depend on partition layout; AnalyticsSpec pins sandwich/containment/exactness
     "q109_quantile_summary",   // estimates depend on partition layout; AnalyticsSpec pins error bound/exactness
     "q124_kll_quantiles",      // sketch estimates depend on partition layout; KllSpec pins the certified bound
-    "q126_kll_grouped")        // grouped-sketch estimates depend on merge order; KllSpec pins the emitted bound
+    "q126_kll_grouped",        // grouped-sketch estimates depend on merge order; KllSpec pins the emitted bound
+    "q131_kll_rollup")         // sketch-store rollup likewise; KllSpec pins round-trip + rollup equality
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)

