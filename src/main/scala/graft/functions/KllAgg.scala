@@ -2,11 +2,40 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import graft.operators.KllSketch
+
+/** Shared input-type guards for the KLL aggregate family. */
+private[functions] object KllAggChecks {
+  /** The sketch holds Longs and `update` folds values in via
+    * `Number.longValue`, which would silently TRUNCATE fractional
+    * doubles — so the documented cast-upstream-to-Long contract is
+    * enforced at analysis time: only integral children are accepted
+    * (scaled integers keep the engine's exact-arithmetic discipline).
+    */
+  def integralChild(name: String, t: DataType): TypeCheckResult = t match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires an integral child (cast upstream to LONG — e.g. " +
+        s"(value * 100).cast('long') for scaled decimals); got ${other.sql}")
+  }
+
+  /** Duplicate permilles would emit duplicate `q_<p>` struct fields,
+    * making `qs.q_<p>` references ambiguous at RUNTIME — fail at
+    * construction instead.
+    */
+  def validPermilles(permilles: Seq[Int]): Unit = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000]: $permilles")
+    require(permilles.distinct.size == permilles.size,
+      s"permilles must be distinct (duplicates would emit duplicate q_<p> fields): $permilles")
+  }
+}
 
 /** Grouped KLL quantiles as ONE typed-imperative aggregate: each group's
   * rows stream into a KllSketch buffer, partial aggregation works as
@@ -33,12 +62,13 @@ case class KllAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllSketch] {
 
-  require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
-    s"permilles must be in [1, 1000]: $permilles")
+  KllAggChecks.validPermilles(permilles)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def prettyName: String = "kll_quantiles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllAggChecks.integralChild(prettyName, child.dataType)
 
   override def dataType: DataType = StructType(
     StructField("n", LongType, nullable = false) +:
@@ -105,6 +135,8 @@ case class KllSketchBytesAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kll_sketch_bytes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    KllAggChecks.integralChild(prettyName, child.dataType)
 
   override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
   override def update(buf: KllSketch, input: InternalRow): KllSketch = {
@@ -145,12 +177,16 @@ case class KllMergeAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllSketch] {
 
-  require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
-    s"permilles must be in [1, 1000]: $permilles")
+  KllAggChecks.validPermilles(permilles)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def prettyName: String = "kll_merge"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName merges stored sketch BYTES (the kll_sketch_bytes output); got ${other.sql}")
+  }
 
   override def dataType: DataType = StructType(
     StructField("n", LongType, nullable = false) +:

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Breadth-first search: minimum hop distance from a source node over a
   * directed edge list (pass [[PageRank.bothWays]] output for undirected
@@ -29,7 +28,15 @@ object Bfs {
 
   /** (node, lvl) minimum hop distances for every node within `maxDepth`
     * hops of `source` (source itself at lvl 0). Unreached nodes are
-    * absent. The returned frame is persisted — caller unpersists.
+    * absent.
+    *
+    * LIFECYCLE: the result is materialized as ONE checkpoint leaf and
+    * every per-round frontier's blocks are released eagerly before
+    * returning — the loop holds at most the rounds-so-far plus the final
+    * union, and nothing after it. `unpersist()` cannot free a checkpoint
+    * leaf; call [[Lineage.release]] on the result when done (after which
+    * the frame is dead). The query layer memoizes ONE result per
+    * (session, dir) and releases it in clearCaches.
     *
     * Lineage is cut per round with `localCheckpoint`, not `persist`:
     * persist caches only the PHYSICAL result — the logical plan still
@@ -50,6 +57,7 @@ object Bfs {
     var dist = spark.range(1)
       .select(lit(source).cast("long").as("node"), lit(0).as("lvl"))
     var frontier = dist.select(col("node"))
+    val rounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var lvl = 0
     var frontierSize = 1L
     while (lvl < maxDepth && frontierSize > 0) {
@@ -65,17 +73,18 @@ object Bfs {
         .join(dist.select(col("node")), Seq("node"), "left_anti"))
       frontierSize = next.count()
       // flat growth: a union of checkpointed leaves (O(V) total blocks).
-      // The leaf blocks are the TRUTH of the truncated lineage, so they
-      // must outlive the returned vector: caller unpersist() frees only
-      // the final union's cache; the leaves free via the context
-      // cleaner once the frame is garbage-collected — which is why the
-      // query layer memoizes ONE result per (session, dir) rather than
-      // rebuilding per call
+      // The leaves must outlive the union only until the FINAL cut below
+      // consolidates the whole distance vector into one leaf — then each
+      // round is released eagerly (see scaladoc lifecycle).
+      rounds += next
       dist = dist.union(next.withColumn("lvl", lit(lvl)))
       frontier = next
     }
-    val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    // consolidate: one leaf for the result (O(1) planning for every
+    // consumer), then free the per-round leaves it superseded
+    val out = Lineage.cut(dist)
     out.count()
+    rounds.foreach(Lineage.release)
     out
   }
 }

@@ -369,10 +369,12 @@ object Dedup {
         .select(col("doc"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       // ONE action per round: the inequality join materializes `next`'s
-      // checkpoint blocks as a side effect; superseded label blocks are
-      // released by the context cleaner once unreferenced
+      // checkpoint blocks as a side effect; the superseded label table is
+      // then released EAGERLY (Lineage.release) — the loop never holds
+      // more than two rounds of block storage
       converged = next.join(parent.withColumnRenamed("component", "old"), "doc")
         .filter(col("component") =!= col("old")).isEmpty
+      Lineage.release(parent)
       parent = next
       iter += 1
     }
@@ -411,6 +413,7 @@ object Dedup {
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
       converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
         .filter(col("component") =!= col("old")).isEmpty
+      Lineage.release(labels) // superseded round: free its blocks now
       labels = next
       iter += 1
     }

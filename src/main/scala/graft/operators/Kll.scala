@@ -194,16 +194,38 @@ object KllSketch {
     new KllSketch(k)
   }
 
+  /** Wire format (see toBytes): int k | int nLevels | long count |
+    * long errBound | nLevels × (byte parity | int len | len × long).
+    *
+    * Sketch bytes can arrive from ARBITRARY storage (q131 rolls up a
+    * BINARY parquet column via KllMergeAgg), so every header field is
+    * validated against the buffer before allocation — a corrupt or
+    * hand-written cell fails with a message naming the format instead
+    * of a raw BufferUnderflowException or a giant Array.fill.
+    */
   def fromBytes(bytes: Array[Byte]): KllSketch = {
+    def bad(msg: String): Nothing = throw new IllegalArgumentException(
+      s"malformed KLL sketch bytes (${bytes.length} bytes; expected " +
+        s"[int k|int nLevels|long count|long errBound|per level: byte parity|int len|len longs]): $msg")
+    if (bytes.length < 24) bad(s"header needs 24 bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val s = new KllSketch(bb.getInt)
+    val k = bb.getInt
+    if (k < 4) bad(s"k must be >= 4, got $k")
     val nLevels = bb.getInt
-    s.count = bb.getLong
-    s.errBound = bb.getLong
+    if (nLevels < 1) bad(s"nLevels must be >= 1, got $nLevels")
+    val s = new KllSketch(k)
+    val count = bb.getLong
+    val errBound = bb.getLong
+    if (count < 0 || errBound < 0) bad(s"negative count=$count or errBound=$errBound")
+    s.count = count
+    s.errBound = errBound
     s.levels = ArrayBuffer.tabulate(nLevels) { i =>
+      if (bb.remaining() < 5) bad(s"truncated at level $i header")
       val parity = bb.get() == 1.toByte
       if (i < s.parities.length) s.parities(i) = parity else s.parities += parity
       val len = bb.getInt
+      if (len < 0 || bb.remaining() < len.toLong * 8) bad(
+        s"level $i declares $len items but only ${bb.remaining()} bytes remain")
       ArrayBuffer.fill(len)(bb.getLong)
     }
     s

@@ -22,6 +22,15 @@ import org.apache.spark.sql.DataFrame
   *     per-round label/frontier) frame once more per round.
   *
   * Lazy in both modes — the caller's next action materializes the cut.
+  *
+  * LIFECYCLE: a cut frame's truth lives in checkpoint blocks that
+  * `DataFrame.unpersist()` cannot reach (the plan is a LogicalRDD leaf;
+  * unpersist only consults the cache manager). [[release]] frees them
+  * explicitly; the iterative operators (Bfs, PageRank, Dedup CC) release
+  * each SUPERSEDED round eagerly once its successor is materialized, so
+  * a loop holds at most two rounds of block storage — and their RESULT
+  * is itself one cut leaf the caller frees with `Lineage.release(result)`
+  * when done (the query layer's clearCaches does exactly this).
   */
 object Lineage {
 
@@ -44,5 +53,26 @@ object Lineage {
           "reliable round state needs a durable directory")
       df.checkpoint(false)
     } else df.localCheckpoint(false)
+  }
+
+  /** Free the checkpoint blocks behind a [[cut]] frame NOW, instead of
+    * waiting for the ContextCleaner to notice the frame was
+    * garbage-collected. Walks the logical plan for LogicalRDD leaves and
+    * unpersists their RDDs (also dropping any cache-manager entry on the
+    * frame itself first, so a persisted-over-cut frame releases fully).
+    *
+    * After release the frame is DEAD: local-checkpoint blocks are the
+    * only copy of its data, so any later action on it (or on a plan
+    * built over it that was not itself materialized) fails with a
+    * missing-block error. Reliable-mode cuts are unaffected — their
+    * truth is the checkpoint FILES, which this does not delete.
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
   }
 }

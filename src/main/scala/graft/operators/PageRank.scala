@@ -61,10 +61,14 @@ object PageRank {
 
   /** Iterate to fixpoint: stop when the integer L1 delta ≤ `epsScaled`
     * or after `maxIter` rounds. Returns (final vector, rounds run,
-    * final delta). The returned vector is checkpoint-backed: its blocks
-    * (and intermediate rounds') release via the context cleaner when the
-    * frame is garbage-collected — an explicit unpersist() is a no-op on
-    * checkpoint blocks, so callers should hold ONE memoized result, not
+    * final delta).
+    *
+    * LIFECYCLE: each superseded round's checkpoint blocks are released
+    * eagerly inside the loop (the loop holds at most two rounds of
+    * storage); the RETURNED vector is itself checkpoint-backed, and
+    * `unpersist()` cannot free checkpoint blocks — call
+    * [[Lineage.release]] on it when done (after which the frame is
+    * dead). Callers should hold ONE memoized result per input, not
     * rebuild per call.
     */
   def converge(el: DataFrame, deg: DataFrame, epsScaled: Long,
@@ -86,6 +90,7 @@ object PageRank {
         .join(pr, "node")
         .agg(sum(abs(col("__npr") - col("pr"))))
         .head().getLong(0)
+      Lineage.release(pr) // superseded vector: free its blocks now
       pr = next
       it += 1
     }

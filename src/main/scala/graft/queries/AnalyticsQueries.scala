@@ -89,10 +89,10 @@ object AnalyticsQueries {
     })
   }
 
-  // BFS level table per (session, dir) — the frontier loop's result is
-  // persisted by the operator (its accumulated lineage would otherwise
-  // replay every level on each downstream action); memoized and released
-  // like the other per-corpus artifacts.
+  // BFS level table per (session, dir) — the operator consolidates its
+  // result into ONE checkpoint leaf and frees its per-round frontiers
+  // before returning; memoized here and released (Lineage.release — a
+  // checkpoint leaf is beyond unpersist's reach) in clearCaches.
   private val bfsCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
   private def bfsLevels(s: SparkSession, d: String): DataFrame = synchronized {
@@ -115,7 +115,7 @@ object AnalyticsQueries {
     graphCache.clear()
     degCache.values.foreach(_.unpersist())
     degCache.clear()
-    bfsCache.values.foreach(_.unpersist())
+    bfsCache.values.foreach(graft.operators.Lineage.release)
     bfsCache.clear()
   }
 

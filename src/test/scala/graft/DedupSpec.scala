@@ -191,6 +191,33 @@ class DedupSpec extends AnyFunSuite {
     assert(uf == pd, "union-find vs pointer doubling")
   }
 
+  test("Lineage.release frees a cut frame's checkpoint blocks immediately") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cut = graft.operators.Lineage.cut(
+      spark.range(1000).select($"id", ($"id" * 2).as("v")))
+    assert(cut.count() == 1000) // materialize the checkpoint blocks
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "a materialized local checkpoint must register persisted RDDs")
+    graft.operators.Lineage.release(cut)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added -- after) == added,
+      s"release must unpersist the checkpoint RDDs now, not wait for GC: still present ${added & after}")
+  }
+
+  test("iterative loops release superseded rounds: CC leaves no extra persisted RDDs behind") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 64-node chain: many rounds, many superseded label tables
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.pointerDoublingComponents(pairs)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L))
+    graft.operators.Lineage.release(labels)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"pointer doubling + release must free every round's blocks; leaked RDD ids: $leaked")
+  }
+
   test("simhashPairs equals exact brute-force hamming pairs (recall 1 by pigeonhole)") {
     val docs = Tables.documents(spark, sf).limit(100)
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text").cache()

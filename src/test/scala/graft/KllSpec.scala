@@ -225,4 +225,54 @@ class KllSpec extends AnyFunSuite {
     val s2 = Kll.sketch(lens, "len", k = 64)
     assert(s.structure == s2.structure && s.errBound == s2.errBound)
   }
+
+  test("fromBytes validates the wire header: corrupt bytes fail loudly, not with buffer underflow") {
+    val good = {
+      val s = KllSketch.empty(8)
+      (1L to 100L).foreach(s.update)
+      s.toBytes
+    }
+    // round trip still fine
+    assert(KllSketch.fromBytes(good).count == 100)
+    def expectBad(bytes: Array[Byte], clue: String): Unit = {
+      val e = intercept[IllegalArgumentException](KllSketch.fromBytes(bytes))
+      assert(e.getMessage.contains("KLL sketch"), s"$clue: ${e.getMessage}")
+    }
+    expectBad(Array[Byte](1, 2, 3), "truncated header")
+    // k < 4 in the header
+    val badK = good.clone(); java.nio.ByteBuffer.wrap(badK).putInt(0, 1)
+    expectBad(badK, "k below minimum")
+    // a level length far beyond the remaining bytes must not allocate
+    val badLen = good.clone()
+    java.nio.ByteBuffer.wrap(badLen).putInt(25, Int.MaxValue) // first level's len field
+    expectBad(badLen, "oversized level length")
+    // negative nLevels
+    val badLv = good.clone(); java.nio.ByteBuffer.wrap(badLv).putInt(4, -3)
+    expectBad(badLv, "negative nLevels")
+  }
+
+  test("aggregate input contracts: non-integral child and duplicate permilles are rejected") {
+    import spark.implicits._
+    // a DOUBLE child would silently truncate via Number.longValue — the
+    // documented cast-upstream contract is now enforced at analysis time
+    val doubles = Seq(1.5, 2.5).toDF("v")
+    val e = intercept[Exception] {
+      doubles.agg(graft.functions.KllAgg($"v", 8, Seq(500)).as("qs")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
+    val e2 = intercept[Exception] {
+      doubles.agg(graft.functions.KllSketchBytesAgg($"v", 8).as("sk")).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("integral"), e2.getMessage)
+    // kll_merge wants BYTES, not numbers
+    val e3 = intercept[Exception] {
+      Seq(1L).toDF("v").agg(graft.functions.KllMergeAgg($"v", 8, Seq(500))).collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("bytes"), e3.getMessage)
+    // duplicate permilles would emit ambiguous q_500 twins — constructor rejects
+    val e4 = intercept[IllegalArgumentException] {
+      graft.functions.KllAgg($"v", 8, Seq(500, 500))
+    }
+    assert(e4.getMessage.contains("distinct"), e4.getMessage)
+  }
 }
