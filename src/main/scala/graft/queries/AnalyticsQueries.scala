@@ -106,6 +106,24 @@ object AnalyticsQueries {
     })
   }
 
+  // weighted SSSP distance table per (session, dir) — q132's result over
+  // the same co-occurrence graph, with deterministic id-derived weights.
+  // Memoized and released (Lineage.release) like bfsCache: the result is
+  // one checkpoint leaf.
+  private val ssspCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def ssspDistances(s: SparkSession, d: String): DataFrame = synchronized {
+    ssspCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      // integer weights derived from the endpoint ids — deterministic,
+      // engine-independent, in [1, 9]
+      val ed = graft.operators.PageRank.bothWays(coEdges(s, d))
+        .withColumn("w", ($"u" + $"v") % 9 + 1)
+      val src = ed.agg(min($"u")).head().getLong(0)
+      graft.operators.Sssp.distances(ed, src, maxCost = 16L)
+    })
+  }
+
   private[queries] def clearCaches(): Unit = synchronized {
     phashCache.values.foreach(_.unpersist())
     phashCache.clear()
@@ -117,6 +135,8 @@ object AnalyticsQueries {
     degCache.clear()
     bfsCache.values.foreach(graft.operators.Lineage.release)
     bfsCache.clear()
+    ssspCache.values.foreach(graft.operators.Lineage.release)
+    ssspCache.clear()
   }
 
   val queries: Seq[Q] = Seq(
@@ -741,6 +761,37 @@ object AnalyticsQueries {
         SELECT node, CAST(MIN(lvl) AS INT) AS lvl
         FROM bfs GROUP BY node ORDER BY node"""),
       doc = "Single-source BFS (min hop distance, depth 4) as an iterative frontier expansion — one equi-join + one anti-join per level, O(|E|) total work, lineage cut per round; oracle is a capped WITH RECURSIVE closure."),
+
+    Q(
+      "q132_weighted_sssp",
+      (s, d) => {
+        import s.implicits._
+        // Weighted single-source shortest paths (Bellman-Ford as ONE
+        // join + grouped MIN per round) over the same co-occurrence
+        // graph as q83/q86/q96, with deterministic id-derived integer
+        // weights and a cost budget of 16. The budget is what makes the
+        // oracle finite: DuckDB's UNION-dedup'd (node, dist) state
+        // space is bounded by |V| × 17 because every longer path is
+        // pruned — the weighted generalization of q96's capped closure.
+        // Exact long arithmetic end to end; nothing to drift.
+        ssspDistances(s, d).orderBy($"node")
+      },
+      Some("""
+        WITH RECURSIVE el AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+        ed AS (SELECT u, v, (u + v) % 9 + 1 AS w FROM el
+               UNION ALL SELECT v, u, (u + v) % 9 + 1 FROM el),
+        sp(node, dist) AS (
+          SELECT (SELECT MIN(u) FROM ed), CAST(0 AS BIGINT)
+          UNION
+          SELECT ed.v, sp.dist + ed.w FROM sp JOIN ed ON ed.u = sp.node
+          WHERE sp.dist + ed.w <= 16)
+        SELECT node, MIN(dist) AS dist
+        FROM sp GROUP BY node ORDER BY node"""),
+      doc = "Weighted single-source shortest paths (Bellman-Ford, cost budget 16): one equi-join + grouped MIN per round, rounds bounded by the budget, only the (node, dist) vector on the wire; per-round lineage cut + eager release; oracle is the budget-pruned WITH RECURSIVE state closure."),
 
     Q(
       "q97_dq_audit",

@@ -1245,6 +1245,30 @@ object Relational {
       doc = "HLL sketch distinct (DataSketches, lgK=12): constant-memory, merge-associative COUNT DISTINCT — the sketch path exact distinct can't scale past; error pinned <2% in SketchSpec."),
 
     Q(
+      "q133_hll_rollup",
+      (s, d) => {
+        import s.implicits._
+        // HLL SKETCH STORE + ROLLUP — the distinct-count twin of q131's
+        // KLL store: stage 1 materializes one BINARY HLL sketch per
+        // event_type (the stored partial aggregate a warehouse persists
+        // next to its group keys); stage 2 answers the GLOBAL distinct
+        // count by hll_union_agg over those bytes only — raw rows are
+        // never re-read. Register merge is max-based and associative,
+        // so the rollup estimate is EXACTLY the direct ungrouped
+        // estimate regardless of how the store was grouped — pinned in
+        // SketchSpec. Rows-only (DuckDB's approx_distinct is a
+        // different sketch).
+        val store = Tables.events(s, d)
+          .groupBy($"event_type")
+          .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+        store
+          .agg(count(lit(1)).as("stored_sketches"),
+            hll_sketch_estimate(hll_union_agg($"sk", false)).as("approx_total_users"))
+      },
+      None,
+      doc = "HLL sketch store + rollup: per-group BINARY HLL sketches materialized once, global distinct count answered later by unioning only the stored bytes (raw data never re-read) — the stored-partial-aggregate pattern for COUNT DISTINCT; rollup == direct-estimate equality (max-based register merge) pinned in SketchSpec."),
+
+    Q(
       "q91_exists_shapes",
       // Verbatim shared string (q51/q62 pattern): the EXISTS / NOT EXISTS
       // SHAPES go through spark.sql so Catalyst's RewritePredicateSubquery

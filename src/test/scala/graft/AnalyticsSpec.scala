@@ -398,4 +398,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.max <= 3, "depth cap violated")
     assert(got(4L) == 3 && !got.contains(5L), "path distances wrong at the cap boundary")
   }
+
+  test("Sssp: weighted distances beat hop-count routing; budget prunes; bad weights rejected; no block leak") {
+    import spark.implicits._
+    import graft.operators.{Lineage, Sssp}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 1→2 costs 5 direct but 4 via 3 (2+2): the weighted answer MUST
+    // differ from BFS's one-hop preference. 1→4 costs 9 via the cheap
+    // detour (4 + 5); 1→5 only via a cost-20 edge — outside budget 10.
+    val el = Seq(
+      (1L, 2L, 5L), (1L, 3L, 2L), (3L, 2L, 2L),
+      (2L, 4L, 5L), (1L, 5L, 20L)).toDF("u", "v", "w")
+    val result = Sssp.distances(el, 1L, maxCost = 10L)
+    val got = result.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 4L, 3L -> 2L, 4L -> 9L),
+      s"weighted relaxation wrong: $got")
+    assert(!got.contains(5L), "budget-exceeding node leaked in")
+    // superseded rounds were released eagerly inside the loop; releasing
+    // the result leaves the block manager exactly as found
+    Lineage.release(result)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"rounds must release eagerly; leaked: $leaked")
+    val e = intercept[IllegalArgumentException] {
+      Sssp.distances(Seq((1L, 2L, 0L)).toDF("u", "v", "w"), 1L, 10L)
+    }
+    assert(e.getMessage.contains("weights >= 1"), e.getMessage)
+  }
 }

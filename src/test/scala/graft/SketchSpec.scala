@@ -41,4 +41,23 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(c == a.map(t => (t._1, t._2)).toSeq, "partitioning changed the estimate")
   }
+
+  test("q133 rollup from stored sketch bytes equals the direct ungrouped estimate") {
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val ev = Tables.events(spark, dir)
+      val rolled = SparkEntry.queries("q133_hll_rollup")(spark, dir)
+        .collect().head
+      val direct = ev
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)))
+        .head().getLong(0)
+      // max-based register merge: grouping the store any way and
+      // unioning the bytes reconstructs the direct sketch exactly
+      assert(rolled.getLong(1) == direct,
+        s"$dir: rollup=${rolled.getLong(1)} direct=$direct")
+      val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+      assert(math.abs(rolled.getLong(1) - exact).toDouble / exact < 0.02,
+        s"$dir: rollup=${rolled.getLong(1)} exact=$exact")
+    }
+  }
 }
