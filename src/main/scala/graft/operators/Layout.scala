@@ -105,6 +105,17 @@ object Layout {
     e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
   }
 
+  /** 32-bit Morton key of two 16-bit coordinates: `x`'s bits at even
+    * positions, `y`'s at odd — monotone in NEITHER input alone, which is
+    * the point: z-proximate rows are close in both dimensions. Public
+    * because it is replayable arithmetic, not just a write-path detail:
+    * q134's gate row recomputes it in the DuckDB oracle bit-for-bit.
+    * Inputs beyond 16 bits are masked; range-reduce upstream.
+    */
+  def mortonKey(x: org.apache.spark.sql.Column,
+                y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
   /** Write `df` as `numFiles` parquet files clustered on the Z-ORDER
     * (Morton) curve over TWO numeric columns. A 1-D sort gives perfect
     * pruning on its sort column and NONE on any other; the Z-curve trades
@@ -128,8 +139,8 @@ object Layout {
       least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0), lit(65535.0))
         .cast("long")
     }
-    val z = spreadBits16(norm(c1, b.getDouble(0), b.getDouble(1)))
-      .bitwiseOR(shiftleft(spreadBits16(norm(c2, b.getDouble(2), b.getDouble(3))), 1))
+    val z = mortonKey(norm(c1, b.getDouble(0), b.getDouble(1)),
+      norm(c2, b.getDouble(2), b.getDouble(3)))
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

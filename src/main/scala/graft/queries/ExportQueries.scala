@@ -59,6 +59,47 @@ object ExportQueries {
       (s, d) => Export.jsonRoundTrip(exported(s, d), Export.scratchDir("json", d))
         .orderBy(col("doc_id")),
       Some(oracleBody),
-      doc = "JSON-lines sink+source round-trip over the same hostile values: JSON escaping keeps every record on one line, so files stay splittable — the preferred 100 TB text interchange; schema-checked read-back, NULL field omission, exact double round-trip.")
+      doc = "JSON-lines sink+source round-trip over the same hostile values: JSON escaping keeps every record on one line, so files stay splittable — the preferred 100 TB text interchange; schema-checked read-back, NULL field omission, exact double round-trip."),
+
+    Q(
+      "q134_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        // Z-ORDER (Morton) multi-dimensional clustering — the layout
+        // operator behind OPTIMIZE ZORDER: interleave two range-reduced
+        // dimensions into one sort/bucket key (five codegen'd bitwise
+        // ops per coordinate, no UDF), then report each z-bucket's zone
+        // map (min/max of BOTH dimensions). At 100 TB these buckets are
+        // files: a predicate on EITHER column prunes by the emitted
+        // min/max — impossible under single-column ordering, where the
+        // secondary dimension's per-file range spans the whole domain
+        // (LayoutSpec quantifies exactly that gap). Pure integer
+        // arithmetic; the oracle replays the identical shift cascade.
+        val z = Tables.lineitem(s, d)
+          .select(($"l_partkey" % 1024).as("x"), ($"l_suppkey" % 1024).as("y"))
+          .withColumn("zv", graft.operators.Layout.mortonKey($"x", $"y"))
+        z.groupBy(shiftright($"zv", 14).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($"x").as("min_x"), max($"x").as("max_x"),
+            min($"y").as("min_y"), max($"y").as("max_y"))
+          .orderBy($"bucket")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+        a AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs,
+                           (y | (y << 8)) & 16711935 AS ys FROM pts),
+        b AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs,
+                           (ys | (ys << 4)) & 252645135 AS ys FROM a),
+        c AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs,
+                           (ys | (ys << 2)) & 858993459 AS ys FROM b),
+        e AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs,
+                           (ys | (ys << 1)) & 1431655765 AS ys FROM c),
+        z AS (SELECT x, y, xs | (ys << 1) AS zv FROM e)
+        SELECT zv >> 14 AS bucket, COUNT(*) AS n,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM z GROUP BY 1 ORDER BY bucket"""),
+      doc = "Z-order (Morton) clustering key as five codegen'd bitwise ops per coordinate: bucket by the interleaved key and emit each bucket's two-dimensional zone map — the data-skipping layout where predicates on EITHER column prune files; oracle replays the identical shift cascade bit-for-bit.")
   )
 }
