@@ -100,7 +100,7 @@ object PqSearch {
   /** Codebook flattened row-major for the native PQ expressions: cell
     * (sub, c) at [((sub·ks)+c)·dsub, +dsub).
     */
-  private def flatCodebook(index: PqIndex): Array[Double] = {
+  private[operators] def flatCodebook(index: PqIndex): Array[Double] = {
     val flat = new Array[Double](index.m * index.ks * index.dsub)
     for (sub <- 0 until index.m; c <- 0 until index.ks)
       System.arraycopy(index.codebooks(sub)(c), 0, flat,

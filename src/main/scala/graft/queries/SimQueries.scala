@@ -194,6 +194,32 @@ object SimQueries {
       doc = "Product-quantization ANN (M=16 subspaces × 64 codes, ~32× corpus compression) with ADC scoring and exact top-256 re-rank — oracle-gated against the brute-force top-5: the compressed scan plus constant re-rank reproduces the exact answer, the FAISS IndexPQ deployment shape expressed as pure column arithmetic."),
 
     Q(
+      "q136_ivfpq_topk",
+      (s, d) => {
+        // IVF-PQ, the composed billion-vector index: the inverted lists
+        // bound WHICH candidates score (nprobe/k of the corpus), the PQ
+        // codes bound WHAT each candidate costs (M lookups on ~32×
+        // compressed codes), and the exact re-rank touches a constant
+        // number of raw vectors — the two reductions multiply, which is
+        // the whole FAISS IndexIVFPQ argument. Both index artifacts are
+        // the memoized ones q31/q135 already serve, joined on vec_id —
+        // composition, not recomputation. Approximate BY NATURE (a true
+        // neighbor in an unprobed list is unrecoverable, rule q26/q31),
+        // so rows-only; PqSearchSpec pins recall floors and nprobe
+        // monotonicity on this corpus.
+        val (ivfIdx, lists) = ivfIndexAndLists(s, d)
+        val (pqIdx, codes) = pqIndexAndCodes(s, d)
+        val encoded = lists.join(codes.select(col("vec_id"), col("codes")), "vec_id")
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        graft.operators.IvfPq.topK(encoded, queries, ivfIdx, pqIdx,
+            k = 5, nprobe = 8, rerank = 256)
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      None,
+      doc = "IVF-PQ composed ANN (16 lists probed 8, PQ codes for ADC scoring, exact top-256 re-rank): per-query cost is nprobe/k of the corpus × compressed-code reads × constant re-rank — the canonical billion-vector serving shape, composed from the memoized IVF and PQ artifacts; recall floors pinned in PqSearchSpec."),
+
+    Q(
       "q26_simsearch_lsh",
       (s, d) =>
         SimSearch.lshPairsFromIndex(srpIndex(s, d), 0.40)
