@@ -156,5 +156,59 @@ object TextQueries {
       None, // zlib isn't expressible in SQL — rows-only at the driver
       // gate; TextQualitySpec pins determinism + the redundancy ordering
       doc = "Deflate compression ratio per document (Gopher/CCNet redundancy filter): one Deflater per partition, linear scan, no shuffle. Spec-verified (zlib has no SQL oracle).")
+  ,
+    Q(
+      "q137_vocab_encode",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // VOCABULARY BUILD + ID-ENCODE — the tokenize→ids step every
+        // training pipeline runs before sequence packing (q42 consumes
+        // exactly this shape). Stage 1 builds the top-V vocabulary by
+        // global frequency (count desc, token asc — fully deterministic;
+        // the global window sorts only the DISTINCT-token table, which
+        // is vocabulary-sized, never corpus-sized). Stage 2 broadcasts
+        // the vocabulary into a left join and re-assembles each
+        // document's id sequence IN TOKEN ORDER (collect_list of
+        // (pos, id) structs, array_sort, project) — order-safe under
+        // any partitioning, emitted as a joined string per the
+        // determinism rules. OOV → 0, the conventional UNK id.
+        val toks = Tables.documents(s, d)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
+          .filter(length($"token") > 0)
+        val vocab = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+          .withColumn("id", row_number().over(Window.orderBy($"n".desc, $"token")))
+          .filter($"id" <= 16)
+          .select($"token", $"id")
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .select($"doc_id", $"pos", coalesce($"id", lit(0)).as("id"))
+          .groupBy($"doc_id")
+          .agg(
+            array_join(transform(array_sort(collect_list(struct($"pos", $"id"))),
+              x => x.getField("id").cast("string")), " ").as("ids"),
+            count(lit(1)).as("n_tokens"),
+            sum(when($"id" === 0, 1L).otherwise(0L)).as("n_oov"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, pos, token FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM documents) t
+          WHERE LENGTH(token) > 0),
+        vocab AS (
+          SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS id
+          FROM toks GROUP BY token
+          QUALIFY id <= 16),
+        enc AS (
+          SELECT t.doc_id, t.pos, COALESCE(v.id, 0) AS id
+          FROM toks t LEFT JOIN vocab v USING (token))
+        SELECT doc_id,
+               STRING_AGG(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+      doc = "Vocabulary build + id-encode (tokenize→ids): top-V vocabulary by global frequency with deterministic tie-break, broadcast left join, order-safe per-document sequence reassembly via (pos, id) struct sort — the training-pipeline step ahead of q42's sequence packing, OOV as id 0; oracle re-derives the identical vocabulary and sequences.")
   )
 }
