@@ -24,9 +24,46 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Cumulative JVM GC time (ms) across all collector beans. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
+  /** Per-rep JVM/engine counters captured AFTER the rep, so a slow rep
+    * is attributable from the artifact alone (the round-8 q25 anomaly
+    * needed a repro run to even form a hypothesis):
+    *   gc  — GC time during the rep (ms, delta)
+    *   cgn — whole-stage-codegen compilations so far (cumulative count:
+    *         the Janino cache size proxy; a rep that grows it paid a
+    *         compile, a warm rep shows +0)
+    *   st  — executor storage held by persisted/checkpointed blocks
+    *         after the rep (MB): leak detection for the memoized index
+    *         artifacts and lineage-cut leaves
+    */
+  private final case class RepStats(gc: Long, cgn: Long, st: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def storageMb(): Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+    def repStats(gcBefore: Long): RepStats = RepStats(
+      gc = gcMillis() - gcBefore,
+      cgn = CodegenMetrics.METRIC_SOURCE_CODE_SIZE.getCount,
+      st = storageMb())
+
+    // Optional subset run for perf triage: comma-separated query-name
+    // prefixes ("q24,q25,q130"). Warmup + timed passes both honor it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected = only match {
+      case Some(ps) => SparkEntry.allQueries.filter(q => ps.exists(p =>
+        q.name == p || q.name.startsWith(p + "_")))
+      case None => SparkEntry.allQueries
+    }
 
     // Warmup: run every query once at the smallest available SF so the
     // timed pass measures steady-state execution, not whole-stage-codegen/
@@ -47,7 +84,7 @@ object Bench {
           .toDoubleOption.getOrElse(Double.MaxValue))
         .headOption.getOrElse(sfDir)
     }
-    SparkEntry.allQueries.foreach { q =>
+    selected.foreach { q =>
       // a warmup failure is tolerated (the timed pass reports real
       // failures) but must not be silent: a query that only breaks at
       // warmup scale would otherwise vanish from every artifact
@@ -64,51 +101,65 @@ object Bench {
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
     // shared box; the median is what the engine actually costs.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
+    // (name, median, repsInEXECUTIONorder, perRepStats)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Seq[Double], Seq[RepStats])]
 
     def detailLine(): String = {
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      // per-rep arrays (sorted asc) + min: box contention swung identical
-      // code 22x between rounds — make scheduling noise visible in the
+      // per-rep arrays in EXECUTION order + min: box contention swung
+      // identical code 22x between rounds, and the round-8 q25 anomaly
+      // (rep pattern 2.2/2.4/4.4) was only interpretable once order was
+      // known — make scheduling noise AND its position visible in the
       // artifact itself rather than only in round-over-round medians
-      val qsReps = results.map { case (k, _, ts) =>
+      val qsReps = results.map { case (k, _, ts, _) =>
         "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val qsMin = results.map { case (k, v, ts) =>
-        val mn = if (v < 0) -1.0 else ts.head
+      val qsMin = results.map { case (k, v, ts, _) =>
+        val mn = if (v < 0) -1.0 else ts.filter(_ >= 0).min
         "\"" + k + "\":" + f"$mn%.3f"
       }.mkString("{", ",", "}")
-      val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+      // per-rep JVM/engine counters, execution order, aligned with
+      // queries_reps: [gc_ms, codegen_count, storage_mb] per rep
+      val qsJvm = results.map { case (k, _, _, ss) =>
+        "\"" + k + "\":" + ss.map(s => s"[${s.gc},${s.cgn},${s.st}]")
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       // total_min = sum of per-query minima: a contended driver window shows
       // total >> total_min, making scheduling noise self-diagnosing at the
       // headline level (not just per-query)
-      val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"errors":$errors,"sf":"$sfDir"}"""
+      val totalMin = results
+        .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
     }
     // Compact line for the driver: its stdout capture keeps only the LAST
     // 2000 chars, and the full-detail line above is ~5 KB — a last-line
     // parse saw a mid-JSON fragment for five rounds running. Short keys
     // (the qNN prefix) keep this line well under the window even as the
     // query count grows; the full names live in the detail line/file.
-    // Adaptive value precision: 100 ms resolution under 100 s, whole
-    // seconds above — the compact value is for driver-side grading, and
-    // a value never exceeds 5 chars ("99999" / "999.9" / "99.9"), which
-    // is what ContractSpec's worst-case line-length bound assumes. Full
-    // 1 ms precision stays in the detail line / bench.json.
+    // Adaptive value precision: 100 ms resolution under 100 s (≤4
+    // chars), CLAMPED to integer 999 above — a ≥100 s query at sf0.1 is
+    // already a catastrophic regression; its exact magnitude lives in
+    // the detail line, and the 3-char clamp is what keeps ContractSpec's
+    // worst-case line-length bound inside the driver's 2000-char tail
+    // as the query count grows. Full 1 ms precision stays in
+    // bench.json / the detail line.
     def fmtCompact(v: Double): String =
-      if (v >= 100) f"$v%.0f" else f"$v%.1f"
+      if (v >= 100) f"${math.min(v, 999.0)}%.0f" else f"$v%.1f"
     def compactLine(): String = {
-      val qsShort = results.map { case (k, v, _) =>
+      val qsShort = results.map { case (k, v, _, _) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + fmtCompact(v)
       }.mkString("{", ",", "}")
       val errorsShort = results
-        .collect { case (k, v, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
+        .collect { case (k, v, _, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
-      val totalMin = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
+      val totalMin = results
+        .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
     }
     // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
@@ -126,8 +177,10 @@ object Bench {
       System.out.flush()
     }
 
-    SparkEntry.allQueries.foreach { q =>
+    selected.foreach { q =>
+      val stats = scala.collection.mutable.ArrayBuffer.empty[RepStats]
       val times = (0 until reps).map { _ =>
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           try { force(q.run(spark, sfDir)); true }
@@ -135,11 +188,14 @@ object Bench {
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }.sorted
+        val dt = (System.nanoTime() - t0) / 1e9
+        stats += repStats(gc0)
+        if (ok) dt else -1.0
+      }
+      val sortedTs = times.sorted
       // any failed rep poisons the query: report -1, never a partial time
-      val t = if (times.head < 0) -1.0 else times(times.length / 2)
-      results += ((q.name, t, times))
+      val t = if (sortedTs.head < 0) -1.0 else sortedTs(sortedTs.length / 2)
+      results += ((q.name, t, times, stats.toSeq))
       emitSnapshot()
     }
     val line = detailLine(); val compact = compactLine()

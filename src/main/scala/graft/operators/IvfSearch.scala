@@ -77,6 +77,31 @@ object IvfSearch {
   def assign(corpus: DataFrame, index: IvfIndex): DataFrame =
     unit(corpus).withColumn("cluster", assignCol(index.centroids))
 
+  /** MULTI-assignment (list replication, the FAISS "spilling" recall
+    * lever): each corpus vector lands in its `nassign` nearest lists, so
+    * a query probing p of k lists sees a candidate when ANY of the
+    * vector's nassign lists is probed — on structureless corpora (where
+    * a true neighbor sits near a Voronoi boundary as often as not) this
+    * is the difference between ~p/k recall and the target floor at small
+    * nprobe. Cost is storage, not query latency: lists grow ×nassign
+    * (with SQ8 codes that is nassign bytes/dim — still ≪ raw floats)
+    * while each probe reads the same nprobe lists. Duplicated
+    * candidates are collapsed downstream before ranking.
+    */
+  def assignMulti(corpus: DataFrame, index: IvfIndex, nassign: Int = 2): DataFrame = {
+    require(nassign >= 1 && nassign <= index.centroids.length,
+      s"nassign $nassign out of range for ${index.centroids.length} lists")
+    val scored = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFns.dotPre(col("uv"), centroidCol(c)).as("s"), lit(i).as("c"))
+    }
+    unit(corpus)
+      .withColumn("asg", explode(slice(array_sort(
+        array(scored: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nassign)))
+      .select(col("vec_id"), col("uv"), col("asg.c").as("cluster"))
+  }
+
   /** INCREMENTAL index maintenance: route an appended batch through the
     * EXISTING centroids and union it with the already-materialized
     * inverted lists — no re-clustering, so the append costs one scan of
@@ -101,6 +126,77 @@ object IvfSearch {
   def topK(corpus: DataFrame, queries: DataFrame, index: IvfIndex,
            k: Int = 5, nprobe: Int = 4): DataFrame =
     topKAssigned(assign(corpus, index), queries, index, k, nprobe)
+
+  /** INT8 scalar-quantization (SQ8) tier over the inverted lists: each
+    * list vector is stored as one byte per dimension plus one double
+    * scale — the serving-memory tier between raw floats (this file's
+    * default) and PQ codes ([[PqSearch]], ~32x). Memory factor: a
+    * 64-dim unit vector is 512 B of packed doubles (more as a Spark
+    * array) vs 64 B of codes + 8 B scale ≈ 8x. Quantization is
+    * per-vector max-|v| symmetric: code_i = round(v_i/scale·127), so
+    * every reconstructed component is within scale/254 of the truth and
+    * an asymmetric (float query × int8 corpus) dot is within
+    * (scale/254)·Σ|qv_i| of the exact dot — a certified bound
+    * IvfSearchSpec pins per pair, the KLL discipline applied to ANN.
+    * The raw `uv` column is dropped: at serving time the probed scan
+    * reads ONLY codes (the 8x is real, not additive).
+    */
+  def quantizeAssigned(assigned: DataFrame): DataFrame = {
+    import graft.functions.Q8Encode
+    assigned
+      .withColumn("scale", array_max(transform(col("uv"), x => abs(x))))
+      .select(col("vec_id"), col("cluster"), col("scale"),
+        Q8Encode(col("uv"), col("scale")).as("q8"))
+  }
+
+  /** Top-k over the SQ8 tier: probe `nprobe` lists, score candidates
+    * with the asymmetric int8 dot (one byte per dim read), keep a
+    * `shortlist` per query, then re-rank the shortlist EXACTLY against
+    * the raw vectors (`rawCorpus`, joined by id — a constant-size
+    * point lookup per query at serving scale). Approximate only through
+    * list pruning and shortlist truncation; the int8 rounding itself
+    * cannot reorder the final top-k past the exact re-rank.
+    */
+  def topKQuantized(quantized: DataFrame, rawCorpus: DataFrame, queries: DataFrame,
+                    index: IvfIndex, k: Int = 5, nprobe: Int = 4,
+                    shortlist: Int = 64): DataFrame = {
+    import graft.functions.Q8Dot
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val qu = unit(queries).select(col("vec_id").as("query_id"), col("uv").as("qv"))
+    val probeScores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFns.dotPre(col("qv"), centroidCol(c)).as("s"), lit(i).as("c"))
+    }
+    val probes = qu
+      .withColumn("probe", explode(slice(array_sort(
+        array(probeScores: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.c").as("cluster"))
+
+    val lists = quantized.select(col("vec_id").as("neighbor_id"),
+      col("cluster"), col("scale"), col("q8"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val short = probes.join(lists, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // multi-assigned corpora surface a candidate once per shared
+      // probed list — collapse BEFORE the shortlist window so
+      // duplicates cannot crowd out distinct candidates
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("approx", Q8Dot(col("qv"), col("q8")) * col("scale") / lit(127.0))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= shortlist)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+
+    val raw = unit(rawCorpus).select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(raw, "neighbor_id")
+      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+  }
 
   /** topK against pre-materialized inverted lists (`assign` output).
     * The build/assign phase is IVF's offline cost — a deployment

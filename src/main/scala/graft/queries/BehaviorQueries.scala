@@ -754,6 +754,91 @@ object BehaviorQueries {
         FROM documents
         ORDER BY doc_id"""),
       doc = "Digest-kernel conformance: md5 and sha-256 hex digests (and a keyed id:text content address) byte-identical across engines over UTF-8 text — the primitive under content-addressed dedup, cache keys, and the q35/q36 fingerprint family; shared subset pinned (DuckDB lacks sha1/crc32).")
+  ,
+
+    Q(
+      "q138_decimal_conformance",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        // DECIMAL conformance row — fixed-point is the money type, and
+        // an engine swap that shifts a precision/scale rule or a cast
+        // rounding mode corrupts financial aggregates SILENTLY. Pinned
+        // over DECIMAL(12,2) operands (exact: the source doubles carry
+        // <= 2 decimals, so both engines cast them losslessly):
+        //   * +/− propagate to (13,2) and × to scale 4 IDENTICALLY in
+        //     both engines — results compared as full-scale strings, so
+        //     a propagation drift changes the text, not just the value.
+        //   * DIVISION — divergence #1: DuckDB promotes decimal ÷
+        //     decimal to DOUBLE, Spark keeps DECIMAL(27,15) rounded
+        //     HALF_UP (scale = max(6, s1+p2+1) = 15 under default
+        //     precision-loss rules). The oracle re-implements Spark's
+        //     contract INDEPENDENTLY: exact scaled-integer HUGEINT
+        //     arithmetic, (2·a·10^15 + b) // (2·b) = half-up nearest —
+        //     agreement proves the quotient digits, not a shared code
+        //     path. (No exact ties exist here: b = quantity·100 ≤ 5000
+        //     has no 2^16/5^16 factor, so a quotient either terminates
+        //     within 15 digits or repeats infinitely — and Spark's
+        //     34-significant-digit intermediate cannot flip nearest at
+        //     distance ≥ 10^-20 from a midpoint.)
+        //   * downscale CAST — divergence #2: DuckDB decimal→decimal
+        //     cast TRUNCATES toward zero (2.99→2.9), Spark rounds
+        //     HALF_UP (away from zero on ties, both signs); oracle
+        //     emulates with ROUND(x,1) (half-away), negatives included.
+        //   * CAST to BIGINT — divergence #3: DuckDB ROUNDS (2.96→3),
+        //     Spark TRUNCATES toward zero (2.96→2); oracle emulates
+        //     with TRUNC, both signs.
+        //   * double→decimal cast on exact k/8 binaries: Spark rounds
+        //     the SHORTEST-REPR decimal string HALF_UP (q114's rule),
+        //     DuckDB rounds the exact value half-away — they agree on
+        //     exact-binary inputs, which is what the gate holds to.
+        // Pure codegen scalar pipeline, one scan; divergences are
+        // emulated on the ORACLE side so the Spark plan stays the
+        // natural one a user would write.
+        val a = $"l_extendedprice".cast(DecimalType(12, 2))
+        val b = $"l_quantity".cast(DecimalType(12, 2))
+        val negA = lit(0).cast(DecimalType(12, 2)) - a
+        Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+            (a + b).cast("string").as("d_add"),
+            (a - b).cast("string").as("d_sub"),
+            (a * b).cast("string").as("d_mul"),
+            (negA * b).cast("string").as("d_mul_neg"),
+            (a / b).cast("string").as("d_div"),
+            a.cast(DecimalType(10, 1)).cast("string").as("d_cast_down"),
+            negA.cast(DecimalType(10, 1)).cast("string").as("d_cast_down_neg"),
+            a.cast("long").as("d_to_long"),
+            negA.cast("long").as("d_to_long_neg"),
+            (($"l_orderkey" % 800).cast("double") / lit(8.0))
+              .cast(DecimalType(10, 2)).cast("string").as("d_from_double"))
+          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) AS a,
+                 CAST(l_quantity AS DECIMAL(12,2)) AS b,
+                 CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS ai,
+                 CAST(ROUND(l_quantity * 100) AS HUGEINT) AS bi
+          FROM lineitem),
+        divq AS (
+          SELECT *, (2 * ai * 1000000000000000 + bi) // (2 * bi) AS q15
+          FROM base)
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               CAST(a + b AS VARCHAR) AS d_add,
+               CAST(a - b AS VARCHAR) AS d_sub,
+               CAST(a * b AS VARCHAR) AS d_mul,
+               CAST((-a) * b AS VARCHAR) AS d_mul_neg,
+               CAST(q15 // 1000000000000000 AS VARCHAR) || '.' ||
+                 LPAD(CAST(q15 % 1000000000000000 AS VARCHAR), 15, '0') AS d_div,
+               CAST(CAST(ROUND(a, 1) AS DECIMAL(10,1)) AS VARCHAR) AS d_cast_down,
+               CAST(CAST(ROUND(-a, 1) AS DECIMAL(10,1)) AS VARCHAR) AS d_cast_down_neg,
+               CAST(TRUNC(a) AS BIGINT) AS d_to_long,
+               CAST(TRUNC(-a) AS BIGINT) AS d_to_long_neg,
+               CAST(CAST(CAST(l_orderkey % 800 AS DOUBLE) / 8.0 AS DECIMAL(10,2)) AS VARCHAR) AS d_from_double
+        FROM divq
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+      doc = "DECIMAL(38,x) conformance: +/−/× precision-scale propagation string-identical; Spark's DECIMAL(27,15) HALF_UP division pinned against an independent HUGEINT scaled-integer half-up implementation (DuckDB natively promotes decimal division to DOUBLE — divergence documented); downscale-cast rounding (Spark HALF_UP vs DuckDB truncate-toward-zero) and decimal→BIGINT casts (Spark truncates, DuckDB rounds) emulated oracle-side with ROUND/TRUNC, both signs — the money-type rules an engine swap silently breaks.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

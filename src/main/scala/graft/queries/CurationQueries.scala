@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
@@ -25,6 +25,29 @@ object CurationQueries {
 
   private val bucketSql =
     "CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  // corpus bigram table per (session, dir) — q60 references it TWICE
+  // (once to build the frequency index, once as the join probe), and an
+  // unpersisted frame re-runs the scan+explode for each reference.
+  // Memoized + persisted like the other index artifacts (coEdges,
+  // shingle tables) and released via clearCaches; the window/collect_list
+  // single-compute rewrites were evaluated and parked as skew bombs at
+  // scale, so caching the explode is the whole fix.
+  private val bgCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def bigrams(s: SparkSession, d: String): DataFrame = synchronized {
+    bgCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private[queries] def clearCaches(): Unit = synchronized {
+    bgCache.values.foreach(_.unpersist())
+    bgCache.clear()
+  }
 
   val queries: Seq[Q] = Seq(
     Q(
@@ -361,8 +384,7 @@ object CurationQueries {
         // table is the (re-usable) index artifact; the per-doc pass is
         // one join + map-side-combined agg. Mean computed as one IEEE
         // double division of two exact BIGINTs — engine-identical.
-        val bg = Tables.documents(s, d)
-          .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
+        val bg = bigrams(s, d) // memoized + persisted: explode runs once
         val freq = bg.groupBy($"bg").agg(count(lit(1)).as("f"))
         bg.join(freq, Seq("bg"))
           .groupBy($"doc_id")

@@ -10,5 +10,6 @@ object QueryCaches {
     DedupQueries.clearCaches()
     SimQueries.clearCaches()
     AnalyticsQueries.clearCaches()
+    CurationQueries.clearCaches()
   }
 }

@@ -26,7 +26,10 @@ class ContractSpec extends AnyFunSuite {
     "q109_quantile_summary",   // estimates depend on partition layout; AnalyticsSpec pins error bound/exactness
     "q124_kll_quantiles",      // sketch estimates depend on partition layout; KllSpec pins the certified bound
     "q126_kll_grouped",        // grouped-sketch estimates depend on merge order; KllSpec pins the emitted bound
-    "q131_kll_rollup")         // sketch-store rollup likewise; KllSpec pins round-trip + rollup equality
+    "q131_kll_rollup",         // sketch-store rollup likewise; KllSpec pins round-trip + rollup equality
+    "q133_hll_rollup",         // HLL register states depend on nothing but values, but DuckDB's approx sketch differs (q75 rule); SketchSpec pins rollup == direct
+    "q136_ivfpq_topk",         // approximate by list pruning (q31 rule); PqSearchSpec pins recall floors + nprobe monotonicity
+    "q139_ivf_sq8_topk")       // approximate by list pruning (q31 rule); IvfSearchSpec pins certified error bound + recall >= 0.9
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
@@ -58,7 +61,11 @@ class ContractSpec extends AnyFunSuite {
     // estimate its worst case and fail BEFORE the artifact silently
     // truncates as the query count grows.
     val overhead = """{"metric":"total","value":99999.999,"unit":"sec","total_min":99999.999,"queries":{},"errors":[],"sf":"/root/testdata/sf0.1"}""".length
-    val perQuery = "\"q000\":999.9,".length
+    // fmtCompact: <100 s prints at 0.1 resolution (≤4 chars, "99.9");
+    // ≥100 s clamps to integer 999 (3 chars) — a 100 s+ query at sf0.1
+    // is already a catastrophic regression whose exact size lives in the
+    // detail line, so the compact line trades its precision for headroom
+    val perQuery = "\"q000\":99.9,".length
     val estimate = overhead + SparkEntry.queries.size * perQuery
     assert(estimate < 1900,
       s"estimated compact bench line $estimate chars — nearing the 2000-char tail capture; shorten keys or split the artifact")

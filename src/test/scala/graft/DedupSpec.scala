@@ -218,6 +218,69 @@ class DedupSpec extends AnyFunSuite {
       s"pointer doubling + release must free every round's blocks; leaked RDD ids: $leaked")
   }
 
+  test("pointer doubling on a 1e5-spoke hub star: log-bounded rounds, no single-task straggler stage") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // adversarial SKEW shape: one hub carries EVERY edge (1e5 spokes), so
+    // any plan that reduces or joins the raw per-key edge list in one
+    // task turns the hub into a straggler. The operator's defenses are
+    // structural — the neighbor-min is map-side partially aggregated
+    // (the hub key crosses the shuffle as one record per map partition,
+    // not 1e5) and the label table is small enough to broadcast into the
+    // edge join — and this spec holds BOTH: a skew-concentrated stage
+    // shows up as one task owning most of its stage's shuffle records.
+    val n = 100000L
+    val hub = 50000L // NOT the min id: labels must still converge to 0
+    val pairs = spark.range(n).filter($"id" =!= hub)
+      .select(least($"id", lit(hub)).as("doc_a"),
+        greatest($"id", lit(hub)).as("doc_b"))
+    // (stageId, shuffleRecordsRead) per finished task, listener-collected
+    val taskEvents = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    @volatile var lastEventNs = System.nanoTime()
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        lastEventNs = System.nanoTime()
+        val m = t.taskMetrics
+        if (m != null)
+          taskEvents.add((t.stageId, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val labels =
+      try {
+        // star diameter is 2: init + jump round + no-change round. A
+        // maxIters beyond 4 would hide a convergence regression; the
+        // operator throws (not partial labels) when the bound is hit.
+        val got = Dedup.pointerDoublingComponents(pairs, maxIters = 4)
+        val byLabel = got.groupBy($"component").count()
+          .as[(Long, Long)].collect().toMap
+        assert(byLabel == Map(0L -> n),
+          s"one component labeled by the min id expected: $byLabel")
+        got
+      } finally {
+        // drain the async listener bus before reading taskEvents: poll
+        // until no event lands for 1 s (bounded), then detach
+        val deadline = System.nanoTime() + 15e9.toLong
+        while (System.nanoTime() - lastEventNs < 1e9.toLong &&
+               System.nanoTime() < deadline) Thread.sleep(100)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    import scala.jdk.CollectionConverters._
+    val byStage = taskEvents.asScala.toSeq.groupBy(_._1)
+      .map { case (sid, evs) => sid -> evs.map(_._2) }
+    val heavy = byStage.filter { case (_, recs) =>
+      recs.size >= 4 && recs.sum >= 10000L }
+    assert(byStage.values.exists(_.sum > 0), "expected shuffling stages")
+    heavy.foreach { case (sid, recs) =>
+      val share = recs.max.toDouble / recs.sum
+      assert(share <= 0.6,
+        s"stage $sid: one task read ${recs.max} of ${recs.sum} shuffle " +
+          s"records (${(share * 100).round}%) — the hub key concentrated " +
+          "into a straggler task")
+    }
+    graft.operators.Lineage.release(labels)
+  }
+
   test("simhashPairs equals exact brute-force hamming pairs (recall 1 by pigeonhole)") {
     val docs = Tables.documents(spark, sf).limit(100)
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text").cache()

@@ -77,6 +77,51 @@ class VideoSeamSpec extends AnyFunSuite {
     assert(okDocs.values.forall(_.length == 4))
   }
 
+  test("ffmpeg adapter: a real non-JVM codec rides the seam (self-skips when ffmpeg is absent)") {
+    import graft.multimodal.FfmpegVideoDecoder
+    import spark.implicits._
+    // VERDICT r8 #5: prove the seam's factory/quarantine contract with a
+    // genuinely external decoder. On boxes without ffmpeg this cancels
+    // (assume), and the probe/factory contract test below still runs.
+    assume(FfmpegVideoDecoder.available,
+      "ffmpeg not on PATH — external-codec leg exercised where present")
+    val media = videos()
+    val viaFfmpeg = VideoSeam.sampleFramesSafe(media,
+      FfmpegVideoDecoder.factory(), stride = 2).collect()
+    assert(viaFfmpeg.nonEmpty && viaFfmpeg.forall(_.ok),
+      s"well-formed AVI/MJPEG through ffmpeg must never quarantine: " +
+        viaFfmpeg.filter(!_.ok).take(3).mkString("; "))
+    // frame STRUCTURE must match the pure-JVM decode exactly; pixel
+    // values legitimately differ (two independent JPEG IDCT/upsample
+    // implementations), so sums are not compared
+    val viaJvm = VideoSeam.sampleFramesSafe(media,
+      () => VideoSeam.MjpegAviDecoder, stride = 2).collect()
+    assert(viaFfmpeg.map(f => (f.doc_id, f.frame_idx, f.width, f.height)).toSet ==
+      viaJvm.map(f => (f.doc_id, f.frame_idx, f.width, f.height)).toSet)
+    // quarantine holds across the process boundary: garbage bytes become
+    // an ok=false row carrying ffmpeg's own error text
+    val poison = Seq(Multimodal.MediaRow(990L, Array[Byte](9, 9, 9))).toDS()
+    val bad = VideoSeam.sampleFramesSafe(poison,
+      FfmpegVideoDecoder.factory(), stride = 1).collect()
+    assert(bad.length == 1 && !bad.head.ok && bad.head.error.nonEmpty)
+  }
+
+  test("ffmpeg probe is side-effect-free and the factory fails loudly when absent") {
+    import graft.multimodal.FfmpegVideoDecoder
+    val avail = FfmpegVideoDecoder.available // must never throw
+    if (!avail)
+      assertThrows[IllegalStateException](FfmpegVideoDecoder.factory())
+    // BMP stream splitting is pure and testable without the binary
+    val one = graft.multimodal.Codecs.encodeBmp(
+      graft.multimodal.Codecs.Image(2, 1, Array[Byte](1, 2, 3, 4, 5, 6)))
+    val frames = FfmpegVideoDecoder.splitBmps(one ++ one ++ one).toSeq
+    assert(frames.length == 3 && frames.forall(_.sameElements(one)))
+    assert(FfmpegVideoDecoder.splitBmps(Array[Byte](1, 2)).isEmpty)
+    val truncated = one.take(one.length - 1) // size field outruns stream
+    assertThrows[IllegalArgumentException](
+      FfmpegVideoDecoder.splitBmps(truncated).toSeq)
+  }
+
   test("sniffContainer routes on magic bytes, not extensions") {
     val avi = Avi.encode(Avi.Video(2, 2, 8,
       Seq(Jpeg.encode(Jpeg.Gray(2, 2, Array[Byte](1, 2, 3, 4))))))
