@@ -439,5 +439,46 @@ object CurationQueries {
         WHERE rk <= 10
         ORDER BY lang, doc_id"""),
       doc = "Weighted reservoir sampling (A-ES family) with deterministic integer priorities: mid-square-mixed id scaled-div weight, k smallest per stratum — weight-proportional corpus mixing that replays bit-for-bit in any engine; one window shuffle.")
+  ,
+
+    Q(
+      "q141_bpe_pack",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Bpe
+        // TOKEN-TRUE sequence packing: q42 packs by whitespace word
+        // counts; this row feeds Packing.packByBudget the REAL sub-word
+        // counts from the q140 tokenizer — the budget a pretraining
+        // batch assembler actually enforces is model-tokenizer tokens.
+        // Same two-phase prefix sum underneath (range buckets from key
+        // quantiles + per-bucket windows + driver prefix of O(buckets)
+        // totals), so the global running sum never funnels the corpus
+        // through one task; the tokenizer itself is a per-row codegen'd
+        // scalar that pipelines with the scan.
+        val docs = Tables.documents(s, d)
+          .select($"doc_id", Bpe.tokenCount(Bpe.encode($"text")).as("n_tok"))
+        graft.operators.Packing.packByBudget(docs, "doc_id", "n_tok", 512L)
+          .select($"doc_id", $"n_tok", $"pack_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+          WHERE LENGTH(w) > 0),
+        enc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                FROM words),
+        cnt AS (SELECT doc_id,
+                  CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                FROM enc GROUP BY doc_id),
+        packable AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n_tok
+                 FROM documents d LEFT JOIN cnt c USING (doc_id))
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+        FROM packable
+        ORDER BY doc_id"""),
+      doc = "Token-TRUE sequence packing: Packing.packByBudget driven by the q140 BPE tokenizer's real sub-word counts (budget 512 model tokens, not words) — the two-phase distributed prefix sum assigns each doc to pack floor(tokens_before/budget); oracle re-derives the counts through the same REPLACE-chain tokenizer and packs with a single global window.")
   )
 }

@@ -210,5 +210,41 @@ object TextQueries {
                CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
         FROM enc GROUP BY doc_id ORDER BY doc_id"""),
       doc = "Vocabulary build + id-encode (tokenize→ids): top-V vocabulary by global frequency with deterministic tie-break, broadcast left join, order-safe per-document sequence reassembly via (pos, id) struct sort — the training-pipeline step ahead of q42's sequence packing, OOV as id 0; oracle re-derives the identical vocabulary and sequences.")
+  ,
+    Q(
+      "q140_bpe_encode",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Bpe
+        // SUB-WORD (BPE) tokenization with the fixed rank-ordered merges
+        // table (operators/Bpe.StandardMerges) shipped as a literal into
+        // ONE codegen'd expression — pure per-row scalar, no shuffle.
+        // The gate is maximal: the FULL token sequence (not just counts)
+        // must match DuckDB replaying the identical merge passes via a
+        // REPLACE chain GENERATED FROM THE SAME SCALA CONSTANT
+        // (Bpe.oracleEncodeSql) — one merges definition, two engines.
+        Tables.documents(s, d)
+          .select($"doc_id", Bpe.encode($"text").as("tokens"))
+          .select($"doc_id", Bpe.tokenCount($"tokens").as("n_tokens"), $"tokens")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, pos, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM documents) t
+          WHERE LENGTH(w) > 0),
+        enc AS (SELECT doc_id, pos, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                FROM words),
+        agg AS (SELECT doc_id,
+                  CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n_tokens,
+                  STRING_AGG(e, ' ' ORDER BY pos) AS tokens
+                FROM enc GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.tokens, '') AS tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id"""),
+      doc = "Sub-word BPE tokenization (fixed rank-ordered merges table as a literal in one codegen'd expression; rank-ordered left-to-right replace passes over delimited symbols — the deterministic, SQL-replayable BPE variant): full token sequences gate-checked against DuckDB executing a REPLACE chain generated from the SAME merges constant; high-frequency words collapse to single tokens, the tail splits into genuine sub-word pieces with </w> word boundaries.")
   )
 }

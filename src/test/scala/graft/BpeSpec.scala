@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+import graft.functions.{BpeCodec, BpeEncodeExpr}
+
+/** The fixed-merges BPE tokenizer: expression output vs an INDEPENDENT
+  * list-based reference (different data structure, same defined
+  * semantics — boundary-space bugs in the string-replace kernel cannot
+  * hide), structural invariants, and the constructor's rule validation.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  /** Reference implementation over symbol LISTS: for each rule in rank
+    * order, one left-to-right non-overlapping merge pass over the list.
+    * Shares no code with BpeCodec's padded-string replace — including
+    * the SHARED-DELIMITER subtlety it must reproduce: in the delimited
+    * string, adjacent pairs share their separating space, so after a
+    * merge at (i, i+1) a pair STARTING at i+2 cannot also merge in the
+    * same pass (its leading delimiter was consumed by the previous
+    * match) while a pair at i+3 can. `[a,b,a,b]` → `[ab, a, b]`,
+    * `[a,b,x,a,b]` → `[ab, x, ab]` — the documented BpeCodec contract.
+    */
+  private def referenceWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+ "</w>"
+    merges.foreach { case (pat, rep) =>
+      val Array(a, b) = pat.split(" ")
+      val out = Vector.newBuilder[String]
+      var i = 0
+      var blockedStart = -1
+      while (i < syms.length) {
+        if (i + 1 < syms.length && i != blockedStart &&
+            syms(i) == a && syms(i + 1) == b) {
+          out += rep
+          blockedStart = i + 2
+          i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  private def referenceDoc(text: String): String =
+    text.split(" ").filter(_.nonEmpty)
+      .map(w => referenceWord(w, Bpe.StandardMerges).mkString(" "))
+      .mkString(" ")
+
+  test("expression equals the independent list-based reference on every corpus document") {
+    import spark.implicits._
+    val got = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", Bpe.encode($"text").as("tokens"))
+      .as[(Long, String, String)].collect()
+    assert(got.length == 500)
+    got.foreach { case (id, text, tokens) =>
+      assert(tokens == referenceDoc(text), s"doc $id diverges from the reference")
+    }
+  }
+
+  test("known encodings: covered words collapse, tail words split into sub-word pieces") {
+    val cases = Seq(
+      "the" -> "the</w>",
+      "join" -> "join</w>",
+      "batch" -> "batch</w>",
+      "stream" -> "stream</w>",
+      "merge" -> "merge</w>",
+      // tail words: genuine multi-piece sub-word splits (no rule merges
+      // their final symbol with </w>, so the marker stays a token)
+      "customer" -> "c u st o mer </w>",
+      "window" -> "w in dow </w>")
+    cases.foreach { case (w, want) =>
+      val got = BpeCodec.encodeWord(w,
+        Bpe.StandardMerges.map(m => " " + m._1 + " ").toArray,
+        Bpe.StandardMerges.map(m => " " + m._2 + " ").toArray)
+      assert(got == want, s"'$w' encoded to '$got', expected '$want'")
+      assert(got == referenceWord(w, Bpe.StandardMerges).mkString(" "),
+        s"reference disagrees on '$w'")
+    }
+  }
+
+  test("losslessness: stripping </w> markers and concatenating symbols reproduces the text") {
+    import spark.implicits._
+    val got = Tables.documents(spark, sf).limit(50)
+      .select($"text", Bpe.encode($"text").as("tokens"))
+      .as[(String, String)].collect()
+    got.foreach { case (text, tokens) =>
+      val rebuilt = tokens.split(" ").filter(_.nonEmpty)
+        .map(_.stripSuffix("</w>"))
+        .mkString("")
+        // word boundaries: each </w>-carrying token ended a word
+      val expected = text.split(" ").filter(_.nonEmpty).mkString("")
+      assert(rebuilt == expected, "merges must never invent or lose characters")
+    }
+  }
+
+  test("token counts: 0 for empty, bounded by character count, smaller than char tokenization") {
+    import spark.implicits._
+    val df = Seq((1L, "the batch stream"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Bpe.tokenCount(Bpe.encode($"text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(df(1L) == 3L) // three fully-covered words -> one token each
+    assert(df(2L) == 0L && df(3L) == 0L)
+  }
+
+  test("constructor rejects malformed merge rules") {
+    import org.apache.spark.sql.functions.col
+    assertThrows[IllegalArgumentException](
+      BpeEncodeExpr(col("x"), Seq("a b c" -> "abc"))) // three symbols
+    assertThrows[IllegalArgumentException](
+      BpeEncodeExpr(col("x"), Seq("a b" -> "ab c"))) // space in output
+    assertThrows[IllegalArgumentException](
+      BpeEncodeExpr(col("x"), Seq("a b" -> "ba"))) // not the concatenation
+    assertThrows[IllegalArgumentException](
+      BpeEncodeExpr(col("x"), Seq.empty))
+  }
+}

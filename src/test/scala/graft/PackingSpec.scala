@@ -41,4 +41,26 @@ class PackingSpec extends AnyFunSuite {
       .select($"k", $"pre").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
   }
+
+  test("token-true packing: BPE counts through the two-phase plan equal the global window (q141 shape)") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // real sub-word counts from the q140 tokenizer drive the pack
+    // assignment; equality against the single-task global window proves
+    // the distributed prefix sum is count-agnostic (skewed, small,
+    // zero-token docs included — the empty doc exercises v=0)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", Bpe.tokenCount(Bpe.encode($"text")).as("n_tok"))
+      .union(Seq((100000L, 0L)).toDF("doc_id", "n_tok")) // zero-token doc
+    val twoPhase = Packing.packByBudget(docs, "doc_id", "n_tok", budget = 512L)
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val global = docs
+      .withColumn("pack_id", (coalesce(sum($"n_tok").over(w), lit(0L)) / 512L).cast("long"))
+      .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(twoPhase.size == 501 && twoPhase == global)
+    // budget actually bins: more than one pack, ids contiguous from 0
+    val packs = twoPhase.values.toSet
+    assert(packs.size > 1 && packs == (0L until packs.size).toSet)
+  }
 }
