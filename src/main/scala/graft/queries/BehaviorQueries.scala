@@ -794,12 +794,15 @@ object BehaviorQueries {
         //     exact-binary inputs, which is what the gate holds to.
         // Pure codegen scalar pipeline, one scan; divergences are
         // emulated on the ORACLE side so the Spark plan stays the
-        // natural one a user would write.
-        val a = $"l_extendedprice".cast(DecimalType(12, 2))
-        val b = $"l_quantity".cast(DecimalType(12, 2))
+        // natural one a user would write. Runs over orders (unique key,
+        // 1/4 of lineitem's rows): the gate checks KERNELS, and 150 k
+        // rows at sf0.1 already exercise every digit/sign/tie path —
+        // scale-15 BigDecimal division per row is the whole cost.
+        val a = $"o_totalprice".cast(DecimalType(12, 2))
+        val b = ($"o_orderkey" % 97 + 3).cast(DecimalType(12, 2))
         val negA = lit(0).cast(DecimalType(12, 2)) - a
-        Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        Tables.orders(s, d)
+          .select($"o_orderkey",
             (a + b).cast("string").as("d_add"),
             (a - b).cast("string").as("d_sub"),
             (a * b).cast("string").as("d_mul"),
@@ -809,22 +812,22 @@ object BehaviorQueries {
             negA.cast(DecimalType(10, 1)).cast("string").as("d_cast_down_neg"),
             a.cast("long").as("d_to_long"),
             negA.cast("long").as("d_to_long_neg"),
-            (($"l_orderkey" % 800).cast("double") / lit(8.0))
+            (($"o_orderkey" % 800).cast("double") / lit(8.0))
               .cast(DecimalType(10, 2)).cast("string").as("d_from_double"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+          .orderBy($"o_orderkey")
       },
       Some("""
         WITH base AS (
-          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                 CAST(l_extendedprice AS DECIMAL(12,2)) AS a,
-                 CAST(l_quantity AS DECIMAL(12,2)) AS b,
-                 CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS ai,
-                 CAST(ROUND(l_quantity * 100) AS HUGEINT) AS bi
-          FROM lineitem),
+          SELECT o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS a,
+                 CAST(o_orderkey % 97 + 3 AS DECIMAL(12,2)) AS b,
+                 CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS ai,
+                 CAST((o_orderkey % 97 + 3) * 100 AS HUGEINT) AS bi
+          FROM orders),
         divq AS (
           SELECT *, (2 * ai * 1000000000000000 + bi) // (2 * bi) AS q15
           FROM base)
-        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        SELECT o_orderkey,
                CAST(a + b AS VARCHAR) AS d_add,
                CAST(a - b AS VARCHAR) AS d_sub,
                CAST(a * b AS VARCHAR) AS d_mul,
@@ -835,9 +838,9 @@ object BehaviorQueries {
                CAST(CAST(ROUND(-a, 1) AS DECIMAL(10,1)) AS VARCHAR) AS d_cast_down_neg,
                CAST(TRUNC(a) AS BIGINT) AS d_to_long,
                CAST(TRUNC(-a) AS BIGINT) AS d_to_long_neg,
-               CAST(CAST(CAST(l_orderkey % 800 AS DOUBLE) / 8.0 AS DECIMAL(10,2)) AS VARCHAR) AS d_from_double
+               CAST(CAST(CAST(o_orderkey % 800 AS DOUBLE) / 8.0 AS DECIMAL(10,2)) AS VARCHAR) AS d_from_double
         FROM divq
-        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+        ORDER BY o_orderkey"""),
       doc = "DECIMAL(38,x) conformance: +/−/× precision-scale propagation string-identical; Spark's DECIMAL(27,15) HALF_UP division pinned against an independent HUGEINT scaled-integer half-up implementation (DuckDB natively promotes decimal division to DOUBLE — divergence documented); downscale-cast rounding (Spark HALF_UP vs DuckDB truncate-toward-zero) and decimal→BIGINT casts (Spark truncates, DuckDB rounds) emulated oracle-side with ROUND/TRUNC, both signs — the money-type rules an engine swap silently breaks.")
   )
 
