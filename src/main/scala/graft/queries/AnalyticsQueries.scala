@@ -137,6 +137,50 @@ object AnalyticsQueries {
     bfsCache.clear()
     ssspCache.values.foreach(graft.operators.Lineage.release)
     ssspCache.clear()
+    kcoreCache.values.foreach(graft.operators.Lineage.release)
+    kcoreCache.clear()
+  }
+
+  // 20-core of the co-occurrence graph per (session, dir) — q142's
+  // result; memoized and released (Lineage.release) like bfsCache: the
+  // peel loop's output is one checkpoint leaf.
+  private val kcoreCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def kcoreMembers(s: SparkSession, d: String): DataFrame = synchronized {
+    kcoreCache.getOrElseUpdate((s, d), {
+      graft.operators.KCore.kCore(
+        graft.operators.PageRank.bothWays(coEdges(s, d)), k = 20)
+    })
+  }
+
+  /** Unrolled parallel-peel oracle for q142: level i keeps nodes with
+    * ≥ k neighbors inside level i−1's induced subgraph. MATERIALIZED is
+    * load-bearing — each level references its predecessor twice (both
+    * join endpoints), and DuckDB inlines plain CTEs, which makes the
+    * unrolled chain EXPONENTIAL (measured: 12 plain levels never
+    * finished; materialized, milliseconds). The unroll depth carries a
+    * wide margin over the measured convergence round (9 at sf0.01, 7 at
+    * sf0.1); an under-unrolled oracle fails LOUDLY as a hash mismatch
+    * because the final HAVING filter sees un-peeled degrees.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head = s"""
+      WITH el AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0),
+      edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM el UNION ALL SELECT v, u FROM el),
+      k0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)"""
+    val levels = (1 to rounds).map(i => s""",
+      k$i AS MATERIALIZED (SELECT e.src AS node FROM edges e
+        JOIN k${i - 1} a ON e.src = a.node JOIN k${i - 1} b ON e.dst = b.node
+        GROUP BY e.src HAVING COUNT(*) >= $k)""").mkString
+    head + levels + s"""
+      SELECT e.src AS node, COUNT(*) AS deg
+      FROM edges e JOIN k$rounds a ON e.src = a.node JOIN k$rounds b ON e.dst = b.node
+      GROUP BY e.src HAVING COUNT(*) >= $k
+      ORDER BY node"""
   }
 
   val queries: Seq[Q] = Seq(
@@ -792,6 +836,24 @@ object AnalyticsQueries {
         SELECT node, MIN(dist) AS dist
         FROM sp GROUP BY node ORDER BY node"""),
       doc = "Weighted single-source shortest paths (Bellman-Ford, cost budget 16): one equi-join + grouped MIN per round, rounds bounded by the budget, only the (node, dist) vector on the wire; per-round lineage cut + eager release; oracle is the budget-pruned WITH RECURSIVE state closure."),
+
+    Q(
+      "q142_kcore",
+      (s, d) => {
+        import s.implicits._
+        // k-CORE (k=20) of the co-occurrence graph — the dense-community
+        // member of the graph family (operators/KCore): parallel peeling
+        // rounds of one map-side-combined degree count + two broadcast
+        // anti-joins, per-round lineage cut + eager release. The oracle
+        // unrolls the SAME parallel peel as 16 materialized CTE levels
+        // (margin over the measured convergence round) and re-derives
+        // every member's in-core degree.
+        kcoreMembers(s, d)
+          .select($"node", $"deg")
+          .orderBy($"node")
+      },
+      Some(kcoreOracleSql(k = 20, rounds = 16)),
+      doc = "k-core extraction (k=20) by parallel peeling: delete all degree-<k nodes per round until fixpoint — the maximal subgraph with all degrees >= k, the dense-community/spam-ring primitive; per-round cost is one map-side-combined degree count + two broadcast anti-joins, lineage cut per round; oracle unrolls the identical peel as 16 MATERIALIZED CTE levels (DuckDB would otherwise inline each twice-referenced level into an exponential plan) and re-derives in-core degrees."),
 
     Q(
       "q97_dq_audit",

@@ -424,4 +424,60 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("weights >= 1"), e.getMessage)
   }
+
+  test("KCore: peel cascades through the tail, keeps the clique, empty when over-asked; no block leak") {
+    import spark.implicits._
+    import graft.operators.{KCore, Lineage, PageRank}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // 4-clique {1,2,3,4} (degrees 3) + a chain 4-5-6-7 hanging off it.
+    // k=3: the chain must peel node by node ACROSS ROUNDS (7 first, then
+    // 6, then 5 — the cascade parallel peeling exists to handle), and
+    // node 4's degree drops 4→3 as the chain dies yet it must survive.
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val el = PageRank.bothWays(
+      pairs.select($"doc_a".as("u"), $"doc_b".as("v")))
+    val core3 = KCore.kCore(el, k = 3)
+    val got = core3.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the clique with in-core degrees: $got")
+    Lineage.release(core3)
+    // k beyond any degree: peeling empties the graph, result has 0 rows
+    val core9 = KCore.kCore(el, k = 9)
+    assert(core9.isEmpty)
+    Lineage.release(core9)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"peel rounds must release eagerly; leaked: $leaked")
+  }
+
+  test("KCore equals a sequential peel reference on the corpus co-occurrence graph") {
+    import spark.implicits._
+    import graft.operators.{KCore, Lineage, PageRank}
+    val li = Tables.lineitem(spark, sf)
+    val pairs = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .filter($"a.l_partkey" % 4 === 0 && $"b.l_partkey" % 4 === 0)
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v")).distinct()
+    val el = PageRank.bothWays(pairs)
+    val result = KCore.kCore(el, k = 12) // sf0.001 graph: nontrivial peel (50 -> 48 nodes)
+    val got = result.as[(Long, Long)].collect().toMap
+    Lineage.release(result)
+    // independent sequential reference: peel ONE minimum-degree node at
+    // a time (classic degeneracy peel) — a different schedule than the
+    // operator's delete-all-per-round, same fixpoint by k-core maximality
+    var adj = el.as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      adj.find { case (_, ns) => ns.size < 12 } match {
+        case Some((v, _)) =>
+          adj = (adj - v).map { case (u, ns) => u -> (ns - v) }
+        case None => changed = false
+      }
+    }
+    val want = adj.map { case (u, ns) => u -> ns.size.toLong }
+    assert(got == want, s"operator (${got.size} nodes) != sequential peel (${want.size})")
+    assert(got.nonEmpty && got.size < 50 && got.values.forall(_ >= 12))
+  }
 }
