@@ -297,6 +297,120 @@ object BehaviorQueries {
       doc = "Hopping-window aggregation (1 h windows, 15 min hop): the built-in window() generator fans each event into its 4 windows map-side, epoch-aligned starts, one shuffle on the window key; exact-decimal value sums, integer-microsecond window identity."),
 
     Q(
+      "q143_gap_fill",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // TIME-SERIES GAP FILLING + FORWARD FILL — the resampling step
+        // every monitoring/feature pipeline runs before a model sees the
+        // series: per event type, a DENSE hourly grid over the global
+        // observed range (sequence() explode from ONE bounds row — no
+        // calendar table join), hours with no events materialized as
+        // n_events = 0, and the value column carried forward with
+        // last(ignoreNulls) over an hour-ordered window (leading gap →
+        // 0.0). Hour identity is integer epoch-micros floor-division
+        // (rule 8); per-hour sums route through exact decimals (rule 2).
+        // Scale shape: grid rows = types × hours (tiny vs events), one
+        // shuffle for the agg, one for the per-type window.
+        val ev = Tables.events(s, d).select($"event_type",
+          (unix_micros($"ts") / 3600000000L).cast("long").as("hr"), $"value")
+        val agg = ev.groupBy($"event_type", $"hr")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(Q.DEC)).cast("double").as("sv"))
+        val grid = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+          .select(explode(sequence($"h0", $"h1")).as("hr"))
+          .crossJoin(ev.select($"event_type").distinct())
+        val w = Window.partitionBy($"event_type").orderBy($"hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(agg, Seq("event_type", "hr"), "left")
+          .select($"event_type", $"hr",
+            coalesce($"n_events", lit(0L)).as("n_events"),
+            coalesce(last($"sv", ignoreNulls = true).over(w), lit(0.0)).as("filled_value"))
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, EPOCH_US(ts) // 3600000000 AS hr, value FROM events),
+        agg AS (SELECT event_type, hr, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+                FROM ev GROUP BY 1, 2),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM ev),
+        grid AS (SELECT t.event_type, g.hr FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN (SELECT UNNEST(RANGE((SELECT h0 FROM bounds), (SELECT h1 FROM bounds) + 1)) AS hr) g),
+        joined AS (SELECT g.event_type, g.hr, COALESCE(a.n, 0) AS n_events, a.sv
+                   FROM grid g LEFT JOIN agg a USING (event_type, hr))
+        SELECT event_type, hr, n_events,
+               COALESCE(LAST_VALUE(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+        FROM joined
+        ORDER BY event_type, hr"""),
+      doc = "Time-series gap filling + forward fill: dense hourly grid per event type from one bounds row (sequence explode, no calendar join), missing hours as zero-count rows, value carried forward via last(ignoreNulls) ordered window with leading gaps at 0.0 — the resample/ffill primitive, integer hour identity and exact-decimal hour sums."),
+
+    Q(
+      "q144_ewma",
+      (s, d) => {
+        import s.implicits._
+        // ORDER-DEPENDENT SEQUENTIAL KERNEL: integer EWMA (α = 1/4) per
+        // user over ts-ordered events — e_0 = x_0, e_t = (x_t + 3·e_{t-1})
+        // div 4 on cent-scaled values, the smoothing every rate-limiter /
+        // anomaly detector runs. Spark has no ordered-scan aggregate, so
+        // the recurrence folds per group: collect_list of (t, id, cents)
+        // structs, array_sort (total order via the unique event_id
+        // tie-break), then aggregate() seeded with the FIRST element over
+        // the REST — exactly LIST_REDUCE's seeding, so DuckDB replays the
+        // identical integer fold. State is bounded by the per-user event
+        // count (the q107-family per-group discipline); all arithmetic is
+        // integer floor-division — bitwise identical across engines.
+        Tables.events(s, d)
+          .select($"user_id",
+            struct(unix_micros($"ts").as("t"), $"event_id".as("i"),
+              round($"value" * 100).cast("long").as("c")).as("e"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            array_sort(collect_list($"e")).as("arr"))
+          .select($"user_id", $"n_events",
+            expr("aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1).c, " +
+              "(acc, x) -> (x.c + 3 * acc) div 4)").as("ewma_cents"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_events,
+               LIST_REDUCE(LIST(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id),
+                 (acc, x) -> (x + 3 * acc) // 4) AS ewma_cents
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      doc = "Integer EWMA (alpha = 1/4) per user — the order-dependent sequential kernel: ts-ordered fold e_t = (x_t + 3*e_prev) div 4 on cent-scaled values, seeded with the first observation; per-group sorted-struct fold matches DuckDB LIST_REDUCE seeding exactly, integer floor-division end to end so the recurrence is bitwise engine-identical."),
+
+    Q(
+      "q145_grouping_sets",
+      (s, d) => {
+        import s.implicits._
+        // GROUPING SETS beyond q29's ROLLUP: an explicit non-hierarchical
+        // set list — (flag, status), (flag), (status), () — which no
+        // rollup/cube shorthand expresses, plus the GROUPING() indicator
+        // per column (the standard way to tell a real NULL from a
+        // super-aggregate row). One shuffle: Spark expands the sets
+        // map-side (Expand node), aggregates once.
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+              Seq($"l_linestatus"), Seq.empty),
+            $"l_returnflag", $"l_linestatus")
+          .agg(grouping($"l_returnflag").cast("long").as("g_rf"),
+            grouping($"l_linestatus").cast("long").as("g_ls"),
+            count(lit(1)).as("n"),
+            sum($"l_quantity".cast(Q.DEC)).cast("double").as("sum_qty"))
+          .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""),
+      doc = "Explicit GROUPING SETS — the non-hierarchical set list no ROLLUP/CUBE shorthand expresses — with per-column GROUPING() indicators distinguishing super-aggregate NULLs from data NULLs; one Expand + one aggregation shuffle, exact-decimal sums."),
+
+    Q(
       "q110_temporal_functions",
       (s, d) => {
         import s.implicits._
