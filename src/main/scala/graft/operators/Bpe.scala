@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.BpeEncodeExpr
 
@@ -74,6 +74,68 @@ object Bpe {
   def tokenCount(tokens: Column): Column =
     when(length(tokens) === 0, 0L)
       .otherwise(size(split(tokens, " ")).cast("long"))
+
+  /** VOCABULARY INDUCTION — learn a merges table FROM a corpus, the
+    * training half of BPE ([[StandardMerges]] is the frozen-deployment
+    * half; [[encode]] consumes either). Classic Sennrich training on the
+    * WORD-FREQUENCY table, which is what makes it scale: the iterative
+    * state is one row per DISTINCT word (vocabulary-sized, corpus
+    * weights carried as counts), never the corpus itself — at 100 TB the
+    * corpus is touched exactly once (tokenize + count shuffle) and every
+    * learning round runs on the tiny vocab table.
+    *
+    * Per round: adjacent-pair counts (one map-side-combined aggregation
+    * over exploded pairs, counting every overlapping position — the
+    * standard definition), deterministic argmax (count desc, then pair
+    * lexicographic — no RNG, no hash ordering), then ONE literal
+    * replace-all applies the new rule to the delimited symbol strings —
+    * the SAME left-to-right non-overlapping pass [[encode]] uses, so
+    * learning and encoding share one application semantics (BpeSpec pins
+    * the learner against a sequential reference that models the
+    * shared-delimiter rule explicitly). Per-round frames are lineage-cut
+    * with release deferred one round (the KCore discipline).
+    *
+    * Learning stops early when no pair repeats (every count ≤ 1 merges
+    * nothing useful — returns what it has).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var vocab = Lineage.cut(words.select(
+      concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" </w> ")).as("s"),
+      col("n")))
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val top = vocab
+        .select(split(trim(col("s")), " ").as("a"), col("n"))
+        .filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(a[i - 1] AS x, a[i] AS y))")).as("p"),
+          col("n"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) <= 1) done = true
+      else {
+        val (x, y) = (top(0).getString(0), top(0).getString(1))
+        merges += ((s"$x $y", x + y))
+        val next = Lineage.cut(vocab.select(
+          replace(col("s"), lit(s" $x $y "), lit(s" ${x + y} ")).as("s"), col("n")))
+        if (prev != null) Lineage.release(prev)
+        prev = vocab
+        vocab = next
+      }
+    }
+    // materialize nothing further: the last round's argmax already ran a
+    // job over `vocab`, so its blocks exist; free everything
+    if (prev != null) Lineage.release(prev)
+    Lineage.release(vocab)
+    merges.toSeq
+  }
 
   /** DuckDB replay of [[encode]] for ONE word expression: symbolization
     * (per-character slice + `</w>`) wrapped in the REPLACE chain

@@ -246,5 +246,36 @@ object TextQueries {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id"""),
       doc = "Sub-word BPE tokenization (fixed rank-ordered merges table as a literal in one codegen'd expression; rank-ordered left-to-right replace passes over delimited symbols — the deterministic, SQL-replayable BPE variant): full token sequences gate-checked against DuckDB executing a REPLACE chain generated from the SAME merges constant; high-frequency words collapse to single tokens, the tail splits into genuine sub-word pieces with </w> word boundaries.")
+  ,
+    Q(
+      "q146_bpe_learn",
+      (s, d) => {
+        import s.implicits._
+        // BPE vocabulary INDUCTION (the training half; q140 is the
+        // frozen-deployment half): Bpe.learnMerges greedily learns 24
+        // merge rules from the corpus word-frequency table —
+        // deterministic argmax (count desc, pair lexicographic), no RNG.
+        // Iterative argmax is not SQL-expressible, so this is a
+        // rows-only gate; BpeSpec pins the learner against an
+        // independent sequential reference AND pins that encoding with
+        // the learned table compresses the corpus it was trained on.
+        val learned = learnedMerges(s, d)
+        learned.zipWithIndex
+          .map { case ((p, m), i) => (i.toLong + 1, p, m) }
+          .toDF("rank", "pair", "merged")
+          .orderBy($"rank")
+      },
+      None,
+      doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
   )
+
+  // learned merges per (session, dir): a driver-resident Seq (tiny);
+  // learning is deterministic so memoization is semantics-free
+  private val learnCache = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String), Seq[(String, String)]]
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession, d: String): Seq[(String, String)] =
+    synchronized {
+      learnCache.getOrElseUpdate((s, d),
+        graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 24))
+    }
 }

@@ -108,6 +108,72 @@ class BpeSpec extends AnyFunSuite {
     assert(df(2L) == 0L && df(3L) == 0L)
   }
 
+  test("learnMerges equals a sequential reference learner; learned rules compress the corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val learned = Bpe.learnMerges(docs, "text", nMerges = 16)
+    assert(learned.length == 16, s"expected 16 rules, got ${learned.length}")
+
+    // sequential reference: same definition, collections implementation —
+    // word-frequency table, overlapping pair counts, count-desc /
+    // lexicographic argmax, rule application with the shared-delimiter
+    // non-overlap pass (referenceWord's blockedStart logic, inlined)
+    def applyRule(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      var blockedStart = -1
+      while (i < syms.length) {
+        if (i + 1 < syms.length && i != blockedStart && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); blockedStart = i + 2; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var freq: Map[Vector[String], Long] = docs.select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) =>
+        (w.map(_.toString).toVector :+ "</w>") -> xs.length.toLong
+      }
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && ref.length < 16) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      freq.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Seq(x, y) => counts((x, y)) = counts.getOrElse((x, y), 0L) + n
+          case _ => ()
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((x, y), c) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        if (c <= 1) done = true
+        else {
+          ref += ((s"$x $y", x + y))
+          freq = freq.toSeq.map { case (syms, n) => applyRule(syms, x, y) -> n }
+            .groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2).sum }
+        }
+      }
+    }
+    assert(learned == ref.toSeq,
+      s"learner diverged from reference:\n  got  ${learned.take(6)}\n  want ${ref.take(6)}")
+
+    // learned rules are structurally valid (constructor enforces) and
+    // genuinely compress the corpus they were trained on
+    val nChars = docs.select(sum(length(regexp_replace($"text", " ", ""))))
+      .head().getLong(0)
+    val nWords = docs.select(sum(size(filter(split($"text", " "), w => length(w) > 0))))
+      .head().getLong(0)
+    val baseline = nChars + nWords // char-level tokens incl. one </w> per word
+    val nTok = docs
+      .select(graft.functions.BpeEncodeExpr($"text", learned).as("t"))
+      .select(sum(when(length($"t") === 0, 0L)
+        .otherwise(size(split($"t", " ")).cast("long"))))
+      .head().getLong(0)
+    assert(nTok < baseline * 0.75,
+      s"16 learned merges should cut char-level tokens >25%: $nTok vs $baseline")
+  }
+
   test("constructor rejects malformed merge rules") {
     import org.apache.spark.sql.functions.col
     assertThrows[IllegalArgumentException](
