@@ -345,6 +345,62 @@ object BehaviorQueries {
       doc = "Time-series gap filling + forward fill: dense hourly grid per event type from one bounds row (sequence explode, no calendar join), missing hours as zero-count rows, value carried forward via last(ignoreNulls) ordered window with leading gaps at 0.0 — the resample/ffill primitive, integer hour identity and exact-decimal hour sums."),
 
     Q(
+      "q147_mad_anomaly",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // ROBUST anomaly detection over the dense hourly series: flag
+        // hours where |n − median| > 3·MAD per event type — the
+        // median/MAD pair shrugs off the very outliers a mean/stddev
+        // z-score would absorb. Built on the q143 grid so MISSING hours
+        // (n = 0) are candidates too — an outage is the anomaly most
+        // worth catching. Entirely INTEGER arithmetic: counts, disc
+        // medians (exact rank (n+1) div 2, the q107 convention), and
+        // absolute deviations are all integers, so the 3·MAD comparison
+        // is bitwise engine-identical — no float thresholds.
+        val ev = Tables.events(s, d).select($"event_type",
+          (unix_micros($"ts") / 3600000000L).cast("long").as("hr"))
+        val agg = ev.groupBy($"event_type", $"hr").agg(count(lit(1)).as("n0"))
+        val series = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+          .select(explode(sequence($"h0", $"h1")).as("hr"))
+          .crossJoin(ev.select($"event_type").distinct())
+          .join(agg, Seq("event_type", "hr"), "left")
+          .select($"event_type", $"hr", coalesce($"n0", lit(0L)).as("n"))
+        def discMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                       out: String) = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"event_type").orderBy(col(valueCol))).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(max(when($"rn" === expr("(cnt + 1) div 2"), col(valueCol))).as(out))
+        val med = discMedian(series, "n", "med")
+        val dev = series.join(med, "event_type")
+          .withColumn("ad", abs($"n" - $"med"))
+        val mad = discMedian(dev, "ad", "mad")
+        dev.join(mad, "event_type")
+          .filter($"ad" > lit(3L) * $"mad")
+          .select($"event_type", $"hr", $"n", $"med", $"mad")
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, EPOCH_US(ts) // 3600000000 AS hr FROM events),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM ev),
+        grid AS (SELECT t.event_type, g.hr FROM (SELECT DISTINCT event_type FROM ev) t
+                 CROSS JOIN (SELECT UNNEST(RANGE((SELECT h0 FROM bounds), (SELECT h1 FROM bounds) + 1)) AS hr) g),
+        agg AS (SELECT event_type, hr, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        series AS (SELECT g.event_type, g.hr, COALESCE(a.n, 0) AS n
+                   FROM grid g LEFT JOIN agg a USING (event_type, hr)),
+        med AS (SELECT event_type, QUANTILE_DISC(n, 0.5) AS med FROM series GROUP BY 1),
+        dev AS (SELECT s.event_type, s.hr, s.n, m.med, ABS(s.n - m.med) AS ad
+                FROM series s JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, QUANTILE_DISC(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        SELECT d.event_type, d.hr, d.n, d.med, m.mad
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE d.ad > 3 * m.mad
+        ORDER BY event_type, hr"""),
+      doc = "Robust (median/MAD) time-series anomaly detection per event type over the dense hourly grid — missing hours are zero-count candidates, so outages flag; exact integer disc-medians (rank (n+1) div 2) and integer deviations make the 3*MAD threshold bitwise engine-identical; oracle uses DuckDB's native QUANTILE_DISC (same cumdist convention, q107)."),
+
+    Q(
       "q144_ewma",
       (s, d) => {
         import s.implicits._
