@@ -319,6 +319,45 @@ object EventStream {
         })
   }
 
+  case class EwmaState(lastT: Long, lastI: Long, ewma: Long, n: Long)
+  case class EwmaRow(user_id: Long, n_events: Long, ewma_cents: Long)
+
+  /** STREAMING EWMA — the order-dependent sequential kernel (batch twin:
+    * q144) as per-user mapGroupsWithState: e_0 = x_0, e_t = (x_t +
+    * 3·e_prev) div 4 on cent-scaled values. Within a micro-batch events
+    * sort by (ts, event_id) — the same total order the batch fold uses —
+    * and the state carries (last applied key, ewma, n) across batches,
+    * so in-order delivery reproduces the batch fold EXACTLY (integer
+    * arithmetic end to end; StreamingSpec pins equality across chunked
+    * delivery). LATE-DATA POLICY: an event at-or-before the last applied
+    * (ts, event_id) is DROPPED — a sequential recurrence cannot be
+    * retro-folded without replaying the suffix; production would bound
+    * reordering with a watermark buffer upstream, and the drop (not a
+    * wrong fold) is the documented failure mode. Update-mode output:
+    * each batch re-emits the touched users' current EWMA. State is
+    * O(1) per user — three longs — the smallest stateful-kernel shape.
+    */
+  def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Long.MinValue, -1L, 0L))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            val inOrder = t > st.lastT || (t == st.lastT && e.event_id > st.lastI)
+            if (inOrder) {
+              val c = math.round(e.value * 100)
+              val next = if (st.ewma < 0) c else (c + 3 * st.ewma) / 4
+              st = EwmaState(t, e.event_id, next, st.n + 1)
+            }
+          }
+          state.update(st)
+          EwmaRow(userId, st.n, st.ewma)
+        })
+  }
+
   /** Streaming sketch-distinct: the 100 TB streaming COUNT DISTINCT.
     * Both sketches run as a complete-mode streaming aggregation — the
     * HLL (approximate, constant state per group) and the paged bitmap

@@ -183,6 +183,40 @@ class StreamingSpec extends AnyFunSuite {
       "restart from checkpoint reprocessed already-committed files")
   }
 
+  test("streaming EWMA (mapGroupsWithState) EQUALS the q144 batch fold across chunked in-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the full sf0.001 event log, globally ts-ordered, delivered as 3
+    // micro-batches: the per-user state must carry the recurrence across
+    // batch boundaries to reproduce the batch fold bit-for-bit
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.ewmaPerUser(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_stream").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // update mode re-emits touched users per batch; the final state is
+      // the row with the highest n_events per user (n is monotone)
+      val got = spark.table("ewma_stream")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"ewma_cents")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.ewma_cents")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q144_ewma")(spark, sf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"streaming EWMA diverged from the batch fold: ${got.size} vs ${batch.size} users")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: unmatched purchase emits its null row once the watermark proves no click can arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
