@@ -224,4 +224,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), "bloom prefilter missing")
     assert(p.contains("LeftSemi"), "exact semi join must remain after the prefilter")
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at RUNTIME") {
+    import spark.implicits._
+    // The 100 TB star-join enabler beyond q61's STATIC pruning: the fact
+    // side's partition filter is only knowable after filtering the
+    // dimension, so Catalyst injects a dynamicpruning subquery into the
+    // fact scan (reusing the join's broadcast) — without it, a date-dim
+    // filter still scans every fact partition. Pinned on a real
+    // partitioned parquet table + the executed plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    try {
+      spark.range(1000)
+        .select(($"id" % 10).as("pk"), $"id".as("v"))
+        .write.partitionBy("pk").mode("overwrite").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      import org.apache.spark.sql.functions.when
+      val dim = spark.range(10).select($"id".as("dk"),
+        when($"id" < 2, "keep").otherwise("drop").as("flag"))
+      val joined = fact.join(dim, $"pk" === $"dk").filter($"flag" === "keep")
+      assert(joined.collect().length == 200) // 2 of 10 partitions survive
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"fact scan must carry a dynamicpruning partition filter:\n${p.take(1000)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
