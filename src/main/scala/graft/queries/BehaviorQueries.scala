@@ -435,6 +435,50 @@ object BehaviorQueries {
       doc = "Integer EWMA (alpha = 1/4) per user — the order-dependent sequential kernel: ts-ordered fold e_t = (x_t + 3*e_prev) div 4 on cent-scaled values, seeded with the first observation; per-group sorted-struct fold matches DuckDB LIST_REDUCE seeding exactly, integer floor-division end to end so the recurrence is bitwise engine-identical."),
 
     Q(
+      "q148_dist_drift",
+      (s, d) => {
+        import s.implicits._
+        // DISTRIBUTION-DRIFT detection between two corpus halves (the
+        // train/serve skew monitor): per event type, compare the first
+        // and second half of the time range with an exact integer
+        // cross-product statistic — delta2 = (o_a·N_b − o_b·N_a)², the
+        // χ²-style term with the rational division deferred so every
+        // comparison is integer-exact; the reported drift score is ONE
+        // IEEE division of two exact integers (engine-identical, the
+        // q60 mean rule). The split point is the integer midpoint hour
+        // — a pure function of the data, no RNG, no wall clock.
+        val ev = Tables.events(s, d).select($"event_type",
+          (unix_micros($"ts") / 3600000000L).cast("long").as("hr"))
+        val mid = ev.agg(((min($"hr") + max($"hr")) / lit(2L)).cast("long").as("m"))
+        val counts = ev.crossJoin(mid)
+          .groupBy($"event_type")
+          .agg(sum(when($"hr" < $"m", 1L).otherwise(0L)).as("o_a"),
+            sum(when($"hr" >= $"m", 1L).otherwise(0L)).as("o_b"))
+        val totals = counts.agg(sum($"o_a").as("na"), sum($"o_b").as("nb"))
+        counts.crossJoin(totals)
+          .select($"event_type", $"o_a", $"o_b",
+            ($"o_a" * $"nb" - $"o_b" * $"na").as("delta"),
+            ((($"o_a" * $"nb" - $"o_b" * $"na") * ($"o_a" * $"nb" - $"o_b" * $"na"))
+              .cast("double") / ($"na" * $"nb").cast("double")).as("drift_score"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, EPOCH_US(ts) // 3600000000 AS hr FROM events),
+        mid AS (SELECT (MIN(hr) + MAX(hr)) // 2 AS m FROM ev),
+        counts AS (SELECT event_type,
+                     CAST(SUM(CASE WHEN hr < (SELECT m FROM mid) THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+                     CAST(SUM(CASE WHEN hr >= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+                   FROM ev GROUP BY 1),
+        totals AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na, CAST(SUM(o_b) AS BIGINT) AS nb FROM counts)
+        SELECT c.event_type, c.o_a, c.o_b,
+               CAST(c.o_a * t.nb - c.o_b * t.na AS BIGINT) AS delta,
+               CAST((c.o_a * t.nb - c.o_b * t.na) * (c.o_a * t.nb - c.o_b * t.na) AS DOUBLE)
+                 / CAST(t.na * t.nb AS DOUBLE) AS drift_score
+        FROM counts c CROSS JOIN totals t
+        ORDER BY c.event_type"""),
+      doc = "Distribution-drift monitor (train/serve skew): per-type first-half vs second-half comparison via the exact integer cross-product statistic (o_a*N_b - o_b*N_a)^2 — the chi-square term with division deferred to one final IEEE divide of exact integers, so the gate is engine-identical; midpoint split is a pure function of the data."),
+
+    Q(
       "q145_grouping_sets",
       (s, d) => {
         import s.implicits._
