@@ -3,8 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
-import org.apache.spark.sql.types.{BinaryType, StringType}
-import graft.functions.{BitmapAndCount, BitmapCardinality, CdcBoundaries, RollingHash}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, StringType}
+import graft.functions.{BitmapAndCount, BitmapCardinality, BpeEncodeExpr, CdcBoundaries, Q8Dot, Q8Encode, RollingHash}
 
 /** Janino-compilability pin for the custom codegen expressions. Spark
   * hides a generated-code compile error behind a silent interpreted
@@ -33,6 +33,21 @@ class CodegenProbe extends AnyFunSuite {
       BoundReference(0, BinaryType, nullable = true),
       BoundReference(1, BinaryType, nullable = true)))
     mustCompile(BitmapCardinality(BoundReference(0, BinaryType, nullable = true)))
+  }
+
+  test("Q8Encode / Q8Dot doGenCode compile under janino") {
+    mustCompile(Q8Encode(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true),
+      BoundReference(1, DoubleType, nullable = true)))
+    mustCompile(Q8Dot(
+      BoundReference(0, ArrayType(DoubleType, containsNull = false), nullable = true),
+      BoundReference(1, BinaryType, nullable = true)))
+  }
+
+  test("BpeEncodeExpr doGenCode compiles under janino (reference-object merges table)") {
+    mustCompile(BpeEncodeExpr(
+      BoundReference(0, StringType, nullable = true),
+      graft.operators.Bpe.StandardMerges))
   }
 
   test("q55 end-to-end still returns boundaries") {
