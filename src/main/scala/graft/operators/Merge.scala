@@ -31,6 +31,41 @@ object Merge {
     kept.unionByName(upserts)
   }
 
+  /** CHANGE DATA FEED between two snapshots — the outbound half of CDC
+    * (upsert/applyVersioned are the inbound half): diff `prev` → `cur`
+    * on `keys` and emit one row per changed key, classified
+    * insert / delete / update; unchanged keys emit NOTHING, which is the
+    * entire point (downstream consumers process the delta, not the
+    * table). The Delta-CDF/Iceberg-changelog read pattern expressed as
+    * one relational op.
+    *
+    * Shape: ONE full-outer join on the key columns with both payloads
+    * packed into single structs beforehand — change classification and
+    * the unchanged-row filter are then null-safe struct comparisons
+    * (`<=>`: a payload column that is NULL on both sides is equal, not
+    * unknown — `=!=` would silently drop rows with any null field).
+    * At scale this is the standard snapshot-diff: co-partitioned by key
+    * hash, no driver state, skew handled by AQE like any other join.
+    * Output: keys..., change_type, `old` struct (null for inserts),
+    * `new` struct (null for deletes).
+    */
+  def changeFeed(prev: DataFrame, cur: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeFeed needs at least one key column")
+    require(prev.columns.sorted.sameElements(cur.columns.sorted),
+      s"snapshot schemas differ: ${prev.columns.mkString(",")} vs ${cur.columns.mkString(",")}")
+    val payload = cur.columns.filterNot(keys.contains)
+    require(payload.nonEmpty, "changeFeed needs at least one non-key column")
+    val l = prev.select(keys.map(col) :+ struct(payload.map(col): _*).as("old") : _*)
+    val r = cur.select(keys.map(col) :+ struct(payload.map(col): _*).as("new") : _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("old").isNull, "insert")
+          .when(col("new").isNull, "delete")
+          .when(!(col("old") <=> col("new")), "update"))
+      .filter(col("change_type").isNotNull)
+      .select((keys.map(col) :+ col("change_type") :+ col("old") :+ col("new")): _*)
+  }
+
   // ---- Versioned snapshot table (time travel) --------------------------
   //
   // The minimal lakehouse version layer: a table is a directory of

@@ -1006,6 +1006,50 @@ object Relational {
       doc = "MERGE/upsert (CDC apply): update+delete+insert batch applied in one broadcast anti-join + union (operators/Merge.scala) — the incremental-lake write path."),
 
     Q(
+      "q149_change_feed",
+      (s, d) => {
+        import s.implicits._
+        // CHANGE DATA FEED (the OUTBOUND half of CDC; q68 is the apply
+        // side): Merge.changeFeed diffs two deterministic snapshots of
+        // orders — prev = keys %7 != 0 (so %7 = 0 keys are inserts),
+        // cur = keys %3 != 0 (so %3 = 0 keys present in prev are
+        // deletes), cur re-prices %5 = 0 rows (updates). One full-outer
+        // join on the key, null-safe struct comparison drops unchanged
+        // rows, which is the point: consumers read the delta, never the
+        // table. Structs are unpacked to scalar columns for the gate.
+        val base = Tables.orders(s, d)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val prev = base.filter($"o_orderkey" % 7 =!= 0)
+        val cur = base.filter($"o_orderkey" % 3 =!= 0)
+          .select($"o_orderkey", $"o_custkey",
+            when($"o_orderkey" % 5 === 0, $"o_totalprice" + 1.0d)
+              .otherwise($"o_totalprice").as("o_totalprice"))
+        graft.operators.Merge.changeFeed(prev, cur, Seq("o_orderkey"))
+          .select($"o_orderkey", $"change_type",
+            $"old.o_totalprice".as("old_price"),
+            $"new.o_totalprice".as("new_price"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH prev AS (SELECT o_orderkey, o_custkey, o_totalprice
+                      FROM orders WHERE o_orderkey % 7 != 0),
+        cur AS (SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 != 0)
+        SELECT COALESCE(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+                    WHEN c.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               p.o_totalprice AS old_price,
+               c.o_totalprice AS new_price
+        FROM prev p FULL OUTER JOIN cur c ON p.o_orderkey = c.o_orderkey
+        WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+           OR p.o_custkey != c.o_custkey OR p.o_totalprice != c.o_totalprice
+        ORDER BY o_orderkey"""),
+      doc = "Change data feed between snapshots (Delta-CDF/Iceberg-changelog read shape, the outbound half of CDC): one full-outer key join with payloads packed into structs, null-safe struct comparison classifies insert/delete/update and drops unchanged keys — consumers process the delta, never the table; co-partitioned by key hash, no driver state."),
+
+    Q(
       "q69_time_weighted_avg",
       (s, d) => {
         import s.implicits._

@@ -267,7 +267,55 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  )
+  ) :+ featureHashQ
+
+  private lazy val featureHashQ: Q = Q(
+    "q150_feature_hash",
+    (s, d) => {
+      import s.implicits._
+      // FEATURE HASHING (the hashing trick): every token maps to one of
+      // 32 buckets via an md5-derived hash — fixed output dimension with
+      // NO vocabulary state (the q137 vocab table disappears entirely),
+      // which is why it scales to unbounded token spaces: featurization
+      // is a pure per-row function, collisions are the accepted trade.
+      // Dense 32-dim count vectors emitted as joined strings (rule 7)
+      // via the (pos, value) struct-sort reassembly; the bucket function
+      // is the engine's standard md5 idiom (q37), replayed exactly by
+      // the oracle. One scan + one bounded agg; the dense grid is
+      // docs × 32 — output-sized, never corpus × vocab.
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+        .select($"doc_id",
+          (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 32).as("b"))
+      val counts = toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("n"))
+      Tables.documents(s, d)
+        .select($"doc_id", explode(sequence(lit(0L), lit(31L))).as("b"))
+        .join(counts, Seq("doc_id", "b"), "left")
+        .select($"doc_id", $"b", coalesce($"n", lit(0L)).as("n"))
+        .groupBy($"doc_id")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct($"b", $"n"))),
+            x => x.getField("n").cast("string")), " ").as("vec"),
+          sum($"n").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS BIGINT) % 32 AS b
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+        WHERE LENGTH(tok) > 0),
+      counts AS (SELECT doc_id, b, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, g.b FROM documents d
+               CROSS JOIN (SELECT UNNEST(RANGE(0, 32)) AS b) g),
+      dense AS (SELECT g.doc_id, g.b, COALESCE(c.n, 0) AS n
+                FROM grid g LEFT JOIN counts c USING (doc_id, b))
+      SELECT doc_id,
+             STRING_AGG(CAST(n AS VARCHAR), ' ' ORDER BY b) AS vec,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM dense GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "Feature hashing (the hashing trick): tokens map to a fixed 32-dim space via md5-derived buckets — zero vocabulary state, pure per-row featurization, collisions as the documented trade; dense count vectors as joined strings, oracle replays the identical bucket function; the stateless sibling of q137's vocab-table encoding.")
 
   // learned merges per (session, dir): a driver-resident Seq (tiny);
   // learning is deterministic so memoization is semantics-free
