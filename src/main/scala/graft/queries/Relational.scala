@@ -1050,6 +1050,65 @@ object Relational {
       doc = "Change data feed between snapshots (Delta-CDF/Iceberg-changelog read shape, the outbound half of CDC): one full-outer key join with payloads packed into structs, null-safe struct comparison classifies insert/delete/update and drops unchanged keys — consumers process the delta, never the table; co-partitioned by key hash, no driver state."),
 
     Q(
+      "q151_sole_blame",
+      (s, d) => {
+        import s.implicits._
+        // The TPC-H Q21 SHAPE (suppliers who kept orders waiting),
+        // adapted to this schema: "late" = shipped > 60 days after the
+        // order date. A supplier is SOLELY to blame for an order when it
+        // shipped late, the order involved ANOTHER supplier (semi
+        // self-join), and NO other supplier shipped late (anti
+        // self-join) — the EXISTS / NOT EXISTS pair as two mixed-equi
+        // self-joins on the distinct (order, supplier) line table, the
+        // hardest relational planning pattern in the TPC-H suite. Both
+        // self-joins shuffle once on l_orderkey (co-partitioned); the
+        // supplier dim broadcasts; deterministic top-20 (count desc,
+        // unique name asc).
+        val o = Tables.orders(s, d).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey", $"o_orderdate")
+        val lines = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_suppkey").distinct()
+        val late = Tables.lineitem(s, d)
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+          .select($"l_orderkey", $"l_suppkey").distinct()
+        val blamed = late.as("a")
+          .join(lines.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey",
+            "left_semi")
+          .join(late.as("c"),
+            $"a.l_orderkey" === $"c.l_orderkey" && $"a.l_suppkey" =!= $"c.l_suppkey",
+            "left_anti")
+        blamed.groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
+            $"l_suppkey" === $"s_suppkey")
+          .select($"s_name", $"numwait")
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(20)
+      },
+      Some("""
+        WITH lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        late AS (
+          SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        blamed AS (
+          SELECT a.l_orderkey, a.l_suppkey FROM late a
+          WHERE EXISTS (SELECT 1 FROM lines b
+                        WHERE b.l_orderkey = a.l_orderkey
+                          AND b.l_suppkey != a.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late c
+                            WHERE c.l_orderkey = a.l_orderkey
+                              AND c.l_suppkey != a.l_suppkey))
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM blamed g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""),
+      doc = "TPC-H Q21 shape (sole-blame supplier wait analysis): EXISTS + NOT EXISTS as a mixed-equi semi self-join and anti self-join over the distinct (order, supplier) line table — the suite's hardest relational planning pattern; both self-joins co-partition on the order key, supplier dim broadcasts, deterministic top-20."),
+
+    Q(
       "q69_time_weighted_avg",
       (s, d) => {
         import s.implicits._

@@ -122,4 +122,37 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.vacuum(spark, dir, keepLast = 0) == Seq(1L)) // clamped to keep >= 1
     assert(snap(2).nonEmpty)
   }
+
+  test("changeFeed: classifies insert/update/delete, drops unchanged, null payloads compare null-safely") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Option("a"), 1.0), // unchanged → must NOT emit
+      (2L, Option("b"), 2.0), // updated value
+      (3L, None: Option[String], 3.0), // null field on both sides → unchanged
+      (4L, Option("d"), 4.0), // deleted
+      (6L, None: Option[String], 6.0)) // null → non-null update
+      .toDF("k", "name", "v")
+    val cur = Seq(
+      (1L, Option("a"), 1.0),
+      (2L, Option("b"), 9.0),
+      (3L, None: Option[String], 3.0),
+      (5L, Option("e"), 5.0), // inserted
+      (6L, Option("f"), 6.0))
+      .toDF("k", "name", "v")
+    val feed = Merge.changeFeed(prev, cur, Seq("k"))
+      .select($"k", $"change_type").as[(Long, String)].collect().toMap
+    // k=1 and k=3 absent: unchanged rows (incl. the both-null payload —
+    // a =!= comparison would have mis-dropped k=6 and mis-kept k=3)
+    assert(feed == Map(2L -> "update", 4L -> "delete", 5L -> "insert", 6L -> "update"),
+      s"wrong feed: $feed")
+    // payload structs carry old/new for consumers
+    val upd = Merge.changeFeed(prev, cur, Seq("k"))
+      .filter($"k" === 2L).select($"old.v", $"new.v").head()
+    assert((upd.getDouble(0), upd.getDouble(1)) == (2.0, 9.0))
+    // schema drift fails loudly, never silently diffs positionally
+    val e = intercept[IllegalArgumentException](
+      Merge.changeFeed(prev, cur.withColumnRenamed("v", "w"), Seq("k")))
+    assert(e.getMessage.contains("schemas differ"))
+    intercept[IllegalArgumentException](Merge.changeFeed(prev, cur, Seq.empty))
+  }
 }
