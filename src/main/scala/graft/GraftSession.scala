@@ -19,6 +19,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // the one custom optimizer rule the engine carries: naive
+      // aggregate(zip_with(...)) dot products become the codegen'd
+      // ArrayDot (~30x measured); see plans/HofDotRewrite for the
+      // narrow, semantics-preserving match
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.HofDotRewrite))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
