@@ -435,6 +435,58 @@ object BehaviorQueries {
       doc = "Integer EWMA (alpha = 1/4) per user — the order-dependent sequential kernel: ts-ordered fold e_t = (x_t + 3*e_prev) div 4 on cent-scaled values, seeded with the first observation; per-group sorted-struct fold matches DuckDB LIST_REDUCE seeding exactly, integer floor-division end to end so the recurrence is bitwise engine-identical."),
 
     Q(
+      "q152_funnel",
+      (s, d) => {
+        import s.implicits._
+        // FUNNEL / ordered-sequence detection (the CEP pattern every
+        // product-analytics engine ships): per user, the earliest view,
+        // the first click strictly after it, the first purchase strictly
+        // after that — stage = how deep the ordered chain goes. Three
+        // min-aggregations over one scan (conditional min on integer
+        // micros — no joins, no per-user sort): v = min(view ts); c =
+        // min(click ts > v) needs v first, so the chain is two
+        // groupBy passes over the SAME pre-aggregated per-user-type
+        // minima table... done here as one pivot of per-type ordered
+        // minima via min_by chains: compute per user the full ordered
+        // chain with three conditional aggregations over the event list
+        // (bounded per-user arrays, the q144 discipline).
+        val ev = Tables.events(s, d)
+          .select($"user_id", $"event_type", unix_micros($"ts").as("t"))
+        val chain = ev.groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"t")).as("v_ts"))
+          .join(ev, Seq("user_id"))
+          .groupBy($"user_id", $"v_ts")
+          .agg(min(when($"event_type" === "click" && $"t" > $"v_ts", $"t")).as("c_ts"))
+          .join(ev, Seq("user_id"))
+          .groupBy($"user_id", $"v_ts", $"c_ts")
+          .agg(min(when($"event_type" === "purchase" && $"t" > $"c_ts", $"t")).as("p_ts"))
+        chain.select($"user_id",
+            (when($"p_ts".isNotNull, 3L).when($"c_ts".isNotNull, 2L)
+              .when($"v_ts".isNotNull, 1L).otherwise(0L)).as("stage"),
+            $"v_ts", $"c_ts", $"p_ts")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, EPOCH_US(ts) AS t FROM events),
+        v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS v_ts
+              FROM ev GROUP BY 1),
+        c AS (SELECT e.user_id, v.v_ts,
+                     MIN(CASE WHEN e.event_type = 'click' AND e.t > v.v_ts THEN e.t END) AS c_ts
+              FROM ev e JOIN v ON e.user_id = v.user_id GROUP BY 1, 2),
+        p AS (SELECT e.user_id, c.v_ts, c.c_ts,
+                     MIN(CASE WHEN e.event_type = 'purchase' AND e.t > c.c_ts THEN e.t END) AS p_ts
+              FROM ev e JOIN c ON e.user_id = c.user_id GROUP BY 1, 2, 3)
+        SELECT user_id,
+               CAST(CASE WHEN p_ts IS NOT NULL THEN 3
+                         WHEN c_ts IS NOT NULL THEN 2
+                         WHEN v_ts IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS stage,
+               v_ts, c_ts, p_ts
+        FROM p
+        ORDER BY user_id"""),
+      doc = "Funnel / ordered-sequence detection (view -> first click after -> first purchase after): three chained conditional-min aggregations over integer micros — no per-user sort, no window state; stage counts how deep the ordered chain goes, the CEP primitive of product analytics."),
+
+    Q(
       "q148_dist_drift",
       (s, d) => {
         import s.implicits._
