@@ -487,6 +487,46 @@ object BehaviorQueries {
       doc = "Funnel / ordered-sequence detection (view -> first click after -> first purchase after): three chained conditional-min aggregations over integer micros — no per-user sort, no window state; stage counts how deep the ordered chain goes, the CEP primitive of product analytics."),
 
     Q(
+      "q153_range_frames",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // RANGE-frame conformance (the window-family gap: q113 pins ROWS
+        // frames): value-range frames over the SPARSE hourly series —
+        // deliberately NOT gap-filled, because on a dense grid RANGE
+        // degenerates to ROWS and the test proves nothing. A missing
+        // hour inside the 4-hour lookback must be excluded by VALUE, so
+        // any engine that implements RANGE as row-counting diverges on
+        // the first gap. Trailing and leading frames both pinned;
+        // integer counts only.
+        val series = Tables.events(s, d)
+          .select($"event_type", (unix_micros($"ts") / 3600000000L).cast("long").as("hr"))
+          .groupBy($"event_type", $"hr").agg(count(lit(1)).as("n"))
+        val back = Window.partitionBy($"event_type").orderBy($"hr").rangeBetween(-3, 0)
+        val fwd = Window.partitionBy($"event_type").orderBy($"hr")
+          .rangeBetween(Window.currentRow, 2)
+        series.select($"event_type", $"hr", $"n",
+            sum($"n").over(back).as("sum_4h_back"),
+            count(lit(1)).over(back).as("rows_in_4h"),
+            sum($"n").over(fwd).as("sum_3h_fwd"))
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type, EPOCH_US(ts) // 3600000000 AS hr, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, hr, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_4h_back,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS rows_in_4h,
+               CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING) AS BIGINT) AS sum_3h_fwd
+        FROM series
+        ORDER BY event_type, hr"""),
+      doc = "RANGE-frame window conformance over the sparse hourly series (q113's ROWS-frame sibling): value-range trailing and leading frames where gaps in the ordering key force the frame to exclude by VALUE, not row count — the moving-aggregate semantics that silently differ when an engine row-counts its RANGE frames."),
+
+    Q(
       "q148_dist_drift",
       (s, d) => {
         import s.implicits._
