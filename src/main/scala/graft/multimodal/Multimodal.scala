@@ -216,6 +216,23 @@ object Multimodal {
     }
   }
 
+  /** Build a PLANTED-TONE WAV per document: a pure sinusoid whose
+    * frequency is (doc_id % 60) + 4 cycles per 128-sample frame — an
+    * INTEGRAL frame frequency, so the whole tone lands in exactly that
+    * FFT bin (q154 detects it back; DspSpec pins the loop). StrictMath
+    * keeps the synthesized samples bit-identical everywhere.
+    */
+  def toneFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val bin = (id % 60 + 4).toInt
+      val samples = Array.tabulate(2048)(i =>
+        (8000.0 * StrictMath.sin(2.0 * math.Pi * bin * i / 128.0)).toShort)
+      MediaRow(id, Codecs.encodeWav(Codecs.Audio(16000, samples)))
+    }
+  }
+
   /** Build a compressed-audio stream per document: same deterministic
     * sample construction as [[wavFromDocuments]], IMA-ADPCM encoded
     * (4 bits/sample). Lossy integer codec ⇒ q59 is rows-only; specs pin

@@ -437,5 +437,31 @@ object SimQueries {
       },
       None, // lossy integer codec: deterministic, not SQL-derivable
       doc = "REAL IMA-ADPCM decode (pure-JVM 4:1 compressed audio, integer state machine): sample rate/count + deterministic decoded energy; spec-verified (lossy - no SQL oracle exists).")
+  ,
+
+    Q(
+      "q154_audio_spectral",
+      (s, d) => {
+        implicit val sp = s
+        import s.implicits._
+        // SPECTRAL feature extraction (pure-JVM radix-2 FFT, multimodal/
+        // Dsp): per-document planted-tone WAVs decode and every 128-
+        // sample frame reports its dominant frequency bin — integer
+        // outputs from StrictMath-deterministic float analysis, the
+        // pitch/tone-detection primitive. Per-row scalar work; frames
+        // never shuffle. Float DSP has no SQL oracle → rows-only; DspSpec
+        // pins FFT == naive DFT, Parseval, planted-tone detection, and
+        // the end-to-end bin == (doc_id % 60) + 4 loop this query runs.
+        val media = Multimodal.toneFromDocuments(
+          Tables.documents(s, d).select($"doc_id"))
+        media.map { r =>
+          val audio = graft.multimodal.Codecs.decodeWav(r.media)
+          val bins = graft.multimodal.Dsp.dominantBins(audio, 128)
+          (r.doc_id, bins.length.toLong, bins.mkString(","))
+        }.toDF("doc_id", "n_frames", "bins")
+          .orderBy($"doc_id")
+      },
+      None, // float DSP: deterministic (StrictMath) but not SQL-expressible
+      doc = "Audio spectral features via a from-scratch radix-2 FFT (multimodal/Dsp): dominant frequency bin per 128-sample frame over decoded WAV audio — StrictMath-deterministic, integer bin outputs; DspSpec pins FFT==DFT, Parseval, and exact planted-tone recovery (no SQL oracle for float DSP).")
   )
 }

@@ -30,7 +30,8 @@ class ContractSpec extends AnyFunSuite {
     "q133_hll_rollup",         // HLL register states depend on nothing but values, but DuckDB's approx sketch differs (q75 rule); SketchSpec pins rollup == direct
     "q136_ivfpq_topk",         // approximate by list pruning (q31 rule); PqSearchSpec pins recall floors + nprobe monotonicity
     "q139_ivf_sq8_topk",       // approximate by list pruning (q31 rule); IvfSearchSpec pins certified error bound + recall >= 0.9
-    "q146_bpe_learn")          // iterative argmax has no SQL oracle; BpeSpec pins learner == sequential reference + corpus compression
+    "q146_bpe_learn",          // iterative argmax has no SQL oracle; BpeSpec pins learner == sequential reference + corpus compression
+    "q154_audio_spectral")     // float DSP (FFT) is not SQL-expressible; DspSpec pins FFT==DFT, Parseval, exact planted-tone recovery
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
