@@ -211,6 +211,77 @@ object DedupQueries {
         .orderBy(col("doc_id")),
       Some(ccClosureOracle),
       doc = "Pointer-doubling connected components (the production distributed path, forced via driverThreshold=0): jump + neighbor-min per round, log(diameter) convergence — third CC algorithm pinned to the identical recursive-closure oracle as q32/q116.")
+  ,
+
+    Q(
+      "q155_entity_resolution",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        // ENTITY RESOLUTION / record linkage (the MDM pipeline) as one
+        // composite: plant deterministic dirty variants of customer
+        // records (last-char typo for %10=0, appended char for %10=5,
+        // re-keyed), then resolve: BLOCK on the 16-char name prefix
+        // (typo-insensitive, ~100 records/block — the knob that keeps
+        // candidate pairs at block² not corpus²), VERIFY with
+        // levenshtein <= 1 plus exact side-field agreement (acctbal,
+        // nation — multi-field matching is what separates true variants
+        // from one-digit neighbors), CLUSTER with the shared CC
+        // operator, and pick the min-key GOLDEN RECORD; singletons are
+        // their own golden record (left join + coalesce — q32 only
+        // emits clustered docs).
+        val base = Tables.customer(s, d)
+          .select($"c_custkey".as("k"), $"c_name".as("nm"),
+            $"c_nationkey".cast("long").as("nat"), $"c_acctbal".as("bal"))
+        val typo = base.filter($"k" % 10 === 0)
+          .select(($"k" + 1000000L).as("k"),
+            concat(substring($"nm", 1, 17), lit("x")).as("nm"), $"nat", $"bal")
+        val appended = base.filter($"k" % 10 === 5)
+          .select(($"k" + 2000000L).as("k"), concat($"nm", lit("q")).as("nm"),
+            $"nat", $"bal")
+        val dirty = base.unionByName(typo).unionByName(appended)
+        val blocked = dirty.withColumn("blk", substring($"nm", 1, 16))
+        val pairs = blocked.as("a").join(blocked.as("b"),
+            $"a.blk" === $"b.blk" && $"a.k" < $"b.k" &&
+              $"a.nat" === $"b.nat" && $"a.bal" === $"b.bal" &&
+              levenshtein($"a.nm", $"b.nm") <= 1)
+          .select($"a.k".as("doc_a"), $"b.k".as("doc_b"))
+        val clusters = graft.operators.Dedup.connectedComponents(pairs)
+          .select($"doc".as("k"), $"component".as("golden"))
+        dirty.join(clusters, Seq("k"), "left")
+          .select($"k".as("rec_key"), coalesce($"golden", $"k").as("golden_key"))
+          .orderBy($"rec_key")
+      },
+      Some("""
+        WITH RECURSIVE
+        base AS (SELECT c_custkey AS k, c_name AS nm,
+                        CAST(c_nationkey AS BIGINT) AS nat, c_acctbal AS bal
+                 FROM customer),
+        dirty AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT k + 1000000, SUBSTR(nm, 1, 17) || 'x', nat, bal
+          FROM base WHERE k % 10 = 0
+          UNION ALL
+          SELECT k + 2000000, nm || 'q', nat, bal
+          FROM base WHERE k % 10 = 5),
+        blocked AS (SELECT k, nm, nat, bal, SUBSTR(nm, 1, 16) AS blk FROM dirty),
+        jp AS (SELECT a.k AS doc_a, b.k AS doc_b
+               FROM blocked a JOIN blocked b
+                 ON a.blk = b.blk AND a.k < b.k
+                AND a.nat = b.nat AND a.bal = b.bal
+                AND LEVENSHTEIN(a.nm, b.nm) <= 1),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+        clusters AS (SELECT doc AS k, MIN(r) AS golden FROM reach GROUP BY doc)
+        SELECT d.k AS rec_key, COALESCE(c.golden, d.k) AS golden_key
+        FROM dirty d LEFT JOIN clusters c USING (k)
+        ORDER BY rec_key"""),
+      doc = "Entity resolution / record linkage (MDM): planted dirty variants resolved by prefix BLOCKING (candidates bounded at block-squared, the scale knob), multi-field VERIFY (levenshtein <= 1 plus exact acctbal/nation agreement — what separates true variants from one-digit neighbors), the shared CC operator for clustering, and min-key golden-record selection with singleton passthrough; oracle replays the full pipeline including the recursive closure.")
   )
 
   /** Recursive-CTE transitive-closure oracle shared verbatim by q116 and
