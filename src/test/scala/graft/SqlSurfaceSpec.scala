@@ -78,4 +78,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("join hints are honored: MERGE forces sort-merge where broadcast would win, BROADCAST forces it back") {
+    // the hint surface is how a user overrides the planner when runtime
+    // knowledge beats statistics (e.g. a 'small' dim that explodes after
+    // a generator join) — both directions pinned on the executed plan
+    val merged = SqlSurface.sql(spark, sf,
+      """SELECT /*+ MERGE(n) */ COUNT(*)
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    merged.collect()
+    val mp = merged.queryExecution.executedPlan.toString
+    assert(mp.contains("SortMergeJoin") && !mp.contains("BroadcastHashJoin"),
+      s"MERGE hint ignored:\n${mp.take(600)}")
+    val bcast = SqlSurface.sql(spark, sf,
+      """SELECT /*+ BROADCAST(n) */ COUNT(*)
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    bcast.collect()
+    val bp = bcast.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"), s"BROADCAST hint ignored:\n${bp.take(600)}")
+  }
 }
