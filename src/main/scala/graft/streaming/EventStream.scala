@@ -319,6 +319,13 @@ object EventStream {
         })
   }
 
+  /** Exact event-time MICROS of a Timestamp — `getTime` alone is millis
+    * and silently reorders sub-millisecond neighbors against the batch
+    * kernels' unix_micros ordering; getNanos carries the rest.
+    */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   case class EwmaState(lastT: Long, lastI: Long, ewma: Long, n: Long)
   case class EwmaRow(user_id: Long, n_events: Long, ewma_cents: Long)
 
@@ -344,8 +351,8 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[EwmaState]) => {
           var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Long.MinValue, -1L, 0L))
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
+          batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+            val t = microsOf(e.ts)
             val inOrder = t > st.lastT || (t == st.lastT && e.event_id > st.lastI)
             if (inOrder) {
               val c = math.round(e.value * 100)
@@ -355,6 +362,51 @@ object EventStream {
           }
           state.update(st)
           EwmaRow(userId, st.n, st.ewma)
+        })
+  }
+
+  case class FunnelState(vTs: Long, cTs: Long, pTs: Long)
+  case class FunnelRow(user_id: Long, stage: Long, v_ts: java.lang.Long,
+                       c_ts: java.lang.Long, p_ts: java.lang.Long)
+
+  /** STREAMING FUNNEL — q152's ordered-sequence detection as per-user
+    * mapGroupsWithState: track the earliest view, the first click
+    * strictly after it, the first purchase strictly after that, as three
+    * longs of state per user. Within a micro-batch events replay in
+    * (ts, event_id) order; under IN-ORDER delivery across batches the
+    * final state equals the batch chain exactly (StreamingSpec pins it
+    * over chunked delivery). Out-of-order arrivals carry the same
+    * documented contract as [[ewmaPerUser]]: a chain anchored on an
+    * earlier slot cannot be retro-derived from three longs once later
+    * slots are filled (an early-arriving view would invalidate the
+    * click/purchase candidates that preceded it), so production bounds
+    * reordering upstream with a watermark buffer; the failure mode is a
+    * stale chain, never a crash.
+    */
+  def funnelPerUser(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val U = Long.MaxValue // unset sentinel: min() folds naturally
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(U, U, U))
+          batch.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+            val t = microsOf(e.ts)
+            e.event_type match {
+              case "view" if t < st.vTs => st = FunnelState(t, st.cTs, st.pTs)
+              case "click" if st.vTs != U && t > st.vTs && t < st.cTs =>
+                st = FunnelState(st.vTs, t, st.pTs)
+              case "purchase" if st.cTs != U && t > st.cTs && t < st.pTs =>
+                st = FunnelState(st.vTs, st.cTs, t)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage = if (st.pTs != U) 3L else if (st.cTs != U) 2L
+            else if (st.vTs != U) 1L else 0L
+          def opt(v: Long): java.lang.Long = if (v == U) null else java.lang.Long.valueOf(v)
+          FunnelRow(userId, stage, opt(st.vTs), opt(st.cTs), opt(st.pTs))
         })
   }
 

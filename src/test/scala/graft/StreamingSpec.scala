@@ -217,6 +217,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel (mapGroupsWithState) EQUALS the q152 batch chain across chunked in-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.funnelPerUser(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // last emission per user: stage is monotone non-decreasing under
+      // in-order delivery, and the chain timestamps only ever fill, so
+      // max(struct(stage, ...)) picks the final state
+      val got = spark.table("funnel_stream")
+        .groupBy($"user_id")
+        .agg(max(struct($"stage", $"v_ts", $"c_ts", $"p_ts")).as("m"))
+        .select($"user_id", $"m.stage", $"m.v_ts", $"m.c_ts", $"m.p_ts")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      val batch = SparkEntry.queries("q152_funnel")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(got == batch,
+        s"streaming funnel diverged from the batch chain: ${got.size} vs ${batch.size} users")
+      assert(got.nonEmpty && got.exists(_._2 == 3L), "fixture should complete some funnels")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: unmatched purchase emits its null row once the watermark proves no click can arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
