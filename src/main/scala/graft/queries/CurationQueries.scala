@@ -80,8 +80,7 @@ object CurationQueries {
         val scalar = docs.select($"doc_id",
           TextFns.tokenCount($"text").cast("long").as("n_tok"),
           size(array_distinct(TextFns.tokens($"text"))).cast("long").as("n_distinct"))
-        val top = docs
-          .select($"doc_id", explode(TextFns.shingles($"text", 2)).as("bg"))
+        val top = bigrams(s, d) // shared memoized explode (q60's index)
           .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg((max($"c").cast("double") / sum($"c").cast("double")).as("top_bigram_frac"))
