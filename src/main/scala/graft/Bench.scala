@@ -150,12 +150,18 @@ object Bench {
     // bench.json / the detail line.
     def fmtCompact(v: Double): String =
       if (v >= 100) f"${math.min(v, 999.0)}%.0f" else f"$v%.1f"
+    // Compact keys drop BOTH the descriptive suffix and the uniform "q"
+    // prefix ("q113_window_sql_verbatim" → "113"): every query name is
+    // qNN_..., so the number alone is unambiguous, and the saved char per
+    // query raises the 2000-char-tail ceiling from ~159 to ~175 rows.
+    // Full names live in the detail line / bench.json.
+    def shortKey(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
     def compactLine(): String = {
       val qsShort = results.map { case (k, v, _, _) =>
-        "\"" + k.takeWhile(_ != '_') + "\":" + fmtCompact(v)
+        "\"" + shortKey(k) + "\":" + fmtCompact(v)
       }.mkString("{", ",", "}")
       val errorsShort = results
-        .collect { case (k, v, _, _) if v < 0 => "\"" + k.takeWhile(_ != '_') + "\"" }
+        .collect { case (k, v, _, _) if v < 0 => "\"" + shortKey(k) + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMin = results

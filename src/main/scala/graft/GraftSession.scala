@@ -24,6 +24,10 @@ object GraftSession {
       // ArrayDot (~30x measured); see plans/HofDotRewrite for the
       // narrow, semantics-preserving match
       .withExtensions(_.injectOptimizerRule(_ => graft.plans.HofDotRewrite))
+      // the engine's one whole-operator extension: the native
+      // sorted-merge AS-OF join (logical node + strategy + exec);
+      // see plans/AsOfJoin for why this can't be a mere expression
+      .withExtensions(_.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1148,6 +1148,223 @@ object BehaviorQueries {
         FROM divq
         ORDER BY o_orderkey"""),
       doc = "DECIMAL(38,x) conformance: +/−/× precision-scale propagation string-identical; Spark's DECIMAL(27,15) HALF_UP division pinned against an independent HUGEINT scaled-integer half-up implementation (DuckDB natively promotes decimal division to DOUBLE — divergence documented); downscale-cast rounding (Spark HALF_UP vs DuckDB truncate-toward-zero) and decimal→BIGINT casts (Spark truncates, DuckDB rounds) emulated oracle-side with ROUND/TRUNC, both signs — the money-type rules an engine swap silently breaks.")
+  ,
+
+    Q(
+      "q156_session_windows",
+      (s, d) => {
+        import s.implicits._
+        // Batch session_window conformance: Spark's built-in gap-based
+        // session generator (groupBy(session_window(ts, gap), key) —
+        // one shuffle on user_id, sessions merged engine-side) replayed
+        // in the oracle from FIRST PRINCIPLES as the classic
+        // lag-gap-flag + running-sum sessionization. Boundary semantics
+        // pinned: a session window is [first_ts, last_ts + gap) with the
+        // END EXCLUSIVE, so an event at exactly prev + gap starts a NEW
+        // session — the oracle's new-session predicate is `diff >= gap`,
+        // not `>`. Session identity crosses the gate as integer epoch
+        // microseconds (rule 8); value sums route through exact decimals
+        // (rule 2). At 100 TB this is the one-shuffle plan: sessions are
+        // assembled inside each user_id partition, never via self-joins.
+        Tables.events(s, d)
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(Q.DEC)).cast("double").as("sum_value"))
+          .select($"user_id",
+            unix_micros($"session_window.start").as("session_start_us"),
+            unix_micros($"session_window.end").as("session_end_us"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start_us")
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged)
+        SELECT user_id,
+               EPOCH_US(MIN(ts)) AS session_start_us,
+               EPOCH_US(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us"""),
+      doc = "Batch gap-sessionization conformance: Spark's session_window generator vs a first-principles lag-gap-flag + running-sum oracle — end-exclusive [first, last+gap) windows, the `>= gap starts a new session` boundary pinned, integer-microsecond session identity, exact-decimal value sums; one shuffle on user_id, no self-joins.")
+  ,
+
+    Q(
+      "q157_url_functions",
+      (s, d) => {
+        import s.implicits._
+        // URL-kernel conformance: web-scale corpora carry a URL per
+        // document, and domain-level grouping / parameter extraction is
+        // the first step of crawl curation (host dedup, tracking-param
+        // stripping). The URL is SYNTHESIZED from the row's own columns,
+        // so the oracle can state each component from first principles —
+        // the row then pins that Spark's parse_url(HOST/PATH/QUERY/REF/
+        // PROTOCOL and per-key QUERY lookup) extracts exactly what was
+        // assembled. Pure codegen scalar pipeline, one scan.
+        val url = concat(lit("https://"), $"source", lit(".example.com/docs/"),
+          $"lang", lit("/"), $"doc_id".cast("string"),
+          lit("?lang="), $"lang", lit("&n="), $"n_chars".cast("string"),
+          lit("#s"), pmod($"doc_id", lit(5)).cast("string"))
+        Tables.documents(s, d)
+          .select($"doc_id",
+            parse_url(url, lit("PROTOCOL")).as("proto"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY")).as("query"),
+            parse_url(url, lit("REF")).as("frag"),
+            parse_url(url, lit("QUERY"), lit("n")).as("param_n"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               'https' AS proto,
+               source || '.example.com' AS host,
+               '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+               'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
+               's' || CAST(doc_id % 5 AS VARCHAR) AS frag,
+               CAST(n_chars AS VARCHAR) AS param_n
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "URL-kernel conformance: parse_url PROTOCOL/HOST/PATH/QUERY/REF plus per-key query-parameter lookup over URLs synthesized from the row's own columns — the oracle states each component from first principles, so any extraction drift (delimiter handling, fragment vs query precedence) is a hash mismatch; the host/parameter kernels behind crawl-corpus domain dedup and tracking-param stripping.")
+  ,
+
+    Q(
+      "q158_array_set_algebra",
+      (s, d) => {
+        import s.implicits._
+        // Array SET-algebra conformance, completing q122's positional
+        // kernels: intersect/union/except (all DISTINCT-semantics in
+        // both engines — pinned), multiset remove (keeps duplicates of
+        // the others), overlap predicate, and list-aggregate min/max.
+        // Arrays cross the gate as SORTED space-joined strings (q122
+        // rule: result order of the set ops is engine-defined; sorting
+        // canonicalizes). DuckDB spellings differ everywhere
+        // (LIST_INTERSECT dedups like Spark; union/except are built from
+        // LIST_DISTINCT/LIST_FILTER) which is exactly what makes the row
+        // a conformance gate rather than a syntax echo.
+        val toks = split($"text", " ")
+        val ref = array(lit("data"), lit("table"), lit("row"), lit("scan"))
+        Tables.documents(s, d)
+          .select($"doc_id",
+            array_join(sort_array(array_intersect(toks, ref)), " ").as("i_toks"),
+            array_join(sort_array(array_union(toks, ref)), " ").as("u_toks"),
+            array_join(sort_array(array_except(toks, ref)), " ").as("e_toks"),
+            array_join(sort_array(array_remove(toks, "the")), " ").as("rm_toks"),
+            arrays_overlap(toks, ref).cast("long").as("has_overlap"),
+            array_min(toks).as("min_tok"),
+            array_max(toks).as("max_tok"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+                 ['data', 'table', 'row', 'scan'] AS ref
+          FROM documents)
+        -- COALESCE pin: DuckDB ARRAY_TO_STRING([]) is NULL while Spark
+        -- array_join([]) is '' — normalized oracle-side so an EMPTY set
+        -- result (e.g. no ref token present) still hash-matches
+        SELECT doc_id,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(toks, ref)), ' '), '') AS i_toks,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks || ref)), ' '), '') AS u_toks,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+                 LIST_FILTER(toks, x -> NOT LIST_CONTAINS(ref, x)))), ' '), '') AS e_toks,
+               COALESCE(ARRAY_TO_STRING(LIST_SORT(
+                 LIST_FILTER(toks, x -> x != 'the')), ' '), '') AS rm_toks,
+               CAST(LEN(LIST_INTERSECT(toks, ref)) > 0 AS BIGINT) AS has_overlap,
+               LIST_AGGREGATE(toks, 'min') AS min_tok,
+               LIST_AGGREGATE(toks, 'max') AS max_tok
+        FROM t
+        ORDER BY doc_id"""),
+      doc = "Array set-algebra conformance: intersect/union/except (distinct semantics pinned in both engines), multiset remove, overlap predicate, list min/max — DuckDB builds the same ops from LIST_DISTINCT/LIST_FILTER primitives, so semantic drift (dedup or not, null placement) is a hash mismatch; arrays canonicalized by sort before crossing the gate.")
+  ,
+
+    Q(
+      "q159_edit_distance",
+      (s, d) => {
+        import s.implicits._
+        // Edit-distance kernels: the verify step of every fuzzy-match /
+        // entity-resolution pipeline (q155 uses levenshtein inside its
+        // composite; this row pins the kernel ITSELF on controlled
+        // mutations). Three regimes: substitution-only distance (digit
+        // swap via translate — 0↔5, so the distance varies row to row),
+        // insertion-only distance (name vs its 12-char prefix: distance
+        // = len−12 exactly), and the empty-string edge (= full length).
+        // The THRESHOLD form (Spark levenshtein(l, r, k) returns −1 when
+        // the distance exceeds k — the O(k·n) banded algorithm that
+        // makes verify affordable at scale) is replayed oracle-side as
+        // CASE WHEN lev <= k. translate() conformance rides along.
+        val mutated = translate($"c_name", "05", "50")
+        val prefix = substring($"c_name", 1, 12)
+        Tables.customer(s, d)
+          .select($"c_custkey",
+            levenshtein($"c_name", mutated).cast("long").as("lev_sub"),
+            levenshtein($"c_name", mutated, 3).cast("long").as("lev_sub_k3"),
+            levenshtein($"c_name", prefix).cast("long").as("lev_ins"),
+            levenshtein(lit(""), $"c_name").cast("long").as("lev_empty"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               LEVENSHTEIN(c_name, TRANSLATE(c_name, '05', '50')) AS lev_sub,
+               CASE WHEN LEVENSHTEIN(c_name, TRANSLATE(c_name, '05', '50')) <= 3
+                    THEN LEVENSHTEIN(c_name, TRANSLATE(c_name, '05', '50'))
+                    ELSE -1 END AS lev_sub_k3,
+               LEVENSHTEIN(c_name, SUBSTRING(c_name, 1, 12)) AS lev_ins,
+               LEVENSHTEIN('', c_name) AS lev_empty
+        FROM customer
+        ORDER BY c_custkey"""),
+      doc = "Edit-distance kernel conformance on controlled mutations: substitution-only (digit-swap translate), insertion-only (prefix truncation), empty-string edge, and the banded THRESHOLD form (levenshtein(l,r,k) = −1 beyond k — the O(k·n) variant that keeps fuzzy-match verify affordable) replayed as CASE in the oracle; translate() rides along.")
+  ,
+
+    Q(
+      "q160_width_bucket",
+      (s, d) => {
+        import s.implicits._
+        // width_bucket histogram conformance: equal-width bucketing is
+        // the map-side histogram primitive (one integer expression per
+        // row, then an ordinary groupBy — no sort, no quantile pass;
+        // q88's equi-HEIGHT histogram is the complementary shape). The
+        // oracle replays Spark's exact evaluation — out-of-range pins:
+        // v < lo → 0, v >= hi → n+1, else (v−lo)/((hi−lo)/n)+1 truncated
+        // — as arithmetic, so a formula drift (e.g. (v−lo)·n/(hi−lo),
+        // which differs in IEEE rounding) is a hash mismatch. The
+        // shifted column drives the below-range branch on real rows.
+        val b = width_bucket($"value", lit(0.0), lit(50.0), lit(25))
+        val bs = width_bucket($"value" - lit(25.0), lit(0.0), lit(50.0), lit(25))
+        Tables.events(s, d)
+          .groupBy(b.as("bucket"), bs.as("bucket_shift"))
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(Q.DEC)).cast("double").as("sum_value"))
+          .orderBy($"bucket", $"bucket_shift")
+      },
+      Some("""
+        WITH b AS (
+          SELECT value,
+                 CASE WHEN value < 0.0 THEN 0
+                      WHEN value >= 50.0 THEN 26
+                      ELSE CAST(FLOOR(value / (50.0 / 25)) + 1 AS BIGINT) END AS bucket,
+                 CASE WHEN value - 25.0 < 0.0 THEN 0
+                      WHEN value - 25.0 >= 50.0 THEN 26
+                      ELSE CAST(FLOOR((value - 25.0) / (50.0 / 25)) + 1 AS BIGINT)
+                      END AS bucket_shift
+          FROM events)
+        SELECT bucket, bucket_shift, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY bucket, bucket_shift
+        ORDER BY bucket, bucket_shift"""),
+      doc = "width_bucket equal-width histogram conformance: Spark's evaluation replayed as oracle arithmetic — below/above-range sentinels (0, n+1) and the exact (v−lo)/width+1 IEEE formula pinned (the algebraically-equal (v−lo)·n/(hi−lo) rounds differently); map-side integer bucketing + one groupBy, the no-sort histogram shape for 100 TB profiling.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

@@ -479,5 +479,55 @@ object CurationQueries {
         FROM packable
         ORDER BY doc_id"""),
       doc = "Token-TRUE sequence packing: Packing.packByBudget driven by the q140 BPE tokenizer's real sub-word counts (budget 512 model tokens, not words) — the two-phase distributed prefix sum assigns each doc to pack floor(tokens_before/budget); oracle re-derives the counts through the same REPLACE-chain tokenizer and packs with a single global window.")
+  ,
+
+    Q(
+      "q161_source_mixture",
+      (s, d) => {
+        import s.implicits._
+        // Deterministic mixture sampling: pretraining corpora are MIXED,
+        // not concatenated — each source gets a target inclusion rate
+        // (high-quality sources upsampled, crawl downsampled), and the
+        // keep/drop decision must be a pure function of (id, seed) so
+        // the mix replays bit-for-bit across runs and engines (the q53
+        // split discipline, applied per-source with per-source rates).
+        // Rate ‰ by source index mod 4: 900/600/300/100. The per-row
+        // uniform hash is the q90 Park–Miller mid-square mixer WITHOUT
+        // the 10^6 priority scale (scaled-then-mod-1000 would always be
+        // 0 — the scale exists for weight division, not uniformity);
+        // keep iff hash mod 1000 < rate. Embarrassingly parallel
+        // (codegen'd row filter, no shuffle before the audit
+        // aggregation); the audit emits per-source kept/total counts —
+        // at 100 TB the same filter feeds the writer directly.
+        val srcIdx = substring($"source", 4, 10).cast("int")
+        val rateCol = when(srcIdx % 4 === 0, 900).when(srcIdx % 4 === 1, 600)
+          .when(srcIdx % 4 === 2, 300).otherwise(100)
+        val hash = expr(
+          "(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
+            " % 2147483647 * 48271 % 2147483647 % 1000")
+        Tables.documents(s, d)
+          .withColumn("kept", (hash < rateCol).cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"kept").as("n_kept"),
+            sum(when($"kept" === 1, $"n_chars").otherwise(0)).as("kept_chars"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH rated AS (
+          SELECT source, n_chars,
+                 CASE CAST(SUBSTRING(source, 4, 10) AS INT) % 4
+                      WHEN 0 THEN 900 WHEN 1 THEN 600 WHEN 2 THEN 300
+                      ELSE 100 END AS rate,
+                 (((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))
+                   % 2147483647 * 48271 % 2147483647 % 1000 AS h
+          FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN h < rate THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        FROM rated
+        GROUP BY source
+        ORDER BY source"""),
+      doc = "Deterministic source-mixture sampling (pretraining mix): per-source target rates (900/600/300/100 permille by source class), keep/drop a pure function of (doc_id, seed) via the q90 mid-square integer mixer mod 1000 — replays bit-for-bit across engines and partitionings, embarrassingly parallel row filter; the audit aggregation emits per-source kept/total so mix drift is a hash mismatch.")
   )
 }

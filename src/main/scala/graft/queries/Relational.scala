@@ -1403,7 +1403,66 @@ object Relational {
       "q100_filter_agg",
       (s, d) => SqlSurface.sql(s, d, FilterAggQuery),
       Some(FilterAggQuery),
-      doc = "FILTER (WHERE ...) aggregate modifiers as one verbatim ANSI string — per-aggregate predicates in a single grouped pass; empty-filter SUM yields NULL identically in both engines.")
+      doc = "FILTER (WHERE ...) aggregate modifiers as one verbatim ANSI string — per-aggregate predicates in a single grouped pass; empty-filter SUM yields NULL identically in both engines."),
+
+    Q(
+      "q162_asof_native",
+      (s, d) => {
+        import s.implicits._
+        // The NATIVE as-of join (plans/AsOfJoin: custom logical node +
+        // planner strategy + sorted-merge exec), on q34's exact task so
+        // three independent implementations pin one answer: the union +
+        // forward-fill composition (q34), this operator, and DuckDB's
+        // built-in ASOF LEFT JOIN (the shared oracle). Plan: one hash
+        // shuffle per side + per-partition sorts, then a single O(n+m)
+        // merge pass with O(1) state — vs q34's one shuffle of the
+        // UNIONED streams; the native exec keeps each side's columns
+        // out of the other's sort and never widens rows with
+        // null-padded union legs.
+        val ev = Tables.events(s, d)
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        graft.plans.AsOfJoin.backward(errors, clicks,
+            leftOn = Seq("user_id"), rightOn = Seq("c_user"),
+            leftTimeCol = "ts", rightTimeCol = "c_ts")
+          .select($"event_id", $"user_id", $"click_id".as("prior_click_id"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT e.event_id, e.user_id, c.event_id AS prior_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        ORDER BY e.event_id"""),
+      doc = "Native sorted-merge AS-OF join (custom Catalyst logical node + strategy + BinaryExecNode, registered via SparkSessionExtensions): errors to the most recent prior click by the same user — same task as q34, so the composed window plan, the native exec, and DuckDB's built-in ASOF JOIN all pin one answer; two shuffles, O(n+m) merge, O(1) state per partition."),
+
+    Q(
+      "q163_global_row_number",
+      (s, d) => {
+        import s.implicits._
+        // Global ROW_NUMBER() OVER (ORDER BY key) — the stable
+        // sequential-id assignment every packed training corpus needs —
+        // WITHOUT the single-partition window (Spark's plan for an
+        // un-partitioned window funnels every row through one task).
+        // rn = exclusive prefix COUNT + 1, via Packing's two-phase
+        // prefix sum (value-derived range buckets → parallel per-bucket
+        // windows → O(buckets) driver offsets folded back as literals).
+        // The oracle IS the single-task formulation, so the equality is
+        // the whole point: distributed plan, bottleneck answer.
+        graft.operators.Packing.exclusivePrefixSum(
+            Tables.orders(s, d).select($"o_orderkey", lit(1L).as("__one")),
+            "o_orderkey", "__one", "rn0")
+          .select($"o_orderkey", ($"rn0" + 1L).as("rn"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+        ORDER BY o_orderkey"""),
+      doc = "Global row numbering at scale: ROW_NUMBER over a total order computed with the two-phase distributed prefix sum (range buckets from key quantiles, parallel per-bucket windows, driver-side O(buckets) offsets) — bit-equal to the oracle's single-task global window while never funneling rows through one partition; the stable example-id assignment for packed corpora.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)

@@ -71,7 +71,9 @@ class ContractSpec extends AnyFunSuite {
     // artifact's precision is the least of the problems. The clamp and
     // this tiering exist to keep the LAST stdout line inside the
     // driver's 2000-char tail as the query count grows.
-    val perQuery = "\"q000\":9.9,".length
+    // keys are the bare query number (Bench.shortKey strips the q prefix
+    // and the _suffix): "113":9.9,
+    val perQuery = "\"000\":9.9,".length
     val estimate = overhead + SparkEntry.queries.size * perQuery + 20
     assert(estimate < 1900,
       s"estimated compact bench line $estimate chars — nearing the 2000-char tail capture; shorten keys or split the artifact")
