@@ -58,7 +58,8 @@ import org.apache.spark.sql.graft.Bridge
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -69,8 +70,8 @@ case class AsOfJoinNode(
 /** Planner strategy: one logical node, one physical translation. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, fwd, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -78,6 +79,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -91,13 +93,17 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // (keys..., time) ascending both sides — the merge pass's only
-  // precondition. Ascending's default null ordering is NULLS FIRST, so
-  // null-key/null-time rows cluster at the front of each run and the
-  // merge skips them without look-back.
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq((leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-      (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+  // (keys ascending, time ascending) both sides for backward as-of; the
+  // FORWARD direction ("first right row at or after") is the same merge
+  // run over time-DESCENDING runs with the time comparator negated —
+  // keys still ascend, so the key walk is unchanged. Null rows (keys or
+  // times) cluster at a deterministic end of each run (Ascending =
+  // NULLS FIRST, Descending = NULLS LAST) and are skipped either way.
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val timeDir = if (forward) Descending else Ascending
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
+  }
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
@@ -121,7 +127,13 @@ case class AsOfJoinExec(
       val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val natTimeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      // backward consumes while rt <= lt over ascending runs; forward
+      // consumes while rt >= lt over descending runs — one comparator
+      // negation, the merge walk itself is direction-blind
+      val timeCmp: (InternalRow, InternalRow) => Int =
+        if (forward) (a, b) => -natTimeOrd.compare(a, b)
+        else (a, b) => natTimeOrd.compare(a, b)
       // bind against the NULLABLE view of the right attributes: the
       // unmatched-row path feeds an all-null GenericInternalRow, and a
       // projection bound to the child's non-nullable originals would
@@ -154,7 +166,8 @@ case class AsOfJoinExec(
         val lTime = lTimeProj(lrow)
         if (lKey.anyNull || lTime.anyNull) {
           // null left key/time matches nothing; the right cursor is NOT
-          // advanced (left nulls sort first, so no right row is missed)
+          // advanced, so no right row is missed regardless of where the
+          // direction's null ordering placed this row in the run
           resultProj(joined(lrow, nullRight))
         } else {
           // drop right rows ordered strictly before this key (their key
@@ -165,7 +178,7 @@ case class AsOfJoinExec(
           // null time, which can match nothing and must not block the
           // run), keeping the last valid one
           while (rNext != null && keyOrd.compare(rNextKey, lKey) == 0 &&
-            (rNextTime.anyNull || timeOrd.compare(rNextTime, lTime) <= 0)) {
+            (rNextTime.anyNull || timeCmp(rNextTime, lTime) <= 0)) {
             if (!rNextTime.anyNull) {
               cur = rNext.copy(); curKey = rNextKey.copy()
             }
@@ -187,6 +200,11 @@ object AsOfJoin {
     * greatest `rightTimeCol` `<=` `leftTimeCol` (null right columns when
     * no such row). Both time columns must share one orderable type.
     *
+    * A match-window TOLERANCE (pandas merge_asof's `tolerance`) is a
+    * caller-side post-filter, not an operator knob: the matched right
+    * time is in the output, so `when(lt - rt <= tol, rcol)` re-nulls
+    * too-old matches without touching the merge.
+    *
     * The right side is re-aliased when the two plans share attribute
     * ids (self-source as-of — e.g. two filters of one table): Catalyst's
     * DeduplicateRelations only knows stock nodes, so the wrapper makes
@@ -194,7 +212,23 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame,
                leftOn: Seq[String], rightOn: Seq[String],
-               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+               leftTimeCol: String, rightTimeCol: String): DataFrame =
+    build(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol, forward = false)
+
+  /** Forward as-of left join: the EARLIEST right row with equal keys and
+    * `rightTimeCol >= leftTimeCol` — "the next event at or after" (the
+    * other direction feature stores and event-attribution pipelines
+    * need; pandas merge_asof direction='forward').
+    */
+  def forward(left: DataFrame, right: DataFrame,
+              leftOn: Seq[String], rightOn: Seq[String],
+              leftTimeCol: String, rightTimeCol: String): DataFrame =
+    build(left, right, leftOn, rightOn, leftTimeCol, rightTimeCol, forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+                    leftOn: Seq[String], rightOn: Seq[String],
+                    leftTimeCol: String, rightTimeCol: String,
+                    forward: Boolean): DataFrame = {
     require(leftOn.nonEmpty && leftOn.size == rightOn.size,
       s"as-of join needs matching non-empty key lists: $leftOn vs $rightOn")
     val lPlan = left.queryExecution.analyzed
@@ -215,6 +249,6 @@ object AsOfJoin {
     lk.zip(rk).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"as-of key types must match: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}") }
-    Bridge.ofRows(left.sparkSession, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+    Bridge.ofRows(left.sparkSession, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, forward))
   }
 }

@@ -1462,7 +1462,37 @@ object Relational {
                ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
         FROM orders
         ORDER BY o_orderkey"""),
-      doc = "Global row numbering at scale: ROW_NUMBER over a total order computed with the two-phase distributed prefix sum (range buckets from key quantiles, parallel per-bucket windows, driver-side O(buckets) offsets) — bit-equal to the oracle's single-task global window while never funneling rows through one partition; the stable example-id assignment for packed corpora.")
+      doc = "Global row numbering at scale: ROW_NUMBER over a total order computed with the two-phase distributed prefix sum (range buckets from key quantiles, parallel per-bucket windows, driver-side O(buckets) offsets) — bit-equal to the oracle's single-task global window while never funneling rows through one partition; the stable example-id assignment for packed corpora."),
+
+    Q(
+      "q164_asof_forward",
+      (s, d) => {
+        import s.implicits._
+        // The FORWARD direction of the native as-of operator: each click
+        // to the user's NEXT error at-or-after it — same exec as q162
+        // with time-descending runs and a negated comparator (one flag,
+        // plans/AsOfJoin.scala), pinned against DuckDB's ASOF LEFT JOIN
+        // with the inequality flipped (l.ts <= r.ts picks the smallest
+        // right time >= left). Together q34/q162/q164 cover both as-of
+        // directions with three independent implementations.
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val errors = ev.filter($"event_type" === "error")
+          .select($"event_id".as("error_id"), $"user_id".as("e_user"), $"ts".as("e_ts"))
+        graft.plans.AsOfJoin.forward(clicks, errors,
+            leftOn = Seq("user_id"), rightOn = Seq("e_user"),
+            leftTimeCol = "ts", rightTimeCol = "e_ts")
+          .select($"event_id", $"user_id", $"error_id".as("next_error_id"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT c.event_id, c.user_id, e.event_id AS next_error_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND c.ts <= e.ts
+        ORDER BY c.event_id"""),
+      doc = "Forward as-of join (each click to the user's next error at-or-after): the native sorted-merge exec's other direction — time-descending runs + one negated comparator — vs DuckDB's ASOF LEFT JOIN with the flipped inequality; inclusive >= boundary pinned by AsOfJoinSpec.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)

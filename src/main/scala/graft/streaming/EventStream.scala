@@ -326,6 +326,56 @@ object EventStream {
   private def microsOf(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  case class AsOfState(lastClickT: Long, lastClickId: Long)
+  case class AsOfRow(event_id: Long, user_id: Long, prior_click_id: java.lang.Long)
+
+  /** STREAMING AS-OF attribution — the batch as-of join (q34 composed /
+    * q162 native exec) as per-user flatMapGroupsWithState: state is the
+    * user's latest click (two longs), and every error arriving emits ONE
+    * append-mode row carrying the most recent prior click id (null when
+    * none yet). Within a micro-batch events replay in (micros, kind,
+    * event_id) order with clicks at kind 0 — the exact tie rule of the
+    * batch window (a click at the same micros as an error matches it,
+    * rt <= lt inclusive). Output is bounded by the ERROR rate — no
+    * per-click fan-out, no join state horizon: where a stream-stream
+    * join would buffer both sides within a watermark, the as-of shape
+    * needs only the last click per user, ever. In-order delivery
+    * reproduces the batch join exactly (StreamingSpec pins equality
+    * over chunked delivery); the late-data policy is [[ewmaPerUser]]'s:
+    * a click older than the stored one is dropped (monotone guard), an
+    * error is attributed against the state AS OF its arrival — stale
+    * attribution, never a crash, and production bounds reordering with
+    * an upstream watermark buffer.
+    */
+  def asofPerUser(events: Dataset[Event]): Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsOfState]) => {
+          var st = state.getOption.getOrElse(AsOfState(Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfRow]
+          batch.toSeq
+            .sortBy(e => (microsOf(e.ts), if (e.event_type == "click") 0L else 1L, e.event_id))
+            .foreach { e =>
+              val t = microsOf(e.ts)
+              e.event_type match {
+                case "click" =>
+                  if (t > st.lastClickT ||
+                    (t == st.lastClickT && e.event_id > st.lastClickId))
+                    st = AsOfState(t, e.event_id)
+                case "error" =>
+                  out += AsOfRow(e.event_id, userId,
+                    if (st.lastClickId == Long.MinValue) null
+                    else java.lang.Long.valueOf(st.lastClickId))
+                case _ => ()
+              }
+            }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   case class EwmaState(lastT: Long, lastI: Long, ewma: Long, n: Long)
   case class EwmaRow(user_id: Long, n_events: Long, ewma_cents: Long)
 

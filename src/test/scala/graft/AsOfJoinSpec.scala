@@ -114,6 +114,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == reference(lref, rref))
   }
 
+  test("forward as-of equals its brute-force reference and pins the >= boundary") {
+    import spark.implicits._
+    val leftRows = for (i <- 0L until 200L) yield (i, i % 7, (i * 13) % 101)
+    val rightRows = for (j <- 0L until 150L) yield (j + 1000, j % 5, (j * 17) % 101)
+    val l = leftRows.toDF("lid", "k", "t")
+    val r = rightRows.toDF("rid", "rk", "rt")
+    val got = AsOfJoin.forward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"lid", $"rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+    val exp = leftRows.map { case (lid, lk, lt) =>
+      val best = rightRows.filter { case (_, rk, rt) => rk == lk && rt >= lt }
+        .sortBy(r => (r._3, r._1)).headOption
+      (lid, best.map(_._1))
+    }.toSet
+    assert(rightRows.groupBy(r => (r._2, r._3)).forall(_._2.size == 1))
+    assert(got == exp)
+    assert(exp.exists(_._2.isEmpty) && exp.exists(_._2.nonEmpty))
+    // boundary: equal time matches in the forward direction too
+    val lb = Seq((1L, 3L, 50L)).toDF("lid", "k", "t")
+    val rb = Seq((9L, 3L, 50L)).toDF("rid", "rk", "rt")
+    val b = AsOfJoin.forward(lb, rb, Seq("k"), Seq("rk"), "t", "rt").select($"rid").collect()
+    assert(b.length == 1 && b(0).getLong(0) == 9L)
+  }
+
+  test("forward null pins: null-time rows sort LAST under Descending and still don't block") {
+    import spark.implicits._
+    val l = Seq((1L, Some(5L), Some(50L)), (2L, Some(5L), None)).toDF("lid", "k", "t")
+    val r = Seq((70L, Some(5L), None), (71L, Some(5L), Some(60L)), (72L, None, Some(1L)))
+      .toDF("rid", "rk", "rt")
+    val got = AsOfJoin.forward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"lid", $"rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(71L), 2L -> None))
+  }
+
   test("API misuse fails loudly: missing column, mismatched key types") {
     import spark.implicits._
     val l = Seq((1L, 2L, 3L)).toDF("lid", "k", "t")

@@ -257,6 +257,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution (flatMapGroupsWithState) EQUALS the q34 batch as-of join across chunked in-order delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.asofPerUser(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // append mode: each error emitted exactly once, in its batch
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val batch = SparkEntry.queries("q34_asof_join")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == batch,
+        s"streaming as-of diverged from the batch join: ${got.size} vs ${batch.size} errors")
+      assert(got.nonEmpty && got.exists(_._3 == -1L) && got.exists(_._3 >= 0L),
+        "fixture should exercise both attributed and unattributed errors")
+      // exactly-once per error: no duplicate emission across batches
+      assert(spark.table("asof_stream").count() == got.size)
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT OUTER join: unmatched purchase emits its null row once the watermark proves no click can arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
