@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.graft.Bridge
 
 /** Native sorted-merge AS-OF join — the whole-operator Catalyst extension
@@ -107,6 +108,14 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // UI/diagnosability parity with the stock join execs: output cardinality
+  // (= left cardinality, the as-of invariant) and how many rows matched —
+  // a sudden match-rate drop is the operator's main production symptom
+  // (clock skew, key drift) and should be readable off the SQL tab
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -121,6 +130,8 @@ case class AsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
@@ -164,6 +175,7 @@ case class AsOfJoinExec(
       lIter.map { lrow =>
         val lKey = lKeyProj(lrow)
         val lTime = lTimeProj(lrow)
+        numOutputRows += 1
         if (lKey.anyNull || lTime.anyNull) {
           // null left key/time matches nothing; the right cursor is NOT
           // advanced, so no right row is missed regardless of where the
@@ -185,6 +197,7 @@ case class AsOfJoinExec(
             advanceRight()
           }
           val matched = cur != null && keyOrd.compare(curKey, lKey) == 0
+          if (matched) numMatchedRows += 1
           resultProj(joined(lrow, if (matched) cur else nullRight))
         }
       }

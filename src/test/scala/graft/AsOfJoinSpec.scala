@@ -149,6 +149,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(71L), 2L -> None))
   }
 
+  test("degenerate inputs: empty right side -> all misses; empty left -> empty result") {
+    import spark.implicits._
+    val l = Seq((1L, 2L, 3L), (2L, 2L, 9L)).toDF("lid", "k", "t")
+    val r = Seq.empty[(Long, Long, Long)].toDF("rid", "rk", "rt")
+    val allMiss = AsOfJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"lid", $"rid").collect()
+    assert(allMiss.length == 2 && allMiss.forall(_.isNullAt(1)))
+    val none = AsOfJoin.backward(r.toDF("lid", "k", "t"), l.toDF("rid", "rk", "rt"),
+      Seq("k"), Seq("rk"), "t", "rt").collect()
+    assert(none.isEmpty)
+  }
+
   test("API misuse fails loudly: missing column, mismatched key types") {
     import spark.implicits._
     val l = Seq((1L, 2L, 3L)).toDF("lid", "k", "t")
