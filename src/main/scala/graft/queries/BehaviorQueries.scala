@@ -1365,6 +1365,107 @@ object BehaviorQueries {
         GROUP BY bucket, bucket_shift
         ORDER BY bucket, bucket_shift"""),
       doc = "width_bucket equal-width histogram conformance: Spark's evaluation replayed as oracle arithmetic — below/above-range sentinels (0, n+1) and the exact (v−lo)/width+1 IEEE formula pinned (the algebraically-equal (v−lo)·n/(hi−lo) rounds differently); map-side integer bucketing + one groupBy, the no-sort histogram shape for 100 TB profiling.")
+  ,
+
+    Q(
+      "q166_lead_lag",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Offset-window kernel conformance, completing the family (q143
+        // covers last(ignoreNulls) forward fill): lead with an explicit
+        // DEFAULT (the missing-next sentinel), plain lag, lag IGNORE
+        // NULLS (most recent prior non-null — the event-stream "last
+        // good reading" kernel), and nth_value over the running frame.
+        // All offsets ride ONE window spec — one shuffle on user_id,
+        // one sort; the ordering key is the full unique (ts, event_id)
+        // so every offset is tie-free.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sv = when($"event_type" === "error", lit(null).cast("long"))
+          .otherwise($"event_id")
+        Tables.events(s, d)
+          .select($"event_id", $"user_id",
+            lead($"event_id", 2, -1L).over(w).as("lead2"),
+            lag($"event_id", 1).over(w).as("lag1"),
+            lag(sv, 1, null, ignoreNulls = true).over(w).as("lag_nn"),
+            nth_value($"event_id", 2).over(wRun).as("nth2"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               LEAD(event_id, 2, -1) OVER w AS lead2,
+               LAG(event_id, 1) OVER w AS lag1,
+               LAG(CASE WHEN event_type = 'error' THEN NULL ELSE event_id END
+                   IGNORE NULLS) OVER w AS lag_nn,
+               NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id"""),
+      doc = "Offset-window kernels on one window spec: lead with explicit default, lag, lag IGNORE NULLS (most recent prior non-null — the last-good-reading kernel), nth_value over the running frame; full unique ordering key so every offset is tie-free, one shuffle + one sort total.")
+  ,
+
+    Q(
+      "q167_explode_outer",
+      (s, d) => {
+        import s.implicits._
+        // OUTER generator semantics: plain explode DROPS rows whose
+        // array is empty — silently losing every document without a hit,
+        // the classic fan-out bug in extraction pipelines — while
+        // posexplode_outer keeps them as a single (null pos, null value)
+        // row. The array is the per-doc 'data' hit list (filter HOF), so
+        // both branches occur on real rows; pos rides along to pin
+        // 0-based ordinality. Oracle: LEFT JOIN LATERAL over zipped
+        // UNNESTs (DuckDB's plain UNNEST also drops empties — the same
+        // trap, the same explicit-outer fix).
+        Tables.documents(s, d)
+          .select($"doc_id",
+            posexplode_outer(expr("filter(split(text, ' '), x -> x = 'data')")))
+          .select($"doc_id", $"pos".cast("long").as("tok_pos"), $"col".as("tok"))
+          .orderBy($"doc_id", $"tok_pos")
+      },
+      Some("""
+        SELECT doc_id, CAST(u.p AS BIGINT) AS tok_pos, u.x AS tok
+        FROM documents
+        LEFT JOIN LATERAL (
+          SELECT UNNEST(generate_series(0, LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                                           t -> t = 'data')) - 1)) AS p,
+                 UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = 'data')) AS x) u
+          ON TRUE
+        ORDER BY doc_id, tok_pos"""),
+      doc = "Outer-generator conformance: posexplode_outer keeps empty-array rows as (null, null) where plain explode silently drops the document — the fan-out row-loss trap; 0-based ordinality pinned, oracle replays via LEFT JOIN LATERAL zipped UNNESTs.")
+  ,
+
+    Q(
+      "q168_pad_format",
+      (s, d) => {
+        import s.implicits._
+        // String padding + printf-style formatting kernels: fixed-width
+        // key rendering (lpad/rpad incl. the truncate-when-longer edge)
+        // and format_string (Java Formatter) vs DuckDB printf (C-style)
+        // on the conservative shared subset — %s, zero-padded %0Nd,
+        // fixed %.2f on exactly-representable halves. Pure codegen
+        // scalar pipeline, one scan.
+        Tables.customer(s, d)
+          .select($"c_custkey",
+            lpad($"c_name", 25, "*").as("lp"),
+            rpad($"c_name", 25, "-").as("rp"),
+            lpad($"c_mktsegment", 4, "#").as("lp_trunc"),
+            format_string("%s=%05d", $"c_mktsegment", $"c_custkey" % 10000).as("fmt"),
+            format_string("%.2f", ($"c_custkey" % 8).cast("double") / 2.0).as("fmt_f"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               LPAD(c_name, 25, '*') AS lp,
+               RPAD(c_name, 25, '-') AS rp,
+               LPAD(c_mktsegment, 4, '#') AS lp_trunc,
+               PRINTF('%s=%05d', c_mktsegment, c_custkey % 10000) AS fmt,
+               PRINTF('%.2f', CAST(c_custkey % 8 AS DOUBLE) / 2.0) AS fmt_f
+        FROM customer
+        ORDER BY c_custkey"""),
+      doc = "Padding + formatting kernels: lpad/rpad with fill chars incl. truncate-when-longer, and Java-Formatter format_string vs C-printf on the shared-safe subset (%s, %0Nd, %.2f over exact binary halves) — fixed-width render drift is a hash mismatch.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax

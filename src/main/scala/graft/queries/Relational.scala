@@ -148,6 +148,20 @@ object Relational {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Shared verbatim GROUP BY ALL / ORDER BY ALL string (q169): the
+    * modern SQL sugar both engines resolve to the non-aggregate output
+    * columns — a resolution-rule conformance pin, not just syntax (a
+    * drift in which columns ALL selects changes every group). ORDER BY
+    * ALL totally orders here because n is functionally determined by
+    * the group columns.
+    */
+  private val GroupByAllQuery: String = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL"""
+
   val queries: Seq[Q] = Seq(
     Q(
       "q01_pricing_summary",
@@ -1492,7 +1506,44 @@ object Relational {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON c.user_id = e.user_id AND c.ts <= e.ts
         ORDER BY c.event_id"""),
-      doc = "Forward as-of join (each click to the user's next error at-or-after): the native sorted-merge exec's other direction — time-descending runs + one negated comparator — vs DuckDB's ASOF LEFT JOIN with the flipped inequality; inclusive >= boundary pinned by AsOfJoinSpec.")
+      doc = "Forward as-of join (each click to the user's next error at-or-after): the native sorted-merge exec's other direction — time-descending runs + one negated comparator — vs DuckDB's ASOF LEFT JOIN with the flipped inequality; inclusive >= boundary pinned by AsOfJoinSpec."),
+
+    Q(
+      "q165_pivot_api",
+      (s, d) => {
+        import s.implicits._
+        // The RelationalGroupedDataset.pivot API proper — q30 computes
+        // the same numbers via manual conditional aggregation; this row
+        // exercises Spark's dedicated pivot path (PivotFirst/two-phase
+        // aggregate with the pivot values compiled into the plan).
+        // Values are listed EXPLICITLY: the values-discovering overload
+        // adds a driver-side distinct scan, the classic pivot scale
+        // trap, and an unlisted late value would silently widen the
+        // schema. Absent (priority, status) combos surface as NULL from
+        // pivot-count but 0 from the oracle's COUNT(CASE) — na.fill
+        // pins that documented mismatch.
+        Tables.orders(s, d)
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      doc = "Dedicated pivot API (RelationalGroupedDataset.pivot with explicit values — the discovering overload adds a driver distinct scan, the pivot scale trap) vs the oracle's conditional aggregation; pivot's NULL-for-absent-combo vs COUNT(CASE)'s 0 pinned via fill."),
+
+    Q(
+      "q169_group_by_all",
+      (s, d) => SqlSurface.sql(s, d, GroupByAllQuery),
+      Some(GroupByAllQuery),
+      doc = "GROUP BY ALL / ORDER BY ALL as one verbatim ANSI string — both engines must resolve ALL to the same non-aggregate output columns (a resolution-rule pin: a drift in what ALL selects changes every group), with the exact-decimal revenue sum riding along.")
   )
 
   private def spark_table(s: SparkSession, name: String): DataFrame = s.table(name)
