@@ -149,6 +149,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some(71L), 2L -> None))
   }
 
+  test("hot key: 1e5 rows on ONE key both sides streams through in constant state") {
+    import spark.implicits._
+    // the merge holds one right row regardless of group size — a hot key
+    // is a time concentration, never a memory one. Deterministic check:
+    // left t = 2i matches right t = 2i (equal) -> rid = i exactly
+    val l = (0L until 100000L).map(i => (i, 1L, 2 * i)).toDF("lid", "k", "t")
+    val r = (0L until 100000L).map(j => (j, 1L, 2 * j)).toDF("rid", "rk", "rt")
+    val got = AsOfJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select($"lid", $"rid").collect()
+    assert(got.length == 100000)
+    assert(got.forall(x => !x.isNullAt(1) && x.getLong(1) == x.getLong(0)),
+      "each left row must match the equal-time right row")
+  }
+
   test("degenerate inputs: empty right side -> all misses; empty left -> empty result") {
     import spark.implicits._
     val l = Seq((1L, 2L, 3L), (2L, 2L, 9L)).toDF("lid", "k", "t")
