@@ -1466,6 +1466,114 @@ object BehaviorQueries {
         FROM customer
         ORDER BY c_custkey"""),
       doc = "Padding + formatting kernels: lpad/rpad with fill chars incl. truncate-when-longer, and Java-Formatter format_string vs C-printf on the shared-safe subset (%s, %0Nd, %.2f over exact binary halves) — fixed-width render drift is a hash mismatch.")
+  ,
+
+    Q(
+      "q170_like_escape",
+      (s, d) => {
+        import s.implicits._
+        // LIKE-family conformance: wildcard _ vs an ESCAPED literal
+        // underscore (the discriminating row pair is synthesized so half
+        // the rows contain a real '_' and half a plain char — the
+        // escaped pattern must split them while the unescaped one
+        // matches both), case-insensitive ILIKE, NOT LIKE, and a
+        // %-infix. Verbatim SQL predicates through expr() so the text
+        // is the same the oracle runs.
+        val probe = when($"c_custkey" % 2 === 0, lit("A_B")).otherwise(lit("AXB"))
+        Tables.customer(s, d)
+          .withColumn("probe", probe)
+          .select($"c_custkey",
+            expr("probe LIKE 'A$_B' ESCAPE '$'").cast("long").as("esc_us"),
+            expr("probe LIKE 'A_B'").cast("long").as("wild_us"),
+            expr("c_mktsegment ILIKE 'build%'").cast("long").as("ilike_pre"),
+            expr("c_name NOT LIKE '%99%'").cast("long").as("not_like"),
+            expr("c_name LIKE '%000_2%'").cast("long").as("infix"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CAST(probe LIKE 'A$_B' ESCAPE '$' AS BIGINT) AS esc_us,
+               CAST(probe LIKE 'A_B' AS BIGINT) AS wild_us,
+               CAST(c_mktsegment ILIKE 'build%' AS BIGINT) AS ilike_pre,
+               CAST(c_name NOT LIKE '%99%' AS BIGINT) AS not_like,
+               CAST(c_name LIKE '%000_2%' AS BIGINT) AS infix
+        FROM (SELECT *, CASE WHEN c_custkey % 2 = 0 THEN 'A_B' ELSE 'AXB' END AS probe
+              FROM customer) t
+        ORDER BY c_custkey"""),
+      doc = "LIKE-family conformance: ESCAPE'd literal underscore vs the _ wildcard on a synthesized discriminating pair (escaped pattern splits the rows, unescaped matches both), ILIKE case folding, NOT LIKE, %-infix — verbatim predicate text both engines.")
+  ,
+
+    Q(
+      "q171_base64_hex",
+      (s, d) => {
+        import s.implicits._
+        // Binary <-> text transport kernels: base64 and hex are how
+        // binary media/sketch columns cross JSON APIs and text logs.
+        // Padding and alphabet pinned via full-document base64, hex of
+        // UTF-8 bytes, and both ROUND TRIPS decoded back to the source
+        // string (a decode drift surfaces as a corrupted round trip,
+        // not just a different rendering). FOUND DIVERGENCE, pinned:
+        // Spark base64 emits MIME-CHUNKED output (CRLF every 76 chars,
+        // java.util.Base64 MIME encoder) where DuckDB TO_BASE64 is
+        // unwrapped — normalized by stripping CRLF Spark-side; the
+        // round trip below decodes the CHUNKED form, proving unbase64
+        // accepts both shapes.
+        Tables.documents(s, d)
+          .select($"doc_id",
+            regexp_replace(base64($"text".cast("binary")), "\r\n", "").as("b64"),
+            unbase64(base64($"text".cast("binary"))).cast("string").as("b64_rt"),
+            hex(substring($"text", 1, 8)).as("hx"),
+            unhex(hex(substring($"text", 1, 8))).cast("string").as("hx_rt"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               TO_BASE64(CAST(text AS BLOB)) AS b64,
+               CAST(FROM_BASE64(TO_BASE64(CAST(text AS BLOB))) AS VARCHAR) AS b64_rt,
+               HEX(SUBSTRING(text, 1, 8)) AS hx,
+               CAST(UNHEX(HEX(SUBSTRING(text, 1, 8))) AS VARCHAR) AS hx_rt
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "base64/hex transport kernels with both round trips: alphabet, padding, and byte fidelity pinned over full documents — the binary-column-over-text-channel path every sketch store and media API uses. Found divergence, pinned: Spark base64 is MIME-chunked (CRLF/76 chars) vs DuckDB unwrapped — stripped Spark-side, with the round trip decoding the chunked form.")
+  ,
+
+    Q(
+      "q172_greatest_least",
+      (s, d) => {
+        import s.implicits._
+        // greatest/least null semantics: BOTH engines SKIP nulls
+        // (greatest(1, NULL, 3) = 3) and return NULL only when every
+        // argument is null — unlike binary comparisons where null
+        // poisons. The CASE-built null arguments hit the skip path on
+        // 1/3 of rows and the all-null path on a deterministic subset.
+        val a = ($"o_orderkey" % 97).cast("long")
+        val b = ($"o_orderkey" % 89).cast("long")
+        val nA = when($"o_orderkey" % 3 === 0, lit(null).cast("long")).otherwise(a)
+        val nB = when($"o_orderkey" % 3 =!= 1, lit(null).cast("long")).otherwise(b)
+        Tables.orders(s, d)
+          .select($"o_orderkey",
+            greatest(a, b, nA).as("g_skip"),
+            least(a, b, nA).as("l_skip"),
+            greatest(nA, nB).as("g_two_null"),
+            least(nA, nB).as("l_two_null"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               GREATEST(a, b, na) AS g_skip,
+               LEAST(a, b, na) AS l_skip,
+               GREATEST(na, nb) AS g_two_null,
+               LEAST(na, nb) AS l_two_null
+        FROM (SELECT o_orderkey,
+                     CAST(o_orderkey % 97 AS BIGINT) AS a,
+                     CAST(o_orderkey % 89 AS BIGINT) AS b,
+                     CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                          ELSE CAST(o_orderkey % 97 AS BIGINT) END AS na,
+                     CASE WHEN o_orderkey % 3 != 1 THEN NULL
+                          ELSE CAST(o_orderkey % 89 AS BIGINT) END AS nb
+              FROM orders) t
+        ORDER BY o_orderkey"""),
+      doc = "greatest/least null-skipping conformance: nulls are ignored (not poisoning) in both engines, all-null yields NULL — pinned on CASE-built null arguments hitting the skip path and the all-null path on deterministic row subsets.")
   )
 
   /** Shared verbatim window-function string (q113): identical ANSI syntax
