@@ -545,6 +545,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((2L, 3.0), (1L, 4.0)))
   }
 
+  test("streaming session_window EQUALS the q156 batch sessionization once the watermark closes every session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val q = EventStream.sessionWindowAgg(input.toDS().toDF(), "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("session_stream").start()
+    try {
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // append mode emits a session only when the watermark passes its
+      // end (last event + gap): a far-future sentinel for a user id no
+      // real row uses pushes the watermark past every real session; the
+      // sentinel's own session stays open and is never emitted
+      val maxTs = all.map(_.ts.getTime).max
+      input.addData(Seq(EventStream.Event(-1L,
+        new java.sql.Timestamp(maxTs + 86400L * 1000), -1L, "click", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("session_stream").filter($"user_id" >= 0)
+        .select($"user_id", unix_micros($"session_start").as("s"),
+          unix_micros($"session_end").as("e"), $"n_events", $"total_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val batch = SparkEntry.queries("q156_session_windows")(spark, sf)
+        .select($"user_id", $"session_start_us", $"session_end_us",
+          $"n_events", $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == batch,
+        s"streaming sessions diverged from batch: ${got.size} vs ${batch.size}")
+      assert(got.size > 100, "fixture should produce many sessions")
+    } finally q.stop()
+  }
+
   test("streaming sketch distinct (HLL + bitmap) equals batch, chunked across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
