@@ -259,6 +259,10 @@ object AsOfJoin {
       s"as-of time columns must share a type: ${lt.dataType} vs ${rt.dataType}")
     val lk = leftOn.map(attr(lPlan, _, "left"))
     val rk = rightOn.map(attr(rPlan, _, "right"))
+    // fail at CONSTRUCTION, not mid-job: the merge orders keys and times
+    // with natural row ordering, which e.g. a map-typed column lacks
+    (lk :+ lt).foreach(a => require(RowOrdering.isOrderable(a.dataType),
+      s"as-of key/time column '${a.name}' has unorderable type ${a.dataType}"))
     lk.zip(rk).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"as-of key types must match: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}") }

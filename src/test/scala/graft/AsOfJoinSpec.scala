@@ -186,5 +186,11 @@ class AsOfJoinSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       AsOfJoin.backward(l, rStr, Seq("k"), Seq("rk"), "t", "rt"))
     assert(e2.getMessage.contains("key types must match"))
+    // unorderable key type fails at construction, not mid-job
+    val lMap = l.withColumn("k", map(lit("a"), $"k"))
+    val rMap = r.withColumn("rk", map(lit("a"), $"rk"))
+    val e3 = intercept[IllegalArgumentException](
+      AsOfJoin.backward(lMap, rMap, Seq("k"), Seq("rk"), "t", "rt"))
+    assert(e3.getMessage.contains("unorderable"))
   }
 }
