@@ -175,6 +175,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("property: both directions equal the brute-force reference on random tie-free inputs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // each trial is a pair of Spark jobs — keep the trial count modest;
+    // the deterministic suites above cover the named edges, this sweeps
+    // the space (random key skew, empty sides, all-miss, all-match)
+    val pairs = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 60L)))
+    val prop = Prop.forAll(pairs, pairs) { (lRaw, rRaw) =>
+      // right side must be (key, time)-unique or the matched rid is
+      // ambiguous by spec; left may tie freely
+      val rSet = rRaw.distinct
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRows = rSet.zipWithIndex.map { case ((k, t), j) => (j + 1000L, k, t) }
+      val l = lRows.toDF("lid", "k", "t")
+      val r = rRows.toDF("rid", "rk", "rt")
+      def run(fwd: Boolean) = {
+        val df = if (fwd) AsOfJoin.forward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+          else AsOfJoin.backward(l, r, Seq("k"), Seq("rk"), "t", "rt")
+        df.select($"lid", $"rid").collect()
+          .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+      }
+      def ref(fwd: Boolean) = lRows.map { case (lid, lk, lt) =>
+        val cands = rRows.filter { case (_, rk, rt) =>
+          rk == lk && (if (fwd) rt >= lt else rt <= lt) }
+        val best = if (fwd) cands.sortBy(c => (c._3, c._1)).headOption
+          else cands.sortBy(c => (c._3, c._1)).lastOption
+        (lid, best.map(_._1))
+      }.toSet
+      run(fwd = false) == ref(fwd = false) && run(fwd = true) == ref(fwd = true)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("API misuse fails loudly: missing column, mismatched key types") {
     import spark.implicits._
     val l = Seq((1L, 2L, 3L)).toDF("lid", "k", "t")
