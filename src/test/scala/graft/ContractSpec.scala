@@ -56,6 +56,15 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("compact bench keys (bare query numbers) stay unique across the registry") {
+    // Bench.shortKey strips "qNN_suffix" to "NN"; two queries sharing a
+    // number would silently merge into one compact-line entry and the
+    // driver's BENCH artifact would drop a row
+    val keys = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_').stripPrefix("q"))
+    val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate compact bench keys: ${dups.mkString(", ")}")
+  }
+
   test("Bench's compact stdout line stays inside the driver's 2000-char tail capture") {
     // The driver parses the LAST stdout line from a 2000-char tail (NOTES
     // rule 12). The compact line is {"metric":...,"queries":{"qNN":X.X,...}}
