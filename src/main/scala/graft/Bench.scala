@@ -166,7 +166,9 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val totalMin = results
         .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
+      // one-decimal headline values here (1 ms precision stays in the
+      // detail line): 8 banked chars = nearly one more query row slot
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
     }
     // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
     // bench artifact because the driver killed a contended window before

@@ -139,6 +139,8 @@ object AnalyticsQueries {
     ssspCache.clear()
     kcoreCache.values.foreach(graft.operators.Lineage.release)
     kcoreCache.clear()
+    bm25Cache.values.foreach(_._1.unpersist())
+    bm25Cache.clear()
   }
 
   // 20-core of the co-occurrence graph per (session, dir) — q142's
@@ -152,6 +154,35 @@ object AnalyticsQueries {
         graft.operators.PageRank.bothWays(coEdges(s, d)), k = 20)
     })
   }
+
+  // BM25 retrieval index per (session, dir): the FULL (uncapped) tf
+  // posting lists with the per-doc token length folded in, plus the two
+  // control-plane scalars (N = corpus docs, L = total tokens). Same
+  // artifact discipline as keptTf: a deployment persists the inverted
+  // index + doc-length table next to the corpus; N and L are one-row
+  // catalog statistics, not per-query scans. The per-doc length window
+  // partitions by doc_id — group size is bounded by the doc's distinct
+  // tokens, never the corpus.
+  private val bm25Cache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), (DataFrame, Long, Long)]
+  private def bm25Index(s: SparkSession, d: String): (DataFrame, Long, Long) =
+    synchronized {
+      bm25Cache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("token"))
+          .filter($"token" =!= "")
+          .groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("tf"))
+        val idx = tf
+          .withColumn("len", sum($"tf").over(Window.partitionBy($"doc_id")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = docs.count()
+        val l = idx.agg(sum($"tf")).head().getLong(0)
+        (idx, n, l)
+      })
+    }
 
   /** Unrolled parallel-peel oracle for q142: level i keeps nodes with
     * ≥ k neighbors inside level i−1's induced subgraph. MATERIALIZED is
@@ -239,6 +270,70 @@ object AnalyticsQueries {
         WHERE CAST(dot AS DOUBLE) / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= 0.6
         ORDER BY doc_a, doc_b"""),
       doc = "TF-weighted cosine similarity join via a df-capped inverted index: stop-token posting lists pruned before the self-join bound candidates at (N/10)·Σdf; integer dot/norms make the double cosine bit-identical cross-engine."),
+
+    Q(
+      "q173_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        // BM25 top-k retrieval (k1=1.2, b=0.75) over the persisted
+        // inverted index — the ranking stage every retrieval-augmented
+        // data pipeline runs after candidate generation. Exactness
+        // discipline: ln is NOT cross-engine bit-stable, so the idf is a
+        // FIXED-POINT log2 computed entirely in integer arithmetic —
+        // Robertson's idf ln((N-df+0.5)/(df+0.5)+1) simplifies to
+        // ln((N+1)/(df+0.5)), and milli_log2(x) for x=(2N+2)*1024 div
+        // (2df+1) is (bitlen(x)-1)*1000 + linear-interp frac from a
+        // shift: bitlen via bin() here / printf('%b') in DuckDB. The
+        // variant is monotone in the true idf (documented, spec-bounded
+        // |err| <= 87 milli-bits) and makes every score an exact BIGINT
+        // both engines agree on bitwise. Scale shape: the term filter
+        // prunes posting lists at the index scan (predicate pushdown on
+        // the artifact), idf is a 3-row broadcast, and the top-k is
+        // TakeOrderedAndProject (per-partition heaps, no global sort).
+        val terms = Seq("dup", "spark", "window")
+        val (idx, n, l) = bm25Index(s, d)
+        val hits = idx.filter($"token".isin(terms: _*))
+        val idf = hits.groupBy($"token").agg(count(lit(1)).as("df"))
+          .withColumn("x", expr(s"(${2 * n + 2}L * 1024L) div (2L * df + 1L)"))
+          .select($"token", expr(
+            "(length(bin(x)) - 1) * 1000" +
+              " + shiftright(x * 1000L, length(bin(x)) - 1) - 11000").as("idf_milli"))
+        hits.join(broadcast(idf), "token")
+          .select($"doc_id", expr(
+            s"(idf_milli * 22L * tf * ${l}L)" +
+              s" div (10L * ${l}L * tf + ${3 * l}L + 9L * len * ${n}L)").as("contrib"))
+          .groupBy($"doc_id")
+          .agg(sum($"contrib").as("score"), count(lit(1)).as("n_terms"))
+          .orderBy($"score".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+                FROM documents) u
+          WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        len AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+        nl AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT COUNT(*) FROM tok) AS l),
+        hits AS (SELECT * FROM tf WHERE token IN ('dup', 'spark', 'window')),
+        dfs AS (SELECT token, COUNT(*) AS df FROM hits GROUP BY token),
+        idf AS (
+          SELECT token,
+                 (LENGTH(PRINTF('%b', x)) - 1) * 1000
+                   + ((x * 1000) >> (LENGTH(PRINTF('%b', x)) - 1)) - 11000 AS idf_milli
+          FROM (SELECT token, (2 * n + 2) * 1024 // (2 * df + 1) AS x FROM dfs, nl) q
+        )
+        SELECT h.doc_id,
+               CAST(SUM((i.idf_milli * 22 * h.tf * nl.l)
+                 // (10 * nl.l * h.tf + 3 * nl.l + 9 * le.len * nl.n)) AS BIGINT) AS score,
+               COUNT(*) AS n_terms
+        FROM hits h JOIN len le USING (doc_id) JOIN idf i USING (token), nl
+        GROUP BY h.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20"""),
+      doc = "BM25 top-k retrieval (k1=1.2, b=0.75) over the persisted inverted index with a fixed-point integer log2 idf (bitlen + shift interpolation; ln((N+1)/(df+0.5)) identity): every score is an exact BIGINT so both engines agree bitwise, term filters push into the index scan, the 3-row idf table broadcasts, and top-k is per-partition heaps (TakeOrderedAndProject) — never a global sort."),
 
     Q(
       "q77_table_diff",

@@ -528,6 +528,39 @@ object CurationQueries {
         FROM rated
         GROUP BY source
         ORDER BY source"""),
-      doc = "Deterministic source-mixture sampling (pretraining mix): per-source target rates (900/600/300/100 permille by source class), keep/drop a pure function of (doc_id, seed) via the q90 mid-square integer mixer mod 1000 — replays bit-for-bit across engines and partitionings, embarrassingly parallel row filter; the audit aggregation emits per-source kept/total so mix drift is a hash mismatch.")
+      doc = "Deterministic source-mixture sampling (pretraining mix): per-source target rates (900/600/300/100 permille by source class), keep/drop a pure function of (doc_id, seed) via the q90 mid-square integer mixer mod 1000 — replays bit-for-bit across engines and partitionings, embarrassingly parallel row filter; the audit aggregation emits per-source kept/total so mix drift is a hash mismatch."),
+
+    Q(
+      "q174_corpus_shuffle",
+      (s, d) => {
+        import s.implicits._
+        // Epoch-deterministic global corpus shuffle: pretraining reads
+        // the corpus in a pseudo-random order that must replay
+        // bit-for-bit across runs, engines, AND partitionings (so a
+        // resumed job continues at the same position). Shuffle key =
+        // the q90/q161 mid-square mixer of doc_id, made globally unique
+        // by folding doc_id into the low digits (mixer ≤ 2^31 so
+        // key = h·10^7 + doc_id stays far under 2^63); the position is
+        // ROW_NUMBER over that key — computed with the two-phase
+        // distributed prefix sum (q163's operator), never a single-task
+        // global window. The oracle IS the single-task window over the
+        // same key: distributed plan, bottleneck answer.
+        val key = expr(
+          "(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
+            " % 2147483647 * 48271 % 2147483647 * 10000000 + doc_id")
+        graft.operators.Packing.exclusivePrefixSum(
+            Tables.documents(s, d).select($"doc_id", key.as("k"), lit(1L).as("__one")),
+            "k", "__one", "pos0")
+          .select($"doc_id", ($"pos0" + 1L).as("pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 (((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))
+                   % 2147483647 * 48271 % 2147483647 * 10000000 + doc_id) AS pos
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "Epoch-deterministic corpus shuffle: global shuffled position as ROW_NUMBER over the mid-square integer mixer of doc_id (uniqueness via key = h*10^7 + doc_id), computed with the two-phase distributed prefix sum instead of a single-task global window — the replayable every-epoch read order a resumable pretraining job needs, bit-equal across engines and partitionings.")
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q173's fixed-point integer log2 idf and the BM25 ranking built on it.
+  *
+  * The idf kernel is milli_log2(x) = (bitlen(x)-1)*1000
+  *   + ((x*1000) >> (bitlen(x)-1)) - 1000 — floor(log2) from the bit
+  * length plus a linear-interpolation fraction from one shift. Linear
+  * interpolation of log2 between powers of two always UNDERestimates
+  * (log2 is concave, the interp is its chord) and the gap is maximal at
+  * t = 1/ln2, where it is log2(1/ln2) - (1/ln2 - 1) = 0.08607 bits.
+  * Floors add at most ~1 milli-bit more. That bound is what makes the
+  * "documented divergence from ln idf" claim quantitative.
+  */
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private val milliLog2Sql =
+    "(length(bin(x)) - 1) * 1000 + shiftright(x * 1000L, length(bin(x)) - 1) - 1000"
+
+  test("fixed-point milli_log2: certified error band [0, 87.2] milli-bits, and monotone") {
+    import spark.implicits._
+    // every bit length up to 2^40 plus the mid-band worst-case region
+    val xs = (1 to 40).flatMap { b =>
+      val base = 1L << b
+      Seq(base, base + base / 3, (base * 1.4427).toLong.max(base), base * 2 - 1)
+    }.distinct.sorted
+    val got = xs.toDF("x")
+      .select($"x", expr(milliLog2Sql).as("m"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    got.foreach { case (x, m) =>
+      val err = math.log(x.toDouble) / math.log(2.0) - m.toDouble / 1000.0
+      assert(err >= 0.0 && err <= 0.0872, s"x=$x m=$m err=$err")
+    }
+    // nondecreasing in x: ranking by the fixed-point idf never inverts
+    // a ranking by the true log2
+    assert(got.sliding(2).forall {
+      case Array((_, a), (_, b)) => a <= b
+      case _ => true
+    })
+  }
+
+  test("q173 result: scores strictly ranked, term counts sane, repeat-run identical") {
+    val dir = "/root/testdata/sf0.001"
+    val run = () => SparkEntry.queries("q173_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run()
+    assert(a.nonEmpty && a.length <= 20)
+    // ordered by (score desc, doc_id): deterministic top-k
+    assert(a.sliding(2).forall {
+      case Array((d1, s1, _), (d2, s2, _)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+    assert(a.forall { case (_, s, nt) => s > 0 && nt >= 1 && nt <= 3 })
+    assert(a.sameElements(run()))
+  }
+
+  test("q174 shuffle positions: a permutation of 1..N, invariant under input partitioning") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val pos = SparkEntry.queries("q174_corpus_shuffle")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val n = pos.size
+    assert(pos.values.toSeq.sorted == (1L to n).toSeq, "positions must be a permutation")
+    // the mixer must actually shuffle: identity order would keep >90% of
+    // adjacent pairs adjacent; a shuffled order keeps almost none
+    val adjacentKept = (0L until n - 1).count(i => pos(i) + 1 == pos(i + 1))
+    assert(adjacentKept < n / 10, s"order barely shuffled: $adjacentKept adjacent pairs kept")
+  }
+}

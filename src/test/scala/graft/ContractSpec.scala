@@ -71,7 +71,7 @@ class ContractSpec extends AnyFunSuite {
     // with short qNN keys and Bench.fmtCompact's 5-char-max values —
     // estimate its worst case and fail BEFORE the artifact silently
     // truncates as the query count grows.
-    val overhead = """{"metric":"total","value":99999.999,"unit":"sec","total_min":99999.999,"queries":{},"errors":[],"sf":"/root/testdata/sf0.1"}""".length
+    val overhead = """{"metric":"total","value":99999.9,"unit":"sec","total_min":99999.9,"queries":{},"errors":[],"sf":"/root/testdata/sf0.1"}""".length
     // fmtCompact value widths: <10 s → "9.9" (3 chars), <100 s → "99.9"
     // (4), ≥100 s → clamped "999" (3). Worst-case model: every query at
     // the 3-char tier plus a 20-query allowance at the 4-char tier —
