@@ -178,6 +178,43 @@ object DedupQueries {
       doc = "SimHash (60-bit, md5-derived) near-dup pairs with hamming<=3 via 4x15-bit pigeonhole banding (recall exactly 1)."),
 
     Q(
+      "q175_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        // Incremental dedup — how dedup actually runs in a production
+        // pipeline: the corpus shingle index is a persisted artifact;
+        // each arriving crawl batch joins against it instead of
+        // re-running the corpus self-join. Batch = doc_id % 7 == 0,
+        // index = the rest (both carved from the shared shingle table —
+        // one scan). Candidate generation touches only shingles present
+        // in the BATCH, and verification restricts the corpus side to
+        // candidate docs before sizing, so per-batch cost scales with
+        // the batch, not the corpus (Dedup.jaccardPairsAgainst).
+        // Output: exact cross-batch Jaccard pairs at t=0.5 — a strict,
+        // independently-derived subset of q21's full pair set.
+        val sh = sharedShingles(s, d)
+        val shNew = sh.filter($"doc" % 7 === 0)
+        val shOld = sh.filter($"doc" % 7 =!= 0)
+        Dedup.jaccardPairsAgainst(shNew, shOld, 0.5)
+          .orderBy($"doc_a", $"doc_b")
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = inter.doc_a
+        JOIN sizes sb ON sb.doc = inter.doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+          AND ((doc_a % 7 = 0) <> (doc_b % 7 = 0))
+        ORDER BY doc_a, doc_b"""),
+      doc = "Incremental dedup: exact Jaccard near-dup pairs between an arriving batch (doc_id % 7 == 0) and the persisted corpus shingle index — candidates touch only batch shingles and verification is semi-join-restricted to candidate docs, so each batch costs O(batch), not O(corpus); oracle is the brute-force pair join filtered to cross-batch pairs."),
+
+    Q(
       "q116_labelprop_components",
       // Same clustering task as q32, but through the distributed
       // min-label-propagation algorithm — the simplest >driver-memory
