@@ -128,25 +128,39 @@ object Dedup {
     */
   def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                           threshold: Double): DataFrame = {
-    val candidates = shNew.as("a")
+    // ONE inverted-index probe computes the intersection counts directly
+    // (the jaccardPairs shape) — NOT candidatePairs + verifyJaccard: that
+    // pattern pays off when candidates are few (LSH buckets), but on a
+    // shingle join "shares >= 1 shingle" can be most cross pairs, and
+    // materializing the distinct pair set then RE-joining both full
+    // shingle sets multiplies the heavy stage by the pair fan-out
+    // (measured 12 s vs 1 s at sf0.1 on the 31-word-vocabulary corpus,
+    // where ~half of all cross pairs share a trigram). The aggregation
+    // keyed on (new doc, old doc) is map-side-combinable and touches
+    // only shingles present in the NEW batch.
+    val inter = shNew.as("a")
       .join(shIndex.as("b"), col("a.sh") === col("b.sh") &&
         // overlap between the inputs would otherwise surface as
         // jaccard-1.0 self pairs; the disjointness contract still holds
         // for SIZES (an overlapping doc's shingles would double-count),
         // but self pairs are cheap to exclude structurally
         col("a.doc") =!= col("b.doc"))
-      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
-        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
-      .distinct()
-    // verification must scale with the BATCH: restrict the corpus-side
-    // shingle table to candidate docs (left-semi) before sizing — without
-    // this, sizes = groupBy over the full corpus union and every batch
-    // pays an O(corpus) shuffle, breaking the operator's contract
-    val candDocs = candidates.select(col("doc_a").as("doc"))
-      .union(candidates.select(col("doc_b").as("doc")))
-      .distinct()
-    val shRelevant = shNew.union(shIndex).join(candDocs, Seq("doc"), "left_semi")
-    verifyJaccard(candidates, shRelevant, threshold)
+      .groupBy(col("a.doc").as("dn"), col("b.doc").as("do"))
+      .agg(count(lit(1)).as("c"))
+    // sizes scale with the BATCH: the new side is O(batch); the corpus
+    // side is left-semi-restricted to docs that actually intersect a
+    // batch doc BEFORE its groupBy — never an O(corpus) aggregation
+    val sizesNew = shNew.groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizesOld = shIndex
+      .join(inter.select(col("do").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizesNew.select(col("doc").as("dn"), col("n").as("nn")), "dn")
+      .join(sizesOld.select(col("doc").as("do"), col("n").as("no")), "do")
+      .withColumn("jaccard", col("c").cast("double") / (col("nn") + col("no") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("dn"), col("do")).as("doc_a"),
+        greatest(col("dn"), col("do")).as("doc_b"), col("jaccard"))
   }
 
   /** Physical strategy for the exact Jaccard pair join — the logical
