@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval over a persisted inverted index (q173's operator).
+  *
+  * The index artifact is the FULL (uncapped) posting-list table
+  * (doc_id, token, tf, len) plus two control-plane scalars
+  * (N = corpus docs, L = total tokens). A deployment persists the table
+  * next to the corpus and keeps N/L as catalog statistics; scoring never
+  * re-tokenizes.
+  *
+  * Exactness discipline (shared with q76/q86): ln is not cross-engine
+  * bit-stable, so idf is a FIXED-POINT log2 in pure integer arithmetic —
+  * Robertson's ln((N-df+0.5)/(df+0.5)+1) = ln((N+1)/(df+0.5)), and
+  * milli_log2(x) for x = (2N+2)*1024 div (2df+1) is
+  * (bitlen(x)-1)*1000 + a linear-interpolation fraction from one shift.
+  * The variant is monotone in the true idf with a certified error band
+  * of [0, 87] milli-bits (Bm25Spec), and makes every score an exact
+  * BIGINT both engines agree on bitwise.
+  *
+  * Scale shape: term filters push into the index scan, the per-query idf
+  * table (|terms| rows) broadcasts, scoring is one map-side-combinable
+  * aggregation keyed on doc_id, and top-k is TakeOrderedAndProject
+  * (per-partition heaps) — never a global sort.
+  */
+object Bm25 {
+
+  /** The index artifact. `tfLen` is NOT persisted by [[build]] — the
+    * caller owns the storage lifecycle (the query layer memoizes and
+    * releases it like every other index artifact).
+    */
+  final case class Index(tfLen: DataFrame, nDocs: Long, totalTokens: Long)
+
+  /** (doc_id, token) stream: lowercase letter runs, empties dropped —
+    * the q76 tokenization, shared so corpus artifacts agree.
+    */
+  def tokenize(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Build the index from a document table: tf per (doc, token), per-doc
+    * token length folded in via a doc-partitioned window (group size =
+    * the doc's distinct tokens, never the corpus), scalars from one
+    * count + one aggregation. NOTE: computing `totalTokens` runs an
+    * action over the unpersisted posting lineage — persist `tfLen`
+    * first (as the memoizing caller does) when the tokenize scan is
+    * expensive enough to matter.
+    */
+  def build(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): Index = {
+    val tf = tokenize(docs, idCol, textCol)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tfLen = tf.withColumn("len",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val n = docs.count()
+    val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+    Index(tfLen, n, l)
+  }
+
+  /** Incremental maintenance: extend the index with a NEW batch of docs
+    * (ids disjoint from the corpus — the jaccardPairsAgainst contract).
+    * Cost is O(batch): the corpus posting rows are reused untouched and
+    * the scalars are additive. Retrieval over the appended index equals
+    * a from-scratch rebuild EXACTLY (spec-pinned): df/idf are derived at
+    * query time from the posting rows, so new documents shift idf with
+    * no stored-weight staleness — the failure mode of systems that bake
+    * idf into the index at build time.
+    */
+  def append(idx: Index, newDocs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): Index = {
+    val add = build(newDocs, idCol, textCol)
+    Index(idx.tfLen.unionByName(add.tfLen),
+      idx.nDocs + add.nDocs, idx.totalTokens + add.totalTokens)
+  }
+
+  /** Top-`k` docs for `terms` by exact-integer BM25 (k1=1.2, b=0.75),
+    * ties broken by doc_id. Output: (doc_id, score, n_terms).
+    */
+  def topk(idx: Index, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(idx.nDocs > 0 && idx.totalTokens > 0,
+      s"empty index (nDocs=${idx.nDocs}, totalTokens=${idx.totalTokens})")
+    val n = idx.nDocs
+    val l = idx.totalTokens
+    val hits = idx.tfLen.filter(col("token").isin(terms: _*))
+    val idf = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("x", expr(s"(${2 * n + 2}L * 1024L) div (2L * df + 1L)"))
+      .select(col("token"), expr(
+        "(length(bin(x)) - 1) * 1000" +
+          " + shiftright(x * 1000L, length(bin(x)) - 1) - 11000").as("idf_milli"))
+    hits.join(broadcast(idf), "token")
+      .select(col("doc_id"), expr(
+        s"(idf_milli * 22L * tf * ${l}L)" +
+          s" div (10L * ${l}L * tf + ${3 * l}L + 9L * len * ${n}L)").as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -139,7 +139,7 @@ object AnalyticsQueries {
     ssspCache.clear()
     kcoreCache.values.foreach(graft.operators.Lineage.release)
     kcoreCache.clear()
-    bm25Cache.values.foreach(_._1.unpersist())
+    bm25Cache.values.foreach(_.tfLen.unpersist())
     bm25Cache.clear()
   }
 
@@ -155,32 +155,28 @@ object AnalyticsQueries {
     })
   }
 
-  // BM25 retrieval index per (session, dir): the FULL (uncapped) tf
-  // posting lists with the per-doc token length folded in, plus the two
-  // control-plane scalars (N = corpus docs, L = total tokens). Same
-  // artifact discipline as keptTf: a deployment persists the inverted
-  // index + doc-length table next to the corpus; N and L are one-row
-  // catalog statistics, not per-query scans. The per-doc length window
-  // partitions by doc_id — group size is bounded by the doc's distinct
-  // tokens, never the corpus.
+  // BM25 retrieval index per (session, dir) — `operators/Bm25.build`
+  // over documents, the posting table persisted here (same artifact
+  // discipline as keptTf: a deployment keeps the inverted index + doc
+  // lengths next to the corpus, N/L as catalog statistics). The persist
+  // lands BEFORE build's totalTokens action, so the tokenize scan runs
+  // once. `Bm25.append` is the incremental-maintenance path
+  // (spec-pinned equal to a rebuild).
   private val bm25Cache = scala.collection.mutable.Map
-    .empty[(SparkSession, String), (DataFrame, Long, Long)]
-  private def bm25Index(s: SparkSession, d: String): (DataFrame, Long, Long) =
+    .empty[(SparkSession, String), graft.operators.Bm25.Index]
+  private def bm25Index(s: SparkSession, d: String): graft.operators.Bm25.Index =
     synchronized {
       bm25Cache.getOrElseUpdate((s, d), {
-        import s.implicits._
         val docs = Tables.documents(s, d)
-        val tf = docs
-          .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("token"))
-          .filter($"token" =!= "")
-          .groupBy($"doc_id", $"token")
+        val tf = graft.operators.Bm25.tokenize(docs)
+          .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf"))
-        val idx = tf
-          .withColumn("len", sum($"tf").over(Window.partitionBy($"doc_id")))
+        val tfLen = tf.withColumn("len",
+            sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = docs.count()
-        val l = idx.agg(sum($"tf")).head().getLong(0)
-        (idx, n, l)
+        val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+        graft.operators.Bm25.Index(tfLen, n, l)
       })
     }
 
@@ -273,40 +269,16 @@ object AnalyticsQueries {
 
     Q(
       "q173_bm25_topk",
-      (s, d) => {
-        import s.implicits._
-        // BM25 top-k retrieval (k1=1.2, b=0.75) over the persisted
-        // inverted index — the ranking stage every retrieval-augmented
-        // data pipeline runs after candidate generation. Exactness
-        // discipline: ln is NOT cross-engine bit-stable, so the idf is a
-        // FIXED-POINT log2 computed entirely in integer arithmetic —
-        // Robertson's idf ln((N-df+0.5)/(df+0.5)+1) simplifies to
-        // ln((N+1)/(df+0.5)), and milli_log2(x) for x=(2N+2)*1024 div
-        // (2df+1) is (bitlen(x)-1)*1000 + linear-interp frac from a
-        // shift: bitlen via bin() here / printf('%b') in DuckDB. The
-        // variant is monotone in the true idf (documented, spec-bounded
-        // |err| <= 87 milli-bits) and makes every score an exact BIGINT
-        // both engines agree on bitwise. Scale shape: the term filter
-        // prunes posting lists at the index scan (predicate pushdown on
-        // the artifact), idf is a 3-row broadcast, and the top-k is
-        // TakeOrderedAndProject (per-partition heaps, no global sort).
-        val terms = Seq("dup", "spark", "window")
-        val (idx, n, l) = bm25Index(s, d)
-        val hits = idx.filter($"token".isin(terms: _*))
-        val idf = hits.groupBy($"token").agg(count(lit(1)).as("df"))
-          .withColumn("x", expr(s"(${2 * n + 2}L * 1024L) div (2L * df + 1L)"))
-          .select($"token", expr(
-            "(length(bin(x)) - 1) * 1000" +
-              " + shiftright(x * 1000L, length(bin(x)) - 1) - 11000").as("idf_milli"))
-        hits.join(broadcast(idf), "token")
-          .select($"doc_id", expr(
-            s"(idf_milli * 22L * tf * ${l}L)" +
-              s" div (10L * ${l}L * tf + ${3 * l}L + 9L * len * ${n}L)").as("contrib"))
-          .groupBy($"doc_id")
-          .agg(sum($"contrib").as("score"), count(lit(1)).as("n_terms"))
-          .orderBy($"score".desc, $"doc_id")
-          .limit(20)
-      },
+      (s, d) =>
+        // BM25 top-k retrieval — the ranking stage every
+        // retrieval-augmented data pipeline runs after candidate
+        // generation. The whole design (fixed-point integer log2 idf
+        // with a certified error band, per-query idf broadcast, term
+        // pushdown into the index scan, TakeOrderedAndProject top-k)
+        // lives in operators/Bm25; the oracle replays the identical
+        // integer formula with bitlen via PRINTF('%b').
+        graft.operators.Bm25.topk(
+          bm25Index(s, d), Seq("dup", "spark", "window"), 20),
       Some("""
         WITH tok AS (
           SELECT doc_id, t AS token

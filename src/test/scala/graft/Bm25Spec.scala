@@ -58,6 +58,50 @@ class Bm25Spec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("incremental index append == from-scratch rebuild (postings, scalars, AND retrieval)") {
+    import graft.operators.Bm25
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val oldDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val newDocs = docs.filter(col("doc_id") % 3 === 0)
+    val full = Bm25.build(docs)
+    val incr = Bm25.append(Bm25.build(oldDocs), newDocs)
+    assert(incr.nDocs == full.nDocs && incr.totalTokens == full.totalTokens)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(incr.tfLen) == rows(full.tfLen))
+    // retrieval sees appended docs with correct idf (df derived at query
+    // time, never baked into the index)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(Bm25.topk(incr, Seq("dup", "spark"), 10)) ==
+      top(Bm25.topk(full, Seq("dup", "spark"), 10)))
+  }
+
+  test("fixed-point ranking tracks true double-ln BM25: top-20 overlap >= 16/20") {
+    import graft.operators.Bm25
+    val dir = "/root/testdata/sf0.01"
+    val terms = Seq("dup", "spark", "window")
+    val idx = Bm25.build(Tables.documents(spark, dir))
+    val fixed = Bm25.topk(idx, terms, 20).collect().map(_.getLong(0)).toSet
+    // local replay with REAL ln idf and double arithmetic (what a
+    // non-conformance-constrained engine would compute)
+    val hits = idx.tfLen.filter(col("token").isin(terms: _*))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dfT = hits.groupBy(_._2).map { case (t, rs) => t -> rs.length }.toMap
+    val n = idx.nDocs.toDouble
+    val avg = idx.totalTokens.toDouble / n
+    val trueScores = hits.groupBy(_._1).map { case (doc, rs) =>
+      doc -> rs.map { case (_, t, tf, len) =>
+        val idf = math.log((n - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0)
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg))
+      }.sum
+    }
+    val trueTop = trueScores.toSeq.sortBy { case (d, s) => (-s, d) }.take(20).map(_._1).toSet
+    val overlap = (fixed & trueTop).size
+    assert(overlap >= 16, s"fixed-point top-20 shares only $overlap docs with true-ln BM25")
+  }
+
   test("q174 shuffle positions: a permutation of 1..N, invariant under input partitioning") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
