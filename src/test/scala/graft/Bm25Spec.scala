@@ -102,6 +102,45 @@ class Bm25Spec extends AnyFunSuite {
     assert(overlap >= 16, s"fixed-point top-20 shares only $overlap docs with true-ln BM25")
   }
 
+  test("streaming index maintenance: foreachBatch-appended postings == batch rebuild") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // production shape: each arriving micro-batch tokenizes ITS docs only
+    // and APPENDS posting rows — corpus postings are never rewritten,
+    // and df/idf are derived at query time so no stored weight goes stale
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Bm25.build(batch.toDF()).tfLen
+          .write.mode("append").parquet(s"$dir/postings")
+        ()
+      }
+      .start()
+    try {
+      val (a, b) = docs.splitAt(docs.size / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val postings = spark.read.parquet(s"$dir/postings")
+    // scalars recovered from the postings artifact alone (every testdata
+    // doc has >= 1 token, so distinct doc_id == corpus size)
+    val n = postings.select(col("doc_id")).distinct().count()
+    val l = postings.agg(sum(col("tf"))).head().getLong(0)
+    val streamed = Bm25.Index(postings, n, l)
+    val batchIdx = Bm25.build(Tables.documents(spark, sf))
+    assert(n == batchIdx.nDocs && l == batchIdx.totalTokens)
+    def top(idx: Bm25.Index) = Bm25.topk(idx, Seq("dup", "spark"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top(streamed) == top(batchIdx))
+  }
+
   test("q174 shuffle positions: a permutation of 1..N, invariant under input partitioning") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
