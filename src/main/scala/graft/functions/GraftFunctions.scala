@@ -65,5 +65,28 @@ object GraftFunctions {
         require(exprs.length == 1, "bitmap_distinct(idCol) takes exactly 1 argument")
         BitmapDistinct(exprs(0)).toAggregateExpression()
       }, "built-in")
+    registry.createOrReplaceTempFunction("milli_log2",
+      exprs => {
+        // Fixed-point integer log2 in MILLI-bits for x >= 1:
+        //   (bitlen(x)-1)*1000 + ((x*1000) >> (bitlen(x)-1)) - 1000
+        // — floor(log2) from the bit length plus a linear-interpolation
+        // fraction from one shift. Deterministic across engines (pure
+        // integer ops; DuckDB replays it with LENGTH(PRINTF('%b',x))),
+        // monotone in x, certified error band [0, 87.2] milli-bits vs
+        // true log2 (Bm25Spec) — the conformance-safe log the BM25 idf
+        // (operators/Bm25, q173) is built on, exposed to the SQL
+        // surface as a composition of BUILT-IN codegen'd expressions
+        // (no new evaluation code to trust).
+        require(exprs.length == 1, "milli_log2(x) takes exactly 1 argument (integer >= 1)")
+        import org.apache.spark.sql.catalyst.expressions.{Add, Bin, Length, Multiply, ShiftRight, Subtract}
+        import org.apache.spark.sql.types.LongType
+        val x = Cast(exprs(0), LongType)
+        val blm1 = Subtract(Length(Bin(x)), Literal(1))
+        Subtract(
+          Add(
+            Multiply(Cast(blm1, LongType), Literal(1000L)),
+            ShiftRight(Multiply(x, Literal(1000L)), blm1)),
+          Literal(1000L))
+      }, "built-in")
   }
 }

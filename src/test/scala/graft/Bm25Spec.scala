@@ -58,6 +58,43 @@ class Bm25Spec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("milli_log2 SQL function: exact at powers of two, bit-equal to the inline kernel") {
+    import spark.implicits._
+    // suites share one JVM session; register explicitly like SqlSurfaceSpec
+    graft.functions.GraftFunctions.register(spark)
+    // anchors: milli_log2(2^k) == k*1000 exactly (frac term is zero)
+    (0 to 40 by 8).foreach { k =>
+      val got = spark.sql(s"SELECT milli_log2(${1L << k}) AS m").head().getLong(0)
+      assert(got == k * 1000L, s"2^$k -> $got")
+    }
+    val xs = (1 to 2000).map(_.toLong * 7919)
+    val viaFn = xs.toDF("x").selectExpr("milli_log2(x) AS m").as[Long].collect().toSeq
+    val viaExpr = xs.toDF("x").select(expr(milliLog2Sql).as("m")).as[Long].collect().toSeq
+    assert(viaFn == viaExpr)
+  }
+
+  test("append property: random batch splits always rebuild the same index and retrieval") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = Bm25.build(docs)
+    val fullTop = Bm25.topk(full, Seq("dup", "spark", "window"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val m = rnd.nextInt(5) + 3 // split modulus in 3..7 → 3 disjoint batches
+      val parts = Seq(
+        docs.filter(col("doc_id") % m === 0),
+        docs.filter(col("doc_id") % m === 1),
+        docs.filter(col("doc_id") % m >= 2))
+      val chained = parts.tail.foldLeft(Bm25.build(parts.head))(Bm25.append(_, _))
+      assert(chained.nDocs == full.nDocs && chained.totalTokens == full.totalTokens,
+        s"modulus $m: scalars diverged")
+      val got = Bm25.topk(chained, Seq("dup", "spark", "window"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == fullTop, s"modulus $m: retrieval diverged")
+    }
+  }
+
   test("incremental index append == from-scratch rebuild (postings, scalars, AND retrieval)") {
     import graft.operators.Bm25
     val dir = "/root/testdata/sf0.001"
