@@ -81,13 +81,25 @@ object Bm25 {
 
   /** Top-`k` docs for `terms` by exact-integer BM25 (k1=1.2, b=0.75),
     * ties broken by doc_id. Output: (doc_id, score, n_terms).
+    *
+    * Per-row arithmetic is L-free so it CANNOT overflow at corpus
+    * scale: the length normalization uses r_milli = len·1000 div
+    * avgTok with avgTok = L div N precomputed as one integer scalar —
+    * a formulation multiplying by L itself (idf·22·tf·L div
+    * (10·L·tf + 3L + 9·len·N)) overflows int64 near L ≈ 10^10 tokens,
+    * three orders below a 100 TB corpus. With the rescaled form the
+    * largest product is idf_milli·22000·tf: safe for tf up to ~4×10^9
+    * occurrences of one term in one document, beyond any real doc.
+    * The avgTok floor and the r_milli floor are two documented
+    * fixed-point roundings, identical in both engines (integer div).
     */
   def topk(idx: Index, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    require(idx.nDocs > 0 && idx.totalTokens > 0,
-      s"empty index (nDocs=${idx.nDocs}, totalTokens=${idx.totalTokens})")
+    require(idx.nDocs > 0 && idx.totalTokens >= idx.nDocs,
+      s"degenerate index (nDocs=${idx.nDocs}, totalTokens=${idx.totalTokens}): " +
+        "average document length must be >= 1 token")
     val n = idx.nDocs
-    val l = idx.totalTokens
+    val avgTok = idx.totalTokens / n
     val hits = idx.tfLen.filter(col("token").isin(terms: _*))
     val idf = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .withColumn("x", expr(s"(${2 * n + 2}L * 1024L) div (2L * df + 1L)"))
@@ -96,8 +108,8 @@ object Bm25 {
           " + shiftright(x * 1000L, length(bin(x)) - 1) - 11000").as("idf_milli"))
     hits.join(broadcast(idf), "token")
       .select(col("doc_id"), expr(
-        s"(idf_milli * 22L * tf * ${l}L)" +
-          s" div (10L * ${l}L * tf + ${3 * l}L + 9L * len * ${n}L)").as("contrib"))
+        s"(idf_milli * 22000L * tf)" +
+          s" div (10000L * tf + 3000L + 9L * ((len * 1000L) div ${avgTok}L))").as("contrib"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))

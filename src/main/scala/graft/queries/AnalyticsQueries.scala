@@ -298,8 +298,8 @@ object AnalyticsQueries {
           FROM (SELECT token, (2 * n + 2) * 1024 // (2 * df + 1) AS x FROM dfs, nl) q
         )
         SELECT h.doc_id,
-               CAST(SUM((i.idf_milli * 22 * h.tf * nl.l)
-                 // (10 * nl.l * h.tf + 3 * nl.l + 9 * le.len * nl.n)) AS BIGINT) AS score,
+               CAST(SUM((i.idf_milli * 22000 * h.tf)
+                 // (10000 * h.tf + 3000 + 9 * ((le.len * 1000) // (nl.l // nl.n)))) AS BIGINT) AS score,
                COUNT(*) AS n_terms
         FROM hits h JOIN len le USING (doc_id) JOIN idf i USING (token), nl
         GROUP BY h.doc_id
