@@ -539,15 +539,17 @@ object CurationQueries {
         // bit-for-bit across runs, engines, AND partitionings (so a
         // resumed job continues at the same position). Shuffle key =
         // the q90/q161 mid-square mixer of doc_id, made globally unique
-        // by folding doc_id into the low digits (mixer ≤ 2^31 so
-        // key = h·10^7 + doc_id stays far under 2^63); the position is
+        // by packing doc_id into the low 32 bits (the mixer modulus caps
+        // h at 2^31-1, so key = h·2^32 + doc_id fills int64 with no
+        // overflow for doc_id < 2^32, a 4-billion-doc corpus bound; the
+        // earlier h·10^7 form capped at 10^7 docs); the position is
         // ROW_NUMBER over that key — computed with the two-phase
         // distributed prefix sum (q163's operator), never a single-task
         // global window. The oracle IS the single-task window over the
         // same key: distributed plan, bottleneck answer.
         val key = expr(
           "(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
-            " % 2147483647 * 48271 % 2147483647 * 10000000 + doc_id")
+            " % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id")
         graft.operators.Packing.exclusivePrefixSum(
             Tables.documents(s, d).select($"doc_id", key.as("k"), lit(1L).as("__one")),
             "k", "__one", "pos0")
@@ -558,9 +560,9 @@ object CurationQueries {
         SELECT doc_id,
                ROW_NUMBER() OVER (ORDER BY
                  (((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))
-                   % 2147483647 * 48271 % 2147483647 * 10000000 + doc_id) AS pos
+                   % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id) AS pos
         FROM documents
         ORDER BY doc_id"""),
-      doc = "Epoch-deterministic corpus shuffle: global shuffled position as ROW_NUMBER over the mid-square integer mixer of doc_id (uniqueness via key = h*10^7 + doc_id), computed with the two-phase distributed prefix sum instead of a single-task global window — the replayable every-epoch read order a resumable pretraining job needs, bit-equal across engines and partitionings.")
+      doc = "Epoch-deterministic corpus shuffle: global shuffled position as ROW_NUMBER over the mid-square integer mixer of doc_id (uniqueness via key = h*2^32 + doc_id, overflow-free to 4e9 docs), computed with the two-phase distributed prefix sum instead of a single-task global window — the replayable every-epoch read order a resumable pretraining job needs, bit-equal across engines and partitionings.")
   )
 }
