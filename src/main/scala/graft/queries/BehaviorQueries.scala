@@ -547,11 +547,19 @@ object BehaviorQueries {
           .agg(sum(when($"hr" < $"m", 1L).otherwise(0L)).as("o_a"),
             sum(when($"hr" >= $"m", 1L).otherwise(0L)).as("o_b"))
         val totals = counts.agg(sum($"o_a").as("na"), sum($"o_b").as("nb"))
+        // delta is exact int64 (envelope: N <= ~3e9 events per monitor
+        // window, since o·N products bound by N²); the SQUARE happens in
+        // double after ONE exact cast — delta² in int64 overflows (ANSI
+        // throw) once |delta| > 3e9, which any real drift on a
+        // billion-event window reaches. double(delta)·double(delta) and
+        // double(na)·double(nb) are the same fixed IEEE sequence in both
+        // engines.
         counts.crossJoin(totals)
           .select($"event_type", $"o_a", $"o_b",
             ($"o_a" * $"nb" - $"o_b" * $"na").as("delta"),
-            ((($"o_a" * $"nb" - $"o_b" * $"na") * ($"o_a" * $"nb" - $"o_b" * $"na"))
-              .cast("double") / ($"na" * $"nb").cast("double")).as("drift_score"))
+            ((($"o_a" * $"nb" - $"o_b" * $"na").cast("double")
+              * ($"o_a" * $"nb" - $"o_b" * $"na").cast("double"))
+              / ($"na".cast("double") * $"nb".cast("double"))).as("drift_score"))
           .orderBy($"event_type")
       },
       Some("""
@@ -564,8 +572,8 @@ object BehaviorQueries {
         totals AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na, CAST(SUM(o_b) AS BIGINT) AS nb FROM counts)
         SELECT c.event_type, c.o_a, c.o_b,
                CAST(c.o_a * t.nb - c.o_b * t.na AS BIGINT) AS delta,
-               CAST((c.o_a * t.nb - c.o_b * t.na) * (c.o_a * t.nb - c.o_b * t.na) AS DOUBLE)
-                 / CAST(t.na * t.nb AS DOUBLE) AS drift_score
+               (CAST(c.o_a * t.nb - c.o_b * t.na AS DOUBLE) * CAST(c.o_a * t.nb - c.o_b * t.na AS DOUBLE))
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS drift_score
         FROM counts c CROSS JOIN totals t
         ORDER BY c.event_type"""),
       doc = "Distribution-drift monitor (train/serve skew): per-type first-half vs second-half comparison via the exact integer cross-product statistic (o_a*N_b - o_b*N_a)^2 — the chi-square term with division deferred to one final IEEE divide of exact integers, so the gate is engine-identical; midpoint split is a pure function of the data."),
