@@ -318,10 +318,18 @@ object AnalyticsQueries {
         // exactly where to drill down; matched buckets need no further IO.
         // The "other" table is derived in-query (keys %97 perturbed,
         // keys %101 deleted) so both engines see identical inputs.
+        // Per-row fingerprints are MOD-REDUCED (< 1e9+7) so the bucket
+        // SUM stays int64-exact to ~9e9 rows per bucket at any key
+        // magnitude — the unreduced key*1000003 form made the sum
+        // overflow (ANSI throw here, silent HUGEINT promotion in DuckDB
+        // — a cross-engine divergence) on billion-row buckets; more
+        // buckets is the knob beyond that. Checksum semantics: a
+        // same-bucket collision needs key deltas ≡ 0 (mod 1e9+7).
         val o = Tables.orders(s, d).select(
           $"o_orderkey",
           ($"o_orderkey" % 256).as("bucket"),
-          ($"o_orderkey" * 1000003L + round($"o_totalprice" * 100).cast("long")).as("fp"))
+          ((($"o_orderkey" % 1000000007L) * 1000003L
+            + round($"o_totalprice" * 100).cast("long")) % 1000000007L).as("fp"))
         val a = o.groupBy($"bucket")
           .agg(count(lit(1)).as("n_a"), sum($"fp").as("s_a"))
         val b = o.filter($"o_orderkey" % 101 =!= 0)
@@ -340,7 +348,7 @@ object AnalyticsQueries {
         WITH src AS (
           SELECT o_orderkey,
                  o_orderkey % 256 AS bucket,
-                 o_orderkey * 1000003 + CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS fp
+                 ((o_orderkey % 1000000007) * 1000003 + CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) % 1000000007 AS fp
           FROM orders
         ),
         a AS (SELECT bucket, COUNT(*) AS n_a, CAST(SUM(fp) AS BIGINT) AS s_a
@@ -356,7 +364,7 @@ object AnalyticsQueries {
         FROM a FULL JOIN b USING (bucket)
         WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0) OR COALESCE(s_a, 0) <> COALESCE(s_b, 0)
         ORDER BY bucket"""),
-      doc = "Table reconciliation by bucket digest: two scans collapse to 256 (count, Σfingerprint) digests each, no row-level join; mismatched buckets localize the diff — the anti-entropy pattern for verifying 100 TB copies."),
+      doc = "Table reconciliation by bucket digest: two scans collapse to 256 (count, Σfingerprint) digests each, no row-level join; mismatched buckets localize the diff — the anti-entropy pattern for verifying 100 TB copies. Fingerprints mod-reduced so bucket sums stay int64-exact to ~9e9 rows/bucket."),
 
     Q(
       "q78_scd2_history",
