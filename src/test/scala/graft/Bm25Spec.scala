@@ -178,6 +178,29 @@ class Bm25Spec extends AnyFunSuite {
     assert(top(streamed) == top(batchIdx))
   }
 
+  test("stop-word-only query: corpus-wide posting list scores near-zero idf, stays ranked") {
+    import graft.operators.Bm25
+    // the skew case: a query of ONLY hot terms (df ~ N) makes the
+    // posting-list filter select most of the index — the aggregation
+    // must stay map-side-combinable (one groupBy on doc_id) and the
+    // near-zero idf must keep scores small but the ranking total
+    val idx = Bm25.build(Tables.documents(spark, "/root/testdata/sf0.001"))
+    val rare = Bm25.topk(idx, Seq("dup"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hot = Bm25.topk(idx, Seq("spark", "data"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hot.nonEmpty && rare.nonEmpty)
+    // deterministic total order in both regimes
+    assert(hot.sliding(2).forall {
+      case Array((d1, s1), (d2, s2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    })
+    // idf monotonicity end-to-end: the rare term's top score dominates
+    // the stop-word query's top score
+    assert(rare.head._2 > hot.head._2,
+      s"rare-term top score ${rare.head._2} should exceed hot-term top ${hot.head._2}")
+  }
+
   test("q174 shuffle positions: a permutation of 1..N, invariant under input partitioning") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
