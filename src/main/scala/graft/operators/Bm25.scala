@@ -75,6 +75,17 @@ object Bm25 {
   def append(idx: Index, newDocs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): Index = {
     val add = build(newDocs, idCol, textCol)
+    // loud disjointness probe: an overlapping doc would double-count in
+    // df and totalTokens and SILENTLY skew every idf — one cheap
+    // semi-join over the batch's ids (O(batch), the corpus side is the
+    // join's build probe) turns the contract violation into an error
+    // naming the offender instead
+    val overlap = add.tfLen.select(col("doc_id")).distinct()
+      .join(idx.tfLen.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"Bm25.append batch overlaps the corpus (e.g. doc_id=${overlap.headOption.map(_.get(0)).orNull}): " +
+        "append requires disjoint ids — overlapping docs would double-count df/L and skew every idf")
     Index(idx.tfLen.unionByName(add.tfLen),
       idx.nDocs + add.nDocs, idx.totalTokens + add.totalTokens)
   }

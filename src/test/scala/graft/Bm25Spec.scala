@@ -115,6 +115,16 @@ class Bm25Spec extends AnyFunSuite {
       top(Bm25.topk(full, Seq("dup", "spark"), 10)))
   }
 
+  test("append refuses an overlapping batch loudly (silent df double-count otherwise)") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Bm25.build(docs.filter(col("doc_id") < 30))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.append(idx, docs.filter(col("doc_id") < 10))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("fixed-point ranking tracks true double-ln BM25: top-20 overlap >= 16/20") {
     import graft.operators.Bm25
     val dir = "/root/testdata/sf0.01"
