@@ -128,6 +128,16 @@ object Dedup {
     */
   def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                           threshold: Double): DataFrame = {
+    // loud disjointness probe (the Bm25.append discipline): a doc in
+    // BOTH inputs would emit mirror-duplicate pairs and defeat the
+    // per-side sizing — one O(batch) semi-join names the offender
+    // instead of silently corrupting the pair set
+    val dup = shNew.select(col("doc")).distinct()
+      .join(shIndex.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"jaccardPairsAgainst batch overlaps the index (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
+        "the incremental contract requires disjoint doc sets")
     // ONE inverted-index probe computes the intersection counts directly
     // (the jaccardPairs shape) — NOT candidatePairs + verifyJaccard: that
     // pattern pays off when candidates are few (LSH buckets), but on a

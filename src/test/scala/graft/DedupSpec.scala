@@ -120,6 +120,11 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${(full -- incremental).take(5)} extra=${(incremental -- full).take(5)}")
     // and the cross-batch piece is genuinely non-trivial in this data
     assert(pairSet(Dedup.jaccardPairsAgainst(shNew, shOld, 0.5)).nonEmpty)
+    // overlap between the inputs is refused loudly, naming the offender
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAgainst(shNew, shAll, 0.5)
+    }
+    assert(e.getMessage.contains("disjoint"))
     Seq(shAll, shOld, shNew).foreach(_.unpersist())
   }
 
