@@ -478,4 +478,18 @@ object EventStream {
       .agg(
         hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("approx_users"),
         graft.functions.BitmapDistinct(col("user_id")).as("exact_users"))
+
+  /** Streaming heavy hitters: a Space-Saving summary per group as
+    * accumulating complete-mode aggregation state — O(k) per group
+    * where exact per-key counting would hold the full (unbounded) key
+    * space as state. Completes the streaming sketch family (KLL
+    * quantiles, HLL/bitmap distinct): the emitted struct carries its
+    * own proof — per-key [lb, ub] count bounds and the containment
+    * floor — which is what the spec checks against exact counts across
+    * chunked micro-batch delivery.
+    */
+  def heavyHitters(events: DataFrame, k: Int = 8): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SpaceSavingAgg(col("user_id").cast("string"), k).as("hh"))
 }
