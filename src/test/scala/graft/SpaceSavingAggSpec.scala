@@ -61,6 +61,17 @@ class SpaceSavingAggSpec extends AnyFunSuite {
     assert(entries.toSet == Set(("a", 3L, 3L), ("b", 2L, 2L), ("c", 1L, 1L)))
   }
 
+  test("plans as partial + final ObjectHashAggregate: the shuffle carries O(k) summaries") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a").toDF("k").repartition(4)
+      .agg(SpaceSavingAgg(col("k"), 8).as("hh"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial + final ObjectHashAggregate:\n${p.take(800)}")
+    assert(p.contains("space_saving"), "the SpaceSavingAgg expression must be in the plan")
+  }
+
   test("serialize/deserialize round-trips the summary") {
     val agg = SpaceSavingAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
     val buf = agg.createAggregationBuffer()
