@@ -78,15 +78,24 @@ object GraftFunctions {
         // surface as a composition of BUILT-IN codegen'd expressions
         // (no new evaluation code to trust).
         require(exprs.length == 1, "milli_log2(x) takes exactly 1 argument (integer >= 1)")
-        import org.apache.spark.sql.catalyst.expressions.{Add, Bin, Length, Multiply, ShiftRight, Subtract}
+        import org.apache.spark.sql.catalyst.expressions.{Add, Bin, GreaterThan, If, Length, LessThan, Multiply, Or, ShiftRight, Subtract}
         import org.apache.spark.sql.types.LongType
         val x = Cast(exprs(0), LongType)
         val blm1 = Subtract(Length(Bin(x)), Literal(1))
-        Subtract(
+        val formula = Subtract(
           Add(
             Multiply(Cast(blm1, LongType), Literal(1000L)),
             ShiftRight(Multiply(x, Literal(1000L)), blm1)),
           Literal(1000L))
+        // enforce the documented domain instead of returning silent
+        // garbage: x < 1 hits bin()'s 64-char two's-complement form
+        // (negative) or returns -1000 (zero), and x > Long.MaxValue/1000
+        // overflows the x*1000 interpolation term. Out-of-domain -> NULL
+        // (the SQL convention for partial functions), so a bad row
+        // surfaces as a null score, never as a plausible wrong number.
+        If(Or(LessThan(x, Literal(1L)),
+              GreaterThan(x, Literal(Long.MaxValue / 1000))),
+          Literal(null, LongType), formula)
       }, "built-in")
   }
 }

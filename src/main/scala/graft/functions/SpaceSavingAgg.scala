@@ -124,7 +124,13 @@ case class SpaceSavingAgg(
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.k); out.writeLong(buf.absentBound); out.writeInt(buf.counts.size)
     buf.counts.foreach { case (kk, (est, err)) =>
-      out.writeUTF(kk); out.writeLong(est); out.writeLong(err)
+      // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
+      // UTFDataFormatException past 65535 encoded bytes, which would kill
+      // the aggregation at shuffle/state-serialize time for long string
+      // keys (full documents are legitimate heavy-hitter keys)
+      val kb = kk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(est); out.writeLong(err)
     }
     out.flush(); bos.toByteArray
   }
@@ -137,7 +143,10 @@ case class SpaceSavingAgg(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val key = in.readUTF(); val est = in.readLong(); val err = in.readLong()
+      val klen = in.readInt()
+      val kb = new Array[Byte](klen); in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val est = in.readLong(); val err = in.readLong()
       s.counts.update(key, (est, err))
       i += 1
     }

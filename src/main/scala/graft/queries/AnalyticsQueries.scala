@@ -166,18 +166,13 @@ object AnalyticsQueries {
     .empty[(SparkSession, String), graft.operators.Bm25.Index]
   private def bm25Index(s: SparkSession, d: String): graft.operators.Bm25.Index =
     synchronized {
-      bm25Cache.getOrElseUpdate((s, d), {
-        val docs = Tables.documents(s, d)
-        val tf = graft.operators.Bm25.tokenize(docs)
-          .groupBy(col("doc_id"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        val tfLen = tf.withColumn("len",
-            sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = docs.count()
-        val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
-        graft.operators.Bm25.Index(tfLen, n, l)
-      })
+      bm25Cache.getOrElseUpdate((s, d),
+        // ONE copy of the index-construction logic: the persist lands via
+        // build's prepareTfLen hook, before its totalTokens action, so
+        // the tokenize scan runs once and nothing here can drift from
+        // the operator
+        graft.operators.Bm25.build(Tables.documents(s, d), prepareTfLen =
+          _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
   /** Unrolled parallel-peel oracle for q142: level i keeps nodes with

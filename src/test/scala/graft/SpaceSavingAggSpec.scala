@@ -102,4 +102,24 @@ class SpaceSavingAggSpec extends AnyFunSuite {
       assert(entries.contains("hot"))
     } finally q.stop()
   }
+
+  test("keys past writeUTF's 65535-byte ceiling survive serialize (length-prefixed raw UTF-8)") {
+    // full documents are legitimate heavy-hitter keys; writeUTF would
+    // throw UTFDataFormatException at shuffle/state-serialize time.
+    // Multi-byte chars make the BYTE length (3x char count) the binding
+    // constraint, the exact writeUTF failure mode.
+    val big1 = "€" * 30000 // 90000 UTF-8 bytes
+    val big2 = "x" * 70000      // 70000 UTF-8 bytes
+    val agg = SpaceSavingAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val buf = agg.createAggregationBuffer()
+    Seq(big1, big2, big1, "small").foreach(buf.update)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.counts == buf.counts, "long keys must round-trip bit-exact")
+    // and through a real partial/final plan (shuffle serializes buffers)
+    import spark.implicits._
+    val row = Seq(big1, big2, big1, "small").toDF("k").repartition(4)
+      .agg(SpaceSavingAgg(col("k"), 8).as("hh")).select("hh.*").head()
+    val entries = row.getSeq[Row](1).map(e => (e.getString(0), e.getLong(2)))
+    assert(entries.contains((big1, 2L)) && entries.contains((big2, 1L)))
+  }
 }
