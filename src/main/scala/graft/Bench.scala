@@ -20,6 +20,78 @@ import java.nio.file.{Files, Paths}
   * directory AND printed on System.out after spark.stop() — the file is
   * the robust channel if a log framework prefixes stdout lines.
   */
+/** The COMPACT artifact line — the one the driver actually parses.
+  *
+  * The driver's stdout capture keeps only the LAST 2000 chars and parses
+  * the last line; everything here exists to make that one line carry the
+  * judgeable signal regardless of registry growth:
+  *
+  *   - per-query values are the MIN of the reps, not the median. On a
+  *     shared box the median absorbs contention spikes (round 9: q113
+  *     official 18.1 s vs 2.6 s committed detail — unexplainable from
+  *     the official artifact alone); the min is the code's actual cost
+  *     and is what regressions must be judged by. `"queries_value":
+  *     "min"` marks the semantics in-band. Medians + per-rep arrays +
+  *     per-rep JVM counters stay in the detail line (bench.json).
+  *   - entries are ordered SLOWEST-FIRST and the map is capped to the
+  *     budget: when the registry outgrows the tail window the FASTEST
+  *     rows drop first, each omission accounted by `"omitted":K,
+  *     "omitted_max":V` (every omitted row's min <= V — a sub-omitted_max
+  *     row cannot hide a regression bigger than omitted_max). Errors are
+  *     never dropped.
+  *
+  * Pure string-building over (name, median, reps) rows so ContractSpec
+  * can exercise the budget/capping behavior on synthetic registries
+  * (the 200+-row model) without running a bench.
+  */
+object BenchFormat {
+  /** Stay comfortably under the driver's 2000-char tail capture. */
+  val TailBudget = 1900
+
+  /** "q113_window_sql_verbatim" -> "113": every query name is qNN_...,
+    * so the bare number is unambiguous (ContractSpec pins uniqueness).
+    */
+  def shortKey(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
+
+  /** Adaptive precision: 100 ms resolution under 10 s (<=3 chars),
+    * 1 s resolution to 100 s (2 chars), CLAMPED to integer 999 above —
+    * a >=100 s query at sf0.1 is already a catastrophic regression; its
+    * exact magnitude lives in the detail line. Full 1 ms precision stays
+    * in bench.json.
+    */
+  def fmtCompact(v: Double): String =
+    if (v < 0) "-1"
+    else if (v >= 100) f"${math.min(v, 999.0)}%.0f"
+    else if (v >= 10) f"$v%.0f"
+    else f"$v%.1f"
+
+  private def minOf(median: Double, ts: Seq[Double]): Double =
+    if (median < 0) -1.0 else ts.filter(_ >= 0).min
+
+  /** rows = (fullName, medianOrMinus1, perRepSeconds). */
+  def compactLine(rows: Seq[(String, Double, Seq[Double])], sfDir: String,
+                  budget: Int = TailBudget): String = {
+    val total = rows.map(_._2).filter(_ >= 0).sum
+    val totalMin = rows.collect { case (_, v, ts) if v >= 0 => ts.filter(_ >= 0).min }.sum
+    val errors = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
+      .mkString("[", ",", "]")
+    // slowest-first by min (errored rows sort last: the errors array
+    // already names them, and a -1 carries no timing signal)
+    val ranked = rows.map { case (k, v, ts) => (shortKey(k), minOf(v, ts)) }
+      .sortBy { case (k, mn) => (-mn, k) }
+    val entries = ranked.map { case (k, mn) => "\"" + k + "\":" + fmtCompact(mn) }
+    def lineWith(n: Int): String = {
+      val omitted = ranked.drop(n)
+      val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtCompact(omittedMax)},"errors":$errors,"sf":"$sfDir"}"""
+    }
+    var n = entries.length
+    var line = lineWith(n)
+    while (line.length > budget && n > 0) { n -= 1; line = lineWith(n) }
+    line
+  }
+}
+
 object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -136,40 +208,11 @@ object Bench {
         .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
     }
-    // Compact line for the driver: its stdout capture keeps only the LAST
-    // 2000 chars, and the full-detail line above is ~5 KB — a last-line
-    // parse saw a mid-JSON fragment for five rounds running. Short keys
-    // (the qNN prefix) keep this line well under the window even as the
-    // query count grows; the full names live in the detail line/file.
-    // Adaptive value precision: 100 ms resolution under 100 s (≤4
-    // chars), CLAMPED to integer 999 above — a ≥100 s query at sf0.1 is
-    // already a catastrophic regression; its exact magnitude lives in
-    // the detail line, and the 3-char clamp is what keeps ContractSpec's
-    // worst-case line-length bound inside the driver's 2000-char tail
-    // as the query count grows. Full 1 ms precision stays in
-    // bench.json / the detail line.
-    def fmtCompact(v: Double): String =
-      if (v >= 100) f"${math.min(v, 999.0)}%.0f" else f"$v%.1f"
-    // Compact keys drop BOTH the descriptive suffix and the uniform "q"
-    // prefix ("q113_window_sql_verbatim" → "113"): every query name is
-    // qNN_..., so the number alone is unambiguous, and the saved char per
-    // query raises the 2000-char-tail ceiling from ~159 to ~175 rows.
-    // Full names live in the detail line / bench.json.
-    def shortKey(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
-    def compactLine(): String = {
-      val qsShort = results.map { case (k, v, _, _) =>
-        "\"" + shortKey(k) + "\":" + fmtCompact(v)
-      }.mkString("{", ",", "}")
-      val errorsShort = results
-        .collect { case (k, v, _, _) if v < 0 => "\"" + shortKey(k) + "\"" }
-        .mkString("[", ",", "]")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val totalMin = results
-        .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
-      // one-decimal headline values here (1 ms precision stays in the
-      // detail line): 8 banked chars = nearly one more query row slot
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries":$qsShort,"errors":$errorsShort,"sf":"$sfDir"}"""
-    }
+    // Compact line for the driver — see BenchFormat (min-valued,
+    // slowest-first, budget-capped; the tail-surviving artifact).
+    def compactLine(): String =
+      BenchFormat.compactLine(
+        results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, sfDir)
     // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
     // bench artifact because the driver killed a contended window before
     // the single end-of-run write. Rewriting bench.json and printing the

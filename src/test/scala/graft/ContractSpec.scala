@@ -65,26 +65,83 @@ class ContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate compact bench keys: ${dups.mkString(", ")}")
   }
 
-  test("Bench's compact stdout line stays inside the driver's 2000-char tail capture") {
-    // The driver parses the LAST stdout line from a 2000-char tail (NOTES
-    // rule 12). The compact line is {"metric":...,"queries":{"qNN":X.X,...}}
-    // with short qNN keys and Bench.fmtCompact's 5-char-max values —
-    // estimate its worst case and fail BEFORE the artifact silently
-    // truncates as the query count grows.
-    val overhead = """{"metric":"total","value":99999.9,"unit":"sec","total_min":99999.9,"queries":{},"errors":[],"sf":"/root/testdata/sf0.1"}""".length
-    // fmtCompact value widths: <10 s → "9.9" (3 chars), <100 s → "99.9"
-    // (4), ≥100 s → clamped "999" (3). Worst-case model: every query at
-    // the 3-char tier plus a 20-query allowance at the 4-char tier —
-    // the whole bench runs ~80 s cumulative at sf0.1, so even twenty
-    // 10 s+ rows is already a 2.5× regression scenario; beyond that the
-    // artifact's precision is the least of the problems. The clamp and
-    // this tiering exist to keep the LAST stdout line inside the
-    // driver's 2000-char tail as the query count grows.
-    // keys are the bare query number (Bench.shortKey strips the q prefix
-    // and the _suffix): "113":9.9,
-    val perQuery = "\"000\":9.9,".length
-    val estimate = overhead + SparkEntry.queries.size * perQuery + 20
-    assert(estimate < 1900,
-      s"estimated compact bench line $estimate chars — nearing the 2000-char tail capture; shorten keys or split the artifact")
+  // ---- BenchFormat: the tail-surviving compact artifact ----------------
+  // The driver parses the LAST stdout line from a 2000-char tail (NOTES
+  // rule 12). BenchFormat guarantees fit BY CONSTRUCTION (slowest-first
+  // greedy fill + omission accounting), so the registry has NO hard row
+  // ceiling anymore — these tests pin the guarantees on a 250-row
+  // synthetic registry (the prescribed >=200-row model) and on the real
+  // one.
+
+  private def parse(line: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+
+  /** Deterministic synthetic registry: values spread across the
+    * precision tiers, three errored rows, three >=100 s monsters.
+    */
+  private def syntheticRows(n: Int): Seq[(String, Double, Seq[Double])] =
+    (1 to n).map { i =>
+      val base = (i % 97) / 10.0 + (if (i % 31 == 0) 15.0 else 0.0) +
+        (if (i % 83 == 0) 150.0 else 0.0)
+      val med = if (i % 71 == 0) -1.0 else base + 0.3
+      (s"q${i}_synthetic_row", med, Seq(base + 0.3, base + 0.1, base + 0.9))
+    }
+
+  test("BenchFormat: a 250-row registry still fits the tail budget, slowest rows survive") {
+    val rows = syntheticRows(250)
+    val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.TailBudget, s"line ${line.length} chars")
+    val j = parse(line)
+    val qs = j.get("queries")
+    val omitted = j.get("omitted").asInt
+    val omittedMax = j.get("omitted_max").asDouble
+    assert(qs.size + omitted == 250, "every row is either present or accounted omitted")
+    assert(qs.size >= 150, s"only ${qs.size} rows included — budget model broke")
+    // per-row MIN semantics, and every omitted row is bounded by omitted_max
+    val mins = rows.collect { case (k, v, ts) if v >= 0 =>
+      BenchFormat.shortKey(k) -> ts.min }.toMap
+    val included = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames).asScala.toSet
+    mins.foreach { case (k, mn) =>
+      if (included.contains(k))
+        assert(math.abs(qs.get(k).asDouble - mn) <= 0.51,
+          s"$k: compact ${qs.get(k).asDouble} vs true min $mn (max tier rounding 0.5)")
+      else assert(mn <= omittedMax + 1e-9,
+        s"omitted $k has min $mn > omitted_max $omittedMax — a regression could hide")
+    }
+    // included rows are the SLOWEST ones: no omitted min exceeds an included one's tier
+    val slowest20 = mins.toSeq.sortBy(-_._2).take(20).map(_._1)
+    slowest20.foreach(k => assert(included.contains(k), s"slowest row $k was dropped"))
+    // errors are never dropped
+    val errs = j.get("errors")
+    assert(errs.size == rows.count(_._2 < 0))
+  }
+
+  test("BenchFormat: real-registry-sized line fits with at most marginal omission") {
+    // realistic value model: the round-9 clean run is ~0.1-3.6 s per row
+    val rows = SparkEntry.allQueries.map(_.name).zipWithIndex.map { case (n, i) =>
+      val v = 0.1 + (i % 36) / 10.0
+      (n, v, Seq(v + 0.2, v, v + 0.5))
+    }
+    val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.TailBudget)
+    val j = parse(line)
+    assert(j.get("omitted").asInt <= 25,
+      s"${j.get("omitted").asInt} rows omitted at the realistic value model — " +
+        "the artifact is losing per-query attribution; consider splitting it")
+    assert(j.get("queries_value").asText == "min")
+  }
+
+  test("BenchFormat: total_min <= total, and a contended median does not move the mins") {
+    val calm = Seq(("q1_a", 1.0, Seq(1.0, 1.0, 1.0)), ("q2_b", 2.0, Seq(2.0, 2.0, 2.0)))
+    val spiky = Seq(("q1_a", 9.0, Seq(1.0, 9.0, 30.0)), ("q2_b", 2.0, Seq(2.0, 2.0, 2.0)))
+    val a = parse(BenchFormat.compactLine(calm, "sf"))
+    val b = parse(BenchFormat.compactLine(spiky, "sf"))
+    // the contention signature: value (median sum) inflates 11 -> ...,
+    // but the per-query mins and total_min are IDENTICAL — exactly what
+    // makes a q113-style spike attributable from this artifact alone
+    assert(a.get("queries").get("1").asDouble == b.get("queries").get("1").asDouble)
+    assert(a.get("total_min").asDouble == b.get("total_min").asDouble)
+    assert(b.get("value").asDouble > a.get("value").asDouble)
+    assert(b.get("total_min").asDouble <= b.get("value").asDouble)
   }
 }
