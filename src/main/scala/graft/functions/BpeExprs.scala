@@ -75,6 +75,39 @@ object BpeCodec {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** BYTE-LEVEL encode: the document's UTF-8 BYTES symbolize as
+    * lowercase hex pairs over ONE delimited string — no word split, no
+    * `</w>` marker, no delimiter dependence at all (space is just byte
+    * `20`, an ordinary mergeable symbol), then the same rank-ordered
+    * replace passes as [[encodeDoc]]. This is the modern-tokenizer
+    * shape (GPT-2-style byte-level BPE): no OOV ever (any byte
+    * symbolizes), multilingual for free (CJK text byte-symbolizes like
+    * any other), and merges may cross word boundaries (` the ` can be
+    * one token). Replayable in DuckDB as
+    * `REGEXP_REPLACE(LOWER(HEX(ENCODE(t))), '(..)', '\1 ', 'g')`
+    * wrapped in the REPLACE chain generated from the same merges
+    * constant ([[graft.operators.Bpe.oracleByteEncodeSql]]).
+    * Empty text → "".
+    */
+  def encodeByteDoc(text: UTF8String, pats: Array[String], reps: Array[String]): UTF8String = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return UTF8String.fromString("")
+    val sb = new java.lang.StringBuilder(bytes.length * 3 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(HexDigits(b >> 4)).append(HexDigits(b & 15)).append(' ')
+      i += 1
+    }
+    var out = sb.toString
+    var r = 0
+    while (r < pats.length) { out = out.replace(pats(r), reps(r)); r += 1 }
+    UTF8String.fromString(out.trim)
+  }
 }
 
 /** Codegen'd BPE encode with the merges table shipped as a literal
@@ -123,4 +156,55 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
 object BpeEncodeExpr {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeExpr(Bridge.expression(text), merges))
+}
+
+/** Codegen'd BYTE-LEVEL BPE encode (see [[BpeCodec.encodeByteDoc]]) —
+  * same plan-time merge validation and literal-reference shipping as
+  * [[BpeEncodeExpr]]; symbols are lowercase hex pairs of the UTF-8
+  * bytes, so the validator additionally pins the alphabet.
+  */
+case class BpeByteEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  require(merges.nonEmpty, "empty merges table")
+  merges.foreach { case (p, r) =>
+    require(p.count(_ == ' ') == 1 && !p.startsWith(" ") && !p.endsWith(" "),
+      s"merge pattern must be two space-separated symbols: '$p'")
+    require(r.nonEmpty && !r.contains(' '), s"merge output must be one symbol: '$r'")
+    require(p.replace(" ", "") == r,
+      s"merge must concatenate its pair (no characters invented/lost): '$p' -> '$r'")
+    require(r.length % 2 == 0 && r.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"byte-level symbols are lowercase hex-pair sequences: '$r'")
+  }
+
+  @transient private lazy val pats: Array[String] =
+    merges.map(m => " " + m._1 + " ").toArray
+  @transient private lazy val reps: Array[String] =
+    merges.map(m => " " + m._2 + " ").toArray
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_byte_encode"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_byte_encode requires a STRING child, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeCodec.encodeByteDoc(input.asInstanceOf[UTF8String], pats, reps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patsRef = ctx.addReferenceObj("bpeBytePats", pats, "java.lang.String[]")
+    val repsRef = ctx.addReferenceObj("bpeByteReps", reps, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeCodec.encodeByteDoc($c, $patsRef, $repsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeByteEncodeExpr =
+    copy(child = newChild)
+}
+
+object BpeByteEncodeExpr {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeByteEncodeExpr(Bridge.expression(text), merges))
 }

@@ -55,6 +55,18 @@ object TextFns {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode-aware tokens: codepoint-class segmentation (CJK unigrams,
+    * accented-Latin/Greek/Cyrillic runs — see [[UniTok]]). The opt-in
+    * multilingual tier for every operator that tokenizes; the default
+    * ASCII split returns NOTHING on CJK text.
+    */
+  def uniTokens(text: Column): Column = UniTokenize(text)
+
+  /** Unicode-aware token count (empty text → 0, unlike whitespace
+    * split's singleton empty token).
+    */
+  def uniTokenCount(text: Column): Column = size(uniTokens(text))
+
   /** BPE-ish subword count: alpha runs, digit runs, and single
     * non-alphanumeric marks, counted over the lowercased text.
     */
@@ -106,18 +118,28 @@ object TextFns {
     * signal + token-count signal + stopword signal. Pure double arithmetic
     * with an explicit expression tree, reproducible bit-for-bit in any
     * IEEE engine.
+    *
+    * `unicode = true` counts tokens with the [[UniTok]] segmenter (the
+    * ASCII default scores CJK text as one giant "token" and a length
+    * signal only); the stopword term stays the English-marker ratio in
+    * both modes — it is a LANGUAGE signal, clamped, and near-zero on
+    * non-English text by design.
     */
-  def qualityScore(text: Column): Column =
+  def qualityScore(text: Column, unicode: Boolean = false): Column = {
+    val toks = if (unicode) uniTokenCount(text) else tokenCount(text)
     least(lit(1.0), length(text) / lit(400.0)) * lit(0.5) +
-      least(lit(1.0), tokenCount(text) / lit(80.0)) * lit(0.3) +
+      least(lit(1.0), toks / lit(80.0)) * lit(0.3) +
       stopwordRatio(text) * lit(0.2)
+  }
 
   /** Word n-gram shingles (space-joined), distinct not applied. Guarded for
     * texts shorter than n tokens (empty array, not Spark's descending
-    * `sequence` surprise).
+    * `sequence` surprise). `unicode = true` shingles over [[UniTok]]
+    * tokens (CJK: character n-grams, the standard unsegmented-script
+    * shingling) instead of whitespace words.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int = 3, unicode: Boolean = false): Column = {
+    val toks = if (unicode) uniTokens(text) else tokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),

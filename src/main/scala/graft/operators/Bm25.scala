@@ -34,30 +34,62 @@ object Bm25 {
     */
   final case class Index(tfLen: DataFrame, nDocs: Long, totalTokens: Long)
 
-  /** (doc_id, token) stream: lowercase letter runs, empties dropped —
-    * the q76 tokenization, shared so corpus artifacts agree.
+  /** (doc_id, token) stream. Default: lowercase ASCII letter runs — the
+    * q76 tokenization, shared so corpus artifacts agree. `unicode = true`
+    * switches to the codepoint-class segmenter
+    * ([[graft.functions.UniTok]]): CJK unigrams + accented-Latin/Greek/
+    * Cyrillic runs, the tier a multilingual corpus needs (ASCII split
+    * yields an EMPTY token stream on CJK text, which silently drops
+    * those documents from the index). One tokenizer per index — an
+    * index built with one mode must be queried/appended with the same
+    * mode (the artifact carries no marker; Bm25Spec pins the behavior).
     */
   def tokenize(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
-      .filter(col("token") =!= "")
+               textCol: String = "text", unicode: Boolean = false): DataFrame =
+    if (unicode)
+      docs.select(col(idCol).as("doc_id"),
+          explode(graft.functions.UniTokenize(col(textCol))).as("token"))
+        .filter(col("token") =!= "")
+    else
+      docs.select(col(idCol).as("doc_id"),
+          explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
+        .filter(col("token") =!= "")
 
   /** Build the index from a document table: tf per (doc, token), per-doc
     * token length folded in via a doc-partitioned window (group size =
     * the doc's distinct tokens, never the corpus), scalars from one
-    * count + one aggregation. NOTE: computing `totalTokens` runs an
-    * action over the unpersisted posting lineage — persist `tfLen`
-    * first (as the memoizing caller does) when the tokenize scan is
-    * expensive enough to matter.
+    * count + one aggregation.
+    *
+    * `prepareTfLen` runs on the posting table BEFORE the `totalTokens`
+    * action — the persist hook: a caller that keeps the index should pass
+    * `_.persist(...)` so the tokenize scan runs once (the query layer's
+    * memoizing cache does exactly this; keeping the hook here means the
+    * index-construction logic exists in ONE place instead of a drifting
+    * inline copy).
+    *
+    * ID-uniqueness contract: the CALLER owns within-batch `doc_id`
+    * uniqueness — a duplicated id double-counts df and totalTokens and
+    * silently skews every idf, the same corruption the append overlap
+    * probe guards across batches. Pass `probeDuplicateIds = true` for
+    * untrusted input to turn a violation into an error naming the
+    * offender (cost: one extra aggregation action over the input docs).
     */
-  def build(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): Index = {
-    val tf = tokenize(docs, idCol, textCol)
+  def build(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            prepareTfLen: DataFrame => DataFrame = identity,
+            probeDuplicateIds: Boolean = false,
+            unicode: Boolean = false): Index = {
+    if (probeDuplicateIds) {
+      val dup = docs.groupBy(col(idCol)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"Bm25.build input duplicates $idCol=${dup.headOption.map(_.get(0)).orNull}: " +
+          "a duplicated doc id double-counts df/L and skews every idf")
+    }
+    val tf = tokenize(docs, idCol, textCol, unicode)
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val tfLen = tf.withColumn("len",
-      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val tfLen = prepareTfLen(tf.withColumn("len",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id")))))
     val n = docs.count()
     val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     Index(tfLen, n, l)
@@ -65,27 +97,42 @@ object Bm25 {
 
   /** Incremental maintenance: extend the index with a NEW batch of docs
     * (ids disjoint from the corpus — the jaccardPairsAgainst contract).
-    * Cost is O(batch): the corpus posting rows are reused untouched and
-    * the scalars are additive. Retrieval over the appended index equals
-    * a from-scratch rebuild EXACTLY (spec-pinned): df/idf are derived at
-    * query time from the posting rows, so new documents shift idf with
-    * no stored-weight staleness — the failure mode of systems that bake
-    * idf into the index at build time.
+    * The posting-union itself is O(batch): the corpus posting rows are
+    * reused untouched and the scalars are additive. Retrieval over the
+    * appended index equals a from-scratch rebuild EXACTLY (spec-pinned):
+    * df/idf are derived at query time from the posting rows, so new
+    * documents shift idf with no stored-weight staleness — the failure
+    * mode of systems that bake idf into the index at build time.
+    *
+    * PROBE COST (`probeOverlap`, default on): the disjointness probe is
+    * an eager semi-join action whose corpus side is `idx.tfLen` — cheap
+    * (one cached-block scan) when the caller persisted the posting table
+    * (the memoizing query layer does), but a FULL re-tokenize of the
+    * corpus lineage when `tfLen` is unpersisted. Callers that guarantee
+    * disjoint ids by construction (e.g. a monotone ingest sequence
+    * number) may pass `probeOverlap = false` to keep the append strictly
+    * O(batch) with no action at all.
     */
   def append(idx: Index, newDocs: DataFrame, idCol: String = "doc_id",
-             textCol: String = "text"): Index = {
-    val add = build(newDocs, idCol, textCol)
-    // loud disjointness probe: an overlapping doc would double-count in
-    // df and totalTokens and SILENTLY skew every idf — one cheap
-    // semi-join over the batch's ids (O(batch), the corpus side is the
-    // join's build probe) turns the contract violation into an error
-    // naming the offender instead
-    val overlap = add.tfLen.select(col("doc_id")).distinct()
-      .join(idx.tfLen.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .limit(1).collect()
-    require(overlap.isEmpty,
-      s"Bm25.append batch overlaps the corpus (e.g. doc_id=${overlap.headOption.map(_.get(0)).orNull}): " +
-        "append requires disjoint ids — overlapping docs would double-count df/L and skew every idf")
+             textCol: String = "text", probeOverlap: Boolean = true,
+             unicode: Boolean = false): Index = {
+    // the arriving batch is small by definition — always probe it for
+    // duplicate ids (a dup inside the batch is the same idf corruption
+    // the cross-batch overlap probe exists for)
+    val add = build(newDocs, idCol, textCol, probeDuplicateIds = true,
+      unicode = unicode)
+    if (probeOverlap) {
+      // loud disjointness probe: an overlapping doc would double-count in
+      // df and totalTokens and SILENTLY skew every idf — one semi-join
+      // over the batch's ids turns the contract violation into an error
+      // naming the offender instead (cost: see scaladoc)
+      val overlap = add.tfLen.select(col("doc_id")).distinct()
+        .join(idx.tfLen.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(overlap.isEmpty,
+        s"Bm25.append batch overlaps the corpus (e.g. doc_id=${overlap.headOption.map(_.get(0)).orNull}): " +
+          "append requires disjoint ids — overlapping docs would double-count df/L and skew every idf")
+    }
     Index(idx.tfLen.unionByName(add.tfLen),
       idx.nDocs + add.nDocs, idx.totalTokens + add.totalTokens)
   }

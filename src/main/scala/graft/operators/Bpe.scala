@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.BpeEncodeExpr
+import graft.functions.{BpeByteEncodeExpr, BpeEncodeExpr}
 
 /** Sub-word (BPE) tokenization with a FIXED merges table — the
   * tokenize-for-real step ahead of sequence packing: q42 packs by
@@ -147,6 +147,50 @@ object Bpe {
     val sym = s"' ' || ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH($wordExpr) + 1), " +
       s"i -> $wordExpr[i:i]), ' ') || ' </w> '"
     val chained = StandardMerges.foldLeft(sym) { case (acc, (p, r)) =>
+      s"REPLACE($acc, ' $p ', ' $r ')"
+    }
+    s"TRIM($chained)"
+  }
+
+  // ---- byte-level tier --------------------------------------------------
+
+  /** Rank-ordered BYTE merges (symbols are lowercase hex pairs of UTF-8
+    * bytes; `20` is the space byte — an ordinary symbol, which is the
+    * point: byte-level merges cross word boundaries, so ` the ` can
+    * collapse to one token). Tuned like [[StandardMerges]]: common
+    * English bigrams first, then multi-level rules referencing earlier
+    * outputs up to the space-crossing ` the `.
+    */
+  val ByteMerges: Seq[(String, String)] = Seq(
+    // th -> the -> " the" -> " the "
+    "74 68" -> "7468", "7468 65" -> "746865",
+    "20 746865" -> "20746865", "20746865 20" -> "2074686520",
+    // common bigrams
+    "69 6e" -> "696e", "65 72" -> "6572", "61 6e" -> "616e",
+    "6f 6e" -> "6f6e", "72 65" -> "7265", "61 74" -> "6174",
+    "65 6e" -> "656e", "65 73" -> "6573", "65 64" -> "6564",
+    "6f 72" -> "6f72", "73 74" -> "7374",
+    // word-edge merges (space-crossing, impossible at word level)
+    "73 20" -> "7320", "65 20" -> "6520", "64 20" -> "6420",
+    "20 61" -> "2061", "20 73" -> "2073")
+
+  /** Codegen'd byte-level encode: text → space-joined hex-pair tokens.
+    * No OOV (any byte symbolizes), no delimiter dependence, multilingual
+    * for free — the scale tier [[encode]]'s word-delimited variant
+    * cannot reach.
+    */
+  def encodeBytes(text: Column): Column = BpeByteEncodeExpr(text, ByteMerges)
+
+  /** DuckDB replay of [[encodeBytes]] for a whole text expression:
+    * hex-pair symbolization (`LOWER(HEX(ENCODE(t)))` spaced into pairs
+    * by one regexp pass) wrapped in the REPLACE chain generated from
+    * [[ByteMerges]] — the same one-constant/two-engines discipline as
+    * [[oracleEncodeSql]], minus the per-word LIST machinery (the whole
+    * document is ONE delimited symbol string).
+    */
+  def oracleByteEncodeSql(textExpr: String): String = {
+    val sym = s"' ' || REGEXP_REPLACE(LOWER(HEX(ENCODE($textExpr))), '(..)', '\\1 ', 'g')"
+    val chained = ByteMerges.foldLeft(sym) { case (acc, (p, r)) =>
       s"REPLACE($acc, ' $p ', ' $r ')"
     }
     s"TRIM($chained)"

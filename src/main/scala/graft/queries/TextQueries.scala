@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -317,6 +317,58 @@ object TextQueries {
       FROM dense GROUP BY doc_id ORDER BY doc_id"""),
     doc = "Feature hashing (the hashing trick): tokens map to a fixed 32-dim space via md5-derived buckets — zero vocabulary state, pure per-row featurization, collisions as the documented trade; dense count vectors as joined strings, oracle replays the identical bucket function; the stateless sibling of q137's vocab-table encoding.")
 
+  private lazy val byteBpeQ: Q = Q(
+    "q177_byte_bpe",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Bpe
+      // BYTE-LEVEL BPE: the document's UTF-8 bytes symbolize as hex
+      // pairs over ONE delimited string — no word split, no </w>, no
+      // OOV, and merges CROSS word boundaries (ByteMerges collapses
+      // ' the ' to a single token, impossible at word level). Same
+      // one-constant/two-engines gate as q140: DuckDB replays the
+      // identical rank-ordered replace passes via a chain generated
+      // from Bpe.ByteMerges (Bpe.oracleByteEncodeSql).
+      Tables.documents(s, d)
+        .select($"doc_id", Bpe.encodeBytes($"text").as("tokens"))
+        .select($"doc_id", Bpe.tokenCount($"tokens").as("n_tokens"), $"tokens")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             CAST(CASE WHEN LENGTH(e) = 0 THEN 0
+                  ELSE LEN(STRING_SPLIT(e, ' ')) END AS BIGINT) AS n_tokens,
+             e AS tokens
+      FROM (SELECT doc_id, ${graft.operators.Bpe.oracleByteEncodeSql("text")} AS e
+            FROM documents)
+      ORDER BY doc_id"""),
+    doc = "Byte-level BPE (hex-pair symbols over UTF-8 bytes, one delimited string per document — the GPT-2-style no-OOV, delimiter-free tier): full token sequences gate-checked against DuckDB executing a REPLACE chain generated from the SAME ByteMerges constant; space is byte 20, an ordinary symbol, so ' the ' collapses across word boundaries.")
+
+  private lazy val uniTokensQ: Q = Q(
+    "q176_unicode_tokens",
+    (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
+      import s.implicits._
+      val root = UniFixture.ensure(s)
+      // per-doc token MULTISET (token, n): pins every segmentation rule —
+      // a run split too early, a dropped ideograph, or a divergent
+      // lowercase mapping all change the multiset. The segmenter is the
+      // codegen'd UniTokenize expression; the oracle replays it with a
+      // regex GENERATED from the same range constants (UniTok.oracleRegex)
+      s.read.parquet(root)
+        .select($"doc_id", explode(graft.functions.UniTokenize($"txt")).as("token"))
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"doc_id", $"token")
+    },
+    Some(s"""
+      SELECT doc_id, tok AS token, COUNT(*) AS n
+      FROM (SELECT doc_id,
+                   UNNEST(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}')) AS tok
+            FROM read_parquet('${UniFixture.Root}/*.parquet'))
+      GROUP BY doc_id, tok
+      ORDER BY doc_id, token"""),
+    doc = "Unicode codepoint-class segmentation (CJK unigrams + accented-Latin/Greek/Cyrillic runs, lowercase-then-classify) over a committed multilingual fixture; Spark runs the codegen'd UniTokenize expression, DuckDB replays with a regex generated from the SAME range constants — one classifier definition, two engines (the Bpe oracle-generation discipline applied to tokenization).")
+
   // learned merges per (session, dir): a driver-resident Seq (tiny);
   // learning is deterministic so memoization is semantics-free
   private val learnCache = scala.collection.mutable.Map
@@ -326,4 +378,41 @@ object TextQueries {
       learnCache.getOrElseUpdate((s, d),
         graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 24))
     }
+
+  /** Deterministic multilingual fixture for the Unicode tokenizer gate
+    * (q176): the testdata documents are ASCII English, so the
+    * CJK/Greek/Cyrillic/diacritics surface needs its own rows. Content
+    * is a pure function of index (no RNG, no clock), written once per
+    * JVM to a FIXED path so the DuckDB oracle — a static SQL string —
+    * reads the SAME parquet (the CnpjLakeQueries.Lake discipline).
+    */
+  object UniFixture {
+    val Root = "/root/repo/target/unitok_fixture"
+    /** Each fragment exercises a distinct segmentation rule; uppercase
+      * rows pin the lowercase-then-classify order on both engines.
+      */
+    private val frags = Seq(
+      "the quick brown fox 2026 jumps",                        // ASCII + digit run
+      "café naïve über señor ação résumé",                     // Latin diacritics stay in-run
+      "数据处理引擎大规模分布式计算",                            // zh: unigrams, no delimiters
+      "データパイプラインの設計",                                // ja: katakana + hiragana + kanji
+      "대규모 데이터 엔진",                                      // ko: hangul syllables
+      "ανάλυση δεδομένων μεγάλης κλίμακας",                    // el: accented lowercase Greek
+      "обработка данных в масштабе",                           // ru: Cyrillic runs
+      "spark引擎merge排序2026window",                           // mixed script boundaries
+      "hello, world! 🙂 (punct)[ok]{fine} #tag @user",         // separators incl. astral emoji
+      "MIXED Case ÉCOLE Größe ΑΛΦΑ МОСКВА")                    // uppercase → simple lowercase
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        (0 until 40).map(i => (i.toLong, frags(i % frags.size) + " " + (1000 + i)))
+          .toDF("doc_id", "txt").coalesce(1)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
 }

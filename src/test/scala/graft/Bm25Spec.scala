@@ -223,4 +223,77 @@ class Bm25Spec extends AnyFunSuite {
     val adjacentKept = (0L until n - 1).count(i => pos(i) + 1 == pos(i + 1))
     assert(adjacentKept < n / 10, s"order barely shuffled: $adjacentKept adjacent pairs kept")
   }
+
+  test("milli_log2 SQL surface enforces its domain: out-of-range -> NULL, never garbage") {
+    import spark.implicits._
+    // x=0 used to return -1000 silently, negatives garbage via bin()'s
+    // 64-char two's-complement form, and x > Long.MaxValue/1000
+    // overflowed the x*1000 interpolation term
+    val hi = Long.MaxValue / 1000
+    val rows = spark.sql(
+      s"SELECT milli_log2(0L) a, milli_log2(-5L) b, milli_log2(${hi}L + 1) c, " +
+        s"milli_log2(${hi}L) d, milli_log2(1L) e").head()
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(!rows.isNullAt(3), "upper boundary is IN domain")
+    assert(rows.getLong(4) == 0L, "milli_log2(1) == 0")
+  }
+
+  test("build's duplicate-id probe catches within-batch id reuse (the within-batch idf corruption)") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta"), (2L, "beta gamma"), (1L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.build(dup, probeDuplicateIds = true)
+    }
+    assert(e.getMessage.contains("doc_id=1"))
+    // append probes its batch unconditionally (a batch is small by definition)
+    val idx = Bm25.build(Seq((10L, "delta")).toDF("doc_id", "text"))
+    val e2 = intercept[IllegalArgumentException] { Bm25.append(idx, dup) }
+    assert(e2.getMessage.contains("duplicat"))
+  }
+
+  test("unicode tokenizer tier: non-Latin documents index and retrieve (ASCII mode drops them)") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "数据处理引擎的设计"),            // zh: engine design
+      (2L, "大规模数据分析"),                // zh: large-scale data analysis
+      (3L, "обработка данных в масштабе"),  // ru
+      (4L, "spark engine design"),          // en
+      (5L, "データ処理エンジン")             // ja
+    ).toDF("doc_id", "text")
+    // ASCII mode: the CJK/Cyrillic docs contribute NOTHING to the index
+    val ascii = Bm25.build(docs)
+    assert(Bm25.tokenize(docs.filter($"doc_id" === 1)).count() == 0)
+    assert(ascii.totalTokens == 3, "only the English doc tokenizes in ASCII mode")
+    // unicode mode: every doc indexes; a CJK unigram query retrieves,
+    // ranked by exact-integer BM25 like any Latin term
+    val uni = Bm25.build(docs, unicode = true)
+    assert(uni.nDocs == 5 && uni.totalTokens > 20)
+    val got = Bm25.topk(uni, Seq("数", "据"), 3).collect()
+    assert(got.nonEmpty && got.map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L)),
+      "both-ideograph docs must rank; docs without the terms must not")
+    // Cyrillic run retrieval
+    val ru = Bm25.topk(uni, Seq("данных"), 2).collect()
+    assert(ru.map(_.getLong(0)).toSeq == Seq(3L))
+    // incremental append preserves the unicode tokenization
+    val idx0 = Bm25.build(docs.filter($"doc_id" <= 3), unicode = true)
+    val idx1 = Bm25.append(idx0, docs.filter($"doc_id" > 3), unicode = true)
+    assert(idx1.nDocs == uni.nDocs && idx1.totalTokens == uni.totalTokens)
+  }
+
+  test("probeOverlap=false skips the corpus-side action and still appends correctly") {
+    import graft.operators.Bm25
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    val full = Bm25.build(docs)
+    val incr = Bm25.append(Bm25.build(oldDocs), newDocs, probeOverlap = false)
+    assert(incr.nDocs == full.nDocs && incr.totalTokens == full.totalTokens)
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(Bm25.topk(incr, Seq("dup", "spark"), 10)) ==
+      top(Bm25.topk(full, Seq("dup", "spark"), 10)))
+  }
 }

@@ -25,9 +25,8 @@ class BpeSpec extends AnyFunSuite {
     * match) while a pair at i+3 can. `[a,b,a,b]` → `[ab, a, b]`,
     * `[a,b,x,a,b]` → `[ab, x, ab]` — the documented BpeCodec contract.
     */
-  private def referenceWord(w: String, merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Vector[String] =
-      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+ "</w>"
+  private def applyMerges(syms0: Vector[String], merges: Seq[(String, String)]): Vector[String] = {
+    var syms = syms0
     merges.foreach { case (pat, rep) =>
       val Array(a, b) = pat.split(" ")
       val out = Vector.newBuilder[String]
@@ -45,6 +44,11 @@ class BpeSpec extends AnyFunSuite {
     }
     syms
   }
+
+  private def referenceWord(w: String, merges: Seq[(String, String)]): Seq[String] =
+    applyMerges(
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp))) :+ "</w>",
+      merges)
 
   private def referenceDoc(text: String): String =
     text.split(" ").filter(_.nonEmpty)
@@ -184,5 +188,55 @@ class BpeSpec extends AnyFunSuite {
       BpeEncodeExpr(col("x"), Seq("a b" -> "ba"))) // not the concatenation
     assertThrows[IllegalArgumentException](
       BpeEncodeExpr(col("x"), Seq.empty))
+  }
+
+  // ---- byte-level tier --------------------------------------------------
+
+  /** Independent reference: UTF-8 bytes → hex-pair symbols (no word
+    * split, no marker), then the same shared-delimiter merge passes.
+    */
+  private def referenceBytes(text: String): String =
+    if (text.isEmpty) ""
+    else applyMerges(
+      text.getBytes("UTF-8").toVector.map(b => f"${b & 0xff}%02x"),
+      Bpe.ByteMerges).mkString(" ")
+
+  test("byte-level expression equals the list reference on corpus docs AND multilingual text") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", Bpe.encodeBytes($"text").as("tokens"))
+      .as[(Long, String, String)].collect()
+    assert(corpus.length == 500)
+    corpus.foreach { case (id, text, tokens) =>
+      assert(tokens == referenceBytes(text), s"doc $id diverges from the byte reference")
+    }
+    // no-OOV: CJK/diacritics/emoji byte-symbolize like anything else
+    // (the word-level tier would hand these through as opaque symbols)
+    val wild = Seq("数据处理", "café ß", "a🙂b", "", "  ", "the the")
+    val got = wild.toDF("t").select(Bpe.encodeBytes($"t")).as[String].collect().toSeq
+    assert(got == wild.map(referenceBytes))
+  }
+
+  test("byte merges cross word boundaries: ' the ' collapses to ONE token") {
+    import spark.implicits._
+    val enc = Seq("on the mat").toDF("t")
+      .select(Bpe.encodeBytes($"t")).as[String].head()
+    assert(enc.split(" ").contains("2074686520"),
+      s"space-crossing ' the ' token missing: $enc")
+    // and losslessness: concatenated hex symbols re-decode to the text
+    val hex = enc.replace(" ", "")
+    val back = new String(
+      hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
+    assert(back == "on the mat")
+  }
+
+  test("byte-level validator rejects non-hex symbols and malformed rules") {
+    import graft.functions.BpeByteEncodeExpr
+    assertThrows[IllegalArgumentException](
+      BpeByteEncodeExpr(col("x"), Seq("74 68" -> "TH")))     // uppercase = not the alphabet
+    assertThrows[IllegalArgumentException](
+      BpeByteEncodeExpr(col("x"), Seq("74 68" -> "7468x")))  // odd/garbage tail
+    assertThrows[IllegalArgumentException](
+      BpeByteEncodeExpr(col("x"), Seq("74  68" -> "7468")))  // malformed pattern
   }
 }

@@ -133,4 +133,72 @@ class TextFnsSpec extends AnyFunSuite {
     assert(df.forall(q => q >= 0.0 && q <= 1.0))
     assert(df(1) > df(0))
   }
+
+  test("uniTokens: CJK unigrams, diacritic runs, script boundaries, lowercase-then-classify") {
+    import spark.implicits._
+    def tok(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFns.uniTokens($"t")).as[Seq[String]].head()
+    // mixed scripts split at boundaries; each ideograph is its own token
+    assert(tok("spark引擎2026window") == Seq("spark", "引", "擎", "2026window"))
+    // diacritics stay IN the run (the ASCII split fragments "café" -> "caf")
+    assert(tok("Café Naïve ÉCOLE") == Seq("café", "naïve", "école"))
+    // Greek/Cyrillic runs, uppercase folded by the simple mapping
+    assert(tok("ΑΛΦΑ και МОСКВА") == Seq("αλφα", "και", "москва"))
+    // kana are unigrams too (incl. the prolonged-sound mark)
+    assert(tok("データ") == Seq("デ", "ー", "タ"))
+    // hangul syllables
+    assert(tok("데이터 엔진") == Seq("데", "이", "터", "엔", "진"))
+    // punctuation, emoji (astral — codepoint iteration), symbols separate
+    assert(tok("a,b🙂c!") == Seq("a", "b", "c"))
+    // empties
+    assert(tok("") == Seq.empty && tok("!!! ...") == Seq.empty)
+  }
+
+  test("uniTokens: pure-CJK text is INVISIBLE to the ASCII tokenizer but not to this one") {
+    import spark.implicits._
+    val zh = "数据处理引擎"
+    val ascii = Seq(zh).toDF("t")
+      .select(split(lower($"t"), "[^a-z]+").as("a")).as[Seq[String]].head()
+      .filter(_.nonEmpty)
+    assert(ascii.isEmpty, "the default tokenizer drops CJK text entirely")
+    assert(Seq(zh).toDF("t").select(TextFns.uniTokens($"t")).as[Seq[String]].head()
+      == zh.map(_.toString))
+  }
+
+  test("unicode shingles + quality score: CJK documents stop scoring as one giant token") {
+    import spark.implicits._
+    val zh = "数据处理引擎大规模计算"
+    val sh = Seq(zh).toDF("t")
+      .select(TextFns.shingles($"t", 3, unicode = true)).as[Seq[String]].head()
+    assert(sh.size == zh.length - 2 && sh.head == "数 据 处")
+    val Seq((qa, qu)) = Seq(zh).toDF("t")
+      .select(TextFns.qualityScore($"t").as("a"),
+        TextFns.qualityScore($"t", unicode = true).as("u"))
+      .as[(Double, Double)].collect().toSeq
+    // ASCII mode sees ONE whitespace token; unicode mode sees 10 — the
+    // token-count term moves, both stay in [0,1]
+    assert(qu > qa && qa >= 0.0 && qu <= 1.0)
+  }
+
+  test("uniTokens: segmentation regex replay (UniTok.oracleRegex) agrees via Spark's regexp engine") {
+    import spark.implicits._
+    // the oracle runs the generated regex in DuckDB/RE2; Java's regex
+    // accepts the same \x{...} class syntax, so replaying it HERE pins
+    // that the kernel and the generated pattern express one classifier
+    // (engine-independent sanity; the q176 gate pins the DuckDB side)
+    val texts = Seq(
+      "spark引擎2026window", "Café Naïve ÉCOLE", "ΑΛΦΑ και МОСКВА",
+      "データパイプラインの設計", "대규모 데이터 엔진", "hello, world! 🙂 #tag",
+      "обработка данных в масштабе 42", "")
+    // Spark SQL string literals process backslash escapes (DuckDB's do
+    // not) — double them so the regex engine sees \x{...} intact
+    val pat = graft.functions.UniTok.oracleRegex.replace("\\", "\\\\")
+    val rows = texts.toDF("t").select(
+      TextFns.uniTokens($"t").as("k"),
+      expr(s"filter(regexp_extract_all(lower(t), '$pat', 0), x -> x != '')").as("r"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.zip(texts).foreach { case ((kernel, regex), t) =>
+      assert(kernel == regex, s"kernel vs regex diverged on '$t'")
+    }
+  }
 }
