@@ -75,13 +75,24 @@ object FfmpegVideoDecoder {
           throw new IllegalArgumentException(
             s"ffmpeg exit $rc, ${out.length} bytes out: ${err.take(200)}")
         }
-        splitBmps(out).map(b => toGray(Codecs.decodeBmp(b)))
+        parseStream(out)
       } finally {
         Files.deleteIfExists(tmp)
         Files.deleteIfExists(errF)
       }
     }
   }
+
+  /** The ENTIRE post-process half of the adapter — concatenated-BMP
+    * stream → gray frames — factored out of the process invocation so it
+    * runs everywhere: VideoSeamSpec drives it through a COMMITTED golden
+    * fixture (`ffmpeg_image2pipe_golden.bin`, a concatenated 24-bit BMP
+    * stream byte-identical in structure to `-f image2pipe -vcodec bmp`
+    * output) on boxes without the binary. Only the exec itself remains
+    * behind the availability self-skip.
+    */
+  private[graft] def parseStream(out: Array[Byte]): Iterator[Jpeg.Gray] =
+    splitBmps(out).map(b => toGray(Codecs.decodeBmp(b)))
 
   /** Split a concatenated BMP stream on each header's own file-size
     * field (offset 2, little-endian) — the format is self-delimiting.

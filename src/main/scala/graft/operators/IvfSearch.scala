@@ -119,6 +119,36 @@ object IvfSearch {
   def appendAssigned(assigned: DataFrame, batch: DataFrame, index: IvfIndex): DataFrame =
     assigned.unionByName(assign(batch, index))
 
+  /** Mean centroid AFFINITY — avg dot of each unit vector with its
+    * assigned centroid — the DRIFT STATISTIC for the append-without-
+    * re-clustering policy: a batch drawn from the trained distribution
+    * scores ≈ the corpus baseline; a batch whose distribution shifted
+    * away from the centroids scores measurably lower (its vectors sit
+    * far from every list center, so probing degrades). One
+    * aggregation over the assignment (k codegen'd dots were already
+    * paid at assign time; this re-derives only the assigned one), cheap
+    * enough to run per batch as append-time telemetry.
+    */
+  def meanAffinity(assigned: DataFrame, index: IvfIndex): Double = {
+    val aff = index.centroids.zipWithIndex.map { case (c, i) =>
+      when(col("cluster") === i, VectorFns.dotPre(col("uv"), centroidCol(c)))
+    }.reduce(coalesce(_, _))
+    assigned.agg(coalesce(avg(aff), lit(Double.NaN))).head().getDouble(0)
+  }
+
+  /** RE-CLUSTER TRIGGER (the documented deployment policy, spec-pinned):
+    * compare each arriving batch's [[meanAffinity]] against the corpus
+    * baseline captured at [[build]] time; when the batch sits more than
+    * `margin` below the baseline, the centroids no longer describe the
+    * data and the next offline [[build]] should run over the full
+    * corpus. Appends themselves stay O(batch) — the trigger only decides
+    * WHEN the periodic re-cluster is due, replacing a blind cadence with
+    * a measured one.
+    */
+  def shouldRecluster(corpusAffinity: Double, batchAffinity: Double,
+                      margin: Double = 0.1): Boolean =
+    batchAffinity < corpusAffinity - margin
+
   /** Top-k cosine neighbors per query, probing `nprobe` inverted lists.
     * Approximate: neighbors outside the probed lists are missed (spec
     * pins recall against the exact baseline).

@@ -81,33 +81,72 @@ object CnpjLakeQueries {
         "", "", "", "", "a@b.c", "", "").mkString(";")
     }.mkString("", "\n", "\n")
 
-  /** Build the two-snapshot lake once per JVM through the real ingest path. */
-  def ensureLake(spark: SparkSession): String = lock.synchronized {
-    if (built) return Lake.Root
-    val root = new File(Lake.Root)
-    deleteRec(root)
-    val staging = new File(Lake.Root + "_staging")
+  /** Write `snaps` = (refDate, nMuni, nEmp, nEstab, renamedEvery) rows
+    * into a fresh lake at `root` through the REAL ingest path (latin-1
+    * `;`-CSV staging → readCsv → writeSnapshot hive layout). Staging CSVs
+    * are deleted afterwards — at the bench-scale sizes they are tens of
+    * MB of scratch.
+    */
+  private def buildSnapshots(spark: SparkSession, root: String,
+                             snaps: Seq[(Int, Int, Int, Int, Int)]): Unit = {
+    deleteRec(new File(root))
+    val staging = new File(root + "_staging")
     deleteRec(staging); staging.mkdirs()
-
     def writeCsv(name: String, content: String): String = {
       val f = new File(staging, name)
       Files.write(f.toPath, content.getBytes(latin1))
       f.getAbsolutePath
     }
-    def snapshot(refDate: Int, nMuni: Int, nEmp: Int, nEstab: Int, renamedEvery: Int): Unit = {
+    snaps.foreach { case (refDate, nMuni, nEmp, nEstab, renamedEvery) =>
       val m = writeCsv(s"municipios_$refDate.csv", muniCsv(nMuni, renamedEvery))
       val e = writeCsv(s"empresas_$refDate.csv", empresasCsv(nEmp))
       val s = writeCsv(s"estabelecimentos_$refDate.csv", estabCsv(nEstab, nEmp, nMuni))
-      Ingest.writeSnapshot(Ingest.readCsv(spark, "municipios", Seq(m)), Lake.Root, "municipios", refDate)
-      Ingest.writeSnapshot(Ingest.readCsv(spark, "empresas", Seq(e)), Lake.Root, "empresas", refDate)
-      Ingest.writeSnapshot(Ingest.readCsv(spark, "estabelecimentos", Seq(s)), Lake.Root, "estabelecimentos", refDate)
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "municipios", Seq(m)), root, "municipios", refDate)
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "empresas", Seq(e)), root, "empresas", refDate)
+      Ingest.writeSnapshot(Ingest.readCsv(spark, "estabelecimentos", Seq(s)), root, "estabelecimentos", refDate)
     }
+    deleteRec(staging)
+  }
+
+  /** Build the two-snapshot lake once per JVM through the real ingest path. */
+  def ensureLake(spark: SparkSession): String = lock.synchronized {
+    if (built) return Lake.Root
     // the newer snapshot is bigger AND renames every 3rd municipality: a
     // broken ref_date filter changes counts and names, not just runtimes
-    snapshot(Lake.OldSnap, nMuni = 50, nEmp = 400, nEstab = 1600, renamedEvery = 0)
-    snapshot(Lake.NewSnap, nMuni = 60, nEmp = 450, nEstab = 1800, renamedEvery = 3)
+    buildSnapshots(spark, Lake.Root, Seq(
+      (Lake.OldSnap, 50, 400, 1600, 0),
+      (Lake.NewSnap, 60, 450, 1800, 3)))
     built = true
     Lake.Root
+  }
+
+  /** BENCH-SCALE lake (q178): the same physical design at a volume where
+    * the plan actually matters — three `ref_date` partitions totalling
+    * 280k establishment rows, the queried one carrying 200k (the sf0.1
+    * fact-table order of magnitude). Built ONCE per JVM through the same
+    * real ingest path (one-time cost lands in the bench warmup, not the
+    * timed reps); sizes are fixed (not SF-scaled) so the DuckDB oracle
+    * stays a static string over a fixed path.
+    */
+  object BigLake {
+    val Root = "/root/repo/target/cnpj_lake_big"
+    val QuerySnap = 20230601
+    /** (refDate, nMuni, nEmp, nEstab, renamedEvery): neighbors on BOTH
+      * sides of the queried snapshot, with renames in the newest — a
+      * broken partition filter changes names and counts, not just cost.
+      */
+    val Snaps = Seq(
+      (20230401, 60, 4000, 30000, 0),
+      (QuerySnap, 500, 20000, 200000, 0),
+      (20230801, 80, 6000, 50000, 3))
+    @volatile private[CnpjLakeQueries] var built = false
+    def ensure(spark: SparkSession): String = lock.synchronized {
+      if (!built) {
+        buildSnapshots(spark, Root, Snaps)
+        built = true
+      }
+      Root
+    }
   }
 
   val queries: Seq[Q] = Seq(
@@ -236,5 +275,53 @@ object CnpjLakeQueries {
           GROUP BY 2
         ) ORDER BY table_name, ref_date"""),
       doc = "Catalog statistics surface: per-partition recordCount published by ANALYZE TABLE ... PARTITION and read back from catalog metadata (the reference crawler's check_update.py:134-139 parameters), gated against DuckDB's independent COUNT(*) over the same dirs.")
+  ,
+    Q(
+      "q178_cnpj_lake_scale",
+      (s, _) => {   // fixed-size bench-scale lake; dir arg unused (see BigLake)
+        val root = BigLake.ensure(s)
+        import s.implicits._
+        // the full reference star at bench volume: 200k-row fact
+        // partition, BOTH dimensions explicitly broadcast (20k + 500
+        // rows — a dimension should never shuffle a 200k fact), the
+        // neighbors pruned at planning time (PlanSpec pins
+        // PartitionFilters + broadcasts under AQE). The only fact
+        // shuffle is the grouped aggregation.
+        val e = s.read.parquet(s"$root/cnpj_db/estabelecimentos")
+          .where($"ref_date" === BigLake.QuerySnap)
+          .select($"cnpj_raiz", $"end_cod_muni")
+        val emp = s.read.parquet(s"$root/cnpj_db/empresas")
+          .where($"ref_date" === BigLake.QuerySnap)
+          .select($"cnpj_raiz", $"cap_soc", $"porte")
+        val m = s.read.parquet(s"$root/cnpj_db/municipios")
+          .where($"ref_date" === BigLake.QuerySnap)
+          .select($"codigo", $"desc")
+        e.join(broadcast(emp), "cnpj_raiz")
+          .join(broadcast(m), $"end_cod_muni" === $"codigo")
+          .groupBy($"desc")
+          .agg(
+            count(lit(1)).as("n_estab"),
+            countDistinct($"cnpj_raiz").as("n_empresas"),
+            sum(when($"porte" === 3, 1L).otherwise(0L)).as("n_estab_porte3"),
+            sum($"cap_soc".cast("decimal(28,2)")).cast("double").as("total_capital"))
+          .select($"desc".as("municipio"), $"n_estab", $"n_empresas",
+            $"n_estab_porte3", $"total_capital")
+          .orderBy($"municipio")
+      },
+      Some(s"""
+        SELECT m."desc" AS municipio,
+               COUNT(*) AS n_estab,
+               COUNT(DISTINCT e.cnpj_raiz) AS n_empresas,
+               CAST(SUM(CASE WHEN emp.porte = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_estab_porte3,
+               CAST(SUM(CAST(emp.cap_soc AS DECIMAL(28,2))) AS DOUBLE) AS total_capital
+        FROM read_parquet('${BigLake.Root}/cnpj_db/estabelecimentos/*/*.parquet', hive_partitioning=1) e
+        JOIN read_parquet('${BigLake.Root}/cnpj_db/empresas/*/*.parquet', hive_partitioning=1) emp
+          ON emp.cnpj_raiz = e.cnpj_raiz AND emp.ref_date = ${BigLake.QuerySnap}
+        JOIN read_parquet('${BigLake.Root}/cnpj_db/municipios/*/*.parquet', hive_partitioning=1) m
+          ON m.codigo = e.end_cod_muni AND m.ref_date = ${BigLake.QuerySnap}
+        WHERE e.ref_date = ${BigLake.QuerySnap}
+        GROUP BY m."desc"
+        ORDER BY municipio"""),
+      doc = "The reference star join at BENCH scale: 280k-row three-partition lake built through the real ingest path, query prunes to the 200k-row snapshot at planning time with both dimensions broadcast (PlanSpec pins PartitionFilters + BroadcastHashJoin under AQE); oracle reads the same hive-partitioned parquet. q61 pins fidelity on small fixtures; this row makes the lake surface bench-visible at sf0.1-like volume.")
   )
 }

@@ -92,6 +92,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q178: bench-scale lake star — pruning + dual dimension broadcast hold under AQE at 200k-fact volume") {
+    val df = SparkEntry.queries("q178_cnpj_lake_scale")(spark, sf)
+    // EXECUTE first: AQE finalizes the physical plan at runtime, and the
+    // claim is that the star shape survives adaptive re-planning at the
+    // volume where it matters, not just in the initial plan
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
+    assert(scans.size == 3, s"expected 3 pruned scans:\n${p.take(800)}")
+    assert(scans.forall(_.contains("= 20230601")), scans.mkString("\n"))
+    // neither neighbor snapshot is read
+    assert(!p.contains("20230401") && !p.contains("20230801"))
+    // BOTH dimensions broadcast: the 200k fact shuffles only for the agg
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "empresas (20k) and municipios (500) must both broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a dimension fell back to a fact-shuffling join")
+  }
+
   test("q66: range join runs as a hash join on bin ids — no nested loop against the fact table") {
     val p = plan("q66_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -131,4 +131,39 @@ class VideoSeamSpec extends AnyFunSuite {
     assert(VideoSeam.sniffContainer(Array[Byte](1, 2, 3)) == "unknown")
     assert(VideoSeam.sniffContainer(Array.empty[Byte]) == "unknown")
   }
+
+  test("golden image2pipe fixture: the ffmpeg adapter's parse path runs WITHOUT the binary") {
+    import graft.multimodal.FfmpegVideoDecoder
+    // committed concatenated-BMP stream (structurally identical to
+    // `-f image2pipe -vcodec bmp` output — see GoldenFixtureGen); with
+    // this, the ONLY piece of the adapter behind the availability
+    // self-skip is the process exec itself
+    val in = getClass.getResourceAsStream("/ffmpeg_image2pipe_golden.bin")
+    assert(in != null, "committed golden fixture missing from test resources")
+    val bytes = in.readAllBytes(); in.close()
+    // regeneration pin: the committed bytes are the pure function of
+    // (frame, x, y) the generator documents — encoder drift surfaces here
+    assert(java.util.Arrays.equals(bytes, GoldenFixtureGen.streamBytes),
+      "fixture no longer matches its generator — rerun GoldenFixtureGen and review")
+    val frames = FfmpegVideoDecoder.parseStream(bytes).toSeq
+    assert(frames.map(g => (g.width, g.height)) == Seq.fill(3)((6, 4)))
+    // golden luma anchors (BT.601 integer weights), printed by the
+    // generator at fixture-creation time and frozen here
+    def stats(g: Jpeg.Gray) = {
+      val l = g.pixels.map(_ & 0xff)
+      (l.head, l.last, l.sum)
+    }
+    assert(frames.map(stats) == Seq((2, 17, 190), (26, 41, 785), (51, 66, 1383)))
+    // a truncated stream fails LOUDLY (declared BMP size > remaining
+    // bytes), never silently drops the tail frame
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 10)
+    val e = intercept[IllegalArgumentException](
+      FfmpegVideoDecoder.parseStream(cut).toSeq)
+    assert(e.getMessage.contains("malformed BMP stream"))
+    // trailing non-BMP junk ends iteration at the junk boundary (the
+    // frames before it decode; ffmpeg never emits trailing junk, but a
+    // torn pipe read should not invent a frame)
+    val junk = bytes ++ Array[Byte](1, 2, 3)
+    assert(FfmpegVideoDecoder.parseStream(junk).toSeq.size == 3)
+  }
 }
