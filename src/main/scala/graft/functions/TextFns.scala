@@ -19,8 +19,23 @@ object TextFns {
 
   /** Stable document fingerprint: md5 of the normalized text. Identical
     * in any engine with md5 — used for cross-system dedup keys.
+    *
+    * MULTILINGUAL TRAP (q181 pins it): [[normalize]] strips every
+    * non-ASCII character, so ALL pure-CJK documents normalize to "" and
+    * share ONE fingerprint — a fingerprint-keyed dedup would keep the
+    * first CJK document and silently drop every other one as a
+    * "duplicate". Use [[fingerprintUni]] on multilingual corpora.
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Unicode-aware content fingerprint: md5 over the space-joined
+    * [[UniTok]] token stream — same canonicalization intent as
+    * [[fingerprint]] (case/punctuation/whitespace-insensitive) without
+    * the ASCII cliff: CJK text keeps its characters (as unigram tokens),
+    * so distinct documents get distinct keys.
+    */
+  def fingerprintUni(text: Column): Column =
+    md5(concat_ws(" ", uniTokens(text)))
 
   /** Polynomial (Rabin-Karp) rolling-hash fingerprint over the text's
     * code points: h₀ = seed; hᵢ = (hᵢ₋₁·base + cᵢ) mod m. Exact integer

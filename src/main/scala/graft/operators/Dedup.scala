@@ -37,8 +37,15 @@ object Dedup {
     * pre-hashed to 8-byte keys BEFORE the distinct so the dedup shuffle
     * carries (long, long) rows instead of strings.
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+  /** `unicode = true` shingles over the codepoint-class tokenizer
+    * (CJK character n-grams) instead of whitespace words — the
+    * whitespace default produces ZERO shingles on unsegmented scripts,
+    * silently exempting those documents from dedup.
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                  unicode: Boolean = false): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(TextFns.shingles(col(textCol), n, unicode)).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("sh"))
       .distinct()
 

@@ -303,6 +303,51 @@ object AnalyticsQueries {
       doc = "BM25 top-k retrieval (k1=1.2, b=0.75) over the persisted inverted index with a fixed-point integer log2 idf (bitlen + shift interpolation; ln((N+1)/(df+0.5)) identity): every score is an exact BIGINT so both engines agree bitwise, term filters push into the index scan, the 3-row idf table broadcasts, and top-k is per-partition heaps (TakeOrderedAndProject) — never a global sort."),
 
     Q(
+      "q179_bm25_unicode",
+      (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
+        // END-TO-END multilingual retrieval: the q173 integer-exact BM25
+        // machinery over the q176 Unicode tokenizer — a CJK unigram, a
+        // Cyrillic run, and an accented-Latin run retrieve from ONE
+        // index with bitwise-identical BIGINT scores in both engines
+        // (the tokenizer row pins segmentation; THIS row pins that the
+        // whole retrieval stack composes over it). Index build is
+        // per-call: the fixture is 40 docs.
+        val docs = s.read.parquet(TextQueries.UniFixture.ensure(s))
+        graft.operators.Bm25.topk(
+          graft.operators.Bm25.build(docs, textCol = "txt", unicode = true),
+          Seq("数", "данных", "café"), 20)
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id,
+                       UNNEST(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}')) AS t
+                FROM read_parquet('${TextQueries.UniFixture.Root}/*.parquet')) u
+          WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        len AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+        nl AS (SELECT (SELECT COUNT(*) FROM read_parquet('${TextQueries.UniFixture.Root}/*.parquet')) AS n,
+                      (SELECT COUNT(*) FROM tok) AS l),
+        hits AS (SELECT * FROM tf WHERE token IN ('数', 'данных', 'café')),
+        dfs AS (SELECT token, COUNT(*) AS df FROM hits GROUP BY token),
+        idf AS (
+          SELECT token,
+                 (LENGTH(PRINTF('%b', x)) - 1) * 1000
+                   + ((x * 1000) >> (LENGTH(PRINTF('%b', x)) - 1)) - 11000 AS idf_milli
+          FROM (SELECT token, (2 * n + 2) * 1024 // (2 * df + 1) AS x FROM dfs, nl) q
+        )
+        SELECT h.doc_id,
+               CAST(SUM((i.idf_milli * 22000 * h.tf)
+                 // (10000 * h.tf + 3000 + 9 * ((le.len * 1000) // (nl.l // nl.n)))) AS BIGINT) AS score,
+               COUNT(*) AS n_terms
+        FROM hits h JOIN len le USING (doc_id) JOIN idf i USING (token), nl
+        GROUP BY h.doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20"""),
+      doc = "Multilingual BM25 end-to-end: the q173 integer-exact retrieval stack composed over the q176 Unicode tokenizer — CJK unigram + Cyrillic run + accented-Latin run query terms rank documents of the committed multilingual fixture with bitwise-identical BIGINT scores; DuckDB replays BOTH the generated segmentation regex AND the fixed-point idf/score formula."),
+
+    Q(
       "q77_table_diff",
       (s, d) => {
         import s.implicits._

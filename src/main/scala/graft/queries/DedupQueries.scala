@@ -83,9 +83,13 @@ object DedupQueries {
     }
   }
 
-  /** Shared oracle CTE prefix: distinct word-trigram shingles per doc. */
-  private def jaccardOracle(threshold: String): String = s"""
-    WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+  /** Shared oracle CTE prefix: distinct trigram shingles per doc over a
+    * pluggable tokenization (`docsCte` must yield (doc_id, toks)).
+    */
+  private def jaccardOracle(
+      threshold: String,
+      docsCte: String = "SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents"): String = s"""
+    WITH docs AS ($docsCte),
     sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
              i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
@@ -319,6 +323,28 @@ object DedupQueries {
         FROM dirty d LEFT JOIN clusters c USING (k)
         ORDER BY rec_key"""),
       doc = "Entity resolution / record linkage (MDM): planted dirty variants resolved by prefix BLOCKING (candidates bounded at block-squared, the scale knob), multi-field VERIFY (levenshtein <= 1 plus exact acctbal/nation agreement — what separates true variants from one-digit neighbors), the shared CC operator for clustering, and min-key golden-record selection with singleton passthrough; oracle replays the full pipeline including the recursive closure.")
+  ,
+
+    Q(
+      "q180_dedup_unicode",
+      (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
+        // NEAR-DUP DEDUP ON UNSEGMENTED SCRIPTS: the whitespace shingle
+        // default produces ZERO shingles on CJK text, silently exempting
+        // those documents from dedup entirely — the highest-frequency
+        // failure a multilingual corpus hits. Unicode shingles (q176's
+        // tokenizer: character trigrams for CJK, word trigrams
+        // elsewhere) restore the exact inverted-index Jaccard machinery
+        // of q21 unchanged; the fixture's same-template docs (differing
+        // only in their trailing number) are the planted near-dups.
+        val docs = s.read.parquet(TextQueries.UniFixture.ensure(s))
+        Dedup.jaccardPairs(
+          Dedup.shingleSets(docs, "doc_id", "txt", unicode = true), 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle("0.5", docsCte =
+        s"SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}') AS toks " +
+          s"FROM read_parquet('${TextQueries.UniFixture.Root}/*.parquet')")),
+      doc = "Exact Jaccard near-dup pairs over UNICODE shingles (CJK character trigrams via the q176 codepoint-class tokenizer) on the multilingual fixture — the dedup case whitespace shingles miss entirely (CJK docs yield zero word shingles and silently escape dedup); same q21 inverted-index join, oracle replays tokenization via the generated regex inside the shared Jaccard CTE.")
   )
 
   /** Recursive-CTE transitive-closure oracle shared verbatim by q116 and

@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -316,6 +316,31 @@ object TextQueries {
              CAST(SUM(n) AS BIGINT) AS n_tokens
       FROM dense GROUP BY doc_id ORDER BY doc_id"""),
     doc = "Feature hashing (the hashing trick): tokens map to a fixed 32-dim space via md5-derived buckets — zero vocabulary state, pure per-row featurization, collisions as the documented trade; dense count vectors as joined strings, oracle replays the identical bucket function; the stateless sibling of q137's vocab-table encoding.")
+
+  private lazy val uniFingerprintQ: Q = Q(
+    "q181_fingerprint_unicode",
+    (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
+      import s.implicits._
+      // BOTH fingerprints side by side over the multilingual fixture:
+      // the ASCII-normalized key (q19's) strips every non-ASCII char, so
+      // ALL pure-CJK docs collapse to md5('') — a fingerprint-keyed
+      // dedup would silently drop every CJK document after the first.
+      // The unicode fingerprint (md5 over the q176 token stream) keys
+      // distinct docs distinctly. The gate pins the COLLISION and its
+      // fix in one artifact; both engines replay both derivations.
+      s.read.parquet(TextQueries.UniFixture.ensure(s))
+        .select($"doc_id",
+          graft.functions.TextFns.fingerprint($"txt").as("fp_ascii"),
+          graft.functions.TextFns.fingerprintUni($"txt").as("fp_uni"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(txt), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_ascii,
+             MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}'), ' ')) AS fp_uni
+      FROM read_parquet('${UniFixture.Root}/*.parquet')
+      ORDER BY doc_id"""),
+    doc = "Content fingerprints on multilingual text: the ASCII-normalized md5 collapses all pure-CJK documents to one key (dedup would drop them as duplicates — the trap, pinned), the unicode-token md5 keys them distinctly (the fix); DuckDB replays both derivations, tokenization via the generated regex.")
 
   private lazy val byteBpeQ: Q = Q(
     "q177_byte_bpe",

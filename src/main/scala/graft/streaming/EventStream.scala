@@ -152,9 +152,16 @@ object EventStream {
     * for bounded state at 100 TB/day.
     */
   def dedupByFingerprint(events: DataFrame, contentCol: String = "props",
-                         watermark: String = "1 hour"): DataFrame =
+                         watermark: String = "1 hour",
+                         unicode: Boolean = false): DataFrame =
     events
-      .withColumn("fp", graft.functions.TextFns.fingerprint(col(contentCol)))
+      // unicode=true keys on the codepoint-class token fingerprint: the
+      // ASCII-normalized key collapses ALL pure-CJK payloads to md5("")
+      // and would drop every CJK event after the first as a "duplicate"
+      // (the q181 trap, streaming edition — StreamingSpec pins both modes)
+      .withColumn("fp",
+        if (unicode) graft.functions.TextFns.fingerprintUni(col(contentCol))
+        else graft.functions.TextFns.fingerprint(col(contentCol)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 

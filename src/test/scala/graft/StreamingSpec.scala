@@ -530,6 +530,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CJK dedup: ASCII fingerprint drops distinct docs as dupes; unicode mode keeps them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three DISTINCT Chinese payloads + one true duplicate of the first
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "doc", 0.0, "数据处理引擎"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "doc", 0.0, "大规模分布式计算"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 1L, "doc", 0.0, "机器学习"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), 1L, "doc", 0.0, "数据处理引擎"))
+    def run(unicode: Boolean, name: String): Seq[Long] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val q = EventStream.dedupByFingerprint(
+          input.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          watermark = "3650 days", unicode = unicode)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(rows.toIndexedSeq); q.processAllAvailable()
+        spark.table(name).select($"event_id").as[Long].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    // the trap: every pure-CJK payload ASCII-normalizes to "" -> ONE
+    // fingerprint -> events 2 and 3 are dropped as "duplicates" of 1
+    assert(run(unicode = false, "fp_ascii_cjk") == Seq(1L))
+    // the fix: unicode fingerprints keep the three distinct docs and
+    // still drop the true duplicate (event 4)
+    assert(run(unicode = true, "fp_uni_cjk") == Seq(1L, 2L, 3L))
+  }
+
   test("session_window agg groups events by event-time gaps") {
     import spark.implicits._
     val batch = Seq(
