@@ -65,6 +65,23 @@ object GraftFunctions {
         require(exprs.length == 1, "bitmap_distinct(idCol) takes exactly 1 argument")
         BitmapDistinct(exprs(0)).toAggregateExpression()
       }, "built-in")
+    registry.createOrReplaceTempFunction("unicode_tokens",
+      exprs => {
+        require(exprs.length == 1, "unicode_tokens(text) takes exactly 1 argument")
+        UniTokenize(exprs(0))
+      }, "built-in")
+    registry.createOrReplaceTempFunction("bpe_encode",
+      exprs => {
+        // the frozen-deployment merges table (operators/Bpe.StandardMerges)
+        // ships as the expression's literal reference, same as the Column API
+        require(exprs.length == 1, "bpe_encode(text) takes exactly 1 argument")
+        BpeEncodeExpr(exprs(0), graft.operators.Bpe.StandardMerges)
+      }, "built-in")
+    registry.createOrReplaceTempFunction("bpe_byte_encode",
+      exprs => {
+        require(exprs.length == 1, "bpe_byte_encode(text) takes exactly 1 argument")
+        BpeByteEncodeExpr(exprs(0), graft.operators.Bpe.ByteMerges)
+      }, "built-in")
     registry.createOrReplaceTempFunction("milli_log2",
       exprs => {
         // Fixed-point integer log2 in MILLI-bits for x >= 1:

@@ -227,4 +227,50 @@ class AsOfJoinSpec extends AnyFunSuite {
       AsOfJoin.backward(lMap, rMap, Seq("k"), Seq("rk"), "t", "rt"))
     assert(e3.getMessage.contains("unorderable"))
   }
+
+  test("bucketed+sorted layout: as-of join runs with NO exchange and NO sort at all") {
+    import spark.implicits._
+    // the scaladoc's claim made executable: an upstream layout that
+    // already satisfies ClusteredDistribution + (key, time) ordering —
+    // bucketed-by-key tables sorted by (key, time), one file per bucket
+    // — lets EnsureRequirements elide BOTH the shuffles and the sorts;
+    // at 100 TB the as-of join over a properly laid-out lake is a pure
+    // zero-movement merge (the BucketingSpec amortization applied to
+    // the custom exec: its declared requirements compose with Spark's
+    // planner exactly like SortMergeJoin's)
+    spark.sql("CREATE DATABASE IF NOT EXISTS asof_bkt")
+    for (t <- Seq("l", "r")) {
+      spark.sql(s"DROP TABLE IF EXISTS asof_bkt.$t")
+      val loc = new java.io.File(s"spark-warehouse/asof_bkt.db/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val leftRows = for (i <- 0L until 500L) yield (i, i % 13, (i * 7) % 331)
+    val rightRows = for (j <- 0L until 400L) yield (j + 10000, j % 11, (j * 5) % 331)
+    leftRows.toDF("lid", "k", "t").repartition(8, $"k")
+      .write.bucketBy(8, "k").sortBy("k", "t").saveAsTable("asof_bkt.l")
+    rightRows.toDF("rid", "rk", "rt").repartition(8, $"rk")
+      .write.bucketBy(8, "rk").sortBy("rk", "rt").saveAsTable("asof_bkt.r")
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val df = AsOfJoin.backward(
+        spark.table("asof_bkt.l"), spark.table("asof_bkt.r"),
+        Seq("k"), Seq("rk"), "t", "rt")
+      val got = df.select($"lid", $"rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1)))).toSet
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfJoin"), s"native exec missing:\n${p.take(600)}")
+      assert(!p.linesIterator.exists(_.contains("Exchange")),
+        s"bucketed as-of inputs must not shuffle:\n${p.take(800)}")
+      assert(!p.linesIterator.exists(_.contains("Sort ")),
+        s"bucket-sorted as-of inputs must not re-sort:\n${p.take(800)}")
+      // and the zero-movement plan is still CORRECT
+      assert(got == reference(leftRows, rightRows))
+    } finally
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+  }
 }

@@ -52,6 +52,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val bd = spark.sql(
       "SELECT bitmap_distinct(doc_id), COUNT(DISTINCT doc_id) FROM documents").head()
     assert(bd.getLong(0) == bd.getLong(1) && bd.getLong(0) > 0)
+    // unicode_tokens: SQL registration == Column API (CJK + diacritics)
+    val utxt = "Café引擎2026"
+    val utSql = spark.sql(s"SELECT unicode_tokens('$utxt')")
+      .collect()(0).getSeq[String](0)
+    val utCol = Seq(utxt).toDF("t")
+      .select(graft.functions.TextFns.uniTokens($"t")).as[Seq[String]].head()
+    assert(utSql == utCol && utSql == Seq("café", "引", "擎", "2026"))
+    // bpe_encode / bpe_byte_encode: SQL == Column API on the same text
+    val btxt = "on the mat"
+    val bRow = spark.sql(s"SELECT bpe_encode('$btxt'), bpe_byte_encode('$btxt')").head()
+    val bCol = Seq(btxt).toDF("t")
+      .select(graft.operators.Bpe.encode($"t"), graft.operators.Bpe.encodeBytes($"t"))
+      .head()
+    assert(bRow.getString(0) == bCol.getString(0))
+    assert(bRow.getString(1) == bCol.getString(1) &&
+      bRow.getString(1).split(" ").contains("2074686520"))
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {
