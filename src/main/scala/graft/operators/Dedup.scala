@@ -461,10 +461,18 @@ object Dedup {
     * tokens. Bit k of the fingerprint is the sign of Σ_tokens ±1 where the
     * sign is bit k of the token's md5-derived 60-bit hash. md5 (not
     * xxhash64) so external engines can reproduce fingerprints exactly.
+    *
+    * `unicode = true` tokenizes with the codepoint-class segmenter —
+    * whitespace tokens degenerate on unsegmented scripts (a pure-CJK
+    * document is ONE token, so any edit yields an unrelated fingerprint
+    * and near-dups are invisible; DedupSpec pins both behaviors).
     */
-  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          unicode: Boolean = false): DataFrame = {
+    val tokCol = if (unicode) TextFns.uniTokens(col(textCol))
+                 else TextFns.tokens(col(textCol))
     val toks = df
-      .select(col(idCol).as("doc"), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("doc"), explode(tokCol).as("tok"))
       .distinct()
       .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
     // One shuffle of 60 map-side-combined counter columns per doc — not an

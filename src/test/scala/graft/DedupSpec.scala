@@ -299,4 +299,44 @@ class DedupSpec extends AnyFunSuite {
     assert(banded == brute)
     fps.unpersist()
   }
+
+  test("unicode dedup family: simhash sees CJK near-dups whitespace tokens cannot; minhash-LSH == jaccard over unicode shingles") {
+    import spark.implicits._
+    // three near-identical unspaced CJK docs (one char edited) + one
+    // unrelated doc. Whitespace tokenization makes each CJK doc ONE
+    // token, so a single-char edit produces an unrelated md5 hash and an
+    // unrelated fingerprint — near-dups are INVISIBLE. Unicode unigram
+    // tokens share 299/300 characters: a one-token edit flips a sign
+    // bit only where the ±1 bit-sum sits at exactly ±1, which at 300
+    // tokens is <1 expected bit — comfortably inside the banding's
+    // hamming-3 radius. (At ~40 tokens the expected flip count is ~3-4:
+    // SimHash's radius is calibrated for LONG documents, which is why
+    // the fixture is, too.)
+    val base = (0 until 300).map(i => (0x4E00 + i * 7).toChar).mkString
+    val docs = Seq(
+      (1L, base),
+      (2L, base.updated(50, '鼠')),  // one substitution
+      (3L, base.updated(200, '鼡')), // a different substitution
+      (4L, "the quick brown fox jumps over the lazy dog entirely unrelated")
+    ).toDF("doc_id", "text")
+    def pairs(unicode: Boolean): Set[(Long, Long)] =
+      Dedup.simhashPairs(
+          Dedup.simhashFingerprints(docs, "doc_id", "text", unicode = unicode))
+        .select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(unicode = false).isEmpty,
+      "whitespace simhash must NOT see the CJK near-dups (the documented degeneration)")
+    val uni = pairs(unicode = true)
+    assert(uni.contains((1L, 2L)) && uni.contains((1L, 3L)),
+      s"unicode simhash must surface the single-edit near-dups, got $uni")
+    assert(!uni.exists { case (a, b) => a == 4L || b == 4L },
+      "the unrelated English doc must not pair with CJK docs")
+    // MinHash is unicode-capable transitively (it consumes shingleSets):
+    // LSH candidates + exact verification over unicode shingles must
+    // equal the exact Jaccard join on the same shingle sets
+    val sh = Dedup.shingleSets(docs, "doc_id", "text", unicode = true)
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyOf(Dedup.minhashLshPairs(sh, 0.5)) == keyOf(Dedup.jaccardPairs(sh, 0.5)))
+  }
 }
