@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -316,6 +316,54 @@ object TextQueries {
              CAST(SUM(n) AS BIGINT) AS n_tokens
       FROM dense GROUP BY doc_id ORDER BY doc_id"""),
     doc = "Feature hashing (the hashing trick): tokens map to a fixed 32-dim space via md5-derived buckets — zero vocabulary state, pure per-row featurization, collisions as the documented trade; dense count vectors as joined strings, oracle replays the identical bucket function; the stateless sibling of q137's vocab-table encoding.")
+
+  private lazy val scriptMixQ: Q = Q(
+    "q182_script_mix",
+    (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
+      import s.implicits._
+      // SCRIPT-MIX / code-switching signal: per-class token counts over
+      // the unicode token stream (ideograph unigrams vs digit runs vs
+      // letter runs) + exact integer permille fractions + a dominant
+      // class with fixed tie order — the curation feature that routes
+      // multilingual documents (per-language caps, mixed-script spam
+      // filters) without a language model. Class regexes are GENERATED
+      // from the same UniTok range constants as the tokenizer; integer
+      // permille keeps the gate bitwise.
+      val ideoRe = graft.functions.UniTok.oracleRegex.split("\\|")(0) // the ideo class
+      val ideoPat = s"^$ideoRe$$".replace("\\", "\\\\")
+      s.read.parquet(UniFixture.ensure(s))
+        .select($"doc_id", graft.functions.TextFns.uniTokens($"txt").as("toks"))
+        .select($"doc_id",
+          size($"toks").cast("long").as("n_tokens"),
+          expr(s"cast(size(filter(toks, t -> t rlike '$ideoPat')) as bigint)").as("n_ideo"),
+          expr("cast(size(filter(toks, t -> t rlike '^[0-9]+$')) as bigint)").as("n_digit"))
+        .withColumn("n_alpha", $"n_tokens" - $"n_ideo" - $"n_digit")
+        .withColumn("ideo_pm", expr("case when n_tokens = 0 then 0L else (n_ideo * 1000) div n_tokens end"))
+        .withColumn("main_class", expr(
+          "case when n_ideo >= n_alpha and n_ideo >= n_digit then 'ideo' " +
+            "when n_alpha >= n_digit then 'alpha' else 'digit' end"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}') AS toks
+        FROM read_parquet('${UniFixture.Root}/*.parquet')),
+      c AS (
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '^${graft.functions.UniTok.oracleRegex.split("\\|")(0)}$$'))) AS BIGINT) AS n_ideo,
+               CAST(LEN(LIST_FILTER(toks, t -> REGEXP_MATCHES(t, '^[0-9]+$$'))) AS BIGINT) AS n_digit
+        FROM t)
+      SELECT doc_id, n_tokens, n_ideo, n_digit,
+             n_tokens - n_ideo - n_digit AS n_alpha,
+             CASE WHEN n_tokens = 0 THEN 0 ELSE (n_ideo * 1000) // n_tokens END AS ideo_pm,
+             CASE WHEN n_ideo >= n_tokens - n_ideo - n_digit AND n_ideo >= n_digit THEN 'ideo'
+                  WHEN n_tokens - n_ideo - n_digit >= n_digit THEN 'alpha'
+                  ELSE 'digit' END AS main_class
+      FROM c
+      ORDER BY doc_id"""),
+    doc = "Script-mix / code-switching signal: per-class unicode token counts (ideograph unigrams vs letter runs vs digit runs), exact integer permille fractions, and a dominant class with fixed tie order — the model-free curation feature for per-language caps and mixed-script spam routing; class regexes generated from the same UniTok range constants, DuckDB filters the identical token lists.")
 
   private lazy val uniFingerprintQ: Q = Q(
     "q181_fingerprint_unicode",
