@@ -69,6 +69,30 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * >= threshold, doc_a ≠ doc_b (oriented — A is the CONTAINED side).
+    * Detects subset duplication symmetric Jaccard structurally misses:
+    * a 100-shingle document fully quoted inside a 10000-shingle one has
+    * J ≈ 0.01 but C(A→B) = 1.0 — the boilerplate-inclusion /
+    * quote-extraction case a pretraining dedup actually needs. Same
+    * inverted-index join as [[jaccardPairs]] (candidates only where a
+    * shingle is shared; AQE splits hot shingles); the filter divides by
+    * the contained side's size only, so the orientation is part of the
+    * result.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .withColumn("containment", col("c").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Exact Jaccard pairs via PPJoin-style prefix filtering: under any
     * fixed global shingle order, two docs with J >= t must share a
     * shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles.

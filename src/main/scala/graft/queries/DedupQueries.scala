@@ -326,6 +326,31 @@ object DedupQueries {
   ,
 
     Q(
+      "q183_containment",
+      (s, d) => {
+        // ASYMMETRIC containment dedup: C(A→B) = |sh(A)∩sh(B)| / |sh(A)|
+        // — the subset-duplication measure (a short doc quoted inside a
+        // long one scores J ≈ |A|/|B| but C = 1). Reuses the memoized
+        // shingle index; the oriented output names WHICH side is
+        // contained, the signal a curation pipeline needs to keep the
+        // superset and drop the quote.
+        Dedup.containmentPairs(sharedShingles(s, d), 0.6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""
+        WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc <> b.doc GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(c AS DOUBLE) / sa.n AS containment
+        FROM inter JOIN sizes sa ON sa.doc = inter.doc_a
+        WHERE CAST(c AS DOUBLE) / sa.n >= 0.6
+        ORDER BY doc_a, doc_b"""),
+      doc = "Asymmetric shingle CONTAINMENT pairs (|A∩B|/|A| >= 0.6, oriented): subset duplication symmetric Jaccard misses — a short doc quoted inside a long one has J ~ |A|/|B| but C = 1; same inverted-index join over the memoized shingle index, division by the contained side only."),
+
+    Q(
       "q180_dedup_unicode",
       (s, _) => {   // multilingual fixture is SF-independent; dir arg unused
         // NEAR-DUP DEDUP ON UNSEGMENTED SCRIPTS: the whitespace shingle

@@ -478,5 +478,42 @@ object SimQueries {
       },
       None, // float DSP: deterministic (StrictMath) but not SQL-expressible
       doc = "Audio spectral features via a from-scratch radix-2 FFT (multimodal/Dsp): dominant frequency bin per 128-sample frame over decoded WAV audio — StrictMath-deterministic, integer bin outputs; DspSpec pins FFT==DFT, Parseval, and exact planted-tone recovery (no SQL oracle for float DSP).")
+  ,
+
+    Q(
+      "q184_semantic_decontam",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.VectorFns
+        // SEMANTIC decontamination — q52's benchmark-overlap filter in
+        // embedding space: drop every training vector whose cosine to
+        // ANY benchmark vector clears the near-dup threshold (paraphrased
+        // contamination that n-gram overlap misses). The exact shape: a
+        // broadcast NON-EQUI anti join — benchmark sets are tiny by
+        // nature (here vec_id % 20 = 0), so the train side streams
+        // through one codegen'd dot per benchmark row with NO shuffle;
+        // at corpus scale the candidate side swaps to the IVF/LSH paths
+        // with the same threshold and the same anti-join semantics.
+        // Ids only cross the gate (rule 3: float cosine is not bitwise
+        // cross-engine; 0.45 sits in the q24-verified score gap).
+        val emb = Tables.embeddings(s, d)
+        val unit = (c: org.apache.spark.sql.Column) => VectorFns.unitVector(c)
+        val bench = emb.filter($"vec_id" % 20 === 0)
+          .select(unit($"embedding").as("vb"))
+        emb.filter($"vec_id" % 20 =!= 0)
+          .select($"vec_id", unit($"embedding").as("va"))
+          .join(broadcast(bench), VectorFns.dotPre($"va", $"vb") >= 0.45, "left_anti")
+          .select($"vec_id")
+          .orderBy($"vec_id")
+      },
+      Some("""
+        SELECT t.vec_id
+        FROM embeddings t
+        WHERE t.vec_id % 20 != 0
+          AND NOT EXISTS (SELECT 1 FROM embeddings b
+                          WHERE b.vec_id % 20 = 0
+                            AND LIST_COSINE_SIMILARITY(t.embedding, b.embedding) >= 0.45)
+        ORDER BY vec_id"""),
+      doc = "Semantic decontamination (embedding-space benchmark-overlap filter, the paraphrase-robust complement of q52's n-gram decontamination): training vectors within cosine 0.45 of ANY benchmark vector are dropped via a broadcast non-equi ANTI join — the tiny benchmark side broadcasts, the train side never shuffles; ids only (the q24 rule: float cosine is not bitwise, the threshold sits in a verified score gap).")
   )
 }

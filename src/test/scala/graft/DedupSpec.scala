@@ -300,6 +300,27 @@ class DedupSpec extends AnyFunSuite {
     fps.unpersist()
   }
 
+  test("containmentPairs: a contained doc surfaces oriented with C=1 where Jaccard stays silent") {
+    import spark.implicits._
+    val long = (0 until 200).map(i => s"w$i").mkString(" ")
+    val short = (0 until 30).map(i => s"w$i").mkString(" ") // strict prefix of `long`
+    val other = (1000 until 1200).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text")
+    val cp = Dedup.containmentPairs(sh, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the SHORT doc is fully contained in the long one — oriented (2, 1)
+    assert(cp.get((2L, 1L)).contains(1.0), s"contained doc missing: $cp")
+    // the reverse orientation is NOT contained (28 of 198 shingles)
+    assert(!cp.contains((1L, 2L)))
+    // the unrelated doc pairs with nothing
+    assert(!cp.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // and symmetric Jaccard is structurally blind to this pair
+    val jp = Dedup.jaccardPairs(sh, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jp.contains((1L, 2L)) && !jp.contains((2L, 1L)),
+      "J ~ |A|/|B| must stay under 0.5 for the planted subset pair")
+  }
+
   test("unicode dedup family: simhash sees CJK near-dups whitespace tokens cannot; minhash-LSH == jaccard over unicode shingles") {
     import spark.implicits._
     // three near-identical unspaced CJK docs (one char edited) + one
