@@ -65,16 +65,29 @@ object BenchFormat {
     else if (v >= 10) f"$v%.0f"
     else f"$v%.1f"
 
+  /** Min of the successful reps; degenerate rep lists (empty, or every
+    * rep negative) fall back to the median instead of throwing — the
+    * formatter must never be the thing that kills a snapshot write.
+    */
   private def minOf(median: Double, ts: Seq[Double]): Double =
-    if (median < 0) -1.0 else ts.filter(_ >= 0).min
+    if (median < 0) -1.0
+    else ts.filter(_ >= 0).minOption.getOrElse(median)
+
+  /** Cap on named error entries: a mass-failure run (every row
+    * erroring) must not push the line past the budget via the errors
+    * array alone — beyond the cap, `errors_omitted` carries the count
+    * (the detail line still names every failure).
+    */
+  val MaxNamedErrors = 40
 
   /** rows = (fullName, medianOrMinus1, perRepSeconds). */
   def compactLine(rows: Seq[(String, Double, Seq[Double])], sfDir: String,
                   budget: Int = TailBudget): String = {
     val total = rows.map(_._2).filter(_ >= 0).sum
-    val totalMin = rows.collect { case (_, v, ts) if v >= 0 => ts.filter(_ >= 0).min }.sum
-    val errors = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
-      .mkString("[", ",", "]")
+    val totalMin = rows.collect { case (_, v, ts) if v >= 0 => minOf(v, ts) }.sum
+    val errKeys = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
+    val errors = errKeys.take(MaxNamedErrors).mkString("[", ",", "]")
+    val errorsOmitted = (errKeys.size - MaxNamedErrors).max(0)
     // slowest-first by min (errored rows sort last: the errors array
     // already names them, and a -1 carries no timing signal)
     val ranked = rows.map { case (k, v, ts) => (shortKey(k), minOf(v, ts)) }
@@ -83,7 +96,7 @@ object BenchFormat {
     def lineWith(n: Int): String = {
       val omitted = ranked.drop(n)
       val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtCompact(omittedMax)},"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtCompact(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)

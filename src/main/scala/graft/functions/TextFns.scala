@@ -33,9 +33,19 @@ object TextFns {
     * [[fingerprint]] (case/punctuation/whitespace-insensitive) without
     * the ASCII cliff: CJK text keeps its characters (as unigram tokens),
     * so distinct documents get distinct keys.
+    *
+    * UNSEGMENTABLE fallback: a script outside every UniTok range (Thai,
+    * Devanagari, …) yields ZERO tokens — hashing the empty join would
+    * recreate the exact md5('') collision class this function exists to
+    * kill, one script further out. Non-empty text with no tokens
+    * therefore falls back to md5 of the RAW text: no canonicalization
+    * for those scripts (a case/punctuation variant gets a different
+    * key — the conservative failure), but never a cross-document
+    * collision. Truly empty text keeps the canonical md5('').
     */
   def fingerprintUni(text: Column): Column =
-    md5(concat_ws(" ", uniTokens(text)))
+    when(size(uniTokens(text)) === 0 && length(text) > 0, md5(text))
+      .otherwise(md5(concat_ws(" ", uniTokens(text))))
 
   /** Polynomial (Rabin-Karp) rolling-hash fingerprint over the text's
     * code points: h₀ = seed; hᵢ = (hᵢ₋₁·base + cᵢ) mod m. Exact integer

@@ -62,11 +62,18 @@ object UniTok {
   /** Run-forming classes, POST-lowercase: digits, a–z, Latin-1
     * lowercase letters (ß–ö, ø–ÿ; ÷ excluded), Latin Extended-A,
     * lowercase Greek incl. accented vowels and final sigma
-    * (U+03AC–U+03CE), lowercase Cyrillic (а–я) plus ё.
+    * (U+03AC–U+03CE), lowercase Cyrillic (а–я) plus the U+0450–U+045F
+    * extensions (ё, Ukrainian і/ї/є, Serbian ј, …), Hebrew letters,
+    * Arabic letters (caseless word scripts segment on their own
+    * separators/spaces). Scripts outside every range (Thai, Devanagari,
+    * …) are separators — they emit NO tokens, which downstream
+    * fingerprints must treat as "unsegmentable", never as "empty
+    * content" (see TextFns.fingerprintUni's fallback).
     */
   val WordRanges: Seq[(Int, Int)] = Seq(
     (0x30, 0x39), (0x61, 0x7A), (0xDF, 0xF6), (0xF8, 0xFF),
-    (0x100, 0x17F), (0x3AC, 0x3CE), (0x430, 0x44F), (0x451, 0x451))
+    (0x100, 0x17F), (0x3AC, 0x3CE), (0x430, 0x44F), (0x450, 0x45F),
+    (0x5D0, 0x5EA), (0x620, 0x64A))
 
   def isIdeo(cp: Int): Boolean = {
     var i = 0

@@ -45,15 +45,13 @@ object Bm25 {
     * mode (the artifact carries no marker; Bm25Spec pins the behavior).
     */
   def tokenize(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text", unicode: Boolean = false): DataFrame =
-    if (unicode)
-      docs.select(col(idCol).as("doc_id"),
-          explode(graft.functions.UniTokenize(col(textCol))).as("token"))
-        .filter(col("token") =!= "")
-    else
-      docs.select(col(idCol).as("doc_id"),
-          explode(split(lower(col(textCol)), "[^a-z]+")).as("token"))
-        .filter(col("token") =!= "")
+               textCol: String = "text", unicode: Boolean = false): DataFrame = {
+    val tok =
+      if (unicode) graft.functions.UniTokenize(col(textCol))
+      else split(lower(col(textCol)), "[^a-z]+")
+    docs.select(col(idCol).as("doc_id"), explode(tok).as("token"))
+      .filter(col("token") =!= "")
+  }
 
   /** Build the index from a document table: tf per (doc, token), per-doc
     * token length folded in via a doc-partitioned window (group size =
@@ -111,7 +109,11 @@ object Bm25 {
     * corpus lineage when `tfLen` is unpersisted. Callers that guarantee
     * disjoint ids by construction (e.g. a monotone ingest sequence
     * number) may pass `probeOverlap = false` to keep the append strictly
-    * O(batch) with no action at all.
+    * O(batch): what remains are the BATCH-sized eager actions (the
+    * batch duplicate-id probe, which is not optional — it guards the
+    * same corruption — plus build's nDocs count and totalTokens
+    * aggregation), i.e. a few small Spark jobs per append, never a
+    * corpus scan.
     */
   def append(idx: Index, newDocs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", probeOverlap: Boolean = true,

@@ -36,8 +36,8 @@ object Dedup {
   /** (id, shingle) pairs, distinct, from a text column: word `n`-grams,
     * pre-hashed to 8-byte keys BEFORE the distinct so the dedup shuffle
     * carries (long, long) rows instead of strings.
-    */
-  /** `unicode = true` shingles over the codepoint-class tokenizer
+    *
+    * `unicode = true` shingles over the codepoint-class tokenizer
     * (CJK character n-grams) instead of whitespace words — the
     * whitespace default produces ZERO shingles on unsegmented scripts,
     * silently exempting those documents from dedup.

@@ -385,7 +385,11 @@ object TextQueries {
     Some(s"""
       SELECT doc_id,
              MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(txt), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp_ascii,
-             MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}'), ' ')) AS fp_uni
+             CASE WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}')) = 0
+                       AND LENGTH(txt) > 0
+                  THEN MD5(txt)
+                  ELSE MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}'), ' '))
+             END AS fp_uni
       FROM read_parquet('${UniFixture.Root}/*.parquet')
       ORDER BY doc_id"""),
     doc = "Content fingerprints on multilingual text: the ASCII-normalized md5 collapses all pure-CJK documents to one key (dedup would drop them as duplicates — the trap, pinned), the unicode-token md5 keys them distinctly (the fix); DuckDB replays both derivations, tokenization via the generated regex.")

@@ -131,6 +131,22 @@ class ContractSpec extends AnyFunSuite {
     assert(j.get("queries_value").asText == "min")
   }
 
+  test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
+    // every row errors: the errors array alone would blow the tail
+    // window without the MaxNamedErrors cap
+    val rows = (1 to 300).map(i => (s"q${i}_synthetic", -1.0, Seq(-1.0, -1.0, -1.0)))
+    val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.TailBudget, s"${line.length} chars")
+    val j = parse(line)
+    assert(j.get("errors").size == BenchFormat.MaxNamedErrors)
+    assert(j.get("errors_omitted").asInt == 300 - BenchFormat.MaxNamedErrors)
+    // degenerate rep lists must not throw (the formatter can never be
+    // what kills a snapshot write)
+    val weird = Seq(("q1_a", 1.0, Seq.empty[Double]), ("q2_b", 2.0, Seq(-1.0)))
+    val l2 = parse(BenchFormat.compactLine(weird, "sf"))
+    assert(l2.get("queries").get("1").asDouble == 1.0, "empty reps fall back to the median")
+  }
+
   test("BenchFormat: total_min <= total, and a contended median does not move the mins") {
     val calm = Seq(("q1_a", 1.0, Seq(1.0, 1.0, 1.0)), ("q2_b", 2.0, Seq(2.0, 2.0, 2.0)))
     val spiky = Seq(("q1_a", 9.0, Seq(1.0, 9.0, 30.0)), ("q2_b", 2.0, Seq(2.0, 2.0, 2.0)))

@@ -180,6 +180,28 @@ class TextFnsSpec extends AnyFunSuite {
     assert(qu > qa && qa >= 0.0 && qu <= 1.0)
   }
 
+  test("script coverage: Hebrew/Arabic/Ukrainian tokenize; unclassified scripts never collide fingerprints") {
+    import spark.implicits._
+    def tok(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFns.uniTokens($"t")).as[Seq[String]].head()
+    // caseless word scripts segment on their own separators
+    assert(tok("שלום עולם") == Seq("שלום", "עולם"))
+    assert(tok("مرحبا بالعالم") == Seq("مرحبا", "بالعالم"))
+    // Cyrillic extensions (U+0450–U+045F): Ukrainian і/ї survive in-run
+    assert(tok("Україна Київ") == Seq("україна", "київ"))
+    // Thai sits outside every range -> zero tokens; the FINGERPRINT
+    // falls back to raw md5, so two distinct unsegmentable docs keep
+    // distinct keys (the md5('') collision class, killed for good)
+    val th1 = "สวัสดีชาวโลก"
+    val th2 = "ทดสอบระบบ"
+    assert(tok(th1).isEmpty && tok(th2).isEmpty)
+    val fps = Seq(th1, th2, "", "数据").toDF("t")
+      .select(TextFns.fingerprintUni($"t")).as[String].collect().toSeq
+    assert(fps(0) != fps(1), "distinct unsegmentable docs must not share a fingerprint")
+    assert(fps(2) != fps(0) && fps(2) != fps(1), "empty text keeps its own canonical key")
+    assert(fps.distinct.size == 4)
+  }
+
   test("uniTokens: segmentation regex replay (UniTok.oracleRegex) agrees via Spark's regexp engine") {
     import spark.implicits._
     // the oracle runs the generated regex in DuckDB/RE2; Java's regex
