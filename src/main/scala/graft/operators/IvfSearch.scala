@@ -228,6 +228,40 @@ object IvfSearch {
       .select("query_id", "neighbor_id", "cosine", "rk")
   }
 
+  /** ALL corpus vectors above a cosine THRESHOLD per query (not top-k),
+    * probing `nprobe` inverted lists — the candidate generator for
+    * threshold-semantics consumers like semantic decontamination
+    * (q184's exact broadcast-NL baseline swaps to this at corpus
+    * scale): a benchmark set runs as `queries`, and any corpus vector
+    * surfacing here with cosine >= `threshold` is contamination.
+    * Approximate only through list pruning (a contaminated vector in an
+    * unprobed list is missed — IvfSearchSpec pins the recall floor);
+    * output (query_id, neighbor_id, cosine), no per-query cap, so
+    * downstream anti-joins see EVERY candidate the probe surfaces.
+    */
+  def aboveThreshold(assigned0: DataFrame, queries: DataFrame, index: IvfIndex,
+                     threshold: Double, nprobe: Int = 4): DataFrame = {
+    val assigned = assigned0
+      .select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("cluster"))
+    val qu = unit(queries).select(col("vec_id").as("query_id"), col("uv").as("qv"))
+    val probeScores = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFns.dotPre(col("qv"), centroidCol(c)).as("s"), lit(i).as("c"))
+    }
+    val probes = qu
+      .withColumn("probe", explode(slice(array_sort(
+        array(probeScores: _*),
+        (a, b) => when(a.getField("s") > b.getField("s"), -1)
+          .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("probe.c").as("cluster"))
+    probes.join(assigned, "cluster")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+      .filter(col("cosine") >= threshold)
+      // multi-assigned corpora surface a candidate once per shared list
+      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** topK against pre-materialized inverted lists (`assign` output).
     * The build/assign phase is IVF's offline cost — a deployment
     * materializes the lists once and serves every query from them, so

@@ -150,6 +150,36 @@ class IvfSearchSpec extends AnyFunSuite {
       s"SQ8 recall $recall fell below the float tier's $floatRecall")
   }
 
+  test("aboveThreshold: the IVF decontamination path recalls the exact contaminated set") {
+    // q184's scale path made executable: benchmark vectors as queries,
+    // train corpus in inverted lists, EVERY candidate >= threshold
+    // surfaces (no top-k cap) — the contaminated set the anti-join
+    // consumes. Recall vs the exact cross product must clear the same
+    // floor the top-k path guarantees.
+    // sf0.01: the dir where cross-split pairs exist at the 0.45
+    // threshold (q184's gate found contaminated vectors there; the
+    // sf0.001 embeddings happen to have none across this split)
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val bench = corpus.filter(col("vec_id") % 20 === 0)
+    val train = corpus.filter(col("vec_id") % 20 =!= 0)
+    val index = IvfSearch.build(train, k = 16, iters = 3)
+    val assigned = IvfSearch.assign(train, index)
+    val got = IvfSearch.aboveThreshold(assigned, bench, index, 0.45, nprobe = 8)
+      .select("neighbor_id").distinct().collect().map(_.getLong(0)).toSet
+    // exact contaminated set via the guarded brute force over the
+    // bipartite pairs (threshold semantics, not top-k)
+    val exact = SimSearch.bruteForcePairs(corpus, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (if (a % 20 == 0 && b % 20 != 0) Seq(b) else Seq.empty) ++
+          (if (b % 20 == 0 && a % 20 != 0) Seq(a) else Seq.empty)
+      }.toSet
+    assert(exact.nonEmpty, "fixture must contain at least one contaminated vector")
+    assert(got.subsetOf(exact), "the probe must never invent contamination (scores are exact)")
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF decontamination recall too low: $recall (${got.size}/${exact.size})")
+  }
+
   test("append drift: the affinity trigger fires on a shifted batch, stays silent otherwise, and re-clustering restores recall") {
     import spark.implicits._
     // deterministic synthetic corpus: 4 tight clusters on axes e0..e3 of
