@@ -122,6 +122,12 @@ case class SpaceSavingAgg(
   override def serialize(buf: SsSummary): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    // one-byte format version at the head: the round-10 switch from
+    // writeUTF to length-prefixed raw UTF-8 changed the wire layout, and
+    // a checkpoint/shuffle buffer written by a DIFFERENT format would
+    // otherwise misparse non-obviously (writeUTF's 2-byte length read as
+    // half of a 4-byte int). Unknown versions fail loudly instead.
+    out.writeByte(SpaceSavingAgg.FormatVersion)
     out.writeInt(buf.k); out.writeLong(buf.absentBound); out.writeInt(buf.counts.size)
     buf.counts.foreach { case (kk, (est, err)) =>
       // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
@@ -137,6 +143,10 @@ case class SpaceSavingAgg(
 
   override def deserialize(bytes: Array[Byte]): SsSummary = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    require(ver == SpaceSavingAgg.FormatVersion,
+      s"SpaceSavingAgg buffer format version $ver != ${SpaceSavingAgg.FormatVersion}: " +
+        "state written by an incompatible build — rebuild the checkpoint/aggregation")
     val kk = in.readInt()
     val s = new SsSummary(kk)
     s.absentBound = in.readLong()
@@ -163,6 +173,11 @@ case class SpaceSavingAgg(
 }
 
 object SpaceSavingAgg {
+  /** Serialized-buffer wire-format version (v2 = length-prefixed raw
+    * UTF-8 keys; v1 was writeUTF). Bump on any layout change.
+    */
+  val FormatVersion: Byte = 2
+
   def apply(c: Column, k: Int): Column =
     Bridge.column(SpaceSavingAgg(Bridge.expression(c), k).toAggregateExpression())
 }

@@ -43,9 +43,17 @@ object TextFns {
     * key — the conservative failure), but never a cross-document
     * collision. Truly empty text keeps the canonical md5('').
     */
-  def fingerprintUni(text: Column): Column =
-    when(size(uniTokens(text)) === 0 && length(text) > 0, md5(text))
-      .otherwise(md5(concat_ws(" ", uniTokens(text))))
+  def fingerprintUni(text: Column): Column = {
+    // NULL text yields NULL (same propagation as [[fingerprint]] and the
+    // q181 oracle CASE) — without the guard, concat_ws silently SKIPS a
+    // null token-array argument and the otherwise-branch would emit
+    // md5(''), making null-content rows dedup against empty-content rows.
+    // The token stream is bound once; codegen CSE keeps it one evaluation.
+    val toks = uniTokens(text)
+    when(text.isNull, lit(null).cast("string"))
+      .when(size(toks) === 0 && length(text) > 0, md5(text))
+      .otherwise(md5(concat_ws(" ", toks)))
+  }
 
   /** Polynomial (Rabin-Karp) rolling-hash fingerprint over the text's
     * code points: h₀ = seed; hᵢ = (hᵢ₋₁·base + cᵢ) mod m. Exact integer

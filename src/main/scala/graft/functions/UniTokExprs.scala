@@ -52,12 +52,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UniTok {
 
-  /** One code point per token (unsegmented scripts): hiragana+katakana
-    * (U+3040–U+30FF, includes the prolonged-sound mark), CJK unified
+  /** One code point per token (unsegmented scripts): hiragana
+    * (U+3041–U+3096 — U+3040/3097/3098 are unassigned), the SPACING
+    * kana marks U+309B–U+309F (゛゜ゝゞゟ; the COMBINING voicing marks
+    * U+3099/309A are excluded — they modify the preceding kana, and a
+    * standalone combining mark is not content), katakana U+30A1–U+30FA
+    * plus U+30FC–U+30FF (prolonged-sound mark, iteration marks, koto
+    * digraph; the double hyphen U+30A0 and middle-dot separator U+30FB
+    * are PUNCTUATION and excluded — as tokens they would pollute
+    * shingles/fingerprints/BM25 on real Japanese text), CJK unified
     * ideographs (U+4E00–U+9FFF), hangul syllables (U+AC00–U+D7A3).
     */
   val IdeoRanges: Seq[(Int, Int)] = Seq(
-    (0x3040, 0x30FF), (0x4E00, 0x9FFF), (0xAC00, 0xD7A3))
+    (0x3041, 0x3096), (0x309B, 0x309F), (0x30A1, 0x30FA), (0x30FC, 0x30FF),
+    (0x4E00, 0x9FFF), (0xAC00, 0xD7A3))
 
   /** Run-forming classes, POST-lowercase: digits, a–z, Latin-1
     * lowercase letters (ß–ö, ø–ÿ; ÷ excluded), Latin Extended-A,

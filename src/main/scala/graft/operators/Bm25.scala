@@ -30,9 +30,14 @@ object Bm25 {
 
   /** The index artifact. `tfLen` is NOT persisted by [[build]] — the
     * caller owns the storage lifecycle (the query layer memoizes and
-    * releases it like every other index artifact).
+    * releases it like every other index artifact). `unicode` records the
+    * tokenizer mode the posting table was built with: ONE token space
+    * per index — [[append]] enforces it (mixing modes would silently
+    * blend two token spaces into one posting table and skew every
+    * df/idf with no error).
     */
-  final case class Index(tfLen: DataFrame, nDocs: Long, totalTokens: Long)
+  final case class Index(tfLen: DataFrame, nDocs: Long, totalTokens: Long,
+                         unicode: Boolean = false)
 
   /** (doc_id, token) stream. Default: lowercase ASCII letter runs — the
     * q76 tokenization, shared so corpus artifacts agree. `unicode = true`
@@ -42,7 +47,9 @@ object Bm25 {
     * yields an EMPTY token stream on CJK text, which silently drops
     * those documents from the index). One tokenizer per index — an
     * index built with one mode must be queried/appended with the same
-    * mode (the artifact carries no marker; Bm25Spec pins the behavior).
+    * mode ([[Index.unicode]] records it and [[append]] enforces it;
+    * [[topk]] takes pre-tokenized terms, so term tokenization stays the
+    * caller's responsibility).
     */
   def tokenize(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", unicode: Boolean = false): DataFrame = {
@@ -90,7 +97,7 @@ object Bm25 {
       sum(col("tf")).over(Window.partitionBy(col("doc_id")))))
     val n = docs.count()
     val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
-    Index(tfLen, n, l)
+    Index(tfLen, n, l, unicode)
   }
 
   /** Incremental maintenance: extend the index with a NEW batch of docs
@@ -118,6 +125,12 @@ object Bm25 {
   def append(idx: Index, newDocs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", probeOverlap: Boolean = true,
              unicode: Boolean = false): Index = {
+    // tokenizer-mode contract is ENFORCED, not just documented: an index
+    // built with one mode appended with the other mixes two token spaces
+    // in one posting table (df/idf silently skewed, no error otherwise)
+    require(idx.unicode == unicode,
+      s"Bm25.append tokenizer mode mismatch: index built with unicode=${idx.unicode}, " +
+        s"append called with unicode=$unicode — one token space per index")
     // the arriving batch is small by definition — always probe it for
     // duplicate ids (a dup inside the batch is the same idf corruption
     // the cross-batch overlap probe exists for)
@@ -136,7 +149,7 @@ object Bm25 {
           "append requires disjoint ids — overlapping docs would double-count df/L and skew every idf")
     }
     Index(idx.tfLen.unionByName(add.tfLen),
-      idx.nDocs + add.nDocs, idx.totalTokens + add.totalTokens)
+      idx.nDocs + add.nDocs, idx.totalTokens + add.totalTokens, unicode)
   }
 
   /** Top-`k` docs for `terms` by exact-integer BM25 (k1=1.2, b=0.75),

@@ -238,9 +238,17 @@ object IvfSearch {
     * unprobed list is missed — IvfSearchSpec pins the recall floor);
     * output (query_id, neighbor_id, cosine), no per-query cap, so
     * downstream anti-joins see EVERY candidate the probe surfaces.
+    *
+    * `excludeSelf` (default true) assumes queries and corpus share ONE
+    * id space and drops `neighbor_id == query_id` pairs — correct when
+    * the benchmark set is a subset of the same table (the q184/q185
+    * setup). When benchmark and corpus ids come from INDEPENDENT tables,
+    * an accidental id collision would silently suppress a true
+    * contamination candidate — pass `excludeSelf = false` there.
     */
   def aboveThreshold(assigned0: DataFrame, queries: DataFrame, index: IvfIndex,
-                     threshold: Double, nprobe: Int = 4): DataFrame = {
+                     threshold: Double, nprobe: Int = 4,
+                     excludeSelf: Boolean = true): DataFrame = {
     val assigned = assigned0
       .select(col("vec_id").as("neighbor_id"), col("uv").as("cv"), col("cluster"))
     val qu = unit(queries).select(col("vec_id").as("query_id"), col("uv").as("qv"))
@@ -253,8 +261,11 @@ object IvfSearch {
         (a, b) => when(a.getField("s") > b.getField("s"), -1)
           .when(a.getField("s") < b.getField("s"), 1).otherwise(0)), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("probe.c").as("cluster"))
-    probes.join(assigned, "cluster")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    val joined = probes.join(assigned, "cluster")
+    val paired =
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined
+    paired
       .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
       .filter(col("cosine") >= threshold)
       // multi-assigned corpora surface a candidate once per shared list

@@ -282,11 +282,17 @@ object CnpjLakeQueries {
         val root = BigLake.ensure(s)
         import s.implicits._
         // the full reference star at bench volume: 200k-row fact
-        // partition, BOTH dimensions explicitly broadcast (20k + 500
-        // rows — a dimension should never shuffle a 200k fact), the
-        // neighbors pruned at planning time (PlanSpec pins
-        // PartitionFilters + broadcasts under AQE). The only fact
-        // shuffle is the grouped aggregation.
+        // partition, neighbors pruned at planning time. JOIN STRATEGY is
+        // scale-honest: municipios (500 rows — a TRUE dimension at every
+        // scale, ~5 570 rows in the real dataset) is explicitly
+        // broadcast; empresas is NOT hinted — in the real dataset it is
+        // a 53M-row fact (SURVEY §2 J3: empresas⋈estabelecimentos is the
+        // sort-merge/shuffled-hash edge), so the strategy must stay
+        // threshold/AQE-driven: broadcast at this lake size because the
+        // pruned scan is tiny, SMJ at production size because it isn't.
+        // A hard-coded broadcast(emp) would be an OOM pin at 100×.
+        // PlanSpec pins PartitionFilters, the municipios broadcast, and
+        // that NO hint forces the empresas edge.
         val e = s.read.parquet(s"$root/cnpj_db/estabelecimentos")
           .where($"ref_date" === BigLake.QuerySnap)
           .select($"cnpj_raiz", $"end_cod_muni")
@@ -296,7 +302,7 @@ object CnpjLakeQueries {
         val m = s.read.parquet(s"$root/cnpj_db/municipios")
           .where($"ref_date" === BigLake.QuerySnap)
           .select($"codigo", $"desc")
-        e.join(broadcast(emp), "cnpj_raiz")
+        e.join(emp, "cnpj_raiz")
           .join(broadcast(m), $"end_cod_muni" === $"codigo")
           .groupBy($"desc")
           .agg(
@@ -322,6 +328,6 @@ object CnpjLakeQueries {
         WHERE e.ref_date = ${BigLake.QuerySnap}
         GROUP BY m."desc"
         ORDER BY municipio"""),
-      doc = "The reference star join at BENCH scale: 280k-row three-partition lake built through the real ingest path, query prunes to the 200k-row snapshot at planning time with both dimensions broadcast (PlanSpec pins PartitionFilters + BroadcastHashJoin under AQE); oracle reads the same hive-partitioned parquet. q61 pins fidelity on small fixtures; this row makes the lake surface bench-visible at sf0.1-like volume.")
+      doc = "The reference star join at BENCH scale: 280k-row three-partition lake built through the real ingest path, query prunes to the 200k-row snapshot at planning time. Scale-honest strategy: only municipios (a true dimension) carries a broadcast hint; the empresas edge — a 53M-row fact in the real dataset — is threshold/AQE-driven (broadcast here, SMJ at production size). PlanSpec pins PartitionFilters + the hint scope; oracle reads the same hive-partitioned parquet.")
   )
 }

@@ -92,11 +92,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("q178: bench-scale lake star — pruning + dual dimension broadcast hold under AQE at 200k-fact volume") {
+  test("q178: bench-scale lake star — pruning holds, municipios broadcasts, empresas edge is threshold-driven (no forced broadcast)") {
     val df = SparkEntry.queries("q178_cnpj_lake_scale")(spark, sf)
-    // EXECUTE first: AQE finalizes the physical plan at runtime, and the
-    // claim is that the star shape survives adaptive re-planning at the
-    // volume where it matters, not just in the initial plan
+    // SCALE-HONESTY pin first, on the analyzed plan: the only broadcast
+    // HINT in the query is the municipios one. The empresas side is a
+    // 53M-row FACT in the real dataset (SURVEY §2 J3) — a hard-coded
+    // broadcast(empresas) would be an OOM pin at 100×, so its join
+    // strategy must stay threshold/AQE-driven.
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size == 1, s"expected exactly one broadcast hint (municipios), got ${hints.size}")
+    // the analyzed plan prints no file paths — identify the hinted
+    // subtree by its output schema: (codigo, desc) is municipios;
+    // (cap_soc, porte) would be the empresas fact
+    val hinted = hints.head.child.output.map(_.name).toSet
+    assert(hinted == Set("codigo", "desc"),
+      s"the only hint must cover the municipios dimension, got columns $hinted")
+    // EXECUTE: AQE finalizes the physical plan at runtime, and the claim
+    // is that the star shape survives adaptive re-planning at the volume
+    // where it matters, not just in the initial plan
     df.write.format("noop").mode("overwrite").save()
     val p = df.queryExecution.executedPlan.toString
     val scans = p.linesIterator.filter(_.contains("PartitionFilters:")).toSeq
@@ -104,11 +119,12 @@ class PlanSpec extends AnyFunSuite {
     assert(scans.forall(_.contains("= 20230601")), scans.mkString("\n"))
     // neither neighbor snapshot is read
     assert(!p.contains("20230401") && !p.contains("20230801"))
-    // BOTH dimensions broadcast: the 200k fact shuffles only for the agg
+    // at THIS lake size the threshold picks broadcast for the pruned 20k
+    // empresas scan too — both joins end up BHJ, chosen not forced
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
-      "empresas (20k) and municipios (500) must both broadcast")
+      "municipios must broadcast; empresas should be threshold-picked BHJ at 20k rows")
     assert(!p.contains("SortMergeJoin"),
-      "a dimension fell back to a fact-shuffling join")
+      "at this size the threshold should pick BHJ on the empresas edge")
   }
 
   test("q66: range join runs as a hash join on bin ids — no nested loop against the fact table") {
