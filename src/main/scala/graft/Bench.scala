@@ -30,9 +30,10 @@ import java.nio.file.{Files, Paths}
   *     shared box the median absorbs contention spikes (round 9: q113
   *     official 18.1 s vs 2.6 s committed detail — unexplainable from
   *     the official artifact alone); the min is the code's actual cost
-  *     and is what regressions must be judged by. `"queries_value":
-  *     "min"` marks the semantics in-band. Medians + per-rep arrays +
-  *     per-rep JVM counters stay in the detail line (bench.json).
+  *     and is what regressions must be judged by. Values are integer
+  *     DECISECONDS (see [[fmtDs]]); `"queries_value":"min_ds"` marks
+  *     both semantics in-band. Medians + per-rep arrays + per-rep JVM
+  *     counters stay in the detail line (bench.json).
   *   - entries are ordered SLOWEST-FIRST and the map is capped to the
   *     budget: when the registry outgrows the tail window the FASTEST
   *     rows drop first, each omission accounted by `"omitted":K,
@@ -53,17 +54,19 @@ object BenchFormat {
     */
   def shortKey(k: String): String = k.takeWhile(_ != '_').stripPrefix("q")
 
-  /** Adaptive precision: 100 ms resolution under 10 s (<=3 chars),
-    * 1 s resolution to 100 s (2 chars), CLAMPED to integer 999 above —
-    * a >=100 s query at sf0.1 is already a catastrophic regression; its
-    * exact magnitude lives in the detail line. Full 1 ms precision stays
-    * in bench.json.
+  /** Per-query values are integer DECISECONDS ("113":24 = 2.4 s),
+    * marked in-band by `"queries_value":"min_ds"`. Same 100 ms
+    * resolution the old 1-decimal seconds encoding had under 10 s, but
+    * 1-2 chars cheaper per row ("0.3"->"3", "2.4"->"24") — at a
+    * 190-row registry that buys full per-row tail coverage (omitted: 0)
+    * inside the same budget, and rows >= 10 s get BETTER resolution
+    * (100 ms instead of 1 s). Clamped to 9999 (999.9 s — a query that
+    * slow at sf0.1 is already a catastrophic regression; the exact
+    * magnitude lives in the detail line). Errors stay -1. Full 1 ms
+    * precision stays in bench.json; `total`/`total_min` stay seconds.
     */
-  def fmtCompact(v: Double): String =
-    if (v < 0) "-1"
-    else if (v >= 100) f"${math.min(v, 999.0)}%.0f"
-    else if (v >= 10) f"$v%.0f"
-    else f"$v%.1f"
+  def fmtDs(v: Double): String =
+    if (v < 0) "-1" else math.min(math.round(v * 10), 9999L).toString
 
   /** Min of the successful reps; degenerate rep lists (empty, or every
     * rep negative) fall back to the median instead of throwing — the
@@ -92,11 +95,11 @@ object BenchFormat {
     // already names them, and a -1 carries no timing signal)
     val ranked = rows.map { case (k, v, ts) => (shortKey(k), minOf(v, ts)) }
       .sortBy { case (k, mn) => (-mn, k) }
-    val entries = ranked.map { case (k, mn) => "\"" + k + "\":" + fmtCompact(mn) }
+    val entries = ranked.map { case (k, mn) => "\"" + k + "\":" + fmtDs(mn) }
     def lineWith(n: Int): String = {
       val omitted = ranked.drop(n)
       val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtCompact(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)

@@ -76,9 +76,15 @@ object Dedup {
     * J ≈ 0.01 but C(A→B) = 1.0 — the boilerplate-inclusion /
     * quote-extraction case a pretraining dedup actually needs. Same
     * inverted-index join as [[jaccardPairs]] (candidates only where a
-    * shingle is shared; AQE splits hot shingles); the filter divides by
-    * the contained side's size only, so the orientation is part of the
-    * result.
+    * shingle is shared); the filter divides by the contained side's size
+    * only, so the orientation is part of the result.
+    *
+    * Like [[jaccardPairs]], the naive join's candidate volume is
+    * Σ c_s² over shingle document-frequencies — quadratic in hot-shingle
+    * document count, and web boilerplate (exactly containment's use
+    * case) IS hot shingles. Choose [[containmentPairsPrefix]] on
+    * heavy-tailed corpora; this variant wins only when the frequency
+    * distribution is flat (same measured trade as the Jaccard pair).
     */
   def containmentPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
@@ -86,6 +92,65 @@ object Dedup {
         col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .withColumn("containment", col("c").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  /** Oriented candidate pairs for prefix-filtered containment: the
+    * CONTAINED side (doc_a) restricted to its prefix under the global
+    * rarest-first shingle order, joined against the FULL index on the
+    * doc_b side. Asymmetry is the point — containment places no bound
+    * on B's non-shared shingles, so only A's side admits pruning:
+    * C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉ ⇒ if every shared shingle sat
+    * outside A's first |A| − ⌈t·|A|⌉ + 1 positions, at most
+    * ⌈t·|A|⌉ − 1 < t·|A| could be shared — contradiction. Exposed
+    * `private[graft]` so the spec can pin the candidate-volume shrink
+    * independently of the verified output.
+    */
+  private[graft] def containmentCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("doc")
+    val prefix = sh.join(freq, "sh")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(w.orderBy(col("f"), col("sh"))))
+      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select("doc", "sh")
+    prefix.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact containment pairs via prefix filtering — output ==
+    * [[containmentPairs]] (spec-pinned), candidate volume bounded by the
+    * asymmetric prefix bound instead of the naive join's Σ c_s². The
+    * rarest-first order puts hot shingles LAST in every doc, so a
+    * boilerplate shingle shared by millions of docs enters the candidate
+    * join only from docs whose prefix window reaches it (near-total
+    * containment thresholds on tiny docs) — on web-scale boilerplate the
+    * naive join's quadratic hot-shingle blowup disappears. Verification
+    * re-scores candidates against the full shingle sets, so reported
+    * containment values stay exact.
+    */
+  def containmentPairsPrefix(sh: DataFrame, threshold: Double): DataFrame =
+    verifyContainment(containmentCandidates(sh, threshold), sh, threshold)
+
+  /** Exact-containment verification of oriented candidate (doc_a, doc_b)
+    * pairs against the full shingle sets — the [[verifyJaccard]] shape
+    * with the contained side's size as the sole denominator.
+    */
+  private def verifyContainment(candidates: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
+    val aSh = sh.select(col("doc").as("doc_a"), col("sh").as("sha"))
+    val bSh = sh.select(col("doc").as("cand_b"), col("sh").as("shb"))
+    val inter = candidates
+      .join(aSh, "doc_a")
+      .join(bSh, col("doc_b") === col("cand_b") && col("sha") === col("shb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .withColumn("containment", col("c").cast("double") / col("na"))
@@ -250,6 +315,19 @@ object Dedup {
     chooseJaccardStrategy(sh, candFactor) match {
       case NaiveInvertedIndex => jaccardPairs(sh, threshold)
       case PrefixFiltered     => jaccardPairsPrefix(sh, threshold)
+    }
+
+  /** Skew-adaptive exact containment pairs — the [[jaccardPairsAdaptive]]
+    * decision applied to the oriented measure: the SAME Σ f_s·(f_s−1)/2
+    * statistic governs both (the naive candidate joins are identical up
+    * to the `<` vs `≠` doc predicate, a constant factor of 2), so the
+    * chooser is shared. Same output either way (spec-pinned).
+    */
+  def containmentPairsAdaptive(sh: DataFrame, threshold: Double,
+                               candFactor: Double = 16.0): DataFrame =
+    chooseJaccardStrategy(sh, candFactor) match {
+      case NaiveInvertedIndex => containmentPairs(sh, threshold)
+      case PrefixFiltered     => containmentPairsPrefix(sh, threshold)
     }
 
   /** Candidate (doc_a < doc_b) pairs from a (doc, sh) table: self-join on

@@ -333,8 +333,12 @@ object DedupQueries {
         // long one scores J ≈ |A|/|B| but C = 1). Reuses the memoized
         // shingle index; the oriented output names WHICH side is
         // contained, the signal a curation pipeline needs to keep the
-        // superset and drop the quote.
-        Dedup.containmentPairs(sharedShingles(s, d), 0.6)
+        // superset and drop the quote. ADAPTIVE strategy: the measured
+        // shingle-frequency statistic picks the naive inverted-index
+        // join here (flat testdata distribution) and the prefix-filtered
+        // join on boilerplate-skewed corpora — containment's actual
+        // use case — without the caller knowing the profile up front.
+        Dedup.containmentPairsAdaptive(sharedShingles(s, d), 0.6)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
@@ -348,7 +352,7 @@ object DedupQueries {
         FROM inter JOIN sizes sa ON sa.doc = inter.doc_a
         WHERE CAST(c AS DOUBLE) / sa.n >= 0.6
         ORDER BY doc_a, doc_b"""),
-      doc = "Asymmetric shingle CONTAINMENT pairs (|A∩B|/|A| >= 0.6, oriented): subset duplication symmetric Jaccard misses — a short doc quoted inside a long one has J ~ |A|/|B| but C = 1; same inverted-index join over the memoized shingle index, division by the contained side only."),
+      doc = "Asymmetric shingle CONTAINMENT pairs (|A∩B|/|A| >= 0.6, oriented): subset duplication symmetric Jaccard misses — a short doc quoted inside a long one has J ~ |A|/|B| but C = 1; skew-adaptive join strategy over the memoized shingle index (naive inverted-index here, asymmetric prefix-filtered on boilerplate-heavy corpora), division by the contained side only."),
 
     Q(
       "q180_dedup_unicode",

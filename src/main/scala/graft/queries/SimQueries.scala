@@ -515,5 +515,36 @@ object SimQueries {
                             AND LIST_COSINE_SIMILARITY(t.embedding, b.embedding) >= 0.45)
         ORDER BY vec_id"""),
       doc = "Semantic decontamination (embedding-space benchmark-overlap filter, the paraphrase-robust complement of q52's n-gram decontamination): training vectors within cosine 0.45 of ANY benchmark vector are dropped via a broadcast non-equi ANTI join — the tiny benchmark side broadcasts, the train side never shuffles; ids only (the q24 rule: float cosine is not bitwise, the threshold sits in a verified score gap).")
+  ,
+
+    Q(
+      "q185_decontam_ivf",
+      (s, d) => {
+        // q184's SCALE PATH made bench-visible: the same benchmark set
+        // runs through IvfSearch.aboveThreshold over the memoized
+        // inverted lists — per benchmark vector the probe scans
+        // nprobe/nlist of the corpus instead of all of it (the exact
+        // broadcast-NL baseline q184 times is O(|bench|·|corpus|); at
+        // real corpus scale only this path survives). Every train
+        // vector the probe surfaces above the threshold is dropped; the
+        // anti-join semantics are IDENTICAL to q184. Approximate ONLY
+        // through list pruning — a contaminated vector in an unprobed
+        // list survives wrongly (q26/q31 rule → rows-only gate);
+        // IvfSearchSpec pins survivors(ivf) ⊇ survivors(exact), never
+        // the reverse (scores are exact, the probe cannot invent
+        // contamination), and dropped-set recall >= 0.8 vs the q184 row.
+        val emb = Tables.embeddings(s, d)
+        val (index, lists) = ivfIndexAndLists(s, d)
+        val bench = emb.filter(col("vec_id") % 20 === 0)
+        val surfaced = graft.operators.IvfSearch.aboveThreshold(
+            lists, bench, index, threshold = 0.45, nprobe = 8)
+          .select(col("neighbor_id").as("vec_id"))
+        emb.filter(col("vec_id") % 20 =!= 0).select(col("vec_id"))
+          .join(surfaced, Seq("vec_id"), "left_anti")
+          .orderBy(col("vec_id"))
+      },
+      None, // approximate by list pruning (q26/q31 rule) — rows-only
+      // check; IvfSearchSpec pins one-sidedness + recall >= 0.8 vs q184.
+      doc = "Semantic decontamination SCALE path: q184's benchmark set probed through the IVF inverted lists (aboveThreshold, nprobe=8 of 16) instead of the exact broadcast-NL scan — per-benchmark cost drops from O(|corpus|) to the probed lists; identical anti-join semantics, approximate only through list pruning (one-sided: never invents contamination; recall floor pinned against the q184 exact row).")
   )
 }

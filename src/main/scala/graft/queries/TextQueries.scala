@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ :+ unsegScaleQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -394,6 +394,49 @@ object TextQueries {
       ORDER BY doc_id"""),
     doc = "Content fingerprints on multilingual text: the ASCII-normalized md5 collapses all pure-CJK documents to one key (dedup would drop them as duplicates — the trap, pinned), the unicode-token md5 keys them distinctly (the fix); DuckDB replays both derivations, tokenization via the generated regex.")
 
+  private lazy val unsegScaleQ: Q = Q(
+    "q186_unseg_fallback_scale",
+    (s, _) => {   // dedicated unsegmentable-script fixture; dir arg unused
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // THE UNSEGMENTABLE FALLBACK AT CORPUS VOLUME: 2 600+ docs in
+      // dictionary-dependent scripts (Thai, Devanagari) that UniTok
+      // segments to ZERO tokens by design. The md5-raw fallback must key
+      // every DISTINCT document distinctly (no false merges — the
+      // md5('') collision class this fallback exists to kill) while
+      // exact duplicates still collapse to one survivor, empty docs keep
+      // the canonical md5('') class, and a punctuation variant does NOT
+      // merge (the documented conservative failure for these scripts:
+      // no canonicalization, never a cross-document collision). Survivor
+      // selection is the fingerprint-dedup shape: min doc_id per key,
+      // one map-side-combinable window — linear at any corpus size.
+      val w = Window.partitionBy($"fp_uni")
+      s.read.parquet(UnsegFixture.ensure(s))
+        .select($"doc_id", TextFns.fingerprintUni($"txt").as("fp_uni"))
+        .withColumn("survivor", min($"doc_id").over(w))
+        .withColumn("is_survivor", $"survivor" === $"doc_id")
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      WITH fp AS (
+        SELECT doc_id,
+               -- explicit empty-text branch: DuckDB's ARRAY_TO_STRING of
+               -- an EMPTY match list is NULL (not ''), so the canonical
+               -- md5('') class for truly empty docs needs its own arm
+               CASE WHEN txt IS NULL THEN NULL
+                    WHEN LENGTH(txt) = 0 THEN MD5('')
+                    WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}')) = 0
+                    THEN MD5(txt)
+                    ELSE MD5(ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}'), ' '))
+               END AS fp_uni
+        FROM read_parquet('${UnsegFixture.Root}/*.parquet'))
+      SELECT doc_id, fp_uni,
+             MIN(doc_id) OVER (PARTITION BY fp_uni) AS survivor,
+             MIN(doc_id) OVER (PARTITION BY fp_uni) = doc_id AS is_survivor
+      FROM fp
+      ORDER BY doc_id"""),
+    doc = "The unsegmentable-script fallback at corpus volume: 2 600+ distinct Thai/Devanagari documents (zero UniTok tokens by design) each keyed DISTINCTLY by the raw-md5 fallback — no false merges — while planted exact duplicates collapse to one survivor, empty docs share the canonical md5('') class, and punctuation variants stay separate (the documented conservative failure); DuckDB replays fingerprint CASE + window-min survivor selection.")
+
   private lazy val byteBpeQ: Q = Q(
     "q177_byte_bpe",
     (s, d) => {
@@ -486,6 +529,63 @@ object TextQueries {
         import s.implicits._
         (0 until 40).map(i => (i.toLong, frags(i % frags.size) + " " + (1000 + i)))
           .toDF("doc_id", "txt").coalesce(1)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
+
+  /** Deterministic UNSEGMENTABLE-script fixture for q186: 2 400 distinct
+    * Thai/Devanagari docs (scripts UniTok classifies entirely as
+    * separators — zero tokens by design), 200 planted exact duplicates,
+    * 3 empty docs, and 2 punctuation/whitespace variants. Content is a
+    * pure function of index (the UniFixture discipline): the first
+    * "word" of each doc encodes its index in the script's own code-point
+    * block, so every base doc is distinct BY CONSTRUCTION — the property
+    * the raw-md5 fallback must preserve.
+    */
+  object UnsegFixture {
+    val Root = "/root/repo/target/unseg_fixture"
+    private def word(block: Int, span: Int, seed: Long, len: Int): String =
+      (0 until len).map { j =>
+        (block + (((seed * 31 + j * 7) % span + span) % span).toInt).toChar
+      }.mkString
+    /** Index-encoding first word (base-`span` digits, little-endian) +
+      * deterministic filler words.
+      */
+    private def doc(block: Int, span: Int, i: Int): String = {
+      val idWord = {
+        var n = i; val sb = new StringBuilder
+        while ({ sb.append((block + n % span).toChar); n /= span; n > 0 }) ()
+        sb.toString
+      }
+      idWord + " " + (0 until 4).map(k => word(block, span, i.toLong * 13 + k, 5)).mkString(" ")
+    }
+    private val ThaiBlock = 0x0E01   // Thai consonants ก..ฮ
+    private val ThaiSpan = 46
+    private val DevaBlock = 0x0905   // Devanagari independent vowels + consonants
+    private val DevaSpan = 53
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        val thai = (0 until 1200).map(i => (i.toLong, doc(ThaiBlock, ThaiSpan, i)))
+        val deva = (0 until 1200).map(i => ((1200 + i).toLong, doc(DevaBlock, DevaSpan, i)))
+        // exact duplicates of every 6th Thai doc: same raw bytes → same
+        // fallback key → must collapse to the earlier survivor
+        val dups = (0 until 200).map(j => ((2400 + j).toLong, doc(ThaiBlock, ThaiSpan, j * 6)))
+        // truly empty docs keep the canonical md5('') class (shared)
+        val empties = (0 until 3).map(j => ((2600 + j).toLong, ""))
+        // punctuation/whitespace variants of doc 0/1200: raw-md5 gives
+        // them DISTINCT keys (no canonicalization for these scripts —
+        // the documented conservative failure, never a collision)
+        val variants = Seq(
+          (2603L, doc(ThaiBlock, ThaiSpan, 0) + "!"),
+          (2604L, " " + doc(DevaBlock, DevaSpan, 0)))
+        (thai ++ deva ++ dups ++ empties ++ variants)
+          .toDF("doc_id", "txt").coalesce(2)
           .write.mode("overwrite").parquet(Root)
         built = true
       }

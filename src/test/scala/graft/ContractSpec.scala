@@ -31,7 +31,8 @@ class ContractSpec extends AnyFunSuite {
     "q136_ivfpq_topk",         // approximate by list pruning (q31 rule); PqSearchSpec pins recall floors + nprobe monotonicity
     "q139_ivf_sq8_topk",       // approximate by list pruning (q31 rule); IvfSearchSpec pins certified error bound + recall >= 0.9
     "q146_bpe_learn",          // iterative argmax has no SQL oracle; BpeSpec pins learner == sequential reference + corpus compression
-    "q154_audio_spectral")     // float DSP (FFT) is not SQL-expressible; DspSpec pins FFT==DFT, Parseval, exact planted-tone recovery
+    "q154_audio_spectral",     // float DSP (FFT) is not SQL-expressible; DspSpec pins FFT==DFT, Parseval, exact planted-tone recovery
+    "q185_decontam_ivf")       // approximate by list pruning (q26/q31 rule); IvfSearchSpec pins one-sidedness vs q184 + dropped-set recall >= 0.8
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
@@ -94,18 +95,20 @@ class ContractSpec extends AnyFunSuite {
     val j = parse(line)
     val qs = j.get("queries")
     val omitted = j.get("omitted").asInt
-    val omittedMax = j.get("omitted_max").asDouble
+    // omitted_max is integer deciseconds like the per-query values
+    val omittedMax = j.get("omitted_max").asDouble / 10.0
     assert(qs.size + omitted == 250, "every row is either present or accounted omitted")
     assert(qs.size >= 150, s"only ${qs.size} rows included — budget model broke")
-    // per-row MIN semantics, and every omitted row is bounded by omitted_max
+    // per-row MIN semantics in DECISECONDS, and every omitted row is
+    // bounded by omitted_max
     val mins = rows.collect { case (k, v, ts) if v >= 0 =>
       BenchFormat.shortKey(k) -> ts.min }.toMap
     val included = scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames).asScala.toSet
     mins.foreach { case (k, mn) =>
       if (included.contains(k))
-        assert(math.abs(qs.get(k).asDouble - mn) <= 0.51,
-          s"$k: compact ${qs.get(k).asDouble} vs true min $mn (max tier rounding 0.5)")
-      else assert(mn <= omittedMax + 1e-9,
+        assert(math.abs(qs.get(k).asDouble / 10.0 - mn) <= 0.051,
+          s"$k: compact ${qs.get(k).asDouble} ds vs true min $mn s (100 ms rounding)")
+      else assert(mn <= omittedMax + 0.051,
         s"omitted $k has min $mn > omitted_max $omittedMax — a regression could hide")
     }
     // included rows are the SLOWEST ones: no omitted min exceeds an included one's tier
@@ -116,19 +119,24 @@ class ContractSpec extends AnyFunSuite {
     assert(errs.size == rows.count(_._2 < 0))
   }
 
-  test("BenchFormat: real-registry-sized line fits with at most marginal omission") {
-    // realistic value model: the round-9 clean run is ~0.1-3.6 s per row
-    val rows = SparkEntry.allQueries.map(_.name).zipWithIndex.map { case (n, i) =>
+  test("BenchFormat: real registry padded to 205 rows fits with ZERO omission (full per-row tail coverage)") {
+    // realistic value model: the round-10 clean run is ~0.1-3.6 s per
+    // row. The ds encoding exists so the judge gets FULL per-row tail
+    // coverage — pin omitted == 0 with headroom past the real registry
+    val real = SparkEntry.allQueries.map(_.name)
+    val names = real ++ (900 until (900 + (205 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val rows = names.zipWithIndex.map { case (n, i) =>
       val v = 0.1 + (i % 36) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
     }
     val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
-    assert(j.get("omitted").asInt <= 25,
-      s"${j.get("omitted").asInt} rows omitted at the realistic value model — " +
-        "the artifact is losing per-query attribution; consider splitting it")
-    assert(j.get("queries_value").asText == "min")
+    assert(j.get("omitted").asInt == 0,
+      s"${j.get("omitted").asInt} rows omitted at a 205-row realistic model — " +
+        "the ds-encoding headroom guarantee broke; shrink the format again")
+    assert(j.get("queries").size == rows.size)
+    assert(j.get("queries_value").asText == "min_ds")
   }
 
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
@@ -144,7 +152,7 @@ class ContractSpec extends AnyFunSuite {
     // what kills a snapshot write)
     val weird = Seq(("q1_a", 1.0, Seq.empty[Double]), ("q2_b", 2.0, Seq(-1.0)))
     val l2 = parse(BenchFormat.compactLine(weird, "sf"))
-    assert(l2.get("queries").get("1").asDouble == 1.0, "empty reps fall back to the median")
+    assert(l2.get("queries").get("1").asDouble == 10.0, "empty reps fall back to the median (in ds)")
   }
 
   test("BenchFormat: total_min <= total, and a contended median does not move the mins") {

@@ -321,6 +321,58 @@ class DedupSpec extends AnyFunSuite {
       "J ~ |A|/|B| must stay under 0.5 for the planted subset pair")
   }
 
+  test("containmentPairsPrefix == containmentPairs; candidate volume provably shrinks on a heavy-tailed corpus") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // 1. planted-prefix fixture (the containmentPairs one): output
+    //    equality at a tight and a loose threshold, both orientations
+    val long = (0 until 200).map(i => s"w$i").mkString(" ")
+    val short = (0 until 30).map(i => s"w$i").mkString(" ")
+    val other = (1000 until 1200).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(docs, "doc_id", "text").cache()
+    for (t <- Seq(0.9, 0.3)) {
+      val naive = pairs(Dedup.containmentPairs(sh, t))
+      assert(pairs(Dedup.containmentPairsPrefix(sh, t)) == naive,
+        s"prefix-filtered output must equal the naive join at t=$t")
+      assert(pairs(Dedup.containmentPairsAdaptive(sh, t)) == naive)
+    }
+    assert(pairs(Dedup.containmentPairsPrefix(sh, 0.9)).get((2L, 1L)).contains(1.0),
+      "the planted strict-prefix doc must survive prefix filtering oriented C=1")
+    sh.unpersist()
+
+    // 2. heavy-tailed fixture: 40 docs each carrying 10 unique shingles
+    //    plus ONE boilerplate shingle shared by ALL, and one doc (100)
+    //    genuinely contained in doc 0. The naive join candidates every
+    //    ordered cross pair through the boilerplate key (41*40 = 1640);
+    //    the prefix join indexes only each doc's RAREST shingles, where
+    //    the boilerplate never sits — candidates collapse to the two
+    //    true orientations.
+    val rows = (0 until 40).flatMap { dnum =>
+      (0 until 10).map(i => (dnum.toLong, s"u${dnum}_$i")) :+ ((dnum.toLong, "boiler"))
+    } ++ ((0 until 9).map(i => (100L, s"u0_$i")) :+ ((100L, "boiler")))
+    val sh2 = rows.toDF("doc", "sh").cache()
+    val naiveCand = sh2.as("a")
+      .join(sh2.as("b"), col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc"), col("b.doc")).distinct().count()
+    assert(naiveCand == 41L * 40, s"fixture sanity: boilerplate must candidate all pairs, got $naiveCand")
+    val prefCand = Dedup.containmentCandidates(sh2, 0.8).count()
+    assert(prefCand <= 4, s"prefix filtering must collapse the boilerplate blowup, got $prefCand candidates")
+    // and the verified outputs still agree exactly: C(100→0) = 1.0 and
+    // C(0→100) = 10/11 both clear 0.8; nothing else does
+    val np = pairs(Dedup.containmentPairs(sh2, 0.8))
+    assert(pairs(Dedup.containmentPairsPrefix(sh2, 0.8)) == np)
+    assert(np.keySet == Set((100L, 0L), (0L, 100L)), np.toString)
+    assert(np((100L, 0L)) == 1.0)
+    // the adaptive chooser must route THIS distribution to the prefix
+    // variant (cand/rows = 1640-ish incidences per 419 rows >> 16 needs
+    // the hot-shingle term: sum f(f-1)/2 = 41*40/2 + small = 820+)
+    assert(Dedup.chooseJaccardStrategy(sh2, candFactor = 1.0) == Dedup.PrefixFiltered)
+    sh2.unpersist()
+  }
+
   test("unicode dedup family: simhash sees CJK near-dups whitespace tokens cannot; minhash-LSH == jaccard over unicode shingles") {
     import spark.implicits._
     // three near-identical unspaced CJK docs (one char edited) + one

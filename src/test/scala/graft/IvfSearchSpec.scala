@@ -180,6 +180,30 @@ class IvfSearchSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF decontamination recall too low: $recall (${got.size}/${exact.size})")
   }
 
+  test("q185 row vs q184 row: IVF survivors are a superset of the exact survivors; dropped-set recall >= 0.8") {
+    // the REGISTRY rows, exactly as the driver runs them — the pin the
+    // q185 no-oracle entry cites. One-sidedness is the gate that makes
+    // the scale path safe to ship: list pruning may let a contaminated
+    // vector survive (recall < 1), but exact scoring means the probe can
+    // never drop a clean one.
+    val dir = "/root/testdata/sf0.01"
+    val exactSurvivors = SparkEntry.queries("q184_semantic_decontam")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val ivfSurvivors = SparkEntry.queries("q185_decontam_ivf")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactSurvivors.subsetOf(ivfSurvivors),
+      s"IVF dropped ${(exactSurvivors -- ivfSurvivors).size} CLEAN vectors — scores are exact, this must be impossible")
+    val train = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 20 =!= 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val exactDropped = train -- exactSurvivors
+    val ivfDropped = train -- ivfSurvivors
+    assert(exactDropped.nonEmpty, "fixture must contain contaminated vectors at sf0.01")
+    val recall = (exactDropped & ivfDropped).size.toDouble / exactDropped.size
+    assert(recall >= 0.8,
+      s"q185 dropped-set recall $recall (${ivfDropped.size}/${exactDropped.size}) below floor")
+  }
+
   test("append drift: the affinity trigger fires on a shifted batch, stays silent otherwise, and re-clustering restores recall") {
     import spark.implicits._
     // deterministic synthetic corpus: 4 tight clusters on axes e0..e3 of

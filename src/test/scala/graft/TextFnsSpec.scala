@@ -8,6 +8,35 @@ import graft.functions.TextFns
 class TextFnsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
 
+  test("q186 fixture: the raw-md5 fallback never false-merges distinct unsegmentable docs; exact dups collapse; fp_uni(NULL) is NULL") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q186_unseg_fallback_scale")(spark, "unused").cache()
+    val docs = spark.read.parquet(graft.queries.TextQueries.UnsegFixture.Root)
+    // NO FALSE MERGES: distinct raw texts → distinct fingerprint keys
+    // (the md5('') collision class must not reappear one script out)
+    val nTexts = docs.select("txt").distinct().count()
+    val nKeys = out.select("fp_uni").distinct().count()
+    assert(nKeys == nTexts, s"$nKeys fingerprint keys for $nTexts distinct texts — a false merge")
+    // exact duplicates collapse: the 200 planted dup rows are all
+    // non-survivors pointing at their originals
+    val dupRows = out.filter($"doc_id" >= 2400 && $"doc_id" < 2600)
+    assert(dupRows.count() == 200 && dupRows.filter($"is_survivor").count() == 0)
+    assert(dupRows.filter($"survivor" >= 1200).count() == 0, "dup survivors must be the original Thai docs")
+    // the punctuation/whitespace variants do NOT merge (conservative
+    // failure: distinct keys, both survivors of their own class)
+    assert(out.filter($"doc_id" >= 2603 && $"is_survivor").count() == 2)
+    // empty docs share the canonical md5('') class: one survivor
+    val empt = out.filter($"doc_id" >= 2600 && $"doc_id" < 2603)
+    assert(empt.filter($"is_survivor").count() == 1)
+    out.unpersist()
+    // NULL propagation (the round-10 advisor fix): null text → null key,
+    // never the md5('') empty-content class
+    val fp = Seq((1L, null: String), (2L, ""), (3L, "x"))
+      .toDF("id", "t").select(TextFns.fingerprintUni($"t")).collect().map(_.getString(0))
+    assert(fp(0) == null, "fingerprintUni(NULL) must be NULL")
+    assert(fp(1) != null && fp(0) != fp(1), "null and empty content must not share a dedup key")
+  }
+
   test("normalize lowercases, strips punct, collapses whitespace") {
     import spark.implicits._
     val got = Seq("  Hello,   WORLD!! 42  ").toDF("t")
