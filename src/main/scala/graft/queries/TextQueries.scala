@@ -326,22 +326,13 @@ object TextQueries {
       // letter runs) + exact integer permille fractions + a dominant
       // class with fixed tie order — the curation feature that routes
       // multilingual documents (per-language caps, mixed-script spam
-      // filters) without a language model. Class regexes are GENERATED
-      // from the same UniTok range constants as the tokenizer; integer
-      // permille keeps the gate bitwise.
-      val ideoRe = graft.functions.UniTok.oracleRegex.split("\\|")(0) // the ideo class
-      val ideoPat = s"^$ideoRe$$".replace("\\", "\\\\")
-      s.read.parquet(UniFixture.ensure(s))
-        .select($"doc_id", graft.functions.TextFns.uniTokens($"txt").as("toks"))
-        .select($"doc_id",
-          size($"toks").cast("long").as("n_tokens"),
-          expr(s"cast(size(filter(toks, t -> t rlike '$ideoPat')) as bigint)").as("n_ideo"),
-          expr("cast(size(filter(toks, t -> t rlike '^[0-9]+$')) as bigint)").as("n_digit"))
-        .withColumn("n_alpha", $"n_tokens" - $"n_ideo" - $"n_digit")
-        .withColumn("ideo_pm", expr("case when n_tokens = 0 then 0L else (n_ideo * 1000) div n_tokens end"))
-        .withColumn("main_class", expr(
-          "case when n_ideo >= n_alpha and n_ideo >= n_digit then 'ideo' " +
-            "when n_alpha >= n_digit then 'alpha' else 'digit' end"))
+      // filters) without a language model. ONE classifier definition
+      // (operators/ScriptMix, class regexes GENERATED from the UniTok
+      // range constants) serves this gate row, the batch routing
+      // aggregate, and its streaming complete-mode twin (StreamingSpec
+      // pins batch == streaming exactly); integer permille keeps the
+      // gate bitwise.
+      graft.operators.ScriptMix.classify(s.read.parquet(UniFixture.ensure(s)))
         .orderBy($"doc_id")
     },
     Some(s"""
