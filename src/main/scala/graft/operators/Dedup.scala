@@ -116,7 +116,7 @@ object Dedup {
     val prefix = sh.join(freq, "sh")
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("rank", row_number().over(w.orderBy(col("f"), col("sh"))))
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .filter(col("rank") <= col("n") - minOverlap(col("n"), threshold) + 1)
       .select("doc", "sh")
     prefix.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") =!= col("b.doc"))
@@ -180,10 +180,25 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("rank", row_number().over(w.orderBy(col("f"), col("sh"))))
     val prefix = ranked
-      .filter(col("rank") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .filter(col("rank") <= col("n") - minOverlap(col("n"), threshold) + 1)
       .select("doc", "sh")
     verifyJaccard(candidatePairs(prefix), sh, threshold)
   }
+
+  /** ⌈t·n⌉ as a column, robust to double rounding: when t·n's DOUBLE
+    * representation lands a hair ABOVE the exact rational (t=0.07,
+    * n=100: 7.000000000000001), a bare ceil returns 8 — one too high —
+    * which SHORTENS the prefix window and silently drops a true pair
+    * whose shared shingles sit exactly at the boundary, breaking the
+    * documented output == naive exactness. Subtracting 1e-9 before the
+    * ceil restores the exact rational ceiling for every t·n whose true
+    * value is ≥ 1e-9 away from the representation error (double ulp at
+    * corpus-plausible n is ≤ ~1e-12·n); when the epsilon itself tips a
+    * borderline value DOWN, the prefix only LENGTHENS — extra candidates
+    * that verification re-scores away, never a missed pair.
+    */
+  private def minOverlap(n: Column, threshold: Double): Column =
+    ceil(lit(threshold) * n - lit(1e-9)).cast("int")
 
   /** Frequency-capped candidate generation: drop shingles whose document
     * frequency exceeds `maxDocFreq` from the CANDIDATE join only —
@@ -267,6 +282,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(least(col("dn"), col("do")).as("doc_a"),
         greatest(col("dn"), col("do")).as("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental exact CONTAINMENT: oriented pairs BETWEEN a new batch
+    * and an existing corpus index (disjoint doc sets — the
+    * [[jaccardPairsAgainst]] contract, enforced by the same loud probe).
+    * BOTH orientations cross the boundary and both matter: a new doc
+    * quoting an indexed one (doc_a ∈ new) AND an indexed doc that is a
+    * subset of a new arrival (doc_a ∈ old — the fresh superset that
+    * should replace the stored fragment). One inverted-index aggregation
+    * computes the intersection counts; each orientation divides by its
+    * own contained-side size, so one probe yields both directions.
+    *
+    * Completeness (spec-pinned): containmentPairs(old ∪ new) ==
+    * containmentPairs(old) ∪ containmentPairsAgainst(new, old) ∪
+    * containmentPairs(new). Candidates touch only shingles present in
+    * the NEW batch — per-batch cost scales with the batch, not the
+    * corpus, exactly like the Jaccard twin.
+    */
+  def containmentPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
+                              threshold: Double): DataFrame = {
+    val dup = shNew.select(col("doc")).distinct()
+      .join(shIndex.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"containmentPairsAgainst batch overlaps the index (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
+        "the incremental contract requires disjoint doc sets")
+    val inter = shNew.as("a")
+      .join(shIndex.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc").as("dn"), col("b.doc").as("do"))
+      .agg(count(lit(1)).as("c"))
+    val sizesNew = shNew.groupBy("doc").agg(count(lit(1)).as("n"))
+    // corpus sizes only for docs that actually intersect a batch doc —
+    // semi-join-restricted BEFORE the groupBy, never an O(corpus) agg
+    val sizesOld = shIndex
+      .join(inter.select(col("do").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n"))
+    val scored = inter
+      .join(sizesNew.select(col("doc").as("dn"), col("n").as("nn")), "dn")
+      .join(sizesOld.select(col("doc").as("do"), col("n").as("no")), "do")
+    // orientation 1: new doc contained in indexed doc (C = c/|new|)
+    val newInOld = scored
+      .withColumn("containment", col("c").cast("double") / col("nn"))
+      .filter(col("containment") >= threshold)
+      .select(col("dn").as("doc_a"), col("do").as("doc_b"), col("containment"))
+    // orientation 2: indexed doc contained in new doc (C = c/|old|)
+    val oldInNew = scored
+      .withColumn("containment", col("c").cast("double") / col("no"))
+      .filter(col("containment") >= threshold)
+      .select(col("do").as("doc_a"), col("dn").as("doc_b"), col("containment"))
+    newInOld.unionByName(oldInNew)
   }
 
   /** Physical strategy for the exact Jaccard pair join — the logical

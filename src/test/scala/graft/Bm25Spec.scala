@@ -125,6 +125,26 @@ class Bm25Spec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("append refuses a tokenizer-mode mismatch loudly (silent token-space blend otherwise)") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val docs = Seq((1L, "spark engine design"), (2L, "数据处理引擎")).toDF("doc_id", "text")
+    val more = Seq((3L, "query planning"), (4L, "大规模分析")).toDF("doc_id", "text")
+    // both directions: unicode index + ascii append, ascii index +
+    // unicode append — either blend would mix two token spaces into one
+    // posting table and skew every df/idf with no error
+    val uniIdx = Bm25.build(docs, unicode = true)
+    val e1 = intercept[IllegalArgumentException] { Bm25.append(uniIdx, more) }
+    assert(e1.getMessage.contains("tokenizer mode mismatch"))
+    val asciiIdx = Bm25.build(docs)
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25.append(asciiIdx, more, unicode = true)
+    }
+    assert(e2.getMessage.contains("tokenizer mode mismatch"))
+    // matching modes still append fine (the guard is not over-broad)
+    assert(Bm25.append(uniIdx, more, unicode = true).nDocs == 4)
+  }
+
   test("fixed-point ranking tracks true double-ln BM25: top-20 overlap >= 16/20") {
     import graft.operators.Bm25
     val dir = "/root/testdata/sf0.01"

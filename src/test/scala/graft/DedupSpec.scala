@@ -128,6 +128,57 @@ class DedupSpec extends AnyFunSuite {
     Seq(shAll, shOld, shNew).foreach(_.unpersist())
   }
 
+  test("drift-prone threshold t=0.07: prefix bound stays exact where double ceil over-rounds") {
+    import spark.implicits._
+    // 0.07*100 in double arithmetic is 7.000000000000001 — a bare ceil
+    // returns 8 (exact rational ceil: 7), shortening the prefix window
+    // by one. Fixture engineered to sit ON that boundary: doc 1 has 100
+    // shingles, doc 2's 7 shingles are all shared, so the shared
+    // shingles (frequency 2) rank LAST in doc 1's rarest-first order —
+    // positions 94..100. J = 7/100 = 0.07 and C(1→2) = 0.07, both
+    // exactly at threshold; the correct prefix (94) reaches position 94,
+    // the over-rounded one (93) does not and silently drops the pair.
+    val sh = ((1 to 100).map(i => (1L, i.toLong)) ++
+      (94 to 100).map(i => (2L, i.toLong))).toDF("doc", "sh")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naiveJ = pairs(Dedup.jaccardPairs(sh, 0.07))
+    assert(naiveJ.contains((1L, 2L)), "fixture must sit at the threshold boundary")
+    assert(pairs(Dedup.jaccardPairsPrefix(sh, 0.07)) == naiveJ,
+      "prefix-filtered Jaccard dropped the boundary pair — the double-ceil drift is back")
+    val naiveC = pairs(Dedup.containmentPairs(sh, 0.07))
+    assert(naiveC.contains((1L, 2L)) && naiveC.contains((2L, 1L)))
+    assert(pairs(Dedup.containmentPairsPrefix(sh, 0.07)) == naiveC,
+      "prefix-filtered containment dropped the boundary orientation — the double-ceil drift is back")
+  }
+
+  test("incremental containmentPairsAgainst: batch-vs-index (both orientations) + intra covers the full oriented join") {
+    val docs = Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val shAll = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
+    val shOld = shAll.filter(col("doc") < 400).cache()
+    val shNew = shAll.filter(col("doc") >= 400).cache()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val t = 0.6
+    val full = pairSet(Dedup.containmentPairs(shAll, t))
+    val cross = pairSet(Dedup.containmentPairsAgainst(shNew, shOld, t))
+    val incremental = pairSet(Dedup.containmentPairs(shOld, t)) ++ cross ++
+      pairSet(Dedup.containmentPairs(shNew, t))
+    assert(full.nonEmpty)
+    assert(incremental == full,
+      s"missing=${(full -- incremental).take(5)} extra=${(incremental -- full).take(5)}")
+    // both orientations genuinely occur across the boundary in this data
+    assert(cross.exists(p => p._1 >= 400 && p._2 < 400), "new-contained-in-old missing")
+    assert(cross.exists(p => p._1 < 400 && p._2 >= 400), "old-contained-in-new missing")
+    // overlap between the inputs is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairsAgainst(shNew, shAll, t)
+    }
+    assert(e.getMessage.contains("disjoint"))
+    Seq(shAll, shOld, shNew).foreach(_.unpersist())
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on real documents") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()

@@ -613,6 +613,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming script-mix routing (routeCounts, complete mode) EQUALS the batch aggregate, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // multilingual fixture covering all three dominant classes plus
+    // mixed-script docs whose class is decided by the tie order
+    val docs = Seq(
+      (1L, "数据处理引擎 big data"),
+      (2L, "hello world one two three"),
+      (3L, "42 7 999 1234"),
+      (4L, "深度学习 模型 训练 数据 分布式 计算"),
+      (5L, "mixed 中文 and english 123 456"),
+      (6L, "7 8 9 10 11 twelve"),
+      (7L, "edge case 机器 equal mix 学习"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.operators.ScriptMix.routeCounts(input.toDS().toDF("doc_id", "txt"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("scriptmix_route").start()
+    try {
+      // chunked delivery: the complete-mode aggregation must carry the
+      // ≤3 rows of routing state across micro-batch boundaries
+      val (chunk1, chunk2) = docs.splitAt(4)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"main_class", $"n_docs", $"total_tokens", $"total_ideo", $"total_digit")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val got = toSet(spark.table("scriptmix_route"))
+      val batch = toSet(graft.operators.ScriptMix.routeCounts(docs.toDF("doc_id", "txt")))
+      assert(batch.map(_._1) == Set("ideo", "alpha", "digit"),
+        s"fixture must exercise all three routing classes, got ${batch.map(_._1)}")
+      assert(got == batch,
+        s"streaming routeCounts diverged from the batch aggregate: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming sketch distinct (HLL + bitmap) equals batch, chunked across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
