@@ -83,9 +83,21 @@ object BenchFormat {
     */
   val MaxNamedErrors = 40
 
-  /** rows = (fullName, medianOrMinus1, perRepSeconds). */
+  /** rows = (fullName, medianOrMinus1, perRepSeconds).
+    *
+    * `sentinel`: the CONTENTION CANARY — min deciseconds of a fixed
+    * constant-cost query timed immediately BEFORE the first registry row
+    * and again AFTER the last one. Identical code, identical data, two
+    * timestamps an hour of wall-clock apart: a calm box shows two equal
+    * small numbers; a contended window shows the drift directly, so any
+    * reader can tell "box was busy" from "code got slower" from the
+    * compact line alone (the round-11 official artifact carried 9×
+    * ghosts exactly because this signal didn't exist). Emitted as
+    * `"sentinel_ds":[first,last]` when present.
+    */
   def compactLine(rows: Seq[(String, Double, Seq[Double])], sfDir: String,
-                  budget: Int = TailBudget): String = {
+                  budget: Int = TailBudget,
+                  sentinel: Option[(Double, Double)] = None): String = {
     val total = rows.map(_._2).filter(_ >= 0).sum
     val totalMin = rows.collect { case (_, v, ts) if v >= 0 => minOf(v, ts) }.sum
     val errKeys = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
@@ -96,10 +108,13 @@ object BenchFormat {
     val ranked = rows.map { case (k, v, ts) => (shortKey(k), minOf(v, ts)) }
       .sortBy { case (k, mn) => (-mn, k) }
     val entries = ranked.map { case (k, mn) => "\"" + k + "\":" + fmtDs(mn) }
+    val sentinelField = sentinel
+      .map { case (a, b) => s""""sentinel_ds":[${fmtDs(a)},${fmtDs(b)}],""" }
+      .getOrElse("")
     def lineWith(n: Int): String = {
       val omitted = ranked.drop(n)
       val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)
@@ -111,6 +126,26 @@ object BenchFormat {
 object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Fixed-cost CONTENTION SENTINEL: 300M xxhash64 rows across 32 fixed
+    * partitions — no input data, no shuffle variance, one codegen'd
+    * stage whose cost depends only on available CPU (~0.4 s calm, so a
+    * contended window shows up as a multiple, well above the decisecond
+    * floor). Timed (min of 3) right before the first registry row and
+    * again after the last; the pair lands in the compact line as
+    * `sentinel_ds` so a contended run is self-diagnosing from the
+    * artifact alone.
+    */
+  private[graft] def sentinelMin(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int = 3): Seq[Double] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      force(spark.range(0L, 300000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h")))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
 
   /** Cumulative JVM GC time (ms) across all collector beans. */
   private def gcMillis(): Long = {
@@ -186,6 +221,13 @@ object Bench {
     // through the run the warmup exists to stabilize
     graft.queries.QueryCaches.clear()
 
+    // contention sentinel, first reading. One discarded rep first: the
+    // sentinel plan's own codegen compile must not pollute reading #1
+    // (the registry warmup never runs this plan)
+    sentinelMin(spark, reps = 1)
+    val sentinelFirst = sentinelMin(spark)
+    var sentinelLast: Seq[Double] = Seq.empty
+
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
     // shared box; the median is what the engine actually costs.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -216,19 +258,26 @@ object Bench {
       }.mkString("{", ",", "}")
       val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
         .mkString("[", ",", "]")
+      def repArr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val sentinelJson =
+        s""""sentinel_reps":{"first":${repArr(sentinelFirst)},"last":${repArr(sentinelLast)}}"""
       val total = results.map(_._2).filter(_ >= 0).sum
       // total_min = sum of per-query minima: a contended driver window shows
       // total >> total_min, making scheduling noise self-diagnosing at the
       // headline level (not just per-query)
       val totalMin = results
         .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,$sentinelJson,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
     }
     // Compact line for the driver — see BenchFormat (min-valued,
     // slowest-first, budget-capped; the tail-surviving artifact).
+    // sentinel last reading is -1 until measured: a killed run's final
+    // snapshot self-describes as "second reading never happened".
     def compactLine(): String =
       BenchFormat.compactLine(
-        results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, sfDir)
+        results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, sfDir,
+        sentinel = Some((sentinelFirst.min,
+          if (sentinelLast.nonEmpty) sentinelLast.min else -1.0)))
     // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
     // bench artifact because the driver killed a contended window before
     // the single end-of-run write. Rewriting bench.json and printing the
@@ -265,6 +314,10 @@ object Bench {
       results += ((q.name, t, times, stats.toSeq))
       emitSnapshot()
     }
+    // contention sentinel, second reading: same fixed work as the first —
+    // the (first, last) pair brackets the whole timed pass
+    sentinelLast = sentinelMin(spark)
+    emitSnapshot()
     val line = detailLine(); val compact = compactLine()
     spark.stop()
     // print AFTER stop so no log line can interleave; System.out directly.

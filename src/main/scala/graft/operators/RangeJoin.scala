@@ -27,14 +27,50 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      binWidth: Long): DataFrame = {
-    require(binWidth > 0, "binWidth must be positive")
-    def bin(c: Column): Column = floor(c / binWidth).cast("long")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    points.withColumn("__bin", bin(col(pointCol)))
-      .join(binned, "__bin")
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+                      binWidth: Long): DataFrame =
+    pointInIntervalPrebinned(
+      binPoints(points, pointCol, binWidth),
+      pointCol,
+      binIntervals(intervals, loCol, hiCol, binWidth),
+      loCol, hiCol)
       .drop("__bin")
+
+  /** The interval side of the bin materialization: one row per
+    * (interval, overlapped bin), `__bin` appended. A lake that stores
+    * THIS table bucketed by `__bin` (and the points likewise) turns
+    * every subsequent range join into a zero-shuffle co-located join —
+    * the binning cost is paid once at write time, not per query
+    * (RangeJoinSpec pins the no-Exchange plan on a pre-bucketed pair).
+    */
+  def binIntervals(intervals: DataFrame, loCol: String, hiCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    intervals.withColumn("__bin",
+      explode(sequence(bin(col(loCol), binWidth), bin(col(hiCol), binWidth))))
   }
+
+  /** The point side: `__bin` appended (each point maps to exactly one). */
+  def binPoints(points: DataFrame, pointCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    points.withColumn("__bin", bin(col(pointCol), binWidth))
+  }
+
+  private def bin(c: Column, binWidth: Long): Column =
+    floor(c / binWidth).cast("long")
+
+  /** Range join over PRE-BINNED inputs (both sides already carry
+    * `__bin` — [[binPoints]]/[[binIntervals]] output, typically read
+    * back from bucketed-by-`__bin` tables): a plain equi-join on the
+    * bin plus the exact containment filter. When both tables are
+    * bucketed by `__bin` with equal bucket counts, EnsureRequirements
+    * elides BOTH exchanges — at 100 TB the recurring range join against
+    * a slowly-changing interval dimension (IP→geo, time→tariff) runs
+    * with zero data movement, the same layout amortization the as-of
+    * join's bucketed pin models. Keeps `__bin` so callers can chain.
+    */
+  def pointInIntervalPrebinned(points: DataFrame, pointCol: String,
+                               intervals: DataFrame, loCol: String,
+                               hiCol: String): DataFrame =
+    points.join(intervals, "__bin")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
 }

@@ -139,6 +139,31 @@ class ContractSpec extends AnyFunSuite {
     assert(j.get("queries_value").asText == "min_ds")
   }
 
+  test("BenchFormat: contention sentinel rides the compact line and does not break the zero-omission guarantee") {
+    val real = SparkEntry.allQueries.map(_.name)
+    val names = real ++ (900 until (900 + (205 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      val v = 0.1 + (i % 36) / 10.0
+      (n, v, Seq(v + 0.2, v, v + 0.5))
+    }
+    val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1",
+      sentinel = Some((0.73, 0.81)))
+    assert(line.length <= BenchFormat.TailBudget)
+    val j = parse(line)
+    // two readings, deciseconds, same encoding as the per-query values
+    val s = j.get("sentinel_ds")
+    assert(s != null && s.size == 2, "sentinel_ds must carry (first, last)")
+    assert(s.get(0).asInt == 7 && s.get(1).asInt == 8)
+    assert(j.get("omitted").asInt == 0,
+      "the sentinel field must not push the 205-row model into omission")
+    // a killed run's snapshot self-describes: last reading still pending
+    val killed = parse(BenchFormat.compactLine(rows.take(3), "sf",
+      sentinel = Some((0.73, -1.0))))
+    assert(killed.get("sentinel_ds").get(1).asInt == -1)
+    // absent sentinel -> absent field (synthetic-registry tests unchanged)
+    assert(parse(BenchFormat.compactLine(rows.take(3), "sf")).get("sentinel_ds") == null)
+  }
+
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
     // every row errors: the errors array alone would blow the tail
     // window without the MaxNamedErrors cap

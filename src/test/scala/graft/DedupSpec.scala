@@ -179,6 +179,23 @@ class DedupSpec extends AnyFunSuite {
     Seq(shAll, shOld, shNew).foreach(_.unpersist())
   }
 
+  test("adaptive-chooser verdict is memoized with the shingle index: the stats pass runs once per (session, dir)") {
+    import graft.queries.DedupQueries
+    // a path-equivalent alias of the suite dir that no other test has
+    // touched: cache-key-distinct, so this test owns its entry even when
+    // other suites in the same JVM already populated the real key
+    val key = sf + "/."
+    val before = DedupQueries.strategyStatsRuns
+    val s1 = DedupQueries.sharedStrategy(spark, key)
+    assert(DedupQueries.strategyStatsRuns == before + 1,
+      "first call must run the stats aggregation exactly once")
+    val s2 = DedupQueries.sharedStrategy(spark, key)
+    val s3 = DedupQueries.sharedStrategy(spark, key)
+    assert(DedupQueries.strategyStatsRuns == before + 1,
+      "the Σf·(f−1)/2 stats pass re-ran for an already-memoized index")
+    assert(s1 == s2 && s2 == s3, "memoized verdict must be stable")
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on real documents") {
     val docs = Tables.documents(spark, sf)
     val sh = Dedup.shingleSets(docs, "doc_id", "text", 3).cache()
