@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunk-level cross-document duplication — the
+  * substring-granular dedup tier between exact whole-doc dedup (q20)
+  * and shingle-similarity dedup (Jaccard/MinHash/SimHash): web corpora
+  * repeat PARAGRAPHS (licenses, boilerplate, quoted articles) inside
+  * otherwise-distinct documents, invisible to whole-doc hashing and
+  * diluted below threshold for whole-doc similarity once the host
+  * documents are long enough.
+  *
+  * Chunking is CDC (the codegen'd rolling-hash `CdcBoundaries`, q55's
+  * kernel), NOT fixed-width: boundaries are a pure function of local
+  * content, so a shared paragraph chunks identically in every document
+  * that contains it REGARDLESS of its byte offset — an insertion
+  * upstream shifts fixed-width frames out of alignment but leaves CDC
+  * chunks untouched past the edit's window (the insertion-locality
+  * property TextFnsSpec pins). Detection is then exact equality on the
+  * chunk hash: one shuffle on `chunk_hash`, never any pairwise compare.
+  *
+  * 100 TB story: chunking is a linear per-row scalar (no shuffle);
+  * the cluster step shuffles (chunk_hash, doc_id, len) triples once
+  * with map-side partial aggregation — cost is corpus-linear and the
+  * output is bounded by the duplicated mass, not the corpus. The
+  * repeated-chunk table is the removal manifest: anti-join it back on
+  * (doc_id, chunk_idx) to strip duplicated passages while keeping the
+  * host documents.
+  */
+object ChunkDedup {
+
+  /** LOSSLESS CDC chunking: one row per (doc, chunk) with the chunk
+    * SUBSTRING and its 1-based character span — concatenating a doc's
+    * chunks in `chunk_idx` order reproduces the text exactly
+    * (spec-pinned), so every downstream decision can be mapped back to
+    * exact character ranges. Boundary positions come from
+    * [[graft.functions.CdcBoundaries]] (window 8 / base 31 / mod 1e9+7
+    * / div 64 defaults — expected chunk ≈ 64 chars); a cut at position
+    * p ends the current chunk at p inclusive. Empty documents yield no
+    * rows (a zero-length text has nothing to chunk).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, div: Long = 64L): DataFrame = {
+    val b = graft.functions.CdcBoundaries(col(textCol), window = window, div = div)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"), b.as("b"))
+      .withColumn("starts", concat(array(lit(1)), transform(col("b"), _ + 1)))
+      .withColumn("ends", concat(col("b"), array(length(col("text")))))
+      .select(col("doc_id"), col("text"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (st, en) => struct(st.as("st"), en.as("en")))).as(Seq("chunk_idx", "se")))
+      // the empty tail chunk when the last boundary IS the last char:
+      // st > en there, and on empty docs st=1 > en=0 — drop both
+      .filter(col("se.st") <= col("se.en"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("substring(text, se.st, se.en - se.st + 1)").as("chunk"))
+  }
+
+  /** Chunk clusters repeated across documents: group [[cdcChunks]]
+    * output by chunk hash, keep clusters spanning >= 2 DISTINCT docs
+    * and chunks of at least `minChunkLen` chars (sub-window fragments
+    * carry no dedup signal). Output one row per repeated chunk —
+    * (chunk_hash, n_docs, n_occurrences, chunk_len, docs) — the
+    * cross-document duplication manifest.
+    */
+  def crossDocChunks(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
+    chunks
+      .filter(length(col("chunk")) >= minChunkLen)
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("len"))
+      .groupBy(col("chunk_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("len")).as("chunk_len"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("docs"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document duplicated-mass profile over the SAME clusters: how
+    * many of each doc's chunks (and characters) also appear in some
+    * OTHER document — the per-doc quality signal a curation gate
+    * thresholds on (a doc that is mostly repeated passages is
+    * boilerplate even if no single whole-doc duplicate exists).
+    * Documents with zero shared chunks keep a zero row, so the profile
+    * covers every chunked doc, not just the offenders. Plan: one
+    * aggregation on chunk_hash, one join back co-partitioned on the
+    * same key (no extra exchange on the chunk side), one final
+    * aggregation on doc_id — never a broadcast assumption about the
+    * duplicated-mass volume, which at corpus scale is unbounded.
+    */
+  def duplicatedMass(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
+    val hashed = chunks
+      .filter(length(col("chunk")) >= minChunkLen)
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("len"))
+    val counts = hashed.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    hashed.join(counts, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("len")).as("total_chars"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("nd") >= 2, col("len")).otherwise(0L)).as("shared_chars"))
+  }
+}

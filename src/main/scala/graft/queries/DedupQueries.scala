@@ -412,7 +412,96 @@ object DedupQueries {
         s"SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(txt), '${graft.functions.UniTok.oracleRegex}') AS toks " +
           s"FROM read_parquet('${TextQueries.UniFixture.Root}/*.parquet')")),
       doc = "Exact Jaccard near-dup pairs over UNICODE shingles (CJK character trigrams via the q176 codepoint-class tokenizer) on the multilingual fixture — the dedup case whitespace shingles miss entirely (CJK docs yield zero word shingles and silently escape dedup); same q21 inverted-index join, oracle replays tokenization via the generated regex inside the shared Jaccard CTE.")
+  ,
+
+    Q(
+      "q187_chunk_dedup_cdc",
+      (s, d) => {
+        // SUBSTRING-LEVEL dedup (the Lee et al. "Deduplicating Training
+        // Data Makes Language Models Better" tier): web corpora repeat
+        // PARAGRAPHS (licenses, boilerplate, quoted articles) inside
+        // otherwise-distinct documents — invisible to whole-doc hashing
+        // (q20) and diluted below threshold for whole-doc similarity
+        // (q21/q22) once the hosts are long. CDC chunking (q55's
+        // codegen'd rolling hash) makes chunk frames a pure function of
+        // LOCAL content, so a shared passage chunks identically at any
+        // offset; detection is then one exact groupBy on the chunk
+        // hash — corpus-linear, no pairwise compare, output bounded by
+        // the duplicated mass. ChunkDedupSpec pins the lossless-chunking
+        // invariant and the shifted-paragraph case fixed-width framing
+        // structurally misses.
+        graft.operators.ChunkDedup.crossDocChunks(
+          graft.operators.ChunkDedup.cdcChunks(Tables.documents(s, d), "doc_id", "text"))
+          .orderBy(col("chunk_hash"))
+      },
+      Some(s"""
+        $cdcHashedChunksCte
+        SELECT chunk_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MIN(len) AS chunk_len,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT doc_id)), ',') AS docs
+        FROM hashed
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY chunk_hash"""),
+      doc = "Cross-document repeated-chunk clusters via content-defined chunking (CDC window 8 / div 64, min chunk 16 chars): substring-granular dedup robust to insertions/offsets, one shuffle on the chunk hash, never pairwise; oracle replays the CDC fold, the span arithmetic, and the cluster aggregation."),
+
+    Q(
+      "q188_duplicated_mass",
+      (s, d) => {
+        // Per-document DUPLICATED-MASS profile over the same CDC chunk
+        // space: how many of each doc's chunks (and characters) also
+        // appear in some OTHER document — the curation gate's quality
+        // signal (a doc that is mostly repeated passages is boilerplate
+        // even when no single whole-doc duplicate exists). Zero rows are
+        // kept, so the profile covers every chunked doc. Plan: one agg
+        // on chunk_hash + one join back co-partitioned on the same key
+        // + one final agg on doc_id — no broadcast assumption about the
+        // duplicated-mass volume, which at corpus scale is unbounded.
+        graft.operators.ChunkDedup.duplicatedMass(
+          graft.operators.ChunkDedup.cdcChunks(Tables.documents(s, d), "doc_id", "text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        $cdcHashedChunksCte,
+        counts AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY 1)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(len) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+               CAST(SUM(CASE WHEN nd >= 2 THEN len ELSE 0 END) AS BIGINT) AS shared_chars
+        FROM hashed JOIN counts USING (chunk_hash)
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "Per-document duplicated-mass profile over the CDC chunk space (chunks and characters also present in another document): the boilerplate-fraction quality gate; zero-share docs keep explicit zero rows so the profile covers the whole corpus.")
   )
+
+  /** The CDC chunk table replayed in DuckDB, shared by q187/q188: the
+    * q55 boundary fold (window 8 / base 31 / mod 1e9+7 / div 64),
+    * [1]+b+1 / b+[len] span zipping with the st<=en tail/empty filter
+    * (exactly [[graft.operators.ChunkDedup.cdcChunks]]), md5 chunk
+    * hashing, and the min-16-char floor.
+    */
+  private def cdcHashedChunksCte: String = """
+        WITH cps AS (SELECT doc_id, text,
+               LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+                 i -> CAST(UNICODE(text[i:i]) AS BIGINT)) AS c
+             FROM documents),
+        b AS (SELECT doc_id, text,
+                LIST_FILTER(RANGE(8, LEN(c) + 1),
+                  p -> LIST_REDUCE(c[p-7:p], (h, x) -> (h*31 + x) % 1000000007) % 64 = 0) AS bs
+              FROM cps),
+        spans AS (SELECT doc_id, text,
+                LIST_PREPEND(CAST(1 AS BIGINT), LIST_TRANSFORM(bs, x -> x + 1)) AS starts,
+                LIST_APPEND(bs, CAST(LENGTH(text) AS BIGINT)) AS ends
+              FROM b),
+        chunks AS (SELECT doc_id, text[st:en] AS chunk
+          FROM (SELECT doc_id, text, UNNEST(starts) AS st, UNNEST(ends) AS en FROM spans) t
+          WHERE st <= en),
+        hashed AS (SELECT doc_id, MD5(chunk) AS chunk_hash,
+                          CAST(LENGTH(chunk) AS BIGINT) AS len
+                   FROM chunks WHERE LENGTH(chunk) >= 16)"""
 
   /** Recursive-CTE transitive-closure oracle shared verbatim by q116 and
     * q123 (and mirroring q32's): three different CC algorithms, one

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ChunkDedup
+
+/** Pins the CDC chunk-dedup operator family:
+  *   - cdcChunks is LOSSLESS (concat of chunks in idx order == text,
+  *     contiguous 0-based idx) on real documents AND the edge fixture
+  *     (empty doc, sub-window doc, doc ending exactly on a boundary);
+  *   - crossDocChunks detects a planted paragraph shared by three docs
+  *     at three DIFFERENT character offsets — the shift-robustness that
+  *     is CDC's whole point — while fixed-width framing at the same
+  *     granularity finds nothing on the same data;
+  *   - duplicatedMass profiles every chunked doc (zero rows kept) and
+  *     charges exactly the shared chunks' characters.
+  */
+class ChunkDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+
+  /** ~900 chars of deterministic word soup — long enough to carry
+    * a dozen expected CDC boundaries (div=64).
+    */
+  private val para: String =
+    (0 until 160).map(i => s"w${i * 7 % 101}x${i % 13}").mkString(" ")
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, para),                                        // bare
+      (2L, ("pfx shifted by a short pad " + para)),      // shifted right
+      (3L, ("a much longer and entirely different preamble sits here " +
+        para + " plus a trailing coda after the shared text")),
+      (4L, "totally unrelated content qq rr ss tt uu vv ww"),
+      (5L, ""),                                          // empty: no rows
+      (6L, "short")                                      // sub-window
+    ).toDF("doc_id", "text")
+  }
+
+  test("cdcChunks is lossless: concat in idx order == text, contiguous idx") {
+    import spark.implicits._
+    // fixture ids shifted out of the real table's id space
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .unionByName(fixture.withColumn("doc_id", $"doc_id" + 1000000L))
+    val chunks = ChunkDedup.cdcChunks(docs, "doc_id", "text")
+    val rebuilt = chunks
+      .groupBy($"doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"chunk_idx", $"chunk"))),
+          x => x.getField("chunk")), "").as("rebuilt"),
+        min($"chunk_idx").as("lo"),
+        max($"chunk_idx").as("hi"),
+        count(lit(1)).as("n"))
+    val joined = docs.join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"text", $"rebuilt", $"lo", $"hi", $"n").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val text = r.getString(1)
+      if (text.isEmpty) assert(r.isNullAt(2), s"empty doc ${r.getLong(0)} must chunk to no rows")
+      else {
+        assert(r.getString(2) == text, s"doc ${r.getLong(0)} not rebuilt losslessly")
+        assert(r.getLong(3) == 0L && r.getLong(4) == r.getLong(5) - 1,
+          s"doc ${r.getLong(0)} chunk_idx not contiguous from 0")
+      }
+    }
+  }
+
+  test("cdcChunks never emits an empty chunk (boundary-at-end tail dropped)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val chunks = ChunkDedup.cdcChunks(docs, "doc_id", "text")
+    assert(chunks.filter(length($"chunk") === 0).count() == 0L)
+  }
+
+  test("crossDocChunks finds the planted paragraph at three different offsets") {
+    import spark.implicits._
+    val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text")
+    val clusters = ChunkDedup.crossDocChunks(chunks).collect()
+    assert(clusters.nonEmpty, "no cross-doc chunk clusters found")
+    val allThree = clusters.filter(r => r.getAs[String]("docs") == "1,2,3")
+    assert(allThree.nonEmpty,
+      "no chunk shared by all three hosts despite the common paragraph")
+    // the shared interior chunks carry real mass, not one lucky fragment
+    assert(allThree.map(_.getAs[Long]("chunk_len")).sum >= 100L,
+      "shared chunks total < 100 chars; CDC alignment failed")
+    // doc 4 (unrelated) never appears in any cluster
+    assert(!clusters.exists(_.getAs[String]("docs").split(",").contains("4")))
+  }
+
+  test("fixed-width framing finds NOTHING on the same shifted data (the CDC contrast)") {
+    import spark.implicits._
+    // Same granularity (64-char frames), same minLen, same detection;
+    // but frame starts are character offsets, and the three hosts carry
+    // prefixes of different (non-multiple-of-64) lengths, so every
+    // frame of the shared paragraph misaligns.
+    val fixed = fixture
+      .filter($"doc_id".isin(1L, 2L, 3L))
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, cast(floor((length(text)-1)/64) as int))," +
+          " i -> substring(text, i*64+1, 64))")).as(Seq("chunk_idx", "chunk")))
+      .filter(length($"chunk") >= 16)
+    val clusters = ChunkDedup.crossDocChunks(fixed)
+    assert(clusters.count() == 0L,
+      "fixed-width frames aligned across shifted copies; fixture no longer shifts")
+  }
+
+  test("minChunkLen filters sub-threshold chunks from clusters") {
+    import spark.implicits._
+    val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text")
+    val big = ChunkDedup.crossDocChunks(chunks, minChunkLen = 10000)
+    assert(big.count() == 0L)
+  }
+
+  test("duplicatedMass covers every chunked doc and charges exactly the shared chunks") {
+    import spark.implicits._
+    val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
+    val mass = ChunkDedup.duplicatedMass(chunks).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // every doc with >=1 chunk of >=16 chars has a row; empty doc has none
+    val chunked = chunks.filter(length($"chunk") >= 16)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(mass.keySet == chunked)
+    assert(!mass.contains(5L))
+    // doc 4: fully distinct, zero shared
+    assert(mass(4L).getAs[Long]("n_shared_chunks") == 0L)
+    assert(mass(4L).getAs[Long]("shared_chars") == 0L)
+    // hosts 1-3: shared mass strictly positive and <= total
+    Seq(1L, 2L, 3L).foreach { d =>
+      val r = mass(d)
+      assert(r.getAs[Long]("shared_chars") > 0L, s"doc $d shows no shared mass")
+      assert(r.getAs[Long]("shared_chars") <= r.getAs[Long]("total_chars"))
+      assert(r.getAs[Long]("n_shared_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    // cross-check: per-doc shared chunk count equals a direct recount
+    val direct = {
+      val hashed = chunks.filter(length($"chunk") >= 16)
+        .select($"doc_id", md5($"chunk".cast("binary")).as("h"))
+      val nd = hashed.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+      hashed.join(nd, "h").filter($"nd" >= 2)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    }
+    mass.foreach { case (d, r) =>
+      assert(r.getAs[Long]("n_shared_chunks") == direct.getOrElse(d, 0L), s"doc $d recount")
+    }
+    chunks.unpersist()
+  }
+}

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *   struct  — array_sort with the DEFAULT ordering over
   *             struct(-score, cluster) (negated score first field makes
   *             ascending == best-first; no lambda);
-  *   scoreonly — upper bound: the nlist dot products with no ranking,
-  *             isolating how much of the cost is scoring vs sorting.
+  *   nosort  — identical plan minus the array_sort (explode the first
+  *             nprobe unsorted entries): the lambda-vs-nosort delta IS
+  *             the ranking cost, everything else held equal.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
@@ -54,7 +55,9 @@ object IvfProbe {
         "struct" -> qdf.withColumn("probe", explode(slice(
             array_sort(array(negScored: _*)), 1, nprobe)))
           .select(col("query_id"), col("probe.c").as("cluster")),
-        "scoreonly" -> qdf.select(col("query_id"), array(scored: _*).as("all")))
+        "nosort" -> qdf.withColumn("probe", explode(slice(
+            array(scored: _*), 1, nprobe)))
+          .select(col("query_id"), col("probe.c").as("cluster")))
       for ((name, df) <- variants) {
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
