@@ -90,6 +90,52 @@ object ChunkDedup {
     * aggregation on doc_id — never a broadcast assumption about the
     * duplicated-mass volume, which at corpus scale is unbounded.
     */
+  /** The removal transform over the same chunk space: strip every
+    * cross-document repeated chunk from all but its FIRST occurrence
+    * (owner = the minimum `doc_id` carrying the chunk — deterministic,
+    * engine-independent), keeping host documents intact otherwise.
+    * Sub-`minChunkLen` chunks are never stripped (they carry no dedup
+    * signal and would shred text). Output is one row per chunked doc:
+    * total/stripped character mass, stripped-chunk count, and the md5
+    * of the kept text (chunks re-concatenated in `chunk_idx` order with
+    * stripped spans removed) — compact and exactly verifiable without
+    * shipping corpus-sized text through the gate.
+    *
+    * Plan: one shuffle on `chunk_hash` for the min-owner aggregation, a
+    * join back on the SAME key (co-partitioned — no extra exchange on
+    * the aggregated side), one final aggregation on `doc_id` to
+    * reassemble. No broadcast assumption: the owner table is one row
+    * per distinct long chunk, corpus-scale at 100 TB, so the join must
+    * survive as a shuffled join (it does — no hint pins a broadcast).
+    * Intra-document repeats of a chunk all stay with the owner doc:
+    * cross-document dedup never rewrites the canonical copy.
+    */
+  def stripShared(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
+    val hashed = chunks
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .withColumn("len", length(col("chunk")).cast("long"))
+    val owners = hashed
+      .filter(col("len") >= minChunkLen)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("owner"))
+    hashed
+      .join(owners, Seq("chunk_hash"), "left")
+      // short chunks never match owners (same content implies same
+      // length), so `owner` is non-null exactly where len >= min;
+      // false && null = false keeps the flag two-valued
+      .withColumn("strip",
+        col("len") >= minChunkLen && col("doc_id") > col("owner"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("len")).as("total_chars"),
+        sum(when(col("strip"), col("len")).otherwise(0L)).as("stripped_chars"),
+        sum(when(col("strip"), 1L).otherwise(0L)).as("n_stripped_chunks"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"),
+            when(col("strip"), lit("")).otherwise(col("chunk")).as("chunk")))),
+          x => x.getField("chunk")), "").cast("binary")).as("kept_md5"))
+  }
+
   def duplicatedMass(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
     val hashed = chunks
       .filter(length(col("chunk")) >= minChunkLen)

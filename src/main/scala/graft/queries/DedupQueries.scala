@@ -474,13 +474,50 @@ object DedupQueries {
         FROM hashed JOIN counts USING (chunk_hash)
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      doc = "Per-document duplicated-mass profile over the CDC chunk space (chunks and characters also present in another document): the boilerplate-fraction quality gate; zero-share docs keep explicit zero rows so the profile covers the whole corpus.")
+      doc = "Per-document duplicated-mass profile over the CDC chunk space (chunks and characters also present in another document): the boilerplate-fraction quality gate; zero-share docs keep explicit zero rows so the profile covers the whole corpus."),
+
+    Q(
+      "q189_chunk_strip",
+      (s, d) => {
+        // The REMOVAL transform completing the chunk tier (q187 detects,
+        // q188 profiles, this row strips): every cross-document repeated
+        // chunk is removed from all but its first occurrence (owner =
+        // min doc_id — deterministic across engines), hosts otherwise
+        // intact. Output is the per-doc stripped-mass accounting plus
+        // the md5 of the kept text, so the rewrite is exactly verifiable
+        // without shipping corpus-sized text through the gate. Plan: one
+        // shuffle on chunk_hash (owner agg + co-partitioned join back),
+        // one on doc_id to reassemble — owner table is corpus-scale, no
+        // broadcast assumption.
+        graft.operators.ChunkDedup.stripShared(
+          graft.operators.ChunkDedup.cdcChunks(Tables.documents(s, d), "doc_id", "text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        $cdcHashedChunksCte,
+        owners AS (SELECT chunk_hash, MIN(doc_id) AS owner FROM hashed GROUP BY 1),
+        flags AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+                         CAST(LENGTH(c.chunk) AS BIGINT) AS len,
+                         COALESCE(LENGTH(c.chunk) >= 16 AND c.doc_id > o.owner, FALSE) AS strip
+                  FROM chunks c LEFT JOIN owners o ON MD5(c.chunk) = o.chunk_hash)
+        SELECT doc_id,
+               CAST(SUM(len) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN strip THEN len ELSE 0 END) AS BIGINT) AS stripped_chars,
+               CAST(SUM(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_stripped_chunks,
+               MD5(STRING_AGG(CASE WHEN strip THEN '' ELSE chunk END, '' ORDER BY chunk_idx)) AS kept_md5
+        FROM flags
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      doc = "Cross-document repeated-chunk REMOVAL (keep-first-owner = min doc_id): per-doc stripped mass plus md5 of the rewritten text, chunks below 16 chars never stripped; oracle replays the CDC chunking, the owner election, and the ordered re-concatenation.")
   )
 
-  /** The CDC chunk table replayed in DuckDB, shared by q187/q188: the
-    * q55 boundary fold (window 8 / base 31 / mod 1e9+7 / div 64),
+  /** The CDC chunk table replayed in DuckDB, shared by q187/q188/q189:
+    * the q55 boundary fold (window 8 / base 31 / mod 1e9+7 / div 64),
     * [1]+b+1 / b+[len] span zipping with the st<=en tail/empty filter
-    * (exactly [[graft.operators.ChunkDedup.cdcChunks]]), md5 chunk
+    * (exactly [[graft.operators.ChunkDedup.cdcChunks]]), 0-based
+    * chunk_idx (ROW_NUMBER over the span start — only the TAIL span can
+    * be dropped by the st<=en filter, so this matches posexplode's
+    * pre-filter index, the contiguity ChunkDedupSpec pins), md5 chunk
     * hashing, and the min-16-char floor.
     */
   private def cdcHashedChunksCte: String = """
@@ -496,7 +533,8 @@ object DedupQueries {
                 LIST_PREPEND(CAST(1 AS BIGINT), LIST_TRANSFORM(bs, x -> x + 1)) AS starts,
                 LIST_APPEND(bs, CAST(LENGTH(text) AS BIGINT)) AS ends
               FROM b),
-        chunks AS (SELECT doc_id, text[st:en] AS chunk
+        chunks AS (SELECT doc_id, text[st:en] AS chunk,
+            CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 AS BIGINT) AS chunk_idx
           FROM (SELECT doc_id, text, UNNEST(starts) AS st, UNNEST(ends) AS en FROM spans) t
           WHERE st <= en),
         hashed AS (SELECT doc_id, MD5(chunk) AS chunk_hash,

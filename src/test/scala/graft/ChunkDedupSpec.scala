@@ -114,6 +114,58 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(big.count() == 0L)
   }
 
+  test("stripShared: owner docs untouched, later hosts lose exactly the shared mass") {
+    import spark.implicits._
+    val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
+    val out = ChunkDedup.stripShared(chunks).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // independent reimplementation of the keep rule on plain Scala
+    // collections: owner = min doc over identical chunk content
+    val collected = chunks
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Long, String)].collect()
+    val owner: Map[String, Long] = collected
+      .filter(_._3.length >= 16)
+      .groupBy(_._3).map { case (c, occ) => c -> occ.map(_._1).min }
+    val expectedKept: Map[Long, String] = collected.groupBy(_._1).map {
+      case (d, occ) =>
+        d -> occ.sortBy(_._2).map { case (_, _, c) =>
+          if (c.length >= 16 && owner(c) < d) "" else c
+        }.mkString
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    assert(out.keySet == expectedKept.keySet)
+    expectedKept.foreach { case (d, kept) =>
+      val r = out(d)
+      assert(r.getAs[String]("kept_md5") == md5hex(kept), s"doc $d kept text diverges")
+      assert(r.getAs[Long]("total_chars") - r.getAs[Long]("stripped_chars") == kept.length.toLong,
+        s"doc $d stripped-mass accounting diverges")
+    }
+    // structure: doc 1 owns the paragraph — fully intact; docs 2/3 lose
+    // real mass; doc 4 (unrelated) intact
+    assert(out(1L).getAs[Long]("stripped_chars") == 0L)
+    assert(out(1L).getAs[String]("kept_md5") == md5hex(para))
+    Seq(2L, 3L).foreach(d => assert(out(d).getAs[Long]("stripped_chars") >= 100L, s"doc $d"))
+    assert(out(4L).getAs[Long]("n_stripped_chunks") == 0L)
+    chunks.unpersist()
+  }
+
+  test("stripShared: an exact whole-doc duplicate is stripped to (at most) its short chunks") {
+    import spark.implicits._
+    val docs = fixture.unionByName(Seq((9L, para)).toDF("doc_id", "text"))
+    val out = ChunkDedup.stripShared(ChunkDedup.cdcChunks(docs, "doc_id", "text"))
+      .filter($"doc_id" === 9L).collect().head
+    // every >=16-char chunk of doc 9 is owned by doc 1 (identical text);
+    // what survives is only sub-threshold fragments
+    val shortMass = ChunkDedup.cdcChunks(fixture.filter($"doc_id" === 1L), "doc_id", "text")
+      .filter(length($"chunk") < 16)
+      .agg(coalesce(sum(length($"chunk")), lit(0)).cast("long")).as[Long].collect().head
+    assert(out.getAs[Long]("total_chars") - out.getAs[Long]("stripped_chars") == shortMass)
+  }
+
   test("duplicatedMass covers every chunked doc and charges exactly the shared chunks") {
     import spark.implicits._
     val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
