@@ -63,6 +63,15 @@ object ChunkDedup {
     * carry no dedup signal). Output one row per repeated chunk —
     * (chunk_hash, n_docs, n_occurrences, chunk_len, docs) — the
     * cross-document duplication manifest.
+    *
+    * Scale note: the `docs` membership list is Θ(cluster size) — a
+    * license paragraph repeated across 10^8 documents makes that one
+    * row a straggler. It exists for the correctness gate and forensic
+    * drill-down at test scale; nothing downstream consumes it
+    * ([[stripShared]] re-derives the owner with a min aggregation, and
+    * the incremental path keeps per-(chunk, doc) state). At corpus
+    * scale project it out — the scalar columns are all map-side
+    * combinable.
     */
   def crossDocChunks(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
     chunks
@@ -90,6 +99,60 @@ object ChunkDedup {
     * aggregation on doc_id — never a broadcast assumption about the
     * duplicated-mass volume, which at corpus scale is unbounded.
     */
+  /** Per-(chunk, doc) occurrence state — the persisted form of the
+    * chunk index an incremental corpus maintains: one row per
+    * (chunk_hash, doc_id) with its occurrence count and chunk length.
+    * Mergeable across disjoint-doc batches by plain union (no re-read
+    * of old text), and exactly sufficient to rebuild every
+    * [[crossDocChunks]] cluster. Partition the stored table by
+    * `chunk_hash` so [[crossDocChunksAgainst]]'s semi-join prunes at
+    * the source.
+    */
+  def chunkPairState(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
+    chunks
+      .filter(length(col("chunk")) >= minChunkLen)
+      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("len"))
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"), min(col("len")).as("len"))
+
+  /** Incremental cross-document chunk clusters: a NEW batch of chunked
+    * docs against the persisted [[chunkPairState]] of the prior corpus
+    * (disjoint doc sets — the jaccardPairsAgainst contract, enforced by
+    * the same loud probe). Returns the UPDATED cluster rows for every
+    * chunk hash the new batch touches, with full old+new membership and
+    * the [[crossDocChunks]] schema; stored clusters for untouched
+    * hashes remain valid as-is, so the manifest merge rule is
+    * (spec-pinned): old rows for untouched hashes ∪ this output ==
+    * crossDocChunks(old ∪ new).
+    *
+    * Per-batch cost scales with the BATCH, not the corpus: the old
+    * state is left-semi-restricted to hashes present in the new batch
+    * BEFORE any aggregation, and the union re-aggregates only those
+    * rows. A new crawl never re-chunks or re-reads old text.
+    */
+  def crossDocChunksAgainst(newChunks: DataFrame, state: DataFrame,
+                            minChunkLen: Int = 16): DataFrame = {
+    val newState = chunkPairState(newChunks, minChunkLen)
+    val dup = newState.select(col("doc_id")).distinct()
+      .join(state.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"crossDocChunksAgainst batch overlaps the state (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
+        "the incremental contract requires disjoint doc sets")
+    val touched = newState.select(col("chunk_hash")).distinct()
+    val relevantOld = state.join(touched, Seq("chunk_hash"), "left_semi")
+    newState.unionByName(relevantOld)
+      .groupBy(col("chunk_hash"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_occ")).as("n_occurrences"),
+        min(col("len")).as("chunk_len"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** The removal transform over the same chunk space: strip every
     * cross-document repeated chunk from all but its FIRST occurrence
     * (owner = the minimum `doc_id` carrying the chunk — deterministic,

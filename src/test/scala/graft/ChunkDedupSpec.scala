@@ -166,6 +166,45 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(out.getAs[Long]("total_chars") - out.getAs[Long]("stripped_chars") == shortMass)
   }
 
+  test("crossDocChunksAgainst: old manifest for untouched hashes + incremental rows == full recompute") {
+    import spark.implicits._
+    // real docs + the planted fixture, split by parity so shared chunks
+    // cross the old/new boundary in both directions
+    val all = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .unionByName(fixture.withColumn("doc_id", $"doc_id" + 1000000L))
+    val oldDocs = all.filter($"doc_id" % 2 === 0)
+    val newDocs = all.filter($"doc_id" % 2 === 1)
+
+    val oldChunks = ChunkDedup.cdcChunks(oldDocs, "doc_id", "text")
+    val newChunks = ChunkDedup.cdcChunks(newDocs, "doc_id", "text")
+    val state = ChunkDedup.chunkPairState(oldChunks).cache()
+
+    val incremental = ChunkDedup.crossDocChunksAgainst(newChunks, state)
+    val touched = ChunkDedup.chunkPairState(newChunks).select($"chunk_hash").distinct()
+    val merged = ChunkDedup.crossDocChunks(oldChunks)
+      .join(touched, Seq("chunk_hash"), "left_anti")
+      .unionByName(incremental)
+
+    val full = ChunkDedup.crossDocChunks(ChunkDedup.cdcChunks(all, "doc_id", "text"))
+    assert(merged.count() > 0)
+    assert(merged.exceptAll(full).count() == 0L && full.exceptAll(merged).count() == 0L,
+      "incremental manifest merge diverges from the full recompute")
+    // the incremental rows really cross the boundary: the planted
+    // paragraph's hosts (1000001..1000003) split 1/2 across parities
+    assert(incremental.filter($"docs".contains("1000001") && $"docs".contains("1000002")).count() > 0)
+    state.unpersist()
+  }
+
+  test("crossDocChunksAgainst refuses an overlapping batch loudly") {
+    val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text")
+    val state = ChunkDedup.chunkPairState(chunks)
+    val e = intercept[IllegalArgumentException] {
+      ChunkDedup.crossDocChunksAgainst(chunks, state)
+    }
+    assert(e.getMessage.contains("disjoint doc sets"))
+  }
+
   test("duplicatedMass covers every chunked doc and charges exactly the shared chunks") {
     import spark.implicits._
     val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
