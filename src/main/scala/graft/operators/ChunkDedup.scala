@@ -107,6 +107,15 @@ object ChunkDedup {
     * [[crossDocChunks]] cluster. Partition the stored table by
     * `chunk_hash` so [[crossDocChunksAgainst]]'s semi-join prunes at
     * the source.
+    *
+    * Streams as written: [[cdcChunks]] is stateless per-row and this
+    * aggregation is distinct-free, so a streaming ingest maintains the
+    * state table directly — StreamingSpec pins complete-mode streaming
+    * == batch exactly on the planted-paragraph fixture, chunked across
+    * micro-batches. With ChunkDedupSpec's manifest-merge pin this
+    * closes the three-implementation discipline for the chunk tier:
+    * batch (q187–q189 oracles), incremental (merge rule == full
+    * recompute), streaming (state == batch).
     */
   def chunkPairState(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
     chunks

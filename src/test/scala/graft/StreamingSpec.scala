@@ -613,6 +613,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk-pair state (complete mode) EQUALS batch chunkPairState, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ChunkDedup
+    // the ChunkDedupSpec planted-paragraph fixture shape: a shared ~900
+    // char paragraph hosted at three different offsets + noise docs, so
+    // the state table carries real cross-doc chunk rows
+    val para = (0 until 160).map(i => s"w${i * 7 % 101}x${i % 13}").mkString(" ")
+    val docs = Seq(
+      (1L, para),
+      (2L, "pfx shifted by a short pad " + para),
+      (3L, "a different preamble here " + para + " and a coda"),
+      (4L, "totally unrelated content qq rr ss tt uu vv ww xx yy zz"),
+      (5L, "short"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // the SAME shared definitions end-to-end: cdcChunks is stateless
+    // per-row (chunking a doc needs no cross-row state), chunkPairState
+    // is a distinct-free aggregation — both stream as written
+    val q = ChunkDedup.chunkPairState(
+        ChunkDedup.cdcChunks(input.toDS().toDF("doc_id", "text"), "doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("chunk_state_stream").start()
+    try {
+      val (c1, c2) = docs.splitAt(2)
+      input.addData(c1)
+      q.processAllAvailable()
+      input.addData(c2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"chunk_hash", $"doc_id", $"n_occ", $"len")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val got = toSet(spark.table("chunk_state_stream"))
+      val batch = toSet(ChunkDedup.chunkPairState(
+        ChunkDedup.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text")))
+      assert(got == batch,
+        s"streaming chunk-pair state diverged from batch: ${got.size} vs ${batch.size} rows")
+      // the state feeds the incremental consumer identically: shared
+      // chunk hashes span the three hosts
+      val crossDoc = batch.groupBy(_._1).filter(_._2.map(_._2).size >= 3)
+      assert(crossDoc.nonEmpty, "fixture produced no chunk shared by all three hosts")
+    } finally q.stop()
+  }
+
   test("streaming script-mix routing (routeCounts, complete mode) EQUALS the batch aggregate, chunked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
