@@ -115,4 +115,86 @@ object SimSearch {
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /** 1-bit binary quantization: each vector collapses to its SIGN
+    * PATTERN, packed 32 bits per long — (vec_id, sig: array<long>) with
+    * ceil(dim/32) words. Bit i of word w is set iff
+    * embedding[w*32+i] > 0 (positive scaling never flips a sign, so no
+    * normalization is needed). 32-bit words, not 64: engines that check
+    * shift overflow refuse `1 << 63` on a signed 64-bit lane, and the
+    * packing must replay bit-for-bit in the oracle — one extra
+    * `bit_count` per pair buys exact cross-engine replayability.
+    *
+    * This is the serving tier BELOW SQ8/PQ: dim 64 floats (256 B)
+    * become 8 B — 32x — and distance is XOR+popcount, fully inside
+    * whole-stage codegen with no lookup tables at all.
+    */
+  def signPack(corpus: DataFrame, dimOverride: Int = -1): DataFrame = {
+    val dim =
+      if (dimOverride > 0) dimOverride
+      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val nwords = (dim + 31) / 32
+    corpus.select(col("vec_id"), expr(
+      s"""transform(sequence(0, ${nwords - 1}), w ->
+         |  aggregate(sequence(0, 31), 0L, (acc, i) ->
+         |    acc | IF(w * 32 + i < $dim,
+         |             IF(element_at(embedding, w * 32 + i + 1) > CAST(0.0 AS FLOAT),
+         |                shiftleft(1L, i), 0L),
+         |             0L)))""".stripMargin).as("sig"))
+  }
+
+  /** Hamming distance between two packed sign signatures (bit
+    * difference count): per-word XOR + popcount, summed. An integer —
+    * ranking by it is exactly replayable, no float-tie hazard.
+    */
+  def hammingDist(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h).cast("long")
+
+  /** Exact top-k by SIGNATURE Hamming distance for each query: the
+    * binary-quantized retrieval tier. One scan of the packed corpus
+    * (8 B/vector at dim 64) against broadcast query signatures;
+    * deterministic integer ranking (hamming asc, neighbor_id asc) means
+    * the WHOLE result is engine-exact — unlike the cosine tiers, the
+    * gate needs no float-gap argument.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  dimOverride: Int = -1): DataFrame = {
+    val c = signPack(corpus, dimOverride)
+      .select(col("vec_id").as("neighbor_id"), col("sig").as("csig"))
+    val q = signPack(queries, dimOverride)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", hammingDist(col("qsig"), col("csig")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rk")
+  }
+
+  /** Binary-quantized retrieval with exact re-rank: Hamming shortlist
+    * of `shortlist` candidates from the packed scan, then exact cosine
+    * over raw vectors for just those — the standard deployment shape
+    * (cheap 32x-compressed first pass, constant-size exact second
+    * pass). Returns the bruteForceTopK schema.
+    */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        shortlist: Int = 64, dimOverride: Int = -1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val cand = hammingTopK(corpus, queries, shortlist, dimOverride)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      VectorFns.unitVector(col("embedding")).as("qv"))
+    val cv = corpus.select(col("vec_id").as("neighbor_id"),
+      VectorFns.unitVector(col("embedding")).as("cv"))
+    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+  }
 }

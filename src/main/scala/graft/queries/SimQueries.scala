@@ -201,6 +201,45 @@ object SimQueries {
       doc = "Brute-force cosine top-5 neighbors for 10 query vectors (broadcast queries, one corpus scan)."),
 
     Q(
+      "q190_binary_hamming_ann",
+      (s, d) => {
+        // 1-BIT BINARY QUANTIZATION retrieval (the tier below SQ8/PQ):
+        // vectors collapse to their sign pattern packed 32 bits/long
+        // (dim 64 -> two words -> 8 B per vector, 32x), distance is
+        // XOR+popcount — integer end-to-end, so unlike the cosine ANN
+        // rows this one is EXACTLY oracle-gated: DuckDB replays the
+        // packing fold, the per-word xor/bit_count, and the
+        // deterministic (hamming, neighbor_id) ranking bit-for-bit.
+        // 32-bit words because engines that check shift overflow refuse
+        // 1<<63 on a signed lane; SimSearchSpec pins the packed values
+        // and the rerank tier's recall against the exact q25 row.
+        val corpus = Tables.embeddings(s, d)
+        val queries = corpus.filter(col("vec_id") < 10)
+        graft.operators.SimSearch.hammingTopK(corpus, queries, 5)
+          .select(col("query_id"), col("neighbor_id"), col("hamming"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      Some("""
+        WITH packed AS (
+          SELECT vec_id, LIST_TRANSFORM(RANGE(0, 2), w ->
+            LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 32), i ->
+              CASE WHEN embedding[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END),
+              (a, b) -> a | b)) AS sig
+          FROM embeddings)
+        SELECT query_id, neighbor_id, hamming FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(bit_count(xor(q.sig[1], c.sig[1]))
+                    + bit_count(xor(q.sig[2], c.sig[2])) AS BIGINT) AS hamming,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY bit_count(xor(q.sig[1], c.sig[1]))
+                          + bit_count(xor(q.sig[2], c.sig[2])), c.vec_id) AS rk
+          FROM packed q JOIN packed c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 10) t
+        WHERE rk <= 5
+        ORDER BY query_id, neighbor_id"""),
+      doc = "Binary-quantized ANN (1-bit sign packing, 32 bits/long, Hamming = XOR+popcount): top-5 by signature distance for 10 queries — the 32x-compressed serving tier below SQ8/PQ, integer-exact so the oracle replays ranking bit-for-bit (no float-gap argument needed); exact-rerank deployment shape spec-pinned for recall."),
+
+    Q(
       "q135_pq_rerank_topk",
       (s, d) => {
         // PRODUCT QUANTIZATION with exact re-rank, oracle-gated: the ADC

@@ -32,6 +32,66 @@ class SimSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("signPack packs the sign pattern exactly (hand-computed words)") {
+    import spark.implicits._
+    // dim 5: signs (+,-,+,0,-) -> bits 0,2 set -> word0 = 5; one word
+    val tiny = Seq((1L, Seq(0.5f, -0.2f, 2.0f, 0.0f, -3.0f))).toDF("vec_id", "embedding")
+    assert(SimSearch.signPack(tiny).select($"sig").as[Seq[Long]].head() == Seq(5L))
+    // dim 34 crosses the word boundary: bit 0 and bit 33 set -> [1, 2]
+    val cross = Seq((2L,
+      (Seq(1.0f) ++ Seq.fill(32)(-1.0f) ++ Seq(1.0f)))).toDF("vec_id", "embedding")
+    assert(SimSearch.signPack(cross).select($"sig").as[Seq[Long]].head() == Seq(1L, 2L))
+    // real embeddings: dim 64 -> exactly two words per vector
+    val widths = SimSearch.signPack(Tables.embeddings(spark, sf))
+      .select(size($"sig")).distinct().as[Int].collect().toSeq
+    assert(widths == Seq(2))
+  }
+
+  test("hammingTopK retrieves a planted duplicate at distance 0, rank 1") {
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sf)
+    val v0 = corpus.filter($"vec_id" === 0L).select($"embedding")
+      .as[Seq[Float]].head()
+    val planted = corpus.select($"vec_id", $"embedding")
+      .unionByName(Seq((900000L, v0)).toDF("vec_id", "embedding"))
+    val top = SimSearch.hammingTopK(planted, planted.filter($"vec_id" === 900000L), 5)
+      .collect().sortBy(_.getAs[Int]("rk"))
+    assert(top.head.getAs[Long]("neighbor_id") == 0L)
+    assert(top.head.getAs[Long]("hamming") == 0L)
+    // distances are nondecreasing in rank and symmetric-sane (<= dim)
+    val hs = top.map(_.getAs[Long]("hamming"))
+    assert(hs.sliding(2).forall(p => p(0) <= p(1)) && hs.forall(h => h >= 0L && h <= 64L))
+  }
+
+  test("hamming rerank tier recovers the exact cosine top-5 (recall floor vs bruteForceTopK)") {
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimSearch.bruteForceTopK(corpus, queries, 5))
+    val r64 = pairs(SimSearch.hammingRerankTopK(corpus, queries, 5, shortlist = 64))
+    val recall64 = (exact intersect r64).size.toDouble / exact.size
+    val r128 = pairs(SimSearch.hammingRerankTopK(corpus, queries, 5, shortlist = 128))
+    val recall128 = (exact intersect r128).size.toDouble / exact.size
+    info(s"rerank recall@5: shortlist 64 = $recall64, shortlist 128 = $recall128")
+    assert(recall64 >= 0.75,
+      s"recall@5 $recall64 at shortlist 64 below floor; binary signatures lost the exact neighbors")
+    assert(recall128 >= 0.90,
+      s"recall@5 $recall128 at shortlist 128 below floor")
+    assert(recall128 >= recall64, "a wider shortlist can only add candidates")
+    // pure hamming@5 without rerank is deliberately weak on gaussian
+    // vectors (64 sign bits quantize the angle coarsely — measured
+    // ~0.2 here): the signature is the CANDIDATE GENERATOR, the rerank
+    // is what buys recall. Pin it above chance (5/|corpus| ≈ 0.01) so
+    // a sign-flip/packing bug (which drives recall TO chance) still
+    // fails loudly, without pretending the raw tier ranks well.
+    val pure = pairs(SimSearch.hammingTopK(corpus, queries, 5))
+    val pureRecall = (exact intersect pure).size.toDouble / exact.size
+    info(s"pure hamming recall@5 = $pureRecall")
+    assert(pureRecall >= 0.10, s"pure-hamming recall@5 $pureRecall at chance level: packing is broken")
+  }
+
   test("SRP-LSH finds planted near-duplicate vectors (high-cosine regime)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
