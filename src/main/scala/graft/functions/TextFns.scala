@@ -196,4 +196,76 @@ object TextFns {
   /** Per-class PII hit count for one of the patterns above. */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** HTML → text extraction, the step every web-crawl corpus runs
+    * before any other curation. Regex-based and deliberately RE2-safe
+    * (no backrefs — script/style close in SEPARATE passes rather than a
+    * \\1 backref — no lookaround), so the DuckDB oracle replays the
+    * IDENTICAL pattern strings; a full parser is not warranted for
+    * boilerplate stripping and would not be cross-engine replayable.
+    * Removal order (fixed, mirrored in the oracle): comments first
+    * (they may CONTAIN markup), then script/style blocks with their
+    * payloads, then every remaining tag; entities decode named forms
+    * first and `&amp;` LAST so `&amp;lt;` correctly yields the literal
+    * text `&lt;` instead of `<`; whitespace squeezes to single spaces.
+    * One codegen'd scalar pass per row — no shuffle at any scale.
+    */
+  val HtmlCommentPattern = "(?s)<!--.*?-->"
+  val HtmlScriptPattern = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val HtmlStylePattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  val HtmlTagPattern = "(?s)<[^>]*>"
+  val HtmlAnchorPattern = "(?is)<a\\b[^>]*>(.*?)</a\\s*>"
+  /** Named-entity decode table, applied in order (`&amp;` last). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Comment/script/style blocks (payloads included) replaced by a
+    * space — the first stage of the chain, also the form anchors are
+    * extracted from (a commented-out link is a dead link).
+    */
+  private def stripBlocks(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      HtmlCommentPattern, " "), HtmlScriptPattern, " "), HtmlStylePattern, " ")
+
+  /** Remaining tags removed, entities decoded (in table order, `&amp;`
+    * last), whitespace squeezed — applied to block-stripped documents
+    * and to anchor bodies alike.
+    */
+  private def stripTagsEntities(frag: Column): Column = {
+    val noTags = regexp_replace(frag, HtmlTagPattern, " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r) // entities contain no regex metacharacters
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The visible text of an HTML document (markup stripped, entities
+    * decoded, whitespace normalized).
+    */
+  def htmlText(html: Column): Column = stripTagsEntities(stripBlocks(html))
+
+  /** Number of anchor (`<a>`) elements outside comment/script/style. */
+  def htmlLinkCount(html: Column): Column =
+    size(regexp_extract_all(stripBlocks(html), lit(HtmlAnchorPattern), lit(1))).cast("long")
+
+  /** Characters of visible text inside anchors — the numerator of link
+    * density, THE structural boilerplate signal (nav bars and footers
+    * are link-dense, body prose is not; the jusText/trafilatura
+    * heuristic). Anchor bodies are themselves markup-stripped so nested
+    * inline tags don't count as text.
+    */
+  def htmlLinkChars(html: Column): Column =
+    coalesce(aggregate(
+      transform(regexp_extract_all(stripBlocks(html), lit(HtmlAnchorPattern), lit(1)),
+        a => length(stripTagsEntities(a)).cast("long")),
+      lit(0L), (acc, n) => acc + n), lit(0L))
+
+  /** Link density in exact integer permille over ALREADY-COMPUTED count
+    * columns (named, the ScriptMix idiom): (link_chars*1000) div
+    * text_chars, 0 for empty text — integral `div`, never float `/`,
+    * so the value replays bit-for-bit in the oracle.
+    */
+  def htmlLinkPermille(linkCharsCol: String, textCharsCol: String): Column =
+    expr(s"case when $textCharsCol > 0 then ($linkCharsCol * 1000) div $textCharsCol else 0L end")
 }

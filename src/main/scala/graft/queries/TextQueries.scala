@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ :+ unsegScaleQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ :+ unsegScaleQ :+ htmlExtractQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -536,6 +536,128 @@ object TextQueries {
     * block, so every base doc is distinct BY CONSTRUCTION — the property
     * the raw-md5 fallback must preserve.
     */
+  private lazy val htmlExtractQ: Q = Q(
+    "q191_html_extract",
+    (s, _) => {   // dedicated HTML fixture; dir arg unused
+      import s.implicits._
+      // HTML -> TEXT EXTRACTION, the step every web-crawl corpus runs
+      // before any other curation: comments, then script/style blocks
+      // WITH their payloads, then remaining tags; named entities decode
+      // with &amp; LAST (so double-encoded &amp;lt; yields the literal
+      // text "&lt;", not "<" — edge doc 1203 pins the order);
+      // whitespace squeezes. Link density (anchor text chars permille,
+      // anchors counted AFTER block removal so commented-out links are
+      // dead) is THE structural boilerplate signal nav bars and footers
+      // trip. All regex patterns are RE2-safe and shared verbatim with
+      // the oracle; the whole row is one codegen'd scalar pass — no
+      // shuffle at any corpus scale.
+      s.read.parquet(HtmlFixture.ensure(s))
+        .select($"doc_id",
+          TextFns.htmlText($"html").as("text"),
+          TextFns.htmlLinkCount($"html").as("n_links"),
+          TextFns.htmlLinkChars($"html").as("link_chars"))
+        .withColumn("text_chars", length($"text").cast("long"))
+        .withColumn("link_permille",
+          TextFns.htmlLinkPermille("link_chars", "text_chars"))
+        .select($"doc_id", $"n_links", $"link_chars", $"text_chars",
+          $"link_permille", $"text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      import graft.functions.TextFns._
+      // the strip chain replayed in DuckDB for an input expression,
+      // generated from the SAME pattern constants the Spark side uses
+      def blocksRemoved(e: String): String = {
+        val noComment = s"REGEXP_REPLACE($e, '$HtmlCommentPattern', ' ', 'g')"
+        val noScript = s"REGEXP_REPLACE($noComment, '$HtmlScriptPattern', ' ', 'g')"
+        s"REGEXP_REPLACE($noScript, '$HtmlStylePattern', ' ', 'g')"
+      }
+      def stripped(e: String): String = {
+        val noTags = s"REGEXP_REPLACE(${blocksRemoved(e)}, '$HtmlTagPattern', ' ', 'g')"
+        val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+          s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
+        }
+        s"TRIM(REGEXP_REPLACE($decoded, '\\s+', ' ', 'g'))"
+      }
+      // anchors extracted from the blocks-removed form (commented-out
+      // links are dead); bodies re-stripped so nested tags don't count
+      def tagsEntities(e: String): String = {
+        val noTags = s"REGEXP_REPLACE($e, '$HtmlTagPattern', ' ', 'g')"
+        val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+          s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
+        }
+        s"TRIM(REGEXP_REPLACE($decoded, '\\s+', ' ', 'g'))"
+      }
+      val anchors = s"REGEXP_EXTRACT_ALL(${blocksRemoved("html")}, '$HtmlAnchorPattern', 1)"
+      s"""
+      WITH ex AS (
+        SELECT doc_id,
+               ${stripped("html")} AS text,
+               CAST(LEN($anchors) AS BIGINT) AS n_links,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($anchors,
+                 a -> LENGTH(${tagsEntities("a")}))), 0) AS BIGINT) AS link_chars
+        FROM read_parquet('${HtmlFixture.Root}/*.parquet'))
+      SELECT doc_id, n_links, link_chars,
+             CAST(LENGTH(text) AS BIGINT) AS text_chars,
+             CAST(CASE WHEN LENGTH(text) > 0
+                  THEN (link_chars * 1000) // LENGTH(text) ELSE 0 END AS BIGINT) AS link_permille,
+             text
+      FROM ex
+      ORDER BY doc_id"""
+    },
+    doc = "HTML -> text extraction + link-density boilerplate signal over a 1 200-doc generated HTML fixture (nav bars, scripts, styles, comments, entities, nested-tag anchors, double-encoding / unclosed-tag / script-only / link-only edges): RE2-safe regex chain shared verbatim with the oracle, integral-permille link density, one codegen'd scalar pass.")
+
+  /** Deterministic HTML corpus: 1 200 generated pages (nav with 6 links,
+    * script + style + comment blocks each containing trap markup, three
+    * prose paragraphs with entities, a nested-tag inline anchor) plus
+    * edge docs — empty, script-only, markup-free, double-encoded
+    * `&amp;lt;` (decode-order pin), unclosed tag (no `>`: survives as
+    * literal text in both engines), and a link-only page (permille
+    * exactly 1000).
+    */
+  object HtmlFixture {
+    val Root = "/root/repo/target/html_fixture"
+    private def word(seed: Long, len: Int): String =
+      (0 until len).map(j =>
+        ('a' + (((seed * 31 + j * 7) % 26 + 26) % 26).toInt).toChar).mkString
+    private def para(i: Int, k: Int): String =
+      "<p>" + (0 until 12).map(j =>
+        word(i.toLong * 97 + k * 13 + j, 4 + (i + j) % 5)).mkString(" ") +
+        (if (k == 1) " Q&amp;A says 5 &lt; 7 &amp; 9 &gt; 3" else "") + ".</p>"
+    private def doc(i: Int): String = {
+      val nav = "<nav>" + (0 until 6).map(k =>
+        s"""<a href="/s$k">section $k ${word(i.toLong + k, 4)}</a>""").mkString(" | ") + "</nav>"
+      val script =
+        s"""<script type="text/javascript">var x_$i = 1 < 2 && 3 > 2; // junk</script>"""
+      val style = s"<style>.c$i { color: red; }</style>"
+      val comment =
+        s"""<!-- build $i <div>hidden</div> <a href="/dead">dead link</a> -->"""
+      val paras = (0 until 3).map(k => para(i, k)).mkString("\n")
+      val inlineA =
+        s"""<p>more: <a href="#m$i"><b>read ${word(i.toLong, 5)}</b></a> &nbsp;&quot;q&quot; &#39;s&#39;</p>"""
+      s"<html><head>$style$script$comment</head><body>$nav\n$paras\n$inlineA</body></html>"
+    }
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        val main = (0 until 1200).map(i => (i.toLong, doc(i)))
+        val edges = Seq(
+          (1200L, ""),
+          (1201L, "<script>only script, strips to empty</script>"),
+          (1202L, "plain text, no markup at all"),
+          (1203L, "&amp;lt; stays literal &lt; after decode"),
+          (1204L, "<p>broken <em oops unclosed tag stays"),
+          (1205L, """<a href="/only">only a link</a>"""))
+        (main ++ edges).toDF("doc_id", "html").coalesce(2)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
+
   object UnsegFixture {
     val Root = "/root/repo/target/unseg_fixture"
     private def word(block: Int, span: Int, seed: Long, len: Int): String =

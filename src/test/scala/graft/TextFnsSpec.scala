@@ -252,4 +252,52 @@ class TextFnsSpec extends AnyFunSuite {
       assert(kernel == regex, s"kernel vs regex diverged on '$t'")
     }
   }
+
+  test("htmlText: hand-computed extraction (blocks, tags, entities, whitespace)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("<html><head><style>.x{a:b}</style><script>if (1 < 2) { x(); }</script></head>" +
+        "<body><!-- <p>gone</p> --><p>Hello  <b>world</b></p></body></html>",
+        "Hello world"),
+      // entity decode order: &amp; LAST, so double-encoded survives as text
+      ("&amp;lt; and &lt; and &gt; and &quot;q&quot; and &#39;s&#39; and A&nbsp;B",
+        "&lt; and < and > and \"q\" and 's' and A B"),
+      // unclosed tag (no '>') survives as literal text
+      ("<p>broken <em oops stays", "broken <em oops stays"),
+      ("", ""),
+      ("<script>all gone</script>", ""))
+    val got = cases.map(_._1).toDF("html")
+      .select(graft.functions.TextFns.htmlText($"html")).as[String].collect()
+    got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"case $i: got '$g', expected '$e'")
+    }
+  }
+
+  test("html link stats: nested tags counted as text, commented-out links dead, permille exact") {
+    import spark.implicits._
+    val html = """<nav><a href="/a">one two</a> <a href="/b"><b>three</b></a></nav>""" +
+      """<!-- <a href="/dead">nope</a> --><p>prose here</p>"""
+    val df = Seq(html).toDF("html")
+      .select(
+        graft.functions.TextFns.htmlLinkCount($"html").as("n_links"),
+        graft.functions.TextFns.htmlLinkChars($"html").as("link_chars"),
+        length(graft.functions.TextFns.htmlText($"html")).cast("long").as("text_chars"))
+      .withColumn("permille",
+        graft.functions.TextFns.htmlLinkPermille("link_chars", "text_chars"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_links") == 2L)           // the commented one is dead
+    assert(r.getAs[Long]("link_chars") == 12L)       // "one two" + "three"
+    // text: "one two three prose here" = 24 chars
+    assert(r.getAs[Long]("text_chars") == 24L)
+    assert(r.getAs[Long]("permille") == 12L * 1000L / 24L)
+    // link-only page caps at exactly 1000; empty page at 0
+    val edge = Seq("""<a href="/x">only</a>""", "").toDF("html")
+      .select(
+        graft.functions.TextFns.htmlLinkChars($"html").as("link_chars"),
+        length(graft.functions.TextFns.htmlText($"html")).cast("long").as("text_chars"))
+      .withColumn("permille",
+        graft.functions.TextFns.htmlLinkPermille("link_chars", "text_chars"))
+      .select($"permille").as[Long].collect().toSeq
+    assert(edge == Seq(1000L, 0L))
+  }
 }
