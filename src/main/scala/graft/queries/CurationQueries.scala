@@ -563,6 +563,59 @@ object CurationQueries {
                    % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id) AS pos
         FROM documents
         ORDER BY doc_id"""),
-      doc = "Epoch-deterministic corpus shuffle: global shuffled position as ROW_NUMBER over the mid-square integer mixer of doc_id (uniqueness via key = h*2^32 + doc_id, overflow-free to 4e9 docs), computed with the two-phase distributed prefix sum instead of a single-task global window — the replayable every-epoch read order a resumable pretraining job needs, bit-equal across engines and partitionings.")
+      doc = "Epoch-deterministic corpus shuffle: global shuffled position as ROW_NUMBER over the mid-square integer mixer of doc_id (uniqueness via key = h*2^32 + doc_id, overflow-free to 4e9 docs), computed with the two-phase distributed prefix sum instead of a single-task global window — the replayable every-epoch read order a resumable pretraining job needs, bit-equal across engines and partitionings."),
+
+    Q(
+      "q192_lm_score",
+      (s, d) => {
+        // STATISTICAL LM QUALITY SCORING (the CCNet perplexity filter):
+        // add-one bigram model trained on the corpus, every doc scored
+        // by average per-bigram surprisal bits(w1,w2) =
+        // log2((c1+V)/(c12+1)) — low = corpus-typical transitions,
+        // high = gibberish/wrong-language; curation thresholds this.
+        // The q46 row is the model-FREE proxy; this is the actual LM,
+        // with the log as milli_log2 (the q173 fixed-point integer
+        // kernel) so every score is an exact BIGINT. NgramLm.score
+        // takes the model as an argument — a held-out model persisted
+        // from another corpus drops in unchanged (self-scored here).
+        val docs = Tables.documents(s, d)
+        graft.operators.NgramLm.score(docs, graft.operators.NgramLm.train(docs))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH lists AS (
+          SELECT doc_id,
+                 LIST_FILTER(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
+          FROM documents),
+        uni AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM (SELECT UNNEST(ts) AS token FROM lists) u GROUP BY token),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+        bg AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+          FROM (SELECT doc_id,
+                  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts)),
+                    i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+                FROM lists) t),
+        bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        scored AS (
+          SELECT bg.doc_id,
+                 ((LENGTH(PRINTF('%b', c1 + vocab)) - 1) * 1000
+                    + (((c1 + vocab) * 1000) >> (LENGTH(PRINTF('%b', c1 + vocab)) - 1)) - 1000)
+               - ((LENGTH(PRINTF('%b', c12 + 1)) - 1) * 1000
+                    + (((c12 + 1) * 1000) >> (LENGTH(PRINTF('%b', c12 + 1)) - 1)) - 1000) AS bits
+          FROM bg JOIN bi USING (w1, w2) JOIN uni ON bg.w1 = uni.token, v),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(bits) AS BIGINT) AS total_millibits
+          FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_bigrams, 0) AS n_bigrams,
+               COALESCE(a.total_millibits, 0) AS total_millibits,
+               CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                    THEN a.total_millibits // a.n_bigrams ELSE 0 END AS avg_millibits
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "Bigram-LM quality scoring (the CCNet perplexity filter in-engine): add-one smoothed model as two count tables + V, per-doc total/average surprisal in exact integer milli-bits via the q173 milli_log2 kernel — bitwise engine-identical; model passed as an argument so a held-out model table drops in; docs under two tokens keep explicit zero rows.")
   )
 }
