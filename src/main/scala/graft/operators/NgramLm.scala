@@ -79,6 +79,25 @@ object NgramLm {
     Model(uni, bi, v)
   }
 
+  /** Merge two models trained on DISJOINT corpora: counts add, the
+    * vocabulary re-derives from the merged unigram table (NOT vocab_a +
+    * vocab_b — shared tokens would double-count). This is the
+    * incremental-training story: a new crawl trains its own model
+    * batch-locally and folds in with two keyed aggregations — the old
+    * corpus is never re-read. Exactness is spec-pinned:
+    * train(A ∪ B) == merge(train(A), train(B)) table-for-table.
+    * Contract (documented, not probe-able — a model does not retain its
+    * doc ids): the corpora must be disjoint, or overlapping docs
+    * double-count; dedup upstream (q20/q187) is the guard.
+    */
+  def merge(a: Model, b: Model): Model = {
+    val uni = a.unigrams.unionByName(b.unigrams)
+      .groupBy(col("token")).agg(sum(col("c1")).as("c1"))
+    val bi = a.bigrams.unionByName(b.bigrams)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+    Model(uni, bi, uni.count())
+  }
+
   /** Score documents against a (possibly foreign) model: per doc the
     * bigram-instance count, total surprisal, and average surprisal in
     * exact integer milli-bits (`avg = total div n`, 0 for docs with

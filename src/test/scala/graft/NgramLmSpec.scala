@@ -75,6 +75,27 @@ class NgramLmSpec extends AnyFunSuite {
       s"gibberish ${s(9000002L)} must out-surprise typical ${s(9000001L)}")
   }
 
+  test("merge of disjoint-corpus models EQUALS the full-corpus model, scores included") {
+    import spark.implicits._
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val a = all.filter($"doc_id" % 2 === 0)
+    val b = all.filter($"doc_id" % 2 === 1)
+    val full = NgramLm.train(all)
+    val merged = NgramLm.merge(NgramLm.train(a), NgramLm.train(b))
+    assert(merged.vocab == full.vocab)
+    assert(merged.unigrams.exceptAll(full.unigrams).isEmpty &&
+      full.unigrams.exceptAll(merged.unigrams).isEmpty, "unigram tables diverge")
+    assert(merged.bigrams.exceptAll(full.bigrams).isEmpty &&
+      full.bigrams.exceptAll(merged.bigrams).isEmpty, "bigram tables diverge")
+    // and therefore scoring is identical
+    val probe = all.limit(20)
+    val sFull = NgramLm.score(probe, full).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sMerged = NgramLm.score(probe, merged).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sFull == sMerged)
+  }
+
   test("a foreign model scores unseen material at the smoothing floor") {
     import spark.implicits._
     val model = NgramLm.train(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"))
