@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * shuffle join — no hint pins a broadcast) and ends in one doc_id
   * aggregation. Integer envelope: (c1 + V) * 1000 stays under 2^63
   * until the corpus passes ~9e15 tokens.
+  *
+  * Three-implementation discipline: batch (q192 full-model DuckDB
+  * oracle), incremental ([[merge]] — NgramLmSpec pins train(A ∪ B) ==
+  * merge(train(A), train(B)) exactly), streaming (StreamingSpec pins
+  * complete-mode counts over [[docBigrams]] == batch [[train]] counts
+  * across micro-batch boundaries).
   */
 object NgramLm {
 

@@ -656,6 +656,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bigram-LM count state (complete mode) EQUALS batch model counts, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NgramLm
+    // a streaming ingest maintains the LM's count tables directly: the
+    // bigram derivation is stateless per-row and the count aggregation
+    // is distinct-free — same shared definitions as batch train()
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran up the hill"),
+      (3L, "a dog sat on a log"),
+      (4L, "solo"),
+      (5L, "the dog ran"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = NgramLm.docBigrams(input.toDS().toDF("doc_id", "text"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("lm_bigram_state").start()
+    try {
+      val (c1, c2) = docs.splitAt(2)
+      input.addData(c1)
+      q.processAllAvailable()
+      input.addData(c2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"w1", $"w2", $"c12").as[(String, String, Long)].collect().toSet
+      val got = toSet(spark.table("lm_bigram_state"))
+      val batch = toSet(NgramLm.train(docs.toDF("doc_id", "text")).bigrams)
+      assert(got == batch,
+        s"streaming bigram counts diverged from batch train(): ${got.size} vs ${batch.size}")
+      // counts that cross the micro-batch boundary really merged
+      assert(got.contains(("the", "cat", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming script-mix routing (routeCounts, complete mode) EQUALS the batch aggregate, chunked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
