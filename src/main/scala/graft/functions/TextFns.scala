@@ -215,6 +215,13 @@ object TextFns {
   val HtmlStylePattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
   val HtmlTagPattern = "(?s)<[^>]*>"
   val HtmlAnchorPattern = "(?is)<a\\b[^>]*>(.*?)</a\\s*>"
+  /** Whitespace-squeeze class spelled EXPLICITLY, not `\s+`: Java's
+    * `\s` includes U+000B (vertical tab) but RE2's does not, so the
+    * "identical pattern string" contract would silently break on real
+    * crawl HTML containing VT. The explicit class means the same set
+    * in both engines (fixture doc 1206 pins it).
+    */
+  val HtmlSpacePattern = "[ \\t\\n\\x0B\\f\\r]+"
   /** Named-entity decode table, applied in order (`&amp;` last). */
   val HtmlEntities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -237,7 +244,7 @@ object TextFns {
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, r)) =>
       regexp_replace(c, e, r) // entities contain no regex metacharacters
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, HtmlSpacePattern, " "))
   }
 
   /** The visible text of an HTML document (markup stripped, entities

@@ -74,31 +74,29 @@ object ChunkDedup {
     * combinable.
     */
   def crossDocChunks(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
-    chunks
-      .filter(length(col("chunk")) >= minChunkLen)
-      .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
-        length(col("chunk")).cast("long").as("len"))
+    clusterAgg(chunkPairState(chunks, minChunkLen))
+
+  /** The cluster aggregation over per-(chunk, doc) state rows — ONE
+    * definition shared by [[crossDocChunks]] and
+    * [[crossDocChunksAgainst]], so the spec-pinned manifest merge rule
+    * (old untouched rows ∪ incremental rows == full recompute) can
+    * never drift apart by editing one copy. Rows are unique per
+    * (chunk_hash, doc_id) by [[chunkPairState]] construction, so
+    * `count(1)` IS the distinct doc count; the physical plan is the
+    * same two-level (hash, doc) → (hash) aggregate Catalyst's
+    * single-distinct rewrite produces for a direct countDistinct.
+    */
+  private def clusterAgg(pairState: DataFrame): DataFrame =
+    pairState
       .groupBy(col("chunk_hash"))
       .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_occ")).as("n_occurrences"),
         min(col("len")).as("chunk_len"),
         array_join(transform(array_sort(collect_set(col("doc_id"))),
           _.cast("string")), ",").as("docs"))
       .filter(col("n_docs") >= 2)
 
-  /** Per-document duplicated-mass profile over the SAME clusters: how
-    * many of each doc's chunks (and characters) also appear in some
-    * OTHER document — the per-doc quality signal a curation gate
-    * thresholds on (a doc that is mostly repeated passages is
-    * boilerplate even if no single whole-doc duplicate exists).
-    * Documents with zero shared chunks keep a zero row, so the profile
-    * covers every chunked doc, not just the offenders. Plan: one
-    * aggregation on chunk_hash, one join back co-partitioned on the
-    * same key (no extra exchange on the chunk side), one final
-    * aggregation on doc_id — never a broadcast assumption about the
-    * duplicated-mass volume, which at corpus scale is unbounded.
-    */
   /** Per-(chunk, doc) occurrence state — the persisted form of the
     * chunk index an incremental corpus maintains: one row per
     * (chunk_hash, doc_id) with its occurrence count and chunk length.
@@ -143,23 +141,20 @@ object ChunkDedup {
   def crossDocChunksAgainst(newChunks: DataFrame, state: DataFrame,
                             minChunkLen: Int = 16): DataFrame = {
     val newState = chunkPairState(newChunks, minChunkLen)
+    // state side deliberately NOT distinct'd: semi-join semantics
+    // ignore right-side duplicates, and a corpus-scale exchange per
+    // batch would break the batch-scaled-cost contract
     val dup = newState.select(col("doc_id")).distinct()
-      .join(state.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .join(state.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .limit(1).collect()
     require(dup.isEmpty,
       s"crossDocChunksAgainst batch overlaps the state (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
         "the incremental contract requires disjoint doc sets")
     val touched = newState.select(col("chunk_hash")).distinct()
     val relevantOld = state.join(touched, Seq("chunk_hash"), "left_semi")
-    newState.unionByName(relevantOld)
-      .groupBy(col("chunk_hash"))
-      .agg(
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("n_occ")).as("n_occurrences"),
-        min(col("len")).as("chunk_len"),
-        array_join(transform(array_sort(collect_set(col("doc_id"))),
-          _.cast("string")), ",").as("docs"))
-      .filter(col("n_docs") >= 2)
+    // disjoint doc sets keep (hash, doc) uniqueness across the union,
+    // so the SHARED cluster aggregation applies unchanged
+    clusterAgg(newState.unionByName(relevantOld))
   }
 
   /** The removal transform over the same chunk space: strip every
@@ -208,6 +203,18 @@ object ChunkDedup {
           x => x.getField("chunk")), "").cast("binary")).as("kept_md5"))
   }
 
+  /** Per-document duplicated-mass profile over the SAME clusters: how
+    * many of each doc's chunks (and characters) also appear in some
+    * OTHER document — the per-doc quality signal a curation gate
+    * thresholds on (a doc that is mostly repeated passages is
+    * boilerplate even if no single whole-doc duplicate exists).
+    * Documents with zero shared chunks keep a zero row, so the profile
+    * covers every chunked doc, not just the offenders. Plan: one
+    * aggregation on chunk_hash, one join back co-partitioned on the
+    * same key (no extra exchange on the chunk side), one final
+    * aggregation on doc_id — never a broadcast assumption about the
+    * duplicated-mass volume, which at corpus scale is unbounded.
+    */
   def duplicatedMass(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
     val hashed = chunks
       .filter(length(col("chunk")) >= minChunkLen)

@@ -243,8 +243,12 @@ object Dedup {
     // BOTH inputs would emit mirror-duplicate pairs and defeat the
     // per-side sizing — one O(batch) semi-join names the offender
     // instead of silently corrupting the pair set
+    // the semi join's RIGHT side needs no distinct (duplicates are
+    // ignored by semi semantics); a corpus-side .distinct() would add a
+    // full corpus-scale exchange to every incremental batch, breaking
+    // the batch-scaled-cost contract
     val dup = shNew.select(col("doc")).distinct()
-      .join(shIndex.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+      .join(shIndex.select(col("doc")), Seq("doc"), "left_semi")
       .limit(1).collect()
     require(dup.isEmpty,
       s"jaccardPairsAgainst batch overlaps the index (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
@@ -302,8 +306,12 @@ object Dedup {
     */
   def containmentPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                               threshold: Double): DataFrame = {
+    // the semi join's RIGHT side needs no distinct (duplicates are
+    // ignored by semi semantics); a corpus-side .distinct() would add a
+    // full corpus-scale exchange to every incremental batch, breaking
+    // the batch-scaled-cost contract
     val dup = shNew.select(col("doc")).distinct()
-      .join(shIndex.select(col("doc")).distinct(), Seq("doc"), "left_semi")
+      .join(shIndex.select(col("doc")), Seq("doc"), "left_semi")
       .limit(1).collect()
     require(dup.isEmpty,
       s"containmentPairsAgainst batch overlaps the index (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
@@ -377,7 +385,17 @@ object Dedup {
     */
   def jaccardPairsAdaptive(sh: DataFrame, threshold: Double,
                            candFactor: Double = 16.0): DataFrame =
-    chooseJaccardStrategy(sh, candFactor) match {
+    jaccardPairs(sh, threshold, chooseJaccardStrategy(sh, candFactor))
+
+  /** Strategy-explicit entry point — the ONE place the
+    * strategy→implementation routing lives. Callers that memoize the
+    * [[chooseJaccardStrategy]] verdict (the query layer caches it
+    * beside the shingle index) route through here, so a new strategy
+    * is wired exactly once.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   strategy: JaccardStrategy): DataFrame =
+    strategy match {
       case NaiveInvertedIndex => jaccardPairs(sh, threshold)
       case PrefixFiltered     => jaccardPairsPrefix(sh, threshold)
     }
@@ -390,7 +408,14 @@ object Dedup {
     */
   def containmentPairsAdaptive(sh: DataFrame, threshold: Double,
                                candFactor: Double = 16.0): DataFrame =
-    chooseJaccardStrategy(sh, candFactor) match {
+    containmentPairs(sh, threshold, chooseJaccardStrategy(sh, candFactor))
+
+  /** Strategy-explicit containment twin of the [[jaccardPairs]]
+    * strategy overload — same single-routing-site rationale.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+                       strategy: JaccardStrategy): DataFrame =
+    strategy match {
       case NaiveInvertedIndex => containmentPairs(sh, threshold)
       case PrefixFiltered     => containmentPairsPrefix(sh, threshold)
     }

@@ -72,15 +72,23 @@ object NgramLm {
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
 
   /** Train the add-one bigram model over a corpus: two aggregations
-    * plus one distinct-count action for V.
+    * plus one distinct-count action for V. `prepare` is the storage
+    * hook (the Bm25.build `prepareTfLen` discipline): it wraps both
+    * count tables BEFORE the V action, so a caller that persists gets
+    * uni materialized once for the action AND the later score joins —
+    * without it, train's count() and every downstream use recompute the
+    * full tokenize+aggregate lineage. The caller owns release (the
+    * query layer memoizes per (session, dir) and unpersists in
+    * clearCaches, like every other index artifact).
     */
   def train(docs: DataFrame, idCol: String = "doc_id",
-            textCol: String = "text"): Model = {
+            textCol: String = "text",
+            prepare: DataFrame => DataFrame = identity): Model = {
     val toks = tokenArrays(docs, idCol, textCol)
       .select(col("doc_id"), explode(col("ts")).as("token"))
-    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("c1"))
-    val bi = docBigrams(docs, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val uni = prepare(toks.groupBy(col("token")).agg(count(lit(1)).as("c1")))
+    val bi = prepare(docBigrams(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val v = uni.count()
     Model(uni, bi, v)
   }

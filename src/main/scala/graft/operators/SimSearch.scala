@@ -161,9 +161,16 @@ object SimSearch {
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                   dimOverride: Int = -1): DataFrame = {
-    val c = signPack(corpus, dimOverride)
+    // infer the dimension ONCE, from the corpus, and pin both packings
+    // to it: two independent probes would cost a duplicate job and
+    // could disagree on ragged inputs, silently nulling distances
+    // through zip_with padding
+    val dim =
+      if (dimOverride > 0) dimOverride
+      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val c = signPack(corpus, dim)
       .select(col("vec_id").as("neighbor_id"), col("sig").as("csig"))
-    val q = signPack(queries, dimOverride)
+    val q = signPack(queries, dim)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))

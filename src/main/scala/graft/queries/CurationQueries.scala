@@ -44,9 +44,24 @@ object CurationQueries {
     })
   }
 
+  // q192's LM model per (session, dir): both count tables persisted via
+  // train's prepare hook (ONE copy of the construction logic, the
+  // bm25Index discipline) so the V action and the score joins share one
+  // tokenize+aggregate pass; released via clearCaches
+  private val lmCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), graft.operators.NgramLm.Model]
+  private def lmModel(s: SparkSession, d: String): graft.operators.NgramLm.Model =
+    synchronized {
+      lmCache.getOrElseUpdate((s, d),
+        graft.operators.NgramLm.train(Tables.documents(s, d), prepare =
+          _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    }
+
   private[queries] def clearCaches(): Unit = synchronized {
     bgCache.values.foreach(_.unpersist())
     bgCache.clear()
+    lmCache.values.foreach { m => m.unigrams.unpersist(); m.bigrams.unpersist() }
+    lmCache.clear()
   }
 
   val queries: Seq[Q] = Seq(
@@ -578,8 +593,7 @@ object CurationQueries {
         // kernel) so every score is an exact BIGINT. NgramLm.score
         // takes the model as an argument — a held-out model persisted
         // from another corpus drops in unchanged (self-scored here).
-        val docs = Tables.documents(s, d)
-        graft.operators.NgramLm.score(docs, graft.operators.NgramLm.train(docs))
+        graft.operators.NgramLm.score(Tables.documents(s, d), lmModel(s, d))
           .orderBy(col("doc_id"))
       },
       Some("""

@@ -68,12 +68,8 @@ object DedupQueries {
     */
   private[queries] def sharedPairs(s: SparkSession, d: String): DataFrame = synchronized {
     pairsCache.getOrElseUpdate((s, d), {
-      val sh = sharedShingles(s, d)
-      val pairs = sharedStrategy(s, d) match {
-        case Dedup.NaiveInvertedIndex => Dedup.jaccardPairs(sh, 0.5)
-        case Dedup.PrefixFiltered     => Dedup.jaccardPairsPrefix(sh, 0.5)
-      }
-      pairs.persist(StorageLevel.MEMORY_AND_DISK)
+      Dedup.jaccardPairs(sharedShingles(s, d), 0.5, sharedStrategy(s, d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     })
   }
 
@@ -371,13 +367,8 @@ object DedupQueries {
         // The strategy VERDICT is memoized with the shingle index
         // (sharedStrategy): the stats pass runs once per (session, dir),
         // not per execution — same routing as containmentPairsAdaptive.
-        val pairs = sharedStrategy(s, d) match {
-          case Dedup.NaiveInvertedIndex =>
-            Dedup.containmentPairs(sharedShingles(s, d), 0.6)
-          case Dedup.PrefixFiltered =>
-            Dedup.containmentPairsPrefix(sharedShingles(s, d), 0.6)
-        }
-        pairs.orderBy(col("doc_a"), col("doc_b"))
+        Dedup.containmentPairs(sharedShingles(s, d), 0.6, sharedStrategy(s, d))
+          .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""
         WITH docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),

@@ -572,13 +572,6 @@ object TextQueries {
         val noScript = s"REGEXP_REPLACE($noComment, '$HtmlScriptPattern', ' ', 'g')"
         s"REGEXP_REPLACE($noScript, '$HtmlStylePattern', ' ', 'g')"
       }
-      def stripped(e: String): String = {
-        val noTags = s"REGEXP_REPLACE(${blocksRemoved(e)}, '$HtmlTagPattern', ' ', 'g')"
-        val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
-          s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
-        }
-        s"TRIM(REGEXP_REPLACE($decoded, '\\s+', ' ', 'g'))"
-      }
       // anchors extracted from the blocks-removed form (commented-out
       // links are dead); bodies re-stripped so nested tags don't count
       def tagsEntities(e: String): String = {
@@ -586,8 +579,11 @@ object TextQueries {
         val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
           s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
         }
-        s"TRIM(REGEXP_REPLACE($decoded, '\\s+', ' ', 'g'))"
+        s"TRIM(REGEXP_REPLACE($decoded, '$HtmlSpacePattern', ' ', 'g'))"
       }
+      // the document chain IS the anchor chain over the blocks-removed
+      // form — one definition, so the two can never drift apart
+      def stripped(e: String): String = tagsEntities(blocksRemoved(e))
       val anchors = s"REGEXP_EXTRACT_ALL(${blocksRemoved("html")}, '$HtmlAnchorPattern', 1)"
       s"""
       WITH ex AS (
@@ -649,7 +645,11 @@ object TextQueries {
           (1202L, "plain text, no markup at all"),
           (1203L, "&amp;lt; stays literal &lt; after decode"),
           (1204L, "<p>broken <em oops unclosed tag stays"),
-          (1205L, """<a href="/only">only a link</a>"""))
+          (1205L, """<a href="/only">only a link</a>"""),
+          // U+000B vertical tab: Java \s squeezes it, RE2 \s does NOT —
+          // this doc pins the explicit HtmlSpacePattern class that keeps
+          // both engines squeezing the same set
+          (1206L, "vt\u000Bseparated\u000B words here"))
         (main ++ edges).toDF("doc_id", "html").coalesce(2)
           .write.mode("overwrite").parquet(Root)
         built = true
