@@ -265,7 +265,10 @@ class TextFnsSpec extends AnyFunSuite {
       // unclosed tag (no '>') survives as literal text
       ("<p>broken <em oops stays", "broken <em oops stays"),
       ("", ""),
-      ("<script>all gone</script>", ""))
+      ("<script>all gone</script>", ""),
+      // U+000B vertical tab: in the explicit squeeze class (Java \s has
+      // it, RE2 \s does not — the shared-constant fix keeps engines equal)
+      ("vt\u000Bseparated\u000B here", "vt separated here"))
     val got = cases.map(_._1).toDF("html")
       .select(graft.functions.TextFns.htmlText($"html")).as[String].collect()
     got.zip(cases.map(_._2)).zipWithIndex.foreach { case ((g, e), i) =>
