@@ -114,5 +114,41 @@ object GraftFunctions {
               GreaterThan(x, Literal(Long.MaxValue / 1000))),
           Literal(null, LongType), formula)
       }, "built-in")
+    // HTML extraction to the SQL surface. Built at the CATALYST level
+    // (a Bridge round-trip of the Column chain leaves unresolved
+    // ColumnNode wrappers the function registry can't evaluate) but
+    // from the SAME TextFns pattern/entity constants as the Column API;
+    // SqlSurfaceSpec pins SQL == Column on a doc exercising blocks,
+    // entities, and anchors, so a drifted chain fails loudly.
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def htmlBlocksRemoved(e: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+      Seq(TextFns.HtmlCommentPattern, TextFns.HtmlScriptPattern,
+        TextFns.HtmlStylePattern).foldLeft(e) { (acc, p) =>
+        RegExpReplace(acc, Literal(p), Literal(" "))
+      }
+    }
+    def htmlTextExpr(e: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+      val noTags = RegExpReplace(htmlBlocksRemoved(e),
+        Literal(TextFns.HtmlTagPattern), Literal(" "))
+      val decoded = TextFns.HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+        RegExpReplace(acc, Literal(ent), Literal(rep))
+      }
+      StringTrim(RegExpReplace(decoded, Literal(TextFns.HtmlSpacePattern), Literal(" ")))
+    }
+    registry.createOrReplaceTempFunction("html_text",
+      exprs => {
+        require(exprs.length == 1, "html_text(html) takes exactly 1 argument")
+        htmlTextExpr(exprs(0))
+      }, "built-in")
+    registry.createOrReplaceTempFunction("html_link_count",
+      exprs => {
+        require(exprs.length == 1, "html_link_count(html) takes exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
+        Cast(Size(RegExpExtractAll(htmlBlocksRemoved(exprs(0)),
+          Literal(TextFns.HtmlAnchorPattern), Literal(1))),
+          org.apache.spark.sql.types.LongType)
+      }, "built-in")
   }
 }

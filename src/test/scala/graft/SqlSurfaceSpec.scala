@@ -68,6 +68,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bRow.getString(0) == bCol.getString(0))
     assert(bRow.getString(1) == bCol.getString(1) &&
       bRow.getString(1).split(" ").contains("2074686520"))
+    // html_text / html_link_count: the Bridge round-trip registration IS
+    // the Column chain, so SQL == Column API by construction — pin it
+    // anyway on a doc with blocks, entities, and an anchor
+    val htxt = "<p>Hi <a href=\"/x\">there &amp; back</a></p><script>no()</script>"
+    val hRow = spark.sql(s"SELECT html_text('${htxt.replace("'", "''")}'), " +
+      s"html_link_count('${htxt.replace("'", "''")}')").head()
+    val hCol = Seq(htxt).toDF("t")
+      .select(graft.functions.TextFns.htmlText($"t"),
+        graft.functions.TextFns.htmlLinkCount($"t")).head()
+    assert(hRow.getString(0) == hCol.getString(0) && hRow.getString(0) == "Hi there & back")
+    assert(hRow.getLong(1) == hCol.getLong(1) && hRow.getLong(1) == 1L)
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {
