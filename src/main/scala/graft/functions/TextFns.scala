@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -275,4 +275,82 @@ object TextFns {
     */
   def htmlLinkPermille(linkCharsCol: String, textCharsCol: String): Column =
     expr(s"case when $textCharsCol > 0 then ($linkCharsCol * 1000) div $textCharsCol else 0L end")
+
+  /** The full extraction frame over a `(id, html)` relation — text,
+    * anchor count, anchor chars, text chars, integral-permille link
+    * density. ONE definition shared by the batch q191 row and the
+    * streaming crawl-ingest twin: every column is a stateless per-row
+    * scalar, so the same transform runs unchanged in append-mode
+    * Structured Streaming (StreamingSpec pins batch == streaming
+    * exactly on the q191 fixture edge docs).
+    */
+  /** Gopher/MassiveText repetition signals (Rae et al. 2021 §A1.1),
+    * line/paragraph-structural — the COMPLEMENT of the word-level
+    * duplicate-word / top-bigram stats in q38. Definitional choices,
+    * mirrored verbatim in the oracle: a "line" is a newline-separated
+    * segment, space-trimmed (ASCII 0x20 only — both engines' default
+    * TRIM; tabs and other whitespace are content), kept if non-empty; a
+    * "paragraph" is a blank-line-separated block keyed WITH its
+    * embedded newlines; a duplicate is an exact-match occurrence beyond
+    * the first, and the duplicate-char numerator counts the characters
+    * of those beyond-the-first occurrences. All fractions are exact
+    * integral permille. Everything here is a per-row scalar HOF chain
+    * (array_distinct/filter/aggregate over the per-doc segment array —
+    * segment counts are bounded per doc), so the whole signal is one
+    * codegen'd scan with NO shuffle at any corpus scale.
+    */
+  def lineArray(text: Column): Column =
+    filter(transform(split(text, "\n", -1), x => trim(x)), x => length(x) > 0)
+
+  /** Blank-line-separated paragraph blocks (outer spaces trimmed,
+    * embedded newlines kept as part of the dedup key).
+    */
+  def paraArray(text: Column): Column =
+    filter(transform(split(text, "\n\n", -1), p => trim(p)), p => length(p) > 0)
+
+  /** Occurrences beyond the first of any repeated element. */
+  def dupOccurrences(arr: Column): Column =
+    (size(arr) - size(array_distinct(arr))).cast("long")
+
+  /** Characters in occurrences beyond the first: Σ over distinct
+    * elements of (count − 1)·length. Quadratic only in the per-doc
+    * segment count (bounded small), never in corpus size.
+    */
+  def dupExtraChars(arr: Column): Column =
+    coalesce(aggregate(
+      transform(array_distinct(arr),
+        e => ((size(filter(arr, x => x === e)) - 1) * length(e)).cast("long")),
+      lit(0L), (acc, n) => acc + n), lit(0L))
+
+  /** Total characters across the segment array. */
+  def arrayChars(arr: Column): Column =
+    coalesce(aggregate(transform(arr, x => length(x).cast("long")),
+      lit(0L), (acc, n) => acc + n), lit(0L))
+
+  /** Lines that look like list bullets ("- ", "* ", or "•" bullets) —
+    * the Gopher "fraction of lines starting with a bullet point" rule.
+    */
+  def bulletLines(lines: Column): Column =
+    size(filter(lines, x =>
+      substring(x, 1, 2).isin("- ", "* ") || substring(x, 1, 1) === "•")).cast("long")
+
+  /** Lines ending in a literal "..." — the Gopher ellipsis rule. The
+    * length guard keeps sub-3-char lines out of the suffix probe (and
+    * keeps the suffix arithmetic identical across engines).
+    */
+  def ellipsisLines(lines: Column): Column =
+    size(filter(lines, x =>
+      (length(x) >= 3) && (x.substr(length(x) - 2, lit(3)) === "..."))).cast("long")
+
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = col(htmlCol)
+    df.select(col(idCol),
+        htmlText(h).as("text"),
+        htmlLinkCount(h).as("n_links"),
+        htmlLinkChars(h).as("link_chars"))
+      .withColumn("text_chars", length(col("text")).cast("long"))
+      .withColumn("link_permille", htmlLinkPermille("link_chars", "text_chars"))
+      .select(col(idCol), col("n_links"), col("link_chars"),
+        col("text_chars"), col("link_permille"), col("text"))
+  }
 }

@@ -630,6 +630,132 @@ object CurationQueries {
                     THEN a.total_millibits // a.n_bigrams ELSE 0 END AS avg_millibits
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id"""),
-      doc = "Bigram-LM quality scoring (the CCNet perplexity filter in-engine): add-one smoothed model as two count tables + V, per-doc total/average surprisal in exact integer milli-bits via the q173 milli_log2 kernel — bitwise engine-identical; model passed as an argument so a held-out model table drops in; docs under two tokens keep explicit zero rows.")
+      doc = "Bigram-LM quality scoring (the CCNet perplexity filter in-engine): add-one smoothed model as two count tables + V, per-doc total/average surprisal in exact integer milli-bits via the q173 milli_log2 kernel — bitwise engine-identical; model passed as an argument so a held-out model table drops in; docs under two tokens keep explicit zero rows."),
+
+    Q(
+      "q193_gopher_repetition",
+      (s, _) => {   // dedicated multi-line fixture; dir arg unused
+        import s.implicits._
+        // GOPHER LINE/PARAGRAPH REPETITION RULES (Rae et al. 2021
+        // §A1.1) — the structural complement of q38's word-level stats:
+        // duplicate-LINE fraction, duplicate-line CHAR fraction, the
+        // same pair over blank-line-separated PARAGRAPHS, plus the
+        // bullet-start and ellipsis-end line fractions. Every metric is
+        // an exact integral permille from the shared TextFns segment
+        // HOFs — one codegen'd scalar pass per document, segment-count-
+        // bounded work per row, NO shuffle at any corpus scale.
+        val docs = s.read.parquet(GopherFixture.ensure(s))
+        val staged = docs.select($"doc_id",
+            TextFns.lineArray($"text").as("lines"),
+            TextFns.paraArray($"text").as("paras"))
+          .select($"doc_id",
+            size($"lines").cast("long").as("n_lines"),
+            TextFns.dupOccurrences($"lines").as("dup_lines"),
+            TextFns.dupExtraChars($"lines").as("dup_line_chars"),
+            TextFns.arrayChars($"lines").as("line_chars"),
+            size($"paras").cast("long").as("n_paras"),
+            TextFns.dupOccurrences($"paras").as("dup_paras"),
+            TextFns.dupExtraChars($"paras").as("dup_para_chars"),
+            TextFns.arrayChars($"paras").as("para_chars"),
+            TextFns.bulletLines($"lines").as("bullet_lines"),
+            TextFns.ellipsisLines($"lines").as("ellipsis_lines"))
+        def permille(num: String, den: String) =
+          expr(s"case when $den > 0 then ($num * 1000) div $den else 0L end")
+        staged.select($"doc_id", $"n_lines", $"n_paras",
+            permille("dup_lines", "n_lines").as("dup_line_permille"),
+            permille("dup_line_chars", "line_chars").as("dup_line_char_permille"),
+            permille("dup_paras", "n_paras").as("dup_para_permille"),
+            permille("dup_para_chars", "para_chars").as("dup_para_char_permille"),
+            permille("bullet_lines", "n_lines").as("bullet_permille"),
+            permille("ellipsis_lines", "n_lines").as("ellipsis_permille"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id,
+            LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+              x -> TRIM(x)), x -> LENGTH(x) > 0) AS lines,
+            LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10) || chr(10)),
+              p -> TRIM(p)), p -> LENGTH(p) > 0) AS paras
+          FROM read_parquet('${GopherFixture.Root}/*.parquet')),
+        counted AS (
+          SELECT doc_id,
+            CAST(LEN(lines) AS BIGINT) AS n_lines,
+            CAST(LEN(lines) - LEN(LIST_DISTINCT(lines)) AS BIGINT) AS dup_lines,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(lines),
+              e -> (LEN(LIST_FILTER(lines, x -> x = e)) - 1) * LENGTH(e))), 0) AS BIGINT) AS dup_line_chars,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(lines, x -> LENGTH(x))), 0) AS BIGINT) AS line_chars,
+            CAST(LEN(paras) AS BIGINT) AS n_paras,
+            CAST(LEN(paras) - LEN(LIST_DISTINCT(paras)) AS BIGINT) AS dup_paras,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(LIST_DISTINCT(paras),
+              e -> (LEN(LIST_FILTER(paras, x -> x = e)) - 1) * LENGTH(e))), 0) AS BIGINT) AS dup_para_chars,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(paras, p -> LENGTH(p))), 0) AS BIGINT) AS para_chars,
+            CAST(LEN(LIST_FILTER(lines, x ->
+              SUBSTR(x, 1, 2) IN ('- ', '* ') OR SUBSTR(x, 1, 1) = chr(8226))) AS BIGINT) AS bullet_lines,
+            CAST(LEN(LIST_FILTER(lines, x ->
+              LENGTH(x) >= 3 AND SUBSTR(x, LENGTH(x) - 2, 3) = '...')) AS BIGINT) AS ellipsis_lines
+          FROM base)
+        SELECT doc_id, n_lines, n_paras,
+          CASE WHEN n_lines > 0 THEN (dup_lines * 1000) // n_lines ELSE 0 END AS dup_line_permille,
+          CASE WHEN line_chars > 0 THEN (dup_line_chars * 1000) // line_chars ELSE 0 END AS dup_line_char_permille,
+          CASE WHEN n_paras > 0 THEN (dup_paras * 1000) // n_paras ELSE 0 END AS dup_para_permille,
+          CASE WHEN para_chars > 0 THEN (dup_para_chars * 1000) // para_chars ELSE 0 END AS dup_para_char_permille,
+          CASE WHEN n_lines > 0 THEN (bullet_lines * 1000) // n_lines ELSE 0 END AS bullet_permille,
+          CASE WHEN n_lines > 0 THEN (ellipsis_lines * 1000) // n_lines ELSE 0 END AS ellipsis_permille
+        FROM counted
+        ORDER BY doc_id"""),
+      doc = "Gopher/MassiveText line- and paragraph-repetition quality rules over a generated multi-line fixture (repeated footer lines, duplicated paragraphs, bullet lists, ellipsis teasers, plus empty / whitespace-only / all-duplicate / tab-line / sub-3-char edges): duplicate-line, duplicate-line-char, duplicate-paragraph, duplicate-paragraph-char, bullet-start and ellipsis-end fractions, all exact integral permille, one scalar HOF pass with no shuffle.")
   )
+
+  /** Deterministic multi-line corpus for the Gopher repetition rules:
+    * 1 000 generated docs of three paragraphs — a prose body, a
+    * list/teaser/footer block (the footer line repeats i mod 4 times:
+    * the boilerplate signal), and a closer that every fifth doc copies
+    * verbatim from the body (the duplicate-paragraph signal) — plus
+    * edge docs: empty, single-line, all-duplicate-lines,
+    * whitespace-only lines, duplicate bullet lines, duplicate ellipsis
+    * lines, a sub-3-char line (ellipsis suffix-probe guard), and
+    * tab-prefixed duplicate lines (TRIM is space-only in BOTH engines —
+    * the tab is content and must survive into the dedup key).
+    */
+  object GopherFixture {
+    val Root = "/root/repo/target/gopher_fixture"
+    private def word(seed: Long, len: Int): String =
+      (0 until len).map(j =>
+        ('a' + (((seed * 37 + j * 11) % 26 + 26) % 26).toInt).toChar).mkString
+    private def line(i: Int, k: Int): String =
+      (0 until 6).map(j => word(i.toLong * 101 + k * 17 + j, 3 + (i + k + j) % 5)).mkString(" ")
+    private def doc(i: Int): String = {
+      val body = (0 until 3 + i % 4).map(k => line(i, k))
+      val footer = "follow us on twitter | subscribe to the newsletter"
+      val bullets = (0 until i % 3).map(k => s"- ${word(i.toLong * 7 + k, 5)} item ${word(i.toLong * 3 + k, 4)}")
+      val teasers = (0 until (i / 2) % 3).map(k => s"more ${word(i.toLong * 13 + k, 4)} ...")
+      val p1 = body.mkString("\n")
+      val p2 = (bullets ++ teasers ++ Seq.fill(i % 4)(footer)).mkString("\n")
+      val p3 = if (i % 5 == 0) p1 else (0 until 2).map(k => line(i + 500, k)).mkString("\n")
+      Seq(p1, p2, p3).filter(_.nonEmpty).mkString("\n\n")
+    }
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        val main = (0 until 1000).map(i => (i.toLong, doc(i)))
+        val edges = Seq(
+          (1000L, ""),
+          (1001L, "a single line only"),
+          (1002L, Seq.fill(6)("the same line six times").mkString("\n")),
+          (1003L, "\n\n \n\n  \n"),
+          (1004L, "- alpha\n- alpha\n- beta"),
+          (1005L, "ends with ellipsis ...\nends with ellipsis ..."),
+          (1006L, ".."),
+          (1007L, "\tlead tab\n\tlead tab\nplain"),
+          (1008L, "• dot bullet\n• dot bullet\n* star bullet\nregular line"))
+        (main ++ edges).toDF("doc_id", "text").coalesce(2)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
 }

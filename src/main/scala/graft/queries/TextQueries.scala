@@ -551,16 +551,7 @@ object TextQueries {
       // trip. All regex patterns are RE2-safe and shared verbatim with
       // the oracle; the whole row is one codegen'd scalar pass — no
       // shuffle at any corpus scale.
-      s.read.parquet(HtmlFixture.ensure(s))
-        .select($"doc_id",
-          TextFns.htmlText($"html").as("text"),
-          TextFns.htmlLinkCount($"html").as("n_links"),
-          TextFns.htmlLinkChars($"html").as("link_chars"))
-        .withColumn("text_chars", length($"text").cast("long"))
-        .withColumn("link_permille",
-          TextFns.htmlLinkPermille("link_chars", "text_chars"))
-        .select($"doc_id", $"n_links", $"link_chars", $"text_chars",
-          $"link_permille", $"text")
+      TextFns.htmlExtract(s.read.parquet(HtmlFixture.ensure(s)), "doc_id", "html")
         .orderBy($"doc_id")
     },
     Some {

@@ -767,4 +767,95 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming HTML crawl ingest (htmlExtract, append mode) EQUALS batch q191 extraction, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL q191 fixture tail: the last generated pages plus every
+    // edge doc (empty, script-only, markup-free, double-encoded,
+    // unclosed-tag, link-only, vertical-tab) — the docs most likely to
+    // diverge if the streaming path ever stops sharing the definition
+    val fixture = spark.read
+      .parquet(graft.queries.TextQueries.HtmlFixture.ensure(spark))
+      .filter($"doc_id" >= 1195L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 12, s"expected 5 tail pages + 7 edge docs, got ${fixture.size}")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // stateless per-row scalar chain -> append mode, no watermark, no
+    // state store: the crawl-ingest shape (extraction at the edge,
+    // curation downstream of the extracted columns)
+    val q = graft.functions.TextFns
+      .htmlExtract(input.toDS().toDF("doc_id", "html"), "doc_id", "html")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("html_ingest").start()
+    try {
+      val (chunk1, chunk2) = fixture.splitAt(6)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"n_links", $"link_chars", $"text_chars", $"link_permille", $"text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSet
+      val got = toSet(spark.table("html_ingest"))
+      val batch = toSet(graft.functions.TextFns.htmlExtract(
+        fixture.toDF("doc_id", "html"), "doc_id", "html"))
+      assert(batch.exists(_._5 == 1000L), "fixture must include the link-only permille=1000 edge")
+      assert(batch.exists(r => r._6.isEmpty && r._4 == 0L), "fixture must include an empty-text edge")
+      assert(got == batch,
+        s"streaming htmlExtract diverged from batch: ${got.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
+  test("streaming BM25 ingest (foreachBatch stage-to-lake + append) EQUALS a batch-built index: postings, scalars, retrieval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bm25
+    // the deployment shape: stream → commit each micro-batch to the
+    // lake → index append FROM THE COMMITTED FILES (postings lineage
+    // rooted in durable parquet, not the transient micro-batch frame).
+    // Closes the retrieval tier's three-implementation discipline:
+    // batch build, incremental append (Bm25Spec pins == rebuild), and
+    // streaming ingest — one definition, three execution modes.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(docs.size >= 30, s"fixture corpus too small: ${docs.size}")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    @volatile var idx: Option[Bm25.Index] = None
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val path = s"$dir/batch_$id"
+        batch.write.mode("overwrite").parquet(path)
+        val committed = spark.read.parquet(path)
+        idx = Some(idx match {
+          case None    => Bm25.build(committed, probeDuplicateIds = true)
+          case Some(i) => Bm25.append(i, committed) // overlap probe stays ON
+        })
+      }
+      .start()
+    try {
+      val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+      assert(chunks.size == 3, "want a bootstrap build plus two appends")
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val streamed = idx.get
+      val batchIdx = Bm25.build(docs.toDF("doc_id", "text"))
+      // scalars additive across micro-batches
+      assert(streamed.nDocs == batchIdx.nDocs && streamed.totalTokens == batchIdx.totalTokens,
+        s"scalars diverged: (${streamed.nDocs}, ${streamed.totalTokens}) vs (${batchIdx.nDocs}, ${batchIdx.totalTokens})")
+      // posting table identical (tf AND the per-doc len folded per batch)
+      def postings(i: Bm25.Index) = i.tfLen
+        .select($"doc_id", $"token", $"tf", $"len")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(postings(streamed) == postings(batchIdx), "posting tables diverged")
+      // retrieval: query-time df/idf over the appended index must rank
+      // EXACTLY like the from-scratch build (no stored-weight staleness)
+      val terms = Seq("table", "data", "query")
+      def top(i: Bm25.Index) = Bm25.topk(i, terms, 10)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(top(streamed) == top(batchIdx), "retrieval diverged from batch build")
+    } finally q.stop()
+  }
 }

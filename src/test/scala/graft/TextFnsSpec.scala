@@ -303,4 +303,53 @@ class TextFnsSpec extends AnyFunSuite {
       .select($"permille").as[Long].collect().toSeq
     assert(edge == Seq(1000L, 0L))
   }
+
+  test("gopher repetition primitives: hand-computed line/para dup stats, bullet and ellipsis probes") {
+    import spark.implicits._
+    // doc: para1 = [aa bb, aa bb, cc] (line 'aa bb' duplicated),
+    // para2 = [aa bb] — ALSO a line-level dup ACROSS paragraphs, and
+    // para2 exactly equals no other para. Space-padded line trims;
+    // tab-prefixed lines keep the tab (TRIM is space-only).
+    val text = "aa bb\n  aa bb\ncc\n\naa bb"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+      .select(
+        TextFns.lineArray($"text").as("lines"),
+        TextFns.paraArray($"text").as("paras"))
+      .select(
+        size($"lines").as("nl"),
+        TextFns.dupOccurrences($"lines").as("dl"),
+        TextFns.dupExtraChars($"lines").as("dlc"),
+        TextFns.arrayChars($"lines").as("lc"),
+        size($"paras").as("np"),
+        TextFns.dupOccurrences($"paras").as("dp"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 4, "4 non-empty trimmed lines")
+    assert(r.getLong(1) == 2L, "'aa bb' occurs 3x -> 2 beyond-first occurrences")
+    assert(r.getLong(2) == 10L, "2 extra occurrences x 5 chars")
+    assert(r.getLong(3) == 5L * 3 + 2, "total line chars")
+    assert(r.getInt(4) == 2 && r.getLong(5) == 0L, "paragraphs differ (embedded newlines in the key)")
+
+    // tab is content: the two '\tx' lines are dups with len 2 each
+    val tab = Seq((1L, "\tx\n\tx")).toDF("doc_id", "text")
+      .select(TextFns.lineArray($"text").as("l"))
+      .select(TextFns.dupOccurrences($"l"), TextFns.dupExtraChars($"l")).collect()(0)
+    assert(tab.getLong(0) == 1L && tab.getLong(1) == 2L)
+
+    // bullet and ellipsis probes, incl. the sub-3-char suffix guard
+    val probe = Seq((1L, "- a\n* b\n• c\n-x\nfoo ...\n..\nbar...")).toDF("doc_id", "text")
+      .select(TextFns.lineArray($"text").as("l"))
+      .select(TextFns.bulletLines($"l"), TextFns.ellipsisLines($"l")).collect()(0)
+    assert(probe.getLong(0) == 3L, "'-x' (no space) is not a bullet; '- ', '* ', '•' are")
+    assert(probe.getLong(1) == 2L, "'..' is too short for the suffix probe; 'foo ...' and 'bar...' end in it")
+
+    // empty + whitespace-only: zero segments, zero chars, no NULLs
+    val empty = Seq((1L, ""), (2L, " \n\n  \n")).toDF("doc_id", "text")
+      .select($"doc_id", TextFns.lineArray($"text").as("l"))
+      .select($"doc_id", size($"l").as("n"), TextFns.arrayChars($"l").as("c"),
+        TextFns.dupExtraChars($"l").as("d"))
+      .orderBy($"doc_id").collect()
+    empty.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getLong(2) == 0L && r.getLong(3) == 0L)
+    }
+  }
 }
