@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{PiiFns, TextFns}
 
 /** Training-data curation operators: deterministic dataset splits,
   * repetition-based quality signals (Gopher-style), and an end-to-end
@@ -704,7 +704,154 @@ object CurationQueries {
           CASE WHEN n_lines > 0 THEN (ellipsis_lines * 1000) // n_lines ELSE 0 END AS ellipsis_permille
         FROM counted
         ORDER BY doc_id"""),
-      doc = "Gopher/MassiveText line- and paragraph-repetition quality rules over a generated multi-line fixture (repeated footer lines, duplicated paragraphs, bullet lists, ellipsis teasers, plus empty / whitespace-only / all-duplicate / tab-line / sub-3-char edges): duplicate-line, duplicate-line-char, duplicate-paragraph, duplicate-paragraph-char, bullet-start and ellipsis-end fractions, all exact integral permille, one scalar HOF pass with no shuffle.")
+      doc = "Gopher/MassiveText line- and paragraph-repetition quality rules over a generated multi-line fixture (repeated footer lines, duplicated paragraphs, bullet lists, ellipsis teasers, plus empty / whitespace-only / all-duplicate / tab-line / sub-3-char edges): duplicate-line, duplicate-line-char, duplicate-paragraph, duplicate-paragraph-char, bullet-start and ellipsis-end fractions, all exact integral permille, one scalar HOF pass with no shuffle."),
+
+    Q(
+      "q194_gopher_quality",
+      (s, _) => {   // same multi-line fixture as q193; dir arg unused
+        import s.implicits._
+        // THE GOPHER DOCUMENT-QUALITY HARD GATE (Rae et al. 2021
+        // §A1.1), the published thresholds as one boolean decision:
+        // 50 ≤ words ≤ 100 000; mean word length in [3, 10] chars;
+        // symbol-to-word ratio ('#' and '...') ≤ 0.1; ≥ 80% of words
+        // contain an alphabetic character; ≥ 2 of the 8 required
+        // stopwords present. Words split on the SAME explicit
+        // whitespace class the HTML tier pins (Java \s vs RE2 \s
+        // diverge on U+000B); every ratio is exact integer milli/
+        // permille arithmetic so the gate bit itself replays
+        // bit-for-bit. One codegen'd scalar pass — the gate runs
+        // before any shuffle-bearing curation stage at any scale.
+        val Stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val docs = s.read.parquet(GopherFixture.ensure(s))
+        val words = filter(
+          split($"text", TextFns.HtmlSpacePattern, -1), w => length(w) > 0)
+        val staged = docs.select($"doc_id", words.as("words"), $"text")
+          .select($"doc_id",
+            size($"words").cast("long").as("n_words"),
+            TextFns.arrayChars($"words").as("word_chars"),
+            size(filter($"words", w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
+            size(array_intersect(array_distinct($"words"),
+              array(Stop.map(lit): _*))).cast("long").as("stop_hits"),
+            (expr("length(text) - length(replace(text, '#', ''))") +
+              expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+              .cast("long").as("symbols"))
+          .select($"doc_id", $"n_words", $"stop_hits",
+            expr("case when n_words > 0 then (word_chars * 1000) div n_words else 0L end")
+              .as("mean_word_len_milli"),
+            expr("case when n_words > 0 then (symbols * 1000) div n_words else 0L end")
+              .as("symbol_permille"),
+            expr("case when n_words > 0 then (alpha_words * 1000) div n_words else 0L end")
+              .as("alpha_word_permille"))
+        staged.select($"doc_id", $"n_words", $"mean_word_len_milli",
+            $"symbol_permille", $"alpha_word_permille", $"stop_hits",
+            expr("""cast(n_words between 50 and 100000
+                    and mean_word_len_milli between 3000 and 10000
+                    and symbol_permille <= 100
+                    and alpha_word_permille >= 800
+                    and stop_hits >= 2 as long)""").as("pass_gate"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
+              w -> LENGTH(w) > 0) AS words
+          FROM read_parquet('${GopherFixture.Root}/*.parquet')),
+        counted AS (
+          SELECT doc_id,
+            CAST(LEN(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
+            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(words),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
+            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
+          FROM base),
+        scored AS (
+          SELECT doc_id, n_words, stop_hits,
+            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mean_word_len_milli,
+            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS symbol_permille,
+            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alpha_word_permille
+          FROM counted)
+        SELECT doc_id, n_words, mean_word_len_milli, symbol_permille,
+               alpha_word_permille, stop_hits,
+               CAST(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len_milli BETWEEN 3000 AND 10000
+                    AND symbol_permille <= 100
+                    AND alpha_word_permille >= 800
+                    AND stop_hits >= 2 AS BIGINT) AS pass_gate
+        FROM scored
+        ORDER BY doc_id"""),
+      doc = "The Gopher document-quality hard gate with the published thresholds (word-count and mean-word-length bounds, '#'/'...' symbol-to-word ratio, alphabetic-word fraction, required-stopword presence) over the q193 fixture: words split on the shared explicit whitespace class, every ratio exact integer milli/permille, the pass bit replayed bit-for-bit by the oracle; one scalar pass, no shuffle."),
+
+    Q(
+      "q195_pii_scan",
+      (s, _) => {   // PiiFixture; dir arg unused
+        import s.implicits._
+        // PII detection counts per doc — the scrub-audit every corpus
+        // release publishes. Stage semantics, policy, and every
+        // cross-engine pattern decision live in PiiFns (RE2-safe
+        // shared constants; counts on progressively redacted text so
+        // count == replacements). One codegen'd scalar pass.
+        PiiFns.piiFrame(s.read.parquet(PiiFixture.ensure(s)), "doc_id", "text")
+          .select($"doc_id", $"email_count", $"ip_count", $"phone_count",
+            $"pii_total", $"has_pii")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH staged AS (
+          SELECT doc_id, text,
+            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
+          FROM read_parquet('${PiiFixture.Root}/*.parquet')),
+        s2 AS (
+          SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip
+          FROM staged),
+        counted AS (
+          SELECT doc_id,
+            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}')) AS BIGINT) AS email_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}')) AS BIGINT) AS ip_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}')) AS BIGINT) AS phone_count
+          FROM s2)
+        SELECT doc_id, email_count, ip_count, phone_count,
+               email_count + ip_count + phone_count AS pii_total,
+               CAST(email_count + ip_count + phone_count > 0 AS BIGINT) AS has_pii
+        FROM counted
+        ORDER BY doc_id"""),
+      doc = "PII detection counts (emails, IPv4, phones) over a planted fixture with the ordering/boundary edges pinned (E.164-in-local-part counts as email only, IP-literal email hosts fall through to the IP stage, version strings don't match, five-octet runs match their first four, 16-digit runs cap at 15): RE2-safe patterns shared verbatim with the DuckDB oracle, counts on progressively redacted text so each count equals its stage's replacements; one scalar pass, no shuffle."),
+
+    Q(
+      "q196_pii_redact",
+      (s, _) => {   // PiiFixture; dir arg unused
+        import s.implicits._
+        // The redaction transform itself, plus the residual re-scan
+        // over the redacted text — 0 by construction (tokens contain
+        // no digits or '@'), emitted and oracle-replayed rather than
+        // assumed.
+        PiiFns.piiFrame(s.read.parquet(PiiFixture.ensure(s)), "doc_id", "text")
+          .select($"doc_id", $"redacted",
+            length($"redacted").cast("long").as("redacted_chars"),
+            $"residual_pii")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH staged AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
+          FROM read_parquet('${PiiFixture.Root}/*.parquet')),
+        s2 AS (
+          SELECT doc_id, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip
+          FROM staged),
+        s3 AS (
+          SELECT doc_id, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS redacted
+          FROM s2)
+        SELECT doc_id, redacted,
+               CAST(LENGTH(redacted) AS BIGINT) AS redacted_chars,
+               CAST(LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.EmailPattern}'))
+                  + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.Ipv4Pattern}'))
+                  + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}')) AS BIGINT) AS residual_pii
+        FROM s3
+        ORDER BY doc_id"""),
+      doc = "PII redaction (email -> <EMAIL>, IPv4 -> <IP>, phone -> <PHONE>, fixed order) with the redacted text replayed byte-for-byte by the oracle and a residual re-scan column proving no PII survives (tokens can't manufacture new matches); the same shared frame runs unchanged as the streaming ingest-scrub twin.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -750,7 +897,69 @@ object CurationQueries {
           (1005L, "ends with ellipsis ...\nends with ellipsis ..."),
           (1006L, ".."),
           (1007L, "\tlead tab\n\tlead tab\nplain"),
-          (1008L, "• dot bullet\n• dot bullet\n* star bullet\nregular line"))
+          (1008L, "• dot bullet\n• dot bullet\n* star bullet\nregular line"),
+          // q194 gate edges: a symbol-heavy spam doc (high '#'/'...'
+          // ratio, fails the symbol gate) and a long stopword-bearing
+          // prose doc that passes EVERY Gopher quality gate
+          (1009L, "# # trending # tags ... more ... spam # content #"),
+          (1010L, Seq.fill(10)("the data with value have more").mkString("\n")))
+        (main ++ edges).toDF("doc_id", "text").coalesce(2)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
+
+  /** Deterministic corpus for the PII scrub tier: 1 200 generated prose
+    * docs with planted PII on coprime cycles (emails every 7th, a second
+    * email every 21st, IPv4 every 11th, E.164 every 13th, NANP every
+    * 17th — most docs carry none, some carry several), plus edge docs
+    * pinning every boundary decision documented in PiiFns: non-emails
+    * (missing domain dot / missing TLD), multi-dot hosts, non-range-
+    * checked octets, three-octet and five-octet runs, version strings,
+    * E.164 length bounds incl. the 16-digit cap, all three NANP
+    * separators, the IP-literal email host, the E.164-looking local
+    * part (ordering pin), already-redacted tokens, a trailing-dot
+    * sentence end, vertical-tab-adjacent matches, and the empty doc.
+    */
+  object PiiFixture {
+    val Root = "/root/repo/target/pii_fixture"
+    private def word(seed: Long, len: Int): String =
+      (0 until len).map(j =>
+        ('a' + (((seed * 41 + j * 13) % 26 + 26) % 26).toInt).toChar).mkString
+    private def doc(i: Int): String = {
+      val prose = (0 until 8).map(j => word(i.toLong * 31 + j, 3 + (i + j) % 6))
+        .mkString(" ")
+      val planted = Seq(
+        if (i % 7 == 0) s"contact user$i@mail${i % 5}.example.com today" else "",
+        if (i % 21 == 0) s"cc admin$i@ops.example.org" else "",
+        if (i % 11 == 0) s"from host 10.${i % 256}.${(i * 3) % 256}.${(i * 7) % 256}" else "",
+        if (i % 13 == 0) s"call +49${1000000 + i}" else "",
+        if (i % 17 == 0) s"or 555-${100 + i % 900}-${1000 + i % 9000}" else "")
+      (Seq(prose) ++ planted.filter(_.nonEmpty)).mkString(" ")
+    }
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        val main = (0 until 1200).map(i => (i.toLong, doc(i)))
+        val edges = Seq(
+          (2000L, ""),
+          (2001L, "not.an.email@ and user@nodot never match"),
+          (2002L, "multi-dot user@sub.example.co.uk stays one email"),
+          (2003L, "999.999.999.999 is pattern-valid like the published regexes"),
+          (2004L, "1.2.3 misses but 1.2.3.4.5 matches its first four octets"),
+          (2005L, "v1.2.3.4 version tags never match"),
+          (2006L, "+123456 too short, +1234567 matches, +1234567890123456 caps at fifteen"),
+          (2007L, "dial 555-123-4567 or 555.123.4567 or 555 123 4567"),
+          (2008L, "ip-literal user@192.168.0.1 is host-redacted as ip"),
+          (2009L, "phone-looking local part +1234567@relay.example.org counts once as email"),
+          (2010L, "all three: a@b.co then 8.8.8.8 then +12345678"),
+          (2011L, "already-redacted <EMAIL> <IP> <PHONE> tokens count zero"),
+          (2012L, "trailing-dot email user@example.com. ends the sentence"),
+          (2013L, "tab\t+7654321\u000Bnext to a vertical tab"))
         (main ++ edges).toDF("doc_id", "text").coalesce(2)
           .write.mode("overwrite").parquet(Root)
         built = true

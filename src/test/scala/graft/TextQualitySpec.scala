@@ -29,6 +29,30 @@ class TextQualitySpec extends AnyFunSuite {
       again.map(s => (s.doc_id, s.comp_len)).toSeq)
   }
 
+  test("gopher quality gate: hand-computed stats on the planted edge docs") {
+    // q194 over the GopherFixture; the two docs planted for the gate:
+    // 1009 is symbol-heavy spam, 1010 is 10 lines of stopword-bearing
+    // prose built to clear every threshold. Stats verified by hand:
+    //  1009 "# # trending # tags ... more ... spam # content #"
+    //    words = 12 (5 '#', 2 '...', trending/tags/more/spam/content)
+    //    chars = 5*1 + 2*3 + (8+4+4+4+7) = 38 -> mean 38000 div 12 = 3166
+    //    symbols = 5 + 2 = 7 -> 7*1000 div 12 = 583 permille (> 100)
+    //    alpha  = 5          -> 5*1000 div 12 = 416 permille (< 800)
+    //    n_words 12 < 50, stop_hits 0 < 2           => gate 0
+    //  1010 = 10 x "the data with value have more"
+    //    n_words 60, chars 240 -> mean 4000 milli; symbols 0;
+    //    alpha 1000; stop_hits 3 (the/with/have)    => gate 1
+    val rows = SparkEntry.queries("q194_gopher_quality")(spark, "unused")
+      .filter("doc_id IN (1009, 1010)")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(rows(1009L) == ((12L, 3166L, 583L, 416L, 0L, 0L)),
+      s"spam doc must fail the gate: ${rows(1009L)}")
+    assert(rows(1010L) == ((60L, 4000L, 0L, 1000L, 3L, 1L)),
+      s"prose doc must pass every threshold: ${rows(1010L)}")
+  }
+
   test("runs distributed over the documents corpus with sane bounds") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = TextQuality.compressionStats(docs).collect()
