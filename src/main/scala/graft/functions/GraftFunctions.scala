@@ -150,5 +150,18 @@ object GraftFunctions {
           Literal(TextFns.HtmlAnchorPattern), Literal(1))),
           org.apache.spark.sql.types.LongType)
       }, "built-in")
+
+    // pii_redact(text): the PII scrub chain (email -> IPv4 -> phone,
+    // PiiFns.Stages order) as a SQL-surface scalar, built from the SAME
+    // shared pattern/token constants as the Column API; SqlSurfaceSpec
+    // pins SQL == Column on the fixture edge docs.
+    registry.createOrReplaceTempFunction("pii_redact",
+      exprs => {
+        require(exprs.length == 1, "pii_redact(text) takes exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+        PiiFns.Stages.foldLeft(exprs(0)) { case (acc, (p, t)) =>
+          RegExpReplace(acc, Literal(p), Literal(t))
+        }
+      }, "built-in")
   }
 }

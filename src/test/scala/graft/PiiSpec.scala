@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PiiFns
+import graft.queries.CurationQueries.PiiFixture
+
+/** PII scrub tier: hand-computed counts and redactions on the fixture
+  * edge docs (every boundary decision documented in PiiFns), the
+  * no-residual guarantee over the whole fixture, and a distributed run
+  * over the real documents corpus.
+  */
+class PiiSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private lazy val frame = {
+    import spark.implicits._
+    PiiFns.piiFrame(spark.read.parquet(PiiFixture.ensure(spark)), "doc_id", "text")
+      .filter($"doc_id" >= 2000L).cache()
+  }
+
+  test("hand-computed counts on the edge docs pin every boundary decision") {
+    import spark.implicits._
+    val counts = frame
+      .select($"doc_id", $"email_count", $"ip_count", $"phone_count")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = Map(
+      2000L -> ((0L, 0L, 0L)), // empty doc
+      2001L -> ((0L, 0L, 0L)), // missing domain dot / missing TLD
+      2002L -> ((1L, 0L, 0L)), // multi-dot host is ONE email
+      2003L -> ((0L, 1L, 0L)), // octets not range-checked (published-regex fidelity)
+      2004L -> ((0L, 1L, 0L)), // 1.2.3 misses; 1.2.3.4.5 matches first four
+      2005L -> ((0L, 0L, 0L)), // v1.2.3.4: no \b between 'v' and '1'
+      2006L -> ((0L, 0L, 2L)), // 6 digits too short; 7 ok; 16 caps at 15
+      2007L -> ((0L, 0L, 3L)), // all three NANP separators (-, ., space)
+      2008L -> ((0L, 1L, 0L)), // IP-literal email host -> IP stage
+      2009L -> ((1L, 0L, 0L)), // E.164-looking local part: email ONLY (order pin)
+      2010L -> ((1L, 1L, 1L)), // one of each
+      2011L -> ((0L, 0L, 0L)), // already-redacted tokens count zero
+      2012L -> ((1L, 0L, 0L)), // trailing sentence dot excluded from match
+      2013L -> ((0L, 0L, 1L)))  // tab/VT-adjacent E.164 still matches
+    expected.foreach { case (id, exp) =>
+      assert(counts(id) == exp, s"doc $id: got ${counts(id)}, want $exp")
+    }
+  }
+
+  test("redacted text is byte-exact on the tricky docs and leaves non-PII intact") {
+    import spark.implicits._
+    val red = frame.select($"doc_id", $"redacted")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(2006L) ==
+      "+123456 too short, <PHONE> matches, <PHONE>6 caps at fifteen")
+    assert(red(2008L) == "ip-literal user@<IP> is host-redacted as ip")
+    assert(red(2009L) == "phone-looking local part <EMAIL> counts once as email")
+    assert(red(2012L) == "trailing-dot email <EMAIL>. ends the sentence")
+    assert(red(2011L) ==
+      "already-redacted <EMAIL> <IP> <PHONE> tokens count zero")
+  }
+
+  test("residual scan over redacted text is zero across the ENTIRE fixture") {
+    import spark.implicits._
+    val full = PiiFns.piiFrame(
+      spark.read.parquet(PiiFixture.ensure(spark)), "doc_id", "text")
+    assert(full.filter($"residual_pii" =!= 0L).count() == 0L)
+    // and the planted cycles actually planted: a fixture where nothing
+    // matches would vacuously pass everything above
+    val totals = full.selectExpr("sum(email_count)", "sum(ip_count)",
+      "sum(phone_count)").collect()(0)
+    assert(totals.getLong(0) >= 200L && totals.getLong(1) >= 100L &&
+      totals.getLong(2) >= 150L, s"planted volume too low: $totals")
+  }
+
+  test("runs distributed over the documents corpus; prose carries no false hits") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = PiiFns.piiFrame(docs, "doc_id", "text")
+    assert(out.count() == 500L)
+    // the synthetic corpus is word-salad prose — the precision-first
+    // patterns must not fire on it
+    assert(out.filter($"has_pii" =!= 0L).count() == 0L)
+  }
+}

@@ -79,6 +79,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         graft.functions.TextFns.htmlLinkCount($"t")).head()
     assert(hRow.getString(0) == hCol.getString(0) && hRow.getString(0) == "Hi there & back")
     assert(hRow.getLong(1) == hCol.getLong(1) && hRow.getLong(1) == 1L)
+    // pii_redact: SQL registration == Column API on a doc carrying all
+    // three PII types plus the ordering edge (E.164-looking local part)
+    val ptxt = "mail a@b.co ip 8.8.8.8 tel +12345678 and +1234567@relay.example.org"
+    val pSql = spark.sql(s"SELECT pii_redact('$ptxt')").head().getString(0)
+    val pCol = Seq(ptxt).toDF("t")
+      .select(graft.functions.PiiFns.redact($"t")).head().getString(0)
+    assert(pSql == pCol &&
+      pSql == "mail <EMAIL> ip <IP> tel <PHONE> and <EMAIL>")
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {

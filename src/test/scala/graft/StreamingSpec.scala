@@ -809,6 +809,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming PII ingest scrub (piiFrame, append mode) EQUALS batch q195/q196, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // every edge doc of the PII fixture (the boundary set PiiSpec pins
+    // by hand) plus a slice of generated planted docs — the scrub runs
+    // at the ingest edge in a real pipeline, so the streaming path must
+    // share the ONE piiFrame definition, not re-derive the patterns
+    val fixture = spark.read
+      .parquet(graft.queries.CurationQueries.PiiFixture.ensure(spark))
+      .filter($"doc_id" >= 1190L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 24, s"expected 10 generated + 14 edge docs, got ${fixture.size}")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // stateless per-row scalar chain -> append mode, no watermark, no
+    // state store (the htmlExtract twin's shape)
+    val q = graft.functions.PiiFns
+      .piiFrame(input.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pii_ingest").start()
+    try {
+      val (chunk1, chunk2) = fixture.splitAt(12)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"email_count", $"ip_count", $"phone_count",
+          $"pii_total", $"has_pii", $"residual_pii", $"redacted")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+      val got = toSet(spark.table("pii_ingest"))
+      val batch = toSet(graft.functions.PiiFns.piiFrame(
+        fixture.toDF("doc_id", "text"), "doc_id", "text"))
+      assert(batch.exists(_._6 == 1L), "fixture slice must include PII-bearing docs")
+      assert(batch.forall(_._7 == 0L), "residual must be zero everywhere")
+      assert(got == batch,
+        s"streaming piiFrame diverged from batch: ${got.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming BM25 ingest (foreachBatch stage-to-lake + append) EQUALS a batch-built index: postings, scalars, retrieval") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
