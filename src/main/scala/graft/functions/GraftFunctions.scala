@@ -163,5 +163,30 @@ object GraftFunctions {
           RegExpReplace(acc, Literal(p), Literal(t))
         }
       }, "built-in")
+
+    // url_canonical(url): the UrlFns canonical form (scheme/host
+    // lowercase, default-port drop, fragment drop, tracking-param
+    // strip, dangling-? tidy, verbatim pass-through for non-URLs) from
+    // the SAME pattern constants; SqlSurfaceSpec pins SQL == Column.
+    registry.createOrReplaceTempFunction("url_canonical",
+      exprs => {
+        require(exprs.length == 1, "url_canonical(url) takes exactly 1 argument")
+        import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Concat,
+          EqualTo, Expression, Lower, RLike, RegExpExtract, RegExpReplace}
+        val url = exprs(0)
+        def rep(e: Expression, p: String, r: String): Expression =
+          RegExpReplace(e, Literal(p), Literal(r))
+        val scheme = Lower(RegExpExtract(url, Literal(UrlFns.SchemePattern), Literal(1)))
+        val hostPort = Lower(RegExpExtract(url, Literal(UrlFns.HostPattern), Literal(1)))
+        val host = CaseWhen(Seq(
+          (EqualTo(scheme, Literal("http")), rep(hostPort, ":80$", "")),
+          (EqualTo(scheme, Literal("https")), rep(hostPort, ":443$", ""))),
+          Some(hostPort))
+        val tidy = rep(rep(rep(rep(rep(url, UrlFns.PrefixPattern, ""),
+          UrlFns.FragmentPattern, ""), UrlFns.AmpTrackingPattern, ""),
+          UrlFns.LeadTrackingPattern, "?"), UrlFns.TrailingQueryPattern, "")
+        CaseWhen(Seq((RLike(url, Literal(UrlFns.SchemePattern)),
+          Concat(Seq(scheme, Literal("://"), host, tidy)))), Some(url))
+      }, "built-in")
   }
 }

@@ -353,4 +353,59 @@ object TextFns {
       .select(col(idCol), col("n_links"), col("link_chars"),
         col("text_chars"), col("link_permille"), col("text"))
   }
+
+  /** The eight stopwords the Gopher quality gate requires (Rae et al.
+    * 2021 §A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** THE GOPHER DOCUMENT-QUALITY HARD GATE (Rae et al. 2021 §A1.1) with
+    * the published thresholds as one boolean decision: 50 ≤ words ≤
+    * 100 000; mean word length in [3, 10] chars; symbol-to-word ratio
+    * ('#' and '...') ≤ 0.1; ≥ 80% of words contain an alphabetic
+    * character; ≥ 2 of the 8 required stopwords present. Words split on
+    * the SAME explicit whitespace class the HTML tier pins (Java `\s`
+    * vs RE2 `\s` diverge on U+000B); every ratio is exact integer
+    * milli/permille arithmetic so the gate bit itself replays
+    * bit-for-bit in the oracle.
+    *
+    * APPENDS the stat columns (`n_words`, `mean_word_len_milli`,
+    * `symbol_permille`, `alpha_word_permille`, `stop_hits`,
+    * `pass_gate`) to the input frame, keeping every existing column —
+    * ONE definition shared by the fixture-pinned q194 row and the
+    * corpus-scale q199 rollup. One codegen'd scalar pass (the staged
+    * `__gg_*` intermediates exist so the word array is computed once
+    * per row, not once per stat), no shuffle: the gate runs before any
+    * shuffle-bearing curation stage at any scale.
+    */
+  def gopherGateFrame(df: DataFrame, textCol: String): DataFrame = {
+    val words = filter(
+      split(col(textCol), HtmlSpacePattern, -1), w => length(w) > 0)
+    df.select(col("*"), words.as("__gg_words"))
+      .select(col("*"),
+        size(col("__gg_words")).cast("long").as("n_words"),
+        arrayChars(col("__gg_words")).as("__gg_chars"),
+        size(filter(col("__gg_words"), w => w.rlike("[a-zA-Z]")))
+          .cast("long").as("__gg_alpha"),
+        size(array_intersect(array_distinct(col("__gg_words")),
+          array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"),
+        (expr(s"length($textCol) - length(replace($textCol, '#', ''))") +
+          expr(s"(length($textCol) - length(replace($textCol, '...', ''))) div 3"))
+          .cast("long").as("__gg_symbols"))
+      .select(col("*"),
+        expr("case when n_words > 0 then (__gg_chars * 1000) div n_words else 0L end")
+          .as("mean_word_len_milli"),
+        expr("case when n_words > 0 then (__gg_symbols * 1000) div n_words else 0L end")
+          .as("symbol_permille"),
+        expr("case when n_words > 0 then (__gg_alpha * 1000) div n_words else 0L end")
+          .as("alpha_word_permille"))
+      .select(col("*"),
+        expr("""cast(n_words between 50 and 100000
+                and mean_word_len_milli between 3000 and 10000
+                and symbol_permille <= 100
+                and alpha_word_permille >= 800
+                and stop_hits >= 2 as long)""").as("pass_gate"))
+      .drop("__gg_words", "__gg_chars", "__gg_alpha", "__gg_symbols")
+  }
 }

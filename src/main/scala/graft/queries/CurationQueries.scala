@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{PiiFns, TextFns}
+import graft.functions.{PiiFns, TextFns, UrlFns}
 
 /** Training-data curation operators: deterministic dataset splits,
   * repetition-based quality signals (Gopher-style), and an end-to-end
@@ -710,45 +710,14 @@ object CurationQueries {
       "q194_gopher_quality",
       (s, _) => {   // same multi-line fixture as q193; dir arg unused
         import s.implicits._
-        // THE GOPHER DOCUMENT-QUALITY HARD GATE (Rae et al. 2021
-        // §A1.1), the published thresholds as one boolean decision:
-        // 50 ≤ words ≤ 100 000; mean word length in [3, 10] chars;
-        // symbol-to-word ratio ('#' and '...') ≤ 0.1; ≥ 80% of words
-        // contain an alphabetic character; ≥ 2 of the 8 required
-        // stopwords present. Words split on the SAME explicit
-        // whitespace class the HTML tier pins (Java \s vs RE2 \s
-        // diverge on U+000B); every ratio is exact integer milli/
-        // permille arithmetic so the gate bit itself replays
-        // bit-for-bit. One codegen'd scalar pass — the gate runs
-        // before any shuffle-bearing curation stage at any scale.
-        val Stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-        val docs = s.read.parquet(GopherFixture.ensure(s))
-        val words = filter(
-          split($"text", TextFns.HtmlSpacePattern, -1), w => length(w) > 0)
-        val staged = docs.select($"doc_id", words.as("words"), $"text")
-          .select($"doc_id",
-            size($"words").cast("long").as("n_words"),
-            TextFns.arrayChars($"words").as("word_chars"),
-            size(filter($"words", w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
-            size(array_intersect(array_distinct($"words"),
-              array(Stop.map(lit): _*))).cast("long").as("stop_hits"),
-            (expr("length(text) - length(replace(text, '#', ''))") +
-              expr("(length(text) - length(replace(text, '...', ''))) div 3"))
-              .cast("long").as("symbols"))
-          .select($"doc_id", $"n_words", $"stop_hits",
-            expr("case when n_words > 0 then (word_chars * 1000) div n_words else 0L end")
-              .as("mean_word_len_milli"),
-            expr("case when n_words > 0 then (symbols * 1000) div n_words else 0L end")
-              .as("symbol_permille"),
-            expr("case when n_words > 0 then (alpha_words * 1000) div n_words else 0L end")
-              .as("alpha_word_permille"))
-        staged.select($"doc_id", $"n_words", $"mean_word_len_milli",
-            $"symbol_permille", $"alpha_word_permille", $"stop_hits",
-            expr("""cast(n_words between 50 and 100000
-                    and mean_word_len_milli between 3000 and 10000
-                    and symbol_permille <= 100
-                    and alpha_word_permille >= 800
-                    and stop_hits >= 2 as long)""").as("pass_gate"))
+        // THE GOPHER DOCUMENT-QUALITY HARD GATE — thresholds, word
+        // splitting, and the exact-integer arithmetic all live in
+        // TextFns.gopherGateFrame, the ONE definition shared with the
+        // corpus-scale q199 rollup. One codegen'd scalar pass; the
+        // gate runs before any shuffle-bearing curation stage.
+        TextFns.gopherGateFrame(s.read.parquet(GopherFixture.ensure(s)), "text")
+          .select($"doc_id", $"n_words", $"mean_word_len_milli",
+            $"symbol_permille", $"alpha_word_permille", $"stop_hits", $"pass_gate")
           .orderBy($"doc_id")
       },
       Some(s"""
@@ -851,7 +820,161 @@ object CurationQueries {
                   + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}')) AS BIGINT) AS residual_pii
         FROM s3
         ORDER BY doc_id"""),
-      doc = "PII redaction (email -> <EMAIL>, IPv4 -> <IP>, phone -> <PHONE>, fixed order) with the redacted text replayed byte-for-byte by the oracle and a residual re-scan column proving no PII survives (tokens can't manufacture new matches); the same shared frame runs unchanged as the streaming ingest-scrub twin.")
+      doc = "PII redaction (email -> <EMAIL>, IPv4 -> <IP>, phone -> <PHONE>, fixed order) with the redacted text replayed byte-for-byte by the oracle and a residual re-scan column proving no PII survives (tokens can't manufacture new matches); the same shared frame runs unchanged as the streaming ingest-scrub twin."),
+
+    Q(
+      "q197_url_canonicalize",
+      (s, _) => {   // UrlFixture; dir arg unused
+        import s.implicits._
+        // URL canonicalization — the crawl-side dedup key computed
+        // before any content hashing. Order, charset, pass-through,
+        // and counting semantics all live in UrlFns (RE2-safe shared
+        // constants; dropped_params counted on the same intermediates
+        // the removal operates on). One codegen'd scalar pass.
+        UrlFns.canonicalFrame(s.read.parquet(UrlFixture.ensure(s)), "doc_id", "url")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, url,
+            REGEXP_MATCHES(url, '${UrlFns.SchemePattern}') AS parseable,
+            LOWER(REGEXP_EXTRACT(url, '${UrlFns.SchemePattern}', 1)) AS scheme,
+            LOWER(REGEXP_EXTRACT(url, '${UrlFns.HostPattern}', 1)) AS hostport,
+            REGEXP_REPLACE(REGEXP_REPLACE(url, '${UrlFns.PrefixPattern}', ''),
+              '${UrlFns.FragmentPattern}', '') AS nofrag
+          FROM read_parquet('${UrlFixture.Root}/*.parquet')),
+        s2 AS (
+          SELECT *,
+            CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(hostport, ':80$$', '')
+                 WHEN scheme = 'https' THEN REGEXP_REPLACE(hostport, ':443$$', '')
+                 ELSE hostport END AS host,
+            CAST(LEN(REGEXP_EXTRACT_ALL(nofrag, '${UrlFns.AmpTrackingPattern}')) AS BIGINT) AS amp_count,
+            REGEXP_REPLACE(nofrag, '${UrlFns.AmpTrackingPattern}', '', 'g') AS noamp
+          FROM base),
+        s3 AS (
+          SELECT *,
+            CAST(LEN(REGEXP_EXTRACT_ALL(noamp, '${UrlFns.LeadTrackingPattern}')) AS BIGINT) AS lead_count,
+            REGEXP_REPLACE(REGEXP_REPLACE(noamp, '${UrlFns.LeadTrackingPattern}', '?', 'g'),
+              '${UrlFns.TrailingQueryPattern}', '') AS tidy
+          FROM s2)
+        SELECT doc_id,
+               CASE WHEN parseable THEN scheme || '://' || host || tidy ELSE url END AS canonical,
+               CASE WHEN parseable THEN amp_count + lead_count ELSE 0 END AS dropped_params,
+               CAST(REGEXP_MATCHES(url, '#') AS BIGINT) AS had_fragment
+        FROM s3
+        ORDER BY doc_id"""),
+      doc = "URL canonicalization (scheme/host lowercase, default-port drop, fragment drop, closed-list tracking-param removal with exact replacement counts, dangling-? tidy, path case preserved, unparseable strings pass through verbatim) over a fixture whose generated rows are four raw variants per logical page plus boundary edges (tracking key inside another param's value, tracking key inside a dropped fragment, authority-only URLs, non-default ports, mailto/empty pass-through): RE2-safe patterns shared verbatim with the DuckDB oracle; one scalar pass, no shuffle."),
+
+    Q(
+      "q198_url_dedup",
+      (s, _) => {   // UrlFixture; dir arg unused
+        import s.implicits._
+        // Canonical-URL dedup — the groupBy this tier exists to feed:
+        // survivor election (min doc_id) and dup count per canonical
+        // key. ONE hash shuffle with map-side combine; output bounded
+        // by the number of duplicated pages, never pairwise.
+        UrlFns.canonicalFrame(s.read.parquet(UrlFixture.ensure(s)), "doc_id", "url")
+          .groupBy($"canonical")
+          .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_dups"))
+          .filter($"n_dups" > 1)
+          .orderBy($"canonical")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, url,
+            REGEXP_MATCHES(url, '${UrlFns.SchemePattern}') AS parseable,
+            LOWER(REGEXP_EXTRACT(url, '${UrlFns.SchemePattern}', 1)) AS scheme,
+            LOWER(REGEXP_EXTRACT(url, '${UrlFns.HostPattern}', 1)) AS hostport,
+            REGEXP_REPLACE(REGEXP_REPLACE(url, '${UrlFns.PrefixPattern}', ''),
+              '${UrlFns.FragmentPattern}', '') AS nofrag
+          FROM read_parquet('${UrlFixture.Root}/*.parquet')),
+        s2 AS (
+          SELECT *,
+            CASE WHEN scheme = 'http' THEN REGEXP_REPLACE(hostport, ':80$$', '')
+                 WHEN scheme = 'https' THEN REGEXP_REPLACE(hostport, ':443$$', '')
+                 ELSE hostport END AS host,
+            REGEXP_REPLACE(nofrag, '${UrlFns.AmpTrackingPattern}', '', 'g') AS noamp
+          FROM base),
+        s3 AS (
+          SELECT *,
+            REGEXP_REPLACE(REGEXP_REPLACE(noamp, '${UrlFns.LeadTrackingPattern}', '?', 'g'),
+              '${UrlFns.TrailingQueryPattern}', '') AS tidy
+          FROM s2),
+        canon AS (
+          SELECT doc_id,
+                 CASE WHEN parseable THEN scheme || '://' || host || tidy ELSE url END AS canonical
+          FROM s3)
+        SELECT canonical, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+        FROM canon
+        GROUP BY canonical
+        HAVING COUNT(*) > 1
+        ORDER BY canonical"""),
+      doc = "Canonical-URL dedup: group by the q197 canonical form, elect the min-doc_id survivor, count duplicates — the generated fixture's four-variant pages collapse to one group each (250 groups of 4); one hash shuffle with map-side combine, output bounded by duplicated pages."),
+
+    Q(
+      "q199_corpus_gate_rollup",
+      (s, d) => {
+        import s.implicits._
+        // The Gopher hard gate at CORPUS scale (the fixture-pinned
+        // q194 proves the arithmetic; this row proves the shape): the
+        // shared gopherGateFrame over the real documents table, rolled
+        // up per language into the curation dashboard every pipeline
+        // publishes — doc counts, pass counts, exact permille pass
+        // rate, word volume. One scalar scan + one tiny hash
+        // aggregation (|langs| groups, map-side combined): the row's
+        // cost scales with the corpus, not the fixture.
+        TextFns.gopherGateFrame(Tables.documents(s, d), "text")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"pass_gate").as("n_pass"),
+            sum($"n_words").as("total_words"))
+          .select($"lang", $"n_docs", $"n_pass",
+            expr("(n_pass * 1000) div n_docs").as("pass_permille"),
+            $"total_words",
+            expr("total_words div n_docs").as("mean_words"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT lang,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
+              w -> LENGTH(w) > 0) AS words,
+            text
+          FROM documents),
+        counted AS (
+          SELECT lang,
+            CAST(LEN(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
+            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(words),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
+            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
+          FROM base),
+        scored AS (
+          SELECT lang, n_words, stop_hits,
+            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mean_word_len_milli,
+            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS symbol_permille,
+            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alpha_word_permille
+          FROM counted),
+        gated AS (
+          SELECT lang, n_words,
+            CAST(n_words BETWEEN 50 AND 100000
+                 AND mean_word_len_milli BETWEEN 3000 AND 10000
+                 AND symbol_permille <= 100
+                 AND alpha_word_permille >= 800
+                 AND stop_hits >= 2 AS BIGINT) AS pass_gate
+          FROM scored)
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(pass_gate) AS BIGINT) AS n_pass,
+               (CAST(SUM(pass_gate) AS BIGINT) * 1000) // COUNT(*) AS pass_permille,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(SUM(n_words) AS BIGINT) // COUNT(*) AS mean_words
+        FROM gated
+        GROUP BY lang
+        ORDER BY lang"""),
+      doc = "The Gopher hard gate rolled up at corpus scale: the shared gopherGateFrame over the real documents table, per-language doc/pass counts, exact integral permille pass rate, and word volume — one scalar scan plus one |langs|-group map-side-combined aggregation, so the row's cost scales with the corpus rather than a fixture; every number replayed by the oracle including the gate bits inside the sums.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -961,6 +1084,51 @@ object CurationQueries {
           (2012L, "trailing-dot email user@example.com. ends the sentence"),
           (2013L, "tab\t+7654321\u000Bnext to a vertical tab"))
         (main ++ edges).toDF("doc_id", "text").coalesce(2)
+          .write.mode("overwrite").parquet(Root)
+        built = true
+      }
+      Root
+    }
+  }
+  /** Deterministic corpus for the URL canonicalization tier: 1 000
+    * generated rows as FOUR raw variants per logical page (plain /
+    * upper-case-with-default-port / utm-tagged / mixed-case-with-
+    * fragment -- all four canonicalize identically, so q198 sees exactly
+    * 250 groups of 4), plus edge docs pinning every rule: path case
+    * preservation, non-default ports kept, tracking keys in another
+    * param's value or in a dropped fragment, authority-only URLs,
+    * non-http(s) schemes, mailto/empty pass-through, and a dangling-?
+    * tidy.
+    */
+  object UrlFixture {
+    val Root = "/root/repo/target/url_fixture"
+    private def variant(p: Int, v: Int): String = v match {
+      case 0 => s"https://www.site$p.example.com/p/$p?a=$p"
+      case 1 => s"HTTPS://WWW.SITE$p.EXAMPLE.COM:443/p/$p?a=$p"
+      case 2 => s"https://www.site$p.example.com/p/$p?utm_source=gen&a=$p"
+      case _ => s"https://Www.Site$p.Example.Com/p/$p?a=$p#sec$p"
+    }
+    @volatile private var built = false
+    private val lock = new Object
+    def ensure(s: SparkSession): String = lock.synchronized {
+      if (!built) {
+        import s.implicits._
+        val main = (0 until 1000).map(i => (i.toLong, variant(i % 250, i / 250)))
+        val edges = Seq(
+          (5000L, ""),
+          (5001L, "HTTPS://WWW.EXAMPLE.COM:443/Path/TO/x?utm_source=tw&id=9#frag"),
+          (5002L, "http://example.com:80/"),
+          (5003L, "http://example.com:8080/a"),
+          (5004L, "https://example.com/a?utm_a=1&utm_b=2&fbclid=x"),
+          (5005L, "https://example.com/a?utm_a=1&b=2&gclid=z&c=3"),
+          (5006L, "mailto:user@example.com"),
+          (5007L, "ftp://Host.Com/File"),
+          (5008L, "https://example.com/#"),
+          (5009L, "https://example.com/x#utm_source=feed"),
+          (5010L, "https://EXAMPLE.com:443"),
+          (5011L, "https://example.com/search?q=utm_source%3D1"),
+          (5012L, "HtTp://MiXeD.CaSe.Org:80/KeepCase?utm_source=a#f"))
+        (main ++ edges).toDF("doc_id", "url").coalesce(2)
           .write.mode("overwrite").parquet(Root)
         built = true
       }

@@ -87,6 +87,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select(graft.functions.PiiFns.redact($"t")).head().getString(0)
     assert(pSql == pCol &&
       pSql == "mail <EMAIL> ip <IP> tel <PHONE> and <EMAIL>")
+    // url_canonical: SQL registration == Column API on the
+    // everything-at-once fixture edge (case, default port, tracking
+    // param, fragment)
+    val uurl = "HtTp://MiXeD.CaSe.Org:80/KeepCase?utm_source=a#f"
+    val uSql = spark.sql(s"SELECT url_canonical('$uurl')").head().getString(0)
+    val uCol = graft.functions.UrlFns
+      .canonicalFrame(Seq((1L, uurl)).toDF("id", "url"), "id", "url")
+      .head().getString(1)
+    assert(uSql == uCol && uSql == "http://mixed.case.org/KeepCase")
   }
 
   test("events view carries the normalized timestamp (SQL == DataFrame surface)") {

@@ -850,6 +850,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming canonical-URL dedup state (complete mode) EQUALS batch q198 on a mid-group split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // ten 4-variant pages plus every edge doc; chunks split INSIDE the
+    // variant groups so the canonical-count state must merge across
+    // micro-batches — the stateful half of the URL tier (the scalar
+    // canonicalization itself is covered by the PII/html twin shape)
+    val fixture = spark.read
+      .parquet(graft.queries.CurationQueries.UrlFixture.ensure(spark))
+      .filter($"doc_id" % 250L < 10L || $"doc_id" >= 5000L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 53, s"expected 40 variant docs + 13 edges, got ${fixture.size}")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.functions.UrlFns
+      .canonicalFrame(input.toDS().toDF("doc_id", "url"), "doc_id", "url")
+      .groupBy($"canonical")
+      .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_dups"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("url_dedup_state").start()
+    try {
+      // split at 25: every generated page has variants on both sides
+      val (chunk1, chunk2) = fixture.splitAt(25)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = toSet(spark.table("url_dedup_state"))
+      val batch = toSet(graft.functions.UrlFns
+        .canonicalFrame(fixture.toDF("doc_id", "url"), "doc_id", "url")
+        .groupBy($"canonical")
+        .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_dups")))
+      assert(batch.count(_._3 == 4L) == 10, "ten collapsed 4-variant groups expected")
+      assert(got == batch,
+        s"streaming canonical-dedup state diverged from batch: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming BM25 ingest (foreachBatch stage-to-lake + append) EQUALS a batch-built index: postings, scalars, retrieval") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

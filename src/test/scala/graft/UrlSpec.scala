@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.UrlFns
+import graft.queries.CurationQueries.UrlFixture
+
+/** URL canonicalization tier: hand-computed canonical forms for every
+  * fixture edge, the q198 group structure, and idempotence (a
+  * canonicalizer applied to its own output must be the identity).
+  */
+class UrlSpec extends AnyFunSuite {
+  implicit lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private lazy val frame = {
+    import spark.implicits._
+    UrlFns.canonicalFrame(
+      spark.read.parquet(UrlFixture.ensure(spark)), "doc_id", "url").cache()
+  }
+
+  test("hand-computed canonical forms pin every rule on the edge docs") {
+    import spark.implicits._
+    val rows = frame.filter($"doc_id" >= 5000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = Map(
+      5000L -> (("", 0L, 0L)),                                   // empty pass-through
+      5001L -> (("https://www.example.com/Path/TO/x?id=9", 1L, 1L)), // path case kept
+      5002L -> (("http://example.com/", 0L, 0L)),                // :80 dropped, slash kept
+      5003L -> (("http://example.com:8080/a", 0L, 0L)),          // non-default port kept
+      5004L -> (("https://example.com/a", 3L, 0L)),              // all params tracking -> ? tidied
+      5005L -> (("https://example.com/a?b=2&c=3", 2L, 0L)),      // mixed positions
+      5006L -> (("mailto:user@example.com", 0L, 0L)),            // non-URL pass-through
+      5007L -> (("ftp://host.com/File", 0L, 0L)),                // host lower, port rule http(s)-only
+      5008L -> (("https://example.com/", 0L, 1L)),               // bare-# fragment
+      5009L -> (("https://example.com/x", 0L, 1L)),              // tracking key inside fragment: not counted
+      5010L -> (("https://example.com", 0L, 0L)),                // authority-only, :443 dropped
+      5011L -> (("https://example.com/search?q=utm_source%3D1", 0L, 0L)), // key in a VALUE: kept
+      5012L -> (("http://mixed.case.org/KeepCase", 1L, 1L)))     // everything at once
+    expected.foreach { case (id, exp) =>
+      assert(rows(id) == exp, s"doc $id: got ${rows(id)}, want $exp")
+    }
+  }
+
+  test("the four generated variants collapse: q198 sees 250 groups of 4 with min-id survivors") {
+    import spark.implicits._
+    val groups = SparkEntry.queries("q198_url_dedup")(spark, "unused").collect()
+    assert(groups.length == 250)
+    assert(groups.forall(_.getLong(2) == 4L), "every page has exactly 4 raw variants")
+    // variants of page p are docs p, p+250, p+500, p+750 -> survivor p
+    assert(groups.map(_.getLong(1)).sorted.toSeq == (0L until 250L))
+    assert(groups.forall(r => r.getString(0) ==
+      s"https://www.site${r.getLong(1)}.example.com/p/${r.getLong(1)}?a=${r.getLong(1)}"))
+  }
+
+  test("canonicalization is idempotent over the entire fixture") {
+    import spark.implicits._
+    val once = frame.select($"doc_id", $"canonical".as("url"))
+    val twice = UrlFns.canonicalFrame(once, "doc_id", "url")
+    assert(twice.filter($"dropped_params" =!= 0L).count() == 0L)
+    val diff = twice.select($"doc_id", $"canonical".as("again"))
+      .join(once, "doc_id")
+      .filter($"again" =!= $"url")
+    assert(diff.count() == 0L, s"non-idempotent: ${diff.take(3).mkString(", ")}")
+  }
+}
