@@ -177,16 +177,20 @@ object GraftFunctions {
         def rep(e: Expression, p: String, r: String): Expression =
           RegExpReplace(e, Literal(p), Literal(r))
         val scheme = Lower(RegExpExtract(url, Literal(UrlFns.SchemePattern), Literal(1)))
-        val hostPort = Lower(RegExpExtract(url, Literal(UrlFns.HostPattern), Literal(1)))
+        val auth = RegExpExtract(url, Literal(UrlFns.HostPattern), Literal(1))
+        val userinfo = RegExpExtract(auth, Literal(UrlFns.UserinfoPattern), Literal(1))
+        val hostPort = Lower(rep(auth, UrlFns.UserinfoStripPattern, ""))
         val host = CaseWhen(Seq(
           (EqualTo(scheme, Literal("http")), rep(hostPort, ":80$", "")),
           (EqualTo(scheme, Literal("https")), rep(hostPort, ":443$", ""))),
           Some(hostPort))
+        val authority = CaseWhen(Seq((RLike(auth, Literal(UrlFns.UserinfoPattern)),
+          Concat(Seq(userinfo, Literal("@"), host)))), Some(host))
         val tidy = rep(rep(rep(rep(rep(url, UrlFns.PrefixPattern, ""),
           UrlFns.FragmentPattern, ""), UrlFns.AmpTrackingPattern, ""),
           UrlFns.LeadTrackingPattern, "?"), UrlFns.TrailingQueryPattern, "")
         CaseWhen(Seq((RLike(url, Literal(UrlFns.SchemePattern)),
-          Concat(Seq(scheme, Literal("://"), host, tidy)))), Some(url))
+          Concat(Seq(scheme, Literal("://"), authority, tidy)))), Some(url))
       }, "built-in")
   }
 }

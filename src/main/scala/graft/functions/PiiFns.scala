@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Scan/redact order is FIXED and counts are taken on the progressively
   * redacted text: emails on the raw text, IPv4 on the email-redacted
-  * text, phones on the IP-redacted text. This makes each count equal
-  * the number of replacements its stage performs — an E.164-looking
-  * email local part (`+1234567@relay.example.org`) is counted once, as
-  * an email, never again as a phone (fixture doc 2009 pins it).
+  * text, phones on the IP-redacted text, SSN shapes on the
+  * phone-redacted text. This makes each count equal the number of
+  * replacements its stage performs — an E.164-looking email local part
+  * (`+1234567@relay.example.org`) is counted once, as an email, never
+  * again as a phone (fixture doc 2009 pins it).
   * Replacement tokens contain no digits or `@`, so a redaction can
   * never manufacture a new match; the residual scan over the fully
   * redacted text is 0 by construction and is emitted as an
@@ -56,9 +57,14 @@ object PiiFns {
   val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   /** `+`-prefixed E.164 (7–15 digits) or `\b`-anchored NANP 3-3-4 with
-    * a dash/dot/space separator.
+    * a dash/dot/space separator. Disjoint from the SSN shape by the
+    * middle-group width (3 vs 2 digits), so stage order between them
+    * can never flip an assignment (fixture doc 2014 pins both).
     */
   val PhonePattern = "\\+[0-9]{7,15}|\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** `\b`-anchored SSN shape (3-2-4, dashes only). */
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
   /** Replacement tokens: no digits, no `@`, no regex metacharacters in
     * either the pattern or replacement position of either engine.
@@ -66,16 +72,18 @@ object PiiFns {
   val EmailToken = "<EMAIL>"
   val IpToken = "<IP>"
   val PhoneToken = "<PHONE>"
+  val SsnToken = "<SSN>"
 
   /** (pattern, token) stages in the fixed scan/redact order. */
   val Stages: Seq[(String, String)] = Seq(
-    EmailPattern -> EmailToken, Ipv4Pattern -> IpToken, PhonePattern -> PhoneToken)
+    EmailPattern -> EmailToken, Ipv4Pattern -> IpToken,
+    PhonePattern -> PhoneToken, SsnPattern -> SsnToken)
 
   /** Whole-match occurrence count of one pattern. */
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
-  /** Text with all three stages applied in order. */
+  /** Text with all four stages applied in order. */
   def redact(text: Column): Column =
     Stages.foldLeft(text) { case (c, (p, t)) => regexp_replace(c, p, t) }
 
@@ -91,15 +99,17 @@ object PiiFns {
     val raw = col(textCol)
     val noEmail = regexp_replace(raw, EmailPattern, EmailToken)
     val noIp = regexp_replace(noEmail, Ipv4Pattern, IpToken)
-    val redacted = regexp_replace(noIp, PhonePattern, PhoneToken)
+    val noPhone = regexp_replace(noIp, PhonePattern, PhoneToken)
+    val redacted = regexp_replace(noPhone, SsnPattern, SsnToken)
     df.select(
         col(idCol),
         matchCount(raw, EmailPattern).as("email_count"),
         matchCount(noEmail, Ipv4Pattern).as("ip_count"),
         matchCount(noIp, PhonePattern).as("phone_count"),
+        matchCount(noPhone, SsnPattern).as("ssn_count"),
         redacted.as("redacted"))
       .withColumn("pii_total",
-        col("email_count") + col("ip_count") + col("phone_count"))
+        col("email_count") + col("ip_count") + col("phone_count") + col("ssn_count"))
       .withColumn("has_pii", (col("pii_total") > 0).cast("long"))
       .withColumn("residual_pii",
         Stages.map { case (p, _) => matchCount(col("redacted"), p) }

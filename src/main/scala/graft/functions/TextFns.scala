@@ -179,23 +179,11 @@ object TextFns {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** PII patterns, deliberately RE2-safe (no backreferences/lookaround)
-    * so the DuckDB oracle can run the IDENTICAL regex strings.
-    */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val SsnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-
-  /** Redact emails, IPv4 addresses, and SSN-shaped ids with placeholder
-    * tokens, in that fixed order (mirrored verbatim in the q53 oracle).
-    */
-  def redactPii(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
-      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), SsnPattern, "<SSN>")
-
-  /** Per-class PII hit count for one of the patterns above. */
-  def piiCount(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+  // PII patterns and the scrub chain live in PiiFns — the single
+  // authority since the round-12 unification (q53 routes through
+  // PiiFns.piiFrame; the q53-era EmailPattern/Ipv4Pattern/SsnPattern
+  // trio that used to live here was a second pattern set waiting to
+  // drift).
 
   /** HTML → text extraction, the step every web-crawl corpus runs
     * before any other curation. Regex-based and deliberately RE2-safe
@@ -276,14 +264,6 @@ object TextFns {
   def htmlLinkPermille(linkCharsCol: String, textCharsCol: String): Column =
     expr(s"case when $textCharsCol > 0 then ($linkCharsCol * 1000) div $textCharsCol else 0L end")
 
-  /** The full extraction frame over a `(id, html)` relation — text,
-    * anchor count, anchor chars, text chars, integral-permille link
-    * density. ONE definition shared by the batch q191 row and the
-    * streaming crawl-ingest twin: every column is a stateless per-row
-    * scalar, so the same transform runs unchanged in append-mode
-    * Structured Streaming (StreamingSpec pins batch == streaming
-    * exactly on the q191 fixture edge docs).
-    */
   /** Gopher/MassiveText repetition signals (Rae et al. 2021 §A1.1),
     * line/paragraph-structural — the COMPLEMENT of the word-level
     * duplicate-word / top-bigram stats in q38. Definitional choices,
@@ -342,6 +322,14 @@ object TextFns {
     size(filter(lines, x =>
       (length(x) >= 3) && (x.substr(length(x) - 2, lit(3)) === "..."))).cast("long")
 
+  /** The full extraction frame over a `(id, html)` relation — text,
+    * anchor count, anchor chars, text chars, integral-permille link
+    * density. ONE definition shared by the batch q191 row and the
+    * streaming crawl-ingest twin: every column is a stateless per-row
+    * scalar, so the same transform runs unchanged in append-mode
+    * Structured Streaming (StreamingSpec pins batch == streaming
+    * exactly on the q191 fixture edge docs).
+    */
   def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val h = col(htmlCol)
     df.select(col(idCol),
@@ -370,6 +358,13 @@ object TextFns {
     * milli/permille arithmetic so the gate bit itself replays
     * bit-for-bit in the oracle.
     *
+    * Tokenizer pin (the paper publishes thresholds, not a tokenizer —
+    * this implementation pins one and the oracle replays it): words are
+    * raw whitespace tokens; the stopword test lowercases them (ASCII
+    * corpus-safe in both engines — sentence-initial "The" counts), but
+    * attached punctuation is NOT stripped, so "with," is not a stopword
+    * hit (GopherFixture doc 1011 pins both decisions).
+    *
     * APPENDS the stat columns (`n_words`, `mean_word_len_milli`,
     * `symbol_permille`, `alpha_word_permille`, `stop_hits`,
     * `pass_gate`) to the input frame, keeping every existing column —
@@ -388,7 +383,8 @@ object TextFns {
         arrayChars(col("__gg_words")).as("__gg_chars"),
         size(filter(col("__gg_words"), w => w.rlike("[a-zA-Z]")))
           .cast("long").as("__gg_alpha"),
-        size(array_intersect(array_distinct(col("__gg_words")),
+        size(array_intersect(
+          array_distinct(transform(col("__gg_words"), w => lower(w))),
           array(GopherStopwords.map(lit): _*))).cast("long").as("stop_hits"),
         (expr(s"length($textCol) - length(replace($textCol, '#', ''))") +
           expr(s"(length($textCol) - length(replace($textCol, '...', ''))) div 3"))

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *
   * Canonical form, applied in a FIXED order mirrored in the oracle:
   *   1. scheme lowercased;
-  *   2. host (with port) lowercased — path/query case is PRESERVED
-  *      (paths are case-sensitive per RFC 3986; only scheme and host
-  *      are defined case-insensitive);
+  *   2. host (with port) lowercased — userinfo (the part before `@` in
+  *      the authority) and path/query case are PRESERVED (both are
+  *      case-sensitive per RFC 3986; only scheme and host are defined
+  *      case-insensitive);
   *   3. default port dropped (`:80` for http, `:443` for https; other
   *      schemes' ports untouched, non-default ports kept);
   *   4. fragment dropped (never sent to the server);
@@ -43,10 +44,18 @@ object UrlFns {
   /** `scheme://` prefix; group 1 is the scheme (RFC 3986 charset). */
   val SchemePattern = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
-  /** Group 1 is the authority (host[:port]) — everything between the
-    * `://` and the first `/`, `?`, or `#`.
+  /** Group 1 is the authority ([userinfo@]host[:port]) — everything
+    * between the `://` and the first `/`, `?`, or `#`.
     */
   val HostPattern = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+  /** Userinfo prefix of the authority (up to the first `@`), group 1 —
+    * kept verbatim while the host lowercases.
+    */
+  val UserinfoPattern = "^([^@]*)@"
+
+  /** The same prefix, for removal (leaving host[:port]). */
+  val UserinfoStripPattern = "^[^@]*@"
 
   /** Matches the scheme+authority prefix, for removal (the remainder
     * is path + query + fragment).
@@ -82,10 +91,14 @@ object UrlFns {
   def canonicalFrame(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val url = col(urlCol)
     val scheme = lower(regexp_extract(url, SchemePattern, 1))
-    val hostPort = lower(regexp_extract(url, HostPattern, 1))
+    val auth = regexp_extract(url, HostPattern, 1)
+    val userinfo = regexp_extract(auth, UserinfoPattern, 1)
+    val hostPort = lower(regexp_replace(auth, UserinfoStripPattern, ""))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
+    val authority = when(auth.rlike(UserinfoPattern),
+      concat(userinfo, lit("@"), host)).otherwise(host)
     val rest = regexp_replace(url, PrefixPattern, "")
     val noFrag = regexp_replace(rest, FragmentPattern, "")
     val ampCount = size(regexp_extract_all(noFrag, lit(AmpTrackingPattern), lit(0))).cast("long")
@@ -96,7 +109,7 @@ object UrlFns {
     val parseable = url.rlike(SchemePattern)
     df.select(
       col(idCol),
-      when(parseable, concat(scheme, lit("://"), host, tidy))
+      when(parseable, concat(scheme, lit("://"), authority, tidy))
         .otherwise(url).as("canonical"),
       when(parseable, ampCount + leadCount).otherwise(lit(0L)).as("dropped_params"),
       url.rlike("#").cast("long").as("had_fragment"))

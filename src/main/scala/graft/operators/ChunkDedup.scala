@@ -208,21 +208,28 @@ object ChunkDedup {
     * OTHER document — the per-doc quality signal a curation gate
     * thresholds on (a doc that is mostly repeated passages is
     * boilerplate even if no single whole-doc duplicate exists).
-    * Documents with zero shared chunks keep a zero row, so the profile
-    * covers every chunked doc, not just the offenders. Plan: one
-    * aggregation on chunk_hash, one join back co-partitioned on the
-    * same key (no extra exchange on the chunk side), one final
-    * aggregation on doc_id — never a broadcast assumption about the
-    * duplicated-mass volume, which at corpus scale is unbounded.
+    * `n_chunks`/`total_chars` cover ALL of the doc's chunks; sharing is
+    * assessed only on chunks ≥ minChunkLen (the same floor stripShared
+    * enforces — sub-floor chunks can never be shared mass, but they ARE
+    * the doc's mass, so q188.total_chars == q189.total_chars for every
+    * doc and a doc whose chunks are all short keeps its zero row rather
+    * than vanishing from the profile). Documents with zero shared
+    * chunks keep a zero row, so the profile covers every chunked doc,
+    * not just the offenders. Plan: one aggregation on chunk_hash over
+    * the eligible subset, one left join back co-partitioned on the same
+    * key, one final aggregation on doc_id — never a broadcast
+    * assumption about the duplicated-mass volume, which at corpus scale
+    * is unbounded. (An ineligible chunk can never hash-join an eligible
+    * count row: identical content implies identical length.)
     */
   def duplicatedMass(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
-    val hashed = chunks
-      .filter(length(col("chunk")) >= minChunkLen)
+    val base = chunks
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
         length(col("chunk")).cast("long").as("len"))
-    val counts = hashed.groupBy(col("chunk_hash"))
+    val counts = base.filter(col("len") >= minChunkLen)
+      .groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    hashed.join(counts, "chunk_hash")
+    base.join(counts, Seq("chunk_hash"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -104,11 +104,16 @@ object NgramLm {
     * doc ids): the corpora must be disjoint, or overlapping docs
     * double-count; dedup upstream (q20/q187) is the guard.
     */
-  def merge(a: Model, b: Model): Model = {
-    val uni = a.unigrams.unionByName(b.unigrams)
-      .groupBy(col("token")).agg(sum(col("c1")).as("c1"))
-    val bi = a.bigrams.unionByName(b.bigrams)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+  def merge(a: Model, b: Model,
+            prepare: DataFrame => DataFrame = identity): Model = {
+    // prepare is train's storage hook applied to the MERGED tables
+    // before the vocab action — without it, the V count() and every
+    // downstream score join re-run both inputs' union+aggregate lineage
+    // on each batch fold. The caller owns release, as with train.
+    val uni = prepare(a.unigrams.unionByName(b.unigrams)
+      .groupBy(col("token")).agg(sum(col("c1")).as("c1")))
+    val bi = prepare(a.bigrams.unionByName(b.bigrams)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12")))
     Model(uni, bi, uni.count())
   }
 

@@ -22,6 +22,21 @@ import graft.functions.VectorFns
   */
 object SimSearch {
 
+  /** The embedding dimension: the caller's override, else probed from
+    * the first corpus row. Loud on an empty corpus — a bare head()
+    * would die with NoSuchElementException and no hint that the dim
+    * probe is the cause (a filtered-to-empty batch in an incremental
+    * pipeline is the realistic trigger).
+    */
+  private def inferDim(corpus: DataFrame, dimOverride: Int): Int =
+    if (dimOverride > 0) dimOverride
+    else {
+      val first = corpus.select(size(col("embedding"))).limit(1).collect()
+      require(first.nonEmpty,
+        "cannot infer the embedding dimension from an empty corpus; pass dimOverride")
+      first(0).getInt(0)
+    }
+
   /** Exact top-k cosine neighbors for each query row. `queries` should be
     * broadcast-small; the corpus is scanned once.
     * Returns (query_id, neighbor_id, cosine, rk) with deterministic
@@ -78,9 +93,7 @@ object SimSearch {
     // hyperplanes must span the FULL vector: a too-short plane would
     // silently sign only a prefix (ArrayDot stops at min length) and
     // quietly wreck recall — infer the dimension from the data.
-    val dim =
-      if (dimOverride > 0) dimOverride
-      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val dim = inferDim(corpus, dimOverride)
     val unit = corpus.select(col("vec_id"),
       VectorFns.unitVector(col("embedding")).as("uv"))
     val sigCols = (0 until bands).map { bd =>
@@ -130,9 +143,7 @@ object SimSearch {
     * whole-stage codegen with no lookup tables at all.
     */
   def signPack(corpus: DataFrame, dimOverride: Int = -1): DataFrame = {
-    val dim =
-      if (dimOverride > 0) dimOverride
-      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val dim = inferDim(corpus, dimOverride)
     val nwords = (dim + 31) / 32
     corpus.select(col("vec_id"), expr(
       s"""transform(sequence(0, ${nwords - 1}), w ->
@@ -165,9 +176,7 @@ object SimSearch {
     // to it: two independent probes would cost a duplicate job and
     // could disagree on ragged inputs, silently nulling distances
     // through zip_with padding
-    val dim =
-      if (dimOverride > 0) dimOverride
-      else corpus.select(size(col("embedding"))).head().getInt(0)
+    val dim = inferDim(corpus, dimOverride)
     val c = signPack(corpus, dim)
       .select(col("vec_id").as("neighbor_id"), col("sig").as("csig"))
     val q = signPack(queries, dim)

@@ -445,27 +445,32 @@ object DedupQueries {
         // space: how many of each doc's chunks (and characters) also
         // appear in some OTHER document — the curation gate's quality
         // signal (a doc that is mostly repeated passages is boilerplate
-        // even when no single whole-doc duplicate exists). Zero rows are
-        // kept, so the profile covers every chunked doc. Plan: one agg
-        // on chunk_hash + one join back co-partitioned on the same key
-        // + one final agg on doc_id — no broadcast assumption about the
-        // duplicated-mass volume, which at corpus scale is unbounded.
+        // even when no single whole-doc duplicate exists). Totals cover
+        // ALL chunks (== q189's total_chars); sharing is assessed on
+        // the >=16-char subset, and zero rows are kept, so the profile
+        // covers every chunked doc. Plan: one agg on chunk_hash + one
+        // left join back co-partitioned on the same key + one final agg
+        // on doc_id — no broadcast assumption about the duplicated-mass
+        // volume, which at corpus scale is unbounded.
         graft.operators.ChunkDedup.duplicatedMass(
           graft.operators.ChunkDedup.cdcChunks(Tables.documents(s, d), "doc_id", "text"))
           .orderBy(col("doc_id"))
       },
       Some(s"""
         $cdcHashedChunksCte,
-        counts AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY 1)
+        counts AS (SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY 1),
+        base AS (SELECT doc_id, MD5(chunk) AS chunk_hash,
+                        CAST(LENGTH(chunk) AS BIGINT) AS len
+                 FROM chunks)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
                CAST(SUM(len) AS BIGINT) AS total_chars,
                CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
                CAST(SUM(CASE WHEN nd >= 2 THEN len ELSE 0 END) AS BIGINT) AS shared_chars
-        FROM hashed JOIN counts USING (chunk_hash)
+        FROM base LEFT JOIN counts USING (chunk_hash)
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      doc = "Per-document duplicated-mass profile over the CDC chunk space (chunks and characters also present in another document): the boilerplate-fraction quality gate; zero-share docs keep explicit zero rows so the profile covers the whole corpus."),
+      doc = "Per-document duplicated-mass profile over the CDC chunk space (chunks and characters also present in another document): the boilerplate-fraction quality gate; totals cover all chunks so they agree with q189's accounting, sharing is assessed on the >=16-char subset, and zero-share docs keep explicit zero rows so the profile covers the whole corpus."),
 
     Q(
       "q189_chunk_strip",

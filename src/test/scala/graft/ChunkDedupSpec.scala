@@ -210,11 +210,23 @@ class ChunkDedupSpec extends AnyFunSuite {
     val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
     val mass = ChunkDedup.duplicatedMass(chunks).collect()
       .map(r => r.getLong(0) -> r).toMap
-    // every doc with >=1 chunk of >=16 chars has a row; empty doc has none
-    val chunked = chunks.filter(length($"chunk") >= 16)
-      .select($"doc_id").distinct().as[Long].collect().toSet
+    // every doc with >=1 chunk has a row (even all-short docs); the
+    // empty doc (zero chunks) has none
+    val chunked = chunks.select($"doc_id").distinct().as[Long].collect().toSet
     assert(mass.keySet == chunked)
     assert(!mass.contains(5L))
+    // doc 6 ("short", one sub-floor chunk): kept as a zero-share row
+    // with its full mass counted, not silently dropped
+    assert(mass(6L).getAs[Long]("n_shared_chunks") == 0L &&
+      mass(6L).getAs[Long]("total_chars") == 5L &&
+      mass(6L).getAs[Long]("n_chunks") == 1L)
+    // totals agree with stripShared's accounting for EVERY doc
+    val stripTotals = ChunkDedup.stripShared(chunks)
+      .select($"doc_id", $"total_chars").as[(Long, Long)].collect().toMap
+    mass.foreach { case (d, r) =>
+      assert(r.getAs[Long]("total_chars") == stripTotals(d),
+        s"doc $d: q188 total ${r.getAs[Long]("total_chars")} != q189 total ${stripTotals(d)}")
+    }
     // doc 4: fully distinct, zero shared
     assert(mass(4L).getAs[Long]("n_shared_chunks") == 0L)
     assert(mass(4L).getAs[Long]("shared_chars") == 0L)

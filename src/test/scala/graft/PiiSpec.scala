@@ -22,24 +22,25 @@ class PiiSpec extends AnyFunSuite {
   test("hand-computed counts on the edge docs pin every boundary decision") {
     import spark.implicits._
     val counts = frame
-      .select($"doc_id", $"email_count", $"ip_count", $"phone_count")
+      .select($"doc_id", $"email_count", $"ip_count", $"phone_count", $"ssn_count")
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val expected = Map(
-      2000L -> ((0L, 0L, 0L)), // empty doc
-      2001L -> ((0L, 0L, 0L)), // missing domain dot / missing TLD
-      2002L -> ((1L, 0L, 0L)), // multi-dot host is ONE email
-      2003L -> ((0L, 1L, 0L)), // octets not range-checked (published-regex fidelity)
-      2004L -> ((0L, 1L, 0L)), // 1.2.3 misses; 1.2.3.4.5 matches first four
-      2005L -> ((0L, 0L, 0L)), // v1.2.3.4: no \b between 'v' and '1'
-      2006L -> ((0L, 0L, 2L)), // 6 digits too short; 7 ok; 16 caps at 15
-      2007L -> ((0L, 0L, 3L)), // all three NANP separators (-, ., space)
-      2008L -> ((0L, 1L, 0L)), // IP-literal email host -> IP stage
-      2009L -> ((1L, 0L, 0L)), // E.164-looking local part: email ONLY (order pin)
-      2010L -> ((1L, 1L, 1L)), // one of each
-      2011L -> ((0L, 0L, 0L)), // already-redacted tokens count zero
-      2012L -> ((1L, 0L, 0L)), // trailing sentence dot excluded from match
-      2013L -> ((0L, 0L, 1L)))  // tab/VT-adjacent E.164 still matches
+      2000L -> ((0L, 0L, 0L, 0L)), // empty doc
+      2001L -> ((0L, 0L, 0L, 0L)), // missing domain dot / missing TLD
+      2002L -> ((1L, 0L, 0L, 0L)), // multi-dot host is ONE email
+      2003L -> ((0L, 1L, 0L, 0L)), // octets not range-checked (published-regex fidelity)
+      2004L -> ((0L, 1L, 0L, 0L)), // 1.2.3 misses; 1.2.3.4.5 matches first four
+      2005L -> ((0L, 0L, 0L, 0L)), // v1.2.3.4: no \b between 'v' and '1'
+      2006L -> ((0L, 0L, 2L, 0L)), // 6 digits too short; 7 ok; 16 caps at 15
+      2007L -> ((0L, 0L, 3L, 0L)), // all three NANP separators (-, ., space)
+      2008L -> ((0L, 1L, 0L, 0L)), // IP-literal email host -> IP stage
+      2009L -> ((1L, 0L, 0L, 0L)), // E.164-looking local part: email ONLY (order pin)
+      2010L -> ((1L, 1L, 1L, 0L)), // one each of the original three
+      2011L -> ((0L, 0L, 0L, 0L)), // already-redacted tokens count zero
+      2012L -> ((1L, 0L, 0L, 0L)), // trailing sentence dot excluded from match
+      2013L -> ((0L, 0L, 1L, 0L)), // tab/VT-adjacent E.164 still matches
+      2014L -> ((0L, 0L, 1L, 1L)))  // 3-2-4 SSN vs 3-3-4 phone never collide
     expected.foreach { case (id, exp) =>
       assert(counts(id) == exp, s"doc $id: got ${counts(id)}, want $exp")
     }
@@ -66,9 +67,10 @@ class PiiSpec extends AnyFunSuite {
     // and the planted cycles actually planted: a fixture where nothing
     // matches would vacuously pass everything above
     val totals = full.selectExpr("sum(email_count)", "sum(ip_count)",
-      "sum(phone_count)").collect()(0)
+      "sum(phone_count)", "sum(ssn_count)").collect()(0)
     assert(totals.getLong(0) >= 200L && totals.getLong(1) >= 100L &&
-      totals.getLong(2) >= 150L, s"planted volume too low: $totals")
+      totals.getLong(2) >= 150L && totals.getLong(3) >= 60L,
+      s"planted volume too low: $totals")
   }
 
   test("runs distributed over the documents corpus; prose carries no false hits") {

@@ -47,6 +47,18 @@ class SimSearchSpec extends AnyFunSuite {
     assert(widths == Seq(2))
   }
 
+  test("empty-corpus dim probe fails loudly, not with a bare head() error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.hammingTopK(empty, queries, 5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    // with the override the empty side is legal (zero result rows)
+    assert(SimSearch.hammingTopK(empty, queries, 5, dimOverride = 2).count() == 0L)
+  }
+
   test("hammingTopK retrieves a planted duplicate at distance 0, rank 1") {
     import spark.implicits._
     val corpus = Tables.embeddings(spark, sf)

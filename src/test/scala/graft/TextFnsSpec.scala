@@ -44,22 +44,22 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got == "hello world 42")
   }
 
-  test("redactPii scrubs emails/IPv4s/SSNs with placeholders and counts each class") {
+  test("piiFrame scrubs emails/IPv4s/SSNs with placeholders and counts each class") {
     import spark.implicits._
+    // the q53-era hand case, now through the single PiiFns authority
     val text = "mail bob.smith+x@corp.example.org from 192.168.1.254 ssn 123-45-6789 " +
       "and a@b.io again; not-pii: 1.2.3 (three octets), 12-34-5678 (wrong shape)"
-    val row = Seq(text).toDF("t")
-      .select(TextFns.redactPii($"t").as("r"),
-        TextFns.piiCount($"t", TextFns.EmailPattern).as("e"),
-        TextFns.piiCount($"t", TextFns.Ipv4Pattern).as("i"),
-        TextFns.piiCount($"t", TextFns.SsnPattern).as("s"))
+    val row = graft.functions.PiiFns
+      .piiFrame(Seq((1L, text)).toDF("id", "t"), "id", "t")
+      .select($"redacted", $"email_count", $"ip_count", $"ssn_count", $"phone_count")
       .head()
     val redacted = row.getString(0)
     assert(redacted.contains("<EMAIL>") && redacted.contains("<IP>") && redacted.contains("<SSN>"))
     assert(!redacted.contains("@") && !redacted.contains("192.168"), redacted)
     assert(redacted.contains("1.2.3") && redacted.contains("12-34-5678"),
       s"near-miss shapes must survive: $redacted")
-    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((2L, 1L, 1L)))
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((2L, 1L, 1L, 0L)))
   }
 
   test("shingles: 3-grams of a 5-token text; short texts yield empty") {

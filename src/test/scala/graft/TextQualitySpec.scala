@@ -42,8 +42,11 @@ class TextQualitySpec extends AnyFunSuite {
     //  1010 = 10 x "the data with value have more"
     //    n_words 60, chars 240 -> mean 4000 milli; symbols 0;
     //    alpha 1000; stop_hits 3 (the/with/have)    => gate 1
+    //  1011 = 10 x "The data with, value have more" (tokenizer pin)
+    //    chars 25/line -> mean 4166; stop_hits 2: "The" lowercases to
+    //    a hit, "with," does NOT (punctuation is content)  => gate 1
     val rows = SparkEntry.queries("q194_gopher_quality")(spark, "unused")
-      .filter("doc_id IN (1009, 1010)")
+      .filter("doc_id IN (1009, 1010, 1011)")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6)))).toMap
@@ -51,6 +54,8 @@ class TextQualitySpec extends AnyFunSuite {
       s"spam doc must fail the gate: ${rows(1009L)}")
     assert(rows(1010L) == ((60L, 4000L, 0L, 1000L, 3L, 1L)),
       s"prose doc must pass every threshold: ${rows(1010L)}")
+    assert(rows(1011L) == ((60L, 4166L, 0L, 1000L, 2L, 1L)),
+      s"tokenizer pin: The counts, with, does not: ${rows(1011L)}")
   }
 
   test("runs distributed over the documents corpus with sane bounds") {
