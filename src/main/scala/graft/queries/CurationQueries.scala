@@ -1015,7 +1015,122 @@ object CurationQueries {
         FROM gated
         GROUP BY lang
         ORDER BY lang"""),
-      doc = "The Gopher hard gate rolled up at corpus scale: the shared gopherGateFrame over the real documents table, per-language doc/pass counts, exact integral permille pass rate, and word volume — one scalar scan plus one |langs|-group map-side-combined aggregation, so the row's cost scales with the corpus rather than a fixture; every number replayed by the oracle including the gate bits inside the sums.")
+      doc = "The Gopher hard gate rolled up at corpus scale: the shared gopherGateFrame over the real documents table, per-language doc/pass counts, exact integral permille pass rate, and word volume — one scalar scan plus one |langs|-group map-side-combined aggregation, so the row's cost scales with the corpus rather than a fixture; every number replayed by the oracle including the gate bits inside the sums."),
+
+    Q(
+      "q200_web_curation_manifest",
+      (s, d) => {
+        import s.implicits._
+        // THE COMPOSED PIPELINE in one plan — every round-12 tier as a
+        // RECORDED decision per document (manifests record provenance;
+        // the trainer filters on `keep` downstream — auditability over
+        // silent dropping, and on this stopword-poor synthetic corpus
+        // the honest answer IS keep = 0 everywhere, visible rather than
+        // vacuous): the Gopher hard gate (shared gopherGateFrame), the
+        // PII gate (shared piiFrame), near-dup victimhood (memoized
+        // Jaccard pairs + connected components, min-id survivor, the
+        // q39 machinery), and the deterministic md5 split. Plan shape:
+        // two corpus scans joined on doc_id (gate columns ride one, PII
+        // counts the other), the victim side of the left join is tiny
+        // (dedup output) and broadcast by AQE, the split is scalar —
+        // at 100 TB the only large exchanges are the pair-generation
+        // shuffles already pinned by q21/q39.
+        val gated = TextFns.gopherGateFrame(Tables.documents(s, d), "text")
+        val pii = PiiFns.piiFrame(Tables.documents(s, d), "doc_id", "text")
+          .select($"doc_id", $"has_pii")
+        val victims = graft.operators.Dedup
+          .connectedComponents(DedupQueries.sharedPairs(s, d))
+          .filter($"component" =!= $"doc")
+          .select($"doc".as("doc_id"), lit(1L).as("is_victim"))
+        val bucket = hashBucket($"doc_id")
+        gated.join(pii, "doc_id")
+          .join(victims, Seq("doc_id"), "left")
+          .withColumn("is_victim", coalesce($"is_victim", lit(0L)))
+          .select($"doc_id", $"lang", $"n_words", $"pass_gate", $"has_pii",
+            $"is_victim",
+            ($"pass_gate" === 1L && $"has_pii" === 0L && $"is_victim" === 0L)
+              .cast("long").as("keep"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM toks),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b FROM inter
+               JOIN sizes sa ON sa.doc = inter.doc_a
+               JOIN sizes sb ON sb.doc = inter.doc_b
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
+        victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc),
+        gbase AS (
+          SELECT doc_id, lang,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
+              w -> LENGTH(w) > 0) AS words,
+            text
+          FROM documents),
+        gcounted AS (
+          SELECT doc_id, lang,
+            CAST(LEN(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
+            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(LIST_TRANSFORM(words, w -> LOWER(w))),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
+            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
+          FROM gbase),
+        gscored AS (
+          SELECT doc_id, lang, n_words, stop_hits,
+            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mwl,
+            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS sym,
+            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alw
+          FROM gcounted),
+        gate AS (
+          SELECT doc_id, lang, n_words,
+            CAST(n_words BETWEEN 50 AND 100000
+                 AND mwl BETWEEN 3000 AND 10000
+                 AND sym <= 100 AND alw >= 800 AND stop_hits >= 2 AS BIGINT) AS pass_gate
+          FROM gscored),
+        pstaged AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email,
+            text
+          FROM documents),
+        p2 AS (SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip FROM pstaged),
+        p3 AS (SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone FROM p2),
+        pii AS (
+          SELECT doc_id,
+            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) > 0 AS BIGINT) AS has_pii
+          FROM p3),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN $bucketSql < 80 THEN 'train'
+                      WHEN $bucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate, p.has_pii,
+               CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS is_victim,
+               CAST(g.pass_gate = 1 AND p.has_pii = 0 AND v.doc_id IS NULL AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The composed web-curation pipeline as an auditable per-document MANIFEST (decisions recorded, not silently filtered): Gopher hard-gate bit, PII presence bit, near-dup victimhood (Jaccard t=0.5 connected components, min-id survivor), the final keep decision, and the deterministic md5 split — every shared tier definition (gopherGateFrame, piiFrame, sharedPairs) in one plan, fully oracle-replayed including the recursive-CTE closure.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
