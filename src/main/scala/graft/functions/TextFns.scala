@@ -368,8 +368,9 @@ object TextFns {
     * APPENDS the stat columns (`n_words`, `mean_word_len_milli`,
     * `symbol_permille`, `alpha_word_permille`, `stop_hits`,
     * `pass_gate`) to the input frame, keeping every existing column —
-    * ONE definition shared by the fixture-pinned q194 row and the
-    * corpus-scale q199 rollup. One codegen'd scalar pass (the staged
+    * ONE definition shared by the fixture-pinned q194 row, the
+    * corpus-scale q199 rollup, and the append-mode streaming ingest
+    * twin (StreamingSpec pins batch == streaming on the gate edges). One codegen'd scalar pass (the staged
     * `__gg_*` intermediates exist so the word array is computed once
     * per row, not once per stat), no shuffle: the gate runs before any
     * shuffle-bearing curation stage at any scale.

@@ -513,18 +513,10 @@ object TextQueries {
       "spark引擎merge排序2026window",                           // mixed script boundaries
       "hello, world! 🙂 (punct)[ok]{fine} #tag @user",         // separators incl. astral emoji
       "MIXED Case ÉCOLE Größe ΑΛΦΑ МОСКВА")                    // uppercase → simple lowercase
-    @volatile private var built = false
-    private val lock = new Object
-    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
-      if (!built) {
-        import s.implicits._
-        (0 until 40).map(i => (i.toLong, frags(i % frags.size) + " " + (1000 + i)))
-          .toDF("doc_id", "txt").coalesce(1)
-          .write.mode("overwrite").parquet(Root)
-        built = true
-      }
-      Root
-    }
+    private val once = new FixtureOnce(Root, parts = 1)
+    def ensure(s: org.apache.spark.sql.SparkSession): String = once.ensure(s)(
+      (0 until 40).map(i => (i.toLong, frags(i % frags.size) + " " + (1000 + i))),
+      "doc_id", "txt")
   }
 
   /** Deterministic UNSEGMENTABLE-script fixture for q186: 2 400 distinct
@@ -624,11 +616,8 @@ object TextQueries {
         s"""<p>more: <a href="#m$i"><b>read ${word(i.toLong, 5)}</b></a> &nbsp;&quot;q&quot; &#39;s&#39;</p>"""
       s"<html><head>$style$script$comment</head><body>$nav\n$paras\n$inlineA</body></html>"
     }
-    @volatile private var built = false
-    private val lock = new Object
-    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
-      if (!built) {
-        import s.implicits._
+    private val once = new FixtureOnce(Root)
+    def ensure(s: org.apache.spark.sql.SparkSession): String = once.ensure(s)({
         val main = (0 until 1200).map(i => (i.toLong, doc(i)))
         val edges = Seq(
           (1200L, ""),
@@ -641,12 +630,8 @@ object TextQueries {
           // this doc pins the explicit HtmlSpacePattern class that keeps
           // both engines squeezing the same set
           (1206L, "vt\u000Bseparated\u000B words here"))
-        (main ++ edges).toDF("doc_id", "html").coalesce(2)
-          .write.mode("overwrite").parquet(Root)
-        built = true
-      }
-      Root
-    }
+        main ++ edges
+      }, "doc_id", "html")
   }
 
   object UnsegFixture {
@@ -670,11 +655,8 @@ object TextQueries {
     private val ThaiSpan = 46
     private val DevaBlock = 0x0905   // Devanagari independent vowels + consonants
     private val DevaSpan = 53
-    @volatile private var built = false
-    private val lock = new Object
-    def ensure(s: org.apache.spark.sql.SparkSession): String = lock.synchronized {
-      if (!built) {
-        import s.implicits._
+    private val once = new FixtureOnce(Root)
+    def ensure(s: org.apache.spark.sql.SparkSession): String = once.ensure(s)({
         val thai = (0 until 1200).map(i => (i.toLong, doc(ThaiBlock, ThaiSpan, i)))
         val deva = (0 until 1200).map(i => ((1200 + i).toLong, doc(DevaBlock, DevaSpan, i)))
         // exact duplicates of every 6th Thai doc: same raw bytes → same
@@ -688,12 +670,7 @@ object TextQueries {
         val variants = Seq(
           (2603L, doc(ThaiBlock, ThaiSpan, 0) + "!"),
           (2604L, " " + doc(DevaBlock, DevaSpan, 0)))
-        (thai ++ deva ++ dups ++ empties ++ variants)
-          .toDF("doc_id", "txt").coalesce(2)
-          .write.mode("overwrite").parquet(Root)
-        built = true
-      }
-      Root
-    }
+        thai ++ deva ++ dups ++ empties ++ variants
+      }, "doc_id", "txt")
   }
 }

@@ -850,6 +850,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality-gate ingest (gopherGateFrame, append mode) EQUALS batch q194, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the GopherFixture tail: last generated docs plus every gate edge
+    // (empty, whitespace-only, all-duplicate, spam, all-pass prose,
+    // tokenizer pin) — stateless scalar chain, the htmlExtract/pii
+    // twin shape, sharing the ONE gopherGateFrame definition
+    val fixture = spark.read
+      .parquet(graft.queries.CurationQueries.GopherFixture.ensure(spark))
+      .filter($"doc_id" >= 995L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 17, s"expected 5 generated + 12 edge docs, got ${fixture.size}")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.functions.TextFns
+      .gopherGateFrame(input.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_ingest").start()
+    try {
+      val (chunk1, chunk2) = fixture.splitAt(9)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"n_words", $"mean_word_len_milli", $"symbol_permille",
+          $"alpha_word_permille", $"stop_hits", $"pass_gate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val got = toSet(spark.table("gate_ingest"))
+      val batch = toSet(graft.functions.TextFns.gopherGateFrame(
+        fixture.toDF("doc_id", "text"), "text"))
+      assert(batch.exists(_._7 == 1L) && batch.exists(_._7 == 0L),
+        "fixture slice must carry both gate outcomes")
+      assert(got == batch,
+        s"streaming gopherGateFrame diverged from batch: ${got.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming canonical-URL dedup state (complete mode) EQUALS batch q198 on a mid-group split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
