@@ -104,7 +104,9 @@ object ChunkDedup {
     * of old text), and exactly sufficient to rebuild every
     * [[crossDocChunks]] cluster. Partition the stored table by
     * `chunk_hash` so [[crossDocChunksAgainst]]'s semi-join prunes at
-    * the source.
+    * the source — ChunkDedupSpec's bucketed pin asserts the corpus
+    * side of that join moves ZERO bytes under matched parallelism
+    * (bucket count == shuffle partitions, the lake-scale sizing).
     *
     * Streams as written: [[cdcChunks]] is stateless per-row and this
     * aggregation is distinct-free, so a streaming ingest maintains the

@@ -205,6 +205,88 @@ class ChunkDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("disjoint doc sets"))
   }
 
+  test("bucketed chunk-pair state: the corpus side of the incremental semi-join never moves") {
+    import spark.implicits._
+    // the chunkPairState scaladoc claim ("partition the stored table by
+    // chunk_hash so crossDocChunksAgainst's semi-join prunes at the
+    // source") made executable — the RangeJoin/AsOfJoin zero-movement
+    // pin applied to the chunk tier: a lake that stores the pair state
+    // bucketed by chunk_hash serves every incremental batch with ZERO
+    // exchange on the corpus-scale side; only the batch-scaled probe
+    // side moves
+    spark.sql("CREATE DATABASE IF NOT EXISTS ck_bkt")
+    spark.sql("DROP TABLE IF EXISTS ck_bkt.state")
+    val loc = new java.io.File("spark-warehouse/ck_bkt.db/state")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    ChunkDedup.chunkPairState(ChunkDedup.cdcChunks(fixture, "doc_id", "text"))
+      .repartition(8, $"chunk_hash")
+      .write.bucketBy(8, "chunk_hash").saveAsTable("ck_bkt.state")
+    // a disjoint new batch that shares the paragraph with the old corpus
+    val newDocs = Seq(
+      (100L, "an entirely new framing around the shared body " + para),
+      (101L, "fresh unrelated words aa bb cc dd")).toDF("doc_id", "text")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val got = try {
+      // force the co-located path: at lake scale the touched-hash set of
+      // a big crawl batch does not broadcast — this is the regime the
+      // bucketed layout exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // at TEST scale (8 buckets < 32 shuffle partitions) the
+      // DisableUnnecessaryBucketedScan heuristic trades the bucket
+      // layout away for parallelism, and EnsureRequirements re-shuffles
+      // an 8-bucket side to meet a 32-partition default; at lake scale
+      // the bucket count is SIZED TO THE CLUSTER so neither fires — pin
+      // the layout's zero-movement property under matched parallelism,
+      // not the small-scale heuristics' calls
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val out = ChunkDedup.crossDocChunksAgainst(
+        ChunkDedup.cdcChunks(newDocs, "doc_id", "text"), spark.table("ck_bkt.state"))
+      val rows = out.collect() // finalize AQE: audit the executed plan
+      val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the semi-join subtree prints LAST (union children: newState then
+      // relevantOld); between the join node and the bucketed scan there
+      // must be NO exchange, and the subtree's only exchange is the
+      // batch-side probe
+      val joinIdx = plan.lastIndexOf("Join")
+      assert(joinIdx >= 0, plan.take(800))
+      val joinSection = plan.substring(joinIdx)
+      assert(joinSection.contains("ck_bkt"), s"semi-join must read the bucketed state:\n$joinSection")
+      val beforeScan = joinSection.substring(0, joinSection.indexOf("ck_bkt"))
+      assert(!beforeScan.contains("Exchange"),
+        s"corpus-side bucketed scan must not be exchanged:\n$joinSection")
+      assert("Exchange".r.findAllIn(joinSection).size <= 1,
+        s"only the batch-side probe may move:\n$joinSection")
+      rows.map(r => (r.getString(0), r.getLong(1))).toMap
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // and the merge rule still holds: updated rows == full recompute,
+    // restricted to the hashes the new batch touched
+    val full = ChunkDedup.crossDocChunks(
+      ChunkDedup.cdcChunks(fixture.unionByName(newDocs), "doc_id", "text"))
+    val touched = ChunkDedup.chunkPairState(ChunkDedup.cdcChunks(newDocs, "doc_id", "text"))
+      .select($"chunk_hash").distinct().as[String].collect().toSet
+    val expected = full.collect()
+      .filter(r => touched(r.getString(0)))
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.nonEmpty && got == expected,
+      s"incremental clusters diverge from recompute: got=${got.size} want=${expected.size}")
+  }
+
   test("duplicatedMass covers every chunked doc and charges exactly the shared chunks") {
     import spark.implicits._
     val chunks = ChunkDedup.cdcChunks(fixture, "doc_id", "text").cache()
