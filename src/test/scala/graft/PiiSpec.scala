@@ -73,6 +73,44 @@ class PiiSpec extends AnyFunSuite {
       s"planted volume too low: $totals")
   }
 
+  test("generative: planted PII is counted exactly and never survives redaction (500 random docs)") {
+    import spark.implicits._
+    // metamorphic pin beyond the hand-built fixture: random docs with a
+    // KNOWN number of planted, token-isolated PII items of each class
+    // among pure-alpha noise (which can never false-hit) — the frame
+    // must count exactly the plants and the residual must be zero.
+    // Deterministic seed: the corpus is reproducible across runs.
+    val rnd = new scala.util.Random(20260815L)
+    def alpha(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def email() = s"${alpha(3 + rnd.nextInt(6))}@${alpha(3 + rnd.nextInt(5))}.${alpha(2 + rnd.nextInt(3))}"
+    def ip() = Seq.fill(4)(rnd.nextInt(256)).mkString(".")
+    def phone() = if (rnd.nextBoolean()) "+" + (0 until 7 + rnd.nextInt(9)).map(_ => rnd.nextInt(10)).mkString
+      else f"${100 + rnd.nextInt(900)}%d-${100 + rnd.nextInt(900)}%d-${1000 + rnd.nextInt(9000)}%d"
+    def ssn() = f"${100 + rnd.nextInt(900)}%d-${10 + rnd.nextInt(90)}%d-${1000 + rnd.nextInt(9000)}%d"
+    val docs = (0 until 500).map { i =>
+      val ne = rnd.nextInt(3); val ni = rnd.nextInt(3)
+      val np = rnd.nextInt(3); val ns = rnd.nextInt(3)
+      val planted = Seq.fill(ne)(email()) ++ Seq.fill(ni)(ip()) ++
+        Seq.fill(np)(phone()) ++ Seq.fill(ns)(ssn())
+      val noise = Seq.fill(5 + rnd.nextInt(10))(alpha(3 + rnd.nextInt(7)))
+      val text = rnd.shuffle(planted ++ noise).mkString(" ")
+      (i.toLong, text, ne.toLong, ni.toLong, np.toLong, ns.toLong)
+    }
+    val expected = docs.map(d => d._1 -> ((d._3, d._4, d._5, d._6))).toMap
+    val out = PiiFns.piiFrame(
+        docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"email_count", $"ip_count", $"phone_count",
+        $"ssn_count", $"residual_pii")
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(got == expected(r.getLong(0)),
+        s"doc ${r.getLong(0)}: counted $got, planted ${expected(r.getLong(0))}")
+      assert(r.getLong(5) == 0L, s"doc ${r.getLong(0)}: residual PII after redaction")
+    }
+  }
+
   test("runs distributed over the documents corpus; prose carries no false hits") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

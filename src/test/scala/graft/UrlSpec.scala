@@ -54,6 +54,50 @@ class UrlSpec extends AnyFunSuite {
       s"https://www.site${r.getLong(1)}.example.com/p/${r.getLong(1)}?a=${r.getLong(1)}"))
   }
 
+  test("generative: canonical form is invariant under case/port/fragment/tracking decoration (400 random URLs)") {
+    import spark.implicits._
+    // metamorphic pin: build a base URL whose canonical form is known
+    // by construction, then DECORATE it with everything the
+    // canonicalizer must strip — random scheme/host case, the default
+    // port, tracking params spliced at random positions among the real
+    // ones, a fragment — and assert canonical(decorated) equals the
+    // expected base form. Deterministic seed, one Spark job.
+    val rnd = new scala.util.Random(20260816L)
+    def alpha(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def flipCase(s: String) = s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val rows = (0 until 400).map { i =>
+      val scheme = if (rnd.nextBoolean()) "https" else "http"
+      val host = s"${alpha(4 + rnd.nextInt(5))}.example.com"
+      val path = "/" + Seq.fill(1 + rnd.nextInt(3))(alpha(2 + rnd.nextInt(6))).mkString("/")
+      val realParams = (0 until rnd.nextInt(3)).map(k => s"${alpha(2)}$k=${rnd.nextInt(100)}")
+      val expected = scheme + "://" + host + path +
+        (if (realParams.isEmpty) "" else "?" + realParams.mkString("&"))
+      val tracking = (0 until rnd.nextInt(3)).map(_ =>
+        rnd.nextInt(3) match {
+          case 0 => s"utm_${alpha(4)}=${alpha(3)}"
+          case 1 => s"fbclid=${alpha(8)}"
+          case _ => s"gclid=${alpha(8)}"
+        })
+      // splice tracking params at random positions among the real ones
+      val allParams = tracking.foldLeft(realParams.toVector) { (acc, t) =>
+        val pos = rnd.nextInt(acc.size + 1)
+        (acc.take(pos) :+ t) ++ acc.drop(pos)
+      }
+      val port = if (rnd.nextBoolean()) (if (scheme == "https") ":443" else ":80") else ""
+      val frag = if (rnd.nextBoolean()) s"#${alpha(3)}" else ""
+      val decorated = flipCase(scheme) + "://" + flipCase(host) + port + path +
+        (if (allParams.isEmpty) "" else "?" + allParams.mkString("&")) + frag
+      (i.toLong, decorated, expected, tracking.size.toLong)
+    }
+    val got = UrlFns.canonicalFrame(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "url"), "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, decorated, expected, nTracking) =>
+      assert(got(id) == ((expected, nTracking)),
+        s"url $id: '$decorated' -> ${got(id)}, want ($expected, $nTracking)")
+    }
+  }
+
   test("canonicalization is idempotent over the entire fixture") {
     import spark.implicits._
     val once = frame.select($"doc_id", $"canonical".as("url"))
