@@ -145,24 +145,8 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH RECURSIVE
-        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
-        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
-        jp AS (SELECT doc_a, doc_b FROM inter
-               JOIN sizes sa ON sa.doc = inter.doc_a
-               JOIN sizes sb ON sb.doc = inter.doc_b
-               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
-        reach(doc, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
-        victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc),
+        WITH RECURSIVE ${OracleCtes.jaccardReach()},
+        ${OracleCtes.victims},
         q AS (SELECT doc_id,
                LEAST(CAST(1.0 AS DOUBLE), LENGTH(text) / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
                  + LEAST(CAST(1.0 AS DOUBLE), LEN(STRING_SPLIT(text, ' ')) / CAST(80.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE)
@@ -343,35 +327,12 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH staged AS (
-          SELECT doc_id, text,
-            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
-          FROM documents),
-        s2 AS (
-          SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip
-          FROM staged),
-        s3 AS (
-          SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone
-          FROM s2),
-        s4 AS (
-          SELECT *, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS redacted
-          FROM s3),
-        counted AS (
-          SELECT doc_id, redacted,
-            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}')) AS BIGINT) AS email_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}')) AS BIGINT) AS ip_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}')) AS BIGINT) AS phone_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) AS BIGINT) AS ssn_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.EmailPattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.Ipv4Pattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.SsnPattern}')) AS BIGINT) AS residual_pii
-          FROM s4)
+        WITH ${OracleCtes.piiCounted("documents")}
         SELECT doc_id, redacted, email_count, ip_count, phone_count, ssn_count,
                email_count + ip_count + phone_count + ssn_count AS pii_total,
                CAST(email_count + ip_count + phone_count + ssn_count > 0 AS BIGINT) AS has_pii,
                residual_pii
-        FROM counted
+        FROM pii_counted
         ORDER BY doc_id"""),
       doc = "PII redaction at corpus scale through the single shared PiiFns frame (emails / IPv4 / phones / SSN-shaped ids -> placeholder tokens in fixed order, per-stage counts on progressively redacted text, oracle-replayed residual re-scan): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle."),
 
@@ -740,35 +701,10 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH base AS (
-          SELECT doc_id, text,
-            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
-              w -> LENGTH(w) > 0) AS words
-          FROM read_parquet('${GopherFixture.Root}/*.parquet')),
-        counted AS (
-          SELECT doc_id,
-            CAST(LEN(words) AS BIGINT) AS n_words,
-            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
-            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(LIST_TRANSFORM(words, w -> LOWER(w))),
-              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
-            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
-              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
-          FROM base),
-        scored AS (
-          SELECT doc_id, n_words, stop_hits,
-            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mean_word_len_milli,
-            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS symbol_permille,
-            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alpha_word_permille
-          FROM counted)
+        WITH ${OracleCtes.gopherGate(s"read_parquet('${GopherFixture.Root}/*.parquet')", Seq("doc_id"))}
         SELECT doc_id, n_words, mean_word_len_milli, symbol_permille,
-               alpha_word_permille, stop_hits,
-               CAST(n_words BETWEEN 50 AND 100000
-                    AND mean_word_len_milli BETWEEN 3000 AND 10000
-                    AND symbol_permille <= 100
-                    AND alpha_word_permille >= 800
-                    AND stop_hits >= 2 AS BIGINT) AS pass_gate
-        FROM scored
+               alpha_word_permille, stop_hits, pass_gate
+        FROM gate
         ORDER BY doc_id"""),
       doc = "The Gopher document-quality hard gate with the published thresholds (word-count and mean-word-length bounds, '#'/'...' symbol-to-word ratio, alphabetic-word fraction, required-stopword presence) over the q193 fixture: words split on the shared explicit whitespace class, every ratio exact integer milli/permille, the pass bit replayed bit-for-bit by the oracle; one scalar pass, no shuffle."),
 
@@ -787,27 +723,11 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH staged AS (
-          SELECT doc_id, text,
-            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
-          FROM read_parquet('${PiiFixture.Root}/*.parquet')),
-        s2 AS (
-          SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip
-          FROM staged),
-        s3 AS (
-          SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone
-          FROM s2),
-        counted AS (
-          SELECT doc_id,
-            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}')) AS BIGINT) AS email_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}')) AS BIGINT) AS ip_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}')) AS BIGINT) AS phone_count,
-            CAST(LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) AS BIGINT) AS ssn_count
-          FROM s3)
+        WITH ${OracleCtes.piiCounted(s"read_parquet('${PiiFixture.Root}/*.parquet')")}
         SELECT doc_id, email_count, ip_count, phone_count, ssn_count,
                email_count + ip_count + phone_count + ssn_count AS pii_total,
                CAST(email_count + ip_count + phone_count + ssn_count > 0 AS BIGINT) AS has_pii
-        FROM counted
+        FROM pii_counted
         ORDER BY doc_id"""),
       doc = "PII detection counts (emails, IPv4, phones, SSN shapes) over a planted fixture with the ordering/boundary edges pinned (E.164-in-local-part counts as email only, IP-literal email hosts fall through to the IP stage, version strings don't match, five-octet runs match their first four, 16-digit runs cap at 15, the 3-2-4 SSN shape never collides with the 3-3-4 phone shape): RE2-safe patterns shared verbatim with the DuckDB oracle, counts on progressively redacted text so each count equals its stage's replacements; one scalar pass, no shuffle."),
 
@@ -826,26 +746,11 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH staged AS (
-          SELECT doc_id,
-            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
-          FROM read_parquet('${PiiFixture.Root}/*.parquet')),
-        s2 AS (
-          SELECT doc_id, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip
-          FROM staged),
-        s3 AS (
-          SELECT doc_id, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone
-          FROM s2),
-        s4 AS (
-          SELECT doc_id, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS redacted
-          FROM s3)
+        WITH ${OracleCtes.piiCounted(s"read_parquet('${PiiFixture.Root}/*.parquet')")}
         SELECT doc_id, redacted,
                CAST(LENGTH(redacted) AS BIGINT) AS redacted_chars,
-               CAST(LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.EmailPattern}'))
-                  + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.Ipv4Pattern}'))
-                  + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}'))
-                  + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.SsnPattern}')) AS BIGINT) AS residual_pii
-        FROM s4
+               residual_pii
+        FROM pii_counted
         ORDER BY doc_id"""),
       doc = "PII redaction (email -> <EMAIL>, IPv4 -> <IP>, phone -> <PHONE>, SSN -> <SSN>, fixed order) with the redacted text replayed byte-for-byte by the oracle and a residual re-scan column proving no PII survives (tokens can't manufacture new matches); the same shared frame runs unchanged as the streaming ingest-scrub twin and the corpus-scale q53 row."),
 
@@ -976,43 +881,14 @@ object CurationQueries {
           .orderBy($"lang")
       },
       Some(s"""
-        WITH base AS (
-          SELECT lang,
-            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
-              w -> LENGTH(w) > 0) AS words,
-            text
-          FROM documents),
-        counted AS (
-          SELECT lang,
-            CAST(LEN(words) AS BIGINT) AS n_words,
-            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
-            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(LIST_TRANSFORM(words, w -> LOWER(w))),
-              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
-            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
-              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
-          FROM base),
-        scored AS (
-          SELECT lang, n_words, stop_hits,
-            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mean_word_len_milli,
-            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS symbol_permille,
-            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alpha_word_permille
-          FROM counted),
-        gated AS (
-          SELECT lang, n_words,
-            CAST(n_words BETWEEN 50 AND 100000
-                 AND mean_word_len_milli BETWEEN 3000 AND 10000
-                 AND symbol_permille <= 100
-                 AND alpha_word_permille >= 800
-                 AND stop_hits >= 2 AS BIGINT) AS pass_gate
-          FROM scored)
+        WITH ${OracleCtes.gopherGate("documents", Seq("lang"))}
         SELECT lang,
                COUNT(*) AS n_docs,
                CAST(SUM(pass_gate) AS BIGINT) AS n_pass,
                (CAST(SUM(pass_gate) AS BIGINT) * 1000) // COUNT(*) AS pass_permille,
                CAST(SUM(n_words) AS BIGINT) AS total_words,
                CAST(SUM(n_words) AS BIGINT) // COUNT(*) AS mean_words
-        FROM gated
+        FROM gate
         GROUP BY lang
         ORDER BY lang"""),
       doc = "The Gopher hard gate rolled up at corpus scale: the shared gopherGateFrame over the real documents table, per-language doc/pass counts, exact integral permille pass rate, and word volume — one scalar scan plus one |langs|-group map-side-combined aggregation, so the row's cost scales with the corpus rather than a fixture; every number replayed by the oracle including the gate bits inside the sums."),
@@ -1055,78 +931,25 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH RECURSIVE
-        toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
-        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM toks),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
-        jp AS (SELECT doc_a, doc_b FROM inter
-               JOIN sizes sa ON sa.doc = inter.doc_a
-               JOIN sizes sb ON sb.doc = inter.doc_b
-               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
-        reach(doc, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc),
-        victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc),
-        gbase AS (
-          SELECT doc_id, lang,
-            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
-              w -> LENGTH(w) > 0) AS words,
-            text
-          FROM documents),
-        gcounted AS (
-          SELECT doc_id, lang,
-            CAST(LEN(words) AS BIGINT) AS n_words,
-            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
-            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(LIST_TRANSFORM(words, w -> LOWER(w))),
-              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
-            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
-              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
-          FROM gbase),
-        gscored AS (
-          SELECT doc_id, lang, n_words, stop_hits,
-            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mwl,
-            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS sym,
-            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alw
-          FROM gcounted),
-        gate AS (
-          SELECT doc_id, lang, n_words,
-            CAST(n_words BETWEEN 50 AND 100000
-                 AND mwl BETWEEN 3000 AND 10000
-                 AND sym <= 100 AND alw >= 800 AND stop_hits >= 2 AS BIGINT) AS pass_gate
-          FROM gscored),
-        pstaged AS (
-          SELECT doc_id,
-            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email,
-            text
-          FROM documents),
-        p2 AS (SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip FROM pstaged),
-        p3 AS (SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone FROM p2),
-        pii AS (
-          SELECT doc_id,
-            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) > 0 AS BIGINT) AS has_pii
-          FROM p3),
+        WITH RECURSIVE ${OracleCtes.jaccardReach()},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate("documents", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted("documents")},
         splits AS (
           SELECT doc_id,
                  CASE WHEN $bucketSql < 80 THEN 'train'
                       WHEN $bucketSql < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM documents)
-        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate, p.has_pii,
-               CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS is_victim,
-               CAST(g.pass_gate = 1 AND p.has_pii = 0 AND v.doc_id IS NULL AS BIGINT) AS keep,
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count) = 0
+                    AND v.doc_id IS NULL AS BIGINT) AS keep,
                s.split
         FROM gate g
-        JOIN pii p ON g.doc_id = p.doc_id
+        JOIN pii_counted p ON g.doc_id = p.doc_id
         LEFT JOIN victims v ON g.doc_id = v.doc_id
         JOIN splits s ON g.doc_id = s.doc_id
         ORDER BY g.doc_id"""),

@@ -167,24 +167,8 @@ object DedupQueries {
         .withColumnRenamed("doc", "doc_id")
         .withColumnRenamed("component", "survivor_id")
         .orderBy(col("doc_id")),
-      Some("""
-        WITH RECURSIVE
-        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
-        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
-        jp AS (SELECT doc_a, doc_b FROM inter
-               JOIN sizes sa ON sa.doc = inter.doc_a
-               JOIN sizes sb ON sb.doc = inter.doc_b
-               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
-        reach(doc, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
+      Some(s"""
+        WITH RECURSIVE ${OracleCtes.jaccardReach()}
         SELECT doc AS doc_id, MIN(r) AS survivor_id
         FROM reach GROUP BY doc
         ORDER BY doc_id"""),
@@ -541,24 +525,8 @@ object DedupQueries {
     * q123 (and mirroring q32's): three different CC algorithms, one
     * answer — the adversarial pairing that keeps the scale paths honest.
     */
-  private def ccClosureOracle: String = """
-        WITH RECURSIVE
-        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
-        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
-                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
-        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
-        jp AS (SELECT doc_a, doc_b FROM inter
-               JOIN sizes sa ON sa.doc = inter.doc_a
-               JOIN sizes sb ON sb.doc = inter.doc_b
-               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
-                  UNION ALL SELECT doc_b, doc_a FROM jp),
-        reach(doc, r) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)
+  private def ccClosureOracle: String = s"""
+        WITH RECURSIVE ${OracleCtes.jaccardReach()}
         SELECT doc AS doc_id, MIN(r) AS survivor_id
         FROM reach GROUP BY doc
         ORDER BY doc_id"""

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.functions.{PiiFns, TextFns}
+
+/** Shared DuckDB-oracle CTE fragments — the SQL twins of the shared
+  * Spark definitions (`TextFns.gopherGateFrame`, `PiiFns.piiFrame`,
+  * `Dedup.jaccardPairs` + `connectedComponents`). One copy per concept:
+  * when a gate threshold, a PII stage, the stopword list, or the
+  * Jaccard closure changes, the Spark code and EVERY oracle that
+  * replays it move together — a missed copy is impossible because
+  * there is no copy. Pattern and threshold constants interpolate from
+  * the same objects the Spark side reads.
+  */
+private[queries] object OracleCtes {
+
+  /** Word-bigram shingle Jaccard (>= threshold) edge set plus the
+    * recursive min-reach closure over `documents` — the replay of
+    * `Dedup.jaccardPairs` + `connectedComponents`. Emits CTEs
+    * docs/sh/sizes/inter/jp/edges/reach; embed directly after
+    * `WITH RECURSIVE`.
+    */
+  def jaccardReach(threshold: String = "0.5"): String = s"""
+        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
+                 i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
+        sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),
+        jp AS (SELECT doc_a, doc_b FROM inter
+               JOIN sizes sa ON sa.doc = inter.doc_a
+               JOIN sizes sb ON sb.doc = inter.doc_b
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION ALL SELECT doc_b, doc_a FROM jp),
+        reach(doc, r) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc)"""
+
+  /** Docs whose component representative is another doc (the dedup
+    * victims); append after [[jaccardReach]].
+    */
+  val victims: String = """
+        victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc)"""
+
+  /** The Gopher gate staged replay of `TextFns.gopherGateFrame` over
+    * `source` (a table name or `read_parquet(...)`), carrying `carry`
+    * columns through. Emits ggbase/ggcounted/ggscored/gate; `gate` has
+    * columns carry ++ (n_words, stop_hits, mean_word_len_milli,
+    * symbol_permille, alpha_word_permille, pass_gate). The stopword
+    * list interpolates from [[TextFns.GopherStopwords]].
+    */
+  def gopherGate(source: String, carry: Seq[String]): String = {
+    val cc = carry.map(_ + ",").mkString(" ", " ", "")
+    val stops = TextFns.GopherStopwords.map("'" + _ + "'").mkString(", ")
+    s"""
+        ggbase AS (
+          SELECT$cc
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '${TextFns.HtmlSpacePattern}'),
+              w -> LENGTH(w) > 0) AS words,
+            text
+          FROM $source),
+        ggcounted AS (
+          SELECT$cc
+            CAST(LEN(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))), 0) AS BIGINT) AS word_chars,
+            CAST(LEN(LIST_FILTER(words, w -> REGEXP_MATCHES(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+            CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(LIST_TRANSFORM(words, w -> LOWER(w))),
+              [$stops])) AS BIGINT) AS stop_hits,
+            CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+              + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS BIGINT) AS symbols
+          FROM ggbase),
+        ggscored AS (
+          SELECT$cc n_words, stop_hits,
+            CASE WHEN n_words > 0 THEN (word_chars * 1000) // n_words ELSE 0 END AS mean_word_len_milli,
+            CASE WHEN n_words > 0 THEN (symbols * 1000) // n_words ELSE 0 END AS symbol_permille,
+            CASE WHEN n_words > 0 THEN (alpha_words * 1000) // n_words ELSE 0 END AS alpha_word_permille
+          FROM ggcounted),
+        gate AS (
+          SELECT$cc n_words, stop_hits, mean_word_len_milli, symbol_permille, alpha_word_permille,
+            CAST(n_words BETWEEN 50 AND 100000
+                 AND mean_word_len_milli BETWEEN 3000 AND 10000
+                 AND symbol_permille <= 100
+                 AND alpha_word_permille >= 800
+                 AND stop_hits >= 2 AS BIGINT) AS pass_gate
+          FROM ggscored)"""
+  }
+
+  /** The progressive PII replay of `PiiFns.piiFrame` over `source`
+    * (must expose doc_id + text). Emits pstaged/p2/p3/p4/pii_counted;
+    * `pii_counted` has doc_id, redacted, the four per-stage counts
+    * (each taken on the previous stage's output, so count ==
+    * replacements), and the residual re-scan. Patterns and tokens
+    * interpolate from [[PiiFns]].
+    */
+  def piiCounted(source: String): String = s"""
+        pstaged AS (
+          SELECT doc_id, text,
+            REGEXP_REPLACE(text, '${PiiFns.EmailPattern}', '${PiiFns.EmailToken}', 'g') AS no_email
+          FROM $source),
+        p2 AS (SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip FROM pstaged),
+        p3 AS (SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone FROM p2),
+        p4 AS (SELECT *, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS redacted FROM p3),
+        pii_counted AS (
+          SELECT doc_id, redacted,
+            CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}')) AS BIGINT) AS email_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}')) AS BIGINT) AS ip_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}')) AS BIGINT) AS phone_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) AS BIGINT) AS ssn_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.EmailPattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.Ipv4Pattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.SsnPattern}')) AS BIGINT) AS residual_pii
+          FROM p4)"""
+}

@@ -232,7 +232,11 @@ class ChunkDedupSpec extends AnyFunSuite {
       (101L, "fresh unrelated words aa bb cc dd")).toDF("doc_id", "text")
 
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // adaptive.autoBroadcastJoinThreshold is createOptional and unset by
+    // GraftSession — capture as Option and UNSET on restore, or the
+    // "restore" would pin -1 and silently disable AQE broadcast
+    // conversion for every later suite in the shared session
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val got = try {
@@ -270,7 +274,10 @@ class ChunkDedupSpec extends AnyFunSuite {
       rows.map(r => (r.getString(0), r.getLong(1))).toMap
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
