@@ -64,6 +64,39 @@ object CurationQueries {
     lmCache.clear()
   }
 
+  /** q200's body over any `(doc_id, lang, text)` relation and a
+    * near-dup pair set — factored so the keep composition can be
+    * POSITIVELY pinned (TextQualitySpec drives it with a corpus where
+    * docs genuinely pass, carry PII, or lose a dedup election; the
+    * corpus-scale q200 row honestly reports keep = 0 everywhere on the
+    * stopword-poor synthetic documents table, which exercises only one
+    * side of the bit). Decision provenance per doc: Gopher gate bit
+    * (shared gopherGateFrame), PII presence (shared piiFrame), near-dup
+    * victimhood (connected components over `pairs`, min-id survivor),
+    * the final keep bit, and the deterministic md5 split.
+    */
+  private[graft] def webCurationManifest(
+      docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val gated = TextFns.gopherGateFrame(docs, "text")
+    val pii = PiiFns.piiFrame(docs, "doc_id", "text")
+      .select(col("doc_id"), col("has_pii"))
+    val victims = graft.operators.Dedup
+      .connectedComponents(pairs)
+      .filter(col("component") =!= col("doc"))
+      .select(col("doc").as("doc_id"), lit(1L).as("is_victim"))
+    val bucket = hashBucket(col("doc_id"))
+    gated.join(pii, "doc_id")
+      .join(victims, Seq("doc_id"), "left")
+      .withColumn("is_victim", coalesce(col("is_victim"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("pass_gate"),
+        col("has_pii"), col("is_victim"),
+        (col("pass_gate") === 1L && col("has_pii") === 0L && col("is_victim") === 0L)
+          .cast("long").as("keep"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
     Q(
       "q37_hash_split",
@@ -911,24 +944,7 @@ object CurationQueries {
         // (dedup output) and broadcast by AQE, the split is scalar —
         // at 100 TB the only large exchanges are the pair-generation
         // shuffles already pinned by q21/q39.
-        val gated = TextFns.gopherGateFrame(Tables.documents(s, d), "text")
-        val pii = PiiFns.piiFrame(Tables.documents(s, d), "doc_id", "text")
-          .select($"doc_id", $"has_pii")
-        val victims = graft.operators.Dedup
-          .connectedComponents(DedupQueries.sharedPairs(s, d))
-          .filter($"component" =!= $"doc")
-          .select($"doc".as("doc_id"), lit(1L).as("is_victim"))
-        val bucket = hashBucket($"doc_id")
-        gated.join(pii, "doc_id")
-          .join(victims, Seq("doc_id"), "left")
-          .withColumn("is_victim", coalesce($"is_victim", lit(0L)))
-          .select($"doc_id", $"lang", $"n_words", $"pass_gate", $"has_pii",
-            $"is_victim",
-            ($"pass_gate" === 1L && $"has_pii" === 0L && $"is_victim" === 0L)
-              .cast("long").as("keep"),
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test").as("split"))
-          .orderBy($"doc_id")
+        webCurationManifest(Tables.documents(s, d), DedupQueries.sharedPairs(s, d))
       },
       Some(s"""
         WITH RECURSIVE ${OracleCtes.jaccardReach()},

@@ -58,6 +58,34 @@ class TextQualitySpec extends AnyFunSuite {
       s"tokenizer pin: The counts, with, does not: ${rows(1011L)}")
   }
 
+  test("web-curation manifest: the keep bit composes positively (gate x PII x dedup)") {
+    import spark.implicits._
+    // the corpus-scale q200 row honestly reports keep = 0 everywhere
+    // (stopword-poor synthetic text), which exercises only one side of
+    // the bit — this drives the SAME factored body with a corpus where
+    // every decision path fires: a clean passing doc, a passing doc
+    // carrying PII, a gate-failing doc, and a near-dup pair whose
+    // min-id survivor keeps while the victim drops
+    val pass = Seq.fill(10)("the data with value have more").mkString(" ")
+    val docs = Seq(
+      (1L, "en", pass),                    // passes everything     -> keep 1
+      (2L, "en", pass + " mail a@b.co"),   // passes gate, has PII  -> keep 0
+      (3L, "en", "way too short"),         // fails the gate        -> keep 0
+      (8L, "en", pass + " variant eight"), // dedup survivor        -> keep 1
+      (9L, "en", pass + " variant nine")   // dedup victim          -> keep 0
+    ).toDF("doc_id", "lang", "text")
+    val pairs = Seq((8L, 9L)).toDF("doc_a", "doc_b")
+    val rows = graft.queries.CurationQueries.webCurationManifest(docs, pairs)
+      .select($"doc_id", $"pass_gate", $"has_pii", $"is_victim", $"keep", $"split")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(1L) == ((1L, 0L, 0L, 1L)), s"clean passing doc: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 1L, 0L, 0L)), s"PII blocks keep: ${rows(2L)}")
+    assert(rows(3L)._1 == 0L && rows(3L)._4 == 0L, s"gate blocks keep: ${rows(3L)}")
+    assert(rows(8L) == ((1L, 0L, 0L, 1L)), s"survivor keeps: ${rows(8L)}")
+    assert(rows(9L) == ((1L, 0L, 1L, 0L)), s"victim drops: ${rows(9L)}")
+  }
+
   test("runs distributed over the documents corpus with sane bounds") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = TextQuality.compressionStats(docs).collect()
