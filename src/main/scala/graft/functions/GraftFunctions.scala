@@ -151,8 +151,10 @@ object GraftFunctions {
           org.apache.spark.sql.types.LongType)
       }, "built-in")
 
-    // pii_redact(text): the PII scrub chain (email -> IPv4 -> phone,
-    // PiiFns.Stages order) as a SQL-surface scalar, built from the SAME
+    // pii_redact(text): the PII scrub chain in PiiFns.Stages order
+    // (email -> IPv4 -> phone -> SSN -> ...) as a SQL-surface scalar,
+    // folding the Stages seq itself so a new stage can never be missed
+    // here, built from the SAME
     // shared pattern/token constants as the Column API; SqlSurfaceSpec
     // pins SQL == Column on the fixture edge docs.
     registry.createOrReplaceTempFunction("pii_redact",

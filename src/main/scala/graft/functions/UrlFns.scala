@@ -77,6 +77,17 @@ object UrlFns {
 
   /** A tracking parameter in leading position (replaced by `?`, taking
     * the following `&` if present).
+    *
+    * Pattern-level behavior, pinned rather than papered over (fixture
+    * doc 5014): the replace is global, so a literal `?utm_...=` embedded
+    * MID-VALUE inside another parameter (`?b=?utm_x=2` — the second `?`
+    * is data, not a query start) also matches, dropping those value
+    * bytes and counting them in dropped_params. RE2 has no lookbehind to
+    * anchor "the first `?` only", and a split-at-first-`?` restructure
+    * would buy precision on a byte sequence that is itself malformed
+    * percent-encoding practice (a literal `?` in a value should be
+    * `%3F`, which does NOT match — doc 5011 pins that). Cross-engine
+    * behavior is identical either way, so the oracle replays exactly.
     */
   val LeadTrackingPattern = s"\\?(?:$TrackingKeys)=[^&]*&?"
 

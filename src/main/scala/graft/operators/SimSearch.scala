@@ -34,6 +34,12 @@ object SimSearch {
       val first = corpus.select(size(col("embedding"))).limit(1).collect()
       require(first.nonEmpty,
         "cannot infer the embedding dimension from an empty corpus; pass dimOverride")
+      // same unhelpful-failure class as the empty corpus: a NULL
+      // embedding in the probed row would NPE out of getInt with no
+      // hint that the dim probe is the cause
+      require(!first(0).isNullAt(0),
+        "cannot infer the embedding dimension: the probed corpus row has a " +
+          "NULL embedding column; filter nulls upstream or pass dimOverride")
       first(0).getInt(0)
     }
 

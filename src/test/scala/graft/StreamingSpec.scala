@@ -900,7 +900,7 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(graft.queries.CurationQueries.UrlFixture.ensure(spark))
       .filter($"doc_id" % 250L < 10L || $"doc_id" >= 5000L)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(fixture.size == 54, s"expected 40 variant docs + 14 edges, got ${fixture.size}")
+    assert(fixture.size == 55, s"expected 40 variant docs + 15 edges, got ${fixture.size}")
 
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = graft.functions.UrlFns
