@@ -187,3 +187,163 @@ object CdcBoundaries {
             mod: Long = 1000000007L, div: Long = 64L): Column =
     Bridge.column(CdcBoundaries(Bridge.expression(c), window, base, mod, div))
 }
+
+/** Winnowing fingerprint positions (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): over the per-position k-gram
+  * rolling hashes (the same windowed polynomial as [[CdcBoundaries]]),
+  * select in every window of `w` CONSECUTIVE k-gram hashes the
+  * RIGHTMOST minimal one, and emit the distinct selected positions
+  * (1-based code-point start of each selected k-gram).
+  *
+  * The published guarantee this tier is built on: any substring match
+  * of length >= t = w + k - 1 shares at least one selected fingerprint
+  * in BOTH copies — a window of w k-gram hashes lies fully inside each
+  * copy of the match (a length-s match holds s - k + 1 >= w k-grams),
+  * its hash multiset is identical in both, and the rightmost-min rule
+  * is a pure function of that multiset, so the same relative position
+  * is selected on both sides. That makes winnowed anchors a LOSSLESS
+  * candidate filter for exact-substring dedup at threshold L >= t
+  * (SubstrDedup's pass A), at ~n/w shuffled rows per document instead
+  * of n.
+  *
+  * Implementation is the O(n) monotonic-deque sliding-window minimum
+  * (popping `>=` from the back keeps the rightmost among equal minima)
+  * inside whole-stage codegen; consecutive windows re-selecting the
+  * same position emit it once. Documents shorter than w + k - 1 code
+  * points have no full window and yield an empty array — correct, as
+  * they cannot contain a length-t match.
+  */
+case class WinnowAnchors(child: Expression, k: Int, w: Int,
+                         base: Long, mod: Long)
+    extends UnaryExpression {
+
+  require(k > 0, s"k-gram length must be positive: $k")
+  require(w > 0, s"winnow window must be positive: $w")
+  require(mod > 0 && base > 0, s"base/mod must be positive: base=$base mod=$mod")
+  require(mod - 1 <= (Long.MaxValue - 0x10FFFF) / base,
+    s"(mod-1)*base + maxCodePoint would overflow Long: base=$base mod=$mod")
+  require(mod - 1 <= Long.MaxValue / 0x10FFFF,
+    s"maxCodePoint * (mod-1) would overflow Long: mod=$mod")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "winnow_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_anchors requires a string input, got ${child.dataType.sql}")
+
+  /** base^(k-1) mod m, for the outgoing code point's term. */
+  private lazy val bk: Long = {
+    var r = 1L
+    var i = 0
+    while (i < k - 1) { r = (r * base) % mod; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val nGrams = n - k + 1
+    if (nGrams < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Int])
+    // per-k-gram hashes, indexed by 0-based k-gram start
+    val hs = new Array[Long](nGrams)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * base + cps(i)) % mod
+      if (i >= k) {
+        h = java.lang.Math.floorMod(h - (cps(i - k) * bk % mod) * base % mod, mod)
+      }
+      if (i >= k - 1) hs(i - k + 1) = h
+      i += 1
+    }
+    // monotonic deque of k-gram indices; >= pop keeps the rightmost min
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var last = -1
+    var j = 0
+    while (j < nGrams) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(j)) tail -= 1
+      dq(tail) = j; tail += 1
+      if (dq(head) <= j - w) head += 1
+      if (j >= w - 1 && dq(head) != last) {
+        last = dq(head)
+        out += last + 1 // 1-based code-point start position
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val n = ctx.freshName("n")
+      val nGrams = ctx.freshName("nGrams")
+      val hs = ctx.freshName("hs")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val dq = ctx.freshName("dq")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val out = ctx.freshName("out")
+      val cnt = ctx.freshName("cnt")
+      val last = ctx.freshName("last")
+      val j = ctx.freshName("j")
+      // primitive arrays throughout (the CdcBoundaries Janino lesson:
+      // boxed collections de-codegen the projection)
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = $cps.length;
+         |int $nGrams = $n - ${k} + 1;
+         |int[] $out;
+         |int $cnt = 0;
+         |if ($nGrams < $w) {
+         |  $out = new int[0];
+         |} else {
+         |  long[] $hs = new long[$nGrams];
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $h = ($h * ${base}L + $cps[$i]) % ${mod}L;
+         |    if ($i >= $k) {
+         |      $h = java.lang.Math.floorMod(
+         |        $h - ($cps[$i - $k] * ${bk}L % ${mod}L) * ${base}L % ${mod}L, ${mod}L);
+         |    }
+         |    if ($i >= ${k - 1}) $hs[$i - ${k} + 1] = $h;
+         |  }
+         |  int[] $dq = new int[$nGrams];
+         |  int $head = 0; int $tail = 0;
+         |  $out = new int[$nGrams / $w + 2];
+         |  int $last = -1;
+         |  for (int $j = 0; $j < $nGrams; $j++) {
+         |    while ($tail > $head && $hs[$dq[$tail - 1]] >= $hs[$j]) $tail--;
+         |    $dq[$tail++] = $j;
+         |    if ($dq[$head] <= $j - $w) $head++;
+         |    if ($j >= ${w - 1} && $dq[$head] != $last) {
+         |      $last = $dq[$head];
+         |      if ($cnt == $out.length) $out = java.util.Arrays.copyOf($out, $cnt * 2);
+         |      $out[$cnt++] = $last + 1;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $cnt));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
+object WinnowAnchors {
+  def apply(c: Column, k: Int, w: Int, base: Long = 31L,
+            mod: Long = 1000000007L): Column =
+    Bridge.column(WinnowAnchors(Bridge.expression(c), k, w, base, mod))
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring cross-document dedup — minimum-length-L VERBATIM
+  * duplicate spans at ARBITRARY byte offsets (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better": the
+  * ExactSubstr pass run over C4/RealNews with a suffix array at 50
+  * tokens). This is the dedup modality the CDC chunk tier (q187–q189)
+  * structurally cannot see: a duplicated span SHORTER than the expected
+  * chunk size, or one straddling an h%64==0 boundary, never becomes a
+  * whole shared chunk — but a verbatim 40-char overlap is exactly what
+  * the published exact-substring work targets (SubstrDedupSpec plants a
+  * 60-char shared span the chunk tier provably misses).
+  *
+  * DEFINITION (exact, oracle-replayable): character c of document d is
+  * duplicated iff it lies inside some length-L window of d whose
+  * content also occurs verbatim in at least one OTHER document. Maximal
+  * runs of duplicated characters are the reported spans. Same-document
+  * repeats do not count (cross-doc semantics, matching the chunk tier).
+  *
+  * ARCHITECTURE — two passes replacing the suffix array, which does not
+  * distribute (Lee et al. build it single-node on 600 GB; at 100 TB the
+  * sort alone is the job):
+  *
+  *   Pass A (candidates): winnowed k-gram anchors
+  *   ([[graft.functions.WinnowAnchors]], k + w - 1 = L) — ~n/w rows per
+  *   doc into ONE shuffle on the anchor key; docs sharing an anchor
+  *   with another doc are candidates. The winnowing guarantee makes
+  *   this pruning LOSSLESS: any two docs sharing a length->=L substring
+  *   share a selected anchor, so a non-candidate doc provably has no
+  *   duplicated span (spec-pinned: two-pass == exhaustive).
+  *
+  *   Pass B (exact, candidates only): every length-L window of the
+  *   candidate docs, keyed by md5 of the window content (the
+  *   ChunkDedup key discipline — md5, not the 30-bit rolling hash, so a
+  *   hash collision cannot manufacture a false span); windows whose key
+  *   spans >=2 distinct docs are hits, and hits p1 < p2 with
+  *   p2 <= p1 + L merge into one maximal span (their L-char coverages
+  *   overlap or touch). Cost is O(chars of docs that actually share
+  *   something), not the corpus: at 100 TB pass A reads everything
+  *   cheaply and pass B's window explosion is confined to the
+  *   duplicated subset plus anchor-collision false positives.
+  *
+  * STRIP SEMANTICS: [[stripSpans]] removes every duplicated span from
+  * EVERY document holding it — the published ExactSubstr behavior (Lee
+  * et al. drop all copies and note the model quality still improves),
+  * deliberately different from the chunk tier's min-doc owner election:
+  * spans are not aligned entities across docs (each doc's maximal
+  * coverage differs), so "first occurrence" has no stable meaning here.
+  * A pipeline wanting one surviving copy layers whole-doc or chunk
+  * dedup first.
+  */
+object SubstrDedup {
+
+  /** Minimum duplicated-span length L, in code points. */
+  val DefaultMinLen = 40
+  /** Anchor k-gram length; with [[DefaultW]] the winnowing guarantee
+    * threshold t = w + k - 1 equals [[DefaultMinLen]] exactly.
+    */
+  val DefaultK = 20
+  /** Winnow window (consecutive k-gram hashes per selection). */
+  val DefaultW = DefaultMinLen - DefaultK + 1
+
+  /** Pass A rows: one per winnow-selected anchor — (doc_id, pos,
+    * anchor) with `anchor` = md5 of the k-gram at the selected
+    * position. This is also the PERSISTED incremental state: store it
+    * partitioned by `anchor` so [[dupSpansAgainst]]'s semi-join prunes
+    * at the source (the chunkPairState discipline).
+    */
+  def anchors(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", k: Int = DefaultK,
+              w: Int = DefaultW): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        graft.functions.WinnowAnchors(col(textCol), k, w).as("ps"))
+      .select(col("doc_id"), col("text"), explode(col("ps")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $k)").cast("binary")).as("anchor"))
+
+  /** Docs carrying at least one anchor shared with ANOTHER doc — the
+    * lossless candidate set. Two shuffles on the anchor key (aggregate
+    * + co-partitioned semi-join) and a distinct on doc_id; output is
+    * bounded by the docs that share anything.
+    */
+  def candidateDocs(anchorRows: DataFrame): DataFrame = {
+    val multi = anchorRows
+      .groupBy(col("anchor"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("anchor"))
+    anchorRows.join(multi, Seq("anchor"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Pass B hits over the GIVEN docs: (doc_id, pos) for every 1-based
+    * position whose length-L window content occurs in >= 2 distinct
+    * docs. Exact by construction — every position is examined and the
+    * key is content md5. ONE shuffle on the window key (aggregate +
+    * co-partitioned semi-join back).
+    */
+  private[operators] def sharedGramHits(docs: DataFrame, idCol: String,
+                                        textCol: String, minLen: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // sequence(1, 0) is the DESCENDING [1, 0], not empty — guard short
+      // docs explicitly (the NgramLm lesson)
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
+          "array())")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
+    val shared = grams
+      .groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    grams.join(shared, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal spans from hit positions: hits p1 < p2 of the same doc
+    * merge when p2 <= p1 + L (coverages [p, p+L-1] overlap or touch).
+    * One shuffle on doc_id (the island window); output one row per
+    * maximal span — (doc_id, span_idx, span_start, span_end, span_len).
+    */
+  private[operators] def spansFromHits(hits: DataFrame, minLen: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islanded = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islanded
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + minLen - 1).cast("long").as("span_end"))
+      .withColumn("span_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("span_start"))).cast("long"))
+      .select(col("doc_id"), col("span_idx"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** The two-pass detector: winnowed candidate pruning, then the exact
+    * per-window pass restricted to candidates. Requires w + k - 1 <= L
+    * (the winnowing guarantee threshold) — with the defaults t = L
+    * exactly, so the pruning is lossless and the output equals the
+    * exhaustive single-pass definition (spec-pinned).
+    */
+  def dupSpans(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minLen: Int = DefaultMinLen,
+               k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen: " +
+        "a shared span of length minLen could otherwise select no common anchor")
+    val cands = candidateDocs(anchors(docs, idCol, textCol, k, w))
+    val candDocs = docs.join(cands,
+      docs(idCol) === cands("doc_id"), "left_semi")
+    spansFromHits(sharedGramHits(candDocs, idCol, textCol, minLen), minLen)
+  }
+
+  /** The exhaustive single-pass detector (no candidate pruning) — the
+    * definition itself, quadratic-free but reading every window of
+    * every doc. Exists as the spec's equality reference and the honest
+    * small-corpus baseline; [[dupSpans]] is the scale path.
+    */
+  def dupSpansExhaustive(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         minLen: Int = DefaultMinLen): DataFrame =
+    spansFromHits(sharedGramHits(docs, idCol, textCol, minLen), minLen)
+
+  /** Per-document duplicated-span profile over ALL docs: total code
+    * points, duplicated code points (sum of maximal-span lengths),
+    * span count — zero rows kept for clean docs so the profile covers
+    * the corpus (the duplicatedMass discipline).
+    */
+  def dupProfile(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minLen: Int = DefaultMinLen,
+                 k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, minLen, k, w)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("dup_chars"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("total_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
+  /** The removal transform: drop every duplicated span from every doc
+    * (ALL copies — the published ExactSubstr semantics; see the object
+    * doc for why owner election is ill-posed at span granularity).
+    * Output one row per doc: total/stripped code points, span count,
+    * and md5 of the kept text (non-covered segments concatenated in
+    * order) — compact and exactly verifiable without shipping
+    * corpus-sized text through the gate. Clean docs keep a row whose
+    * kept_md5 is the md5 of the full text.
+    */
+  def stripSpans(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", minLen: Int = DefaultMinLen,
+                 k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    val spans = dupSpans(docs, idCol, textCol, minLen, k, w)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start").as("st"),
+          col("span_end").as("en")))).as("sps"),
+        sum(col("span_len")).as("stripped_chars"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("total_chars"),
+        coalesce(col("stripped_chars"), lit(0L)).as("stripped_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        // fold the sorted, non-overlapping spans left to right, keeping
+        // the text between the previous span's end and the next start,
+        // then the tail after the last span
+        md5(when(col("sps").isNull, col("text")).otherwise(expr(
+          """aggregate(sps,
+            |  named_struct('e', cast(0 as long), 'a', cast('' as string)),
+            |  (ac, sp) -> named_struct(
+            |    'e', sp.en,
+            |    'a', concat(ac.a, substring(text, cast(ac.e as int) + 1,
+            |                 cast(sp.st - ac.e - 1 as int)))),
+            |  ac -> concat(ac.a, substring(text, cast(ac.e as int) + 1,
+            |              length(text) - cast(ac.e as int))))""".stripMargin))
+          .cast("binary")).as("kept_md5"))
+  }
+
+  /** Merge possibly-overlapping/adjacent span sets into maximal spans —
+    * the incremental manifest's merge rule: coverage is a SET of
+    * characters, so updated spans for a doc are the interval union of
+    * its old spans and the [[dupSpansAgainst]] output. Adjacent spans
+    * (start == prev end + 1) merge: coverage is contiguous.
+    */
+  def mergeSpans(spans: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("span_start"), col("span_end"))
+    val runMax = max(col("span_end")).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("brk",
+        when(runMax.isNull || col("span_start") > runMax + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("span_start")).as("span_start"),
+        max(col("span_end")).as("span_end"))
+      .withColumn("span_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("span_start"))).cast("long"))
+      .select(col("doc_id"), col("span_idx"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Incremental detection: a NEW batch against the persisted anchor
+    * state of the prior corpus (disjoint doc sets — the
+    * jaccardPairsAgainst contract, same loud probe). `oldDocs` is the
+    * prior corpus as a LAZY source; only docs sharing an anchor with
+    * the batch are actually read (semi-join on doc_id — partition the
+    * lake by doc_id and the read prunes). Returns [[dupSpans]]-schema
+    * rows for every doc in (new batch ∪ touched old docs).
+    *
+    * The merge rule (spec-pinned): full recompute over old ∪ new ==
+    *   old spans for UNTOUCHED old docs
+    *   ∪ mergeSpans(old spans for touched docs ∪ this output).
+    * Soundness: a new doc sharing a length->=L span with an old doc
+    * forces a shared winnow anchor (the guarantee), so every old doc
+    * whose coverage changes is touched, and a new doc's spans involve
+    * only new or touched docs — both sides of the rule are complete.
+    * Per-batch cost scales with the batch plus the genuinely-duplicated
+    * old mass, never the corpus.
+    */
+  def dupSpansAgainst(newDocs: DataFrame, oldDocs: DataFrame,
+                      oldAnchors: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", minLen: Int = DefaultMinLen,
+                      k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
+    val na = anchors(newDocs, idCol, textCol, k, w)
+    val dup = na.select(col("doc_id")).distinct()
+      .join(oldAnchors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"dupSpansAgainst batch overlaps the state (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
+        "the incremental contract requires disjoint doc sets")
+    val touched = oldAnchors
+      .join(na.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val touchedOldDocs = oldDocs.join(touched,
+      oldDocs(idCol) === touched("doc_id"), "left_semi")
+    val corpus = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .unionByName(touchedOldDocs.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")))
+    val allAnchors = na.unionByName(
+      oldAnchors.join(touched, Seq("doc_id"), "left_semi"))
+    val cands = candidateDocs(allAnchors)
+    val candDocs = corpus.join(cands, Seq("doc_id"), "left_semi")
+    spansFromHits(sharedGramHits(candDocs, "doc_id", "text", minLen), minLen)
+  }
+}

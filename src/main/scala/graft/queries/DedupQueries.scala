@@ -488,8 +488,225 @@ object DedupQueries {
         FROM flags
         GROUP BY doc_id
         ORDER BY doc_id"""),
-      doc = "Cross-document repeated-chunk REMOVAL (keep-first-owner = min doc_id): per-doc stripped mass plus md5 of the rewritten text, chunks below 16 chars never stripped; oracle replays the CDC chunking, the owner election, and the ordered re-concatenation.")
+      doc = "Cross-document repeated-chunk REMOVAL (keep-first-owner = min doc_id): per-doc stripped mass plus md5 of the rewritten text, chunks below 16 chars never stripped; oracle replays the CDC chunking, the owner election, and the ordered re-concatenation."),
+
+    Q(
+      "q201_substring_dedup_spans",
+      (s, _) => {   // SubstrFixture; dir arg unused
+        // EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr, the
+        // suffix-array tier re-architected for a cluster): min-length-L
+        // VERBATIM duplicate spans at ARBITRARY offsets — the dedup
+        // modality the CDC chunk tier structurally cannot see (spans
+        // shorter than the expected chunk or straddling an h%64==0
+        // boundary; SubstrDedupSpec plants the 60-char case q187
+        // provably misses). Two passes: lossless winnowed-anchor
+        // candidate pruning (the SIGMOD'03 guarantee at t = w+k-1 = L),
+        // then the exact every-window pass over candidates only. The
+        // oracle replays the DEFINITION (all windows, no pruning) — the
+        // guarantee is what makes the two answers equal.
+        graft.operators.SubstrDedup.dupSpans(
+            s.read.parquet(SubstrFixture.ensure(s)))
+          .orderBy(col("doc_id"), col("span_idx"))
+      },
+      Some(s"""
+        ${substrSpansCte()}
+        SELECT doc_id, span_idx, span_start, span_end, span_len
+        FROM spansx
+        ORDER BY doc_id, span_idx"""),
+      doc = "Exact-substring cross-document dedup (min 40-code-point verbatim spans at arbitrary offsets): winnowed k-gram anchors (k=20, w=21 — the published winnowing guarantee makes pruning lossless at t=40) into one anchor-hash shuffle, then the exact md5-keyed window pass over candidate docs only; maximal spans merged where coverages touch; oracle replays the exhaustive definition window by window."),
+
+    Q(
+      "q202_substring_dedup_profile",
+      (s, _) => {   // SubstrFixture; dir arg unused
+        // The per-doc duplicated-mass profile over the SAME span space
+        // (q188's accounting at substring granularity): total vs
+        // duplicated code points and span count, zero rows kept so the
+        // profile covers every doc — the curation gate thresholds this
+        // (a doc that is mostly verbatim-repeated text is boilerplate
+        // even when no chunk or whole-doc duplicate exists).
+        graft.operators.SubstrDedup.dupProfile(
+            s.read.parquet(SubstrFixture.ensure(s)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        ${substrSpansCte()}
+        SELECT d.doc_id,
+               CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+               CAST(COALESCE(SUM(sp.span_len), 0) AS BIGINT) AS dup_chars,
+               CAST(COUNT(sp.span_start) AS BIGINT) AS n_spans
+        FROM docs d LEFT JOIN spansx sp USING (doc_id)
+        GROUP BY d.doc_id, d.text
+        ORDER BY d.doc_id"""),
+      doc = "Per-document exact-substring duplicated-mass profile: total and duplicated code points plus maximal-span count for EVERY doc (zero rows kept), the substring-granular boilerplate-fraction signal; same two-pass detection as q201, one extra doc_id aggregation."),
+
+    Q(
+      "q203_substring_strip",
+      (s, _) => {   // SubstrFixture; dir arg unused
+        // The removal transform completing the tier (q201 detects, q202
+        // profiles, this strips): every duplicated span removed from
+        // EVERY doc holding it — the published ExactSubstr semantics
+        // (spans are not aligned entities across docs, so the chunk
+        // tier's owner election is ill-posed here; Lee et al. drop all
+        // copies). Output is the per-doc accounting plus md5 of the
+        // kept text, exactly verifiable without shipping text.
+        graft.operators.SubstrDedup.stripSpans(
+            s.read.parquet(SubstrFixture.ensure(s)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        ${substrSpansCte()},
+        segs AS (
+          SELECT doc_id, span_start, span_end,
+                 COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+          FROM spansx),
+        mids AS (
+          SELECT s.doc_id,
+                 STRING_AGG(d.text[CAST(s.prev_end + 1 AS INT) : CAST(s.span_start - 1 AS INT)],
+                            '' ORDER BY s.span_start) AS mid,
+                 MAX(s.span_end) AS last_end,
+                 CAST(SUM(s.span_end - s.span_start + 1) AS BIGINT) AS stripped,
+                 CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM segs s JOIN docs d USING (doc_id)
+          GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
+               COALESCE(m.stripped, 0) AS stripped_chars,
+               COALESCE(m.n_spans, 0) AS n_spans,
+               MD5(CASE WHEN m.doc_id IS NULL THEN d.text
+                        ELSE m.mid || d.text[CAST(m.last_end + 1 AS INT) : LENGTH(d.text)]
+                   END) AS kept_md5
+        FROM docs d LEFT JOIN mids m USING (doc_id)
+        ORDER BY d.doc_id"""),
+      doc = "Exact-substring span REMOVAL (all copies dropped — the published ExactSubstr behavior; owner election is ill-posed at span granularity): per-doc stripped mass plus md5 of the kept text re-concatenated in order; oracle replays the span set and the between-span segment stitching.")
   )
+
+  /** The exact-substring span set replayed in DuckDB, shared by
+    * q201/q202/q203 — the DEFINITION itself, with no candidate pruning:
+    * every length-L window of every doc, windows shared by >= 2
+    * distinct docs are hits, hits with gap <= L merge into maximal
+    * spans. The Spark side prunes through winnowed anchors first; the
+    * winnowing guarantee (t = w + k - 1 = L) is exactly the claim that
+    * the two answers are equal, so the gate proves it per run. Emits
+    * docs/grams/g2/sharedg/hits/marked/isl/spans/spansx; embed after
+    * `WITH`.
+    */
+  private def substrSpansCte(minLen: Int = graft.operators.SubstrDedup.DefaultMinLen): String = s"""
+        WITH docs AS (SELECT doc_id, text FROM read_parquet('${SubstrFixture.Root}/*.parquet')),
+        grams AS (
+          SELECT doc_id, UNNEST(RANGE(1, GREATEST(LENGTH(text) - $minLen + 2, 1))) AS pos, text
+          FROM docs),
+        g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      text[pos : pos + $minLen - 1] AS g
+               FROM grams),
+        sharedg AS (SELECT g FROM g2 GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g2 JOIN sharedg USING (g)),
+        marked AS (SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $minLen
+                          THEN 1 ELSE 0 END AS brk
+                   FROM hits),
+        isl AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked),
+        spans AS (SELECT doc_id,
+                    CAST(MIN(pos) AS BIGINT) AS span_start,
+                    CAST(MAX(pos) + $minLen - 1 AS BIGINT) AS span_end
+                  FROM isl GROUP BY doc_id, island),
+        spansx AS (SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) AS BIGINT) AS span_idx,
+                     span_start, span_end,
+                     span_end - span_start + 1 AS span_len
+                   FROM spans)"""
+
+  /** Deterministic corpus for the exact-substring tier: 1 000 generated
+    * prose docs (~240 unique chars each) with planted verbatim overlap —
+    * a ~120-char license paragraph in every 10th doc at a rotating
+    * offset (prefix / mid-word insertion at a varying split / suffix), a
+    * ~60-char sentence in every 50th doc (prefix for the first half of
+    * the id space, suffix for the rest — arbitrary-offset sharing), and
+    * a 30-char fragment (UNDER the 40 threshold — must never be
+    * detected) in every 4th doc. Edge docs: empty; under-threshold;
+    * exactly-40-char identical pair; whole-doc duplicate pair; the
+    * adjacent-vs-separated two-span pair (same two 45-char spans,
+    * contiguous in one doc — one merged maximal span — and 80 chars
+    * apart in the other — two spans); a unicode pair sharing a span with
+    * multi-byte and astral code points (pins code-point arithmetic in
+    * both engines); a doc carrying the license TWICE (two maximal
+    * spans, 20-char gap stays split because the gap rule measures hit
+    * positions, not span edges); and an intra-doc-only repeat (a 50-char
+    * phrase twice in ONE doc, nowhere else — zero spans, pinning the
+    * cross-doc countDistinct).
+    */
+  object SubstrFixture {
+    val Root = "/root/repo/target/substr_fixture"
+    // splitmix64 finalizer, NOT the (seed % 26)-cycle generator the
+    // regex-tier fixtures use: this tier's negatives depend on prose
+    // being genuinely collision-free at 40-gram granularity, and any
+    // LINEAR char generator (even multiplied by big constants) keeps
+    // arithmetic correlations that repeat whole word streams across
+    // docs and plant accidental verbatim spans everywhere
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private def word(seed: Long, len: Int): String =
+      (0 until len).map(j =>
+        ('a' + java.lang.Math.floorMod(mix(seed * 64 + j), 26L).toInt).toChar).mkString
+    private def prose(seed: Long, n: Int): String =
+      (0 until n).map(j => word(seed * 131 + j * 7, 3 + ((seed + j) % 6).toInt))
+        .mkString(" ")
+    private val License =
+      "this software is provided as is without warranty of any kind express or " +
+        "implied including merchantability and fitness"
+    private val Sent60 = "the quick brown fox jumps over the lazy dog again and again."
+    private val Frag30 = "thirty chars shared everywhere"
+    private def doc(i: Int): String = {
+      val base = prose(i.toLong, 40)
+      val withLic =
+        if (i % 10 == 0) (i / 10) % 3 match {
+          case 0 => License + " " + base
+          case 1 => val (a, b) = base.splitAt(97 + i % 31); a + License + b
+          case _ => base + " " + License
+        }
+        else base
+      val withFrag =
+        if (i % 4 == 1) { val (a, b) = withLic.splitAt(53 + i % 17); a + Frag30 + b }
+        else withLic
+      if (i % 50 == 7)
+        if (i < 500) Sent60 + withFrag else withFrag + Sent60
+      else withFrag
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String = once.ensure(s)({
+        val main = (0 until 1000).map(i => (i.toLong, doc(i)))
+        val dupWhole = prose(7777L, 35)
+        val s45a = "first shared forty five character span aa" + "bbb" // 45
+        val s45b = "second shared forty five character span a" + "bcd" // 45
+        val uniSpan = "héllo wörld 中文字符串 straße 🎉 emoji span xx"
+        val intra = "fifty character phrase repeated inside one doc xx"
+        val edges = Seq(
+          (9000L, ""),
+          (9001L, "under forty code points"),
+          (9002L, "exactly forty characters shared verbatim"),
+          (9003L, "exactly forty characters shared verbatim"),
+          (9004L, dupWhole),
+          (9005L, dupWhole),
+          // flanks are CONTROLLED non-matching punctuation so the
+          // detected spans are exactly the plants (a shared flanking
+          // char is itself verbatim-shared context and would correctly
+          // extend the span — the q201 main docs exercise that; these
+          // edges pin exact arithmetic)
+          (9006L, prose(9006L, 8) + "(" + s45a + s45b + ")" + prose(9106L, 8)),
+          (9007L, prose(9007L, 8) + "[" + s45a + "]" + prose(9107L, 13) +
+            "{" + s45b + "}" + prose(9207L, 8)),
+          (9008L, prose(9008L, 6) + "<" + uniSpan + ">" + prose(9108L, 6)),
+          (9009L, uniSpan + "|" + prose(9109L, 10)),
+          (9010L, License + " unique middle bits " + License),
+          (9011L, intra + " " + prose(9011L, 10) + " " + intra))
+        main ++ edges
+      }, "doc_id", "text")
+  }
 
   /** The CDC chunk table replayed in DuckDB, shared by q187/q188/q189:
     * the q55 boundary fold (window 8 / base 31 / mod 1e9+7 / div 64),

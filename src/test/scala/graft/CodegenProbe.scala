@@ -28,6 +28,11 @@ class CodegenProbe extends AnyFunSuite {
     mustCompile(RollingHash(BoundReference(0, StringType, nullable = true), 8L, 257L, 1000003L))
   }
 
+  test("WinnowAnchors doGenCode compiles under janino") {
+    mustCompile(graft.functions.WinnowAnchors(
+      BoundReference(0, StringType, nullable = true), 20, 21, 31L, 1000000007L))
+  }
+
   test("BitmapAndCount / BitmapCardinality doGenCode compile under janino") {
     mustCompile(BitmapAndCount(
       BoundReference(0, BinaryType, nullable = true),

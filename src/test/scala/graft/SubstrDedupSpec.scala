@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ChunkDedup, SubstrDedup}
+
+/** Pins the exact-substring dedup tier (q201–q203):
+  *   - the PLANTED CASE the CDC chunk tier provably misses: a 60-char
+  *     verbatim span (shorter than the expected 64-char chunk, no CDC
+  *     boundary inside it) shared at different offsets — crossDocChunks
+  *     finds NOTHING on the pair, dupSpans finds exactly the span;
+  *   - the winnowing guarantee in action: two-pass (anchor-pruned)
+  *     dupSpans == the exhaustive every-window definition on the full
+  *     q201 fixture;
+  *   - the L threshold is sharp (39-char shared → nothing; 40 → span);
+  *   - WinnowAnchors codegen == interpreted eval, and anchors are
+  *     content-local (a shared 40-char substring yields a common anchor
+  *     at every planted offset);
+  *   - fixture edge semantics: exactly-L identical pair, adjacent spans
+  *     merging vs separated spans staying split, unicode code-point
+  *     spans, the license-twice doc, intra-doc-only repeats invisible;
+  *   - strip/profile accounting agrees (stripped_chars == dup_chars,
+  *     whole-doc dups strip to empty, clean docs keep their text md5);
+  *   - the incremental merge rule: full recompute == untouched old rows
+  *     ∪ mergeSpans(touched old rows ∪ dupSpansAgainst output), and the
+  *     overlapping-batch probe fails loudly.
+  */
+class SubstrDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def fixtureDocs: DataFrame =
+    spark.read.parquet(graft.queries.DedupQueries.SubstrFixture.ensure(spark))
+
+  /** 60 chars, chosen to contain NO internal CDC boundary (window 8 /
+    * div 64 defaults) — the premise is ASSERTED below, not assumed.
+    */
+  private val Span60 =
+    "sixty character span planted at two different offsets here!!"
+
+  test("planted 60-char span: CDC chunk tier misses it, substring tier finds it") {
+    assert(Span60.length == 60)
+    // flanks deliberately differ on BOTH sides (a shared flanking char
+    // is verbatim-shared context and would correctly extend the span)
+    val docs = df(
+      1L -> ("alpha preamble words before." + Span60 + ",alpha coda after"),
+      2L -> ("a completely different and much longer beta preamble:" +
+        Span60 + "-beta tail"))
+    // premise: the chunk tier structurally cannot see it — no whole
+    // chunk is shared (the span holds no boundary, so each host's
+    // enclosing chunk bleeds into doc-unique text)
+    val chunks = ChunkDedup.crossDocChunks(
+      ChunkDedup.cdcChunks(docs, "doc_id", "text"))
+    assert(chunks.count() == 0L,
+      "premise broken: pick a Span60 without an internal CDC boundary")
+    // the substring tier reports exactly the span in both docs
+    val spans = SubstrDedup.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    val off1 = docs.filter(col("doc_id") === 1L).head().getString(1).indexOf(Span60) + 1
+    val off2 = docs.filter(col("doc_id") === 2L).head().getString(1).indexOf(Span60) + 1
+    assert(spans.toSeq == Seq(
+      (1L, off1.toLong, off1 + 59L, 60L),
+      (2L, off2.toLong, off2 + 59L, 60L)))
+  }
+
+  test("two-pass anchor-pruned detection == exhaustive definition on the q201 fixture") {
+    val twoPass = SubstrDedup.dupSpans(fixtureDocs).collect()
+      .map(_.toSeq).toSet
+    val exhaustive = SubstrDedup.dupSpansExhaustive(fixtureDocs).collect()
+      .map(_.toSeq).toSet
+    assert(twoPass == exhaustive)
+    assert(twoPass.nonEmpty)
+  }
+
+  test("the L threshold is sharp: 39 shared chars invisible, 40 detected") {
+    val s39 = "exactly thirty nine shared characters!!"
+    assert(s39.length == 39)
+    val s40 = s39 + "?"
+    val under = SubstrDedup.dupSpans(df(
+      1L -> ("unique left one " + s39 + " unique right one"),
+      2L -> ("other left words " + s39 + " other right words")))
+    // the flanking spaces are NOT shared context beyond the fragment:
+    // both hosts flank with ' ', so the shared run is ' ' + s39 + ' ' =
+    // 41 chars >= L — build the negative case with DIFFERING flanks
+    val underStrict = SubstrDedup.dupSpans(df(
+      1L -> ("uniqueleftone." + s39 + ".uniquerightone"),
+      2L -> ("otherleftwords;" + s39 + ";otherrightwords")))
+    assert(underStrict.count() == 0L)
+    val over = SubstrDedup.dupSpans(df(
+      1L -> ("uniqueleftone." + s40 + ".uniquerightone"),
+      2L -> ("otherleftwords;" + s40 + ";otherrightwords")))
+    assert(over.count() == 2L)
+    assert(over.collect().forall(_.getLong(4) == 40L))
+    // and the space-flanked "negative" is indeed the 41-char positive
+    assert(under.collect().forall(_.getLong(4) == 41L))
+  }
+
+  test("WinnowAnchors: codegen result == interpreted eval, short docs empty") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("", "short", "a" * 39, Span60,
+      fixtureDocs.orderBy(col("doc_id")).limit(3).collect().map(_.getString(1)).mkString(" "),
+      "héllo wörld 中文字符串 straße 🎉 emoji span xx and some ascii tail words")
+    val expr = graft.functions.WinnowAnchors(
+      BoundReference(0, StringType, nullable = true), 20, 21, 31L, 1000000007L)
+    val viaEval = texts.map(t =>
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(t)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq)
+    import spark.implicits._
+    val viaCodegen = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("i", "t")
+      .select(col("i"), graft.functions.WinnowAnchors(col("t"), 20, 21).as("a"))
+      .orderBy(col("i")).collect()
+      .map(_.getSeq[Int](1).toSeq)
+    assert(viaEval == viaCodegen.toSeq)
+    assert(viaEval.head.isEmpty)         // empty doc
+    assert(viaEval(1).isEmpty)           // < k chars
+    assert(viaEval(2).isEmpty)           // 39 chars: no full window at t=40
+    assert(viaEval(3).nonEmpty)          // 60 chars: at least one anchor
+  }
+
+  test("winnowing guarantee smoke: a shared 40-gram yields a common anchor at every offset") {
+    import spark.implicits._
+    val shared = "forty shared characters for the anchors!"
+    assert(shared.length == 40)
+    val hosts = (0 until 12).map { i =>
+      val pad = (0 until 5 + i * 3).map(j => ('a' + (i * 7 + j * 5) % 26).toChar).mkString
+      (i.toLong, pad + shared + pad.reverse + s"tail$i")
+    }
+    val anch = SubstrDedup.anchors(hosts.toDF("doc_id", "text"))
+    val common = anch.groupBy($"anchor")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" === 12L)
+    assert(common.count() >= 1L,
+      "every host embeds the same 40-gram; the guarantee demands one anchor common to all")
+  }
+
+  test("fixture edges: exact-L pair, adjacent merge vs split, unicode, license twice, intra-doc invisible") {
+    val spans = SubstrDedup.dupSpans(fixtureDocs)
+      .filter(col("doc_id") >= 9000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // 9000 empty / 9001 short / 9011 intra-doc-only: no spans
+    assert(!spans.contains(9000L) && !spans.contains(9001L) && !spans.contains(9011L))
+    // 9002/9003: identical 40-char docs — one span covering everything
+    assert(spans(9002L).map(s => (s._3, s._4, s._5)) == Seq((1L, 40L, 40L)))
+    assert(spans(9003L).map(s => (s._3, s._4, s._5)) == Seq((1L, 40L, 40L)))
+    // 9004/9005: whole-doc duplicates — one span covering the full text
+    val len9004 = fixtureDocs.filter(col("doc_id") === 9004L).head().getString(1).length
+    assert(spans(9004L).map(s => (s._3, s._4)) == Seq((1L, len9004.toLong)))
+    assert(spans(9005L) == spans(9004L).map(s => s.copy(_1 = 9005L)))
+    // 9006: the two 44-char spans sit adjacent — ONE merged 88-char span;
+    // 9007: same spans 80+ chars apart — TWO 44-char spans
+    assert(spans(9006L).map(_._5) == Seq(88L))
+    assert(spans(9007L).map(_._5) == Seq(44L, 44L))
+    // 9008/9009: the unicode span — exactly 40 CODE POINTS (multi-byte
+    // and astral chars counted once); 9009 hosts it at position 1
+    assert(spans(9008L).map(_._5) == Seq(40L))
+    assert(spans(9009L).map(s => (s._3, s._5)) == Seq((1L, 40L)))
+    // 9010: license twice, 20-char gap — two maximal spans, not one
+    assert(spans(9010L).size == 2)
+  }
+
+  test("strip/profile accounting: stripped == dup mass, whole-doc dups strip empty, clean docs keep md5(text)") {
+    import spark.implicits._
+    val profile = SubstrDedup.dupProfile(fixtureDocs)
+    val strip = SubstrDedup.stripSpans(fixtureDocs)
+    val joined = profile.join(strip, Seq("doc_id"))
+      .select($"doc_id", profile("total_chars"), $"dup_chars", profile("n_spans"),
+        strip("total_chars").as("t2"), $"stripped_chars", strip("n_spans").as("n2"),
+        $"kept_md5")
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4), s"total mismatch for doc ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(5), s"dup/stripped mismatch for doc ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(6), s"span count mismatch for doc ${r.getLong(0)}")
+    }
+    val byId = joined.map(r => r.getLong(0) -> r).toMap
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    assert(byId(9004L).getString(7) == emptyMd5 &&
+      byId(9004L).getLong(2) == byId(9004L).getLong(1))
+    // a clean doc keeps md5(text)
+    val text9001 = fixtureDocs.filter($"doc_id" === 9001L).head().getString(1)
+    val md59001 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text9001.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(9001L).getString(7) == md59001 && byId(9001L).getLong(2) == 0L)
+    // fixture-wide conservation: every doc's stripped mass <= total
+    joined.foreach(r => assert(r.getLong(5) <= r.getLong(1)))
+  }
+
+  test("incremental merge rule: full == untouched old ∪ mergeSpans(touched old ∪ against); overlap probe throws") {
+    import spark.implicits._
+    val all = fixtureDocs
+    val oldDocs = all.filter($"doc_id" < 500L || $"doc_id".isin(9002L, 9004L, 9006L, 9010L))
+    val newDocs = all.exceptAll(oldDocs)
+    val oldAnchors = SubstrDedup.anchors(oldDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val against = SubstrDedup.dupSpansAgainst(newDocs, oldDocs, oldAnchors)
+    val oldSpans = SubstrDedup.dupSpans(oldDocs)
+    val touched = oldAnchors
+      .join(SubstrDedup.anchors(newDocs).select($"anchor").distinct(),
+        Seq("anchor"), "left_semi")
+      .select($"doc_id").distinct()
+    val untouchedOldRows = oldSpans.join(touched, Seq("doc_id"), "left_anti")
+    val mergedRows = SubstrDedup.mergeSpans(
+      oldSpans.join(touched, Seq("doc_id"), "left_semi")
+        .select("doc_id", "span_idx", "span_start", "span_end", "span_len")
+        .unionByName(against))
+    val reconstructed = untouchedOldRows
+      .select("doc_id", "span_idx", "span_start", "span_end", "span_len")
+      .unionByName(mergedRows)
+      .collect().map(_.toSeq).toSet
+    val full = SubstrDedup.dupSpans(all).collect().map(_.toSeq).toSet
+    assert(reconstructed == full)
+    // the overlap probe fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      SubstrDedup.dupSpansAgainst(oldDocs.limit(3), oldDocs, oldAnchors).collect()
+    }
+    assert(ex.getMessage.contains("disjoint"))
+    oldAnchors.unpersist()
+  }
+}
