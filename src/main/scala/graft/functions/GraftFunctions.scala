@@ -151,19 +151,23 @@ object GraftFunctions {
           org.apache.spark.sql.types.LongType)
       }, "built-in")
 
-    // pii_redact(text): the PII scrub chain in PiiFns.Stages order
-    // (email -> IPv4 -> phone -> SSN -> ...) as a SQL-surface scalar,
-    // folding the Stages seq itself so a new stage can never be missed
-    // here, built from the SAME
-    // shared pattern/token constants as the Column API; SqlSurfaceSpec
-    // pins SQL == Column on the fixture edge docs.
+    // pii_redact(text): the full PII scrub chain (the five regex stages
+    // in PiiFns.Stages order, then the Luhn card stage) as a SQL-surface
+    // scalar. Parses PiiFns.redactSqlText — generated from the same
+    // Stages seq and constants as the Column API — and splices the
+    // argument in for the placeholder attribute. (Bridge-wrapping the
+    // Column directly does NOT work here: the wrapped node is opaque to
+    // the analyzer inside a registry builder and dies at codegen.)
+    // SqlSurfaceSpec pins SQL == Column over the ENTIRE PII fixture.
     registry.createOrReplaceTempFunction("pii_redact",
       exprs => {
         require(exprs.length == 1, "pii_redact(text) takes exactly 1 argument")
-        import org.apache.spark.sql.catalyst.expressions.RegExpReplace
-        PiiFns.Stages.foldLeft(exprs(0)) { case (acc, (p, t)) =>
-          RegExpReplace(acc, Literal(p), Literal(t))
-        }
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(PiiFns.redactSqlText("__pii_redact_in"))
+          .transformUp {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if a.name == "__pii_redact_in" => exprs(0)
+          }
       }, "built-in")
 
     // url_canonical(url): the UrlFns canonical form (scheme/host

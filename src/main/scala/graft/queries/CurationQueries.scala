@@ -355,19 +355,20 @@ object CurationQueries {
         // shuffle except the final sort.
         PiiFns.piiFrame(Tables.documents(s, d), "doc_id", "text")
           .select($"doc_id", $"redacted", $"email_count", $"ip_count",
-            $"phone_count", $"ssn_count", $"pii_total", $"has_pii",
-            $"residual_pii")
+            $"phone_count", $"ssn_count", $"iban_count", $"cc_count",
+            $"pii_total", $"has_pii", $"residual_pii")
           .orderBy($"doc_id")
       },
       Some(s"""
         WITH ${OracleCtes.piiCounted("documents")}
         SELECT doc_id, redacted, email_count, ip_count, phone_count, ssn_count,
-               email_count + ip_count + phone_count + ssn_count AS pii_total,
-               CAST(email_count + ip_count + phone_count + ssn_count > 0 AS BIGINT) AS has_pii,
+               iban_count, cc_count,
+               email_count + ip_count + phone_count + ssn_count + iban_count + cc_count AS pii_total,
+               CAST(email_count + ip_count + phone_count + ssn_count + iban_count + cc_count > 0 AS BIGINT) AS has_pii,
                residual_pii
         FROM pii_counted
         ORDER BY doc_id"""),
-      doc = "PII redaction at corpus scale through the single shared PiiFns frame (emails / IPv4 / phones / SSN-shaped ids -> placeholder tokens in fixed order, per-stage counts on progressively redacted text, oracle-replayed residual re-scan): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle."),
+      doc = "PII redaction at corpus scale through the single shared PiiFns frame (emails / IPv4 / phones / SSN-shaped ids / IBAN shapes / Luhn-valid cards -> placeholder tokens in fixed order, per-stage counts on progressively redacted text, oracle-replayed residual re-scan): codegen'd regex scan, RE2-safe patterns mirrored verbatim in the oracle plus the identical integer Luhn fold."),
 
     Q(
       "q54_upsample_balance",
@@ -752,17 +753,17 @@ object CurationQueries {
         // count == replacements). One codegen'd scalar pass.
         PiiFns.piiFrame(s.read.parquet(PiiFixture.ensure(s)), "doc_id", "text")
           .select($"doc_id", $"email_count", $"ip_count", $"phone_count",
-            $"ssn_count", $"pii_total", $"has_pii")
+            $"ssn_count", $"iban_count", $"cc_count", $"pii_total", $"has_pii")
           .orderBy($"doc_id")
       },
       Some(s"""
         WITH ${OracleCtes.piiCounted(s"read_parquet('${PiiFixture.Root}/*.parquet')")}
-        SELECT doc_id, email_count, ip_count, phone_count, ssn_count,
-               email_count + ip_count + phone_count + ssn_count AS pii_total,
-               CAST(email_count + ip_count + phone_count + ssn_count > 0 AS BIGINT) AS has_pii
+        SELECT doc_id, email_count, ip_count, phone_count, ssn_count, iban_count, cc_count,
+               email_count + ip_count + phone_count + ssn_count + iban_count + cc_count AS pii_total,
+               CAST(email_count + ip_count + phone_count + ssn_count + iban_count + cc_count > 0 AS BIGINT) AS has_pii
         FROM pii_counted
         ORDER BY doc_id"""),
-      doc = "PII detection counts (emails, IPv4, phones, SSN shapes) over a planted fixture with the ordering/boundary edges pinned (E.164-in-local-part counts as email only, IP-literal email hosts fall through to the IP stage, version strings don't match, five-octet runs match their first four, 16-digit runs cap at 15, the 3-2-4 SSN shape never collides with the 3-3-4 phone shape): RE2-safe patterns shared verbatim with the DuckDB oracle, counts on progressively redacted text so each count equals its stage's replacements; one scalar pass, no shuffle."),
+      doc = "PII detection counts (emails, IPv4, phones, SSN shapes, IBAN shapes, Luhn-VALID card numbers) over a planted fixture with the ordering/boundary edges pinned (E.164-in-local-part counts as email only, IP-literal email hosts fall through to the IP stage, version strings don't match, five-octet runs match their first four, 16-digit runs cap at 15, the 3-2-4 SSN shape never collides with the 3-3-4 phone shape, Luhn-invalid runs and >=20-digit ids survive, lowercase/short IBAN shapes survive, an IBAN tail is never double-counted as a card): RE2-safe patterns shared verbatim with the DuckDB oracle plus the integer Luhn fold replayed identically, counts on progressively redacted text so each count equals its stage's replacements; one scalar pass, no shuffle."),
 
     Q(
       "q196_pii_redact",
@@ -958,10 +959,12 @@ object CurationQueries {
                       ELSE 'test' END AS split
           FROM documents)
         SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
-               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count > 0 AS BIGINT) AS has_pii,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
                CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
                CAST(g.pass_gate = 1
-                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count) = 0
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
                     AND v.doc_id IS NULL AS BIGINT) AS keep,
                s.split
         FROM gate g
@@ -1044,6 +1047,20 @@ object CurationQueries {
     private def word(seed: Long, len: Int): String =
       (0 until len).map(j =>
         ('a' + (((seed * 41 + j * 13) % 26 + 26) % 26).toInt).toChar).mkString
+    /** A Luhn-VALID card number: `body` digits plus the computed check
+      * digit — the generator-side counterpart of the engine's validity
+      * fold, so planted cards are valid by construction and the
+      * off-by-one variants the edges plant are invalid by construction.
+      */
+    private def luhnCard(body: String): String = {
+      val sum = body.reverse.zipWithIndex.map { case (ch, idx) =>
+        val d = ch - '0'
+        // idx 0 = last body digit = 2nd position from the full number's
+        // right (the check digit occupies position 1) -> doubled
+        if (idx % 2 == 0) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+      body + ((10 - sum % 10) % 10).toString
+    }
     private def doc(i: Int): String = {
       val prose = (0 until 8).map(j => word(i.toLong * 31 + j, 3 + (i + j) % 6))
         .mkString(" ")
@@ -1053,7 +1070,9 @@ object CurationQueries {
         if (i % 11 == 0) s"from host 10.${i % 256}.${(i * 3) % 256}.${(i * 7) % 256}" else "",
         if (i % 13 == 0) s"call +49${1000000 + i}" else "",
         if (i % 17 == 0) s"or 555-${100 + i % 900}-${1000 + i % 9000}" else "",
-        if (i % 19 == 0) s"id ${100 + i % 900}-${10 + i % 90}-${1000 + i % 9000}" else "")
+        if (i % 19 == 0) s"id ${100 + i % 900}-${10 + i % 90}-${1000 + i % 9000}" else "",
+        if (i % 23 == 0) s"card ${luhnCard(s"4${i % 9 + 1}00${100000000 + i * 37}")} on file" else "",
+        if (i % 29 == 0) s"acct DE${10 + i % 90}50010517${1000000 + i} ref" else "")
       (Seq(prose) ++ planted.filter(_.nonEmpty)).mkString(" ")
     }
     private val once = new FixtureOnce(Root)
@@ -1074,7 +1093,15 @@ object CurationQueries {
           (2011L, "already-redacted <EMAIL> <IP> <PHONE> tokens count zero"),
           (2012L, "trailing-dot email user@example.com. ends the sentence"),
           (2013L, "tab\t+7654321\u000Bnext to a vertical tab"),
-          (2014L, "ssn 123-45-6789 is not a phone, 123-456-7890 is a phone not an ssn"))
+          (2014L, "ssn 123-45-6789 is not a phone, 123-456-7890 is a phone not an ssn"),
+          // card/IBAN edges: Luhn decides, not the width pattern
+          (2015L, "pay with 4111111111111111 but 4111111111111112 fails the checksum"),
+          (2016L, "grouped 4111 1111 1111 1111 and dashed 5500-0000-0000-0004 and mixed 4111 1111-1111 1111 all redact"),
+          (2017L, "order 123456789012 too short and id 123456789012345678901 too long both survive"),
+          (2018L, s"long card ${luhnCard("4000123456789012345".take(18))} and short card ${luhnCard("400012345678")}"),
+          (2019L, "iban GB82WEST12345698765432 redacts but gb82west12345698765432 lowercase and DE0012345 short survive"),
+          (2020L, "embedded 994111111111111111299 untouched while 4111111111111111 alone redacts"),
+          (2021L, "acct XX124111111111111111 is an iban shape never a card"))
         main ++ edges
       }, "doc_id", "text")
   }

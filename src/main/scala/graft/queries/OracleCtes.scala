@@ -86,12 +86,38 @@ private[queries] object OracleCtes {
           FROM ggscored)"""
   }
 
+  /** The Luhn mod-10 validity test over a candidate expression `c` —
+    * the replay of `PiiFns.luhnValid`: strip separators, from the right
+    * double every second digit (minus 9 when over 9), valid iff the sum
+    * is divisible by 10. Inlined wherever the card stage needs it so
+    * the Spark fold and the oracle fold cannot drift apart.
+    */
+  private def luhnValidSql(c: String): String = {
+    val dg = s"REGEXP_REPLACE($c, '[^0-9]', '', 'g')"
+    s"""(LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH($dg) + 1), i ->
+        CASE WHEN i % 2 = 0
+             THEN CASE WHEN (ASCII(SUBSTR($dg, CAST(LENGTH($dg) - i + 1 AS INT), 1)) - 48) * 2 > 9
+                       THEN (ASCII(SUBSTR($dg, CAST(LENGTH($dg) - i + 1 AS INT), 1)) - 48) * 2 - 9
+                       ELSE (ASCII(SUBSTR($dg, CAST(LENGTH($dg) - i + 1 AS INT), 1)) - 48) * 2 END
+             ELSE ASCII(SUBSTR($dg, CAST(LENGTH($dg) - i + 1 AS INT), 1)) - 48 END)) % 10 = 0)"""
+  }
+
+  /** The Luhn-valid card occurrences of expression `c` (an array —
+    * duplicates preserved, matching `PiiFns.ccValid`).
+    */
+  def ccValidSql(c: String): String =
+    s"""LIST_FILTER(REGEXP_EXTRACT_ALL($c, '${PiiFns.CcCandidatePattern}'),
+        cd -> ${luhnValidSql("cd")})"""
+
   /** The progressive PII replay of `PiiFns.piiFrame` over `source`
-    * (must expose doc_id + text). Emits pstaged/p2/p3/p4/pii_counted;
-    * `pii_counted` has doc_id, redacted, the four per-stage counts
-    * (each taken on the previous stage's output, so count ==
-    * replacements), and the residual re-scan. Patterns and tokens
-    * interpolate from [[PiiFns]].
+    * (must expose doc_id + text). Emits pstaged/p2/p3/p4/p5/p6/
+    * pii_counted; `pii_counted` has doc_id, redacted, the six per-stage
+    * counts (each taken on the previous stage's output, so count ==
+    * replacements), and the residual re-scan. Patterns, tokens, and the
+    * Luhn fold interpolate from [[PiiFns]]; the card-stage fold
+    * replicates the `\b`-anchored per-distinct-candidate replacement
+    * (LIST_REDUCE with the base text prepended — DuckDB's reduce has no
+    * init argument).
     */
   def piiCounted(source: String): String = s"""
         pstaged AS (
@@ -100,16 +126,26 @@ private[queries] object OracleCtes {
           FROM $source),
         p2 AS (SELECT *, REGEXP_REPLACE(no_email, '${PiiFns.Ipv4Pattern}', '${PiiFns.IpToken}', 'g') AS no_ip FROM pstaged),
         p3 AS (SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone FROM p2),
-        p4 AS (SELECT *, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS redacted FROM p3),
+        p4 AS (SELECT *, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS no_ssn FROM p3),
+        p5 AS (SELECT *, REGEXP_REPLACE(no_ssn, '${PiiFns.IbanPattern}', '${PiiFns.IbanToken}', 'g') AS no_iban FROM p4),
+        p6 AS (SELECT *,
+            LIST_REDUCE(
+              LIST_PREPEND(no_iban, LIST_DISTINCT(${ccValidSql("no_iban")})),
+              (acc, cd) -> REGEXP_REPLACE(acc, '\\b' || cd || '\\b', '${PiiFns.CcToken}', 'g')) AS redacted
+          FROM p5),
         pii_counted AS (
           SELECT doc_id, redacted,
             CAST(LEN(REGEXP_EXTRACT_ALL(text, '${PiiFns.EmailPattern}')) AS BIGINT) AS email_count,
             CAST(LEN(REGEXP_EXTRACT_ALL(no_email, '${PiiFns.Ipv4Pattern}')) AS BIGINT) AS ip_count,
             CAST(LEN(REGEXP_EXTRACT_ALL(no_ip, '${PiiFns.PhonePattern}')) AS BIGINT) AS phone_count,
             CAST(LEN(REGEXP_EXTRACT_ALL(no_phone, '${PiiFns.SsnPattern}')) AS BIGINT) AS ssn_count,
+            CAST(LEN(REGEXP_EXTRACT_ALL(no_ssn, '${PiiFns.IbanPattern}')) AS BIGINT) AS iban_count,
+            CAST(LEN(${ccValidSql("no_iban")}) AS BIGINT) AS cc_count,
             CAST(LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.EmailPattern}'))
                + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.Ipv4Pattern}'))
                + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.PhonePattern}'))
-               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.SsnPattern}')) AS BIGINT) AS residual_pii
-          FROM p4)"""
+               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.SsnPattern}'))
+               + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.IbanPattern}'))
+               + LEN(${ccValidSql("redacted")}) AS BIGINT) AS residual_pii
+          FROM p6)"""
 }

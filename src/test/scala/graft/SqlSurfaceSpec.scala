@@ -87,6 +87,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select(graft.functions.PiiFns.redact($"t")).head().getString(0)
     assert(pSql == pCol &&
       pSql == "mail <EMAIL> ip <IP> tel <PHONE> and <EMAIL>")
+    // ...and byte-equal over the ENTIRE PII fixture: the registration
+    // parses redactSqlText (a second rendering of the same Stages +
+    // Luhn constants), so this full-corpus equality is what makes the
+    // dual rendering safe — any drift fails here, card and IBAN edges
+    // included
+    val fx = spark.read
+      .parquet(graft.queries.CurationQueries.PiiFixture.ensure(spark))
+    fx.createOrReplaceTempView("pii_fixture_docs")
+    val both = spark.sql("SELECT doc_id, pii_redact(text) AS r FROM pii_fixture_docs")
+      .join(fx.select($"doc_id", graft.functions.PiiFns.redact($"text").as("c")),
+        Seq("doc_id"))
+    assert(both.count() >= 1200L)
+    assert(both.filter($"r" =!= $"c").count() == 0L,
+      "SQL pii_redact diverged from the Column chain somewhere in the fixture")
     // url_canonical: SQL registration == Column API on the
     // everything-at-once fixture edge (case, default port, tracking
     // param, fragment)

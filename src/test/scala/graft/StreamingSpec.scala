@@ -820,7 +820,7 @@ class StreamingSpec extends AnyFunSuite {
       .parquet(graft.queries.CurationQueries.PiiFixture.ensure(spark))
       .filter($"doc_id" >= 1190L)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(fixture.size == 25, s"expected 10 generated + 15 edge docs, got ${fixture.size}")
+    assert(fixture.size == 32, s"expected 10 generated + 22 edge docs, got ${fixture.size}")
 
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     // stateless per-row scalar chain -> append mode, no watermark, no
@@ -837,14 +837,16 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       def toSet(df: org.apache.spark.sql.DataFrame) = df
         .select($"doc_id", $"email_count", $"ip_count", $"phone_count",
-          $"ssn_count", $"pii_total", $"has_pii", $"residual_pii", $"redacted")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getString(8))).toSet
+          $"ssn_count", $"iban_count", $"cc_count", $"pii_total", $"has_pii",
+          $"residual_pii", $"redacted")
+        .collect().map(r => (r.getLong(0), (1 to 9).map(r.getLong(_)).toSeq,
+          r.getString(10))).toSet
       val got = toSet(spark.table("pii_ingest"))
       val batch = toSet(graft.functions.PiiFns.piiFrame(
         fixture.toDF("doc_id", "text"), "doc_id", "text"))
-      assert(batch.exists(_._7 == 1L), "fixture slice must include PII-bearing docs")
-      assert(batch.forall(_._8 == 0L), "residual must be zero everywhere")
+      assert(batch.exists(_._2(7) == 1L), "fixture slice must include PII-bearing docs")
+      assert(batch.exists(_._2(5) > 0L), "fixture slice must include a Luhn-valid card doc")
+      assert(batch.forall(_._2(8) == 0L), "residual must be zero everywhere")
       assert(got == batch,
         s"streaming piiFrame diverged from batch: ${got.size} vs ${batch.size} rows")
     } finally q.stop()
