@@ -972,7 +972,53 @@ object CurationQueries {
         LEFT JOIN victims v ON g.doc_id = v.doc_id
         JOIN splits s ON g.doc_id = s.doc_id
         ORDER BY g.doc_id"""),
-      doc = "The composed web-curation pipeline as an auditable per-document MANIFEST (decisions recorded, not silently filtered): Gopher hard-gate bit, PII presence bit, near-dup victimhood (Jaccard t=0.5 connected components, min-id survivor), the final keep decision, and the deterministic md5 split — every shared tier definition (gopherGateFrame, piiFrame, sharedPairs) in one plan, fully oracle-replayed including the recursive-CTE closure.")
+      doc = "The composed web-curation pipeline as an auditable per-document MANIFEST (decisions recorded, not silently filtered): Gopher hard-gate bit, PII presence bit, near-dup victimhood (Jaccard t=0.5 connected components, min-id survivor), the final keep decision, and the deterministic md5 split — every shared tier definition (gopherGateFrame, piiFrame, sharedPairs) in one plan, fully oracle-replayed including the recursive-CTE closure."),
+
+    Q(
+      "q204_curation_manifest_mixed",
+      (s, _) => {   // CurationFixture; dir arg unused
+        // q200's EXACT plan (the same webCurationManifest body) over a
+        // fixture corpus where every decision path fires AT VOLUME:
+        // gate-passing clean docs (keep=1), gate-passing docs with
+        // planted PII, stopword-free gate-failing docs, near-dup pairs
+        // whose min-id survivor keeps and whose copy is a victim, and
+        // PII-carrying victims (two reasons at once). The corpus-scale
+        // q200 row honestly reports keep=0 everywhere on the
+        // stopword-poor synthetic documents table; THIS row is the
+        // oracle gate for the keep=1 arm and every composition path —
+        // the spec-level pin (TextQualitySpec) now has a DuckDB-replayed
+        // twin, recursive closure included.
+        val docs = s.read.parquet(CurationFixture.ensure(s))
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+        webCurationManifest(docs, pairs)
+      },
+      Some(s"""
+        WITH RECURSIVE ${OracleCtes.jaccardReach(source = s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate(s"read_parquet('${CurationFixture.Root}/*.parquet')", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted(s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN $bucketSql < 80 THEN 'train'
+                      WHEN $bucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM read_parquet('${CurationFixture.Root}/*.parquet'))
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
+                    AND v.doc_id IS NULL AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii_counted p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The q200 composed manifest gate-promoted: the SAME webCurationManifest body over a mixed fixture where all four decision paths fire at volume (clean keep=1 docs, PII-planted gate-passers, stopword-free gate-failers, near-dup pairs with min-id survivor election, and PII-carrying victims), fully oracle-replayed — Gopher gate arithmetic, progressive PII counts incl. the Luhn stage, the recursive Jaccard-closure victim set, and the md5 split in one DuckDB query.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -1116,6 +1162,68 @@ object CurationQueries {
     * tidy, and a mixed-case userinfo (kept verbatim while the host
     * lowercases).
     */
+  /** Deterministic mixed corpus for the composed-manifest gate (q204):
+    * every decision path of the q200 keep composition fires at volume.
+    * 400 base docs in four classes by i % 4 — clean gate-passers
+    * (keep=1), gate-passers with a planted email (has_pii=1), gate
+    * failers (consonant-only fillers, zero stopword hits), and clean
+    * gate-passers that get near-duplicated — plus 100 near-dup copies
+    * (doc 1000+i = doc i with ONE word changed: trigram Jaccard ≈ 0.9,
+    * copy is the higher id → victim; original survives with keep=1) and
+    * 20 PII-carrying copies of PII docs (victim AND has_pii at once).
+    * Gate arithmetic by construction: 60 words per doc (every 5th a
+    * rotating Gopher stopword, the rest splitmix consonant-only fillers
+    * of 4–7 chars — consonant-only so a filler can never accidentally
+    * BE a stopword), no '#'/'...', all words alphabetic. Langs
+    * alternate en/pt so the manifest's lang column is non-trivial.
+    */
+  object CurationFixture {
+    val Root = "/root/repo/target/curation_fixture"
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private val Consonants = "bcdfghjklmnpqrstvwxz"
+    private def filler(seed: Long): String = {
+      val len = 4 + java.lang.Math.floorMod(mix(seed * 3 + 1), 4L).toInt
+      (0 until len).map(j =>
+        Consonants(java.lang.Math.floorMod(mix(seed * 64 + j), 20L).toInt)).mkString
+    }
+    private val Stops = graft.functions.TextFns.GopherStopwords
+    /** 60 words; every 5th a stopword when `stops`, else all fillers. */
+    private def words(i: Long, stops: Boolean): IndexedSeq[String] =
+      (0 until 60).map { j =>
+        if (stops && j % 5 == 2) Stops(((i + j / 5) % Stops.size).toInt)
+        else filler(i * 1009 + j * 17)
+      }
+    private def lang(i: Long): String = if (i % 2 == 0) "en" else "pt"
+    private def doc(i: Int): (Long, String, String) = {
+      val base = words(i.toLong, stops = i % 4 != 2)
+      val text = i % 4 match {
+        case 1 => base.mkString(" ") + s" contact user$i@mail.example.com now"
+        case _ => base.mkString(" ")
+      }
+      (i.toLong, lang(i.toLong), text)
+    }
+    /** doc i with the word at position 30 swapped — the near-dup copy. */
+    private def nearDup(id: Long, i: Int): (Long, String, String) = {
+      val orig = doc(i)
+      val ws = orig._3.split(" ").toVector
+      (id, lang(id), ws.updated(30, filler(id * 7717 + 5)).mkString(" "))
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String = once.ensure3(s)({
+        val base = (0 until 400).map(doc)
+        val victims = (0 until 400).filter(_ % 4 == 3)
+          .map(i => nearDup(1000L + i, i))
+        val piiVictims = (0 until 80).filter(_ % 4 == 1)
+          .map(i => nearDup(2000L + i, i))
+        base ++ victims ++ piiVictims
+      }, "doc_id", "lang", "text")
+  }
+
   object UrlFixture {
     val Root = "/root/repo/target/url_fixture"
     private def variant(p: Int, v: Int): String = v match {

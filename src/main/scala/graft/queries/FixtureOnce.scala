@@ -26,4 +26,20 @@ private[queries] final class FixtureOnce(val root: String, parts: Int = 2) {
       }
       root
     }
+
+  /** Three-column variant (id + two string columns) for fixtures that
+    * carry a grouping attribute alongside the text (CurationFixture's
+    * lang column). Same build-once flag and write pattern.
+    */
+  def ensure3(s: SparkSession)(rows: => Seq[(Long, String, String)],
+              idCol: String, c2: String, c3: String): String =
+    synchronized {
+      if (!built) {
+        import s.implicits._
+        rows.toDF(idCol, c2, c3).coalesce(parts)
+          .write.mode("overwrite").parquet(root)
+        built = true
+      }
+      root
+    }
 }

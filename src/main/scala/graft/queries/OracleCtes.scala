@@ -13,14 +13,16 @@ import graft.functions.{PiiFns, TextFns}
   */
 private[queries] object OracleCtes {
 
-  /** Word-bigram shingle Jaccard (>= threshold) edge set plus the
-    * recursive min-reach closure over `documents` — the replay of
+  /** Word-trigram shingle Jaccard (>= threshold) edge set plus the
+    * recursive min-reach closure over `source` (a table name or
+    * `read_parquet(...)`, default the documents table) — the replay of
     * `Dedup.jaccardPairs` + `connectedComponents`. Emits CTEs
     * docs/sh/sizes/inter/jp/edges/reach; embed directly after
     * `WITH RECURSIVE`.
     */
-  def jaccardReach(threshold: String = "0.5"): String = s"""
-        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+  def jaccardReach(threshold: String = "0.5",
+                   source: String = "documents"): String = s"""
+        docs AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM $source),
         sh AS (SELECT DISTINCT doc_id AS doc, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(toks) - 1, 1)),
                  i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS s FROM docs),
         sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),

@@ -86,6 +86,31 @@ class TextQualitySpec extends AnyFunSuite {
     assert(rows(9L) == ((1L, 0L, 1L, 0L)), s"victim drops: ${rows(9L)}")
   }
 
+  test("q204 fixture: every manifest decision path fires AT VOLUME (the oracle-gated twin of the hand pin)") {
+    import spark.implicits._
+    // the q204 CORRECTNESS row replays this corpus through DuckDB; this
+    // spec pins the fixture's construction so it cannot silently
+    // degenerate into exercising fewer paths (e.g. a generator change
+    // that breaks the gate everywhere would still gate-match — both
+    // engines would agree on the wrong corpus)
+    val docs = spark.read.parquet(
+      graft.queries.CurationQueries.CurationFixture.ensure(spark))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+    val m = graft.queries.CurationQueries.webCurationManifest(docs, pairs)
+      .selectExpr("sum(keep)", "sum(1 - pass_gate)", "sum(has_pii)",
+        "sum(is_victim)",
+        "sum(case when has_pii = 1 and is_victim = 1 then 1 else 0 end)",
+        "count(*)", "count(distinct split)", "count(distinct lang)")
+      .head()
+    assert(m.getLong(0) == 200L, s"keep=1 volume: ${m.getLong(0)}")
+    assert(m.getLong(1) == 100L, s"gate-fail volume: ${m.getLong(1)}")
+    assert(m.getLong(2) == 120L, s"PII volume: ${m.getLong(2)}")
+    assert(m.getLong(3) == 120L, s"victim volume: ${m.getLong(3)}")
+    assert(m.getLong(4) == 20L, s"double-reason (PII+victim) volume: ${m.getLong(4)}")
+    assert(m.getLong(5) == 520L && m.getLong(6) == 3L && m.getLong(7) == 2L)
+  }
+
   test("runs distributed over the documents corpus with sane bounds") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val stats = TextQuality.compressionStats(docs).collect()
