@@ -980,4 +980,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(top(streamed) == top(batchIdx), "retrieval diverged from batch build")
     } finally q.stop()
   }
+
+  test("streaming composed curation manifest (foreachBatch + incremental pair state) EQUALS batch q204 on a cross-batch dedup split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // the LAST missing streaming twin: the gate, PII scrub, and URL
+    // dedup each had one, but the COMPOSED per-doc decision record did
+    // not. Deployment shape: each micro-batch commits its docs to the
+    // lake, its shingles extend the persisted index, and its pairs come
+    // from jaccardPairs(new) ∪ jaccardPairsAgainst(new, index) — the
+    // completeness identity Dedup pins. The near-dup copies arrive in a
+    // LATER batch than their originals, so victimhood is only correct
+    // if the incremental pair state actually works across batches.
+    val slice = spark.read
+      .parquet(graft.queries.CurationQueries.CurationFixture.ensure(spark))
+      .filter($"doc_id" < 60L ||
+        ($"doc_id" >= 1000L && $"doc_id" < 1060L) ||
+        ($"doc_id" >= 2000L && $"doc_id" < 2060L))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(slice.size == 90, s"expected 60 originals + 15 + 15 copies, got ${slice.size}")
+    val dir = java.nio.file.Files.createTempDirectory("manifest_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    @volatile var shIndex: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDS().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val path = s"$dir/docs_$id"
+        batch.write.mode("overwrite").parquet(path)
+        val committed = spark.read.parquet(path)
+        val shNew = Dedup.shingleSets(committed, "doc_id", "text", 3)
+        val pairsNew = shIndex match {
+          case None      => Dedup.jaccardPairs(shNew, 0.5)
+          case Some(idx) => Dedup.jaccardPairs(shNew, 0.5)
+            .unionByName(Dedup.jaccardPairsAgainst(shNew, idx, 0.5))
+        }
+        pairsNew.write.mode("append").parquet(s"$dir/pairs")
+        shNew.write.mode("append").parquet(s"$dir/sh")
+        shIndex = Some(spark.read.parquet(s"$dir/sh"))
+      }
+      .start()
+    try {
+      // originals split across two batches, every copy in the third —
+      // all dedup pairs cross a micro-batch boundary
+      val (originals, copies) = slice.partition(_._1 < 60L)
+      val chunks = originals.grouped((originals.size + 1) / 2).toSeq :+ copies
+      assert(chunks.size == 3)
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      def manifest(docs: org.apache.spark.sql.DataFrame,
+                   pairs: org.apache.spark.sql.DataFrame) =
+        graft.queries.CurationQueries.webCurationManifest(docs, pairs)
+          .collect().map(_.toSeq).toSet
+      val streamed = manifest(
+        spark.read.parquet(s"$dir/docs_*"), spark.read.parquet(s"$dir/pairs"))
+      val sliceDf = slice.toDF("doc_id", "lang", "text")
+      val batchM = manifest(sliceDf,
+        Dedup.jaccardPairs(Dedup.shingleSets(sliceDf, "doc_id", "text", 3), 0.5))
+      assert(batchM.exists(r => r(6) == 1L) && batchM.exists(r => r(6) == 0L),
+        "slice must exercise both keep values")
+      assert(batchM.count(r => r(5) == 1L) == 30,
+        "every copy must be a victim in the batch reference")
+      assert(streamed == batchM,
+        s"streaming composed manifest diverged: ${streamed.size} vs ${batchM.size} rows")
+    } finally q.stop()
+  }
 }
