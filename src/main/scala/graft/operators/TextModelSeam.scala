@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Model-inference seam for per-document text scoring — the
+  * [[graft.multimodal.VideoSeam]] discipline applied to the quality /
+  * language-ID classifier slot every published curation pipeline has
+  * (CCNet's KenLM, fastText LID, FineWeb's quality classifier). A real
+  * deployment scores with a PRETRAINED model artifact loaded from disk;
+  * that loading is codec-like — native/JNI contexts, model files,
+  * arena allocations — and what the ENGINE owns is the seam it snaps
+  * into:
+  *
+  *   - [[TextScorer]]: text in, scores out. Nothing Spark-specific
+  *     leaks in, so an implementation is testable without a session.
+  *   - per-PARTITION construction: implementations are handed to Spark
+  *     as a `() => TextScorer` factory; a model file loads once per
+  *     partition, never per row and never serialized from the driver.
+  *   - per-ROW quarantine: at 100 TB some documents WILL break a
+  *     tokenizer or overflow a model's assumptions; a bad row becomes
+  *     an `ok = false` row carrying the scorer's message (the
+  *     `decodeImageFeaturesSafe` contract), so one poison doc cannot
+  *     kill a 1000-executor job.
+  *
+  * [[BigramLmScorer]] implements the interface with the q192 add-one
+  * bigram LM — the existence proof that the seam is sufficient for a
+  * real scoring model, pinned BIT-FOR-BIT against the join-based
+  * [[NgramLm.score]] (TextModelSeamSpec). Scope contract: the seam is
+  * for BOUNDED model artifacts (the CCNet shape — a pretrained model
+  * that fits an executor, loaded per partition). The self-trained
+  * corpus bigram table is NOT bounded at corpus scale; when the model
+  * is corpus-sized, use the shuffle-join [[NgramLm.score]] twin — the
+  * two produce identical scores, which is exactly what the spec pins.
+  */
+object TextModelSeam {
+
+  /** Per-document scores in the q192 integer milli-bit scale. */
+  final case class TextScores(nBigrams: Long, totalMillibits: Long)
+
+  /** The external-scorer contract: tokenize + score one document.
+    * Construction happens on the executor via the factory (see
+    * [[scoreSafe]]); throw on malformed input — the caller quarantines.
+    */
+  trait TextScorer {
+    def score(text: String): TextScores
+  }
+
+  /** The q192 bigram LM in LOCAL form: same tokenizer (lowercase
+    * letter-run split), same add-one surprisal
+    * `bits(w1,w2) = mlog2(c1 + V) - mlog2(c12 + 1)`, same integer
+    * milli-log2 kernel (bit length + one-shift interpolation) —
+    * bit-for-bit the join-based [[NgramLm.score]].
+    */
+  final class BigramLmScorer(unigrams: Map[String, Long],
+                             bigrams: Map[(String, String), Long],
+                             vocab: Long) extends TextScorer with Serializable {
+    private def mlog2(x: Long): Long = {
+      val bl = 63 - java.lang.Long.numberOfLeadingZeros(x) // = length(bin(x)) - 1
+      bl * 1000L + ((x * 1000L) >> bl) - 1000L
+    }
+    def score(text: String): TextScores = {
+      val ts = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z]+", -1).filter(_.nonEmpty)
+      if (ts.length < 2) return TextScores(0L, 0L)
+      var total = 0L
+      var i = 0
+      while (i < ts.length - 1) {
+        val c1 = unigrams.getOrElse(ts(i), 0L)
+        val c12 = bigrams.getOrElse((ts(i), ts(i + 1)), 0L)
+        total += mlog2(c1 + vocab) - mlog2(c12 + 1L)
+        i += 1
+      }
+      TextScores(ts.length - 1L, total)
+    }
+  }
+
+  /** Collect an [[NgramLm.Model]] into the scorer's local form — the
+    * fixture-scale sufficiency proof and the artifact-persistence
+    * stand-in. BOUNDED-BY-CONTRACT collect: the seam exists for models
+    * that fit an executor (the pretrained-artifact deployment shape);
+    * a corpus-sized self-trained table belongs on the join-based
+    * [[NgramLm.score]] path instead.
+    */
+  def localize(model: NgramLm.Model): BigramLmScorer =
+    new BigramLmScorer(
+      model.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      model.bigrams.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      model.vocab)
+
+  final case class SafeTextScore(doc_id: Long, ok: Boolean, error: String,
+                                 n_bigrams: Long, total_millibits: Long,
+                                 avg_millibits: Long)
+
+  /** Quarantining scorer over the seam: score every `(doc_id, text)`
+    * row with a scorer built ONCE per partition from `mkScorer`. A row
+    * whose scoring throws yields a single `ok = false` row with the
+    * error — never an exception out of the task. `avg_millibits` is the
+    * same `total div n, 0 when n = 0` the q192 row emits.
+    */
+  def scoreSafe(docs: Dataset[(Long, String)], mkScorer: () => TextScorer)
+               (implicit spark: SparkSession): Dataset[SafeTextScore] = {
+    import spark.implicits._
+    docs.mapPartitions { rows =>
+      // model/tokenizer initialization happens HERE, once per partition
+      val scorer = mkScorer()
+      rows.map { case (id, text) =>
+        try {
+          val s = scorer.score(text)
+          SafeTextScore(id, ok = true, error = "", s.nBigrams, s.totalMillibits,
+            if (s.nBigrams > 0) s.totalMillibits / s.nBigrams else 0L)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            SafeTextScore(id, ok = false,
+              error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}",
+              n_bigrams = -1L, total_millibits = -1L, avg_millibits = -1L)
+        }
+      }
+    }
+  }
+}
