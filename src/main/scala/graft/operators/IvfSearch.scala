@@ -240,6 +240,65 @@ object IvfSearch {
       .select("query_id", "neighbor_id", "cosine", "rk")
   }
 
+  /** Sign-packed signatures INSIDE the inverted lists — the memory
+    * ladder's last rung (raw → SQ8 → PQ → binary) composed with the
+    * router: each list entry stores only (cluster, 1-bit sign words),
+    * ceil(dim/32) longs per vector. Signs come from the RAW embedding
+    * ([[graft.operators.SimSearch.signPack]] — positive scaling never
+    * flips a sign, so unit-normalizing first would change nothing).
+    * Supports [[assignMulti]]-style replication by passing a
+    * multi-assigned frame's (vec_id, cluster) pairs via `assigned`.
+    */
+  def signAssigned(corpus: DataFrame, index: IvfIndex,
+                   dimOverride: Int = -1): DataFrame =
+    assign(corpus, index).select(col("vec_id"), col("cluster"))
+      .join(SimSearch.signPack(corpus, dimOverride), Seq("vec_id"))
+
+  /** Top-k over the SIGN tier inside the IVF router: probe `nprobe`
+    * lists, Hamming-score ONLY their members (the probed scan reads
+    * ~nprobe/nlist × dim/32 of the corpus bytes — q190's whole-corpus
+    * binary scan divided by the router), keep a `shortlist`, re-rank
+    * EXACTLY against raw vectors. Approximate through list pruning and
+    * shortlist truncation only; with nprobe == nlist the candidate set
+    * is the whole corpus and the result EQUALS the un-routed binary
+    * tier ([[SimSearch.hammingRerankTopK]]) — IvfSearchSpec pins that
+    * equality, the recall floor at small nprobe, and nprobe
+    * monotonicity.
+    */
+  def topKSigned(signed: DataFrame, rawCorpus: DataFrame, queries: DataFrame,
+                 index: IvfIndex, k: Int = 5, nprobe: Int = 4,
+                 shortlist: Int = 64, dimOverride: Int = -1): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val qu = unit(queries).select(col("vec_id").as("query_id"), col("uv").as("qv"))
+    val probes = qu
+      .withColumn("probe", nearestCentroids(col("qv"), index.centroids, nprobe))
+      .select(col("query_id"), col("qv"), col("probe.c").as("cluster"))
+    val qsig = SimSearch.signPack(queries, dimOverride)
+      .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val lists = signed.select(col("vec_id").as("neighbor_id"),
+      col("cluster"), col("sig").as("csig"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val short = probes.join(broadcast(qsig), Seq("query_id"))
+      .join(lists, Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // multi-assigned corpora surface a candidate once per shared
+      // probed list — collapse BEFORE the shortlist window
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("hamming", SimSearch.hammingDist(col("qsig"), col("csig")))
+      .withColumn("hrk", row_number().over(wHam))
+      .filter(col("hrk") <= shortlist)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    val raw = unit(rawCorpus).select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(raw, Seq("neighbor_id"))
+      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+  }
+
   /** ALL corpus vectors above a cosine THRESHOLD per query (not top-k),
     * probing `nprobe` inverted lists — the candidate generator for
     * threshold-semantics consumers like semantic decontamination

@@ -113,6 +113,20 @@ object SimQueries {
       })
     }
 
+  // sign-packed inverted lists per (session, dir): the 1-bit serving
+  // tier over the SAME router (ceil(dim/32) longs per vector, ~32x vs
+  // raw — the memory ladder's last rung composed with list pruning)
+  private val sigCache = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def sigLists(s: org.apache.spark.sql.SparkSession, d: String) =
+    synchronized {
+      sigCache.getOrElseUpdate((s, d), {
+        val (index, _) = ivfIndexAndLists(s, d)
+        graft.operators.IvfSearch.signAssigned(Tables.embeddings(s, d), index)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
   /** Unpersist and drop every memoized artifact (all dirs) — see
     * DedupQueries.clearCaches.
     */
@@ -121,6 +135,8 @@ object SimQueries {
     srpCache.clear()
     sqCache.values.foreach(_.unpersist())
     sqCache.clear()
+    sigCache.values.foreach(_.unpersist())
+    sigCache.clear()
     exactPairsCache.values.foreach(_.unpersist())
     exactPairsCache.clear()
     ivfCache.values.foreach { case (_, lists) => lists.unpersist() }
@@ -316,6 +332,29 @@ object SimQueries {
       },
       None,
       doc = "Int8 scalar-quantization ANN tier (SQ8): inverted lists hold one byte per dimension + a per-vector scale (~8x serving memory, raw floats dropped from the probed scan), asymmetric float×int8 scoring in codegen, exact re-rank of the top-64 shortlist — the FAISS SQ8 deployment tier between raw-float IVF (q31) and PQ (q135/q136); certified error bound and nprobe=4 recall ≥ 0.9 pinned in IvfSearchSpec."),
+
+    Q(
+      "q205_ivf_signed_topk",
+      (s, d) => {
+        // The memory ladder's last rung COMPOSED with the router
+        // (VERDICT r12 #5): q190's binary tier scans the whole corpus
+        // per query by contract; here the inverted lists store the
+        // 32x-compressed sign words and a probe reads nprobe/nlist ×
+        // dim/32 of the raw bytes, then the top-64 shortlist re-ranks
+        // exactly. Approximate BY NATURE through list pruning (q26/q31
+        // rule) → rows-only gate; IvfSearchSpec pins full-probe ==
+        // hammingRerankTopK exactly, the nprobe=4 recall floor, and
+        // nprobe monotonicity.
+        val (index, _) = ivfIndexAndLists(s, d)
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        graft.operators.IvfSearch.topKSigned(
+            sigLists(s, d), Tables.embeddings(s, d), queries, index,
+            k = 5, nprobe = 8, shortlist = 64)
+          .select(col("query_id"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      None,
+      doc = "List-pruned binary ANN (sign bits inside IVF lists): inverted lists store ceil(dim/32) longs per vector (~32x), a probe XOR+popcount-scans nprobe/nlist of the corpus at 1 bit/dim, top-64 shortlist re-ranks exactly against raw floats — q190's binary tier divided by the router, the memory ladder's last rung composed; full-probe == un-routed binary tier, recall floor, and nprobe monotonicity pinned in IvfSearchSpec."),
 
     Q(
       "q26_simsearch_lsh",

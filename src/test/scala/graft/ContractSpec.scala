@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
     "q139_ivf_sq8_topk",       // approximate by list pruning (q31 rule); IvfSearchSpec pins certified error bound + recall >= 0.9
     "q146_bpe_learn",          // iterative argmax has no SQL oracle; BpeSpec pins learner == sequential reference + corpus compression
     "q154_audio_spectral",     // float DSP (FFT) is not SQL-expressible; DspSpec pins FFT==DFT, Parseval, exact planted-tone recovery
-    "q185_decontam_ivf")       // approximate by list pruning (q26/q31 rule); IvfSearchSpec pins one-sidedness vs q184 + dropped-set recall >= 0.8
+    "q185_decontam_ivf",       // approximate by list pruning (q26/q31 rule); IvfSearchSpec pins one-sidedness vs q184 + dropped-set recall >= 0.8
+    "q205_ivf_signed_topk")    // approximate by list pruning (q26/q31 rule); IvfSearchSpec pins full-probe == binary tier + recall floor + nprobe monotonicity
 
   test("query names are unique (no silent map shadowing)") {
     val names = SparkEntry.allQueries.map(_.name)
