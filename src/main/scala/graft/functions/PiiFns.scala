@@ -224,22 +224,34 @@ object PiiFns {
     * a stateless per-row scalar.
     */
   def piiFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val raw = col(textCol)
-    val noEmail = regexp_replace(raw, EmailPattern, EmailToken)
-    val noIp = regexp_replace(noEmail, Ipv4Pattern, IpToken)
-    val noPhone = regexp_replace(noIp, PhonePattern, PhoneToken)
-    val noSsn = regexp_replace(noPhone, SsnPattern, SsnToken)
-    val noIban = regexp_replace(noSsn, IbanPattern, IbanToken)
-    val redacted = ccRedact(noIban)
-    df.select(
+    // STAGED intermediates (the gopherGateFrame __gg_* discipline): each
+    // progressively-redacted text is a real projection column referenced
+    // TWICE (the next stage's input and its own count scan), which is
+    // exactly what keeps CollapseProject from re-inlining the regex
+    // chain into every consumer. This matters doubly since the card
+    // stage: the Luhn HOFs are CodegenFallback, and interpreted
+    // consumers don't share codegen's common-subexpression elimination —
+    // without staging, each of the three ccValid sites would recompute
+    // the full five-stage regex chain per row (measured ~1.5x on q53 at
+    // sf0.1).
+    val staged = df
+      .withColumn("__pii_ne", regexp_replace(col(textCol), EmailPattern, EmailToken))
+      .withColumn("__pii_ni", regexp_replace(col("__pii_ne"), Ipv4Pattern, IpToken))
+      .withColumn("__pii_np", regexp_replace(col("__pii_ni"), PhonePattern, PhoneToken))
+      .withColumn("__pii_ns", regexp_replace(col("__pii_np"), SsnPattern, SsnToken))
+      .withColumn("__pii_nb", regexp_replace(col("__pii_ns"), IbanPattern, IbanToken))
+      .withColumn("__pii_cc", ccValid(col("__pii_nb")))
+    staged.select(
         col(idCol),
-        matchCount(raw, EmailPattern).as("email_count"),
-        matchCount(noEmail, Ipv4Pattern).as("ip_count"),
-        matchCount(noIp, PhonePattern).as("phone_count"),
-        matchCount(noPhone, SsnPattern).as("ssn_count"),
-        matchCount(noSsn, IbanPattern).as("iban_count"),
-        size(ccValid(noIban)).cast("long").as("cc_count"),
-        redacted.as("redacted"))
+        matchCount(col(textCol), EmailPattern).as("email_count"),
+        matchCount(col("__pii_ne"), Ipv4Pattern).as("ip_count"),
+        matchCount(col("__pii_ni"), PhonePattern).as("phone_count"),
+        matchCount(col("__pii_np"), SsnPattern).as("ssn_count"),
+        matchCount(col("__pii_ns"), IbanPattern).as("iban_count"),
+        size(col("__pii_cc")).cast("long").as("cc_count"),
+        aggregate(array_distinct(col("__pii_cc")), col("__pii_nb"), (acc, cand) =>
+          regexp_replace(acc, concat(lit("\\b"), cand, lit("\\b")), lit(CcToken)))
+          .as("redacted"))
       .withColumn("pii_total",
         col("email_count") + col("ip_count") + col("phone_count") +
           col("ssn_count") + col("iban_count") + col("cc_count"))
