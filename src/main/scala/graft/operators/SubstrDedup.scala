@@ -178,14 +178,25 @@ object SubstrDedup {
     */
   def dupProfile(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minLen: Int = DefaultMinLen,
-                 k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, minLen, k, w)
+                 k: Int = DefaultK, w: Int = DefaultW): DataFrame =
+    dupProfileFrom(docs, dupSpans(docs, idCol, textCol, minLen, k, w),
+      idCol, textCol)
+
+  /** [[dupProfile]] over a PRECOMPUTED (possibly persisted) span table —
+    * the artifact-reuse form: the span detection is the expensive pass,
+    * and the q201/q202/q203 trio shares one materialization of it (the
+    * sharedPairs discipline).
+    */
+  def dupProfileFrom(docs: DataFrame, spans: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val agg = spans
       .groupBy(col("doc_id"))
       .agg(sum(col("span_len")).as("dup_chars"),
         count(lit(1)).as("n_spans"))
     docs.select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("total_chars"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("total_chars"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
@@ -202,8 +213,17 @@ object SubstrDedup {
     */
   def stripSpans(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", minLen: Int = DefaultMinLen,
-                 k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
-    val spans = dupSpans(docs, idCol, textCol, minLen, k, w)
+                 k: Int = DefaultK, w: Int = DefaultW): DataFrame =
+    stripSpansFrom(docs, dupSpans(docs, idCol, textCol, minLen, k, w),
+      idCol, textCol)
+
+  /** [[stripSpans]] over a precomputed span table (see
+    * [[dupProfileFrom]]).
+    */
+  def stripSpansFrom(docs: DataFrame, spansIn: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val spans = spansIn
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("span_start").as("st"),
           col("span_end").as("en")))).as("sps"),

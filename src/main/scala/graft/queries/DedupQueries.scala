@@ -97,6 +97,21 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  // the exact-substring span table over the (scale-independent)
+  // SubstrFixture, shared by the q201/q202/q203 trio — the detection
+  // pass (anchors + exact window scan) is the expensive part and the
+  // profile/strip rows are aggregations over its output, so one
+  // materialization serves all three (the sharedPairs discipline);
+  // keyed by session only: the fixture does not vary with the dir
+  private val substrSpansCache =
+    scala.collection.mutable.Map.empty[SparkSession, DataFrame]
+  private def sharedSubstrSpans(s: SparkSession): DataFrame = synchronized {
+    substrSpansCache.getOrElseUpdate(s,
+      graft.operators.SubstrDedup.dupSpans(
+          s.read.parquet(SubstrFixture.ensure(s)))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Unpersist and drop every memoized artifact (all dirs). Bench calls
     * this between the warmup and timed passes so warmup-dir artifacts
     * don't occupy executor storage during measurement.
@@ -106,6 +121,8 @@ object DedupQueries {
       m.values.foreach(_.unpersist())
       m.clear()
     }
+    substrSpansCache.values.foreach(_.unpersist())
+    substrSpansCache.clear()
     strategyCache.clear()
   }
 
@@ -504,8 +521,7 @@ object DedupQueries {
         // then the exact every-window pass over candidates only. The
         // oracle replays the DEFINITION (all windows, no pruning) — the
         // guarantee is what makes the two answers equal.
-        graft.operators.SubstrDedup.dupSpans(
-            s.read.parquet(SubstrFixture.ensure(s)))
+        sharedSubstrSpans(s)
           .orderBy(col("doc_id"), col("span_idx"))
       },
       Some(s"""
@@ -524,8 +540,8 @@ object DedupQueries {
         // profile covers every doc — the curation gate thresholds this
         // (a doc that is mostly verbatim-repeated text is boilerplate
         // even when no chunk or whole-doc duplicate exists).
-        graft.operators.SubstrDedup.dupProfile(
-            s.read.parquet(SubstrFixture.ensure(s)))
+        graft.operators.SubstrDedup.dupProfileFrom(
+            s.read.parquet(SubstrFixture.ensure(s)), sharedSubstrSpans(s))
           .orderBy(col("doc_id"))
       },
       Some(s"""
@@ -549,8 +565,8 @@ object DedupQueries {
         // tier's owner election is ill-posed here; Lee et al. drop all
         // copies). Output is the per-doc accounting plus md5 of the
         // kept text, exactly verifiable without shipping text.
-        graft.operators.SubstrDedup.stripSpans(
-            s.read.parquet(SubstrFixture.ensure(s)))
+        graft.operators.SubstrDedup.stripSpansFrom(
+            s.read.parquet(SubstrFixture.ensure(s)), sharedSubstrSpans(s))
           .orderBy(col("doc_id"))
       },
       Some(s"""
