@@ -269,11 +269,16 @@ object IvfSearch {
                  index: IvfIndex, k: Int = 5, nprobe: Int = 4,
                  shortlist: Int = 64, dimOverride: Int = -1): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    // one dim probe, from the RAW corpus the signed lists were packed
+    // from (the hammingTopK discipline): a second independent probe on
+    // the queries could disagree on ragged inputs and silently null the
+    // distances through zip_with padding
+    val dim = SimSearch.inferDim(rawCorpus, dimOverride)
     val qu = unit(queries).select(col("vec_id").as("query_id"), col("uv").as("qv"))
     val probes = qu
       .withColumn("probe", nearestCentroids(col("qv"), index.centroids, nprobe))
       .select(col("query_id"), col("qv"), col("probe.c").as("cluster"))
-    val qsig = SimSearch.signPack(queries, dimOverride)
+    val qsig = SimSearch.signPack(queries, dim)
       .select(col("vec_id").as("query_id"), col("sig").as("qsig"))
     val lists = signed.select(col("vec_id").as("neighbor_id"),
       col("cluster"), col("sig").as("csig"))

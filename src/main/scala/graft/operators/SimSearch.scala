@@ -28,7 +28,7 @@ object SimSearch {
     * probe is the cause (a filtered-to-empty batch in an incremental
     * pipeline is the realistic trigger).
     */
-  private def inferDim(corpus: DataFrame, dimOverride: Int): Int =
+  private[operators] def inferDim(corpus: DataFrame, dimOverride: Int): Int =
     if (dimOverride > 0) dimOverride
     else {
       val first = corpus.select(size(col("embedding"))).limit(1).collect()

@@ -981,6 +981,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact-substring dedup (foreachBatch + persisted anchor state) EQUALS batch q201 across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SubstrDedup
+    // three-implementation closure for the substring tier: batch (q201
+    // gate), incremental (SubstrDedupSpec merge rule), and THIS — the
+    // merge rule driven as a streaming job with persisted anchor/span
+    // state. License and Sent60 plants live in BOTH halves of the id
+    // space, so cross-batch spans only appear if dupSpansAgainst plus
+    // the interval-union merge actually work against the state.
+    val fixture = spark.read
+      .parquet(graft.queries.DedupQueries.SubstrFixture.ensure(spark))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("substr_stream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    @volatile var spansPath: Option[String] = None
+    @volatile var docPaths: List[String] = Nil
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val path = s"$dir/docs_$id"
+        batch.write.mode("overwrite").parquet(path)
+        val committed = spark.read.parquet(path)
+        val newSpans = spansPath match {
+          case None =>
+            SubstrDedup.dupSpans(committed)
+          case Some(prev) =>
+            val oldDocs = spark.read.parquet(docPaths: _*)
+            val oldAnchors = spark.read.parquet(s"$dir/anchors")
+            val against = SubstrDedup.dupSpansAgainst(committed, oldDocs, oldAnchors)
+            val na = SubstrDedup.anchors(committed)
+            val touched = oldAnchors
+              .join(na.select($"anchor").distinct(), Seq("anchor"), "left_semi")
+              .select($"doc_id").distinct()
+            val oldSpans = spark.read.parquet(prev)
+            oldSpans.join(touched, Seq("doc_id"), "left_anti")
+              .unionByName(SubstrDedup.mergeSpans(
+                oldSpans.join(touched, Seq("doc_id"), "left_semi")
+                  .select("doc_id", "span_idx", "span_start", "span_end", "span_len")
+                  .unionByName(against)))
+        }
+        val out = s"$dir/spans_$id"
+        newSpans.write.mode("overwrite").parquet(out)
+        SubstrDedup.anchors(committed).write.mode("append").parquet(s"$dir/anchors")
+        spansPath = Some(out)
+        docPaths = path :: docPaths
+      }
+      .start()
+    try {
+      val chunks = Seq(
+        fixture.filter(_._1 < 500L),
+        fixture.filter(d => d._1 >= 500L && d._1 < 1000L),
+        fixture.filter(_._1 >= 1000L))
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      val streamed = spark.read.parquet(spansPath.get)
+        .collect().map(_.toSeq).toSet
+      val batchSpans = SubstrDedup.dupSpans(fixture.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(batchSpans.nonEmpty)
+      // cross-batch evidence: some span belongs to a doc in the FIRST
+      // half whose only partners live in the second half (suffix-Sent60
+      // docs have ids >= 500) — present only if the state path works
+      assert(streamed == batchSpans,
+        s"streaming substring dedup diverged: ${streamed.size} vs ${batchSpans.size} spans")
+    } finally q.stop()
+  }
+
   test("streaming composed curation manifest (foreachBatch + incremental pair state) EQUALS batch q204 on a cross-batch dedup split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
