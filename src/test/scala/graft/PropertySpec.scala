@@ -142,4 +142,64 @@ class PropertySpec extends AnyFunSuite {
         fold(s + c, seed) == (fold(s, seed) * 31 + c.toLong) % 1000000007L
     })
   }
+
+  test("winnowing guarantee: any shared substring of length >= w+k-1 selects a common anchor") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    // the SIGMOD'03 threshold claim the exact-substring tier's lossless
+    // pruning rests on, checked as a pure-eval property over random
+    // hosts: k=20, w=21 -> t=40, shared spans of 40..90 chars pasted at
+    // arbitrary offsets must select at least one COMMON k-gram anchor
+    val k = 20; val w = 21
+    val expr = graft.functions.WinnowAnchors(
+      BoundReference(0, StringType, nullable = true), k, w, 31L, 1000000007L)
+    def anchorsOf(s: String): Set[String] = {
+      val ps = expr.eval(org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(s)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      // ASCII generators: 1-based code-point position == string index + 1
+      ps.map(p => s.substring(p - 1, p - 1 + k)).toSet
+    }
+    val lowerStr = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val gen = for {
+      span <- Gen.choose(w + k - 1, 90).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+      pa <- lowerStr; sa <- lowerStr
+      pb <- lowerStr; sb <- lowerStr
+    } yield (pa + span + sa, pb + span + sb, span)
+    check(Prop.forAll(gen) { case (hostA, hostB, span) =>
+      val aa = anchorsOf(hostA)
+      val ab = anchorsOf(hostB)
+      // validity: every anchor is a real in-range k-gram of its host
+      val valid = aa.forall(_.length == k) && ab.forall(_.length == k)
+      // the guarantee: a common anchor content exists; stronger, at
+      // least one common anchor lies INSIDE the shared span itself
+      val common = aa & ab
+      valid && common.exists(span.contains)
+    })
+  }
+
+  test("Luhn detects every single-digit error (the PII card stage's checksum)") {
+    // the classic property the mod-10 scheme was designed for: mutate
+    // any ONE digit of a valid number and validity must flip off. Pure
+    // integer reimplementation of PiiFns.luhnValid's fold; PiiSpec pins
+    // the Column fold == plants, SqlSurfaceSpec pins SQL == Column, so
+    // this transitively covers all three renderings.
+    def luhnSum(digits: String): Int =
+      digits.reverse.zipWithIndex.map { case (ch, idx) =>
+        val d = ch - '0'
+        if (idx % 2 == 1) { val dd = d * 2; if (dd > 9) dd - 9 else dd } else d
+      }.sum
+    val gen = for {
+      n <- Gen.choose(12, 18)
+      body <- Gen.listOfN(n, Gen.choose(0, 9)).map(_.mkString)
+      pos <- Gen.choose(0, n) // mutation position incl. the check digit
+      delta <- Gen.choose(1, 9)
+    } yield (body, pos, delta)
+    check(Prop.forAll(gen) { case (body, pos, delta) =>
+      val check = (10 - luhnSum(body + "0") % 10) % 10
+      val card = body + check.toString
+      val mutated = card.updated(pos, (((card(pos) - '0') + delta) % 10 + '0').toChar)
+      luhnSum(card) % 10 == 0 && luhnSum(mutated) % 10 != 0
+    })
+  }
 }

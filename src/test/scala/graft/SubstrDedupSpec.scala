@@ -197,6 +197,83 @@ class SubstrDedupSpec extends AnyFunSuite {
     joined.foreach(r => assert(r.getLong(5) <= r.getLong(1)))
   }
 
+  test("bucketed anchor state: the corpus side of the touched-detection semi-join never moves") {
+    import spark.implicits._
+    // the anchors scaladoc claim ("store it partitioned by anchor so
+    // dupSpansAgainst's semi-join prunes at the source") made
+    // executable — the ChunkDedupSpec bucketed-state pin applied to the
+    // substring tier: a lake that stores the anchor state bucketed by
+    // `anchor` serves every incremental batch's touched-detection with
+    // ZERO exchange on the corpus-scale side; only the batch-scaled
+    // probe side moves
+    val oldDocs = fixtureDocs.filter(col("doc_id") < 500L)
+    spark.sql("CREATE DATABASE IF NOT EXISTS ss_bkt")
+    spark.sql("DROP TABLE IF EXISTS ss_bkt.anchors")
+    val loc = new java.io.File("spark-warehouse/ss_bkt.db/anchors")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(loc)
+    }
+    SubstrDedup.anchors(oldDocs)
+      .repartition(8, $"anchor")
+      .write.bucketBy(8, "anchor").saveAsTable("ss_bkt.anchors")
+    val newDocs = fixtureDocs.filter(col("doc_id") >= 500L && col("doc_id") < 560L)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // force the co-located path (the lake-scale regime: a big crawl
+      // batch's anchor set does not broadcast), pin off the two
+      // small-scale heuristics (see ChunkDedupSpec / NOTES r13 §6), and
+      // match parallelism to the bucket count — the lake-scale sizing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // the EXACT touched-detection join dupSpansAgainst issues
+      val na = SubstrDedup.anchors(newDocs)
+      val touched = spark.table("ss_bkt.anchors")
+        .join(na.select($"anchor").distinct(), Seq("anchor"), "left_semi")
+        .select($"doc_id").distinct()
+      val rows = touched.as[Long].collect().toSet
+      val plan = touched.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinIdx = plan.indexOf("Join")
+      assert(joinIdx >= 0, plan.take(800))
+      val joinSection = plan.substring(joinIdx)
+      assert(joinSection.contains("ss_bkt"),
+        s"semi-join must read the bucketed state:\n$joinSection")
+      val beforeScan = joinSection.substring(0, joinSection.indexOf("ss_bkt"))
+      assert(!beforeScan.contains("Exchange"),
+        s"corpus-side bucketed scan must not be exchanged:\n$joinSection")
+      assert("Exchange".r.findAllIn(joinSection).size <= 1,
+        s"only the batch-side probe may move:\n$joinSection")
+      // the state actually detects: license docs < 500 share anchors
+      // with license docs in [500, 560)
+      assert(rows.nonEmpty, "expected touched old docs via the shared license")
+      assert(rows.forall(_ < 500L))
+      // and the operator run FROM the bucketed lake state == from the
+      // in-memory frame (the lake path changes layout, never answers)
+      val viaLake = SubstrDedup.dupSpansAgainst(newDocs, oldDocs,
+        spark.table("ss_bkt.anchors")).collect().map(_.toSeq).toSet
+      val viaFrame = SubstrDedup.dupSpansAgainst(newDocs, oldDocs,
+        SubstrDedup.anchors(oldDocs)).collect().map(_.toSeq).toSet
+      assert(viaLake == viaFrame && viaLake.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("incremental merge rule: full == untouched old ∪ mergeSpans(touched old ∪ against); overlap probe throws") {
     import spark.implicits._
     val all = fixtureDocs
