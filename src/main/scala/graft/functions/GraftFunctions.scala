@@ -159,6 +159,15 @@ object GraftFunctions {
     // Column directly does NOT work here: the wrapped node is opaque to
     // the analyzer inside a registry builder and dies at codegen.)
     // SqlSurfaceSpec pins SQL == Column over the ENTIRE PII fixture.
+    // nfc_normalize(text): Unicode NFC (UAX #15) — the same Catalyst
+    // expression the q206/q207 rows run; name-compatible with the
+    // oracle engine's builtin so SQL written against either works.
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      exprs => {
+        require(exprs.length == 1, "nfc_normalize(text) takes exactly 1 argument")
+        NfcNormalize(exprs(0))
+      }, "built-in")
+
     registry.createOrReplaceTempFunction("pii_redact",
       exprs => {
         require(exprs.length == 1, "pii_redact(text) takes exactly 1 argument")

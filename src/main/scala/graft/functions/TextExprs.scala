@@ -347,3 +347,60 @@ object WinnowAnchors {
             mod: Long = 1000000007L): Column =
     Bridge.column(WinnowAnchors(Bridge.expression(c), k, w, base, mod))
 }
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * curation step that makes text dedup robust to ENCODING variance:
+  * the same logical text arrives from different crawls as composed
+  * (U+00E9) or decomposed (U+0065 U+0301) sequences, byte-distinct to
+  * every hash-keyed tier (exact, chunk, substring) while rendering
+  * identically. Normalizing before key derivation collapses them.
+  *
+  * NFC, deliberately not NFKC: canonical equivalence preserves the
+  * text's meaning exactly (ﬁ-ligature vs "fi" and ² vs "2" stay
+  * DISTINCT — compatibility folding is lossy and belongs to a separate
+  * policy decision), and NFC is what the oracle engine exposes
+  * (`nfc_normalize`). Cross-engine exactness rests on the Unicode
+  * normalization STABILITY policy: normalization of assigned code
+  * points never changes between versions, so the JDK and utf8proc
+  * agree bit-for-bit (fixture pins composition, Hangul syllable
+  * composition, singleton mapping, and the composition-exclusion
+  * class).
+  *
+  * Spark has no builtin for this; `java.text.Normalizer` is the
+  * platform implementation, called directly from whole-stage codegen
+  * (it fast-paths already-normalized text, the overwhelming majority
+  * of real corpora). Per-row scalar — no shuffle at any scale; run it
+  * BEFORE any hash-keyed stage.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
+}

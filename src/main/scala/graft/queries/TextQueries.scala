@@ -267,7 +267,7 @@ object TextQueries {
       },
       None,
       doc = "BPE merge-table learning (vocabulary induction): greedy highest-count adjacent-pair merges over the word-frequency table — the iterative state is vocabulary-sized, never corpus-sized, so 100 TB costs one tokenize+count shuffle plus tiny per-round jobs; deterministic count-desc/lexicographic argmax, rule application via the same non-overlapping replace pass as encode; learner pinned to a sequential reference and to measured corpus compression in BpeSpec (iterative argmax has no SQL oracle).")
-  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ :+ unsegScaleQ :+ htmlExtractQ
+  ) :+ featureHashQ :+ uniTokensQ :+ byteBpeQ :+ uniFingerprintQ :+ scriptMixQ :+ unsegScaleQ :+ htmlExtractQ :+ nfcNormalizeQ :+ nfcDedupQ
 
   private lazy val featureHashQ: Q = Q(
     "q150_feature_hash",
@@ -672,5 +672,143 @@ object TextQueries {
           (2604L, " " + doc(DevaBlock, DevaSpan, 0)))
         thai ++ deva ++ dups ++ empties ++ variants
       }, "doc_id", "txt")
+  }
+
+  private lazy val nfcNormalizeQ: Q = Q(
+    "q206_unicode_normalize",
+    (s, _) => {   // NfcFixture; dir arg unused
+      import s.implicits._
+      // UNICODE NFC NORMALIZATION — the curation step that makes every
+      // hash-keyed dedup tier robust to ENCODING variance: the same
+      // logical text arrives composed (U+00E9) or decomposed
+      // (e + U+0301) from different crawls, byte-distinct but rendering
+      // identically. NFC, deliberately not NFKC (canonical equivalence
+      // preserves meaning; ﬁ vs fi stays distinct — fixture-pinned).
+      // Cross-engine exactness rests on the Unicode normalization
+      // stability policy (assigned code points never change), so the
+      // JDK and the oracle's utf8proc agree byte-for-byte. One
+      // codegen'd scalar pass, no shuffle.
+      val t = s.read.parquet(NfcFixture.ensure(s))
+      t.select($"doc_id",
+          graft.functions.NfcNormalize($"text").as("norm"),
+          (graft.functions.NfcNormalize($"text") =!= $"text").cast("long").as("changed"),
+          length($"text").cast("long").as("len_raw"),
+          length(graft.functions.NfcNormalize($"text")).cast("long").as("len_nfc"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""
+      SELECT doc_id,
+             nfc_normalize(text) AS norm,
+             CAST(nfc_normalize(text) <> text AS BIGINT) AS changed,
+             CAST(LENGTH(text) AS BIGINT) AS len_raw,
+             CAST(LENGTH(nfc_normalize(text)) AS BIGINT) AS len_nfc
+      FROM read_parquet('${NfcFixture.Root}/*.parquet')
+      ORDER BY doc_id"""),
+    doc = "Unicode NFC normalization (UAX #15 canonical composition) over a fixture of composed/decomposed/mixed encoding variants plus the boundary edges (ﬁ-ligature NOT folded — NFC, not NFKC; Hangul jamo composing to syllables; the U+212B Angstrom singleton; the U+0958 composition-EXCLUSION class where NFC lengthens the text; combining-mark canonical reordering): normalized text byte-exact across engines, changed flag and code-point lengths replayed; one codegen'd scalar pass, no shuffle.")
+
+  private lazy val nfcDedupQ: Q = Q(
+    "q207_normalized_dedup",
+    (s, _) => {   // NfcFixture; dir arg unused
+      import s.implicits._
+      // Exact dedup keyed on md5(NFC(text)): the clusters this row
+      // reports are INVISIBLE to raw-byte exact dedup (every member has
+      // a distinct raw md5 — the n_raw_variants >= 2 filter guarantees
+      // it), unified only by normalization. ONE map-side-combined hash
+      // shuffle; output bounded by the encoding-variant mass.
+      val t = s.read.parquet(NfcFixture.ensure(s))
+      t.select($"doc_id",
+          md5(graft.functions.NfcNormalize($"text").cast("binary")).as("norm_md5"),
+          md5($"text".cast("binary")).as("raw_md5"))
+        .groupBy($"norm_md5")
+        .agg(min($"doc_id").as("survivor_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct($"raw_md5").as("n_raw_variants"))
+        .filter($"n_raw_variants" >= 2)
+        .orderBy($"norm_md5")
+    },
+    Some(s"""
+      SELECT MD5(nfc_normalize(text)) AS norm_md5,
+             MIN(doc_id) AS survivor_id,
+             COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_raw_variants
+      FROM read_parquet('${NfcFixture.Root}/*.parquet')
+      GROUP BY MD5(nfc_normalize(text))
+      HAVING COUNT(DISTINCT MD5(text)) >= 2
+      ORDER BY norm_md5"""),
+    doc = "Normalization-keyed exact dedup: groups by md5 of the NFC form, restricted to clusters whose members are RAW-byte distinct (n_raw_variants >= 2) — the duplicates raw exact dedup (q20) structurally cannot see, collapsed with min-id survivor election; one map-side-combined shuffle, output bounded by the encoding-variant mass.")
+
+  /** Deterministic encoding-variance corpus for the NFC tier: 300
+    * logical accented-prose pages, each emitted THREE ways — composed
+    * (NFC), fully decomposed (NFD, via the platform normalizer in the
+    * generator), and mixed (NFD head + NFC tail) — so every logical
+    * page is one q207 cluster of three raw-distinct variants. Edge
+    * docs: empty; pure ASCII (changed = 0); the ﬁ-ligature vs "fi"
+    * pair that NFC must NOT unify (the NFKC boundary); Hangul jamo
+    * composing to syllables; the U+212B Angstrom singleton; the
+    * U+0958 composition exclusion (NFC lengthens 1 -> 2 code points);
+    * and the combining-mark reorder pair (dot-below + acute in both
+    * orders — canonical reordering unifies them).
+    */
+  object NfcFixture {
+    val Root = "/root/repo/target/nfc_fixture"
+    private def mix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    // every word STARTS with an accented (composed) char so each half
+    // of every page is guaranteed to differ under NFD — without the
+    // guarantee, a rare accent-free half would make the mixed variant
+    // collide with the base and break the 3-raw-variants-per-page
+    // structure the q207 spec pins
+    // explicit composed-form escapes (never literals — tooling could
+    // re-normalize source text): é ö ü ñ à ç ê
+    private val Accents = "\u00E9\u00F6\u00FC\u00F1\u00E0\u00E7\u00EA"
+    private val Alphabet = "aeiout" + Accents
+    private def word(seed: Long, len: Int): String =
+      Accents(java.lang.Math.floorMod(mix64(seed * 64 - 1), Accents.length.toLong).toInt).toString +
+        (1 until len).map(j =>
+          Alphabet(java.lang.Math.floorMod(mix64(seed * 64 + j), Alphabet.length.toLong).toInt)).mkString
+    private def logical(i: Int): String =
+      (0 until 12).map(j => word(i.toLong * 127 + j * 11, 3 + (i + j) % 5)).mkString(" ")
+    private def nfd(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    private def nfc(s: String): String =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    private val once = new FixtureOnce(Root)
+    def ensure(s: org.apache.spark.sql.SparkSession): String = once.ensure(s)({
+        val main = (0 until 300).flatMap { i =>
+          val base = nfc(logical(i))
+          val (head, tail) = base.splitAt(base.length / 2)
+          Seq((i.toLong, base),
+            ((1000 + i).toLong, nfd(base)),
+            ((2000 + i).toLong, nfd(head) + nfc(tail)))
+        }
+        // explicit escapes, never literals: an editor or toolchain can
+        // silently re-normalize source text, which would erase exactly
+        // the distinctions these edges exist to pin
+        val edges = Seq(
+          (5000L, ""),
+          (5001L, "plain ascii text stays exactly as written"),
+          // U+FB01 LATIN SMALL LIGATURE FI: compatibility-decomposable
+          // only -- NFC must leave it alone (the NFKC boundary), so
+          // 5002 and 5003 stay DISTINCT normalized docs
+          (5002L, "the \uFB01rst ligature stays a ligature under nfc"),
+          (5003L, "the first ligature stays a ligature under nfc"),
+          // decomposed jamo U+1100 U+1161 U+11A8 -> syllable U+AC01
+          (5004L, "jamo \u1100\u1161\u11A8 composes to a syllable"),
+          // U+212B ANGSTROM SIGN -> U+00C5 (singleton decomposition)
+          (5005L, "angstrom \u212B maps to its canonical letter"),
+          // U+0958 DEVANAGARI QA: composition-EXCLUDED -- NFC expands
+          // it to U+0915 U+093C (normalization that LENGTHENS the text)
+          (5006L, "exclusion \u0958 stays decomposed and lengthens"),
+          // dot-below (ccc 220) + acute (ccc 230) in both orders:
+          // canonical reordering makes 5007 == 5008 after NFC -- a
+          // two-variant q207 cluster from mark order alone
+          (5007L, "marks e\u0323\u0301 in either order unify"),
+          (5008L, "marks e\u0301\u0323 in either order unify"))
+        main ++ edges
+      }, "doc_id", "text")
   }
 }

@@ -33,6 +33,11 @@ class CodegenProbe extends AnyFunSuite {
       BoundReference(0, StringType, nullable = true), 20, 21, 31L, 1000000007L))
   }
 
+  test("NfcNormalize doGenCode compiles under janino") {
+    mustCompile(graft.functions.NfcNormalize(
+      BoundReference(0, StringType, nullable = true)))
+  }
+
   test("BitmapAndCount / BitmapCardinality doGenCode compile under janino") {
     mustCompile(BitmapAndCount(
       BoundReference(0, BinaryType, nullable = true),
