@@ -39,7 +39,10 @@ import java.nio.file.{Files, Paths}
   *     rows drop first, each omission accounted by `"omitted":K,
   *     "omitted_max":V` (every omitted row's min <= V — a sub-omitted_max
   *     row cannot hide a regression bigger than omitted_max). Errors are
-  *     never dropped.
+  *     never dropped. Zero-valued accounting fields (`omitted`,
+  *     `omitted_max`, `errors_omitted`) are ABSENT — absence == 0,
+  *     ContractSpec-pinned — which buys 4-5 extra per-query rows on the
+  *     common full-coverage run.
   *
   * Pure string-building over (name, median, reps) rows so ContractSpec
   * can exercise the budget/capping behavior on synthetic registries
@@ -114,7 +117,16 @@ object BenchFormat {
     def lineWith(n: Int): String = {
       val omitted = ranked.drop(n)
       val omittedMax = if (omitted.isEmpty) 0.0 else omitted.map(_._2).max
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},"omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"errors":$errors,"errors_omitted":$errorsOmitted,"sf":"$sfDir"}"""
+      // zero-valued accounting fields are ABSENT (absence == 0,
+      // ContractSpec-pinned): on the common full-coverage run the
+      // ~48 saved chars are 4-5 more per-query rows inside the same
+      // tail budget — what keeps omitted at 0 as the registry grows
+      val omittedField =
+        if (omitted.isEmpty) ""
+        else s""""omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"""
+      val errOmittedField =
+        if (errorsOmitted == 0) "" else s""""errors_omitted":$errorsOmitted,"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField"errors":$errors,$errOmittedField"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)

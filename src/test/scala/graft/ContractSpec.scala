@@ -133,8 +133,8 @@ class ContractSpec extends AnyFunSuite {
     val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1")
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
-    assert(j.get("omitted").asInt == 0,
-      s"${j.get("omitted").asInt} rows omitted at a 205-row realistic model — " +
+    assert(j.get("omitted") == null,
+      s"${j.get("omitted")} rows omitted at a 205-row realistic model — " +
         "the ds-encoding headroom guarantee broke; shrink the format again")
     assert(j.get("queries").size == rows.size)
     assert(j.get("queries_value").asText == "min_ds")
@@ -155,8 +155,9 @@ class ContractSpec extends AnyFunSuite {
     val s = j.get("sentinel_ds")
     assert(s != null && s.size == 2, "sentinel_ds must carry (first, last)")
     assert(s.get(0).asInt == 7 && s.get(1).asInt == 8)
-    assert(j.get("omitted").asInt == 0,
-      "the sentinel field must not push the 205-row model into omission")
+    assert(j.get("omitted") == null,
+      "the sentinel field must not push the full-registry model into omission " +
+        "(absent field == zero, the compact line's accounting contract)")
     // a killed run's snapshot self-describes: last reading still pending
     val killed = parse(BenchFormat.compactLine(rows.take(3), "sf",
       sentinel = Some((0.73, -1.0))))
@@ -174,6 +175,9 @@ class ContractSpec extends AnyFunSuite {
     val j = parse(line)
     assert(j.get("errors").size == BenchFormat.MaxNamedErrors)
     assert(j.get("errors_omitted").asInt == 300 - BenchFormat.MaxNamedErrors)
+    // and a zero-error run carries NO errors_omitted field (absence == 0)
+    assert(parse(BenchFormat.compactLine(Seq(("q1_a", 1.0, Seq(1.0))), "sf"))
+      .get("errors_omitted") == null)
     // degenerate rep lists must not throw (the formatter can never be
     // what kills a snapshot write)
     val weird = Seq(("q1_a", 1.0, Seq.empty[Double]), ("q2_b", 2.0, Seq(-1.0)))

@@ -981,6 +981,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized-dedup state (complete mode) EQUALS batch q207 on a mid-cluster split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the NFC tier's stateful half: encoding variants of the same
+    // logical page arrive in DIFFERENT micro-batches (base forms first,
+    // NFD/mixed later), so the md5(nfc)-keyed count state must merge
+    // across batches — the canonical-URL dedup twin's shape with the
+    // normalization key
+    val fixture = spark.read
+      .parquet(graft.queries.TextQueries.NfcFixture.ensure(spark))
+      .filter($"doc_id" % 1000L < 20L || $"doc_id" >= 5000L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 69, s"expected 60 variant docs + 9 edges, got ${fixture.size}")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    // streaming aggregation cannot carry countDistinct (and the fixture
+    // has no identical-raw duplicates, so n_docs >= 2 is equivalent to
+    // q207's n_raw_variants >= 2 here — the batch side asserts it)
+    def dedupState(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id",
+        md5(graft.functions.NfcNormalize($"text").cast("binary")).as("norm_md5"))
+      .groupBy($"norm_md5")
+      .agg(min($"doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
+    val q = dedupState(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("nfc_dedup_state").start()
+    try {
+      // split between the base forms (ids < 1000) and the NFD/mixed
+      // variants — every 3-variant cluster crosses the boundary
+      val (bases, variants) = fixture.partition(_._1 < 1000L)
+      input.addData(bases)
+      q.processAllAvailable()
+      input.addData(variants)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"n_docs" >= 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = toSet(spark.table("nfc_dedup_state"))
+      val batchDf = fixture.toDF("doc_id", "text")
+      val batch = toSet(dedupState(batchDf))
+      // equivalence premise: no identical-raw duplicates in the slice,
+      // so every multi-doc cluster is raw-distinct (the q207 filter)
+      assert(batchDf.select(md5($"text".cast("binary"))).distinct().count() ==
+        fixture.size.toLong)
+      assert(batch.count(_._3 == 3L) == 20, "twenty 3-variant clusters expected")
+      assert(got == batch,
+        s"streaming normalized-dedup state diverged: ${got.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming exact-substring dedup (foreachBatch + persisted anchor state) EQUALS batch q201 across batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
