@@ -88,6 +88,35 @@ class NfcSpec extends AnyFunSuite {
     assert(groups.forall(r => r.getLong(3) == r.getLong(2)))
   }
 
+  test("composition with the substring tier: NFD-variant spans are invisible raw, detected after normalization") {
+    import spark.implicits._
+    // the tiers compose: a license paragraph shared between an NFC doc
+    // and an NFD doc is byte-distinct at every window, so the
+    // exact-substring tier (md5-keyed, like every dedup tier) cannot
+    // see it on raw text — normalize FIRST and the span appears. This
+    // is the "run NFC before any hash-keyed stage" claim, executed.
+    // an accent in EVERY word: an accent-free stretch of >= 40 chars
+    // would be byte-identical in both encodings and legitimately
+    // detected even on raw text (the first draft of this test proved
+    // that the hard way)
+    val lic = java.text.Normalizer.normalize(
+      (0 until 12).map(i => s"shar\u00E9d$i lic\u00EAnce$i").mkString(" "),
+      java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(lic, java.text.Normalizer.Form.NFD)
+    assert(nfd != lic)
+    val docs = Seq(
+      (1L, "unique head one." + lic + ",unique tail one"),
+      (2L, "another head two;" + nfd + ":another tail two")
+    ).toDF("doc_id", "text")
+    val raw = graft.operators.SubstrDedup.dupSpans(docs)
+    assert(raw.count() == 0L, "raw bytes differ at every window — no span expected")
+    val normalized = docs.select($"doc_id", NfcNormalize($"text").as("text"))
+    val spans = graft.operators.SubstrDedup.dupSpans(normalized).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    assert(spans.toSeq.sorted == Seq((1L, lic.length.toLong), (2L, lic.length.toLong)),
+      s"normalized spans: ${spans.mkString(", ")}")
+  }
+
   test("SQL surface nfc_normalize == Column over the fixture; eval == codegen") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
