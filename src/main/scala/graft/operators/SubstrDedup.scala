@@ -250,6 +250,56 @@ object SubstrDedup {
           .cast("binary")).as("kept_md5"))
   }
 
+  /** EXACT-SUBSTRING DECONTAMINATION — the tier's second published use
+    * (Lee et al. run ExactSubstr between train and eval sets; the
+    * GPT-3/FLAN contamination studies match verbatim n-grams the same
+    * way): every maximal span of a TRAIN doc whose length->=L windows
+    * also occur verbatim in ANY benchmark doc. The q52 shingle tier
+    * answers "how much overlaps"; this answers "exactly WHICH
+    * characters leaked", at the same arbitrary-offset exactness as
+    * [[dupSpans]].
+    *
+    * Same two-pass shape: benchmark anchors prune the train side
+    * losslessly (a train doc sharing a length->=L span with a bench doc
+    * must share a winnow anchor with it), then the exact window pass
+    * runs over candidate train docs against the DISTINCT benchmark
+    * window set. Cost: one anchor scan of each side, then windows of
+    * only the suspicious train docs plus the benchmark (which is tiny
+    * by definition). Train/bench id spaces are never joined, so
+    * overlapping ids are harmless.
+    */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         minLen: Int = DefaultMinLen, k: Int = DefaultK,
+                         w: Int = DefaultW): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
+    val ta = anchors(train, idCol, textCol, k, w)
+    val ba = anchors(bench, idCol, textCol, k, w)
+    val touched = ta
+      .join(ba.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val candTrain = train.join(touched,
+      train(idCol) === touched("doc_id"), "left_semi")
+    val tGrams = candTrain
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"), col("text"), explode(expr(
+        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
+          "array())")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
+    val bGrams = bench
+      .select(col(textCol).as("text"))
+      .select(explode(expr(
+        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
+          "array())")).as("pos"), col("text"))
+      .select(md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
+      .distinct()
+    spansFromHits(
+      tGrams.join(bGrams, Seq("g"), "left_semi").select(col("doc_id"), col("pos")),
+      minLen)
+  }
+
   /** Merge possibly-overlapping/adjacent span sets into maximal spans —
     * the incremental manifest's merge rule: coverage is a SET of
     * characters, so updated spans for a doc are the interval union of

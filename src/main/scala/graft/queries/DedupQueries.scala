@@ -593,7 +593,56 @@ object DedupQueries {
                    END) AS kept_md5
         FROM docs d LEFT JOIN mids m USING (doc_id)
         ORDER BY d.doc_id"""),
-      doc = "Exact-substring span REMOVAL (all copies dropped — the published ExactSubstr behavior; owner election is ill-posed at span granularity): per-doc stripped mass plus md5 of the kept text re-concatenated in order; oracle replays the span set and the between-span segment stitching.")
+      doc = "Exact-substring span REMOVAL (all copies dropped — the published ExactSubstr behavior; owner election is ill-posed at span granularity): per-doc stripped mass plus md5 of the kept text re-concatenated in order; oracle replays the span set and the between-span segment stitching."),
+
+    Q(
+      "q208_substring_decontam",
+      (s, _) => {   // SubstrFixture; dir arg unused
+        // EXACT-SUBSTRING DECONTAMINATION (Lee et al.'s second use;
+        // the GPT-3/FLAN verbatim-overlap studies): which characters of
+        // which TRAIN docs occur verbatim (>= 40 code points, arbitrary
+        // offset) in a benchmark set. q52 is the shingle-count proxy;
+        // this is the exact character-level answer, same lossless
+        // anchor pruning as q201 (bench anchors select suspicious train
+        // docs, the exact window pass confirms). Fixture split: main
+        // docs are the training corpus, the edge docs the benchmark —
+        // the license-twice bench doc 9010 contaminates every
+        // license-carrying train doc.
+        val fx = s.read.parquet(SubstrFixture.ensure(s))
+        graft.operators.SubstrDedup.contaminationSpans(
+            fx.filter(col("doc_id") < 1000L), fx.filter(col("doc_id") >= 9000L))
+          .orderBy(col("doc_id"), col("span_idx"))
+      },
+      Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM read_parquet('${SubstrFixture.Root}/*.parquet')),
+        train AS (SELECT * FROM docs WHERE doc_id < 1000),
+        tg AS (
+          SELECT doc_id, CAST(pos AS BIGINT) AS pos, text[pos : pos + 39] AS g
+          FROM (SELECT doc_id, UNNEST(RANGE(1, GREATEST(LENGTH(text) - 38, 1))) AS pos, text
+                FROM train) t),
+        bg AS (
+          SELECT DISTINCT text[pos : pos + 39] AS g
+          FROM (SELECT UNNEST(RANGE(1, GREATEST(LENGTH(text) - 38, 1))) AS pos, text
+                FROM docs WHERE doc_id >= 9000) t),
+        hits AS (SELECT doc_id, pos FROM tg JOIN bg USING (g)),
+        marked AS (SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 40
+                          THEN 1 ELSE 0 END AS brk
+                   FROM hits),
+        isl AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked),
+        spans AS (SELECT doc_id,
+                    CAST(MIN(pos) AS BIGINT) AS span_start,
+                    CAST(MAX(pos) + 39 AS BIGINT) AS span_end
+                  FROM isl GROUP BY doc_id, island)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) AS BIGINT) AS span_idx,
+               span_start, span_end,
+               span_end - span_start + 1 AS span_len
+        FROM spans
+        ORDER BY doc_id, span_idx"""),
+      doc = "Exact-substring decontamination (train docs carrying verbatim >=40-code-point spans from a benchmark set, at arbitrary offsets): lossless winnowed-anchor pruning on the benchmark's anchors, exact md5-keyed window confirmation against the distinct benchmark window set, maximal spans per train doc — the character-level answer the q52 shingle proxy approximates; oracle replays the exhaustive cross-set definition.")
   )
 
   /** The exact-substring span set replayed in DuckDB, shared by

@@ -197,6 +197,29 @@ class SubstrDedupSpec extends AnyFunSuite {
     joined.foreach(r => assert(r.getLong(5) <= r.getLong(1)))
   }
 
+  test("contamination spans: exactly the license-carrying train docs flag against the 9010 benchmark doc") {
+    import spark.implicits._
+    val fx = fixtureDocs
+    val train = fx.filter($"doc_id" < 1000L)
+    val bench = fx.filter($"doc_id" >= 9000L)
+    val spans = SubstrDedup.contaminationSpans(train, bench).collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+    // the only cross-set verbatim material is the license (bench doc
+    // 9010 carries it twice); every i%10==0 train doc holds one copy
+    val expectedDocs = (0 until 1000).filter(_ % 10 == 0).map(_.toLong).toSet
+    assert(spans.map(_._1).toSet == expectedDocs,
+      s"contaminated set: got ${spans.length} spans over ${spans.map(_._1).distinct.length} docs")
+    assert(spans.forall(_._2 >= 100L),
+      "every contamination span must cover at least the license body")
+    // one span per contaminated doc (the license occurs once per host)
+    assert(spans.map(_._1).distinct.length == spans.length)
+    // symmetry sanity: the benchmark side as train against the main
+    // docs flags 9010 and nothing else
+    val reverse = SubstrDedup.contaminationSpans(bench, train).collect()
+      .map(_.getLong(0)).toSet
+    assert(reverse == Set(9010L), s"reverse contamination: $reverse")
+  }
+
   test("bucketed anchor state: the corpus side of the touched-detection semi-join never moves") {
     import spark.implicits._
     // the anchors scaladoc claim ("store it partitioned by anchor so
