@@ -101,17 +101,25 @@ object SubstrDedup {
     * key is content md5. ONE shuffle on the window key (aggregate +
     * co-partitioned semi-join back).
     */
-  private[operators] def sharedGramHits(docs: DataFrame, idCol: String,
-                                        textCol: String, minLen: Int): DataFrame = {
-    val grams = docs
+  /** One row per length-L window of every doc: (doc_id, pos, g) with
+    * `g` = md5 of the window content — the pass-B primitive shared by
+    * [[sharedGramHits]] and [[contaminationSpans]] (one definition; the
+    * short-doc guard matters because sequence(1, 0) is the DESCENDING
+    * [1, 0], not empty — the NgramLm lesson).
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      // sequence(1, 0) is the DESCENDING [1, 0], not empty — guard short
-      // docs explicitly (the NgramLm lesson)
       .select(col("doc_id"), col("text"), explode(expr(
         s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
           "array())")).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
+
+  private[operators] def sharedGramHits(docs: DataFrame, idCol: String,
+                                        textCol: String, minLen: Int): DataFrame = {
+    val grams = gramRows(docs, idCol, textCol, minLen)
     val shared = grams
       .groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -281,20 +289,9 @@ object SubstrDedup {
       .select(col("doc_id")).distinct()
     val candTrain = train.join(touched,
       train(idCol) === touched("doc_id"), "left_semi")
-    val tGrams = candTrain
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .select(col("doc_id"), col("text"), explode(expr(
-        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
-          "array())")).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
-    val bGrams = bench
-      .select(col(textCol).as("text"))
-      .select(explode(expr(
-        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
-          "array())")).as("pos"), col("text"))
-      .select(md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
-      .distinct()
+    val tGrams = gramRows(candTrain, idCol, textCol, minLen)
+    val bGrams = gramRows(bench, idCol, textCol, minLen)
+      .select(col("g")).distinct()
     spansFromHits(
       tGrams.join(bGrams, Seq("g"), "left_semi").select(col("doc_id"), col("pos")),
       minLen)
