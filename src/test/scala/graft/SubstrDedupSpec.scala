@@ -197,6 +197,40 @@ class SubstrDedupSpec extends AnyFunSuite {
     joined.foreach(r => assert(r.getLong(5) <= r.getLong(1)))
   }
 
+  test("mergeSpans == brute-force character-coverage islands on 200 random span sets") {
+    import spark.implicits._
+    // the incremental merge rule's core primitive, pinned against an
+    // independent reference: interval union == islands of the covered
+    // CHARACTER set (adjacency merges, overlap merges, disjoint stays)
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0 until 200).flatMap { doc =>
+      (0 until 1 + rnd.nextInt(8)).map { i =>
+        val st = 1 + rnd.nextInt(300)
+        val en = st + rnd.nextInt(60)
+        (doc.toLong, (i + 1).toLong, st.toLong, en.toLong, (en - st + 1).toLong)
+      }
+    }
+    val merged = SubstrDedup.mergeSpans(
+        rows.toDF("doc_id", "span_idx", "span_start", "span_end", "span_len"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    rows.groupBy(_._1).foreach { case (doc, sps) =>
+      val covered = sps.flatMap(s => s._3 to s._4).toSet
+      // islands of the covered set, in order
+      val sorted = covered.toSeq.sorted
+      val islands = sorted.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc :+ ((a, b)), c) if c == b + 1 => acc :+ ((a, c))
+        case (acc, c) => acc :+ ((c, c))
+      }
+      val expected = islands.zipWithIndex.map { case ((a, b), i) =>
+        (doc, (i + 1).toLong, a, b, b - a + 1)
+      }
+      assert(merged(doc) == expected,
+        s"doc $doc: ${merged(doc)} != $expected (input ${sps.sortBy(_._3)})")
+    }
+  }
+
   test("contamination spans: exactly the license-carrying train docs flag against the 9010 benchmark doc") {
     import spark.implicits._
     val fx = fixtureDocs
