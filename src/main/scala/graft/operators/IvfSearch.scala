@@ -247,11 +247,18 @@ object IvfSearch {
     * ([[graft.operators.SimSearch.signPack]] — positive scaling never
     * flips a sign, so unit-normalizing first would change nothing).
     * Supports [[assignMulti]]-style replication by passing a
-    * multi-assigned frame's (vec_id, cluster) pairs via `assigned`.
+    * multi-assigned frame's (vec_id, cluster) pairs via `assigned`;
+    * the default single-assigns via [[assign]]. A multi-assigned
+    * corpus surfaces a vector once per replica list, which is why
+    * [[topKSigned]] collapses (query, neighbor) duplicates before its
+    * shortlist window.
     */
   def signAssigned(corpus: DataFrame, index: IvfIndex,
-                   dimOverride: Int = -1): DataFrame =
-    assign(corpus, index).select(col("vec_id"), col("cluster"))
+                   dimOverride: Int = -1,
+                   assigned: Option[DataFrame] = None): DataFrame =
+    assigned
+      .getOrElse(assign(corpus, index))
+      .select(col("vec_id"), col("cluster"))
       .join(SimSearch.signPack(corpus, dimOverride), Seq("vec_id"))
 
   /** Top-k over the SIGN tier inside the IVF router: probe `nprobe`

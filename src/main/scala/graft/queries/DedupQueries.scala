@@ -691,7 +691,7 @@ object DedupQueries {
     * a 30-char fragment (UNDER the 40 threshold — must never be
     * detected) in every 4th doc. Edge docs: empty; under-threshold;
     * exactly-40-char identical pair; whole-doc duplicate pair; the
-    * adjacent-vs-separated two-span pair (same two 45-char spans,
+    * adjacent-vs-separated two-span pair (same two 44-char spans,
     * contiguous in one doc — one merged maximal span — and 80 chars
     * apart in the other — two spans); a unicode pair sharing a span with
     * multi-byte and astral code points (pins code-point arithmetic in
@@ -746,8 +746,8 @@ object DedupQueries {
     def ensure(s: SparkSession): String = once.ensure(s)({
         val main = (0 until 1000).map(i => (i.toLong, doc(i)))
         val dupWhole = prose(7777L, 35)
-        val s45a = "first shared forty five character span aa" + "bbb" // 45
-        val s45b = "second shared forty five character span a" + "bcd" // 45
+        val s45a = "first shared forty five character span aa" + "bbb" // 44 chars
+        val s45b = "second shared forty five character span a" + "bcd" // 44 chars
         val uniSpan = "héllo wörld 中文字符串 straße 🎉 emoji span xx"
         val intra = "fifty character phrase repeated inside one doc xx"
         val edges = Seq(

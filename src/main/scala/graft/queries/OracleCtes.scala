@@ -130,6 +130,16 @@ private[queries] object OracleCtes {
         p3 AS (SELECT *, REGEXP_REPLACE(no_ip, '${PiiFns.PhonePattern}', '${PiiFns.PhoneToken}', 'g') AS no_phone FROM p2),
         p4 AS (SELECT *, REGEXP_REPLACE(no_phone, '${PiiFns.SsnPattern}', '${PiiFns.SsnToken}', 'g') AS no_ssn FROM p3),
         p5 AS (SELECT *, REGEXP_REPLACE(no_ssn, '${PiiFns.IbanPattern}', '${PiiFns.IbanToken}', 'g') AS no_iban FROM p4),
+        -- LIST_DISTINCT does not guarantee Spark array_distinct's
+        -- first-occurrence order, so the replacement FOLD ORDER can
+        -- differ between engines. That is harmless because the
+        -- \b-bounded card candidates cannot overlap each other and the
+        -- replacement token is digit-free (it can never create or
+        -- extend another candidate) — the fold is commutative. A future
+        -- candidate-pattern change that allows overlapping matches or a
+        -- digit-bearing token would silently break this cross-engine
+        -- order independence; re-derive the argument before changing
+        -- either.
         p6 AS (SELECT *,
             LIST_REDUCE(
               LIST_PREPEND(no_iban, LIST_DISTINCT(${ccValidSql("no_iban")})),
