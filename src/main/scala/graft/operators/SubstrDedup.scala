@@ -34,15 +34,32 @@ import org.apache.spark.sql.functions._
   *   duplicated span (spec-pinned: two-pass == exhaustive).
   *
   *   Pass B (exact, candidates only): every length-L window of the
-  *   candidate docs, keyed by md5 of the window content (the
-  *   ChunkDedup key discipline — md5, not the 30-bit rolling hash, so a
-  *   hash collision cannot manufacture a false span); windows whose key
-  *   spans >=2 distinct docs are hits, and hits p1 < p2 with
+  *   candidate docs, keyed by an 8-BYTE xxhash64 of the window content
+  *   through ONE exchange (min/max-doc window over the key partition —
+  *   no aggregate-plus-semi-join double shuffle), then an md5 CONTENT
+  *   confirmation restricted to the colliding positions only, so a
+  *   64-bit collision cannot manufacture a false span (at 100 TB,
+  *   ~1e14 windows make 64-bit collisions certain; the md5 discipline
+  *   is kept exactly where span identity is decided, over the
+  *   candidate subset where it is cheap). Confirmed hits p1 < p2 with
   *   p2 <= p1 + L merge into one maximal span (their L-char coverages
   *   overlap or touch). Cost is O(chars of docs that actually share
   *   something), not the corpus: at 100 TB pass A reads everything
   *   cheaply and pass B's window explosion is confined to the
   *   duplicated subset plus anchor-collision false positives.
+  *
+  *   EXCHANGE ACCOUNTING (the tier's 100 TB cost center): the only
+  *   full-candidate-corpus exchange is the detection shuffle at
+  *   (8-byte key + doc_id + pos) = 24 bytes per window position, once —
+  *   previously two exchanges keyed by 32-char md5 hex. The per-
+  *   position granularity itself is irreducible pre-shuffle: a run of
+  *   duplicated text yields one DISTINCT window content per position
+  *   (no shared key to collapse runs under), and positions of one doc
+  *   are scattered across key partitions until a doc-keyed exchange
+  *   co-locates them — so run-collapse before the island shuffle would
+  *   need exactly the exchange it is trying to avoid. The island
+  *   shuffle itself ships (doc_id, pos) = 16 bytes per CONFIRMED
+  *   duplicated position, subset-bounded by genuinely duplicated mass.
   *
   * STRIP SEMANTICS: [[stripSpans]] removes every duplicated span from
   * EVERY document holding it — the published ExactSubstr behavior (Lee
@@ -65,10 +82,14 @@ object SubstrDedup {
   val DefaultW = DefaultMinLen - DefaultK + 1
 
   /** Pass A rows: one per winnow-selected anchor — (doc_id, pos,
-    * anchor) with `anchor` = md5 of the k-gram at the selected
-    * position. This is also the PERSISTED incremental state: store it
-    * partitioned by `anchor` so [[dupSpansAgainst]]'s semi-join prunes
-    * at the source (the chunkPairState discipline).
+    * anchor) with `anchor` = xxhash64 of the k-gram at the selected
+    * position (8 bytes on the wire and in the persisted state; an
+    * anchor collision only ADDS a candidate doc, which the exact pass B
+    * then discards — losslessness needs only "same content => same
+    * anchor", true of any deterministic hash, so the pruning guarantee
+    * is unaffected). This is also the PERSISTED incremental state:
+    * store it partitioned by `anchor` so [[dupSpansAgainst]]'s
+    * semi-join prunes at the source (the chunkPairState discipline).
     */
   def anchors(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", k: Int = DefaultK,
@@ -78,7 +99,7 @@ object SubstrDedup {
         graft.functions.WinnowAnchors(col(textCol), k, w).as("ps"))
       .select(col("doc_id"), col("text"), explode(col("ps")).as("pos"))
       .select(col("doc_id"), col("pos"),
-        md5(expr(s"substring(text, pos, $k)").cast("binary")).as("anchor"))
+        xxhash64(expr(s"substring(text, pos, $k)")).as("anchor"))
 
   /** Docs carrying at least one anchor shared with ANOTHER doc — the
     * lossless candidate set. Two shuffles on the anchor key (aggregate
@@ -95,37 +116,85 @@ object SubstrDedup {
       .select(col("doc_id")).distinct()
   }
 
-  /** Pass B hits over the GIVEN docs: (doc_id, pos) for every 1-based
-    * position whose length-L window content occurs in >= 2 distinct
-    * docs. Exact by construction — every position is examined and the
-    * key is content md5. ONE shuffle on the window key (aggregate +
-    * co-partitioned semi-join back).
+  /** The 1-based window-start positions of a doc as an exploded column —
+    * shared by both gram generators (one definition; the short-doc
+    * guard matters because sequence(1, 0) is the DESCENDING [1, 0], not
+    * empty — the NgramLm lesson).
     */
+  private def windowPositions(minLen: Int) = expr(
+    s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
+      "array())")
+
   /** One row per length-L window of every doc: (doc_id, pos, g) with
-    * `g` = md5 of the window content — the pass-B primitive shared by
-    * [[sharedGramHits]] and [[contaminationSpans]] (one definition; the
-    * short-doc guard matters because sequence(1, 0) is the DESCENDING
-    * [1, 0], not empty — the NgramLm lesson).
+    * `g` = md5 of the window content — the EXACT-identity form, used
+    * where the window set is small by contract (the benchmark side of
+    * [[contaminationSpans]]) and in the candidate-confirmation stage.
     */
   private def gramRows(docs: DataFrame, idCol: String, textCol: String,
                        minLen: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .select(col("doc_id"), col("text"), explode(expr(
-        s"if(length(text) >= $minLen, sequence(1, length(text) - $minLen + 1), " +
-          "array())")).as("pos"))
+      .select(col("doc_id"), col("text"), explode(windowPositions(minLen)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
 
+  /** [[gramRows]] keyed by xxhash64 — the 8-byte detection key that the
+    * full-candidate-corpus exchanges ride (24-byte rows instead of
+    * md5-hex-keyed ~48-byte ones). Collisions are possible at corpus
+    * scale, so every consumer must confirm colliding groups by content
+    * ([[confirmHits]] / the bench-md5 join in [[contaminationSpans]]).
+    */
+  private def gramRows64(docs: DataFrame, idCol: String, textCol: String,
+                         minLen: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"), col("text"), explode(windowPositions(minLen)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(expr(s"substring(text, pos, $minLen)")).as("h"))
+
+  /** md5-confirm candidate hit positions against actual window content:
+    * candidates (doc_id, pos) rejoin their doc text, windows re-keyed by
+    * content md5, and a position survives iff its md5 group spans >= 2
+    * distinct docs (min != max doc over the group — constant state, one
+    * exchange, no aggregate-plus-self-join double compute). Grouping by
+    * md5 across ALL candidates equals grouping within each 64-bit
+    * collision group: equal content implies equal xxhash64, so two
+    * candidates never share an md5 across different detection groups.
+    * Cost is bounded by the candidate positions plus one exchange of the
+    * candidate docs' text.
+    */
+  private def confirmHits(cand: DataFrame, docs: DataFrame,
+                          minLen: Int): DataFrame = {
+    val byG = Window.partitionBy(col("g"))
+    cand.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $minLen)").cast("binary")).as("g"))
+      .withColumn("mn", min(col("doc_id")).over(byG))
+      .withColumn("mx", max(col("doc_id")).over(byG))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Pass B hits over the GIVEN docs: (doc_id, pos) for every 1-based
+    * position whose length-L window content occurs in >= 2 distinct
+    * docs. Exact by construction — every position is examined; detection
+    * rides the 8-byte xxhash64 key through ONE exchange (a cross-doc
+    * group is one whose min and max doc_id differ — computed as window
+    * functions over the key partition, replacing the old aggregate +
+    * second full semi-join shuffle), and the md5 content confirmation
+    * then re-proves every colliding position on the candidate subset, so
+    * a 64-bit collision can only cost work, never correctness.
+    */
   private[operators] def sharedGramHits(docs: DataFrame, idCol: String,
                                         textCol: String, minLen: Int): DataFrame = {
-    val grams = gramRows(docs, idCol, textCol, minLen)
-    val shared = grams
-      .groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("g"))
-    grams.join(shared, Seq("g"), "left_semi").select(col("doc_id"), col("pos"))
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val byH = Window.partitionBy(col("h"))
+    val cand = gramRows64(d, "doc_id", "text", minLen)
+      .withColumn("mn", min(col("doc_id")).over(byH))
+      .withColumn("mx", max(col("doc_id")).over(byH))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+    confirmHits(cand, d, minLen)
   }
 
   /** Maximal spans from hit positions: hits p1 < p2 of the same doc
@@ -289,11 +358,80 @@ object SubstrDedup {
       .select(col("doc_id")).distinct()
     val candTrain = train.join(touched,
       train(idCol) === touched("doc_id"), "left_semi")
-    val tGrams = gramRows(candTrain, idCol, textCol, minLen)
+    spansFromHits(crossSetHits(candTrain, bench, idCol, textCol, minLen), minLen)
+  }
+
+  /** Cross-set exact window hits: (doc_id, pos) of every `candTrain`
+    * position whose length-L window occurs verbatim in `bench` — the
+    * contamination pass-B primitive shared by [[contaminationSpans]] and
+    * [[contaminationSpansAgainst]]. Deliberately NOT the xxhash64 +
+    * confirm structure of [[sharedGramHits]]: there both sides are
+    * corpus-scale and the key exchange is the cost center, but a
+    * benchmark's DISTINCT window set is small by definition, so this
+    * single md5 semi-join broadcasts the bench side and the train-side
+    * windows are filtered MAP-SIDE — no train exchange at all, exact
+    * identity with no confirmation pass, and `candTrain` referenced
+    * once (a confirm rejoin would recompute its pass-A anchor pruning
+    * subtree a second time for nothing).
+    */
+  private def crossSetHits(candTrain: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           minLen: Int): DataFrame = {
     val bGrams = gramRows(bench, idCol, textCol, minLen)
       .select(col("g")).distinct()
-    spansFromHits(
-      tGrams.join(bGrams, Seq("g"), "left_semi").select(col("doc_id"), col("pos")),
+    gramRows(candTrain, idCol, textCol, minLen)
+      .join(bGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** INCREMENTAL decontamination: a NEW benchmark batch against the
+    * PERSISTED anchor state of an already-ingested train corpus —
+    * benchmark suites grow after ingest, and re-running
+    * [[contaminationSpans]] from scratch per added benchmark would
+    * re-scan the whole train side; this is [[dupSpansAgainst]] with the
+    * sides swapped. The batch's winnow anchors probe `trainAnchors`
+    * (the persisted [[anchors]] output — partition it by `anchor` and
+    * the probe prunes at the source); only train docs sharing an anchor
+    * with the new benchmark are re-read (`train` is a LAZY source,
+    * restricted by semi-join on doc_id), and the exact cross-set window
+    * pass runs over those docs against the new benchmark only.
+    *
+    * The merge rule (spec-pinned): full recompute over
+    * (oldBench ∪ newBench) ==
+    *   stored spans for UNTOUCHED train docs
+    *   ∪ mergeSpans(stored spans for touched docs ∪ this output).
+    * Soundness: a contaminated position is one whose window occurs in
+    * ANY benchmark doc — per-position union semantics over the
+    * benchmark set — and a maximal span set is exactly the interval
+    * union of per-position coverages [p, p+L-1], so span sets from
+    * disjoint benchmark subsets compose through [[mergeSpans]]
+    * (interval union is associative); the winnowing guarantee makes
+    * `touched` complete (a train doc sharing a length->=L span with a
+    * new benchmark doc must share a winnow anchor with it).
+    *
+    * No disjointness probe, deliberately (the one contract difference
+    * from [[dupSpansAgainst]], where batch/state overlap corrupts pair
+    * semantics): re-processing a benchmark doc is IDEMPOTENT here — its
+    * spans re-derive and merge into themselves under interval union.
+    * The only contract is that `trainAnchors` is the [[anchors]] output
+    * over `train`. Per-batch cost scales with the new benchmark plus
+    * the genuinely-contaminated train mass, never the train corpus.
+    */
+  def contaminationSpansAgainst(newBench: DataFrame, train: DataFrame,
+                                trainAnchors: DataFrame,
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                minLen: Int = DefaultMinLen, k: Int = DefaultK,
+                                w: Int = DefaultW): DataFrame = {
+    require(w + k - 1 <= minLen,
+      s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
+    val ba = anchors(newBench, idCol, textCol, k, w)
+    val touched = trainAnchors
+      .join(ba.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val candTrain = train.join(touched,
+      train(idCol) === touched("doc_id"), "left_semi")
+    spansFromHits(crossSetHits(candTrain, newBench, idCol, textCol, minLen),
       minLen)
   }
 
@@ -346,13 +484,20 @@ object SubstrDedup {
                       k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
-    val na = anchors(newDocs, idCol, textCol, k, w)
-    val dup = na.select(col("doc_id")).distinct()
+    // loud disjointness probe on the batch's RAW ids (the
+    // jaccardPairsAgainst discipline) — reading ids straight off
+    // newDocs instead of its anchor rows costs one column-pruned scan
+    // of the batch (no second anchor computation) and is STRICTER: a
+    // sub-k-length doc produces no anchors at all, and the old
+    // anchor-derived probe would have let such an id slip past the
+    // disjointness contract unnoticed
+    val dup = newDocs.select(col(idCol).as("doc_id")).distinct()
       .join(oldAnchors.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .limit(1).collect()
     require(dup.isEmpty,
       s"dupSpansAgainst batch overlaps the state (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
         "the incremental contract requires disjoint doc sets")
+    val na = anchors(newDocs, idCol, textCol, k, w)
     val touched = oldAnchors
       .join(na.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
       .select(col("doc_id")).distinct()

@@ -1096,6 +1096,73 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination (foreachBatch, benchmarks as micro-batches vs persisted train anchors) EQUALS batch contaminationSpans") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SubstrDedup
+    // the dupSpansAgainst streaming discipline with the sides swapped:
+    // the TRAIN side is the fixed, already-ingested corpus (its anchor
+    // state persisted once); BENCHMARK docs arrive as micro-batches and
+    // each batch's contaminationSpansAgainst output merges into the
+    // stored manifest by interval union — mergeSpans(state ∪ new) is the
+    // whole update rule because contamination is union semantics over
+    // the benchmark set (re-delivery would be idempotent, unlike the
+    // dedup twin's disjointness-guarded pair state). Wave 2 is a
+    // no-contamination batch (state must pass through unchanged); waves
+    // 1 and 3 carry overlapping license fragments so a train doc's span
+    // must GROW across batches.
+    val fx = spark.read
+      .parquet(graft.queries.DedupQueries.SubstrFixture.ensure(spark))
+    val train = fx.filter($"doc_id" < 300L)
+    val dir = java.nio.file.Files.createTempDirectory("decontam_stream").toString
+    train.write.mode("overwrite").parquet(s"$dir/train")
+    val trainLake = spark.read.parquet(s"$dir/train")
+    SubstrDedup.anchors(trainLake).write.mode("overwrite").parquet(s"$dir/anchors")
+    val trainAnchors = spark.read.parquet(s"$dir/anchors")
+    val t9010 = fx.filter($"doc_id" === 9010L).head().getString(1)
+    val lic = t9010.substring(0, t9010.indexOf(" unique middle bits "))
+    val waves = Seq(
+      Seq(9100L -> ("aaa " + lic.substring(0, 60) + " zzz")),
+      Seq(9101L -> "this benchmark batch contaminates no training document at all",
+        9102L -> ""),
+      Seq(9103L -> ("qqq " + lic.substring(40) + " www")))
+    @volatile var statePath: Option[String] = None
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val newSpans = SubstrDedup.contaminationSpansAgainst(
+          batch, trainLake, trainAnchors)
+        val merged = statePath match {
+          case None => newSpans
+          case Some(prev) =>
+            SubstrDedup.mergeSpans(
+              spark.read.parquet(prev).unionByName(newSpans))
+        }
+        val out = s"$dir/state_$id"
+        merged.write.mode("overwrite").parquet(out)
+        statePath = Some(out)
+      }
+      .start()
+    try {
+      waves.foreach { w => input.addData(w); q.processAllAvailable() }
+      val streamed = spark.read.parquet(statePath.get)
+        .collect().map(_.toSeq).toSet
+      val allBench = waves.flatten.toDF("doc_id", "text")
+      val batchAnswer = SubstrDedup.contaminationSpans(trainLake, allBench)
+        .collect().map(_.toSeq).toSet
+      assert(batchAnswer.nonEmpty)
+      // the spans cover the full license (growth across waves actually
+      // merged; flank spaces may extend by one char per side — see the
+      // SubstrDedupSpec incremental-decontamination note)
+      assert(batchAnswer.forall { s =>
+        val len = s(4).asInstanceOf[Long]
+        len >= lic.length.toLong && len <= lic.length + 2L
+      })
+      assert(streamed == batchAnswer,
+        s"streaming decontamination diverged: ${streamed.size} vs ${batchAnswer.size} spans")
+    } finally q.stop()
+  }
+
   test("streaming composed curation manifest (foreachBatch + incremental pair state) EQUALS batch q204 on a cross-batch dedup split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

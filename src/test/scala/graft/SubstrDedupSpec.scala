@@ -331,6 +331,73 @@ class SubstrDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental decontamination: two benchmark waves reconstruct the from-scratch answer; overlapping spans union; re-processing is idempotent") {
+    import spark.implicits._
+    val fx = fixtureDocs
+    val train = fx.filter($"doc_id" < 1000L)
+    val trainAnchors = SubstrDedup.anchors(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // recover the license text from the license-twice benchmark doc so
+    // the waves can carry OVERLAPPING license fragments (each >= L)
+    val t9010 = fx.filter($"doc_id" === 9010L).head().getString(1)
+    val lic = t9010.substring(0, t9010.indexOf(" unique middle bits "))
+    assert(lic.length >= 100)
+    // wave 1: the license's first 60 chars; wave 2: chars 40..end plus
+    // the no-contamination edge docs — a train doc's span GROWS across
+    // waves ([o, o+59] ∪ [o+40, o+len-1] must union to the full span)
+    val bench1 = df(9100L -> ("aaa " + lic.substring(0, 60) + " zzz"))
+    val bench2 = df(9101L -> ("qqq " + lic.substring(40) + " www"))
+      .unionByName(fx.filter($"doc_id" >= 9000L && $"doc_id" <= 9005L))
+    val cols = Seq("doc_id", "span_idx", "span_start", "span_end", "span_len")
+    // single wave from empty state == from-scratch
+    val stored1 = SubstrDedup.contaminationSpansAgainst(bench1, train, trainAnchors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scratch1 = SubstrDedup.contaminationSpans(train, bench1)
+    assert(stored1.collect().map(_.toSeq).toSet == scratch1.collect().map(_.toSeq).toSet)
+    assert(stored1.count() > 0L)
+    // wave 2 merges into the stored manifest: untouched stored rows ∪
+    // interval union for touched docs
+    val against2 = SubstrDedup.contaminationSpansAgainst(bench2, train, trainAnchors)
+    val touched2 = trainAnchors
+      .join(SubstrDedup.anchors(bench2).select($"anchor").distinct(),
+        Seq("anchor"), "left_semi")
+      .select($"doc_id").distinct()
+    val reconstructed = stored1.join(touched2, Seq("doc_id"), "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(SubstrDedup.mergeSpans(
+        stored1.join(touched2, Seq("doc_id"), "left_semi")
+          .select(cols.map(col): _*)
+          .unionByName(against2)))
+      .collect().map(_.toSeq).toSet
+    val full = SubstrDedup.contaminationSpans(train, bench1.unionByName(bench2))
+      .collect().map(r => cols.map(c => r.getAs[Any](c))).toSet
+    assert(reconstructed == full)
+    // the merged spans are the FULL license span per carrier — the
+    // overlapping fragments really unioned (neither wave alone covers it)
+    val carriers = (0 until 1000).filter(_ % 10 == 0).map(_.toLong).toSet
+    val byDoc = full.map(s => (s.head.asInstanceOf[Long], s(4).asInstanceOf[Long]))
+    assert(byDoc.map(_._1) == carriers)
+    // >= the license: the overlapping fragments really unioned (neither
+    // wave alone covers it: wave 1 yields <= 62, wave 2 <= len - 38).
+    // <= len + 2: the flanking spaces the fixture plants around the
+    // license are themselves verbatim-shared context when the bench
+    // fragment's flank matches (e.g. the space before a suffix-planted
+    // license aligning with bench1's "aaa " space) and correctly extend
+    // the span by at most one char per side
+    assert(byDoc.forall(d => d._2 >= lic.length.toLong && d._2 <= lic.length + 2L),
+      s"expected full-license spans of ~${lic.length}: ${byDoc.take(5)}")
+    val w1Lens = stored1.collect().map(_.getAs[Long]("span_len"))
+    assert(w1Lens.nonEmpty && w1Lens.forall(l => l >= 60L && l <= 62L))
+    // idempotence: re-processing wave 2 against the complete manifest
+    // changes nothing (the no-probe contract's justification)
+    val fullDf = SubstrDedup.contaminationSpans(train, bench1.unionByName(bench2))
+    val re = SubstrDedup.mergeSpans(fullDf.unionByName(against2))
+      .collect().map(_.toSeq).toSet
+    assert(re == full)
+    stored1.unpersist()
+    trainAnchors.unpersist()
+  }
+
   test("incremental merge rule: full == untouched old ∪ mergeSpans(touched old ∪ against); overlap probe throws") {
     import spark.implicits._
     val all = fixtureDocs
