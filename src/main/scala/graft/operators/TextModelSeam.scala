@@ -51,9 +51,9 @@ object TextModelSeam {
     * milli-log2 kernel (bit length + one-shift interpolation) —
     * bit-for-bit the join-based [[NgramLm.score]].
     */
-  final class BigramLmScorer(unigrams: Map[String, Long],
-                             bigrams: Map[(String, String), Long],
-                             vocab: Long) extends TextScorer with Serializable {
+  final class BigramLmScorer(val unigrams: Map[String, Long],
+                             val bigrams: Map[(String, String), Long],
+                             val vocab: Long) extends TextScorer with Serializable {
     private def mlog2(x: Long): Long = {
       val bl = 63 - java.lang.Long.numberOfLeadingZeros(x) // = length(bin(x)) - 1
       bl * 1000L + ((x * 1000L) >> bl) - 1000L
@@ -75,8 +75,10 @@ object TextModelSeam {
   }
 
   /** Collect an [[NgramLm.Model]] into the scorer's local form — the
-    * fixture-scale sufficiency proof and the artifact-persistence
-    * stand-in. BOUNDED-BY-CONTRACT collect: the seam exists for models
+    * fixture-scale sufficiency proof, and the producer side of the
+    * artifact leg (localize once on the driver, [[saveScorer]] to a
+    * file, score with [[fileScorerFactory]] on the executors).
+    * BOUNDED-BY-CONTRACT collect: the seam exists for models
     * that fit an executor (the pretrained-artifact deployment shape);
     * a corpus-sized self-trained table belongs on the join-based
     * [[NgramLm.score]] path instead.
@@ -87,6 +89,85 @@ object TextModelSeam {
       model.bigrams.collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
       model.vocab)
+
+  // ---- model artifact: the executor-local file leg -----------------
+
+  /** Artifact magic + format version, "GLM1" as a big-endian int. */
+  private val ArtifactMagic = 0x474C4D31
+
+  /** Serialize a [[BigramLmScorer]] to a compact binary artifact:
+    * magic, CRC32 of the payload, payload length, then the payload —
+    * vocab size, the unigram table SORTED by word, the bigram table
+    * SORTED by (w1, w2); counts integer-exact, strings in modified
+    * UTF-8. Sorted tables make identical models produce byte-identical
+    * artifacts; integer exactness makes the round-trip bit-for-bit
+    * (TextModelSeamSpec pins both). The in-memory staging is fine by
+    * the seam's contract — the artifact is executor-sized.
+    */
+  def saveScorer(scorer: BigramLmScorer, path: String): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeLong(scorer.vocab)
+    val uni = scorer.unigrams.toSeq.sortBy(_._1)
+    d.writeInt(uni.size)
+    uni.foreach { case (w, c) => d.writeUTF(w); d.writeLong(c) }
+    val bi = scorer.bigrams.toSeq.sortBy(_._1)
+    d.writeInt(bi.size)
+    bi.foreach { case ((w1, w2), c) =>
+      d.writeUTF(w1); d.writeUTF(w2); d.writeLong(c)
+    }
+    d.flush()
+    val payload = bos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))))
+    try {
+      out.writeInt(ArtifactMagic)
+      out.writeLong(crc.getValue)
+      out.writeInt(payload.length)
+      out.write(payload)
+    } finally out.close()
+  }
+
+  /** Load a [[saveScorer]] artifact, verifying magic and CRC32 before
+    * trusting a byte of it: a corrupted, truncated, or foreign file
+    * fails LOUDLY at load time — once per partition, at task start —
+    * never as silently wrong scores fanned out over a corpus.
+    */
+  def loadScorer(path: String): BigramLmScorer = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = in.readInt()
+    require(magic == ArtifactMagic,
+      f"$path is not a bigram-LM artifact (magic 0x$magic%08X)")
+    val crcStored = in.readLong()
+    val len = in.readInt()
+    require(len == bytes.length - 16,
+      s"$path: truncated or padded artifact (payload $len declared, " +
+        s"${bytes.length - 16} present)")
+    val payload = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    require(crc.getValue == crcStored,
+      s"$path: artifact CRC mismatch — refusing to score with a corrupted model")
+    val p = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val vocab = p.readLong()
+    val uni = (0 until p.readInt()).map(_ => p.readUTF() -> p.readLong()).toMap
+    val bi = (0 until p.readInt())
+      .map(_ => (p.readUTF(), p.readUTF()) -> p.readLong()).toMap
+    new BigramLmScorer(uni, bi, vocab)
+  }
+
+  /** The deployment-shape factory the per-partition discipline exists
+    * for: each partition loads the model from an EXECUTOR-LOCAL
+    * artifact path (shipped via `--files`, a mounted volume, or a
+    * distributed cache), once, at task start — nothing model-sized is
+    * serialized from the driver into the task closure (the closure
+    * captures only the path string).
+    */
+  def fileScorerFactory(path: String): () => TextScorer =
+    () => loadScorer(path)
 
   final case class SafeTextScore(doc_id: Long, ok: Boolean, error: String,
                                  n_bigrams: Long, total_millibits: Long,

@@ -54,6 +54,89 @@ class TextModelSeamSpec extends AnyFunSuite {
     assert(seam(2L) == ((0L, 0L)) && seam(3L) == ((0L, 0L)))
   }
 
+  test("artifact round-trip: file-loaded scorer == collected scorer bit-for-bit == NgramLm.score; byte-identical saves") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val model = NgramLm.train(docs)
+    val scorer = TextModelSeam.localize(model)
+    val dir = java.nio.file.Files.createTempDirectory("lm_artifact")
+    val path = dir.resolve("bigram.glm").toString
+    TextModelSeam.saveScorer(scorer, path)
+    // integer-exact round trip of the model tables themselves
+    val loaded = TextModelSeam.loadScorer(path)
+    assert(loaded.vocab == scorer.vocab)
+    assert(loaded.unigrams == scorer.unigrams)
+    assert(loaded.bigrams == scorer.bigrams)
+    // determinism: saving the same model again is byte-identical
+    val path2 = dir.resolve("bigram2.glm").toString
+    TextModelSeam.saveScorer(scorer, path2)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))))
+    // the deployment shape end-to-end: executors score via the
+    // file-loading per-partition factory (the closure carries only the
+    // path), and the scores equal BOTH the collected-scorer seam run
+    // and the join-based NgramLm.score
+    val viaFile = TextModelSeam
+      .scoreSafe(docs.as[(Long, String)], TextModelSeam.fileScorerFactory(path))
+      .collect()
+    assert(viaFile.forall(_.ok))
+    val fileMap = viaFile
+      .map(r => r.doc_id -> ((r.n_bigrams, r.total_millibits, r.avg_millibits))).toMap
+    val viaJoin = NgramLm.score(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fileMap.size == 500)
+    assert(fileMap == viaJoin,
+      "file-artifact scoring must be bit-for-bit the join-based scorer")
+  }
+
+  test("corrupted, truncated, and foreign artifacts fail loudly at load") {
+    import spark.implicits._
+    val scorer = new TextModelSeam.BigramLmScorer(
+      Map("alpha" -> 3L, "beta" -> 1L), Map(("alpha", "beta") -> 2L), 2L)
+    val dir = java.nio.file.Files.createTempDirectory("lm_corrupt")
+    val good = dir.resolve("good.glm")
+    TextModelSeam.saveScorer(scorer, good.toString)
+    // sanity: the good artifact loads and scores
+    assert(TextModelSeam.loadScorer(good.toString)
+      .score("alpha beta") == scorer.score("alpha beta"))
+    // flip one payload byte -> CRC refuses
+    val bytes = java.nio.file.Files.readAllBytes(good)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x40).toByte
+    val flipped = dir.resolve("flipped.glm")
+    java.nio.file.Files.write(flipped, bytes)
+    val crcEx = intercept[IllegalArgumentException] {
+      TextModelSeam.loadScorer(flipped.toString)
+    }
+    assert(crcEx.getMessage.contains("CRC"))
+    // truncate -> declared/present length mismatch
+    val truncated = dir.resolve("truncated.glm")
+    java.nio.file.Files.write(truncated,
+      java.nio.file.Files.readAllBytes(good).dropRight(5))
+    val truncEx = intercept[IllegalArgumentException] {
+      TextModelSeam.loadScorer(truncated.toString)
+    }
+    assert(truncEx.getMessage.contains("truncated"))
+    // a foreign file -> magic check names the problem
+    val foreign = dir.resolve("foreign.bin")
+    java.nio.file.Files.write(foreign,
+      "definitely not a model artifact".getBytes("UTF-8"))
+    val magicEx = intercept[IllegalArgumentException] {
+      TextModelSeam.loadScorer(foreign.toString)
+    }
+    assert(magicEx.getMessage.contains("not a bigram-LM artifact"))
+    // and through the seam: a bad artifact kills the TASK loudly (load
+    // happens per partition, outside the per-row quarantine — a broken
+    // MODEL must never degrade into per-doc ok=false noise)
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text").as[(Long, String)]
+    val sparkEx = intercept[org.apache.spark.SparkException] {
+      TextModelSeam.scoreSafe(docs,
+        TextModelSeam.fileScorerFactory(flipped.toString)).collect()
+    }
+    assert(sparkEx.getMessage.contains("CRC") ||
+      Option(sparkEx.getCause).exists(_.getMessage.contains("CRC")))
+  }
+
   test("a poison doc quarantines as ok=false; every other row still scores") {
     import spark.implicits._
     val poison = new TextModelSeam.TextScorer with Serializable {
