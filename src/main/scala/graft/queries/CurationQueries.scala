@@ -57,11 +57,40 @@ object CurationQueries {
           _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
+  // the CurationFixture's index artifacts — the t=0.5 pair set (q204 +
+  // q209) and the exact-substring span table (q209) — materialized once
+  // per session and shared, exactly the sharedSubstrSpans discipline:
+  // the detection passes are the expensive part and the manifests are
+  // joins over their output; keyed by session only (the fixture does
+  // not vary with the dir)
+  private val fixturePairsCache =
+    scala.collection.mutable.Map.empty[SparkSession, DataFrame]
+  private val fixtureSpansCache =
+    scala.collection.mutable.Map.empty[SparkSession, DataFrame]
+  private def fixturePairs(s: SparkSession): DataFrame = synchronized {
+    fixturePairsCache.getOrElseUpdate(s, {
+      val docs = s.read.parquet(CurationFixture.ensure(s))
+      graft.operators.Dedup.jaccardPairs(
+          graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+  private def fixtureSpans(s: SparkSession): DataFrame = synchronized {
+    fixtureSpansCache.getOrElseUpdate(s,
+      graft.operators.SubstrDedup.dupSpans(
+          s.read.parquet(CurationFixture.ensure(s)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private[queries] def clearCaches(): Unit = synchronized {
     bgCache.values.foreach(_.unpersist())
     bgCache.clear()
     lmCache.values.foreach { m => m.unigrams.unpersist(); m.bigrams.unpersist() }
     lmCache.clear()
+    Seq(fixturePairsCache, fixtureSpansCache).foreach { m =>
+      m.values.foreach(_.unpersist())
+      m.clear()
+    }
   }
 
   /** q200's body over any `(doc_id, lang, text)` relation and a
@@ -74,9 +103,25 @@ object CurationQueries {
     * (shared gopherGateFrame), PII presence (shared piiFrame), near-dup
     * victimhood (connected components over `pairs`, min-id survivor),
     * the final keep bit, and the deterministic md5 split.
+    *
+    * `substrSpans` (the q209 arm) threads the exact-substring tier in
+    * as the FIFTH signal: a [[graft.operators.SubstrDedup.dupSpans]]
+    * span table over the same corpus rolls up to an integral
+    * `substr_permille` column (duplicated code points per mille, the
+    * q202 profile's ratio) and the keep bit additionally requires
+    * `substr_permille <= substrMaxPermille` — a doc that is mostly
+    * verbatim-repeated text is boilerplate even when whole-doc and
+    * near-dup dedup both miss it. Unlike victimhood there is NO
+    * survivor election (the published ExactSubstr stance: spans are not
+    * aligned entities, so BOTH sides of a near-verbatim pair carry the
+    * duplicated mass and both flag — the q204 four-signal manifest
+    * keeps the min-id original, the five-signal manifest drops it too
+    * when its duplicated fraction crosses the threshold).
     */
   private[graft] def webCurationManifest(
-      docs: DataFrame, pairs: DataFrame): DataFrame = {
+      docs: DataFrame, pairs: DataFrame,
+      substrSpans: Option[DataFrame] = None,
+      substrMaxPermille: Long = 300L): DataFrame = {
     val gated = TextFns.gopherGateFrame(docs, "text")
     val pii = PiiFns.piiFrame(docs, "doc_id", "text")
       .select(col("doc_id"), col("has_pii"))
@@ -85,16 +130,39 @@ object CurationQueries {
       .filter(col("component") =!= col("doc"))
       .select(col("doc").as("doc_id"), lit(1L).as("is_victim"))
     val bucket = hashBucket(col("doc_id"))
-    gated.join(pii, "doc_id")
+    val joined = gated.join(pii, "doc_id")
       .join(victims, Seq("doc_id"), "left")
       .withColumn("is_victim", coalesce(col("is_victim"), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_words"), col("pass_gate"),
-        col("has_pii"), col("is_victim"),
-        (col("pass_gate") === 1L && col("has_pii") === 0L && col("is_victim") === 0L)
-          .cast("long").as("keep"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
+    val keep4 = col("pass_gate") === 1L && col("has_pii") === 0L &&
+      col("is_victim") === 0L
+    val split = when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test").as("split")
+    substrSpans match {
+      case None =>
+        joined.select(col("doc_id"), col("lang"), col("n_words"),
+          col("pass_gate"), col("has_pii"), col("is_victim"),
+          keep4.cast("long").as("keep"), split)
+          .orderBy(col("doc_id"))
+      case Some(spans) =>
+        // integral per-mille, exactly the q202 accounting (sum of
+        // maximal-span lengths over total code points); left join keeps
+        // clean docs at 0, the empty-doc guard keeps the division total
+        val perm = docs
+          .select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+          .join(spans.groupBy(col("doc_id"))
+            .agg(sum(col("span_len")).as("dup_chars")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("total_chars") === 0L, lit(0L))
+              .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
+              .as("substr_permille"))
+        joined.join(perm, "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_words"),
+            col("pass_gate"), col("has_pii"), col("is_victim"),
+            col("substr_permille"),
+            (keep4 && col("substr_permille") <= substrMaxPermille)
+              .cast("long").as("keep"), split)
+          .orderBy(col("doc_id"))
+    }
   }
 
   val queries: Seq[Q] = Seq(
@@ -989,9 +1057,7 @@ object CurationQueries {
         // the spec-level pin (TextQualitySpec) now has a DuckDB-replayed
         // twin, recursive closure included.
         val docs = s.read.parquet(CurationFixture.ensure(s))
-        val pairs = graft.operators.Dedup.jaccardPairs(
-          graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
-        webCurationManifest(docs, pairs)
+        webCurationManifest(docs, fixturePairs(s))
       },
       Some(s"""
         WITH RECURSIVE ${OracleCtes.jaccardReach(source = s"read_parquet('${CurationFixture.Root}/*.parquet')")},
@@ -1018,7 +1084,65 @@ object CurationQueries {
         LEFT JOIN victims v ON g.doc_id = v.doc_id
         JOIN splits s ON g.doc_id = s.doc_id
         ORDER BY g.doc_id"""),
-      doc = "The q200 composed manifest gate-promoted: the SAME webCurationManifest body over a mixed fixture where all four decision paths fire at volume (clean keep=1 docs, PII-planted gate-passers, stopword-free gate-failers, near-dup pairs with min-id survivor election, and PII-carrying victims), fully oracle-replayed — Gopher gate arithmetic, progressive PII counts incl. the Luhn stage, the recursive Jaccard-closure victim set, and the md5 split in one DuckDB query.")
+      doc = "The q200 composed manifest gate-promoted: the SAME webCurationManifest body over a mixed fixture where all four decision paths fire at volume (clean keep=1 docs, PII-planted gate-passers, stopword-free gate-failers, near-dup pairs with min-id survivor election, and PII-carrying victims), fully oracle-replayed — Gopher gate arithmetic, progressive PII counts incl. the Luhn stage, the recursive Jaccard-closure victim set, and the md5 split in one DuckDB query."),
+
+    Q(
+      "q209_curation_manifest_substr",
+      (s, _) => {   // CurationFixture; dir arg unused
+        // The FIVE-signal manifest: q204's composition plus the
+        // exact-substring tier as a recorded per-doc decision —
+        // substr_permille (the q202 duplicated-mass profile as an
+        // integral ratio) and a <=300 threshold folded into keep. The
+        // fixture's 3000-block plants what only this signal can catch:
+        // a 30-word verbatim run shared at different offsets keeps
+        // trigram Jaccard at ~0.32 (no near-dup pair, no victim) while
+        // half the doc is boilerplate; the 9-word pair stays under the
+        // threshold, pinning it as a real threshold; and the near-dup
+        // copies show the no-survivor stance — BOTH sides of a
+        // one-word-changed pair carry ~970 permille and flag, where
+        // q204's election kept the original. Oracle replays everything:
+        // the exhaustive all-windows span definition, the permille
+        // arithmetic, and the five-way keep.
+        val docs = s.read.parquet(CurationFixture.ensure(s))
+        webCurationManifest(docs, fixturePairs(s), Some(fixtureSpans(s)))
+      },
+      Some(s"""
+        WITH RECURSIVE ${OracleCtes.jaccardReach(source = s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate(s"read_parquet('${CurationFixture.Root}/*.parquet')", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted(s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        ${DedupQueries.substrSpansCte(source = s"read_parquet('${CurationFixture.Root}/*.parquet')", docsName = "sdocs")},
+        sperm AS (
+          SELECT d.doc_id,
+                 CASE WHEN LENGTH(d.text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(COALESCE(SUM(x.span_len), 0) AS BIGINT) * 1000 // LENGTH(d.text)
+                 END AS substr_permille
+          FROM sdocs d LEFT JOIN spansx x USING (doc_id)
+          GROUP BY d.doc_id, d.text),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN $bucketSql < 80 THEN 'train'
+                      WHEN $bucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM read_parquet('${CurationFixture.Root}/*.parquet'))
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               sp.substr_permille,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
+                    AND v.doc_id IS NULL
+                    AND sp.substr_permille <= 300 AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii_counted p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN sperm sp ON g.doc_id = sp.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The five-signal curation manifest: q204's Gopher-gate x PII x near-dup-victim composition extended with the exact-substring tier — per-doc duplicated-mass permille (q202's profile as an integral ratio) thresholded at 300 and folded into keep, no survivor election (both sides of a near-verbatim pair flag, the published ExactSubstr stance); the fixture plants a 30-word shared run the pair tier provably misses (Jaccard 0.32) and a 9-word run under the threshold; oracle replays the exhaustive window definition, the permille arithmetic, and the five-way keep in one DuckDB query.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -1162,20 +1286,35 @@ object CurationQueries {
     * tidy, and a mixed-case userinfo (kept verbatim while the host
     * lowercases).
     */
-  /** Deterministic mixed corpus for the composed-manifest gate (q204):
-    * every decision path of the q200 keep composition fires at volume.
-    * 400 base docs in four classes by i % 4 — clean gate-passers
-    * (keep=1), gate-passers with a planted email (has_pii=1), gate
-    * failers (consonant-only fillers, zero stopword hits), and clean
-    * gate-passers that get near-duplicated — plus 100 near-dup copies
-    * (doc 1000+i = doc i with ONE word changed: trigram Jaccard ≈ 0.9,
-    * copy is the higher id → victim; original survives with keep=1) and
-    * 20 PII-carrying copies of PII docs (victim AND has_pii at once).
-    * Gate arithmetic by construction: 60 words per doc (every 5th a
-    * rotating Gopher stopword, the rest splitmix consonant-only fillers
-    * of 4–7 chars — consonant-only so a filler can never accidentally
-    * BE a stopword), no '#'/'...', all words alphabetic. Langs
-    * alternate en/pt so the manifest's lang column is non-trivial.
+  /** Deterministic mixed corpus for the composed-manifest gates (q204,
+    * q209): every decision path of the q200 keep composition fires at
+    * volume. 400 base docs in four classes by i % 4 — clean
+    * gate-passers (keep=1), gate-passers with a planted email
+    * (has_pii=1), gate failers (consonant-only fillers, zero stopword
+    * hits), and clean gate-passers that get near-duplicated — plus 100
+    * near-dup copies (doc 1000+i = doc i with ONE word changed: trigram
+    * Jaccard ≈ 0.9, copy is the higher id → victim; original survives
+    * with keep=1) and 20 PII-carrying copies of PII docs (victim AND
+    * has_pii at once). Gate arithmetic by construction: 60 words per
+    * doc (every 5th a rotating Gopher stopword, the rest splitmix
+    * consonant-only fillers of 4–7 chars — consonant-only so a filler
+    * can never accidentally BE a stopword), no '#'/'...', all words
+    * alphabetic. Langs alternate en/pt so the manifest's lang column is
+    * non-trivial.
+    *
+    * The 3000-block (q209's fifth signal): six otherwise-clean
+    * gate-passing docs carrying PLANTED verbatim runs at DIFFERENT word
+    * offsets per host — 3000/3001 share a 30-word run (duplicated
+    * fraction well over the 300-permille threshold → substring-flagged,
+    * while trigram Jaccard ≈ 0.32 stays under the 0.5 near-dup
+    * threshold: the exact case the pair tier misses), 3002/3003 share a
+    * 9-word run (≈150 permille — below threshold, keep survives: the
+    * threshold is a real threshold), and 3004/3005 share a 30-word run
+    * AND carry a planted email (substring + PII, two reasons at once).
+    * Note the near-dup copies double as substring-tier volume: a
+    * one-word-changed copy shares two ≥150-char verbatim runs with its
+    * original, so in the five-signal manifest BOTH sides flag (the
+    * ExactSubstr no-survivor stance), not just the elected victim.
     */
   object CurationFixture {
     val Root = "/root/repo/target/curation_fixture"
@@ -1213,6 +1352,21 @@ object CurationQueries {
       val ws = orig._3.split(" ").toVector
       (id, lang(id), ws.updated(30, filler(id * 7717 + 5)).mkString(" "))
     }
+    /** A gate-passing doc with a shared verbatim run spliced in: the
+      * run (group `g`, same words in every host) REPLACES `runLen` of
+      * the host's 60 words at word offset `off` — different offsets per
+      * host give the arbitrary-offset sharing the substring tier
+      * detects and the pair tier cannot. The run is generated with the
+      * same every-5th-stopword cadence, so gate arithmetic holds.
+      */
+    private def substrDoc(id: Long, g: Long, runLen: Int, off: Int,
+                          pii: Boolean): (Long, String, String) = {
+      val run = words(777000L + g, stops = true).take(runLen)
+      val ws = words(id, stops = true).patch(off, run, runLen)
+      val text = ws.mkString(" ") +
+        (if (pii) s" contact user$id@mail.example.com now" else "")
+      (id, lang(id), text)
+    }
     private val once = new FixtureOnce(Root)
     def ensure(s: SparkSession): String = once.ensure3(s)({
         val base = (0 until 400).map(doc)
@@ -1220,7 +1374,14 @@ object CurationQueries {
           .map(i => nearDup(1000L + i, i))
         val piiVictims = (0 until 80).filter(_ % 4 == 1)
           .map(i => nearDup(2000L + i, i))
-        base ++ victims ++ piiVictims
+        val substr = Seq(
+          substrDoc(3000L, 1L, 30, 10, pii = false),
+          substrDoc(3001L, 1L, 30, 25, pii = false),
+          substrDoc(3002L, 2L, 9, 20, pii = false),
+          substrDoc(3003L, 2L, 9, 40, pii = false),
+          substrDoc(3004L, 3L, 30, 5, pii = true),
+          substrDoc(3005L, 3L, 30, 28, pii = true))
+        base ++ victims ++ piiVictims ++ substr
       }, "doc_id", "lang", "text")
   }
 

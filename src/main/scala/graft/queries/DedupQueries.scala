@@ -525,7 +525,7 @@ object DedupQueries {
           .orderBy(col("doc_id"), col("span_idx"))
       },
       Some(s"""
-        ${substrSpansCte()}
+        WITH ${substrSpansCte()}
         SELECT doc_id, span_idx, span_start, span_end, span_len
         FROM spansx
         ORDER BY doc_id, span_idx"""),
@@ -545,7 +545,7 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        ${substrSpansCte()}
+        WITH ${substrSpansCte()}
         SELECT d.doc_id,
                CAST(LENGTH(d.text) AS BIGINT) AS total_chars,
                CAST(COALESCE(SUM(sp.span_len), 0) AS BIGINT) AS dup_chars,
@@ -570,7 +570,7 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""
-        ${substrSpansCte()},
+        WITH ${substrSpansCte()},
         segs AS (
           SELECT doc_id, span_start, span_end,
                  COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
@@ -646,20 +646,27 @@ object DedupQueries {
   )
 
   /** The exact-substring span set replayed in DuckDB, shared by
-    * q201/q202/q203 — the DEFINITION itself, with no candidate pruning:
-    * every length-L window of every doc, windows shared by >= 2
-    * distinct docs are hits, hits with gap <= L merge into maximal
-    * spans. The Spark side prunes through winnowed anchors first; the
-    * winnowing guarantee (t = w + k - 1 = L) is exactly the claim that
-    * the two answers are equal, so the gate proves it per run. Emits
-    * docs/grams/g2/sharedg/hits/marked/isl/spans/spansx; embed after
-    * `WITH`.
+    * q201/q202/q203 and the q209 composed manifest — the DEFINITION
+    * itself, with no candidate pruning: every length-L window of every
+    * doc, windows shared by >= 2 distinct docs are hits, hits with gap
+    * <= L merge into maximal spans. The Spark side prunes through
+    * winnowed anchors first; the winnowing guarantee (t = w + k - 1 =
+    * L) is exactly the claim that the two answers are equal, so the
+    * gate proves it per run. Emits docs/grams/g2/sharedg/hits/marked/
+    * isl/spans/spansx as a BODY-ONLY chain (no leading WITH) so it
+    * composes into a caller's WITH/WITH RECURSIVE prefix; `source` is
+    * the corpus relation (defaults to the q201 fixture) and `docsName`
+    * renames the corpus CTE when the caller's chain already binds
+    * `docs` (q209 composes this with jaccardReach, which does).
     */
-  private def substrSpansCte(minLen: Int = graft.operators.SubstrDedup.DefaultMinLen): String = s"""
-        WITH docs AS (SELECT doc_id, text FROM read_parquet('${SubstrFixture.Root}/*.parquet')),
+  private[queries] def substrSpansCte(
+      minLen: Int = graft.operators.SubstrDedup.DefaultMinLen,
+      source: String = s"read_parquet('${SubstrFixture.Root}/*.parquet')",
+      docsName: String = "docs"): String = s"""
+        $docsName AS (SELECT doc_id, text FROM $source),
         grams AS (
           SELECT doc_id, UNNEST(RANGE(1, GREATEST(LENGTH(text) - $minLen + 2, 1))) AS pos, text
-          FROM docs),
+          FROM $docsName),
         g2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
                       text[pos : pos + $minLen - 1] AS g
                FROM grams),

@@ -103,12 +103,66 @@ class TextQualitySpec extends AnyFunSuite {
         "sum(case when has_pii = 1 and is_victim = 1 then 1 else 0 end)",
         "count(*)", "count(distinct split)", "count(distinct lang)")
       .head()
-    assert(m.getLong(0) == 200L, s"keep=1 volume: ${m.getLong(0)}")
+    // the 3000-block (q209's substring plants) raises keep by 4 (the
+    // heavy/light pairs are clean on the FOUR-signal manifest — the
+    // whole point is that only the fifth signal catches them) and PII
+    // by 2 (3004/3005 carry the planted email)
+    assert(m.getLong(0) == 204L, s"keep=1 volume: ${m.getLong(0)}")
     assert(m.getLong(1) == 100L, s"gate-fail volume: ${m.getLong(1)}")
-    assert(m.getLong(2) == 120L, s"PII volume: ${m.getLong(2)}")
+    assert(m.getLong(2) == 122L, s"PII volume: ${m.getLong(2)}")
     assert(m.getLong(3) == 120L, s"victim volume: ${m.getLong(3)}")
     assert(m.getLong(4) == 20L, s"double-reason (PII+victim) volume: ${m.getLong(4)}")
-    assert(m.getLong(5) == 520L && m.getLong(6) == 3L && m.getLong(7) == 2L)
+    assert(m.getLong(5) == 526L && m.getLong(6) == 3L && m.getLong(7) == 2L)
+  }
+
+  test("q209 fixture: the five-signal manifest's substring paths fire at volume; the threshold is real") {
+    import spark.implicits._
+    val docs = spark.read.parquet(
+      graft.queries.CurationQueries.CurationFixture.ensure(spark))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+    val spans = graft.operators.SubstrDedup.dupSpans(docs)
+    val m5 = graft.queries.CurationQueries
+      .webCurationManifest(docs, pairs, Some(spans))
+    val rows = m5.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("pass_gate"), r.getAs[Long]("has_pii"),
+        r.getAs[Long]("is_victim"), r.getAs[Long]("substr_permille"),
+        r.getAs[Long]("keep")))).toMap
+    // heavy pair: no near-dup pair fires (J ~ 0.32) yet half the doc is
+    // verbatim-shared — ONLY the substring signal drops it
+    for (id <- Seq(3000L, 3001L)) {
+      val (gate, pii, victim, perm, keep) = rows(id)
+      assert(gate == 1L && pii == 0L && victim == 0L,
+        s"doc $id must be clean on the four-signal manifest: ${rows(id)}")
+      assert(perm > 300L && keep == 0L,
+        s"doc $id must be substring-flagged: ${rows(id)}")
+    }
+    // light pair: a real shared span, but under the threshold -> keeps
+    for (id <- Seq(3002L, 3003L)) {
+      val (gate, pii, victim, perm, keep) = rows(id)
+      assert(gate == 1L && pii == 0L && victim == 0L)
+      assert(perm > 0L && perm <= 300L && keep == 1L,
+        s"doc $id must carry a sub-threshold span and keep: ${rows(id)}")
+    }
+    // substring + PII at once
+    for (id <- Seq(3004L, 3005L)) {
+      val (_, pii, _, perm, keep) = rows(id)
+      assert(pii == 1L && perm > 300L && keep == 0L, s"doc $id: ${rows(id)}")
+    }
+    // the no-survivor stance: a near-dup ORIGINAL (kept by q204's
+    // election) carries ~970 permille of verbatim mass and drops here
+    val origs = (0 until 400).filter(_ % 4 == 3).map(_.toLong)
+    assert(origs.forall(id => rows(id)._4 > 300L && rows(id)._5 == 0L),
+      "one-word-changed originals must be substring-flagged")
+    // keep volume: the i%4==0 clean class plus the light pair only
+    val keepCount = rows.values.count(_._5 == 1L)
+    assert(keepCount == 102L, s"five-signal keep volume: $keepCount")
+    // and the four-signal manifest over the SAME corpus keeps 204 — the
+    // fifth signal is doing real, attributable work
+    val m4keep = graft.queries.CurationQueries
+      .webCurationManifest(docs, pairs)
+      .selectExpr("sum(keep)").head().getLong(0)
+    assert(m4keep == 204L)
   }
 
   test("runs distributed over the documents corpus with sane bounds") {
