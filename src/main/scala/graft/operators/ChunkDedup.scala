@@ -39,12 +39,23 @@ object ChunkDedup {
     * / div 64 defaults — expected chunk ≈ 64 chars); a cut at position
     * p ends the current chunk at p inclusive. Empty documents yield no
     * rows (a zero-length text has nothing to chunk).
+    *
+    * `normalize = true` NFC-normalizes the text FIRST (the shingleSets
+    * flag's rationale: an encoding variant shifts every rolling-hash
+    * window over accented text, so boundaries land elsewhere and no
+    * chunk hash ever matches). Chunk spans and the lossless
+    * reconstruction property then refer to the NORMALIZED text — the
+    * coordinate space every downstream consumer of the flag sees
+    * consistently.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                window: Int = 8, div: Long = 64L): DataFrame = {
-    val b = graft.functions.CdcBoundaries(col(textCol), window = window, div = div)
+                window: Int = 8, div: Long = 64L,
+                normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) graft.functions.NfcNormalize(col(textCol))
+            else col(textCol)
+    val b = graft.functions.CdcBoundaries(t, window = window, div = div)
     docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"), b.as("b"))
+      .select(col(idCol).as("doc_id"), t.as("text"), b.as("b"))
       .withColumn("starts", concat(array(lit(1)), transform(col("b"), _ + 1)))
       .withColumn("ends", concat(col("b"), array(length(col("text")))))
       .select(col("doc_id"), col("text"),

@@ -41,13 +41,25 @@ object Dedup {
     * (CJK character n-grams) instead of whitespace words — the
     * whitespace default produces ZERO shingles on unsegmented scripts,
     * silently exempting those documents from dedup.
+    *
+    * `normalize = true` NFC-normalizes the text BEFORE shingling (the
+    * q206/q207 lesson applied to this tier's hash keys): an NFD- or
+    * mixed-encoded variant of a page produces byte-distinct shingles
+    * for every accented word, so encoding variance silently defeats
+    * hash-keyed near-dup detection exactly like the unsegmented-script
+    * trap — normalize before any hash-keyed stage. Per-row scalar, no
+    * extra shuffle; off by default (byte-exact semantics preserved).
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-                  unicode: Boolean = false): DataFrame =
+                  unicode: Boolean = false,
+                  normalize: Boolean = false): DataFrame = {
+    val t = if (normalize) graft.functions.NfcNormalize(col(textCol))
+            else col(textCol)
     df.select(col(idCol).as("doc"),
-        explode(TextFns.shingles(col(textCol), n, unicode)).as("s"))
+        explode(TextFns.shingles(t, n, unicode)).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("sh"))
       .distinct()
+  }
 
   /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold) via
     * inverted-index join on shingles. `sh` must be (doc, sh) distinct —
@@ -660,9 +672,14 @@ object Dedup {
     * and near-dups are invisible; DedupSpec pins both behaviors).
     */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
-                          unicode: Boolean = false): DataFrame = {
-    val tokCol = if (unicode) TextFns.uniTokens(col(textCol))
-                 else TextFns.tokens(col(textCol))
+                          unicode: Boolean = false,
+                          normalize: Boolean = false): DataFrame = {
+    // normalize = true: NFC before tokenizing, so an encoding variant's
+    // tokens hash to the SAME 60-bit features instead of 60 unrelated
+    // bits per accented word (the shingleSets flag's rationale)
+    val t = if (normalize) graft.functions.NfcNormalize(col(textCol))
+            else col(textCol)
+    val tokCol = if (unicode) TextFns.uniTokens(t) else TextFns.tokens(t)
     val toks = df
       .select(col(idCol).as("doc"), explode(tokCol).as("tok"))
       .distinct()

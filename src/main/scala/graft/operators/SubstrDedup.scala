@@ -93,8 +93,8 @@ object SubstrDedup {
     */
   def anchors(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", k: Int = DefaultK,
-              w: Int = DefaultW): DataFrame =
-    docs
+              w: Int = DefaultW, normalize: Boolean = false): DataFrame =
+    maybeNfc(docs, textCol, normalize)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         graft.functions.WinnowAnchors(col(textCol), k, w).as("ps"))
       .select(col("doc_id"), col("text"), explode(col("ps")).as("pos"))
@@ -115,6 +115,21 @@ object SubstrDedup {
     anchorRows.join(multi, Seq("anchor"), "left_semi")
       .select(col("doc_id")).distinct()
   }
+
+  /** NFC-normalize `textCol` in place when the flag is on — the
+    * normalize-before-any-hash-keyed-stage discipline (q206/q207)
+    * applied to this tier: an NFD-encoded copy of a span produces
+    * byte-distinct k-grams and windows, so encoding variance silently
+    * hides verbatim duplication from BOTH passes (NfcSpec pins the
+    * composition). With the flag, every reported position/span is in
+    * NORMALIZED code-point coordinates — the one coordinate space all
+    * flagged stages share; strip/profile consumers must feed the same
+    * normalized text to the *From variants. Per-row scalar, no shuffle.
+    */
+  private def maybeNfc(docs: DataFrame, textCol: String,
+                       normalize: Boolean): DataFrame =
+    if (!normalize) docs
+    else docs.withColumn(textCol, graft.functions.NfcNormalize(col(textCol)))
 
   /** The 1-based window-start positions of a doc as an exploded column —
     * shared by both gram generators (one definition; the short-doc
@@ -228,13 +243,15 @@ object SubstrDedup {
     */
   def dupSpans(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text", minLen: Int = DefaultMinLen,
-               k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+               k: Int = DefaultK, w: Int = DefaultW,
+               normalize: Boolean = false): DataFrame = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen: " +
         "a shared span of length minLen could otherwise select no common anchor")
-    val cands = candidateDocs(anchors(docs, idCol, textCol, k, w))
-    val candDocs = docs.join(cands,
-      docs(idCol) === cands("doc_id"), "left_semi")
+    val d = maybeNfc(docs, textCol, normalize)
+    val cands = candidateDocs(anchors(d, idCol, textCol, k, w))
+    val candDocs = d.join(cands,
+      d(idCol) === cands("doc_id"), "left_semi")
     spansFromHits(sharedGramHits(candDocs, idCol, textCol, minLen), minLen)
   }
 
@@ -245,8 +262,10 @@ object SubstrDedup {
     */
   def dupSpansExhaustive(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text",
-                         minLen: Int = DefaultMinLen): DataFrame =
-    spansFromHits(sharedGramHits(docs, idCol, textCol, minLen), minLen)
+                         minLen: Int = DefaultMinLen,
+                         normalize: Boolean = false): DataFrame =
+    spansFromHits(sharedGramHits(maybeNfc(docs, textCol, normalize),
+      idCol, textCol, minLen), minLen)
 
   /** Per-document duplicated-span profile over ALL docs: total code
     * points, duplicated code points (sum of maximal-span lengths),

@@ -642,7 +642,32 @@ object DedupQueries {
                span_end - span_start + 1 AS span_len
         FROM spans
         ORDER BY doc_id, span_idx"""),
-      doc = "Exact-substring decontamination (train docs carrying verbatim >=40-code-point spans from a benchmark set, at arbitrary offsets): lossless winnowed-anchor pruning on the benchmark's anchors, exact md5-keyed window confirmation against the distinct benchmark window set, maximal spans per train doc — the character-level answer the q52 shingle proxy approximates; oracle replays the exhaustive cross-set definition.")
+      doc = "Exact-substring decontamination (train docs carrying verbatim >=40-code-point spans from a benchmark set, at arbitrary offsets): lossless winnowed-anchor pruning on the benchmark's anchors, exact md5-keyed window confirmation against the distinct benchmark window set, maximal spans per train doc — the character-level answer the q52 shingle proxy approximates; oracle replays the exhaustive cross-set definition."),
+
+    Q(
+      "q210_dedup_nfc_jaccard",
+      (s, _) => {   // NfcFixture; dir arg unused
+        // The normalize flag promoted to a gated corpus row: exact
+        // Jaccard near-dup pairs over NFC-NORMALIZED shingles on the
+        // q206 encoding-variance fixture. Every logical page there is
+        // emitted composed / decomposed / mixed — raw shingling sees
+        // three unrelated documents (every accented word byte-differs,
+        // raw trigram Jaccard ~0 to ~1/3, all under the 0.5 threshold;
+        // NfcSpec pins raw finds NOTHING), while the flag collapses each
+        // triple into three J=1.0 pairs. The q207 exact tier catches
+        // byte-identical-after-NFC docs; THIS row is the near-dup tier's
+        // flag — the two compose for variants that are both re-encoded
+        // AND edited. Oracle re-tokenizes over DuckDB's utf8proc
+        // nfc_normalize (the independent UAX#15 oracle pair, as q206).
+        val docs = s.read.parquet(TextQueries.NfcFixture.ensure(s))
+        Dedup.jaccardPairs(
+            Dedup.shingleSets(docs, "doc_id", "text", 3, normalize = true), 0.5)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(jaccardOracle("0.5", docsCte =
+        "SELECT doc_id, STRING_SPLIT(nfc_normalize(text), ' ') AS toks " +
+          s"FROM read_parquet('${TextQueries.NfcFixture.Root}/*.parquet')")),
+      doc = "Normalization-keyed NEAR-dup detection (the NFC flag on the shingle tier, gated): exact trigram-Jaccard pairs over NFC-normalized text on the encoding-variance fixture — composed/decomposed/mixed variants of one page are invisible to raw shingling (every accented word byte-differs) and collapse to J=1.0 pairs under the flag; oracle replays tokenization over DuckDB's independent utf8proc NFC.")
   )
 
   /** The exact-substring span set replayed in DuckDB, shared by

@@ -153,17 +153,25 @@ object EventStream {
     */
   def dedupByFingerprint(events: DataFrame, contentCol: String = "props",
                          watermark: String = "1 hour",
-                         unicode: Boolean = false): DataFrame =
+                         unicode: Boolean = false,
+                         normalize: Boolean = false): DataFrame = {
+    // normalize=true NFC-normalizes the payload before fingerprinting —
+    // the batch tiers' flag in its streaming twin (flag parity, pinned
+    // by StreamingSpec): an NFD re-encoding of an already-seen payload
+    // has a distinct raw fingerprint and would sail past the dedup state
+    val c = if (normalize) graft.functions.NfcNormalize(col(contentCol))
+            else col(contentCol)
     events
       // unicode=true keys on the codepoint-class token fingerprint: the
       // ASCII-normalized key collapses ALL pure-CJK payloads to md5("")
       // and would drop every CJK event after the first as a "duplicate"
       // (the q181 trap, streaming edition — StreamingSpec pins both modes)
       .withColumn("fp",
-        if (unicode) graft.functions.TextFns.fingerprintUni(col(contentCol))
-        else graft.functions.TextFns.fingerprint(col(contentCol)))
+        if (unicode) graft.functions.TextFns.fingerprintUni(c)
+        else graft.functions.TextFns.fingerprint(c))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Stream-STATIC enrichment join: each micro-batch joins the event
     * stream against a static dimension (user attributes, feature tables,

@@ -117,6 +117,70 @@ class NfcSpec extends AnyFunSuite {
       s"normalized spans: ${spans.mkString(", ")}")
   }
 
+  test("normalize flag on the hash-keyed tiers: raw misses every NFD variant, flagged finds them all") {
+    import spark.implicits._
+    import graft.operators.{ChunkDedup, Dedup, SubstrDedup}
+    val fx = fixture
+    // 1. shingle tier (q210's primitive): a PURE NFD re-encoding
+    //    (doc 1000+i) shares not one raw shingle with its base — every
+    //    word starts accented, so every trigram byte-differs — and raw
+    //    Jaccard can never see it. (The MIXED variant legitimately
+    //    shares its byte-identical NFC tail with the base / its NFD head
+    //    with the NFD variant, and one page's short head lets that
+    //    half-match cross t=0.5 — a real partial duplicate, not an
+    //    encoding artifact, so it is allowed raw.) The flag collapses
+    //    each triple to three J=1.0 pairs — 900 page pairs plus the
+    //    mark-reorder edge pair.
+    val rawPairs = Dedup.jaccardPairs(
+        Dedup.shingleSets(fx, "doc_id", "text", 3), 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(rawPairs.forall { case (a, b) => !(a < 300L && b == a + 1000L) },
+      s"a pure NFD re-encoding must be invisible to raw shingling: ${rawPairs.take(5).toSeq}")
+    assert(rawPairs.length <= 5,
+      s"raw detection sees at most stray half-matches: ${rawPairs.length}")
+    // 902 = 900 page-variant pairs + the mark-reorder edge pair (both
+    // J=1.0) + the ligature pair 5002/5003 at exactly J=0.5 on its
+    // eight shared words — NOT unified by the flag (NFC keeps the
+    // ligature; the pair crosses the threshold identically raw)
+    val flagged = Dedup.jaccardPairs(
+      Dedup.shingleSets(fx, "doc_id", "text", 3, normalize = true), 0.5)
+    assert(flagged.count() == 902L)
+    assert(flagged.filter($"jaccard" =!= 1.0).count() == 1L,
+      "collapsed variants are exact matches; only the ligature pair is partial")
+    // 2. simhash tier: flagged fingerprints of a page's three variants
+    //    are EQUAL (identical normalized token sets); raw fingerprints
+    //    come from disjoint token sets and stay far apart
+    val rawDistinct = Dedup.simhashFingerprints(fx, "doc_id", "text")
+      .filter($"doc" < 3000L)
+      .select($"fp").distinct().count()
+    assert(rawDistinct == 900L, s"raw: 900 distinct variant fps, got $rawDistinct")
+    val flagDistinct = Dedup
+      .simhashFingerprints(fx, "doc_id", "text", normalize = true)
+      .filter($"doc" < 3000L)
+      .select($"fp").distinct().count()
+    assert(flagDistinct == 300L, s"flag: one fp per logical page, got $flagDistinct")
+    // 3. chunk tier: a base/NFD pair shares ZERO chunks raw (the rolling
+    //    hash shifts at the first accent) and EVERY >= 16-char chunk
+    //    under the flag (identical normalized text)
+    val pagePair = fx.filter($"doc_id".isin(0L, 1000L))
+    assert(ChunkDedup.crossDocChunks(
+      ChunkDedup.cdcChunks(pagePair, "doc_id", "text")).count() == 0L)
+    assert(ChunkDedup.crossDocChunks(
+      ChunkDedup.cdcChunks(pagePair, "doc_id", "text", normalize = true))
+      .count() > 0L)
+    // 4. substring tier: the flag is the internal form of the external
+    //    normalize-then-detect composition pinned above — identical span
+    //    sets, positions in normalized coordinates
+    val viaFlag = SubstrDedup.dupSpans(pagePair, normalize = true)
+      .collect().map(_.toSeq).toSet
+    val viaExternal = SubstrDedup.dupSpans(
+        pagePair.select($"doc_id", NfcNormalize($"text").as("text")))
+      .collect().map(_.toSeq).toSet
+    assert(viaFlag == viaExternal && viaFlag.nonEmpty)
+    assert(SubstrDedup.dupSpans(pagePair).count() == 0L,
+      "raw substring detection must see nothing on an all-accented pair")
+  }
+
   test("SQL surface nfc_normalize == Column over the fixture; eval == codegen") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

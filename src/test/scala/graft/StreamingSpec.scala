@@ -559,6 +559,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(unicode = true, "fp_uni_cjk") == Seq(1L, 2L, 3L))
   }
 
+  test("streaming NFC dedup parity: raw unicode mode keeps an NFD re-encoding; normalize mode drops it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the batch tiers' normalize flag in its streaming twin: the same
+    // accented payload arrives composed, then decomposed (a re-crawl
+    // through a different encoder) — byte-distinct, so the raw unicode
+    // fingerprint keeps both; the flag keys on NFC and drops the
+    // re-encoding. Explicit escapes (the NfcFixture discipline).
+    val composed = "donn\u00E9es trait\u00E9es \u00E0 grande \u00E9chelle"
+    val decomposed = java.text.Normalizer
+      .normalize(composed, java.text.Normalizer.Form.NFD)
+    assert(decomposed != composed)
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "doc", 0.0, composed),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "doc", 0.0, decomposed),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 1L, "doc", 0.0, "autre document distinct"))
+    def run(normalize: Boolean, name: String): Seq[Long] = {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val q = EventStream.dedupByFingerprint(
+          input.toDS().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          watermark = "3650 days", unicode = true, normalize = normalize)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(rows.toIndexedSeq); q.processAllAvailable()
+        spark.table(name).select($"event_id").as[Long].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    assert(run(normalize = false, "fp_nfc_raw") == Seq(1L, 2L, 3L),
+      "raw unicode fingerprints are byte-distinct across encodings")
+    assert(run(normalize = true, "fp_nfc_norm") == Seq(1L, 3L),
+      "the flag must drop the NFD re-encoding and keep the distinct doc")
+  }
+
   test("session_window agg groups events by event-time gaps") {
     import spark.implicits._
     val batch = Seq(
