@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Word-n-gram repetition CHARACTER coverage — the remaining half of the
+  * MassiveText repetition-filter family (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", §A1.1). The family has six kinds of
+  * signal; q38 carries the duplicate-word fraction and the top-bigram
+  * OCCURRENCE fraction, q193 the duplicate line/paragraph (count and
+  * char) rules — this operator computes the published character-FRACTION
+  * n-gram rules:
+  *
+  *   - for small n (2..4): the fraction of characters covered by the
+  *     occurrences of the single MOST FREQUENT word n-gram (computed
+  *     whether or not it repeats, the published behavior — a unique top
+  *     bigram still covers its own characters);
+  *   - for large n (5..10): the fraction of characters covered by ANY
+  *     word n-gram occurring MORE THAN ONCE in the document.
+  *
+  * Coverage is the INTERVAL UNION of the occurrences' character spans —
+  * overlapping occurrences are never double-counted (the paper's
+  * "taking care not to double-count characters that overlap" clause) —
+  * computed with the island machinery the substring tier uses, at word
+  * granularity. All signals are intra-document: nothing joins across
+  * documents.
+  *
+  * Scale shape: ONE scalar projection per doc builds the word array,
+  * the running character offsets, and the tagged gram structs for every
+  * requested n (HOFs staged as real projection columns — the
+  * gopherGateFrame discipline, since HOF lambdas are CodegenFallback
+  * and don't share codegen CSE); one explode; then doc-keyed window
+  * passes (occurrence count on (doc, n, gram), top-gram rank on
+  * (doc, n), interval-union islanding on (doc, n)). Shuffle volume is
+  * Σ|doc words| per requested n with bounded per-group state — never a
+  * cross-document join, never a per-row O(words²) lambda.
+  *
+  * Determinism: the top gram per (doc, n) ties on (count DESC, gram md5
+  * ASC) — a pure function of the text, replayed identically by the
+  * DuckDB oracle. Tokenization is the q38 whitespace split, so newlines
+  * ride inside "words" exactly as the oracle sees them.
+  */
+object NgramRep {
+
+  /** Per-document repetition-coverage profile: `(doc_id, total_chars)`
+    * plus one integral per-mille column per requested n —
+    * `top{n}gram_char_permille` for `topNs`, `dup{n}gram_char_permille`
+    * for `dupNs`. Every doc keeps a row (docs too short for an n-gram
+    * report 0 coverage); requesting an n in both lists is rejected
+    * (the two rules disagree on what to cover).
+    */
+  def ngramCoverage(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    topNs: Seq[Int] = Seq(2, 3, 4),
+                    dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.intersect(dupNs).isEmpty,
+      s"an n cannot be both a top-gram and a dup-gram rule: ${topNs.intersect(dupNs)}")
+    require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be positive")
+    val allNs = (topNs ++ dupNs).distinct.sorted
+
+    // stage A — per-row scalar: words, running 1-based char offsets
+    // (word i starts at 1 + Σ_{j<i} (len_j + 1)), and one tagged gram
+    // struct per (n, position). Each HOF output is a real projection
+    // column so downstream references don't re-evaluate the chain.
+    val offsSql = """
+      aggregate(ws,
+        named_struct('a', cast(array() as array<bigint>), 'p', cast(1 as bigint)),
+        (ac, w) -> named_struct('a', concat(ac.a, array(ac.p)),
+                                'p', ac.p + length(w) + 1),
+        ac -> ac.a)"""
+    val gramsSql = s"""
+      flatten(transform(array(${allNs.mkString(", ")}), nn ->
+        transform(if(size(ws) >= nn, sequence(1, size(ws) - nn + 1), array()),
+          i -> named_struct(
+            'n', nn,
+            'st', element_at(offs, i),
+            'en', element_at(offs, i + nn - 1)
+                    + length(element_at(ws, i + nn - 1)) - 1,
+            'g', md5(cast(concat_ws(' ', slice(ws, i, nn)) as binary))))))"""
+    val grams = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), expr(offsSql).as("offs"))
+      .select(col("doc_id"), explode(expr(gramsSql)).as("gr"))
+      .select(col("doc_id"), col("gr.n").as("n"), col("gr.st").as("st"),
+        col("gr.en").as("en"), col("gr.g").as("g"))
+
+    // stage B — occurrence counts and the top-gram rank. dense_rank over
+    // (c DESC, g ASC) marks EVERY occurrence row of the winning gram
+    // with rank 1 (same count, same key), so the top tier keeps whole
+    // occurrence sets, not single rows.
+    val byGram = Window.partitionBy(col("doc_id"), col("n"), col("g"))
+    val byDocN = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("c").desc, col("g").asc)
+    val kept = grams
+      .withColumn("c", count(lit(1)).over(byGram))
+      .withColumn("rnk", dense_rank().over(byDocN))
+      .filter(
+        (col("n").isin(dupNs.map(Int.box): _*) && col("c") >= 2L) ||
+          (col("n").isin(topNs.map(Int.box): _*) && col("rnk") === 1))
+
+    // stage C — interval union per (doc, n): the mergeSpans island rule
+    // over character spans ((doc, n, st) is unique for a fixed
+    // tokenization, so the ordering is total and the pass deterministic)
+    val ord = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("st"), col("en"))
+    val runMax = max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val cov = kept
+      .withColumn("brk",
+        when(runMax.isNull || col("st") > runMax + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n"), col("isl"))
+      .agg(min(col("st")).as("a"), max(col("en")).as("b"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("b") - col("a") + 1).as("cov"))
+
+    // stage D — pivot to one row per doc (conditional sums, not PIVOT:
+    // fixed schema, no second scan) and integral per-mille against the
+    // doc's total code points; gram-less docs keep a zero row
+    val covAggs = allNs.map(nn =>
+      sum(when(col("n") === nn, col("cov")).otherwise(0L)).as(s"cov$nn"))
+    val perDoc = cov.groupBy(col("doc_id")).agg(covAggs.head, covAggs.tail: _*)
+    val base = docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("total_chars"))
+    val outCols = col("doc_id") +: col("total_chars") +: allNs.map { nn =>
+      val name = if (topNs.contains(nn)) s"top${nn}gram_char_permille"
+                 else s"dup${nn}gram_char_permille"
+      expr(s"case when total_chars > 0 then (coalesce(cov$nn, 0L) * 1000) div total_chars else 0L end")
+        .as(name)
+    }
+    base.join(perDoc, Seq("doc_id"), "left").select(outCols: _*)
+  }
+}

@@ -1142,7 +1142,80 @@ object CurationQueries {
         JOIN sperm sp ON g.doc_id = sp.doc_id
         JOIN splits s ON g.doc_id = s.doc_id
         ORDER BY g.doc_id"""),
-      doc = "The five-signal curation manifest: q204's Gopher-gate x PII x near-dup-victim composition extended with the exact-substring tier — per-doc duplicated-mass permille (q202's profile as an integral ratio) thresholded at 300 and folded into keep, no survivor election (both sides of a near-verbatim pair flag, the published ExactSubstr stance); the fixture plants a 30-word shared run the pair tier provably misses (Jaccard 0.32) and a 9-word run under the threshold; oracle replays the exhaustive window definition, the permille arithmetic, and the five-way keep in one DuckDB query.")
+      doc = "The five-signal curation manifest: q204's Gopher-gate x PII x near-dup-victim composition extended with the exact-substring tier — per-doc duplicated-mass permille (q202's profile as an integral ratio) thresholded at 300 and folded into keep, no survivor election (both sides of a near-verbatim pair flag, the published ExactSubstr stance); the fixture plants a 30-word shared run the pair tier provably misses (Jaccard 0.32) and a 9-word run under the threshold; oracle replays the exhaustive window definition, the permille arithmetic, and the five-way keep in one DuckDB query."),
+
+    Q(
+      "q211_gopher_ngram_coverage",
+      (s, _) => {   // GopherFixture; dir arg unused
+        // THE REMAINING MASSIVETEXT REPETITION RULES (Rae et al. 2021
+        // §A1.1): top-n-gram character fraction for n=2..4 and
+        // duplicate-n-gram character fraction for n=5..10, per document
+        // — q38 has the word/occurrence fractions, q193 the
+        // line/paragraph rules; these nine char-coverage signals
+        // complete the published family. Coverage is the interval UNION
+        // of occurrence char spans (overlaps never double-counted — the
+        // paper's explicit clause), via the substring tier's island
+        // machinery at word granularity. Same multi-line fixture as
+        // q193/q194: the repeated footer lines and duplicated
+        // paragraphs are exactly what the 5..10-gram rules exist to
+        // catch, at spans the line rules only see when the duplication
+        // aligns with line boundaries.
+        graft.operators.NgramRep.ngramCoverage(
+            s.read.parquet(GopherFixture.ensure(s)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH docs AS (SELECT doc_id, text FROM read_parquet('${GopherFixture.Root}/*.parquet')),
+        w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+                     CAST(LENGTH(text) AS BIGINT) AS total_chars
+              FROM docs),
+        wx AS (SELECT doc_id, UNNEST(ws) AS word, UNNEST(RANGE(1, LEN(ws) + 1)) AS i FROM w),
+        woff AS (SELECT doc_id, i,
+                   CAST(1 + COALESCE(SUM(LENGTH(word) + 1) OVER (
+                     PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+                 FROM wx),
+        offl AS (SELECT doc_id, LIST(off ORDER BY i) AS offs FROM woff GROUP BY doc_id),
+        base AS (SELECT w.doc_id, w.ws, w.total_chars, o.offs
+                 FROM w JOIN offl o ON w.doc_id = o.doc_id),
+        gr0 AS (SELECT doc_id, UNNEST(FLATTEN(LIST_TRANSFORM([2,3,4,5,6,7,8,9,10],
+                  n -> LIST_TRANSFORM(RANGE(1, GREATEST(LEN(ws) - n + 2, 1)),
+                    i -> {'n': n,
+                          'st': offs[i],
+                          'en': offs[i + n - 1] + LENGTH(ws[i + n - 1]) - 1,
+                          'g': MD5(ARRAY_TO_STRING(ws[i : i + n - 1], ' '))})))) AS gr
+                FROM base),
+        gr AS (SELECT doc_id, CAST(gr.n AS BIGINT) AS n, CAST(gr.st AS BIGINT) AS st,
+                      CAST(gr.en AS BIGINT) AS en, gr.g AS g
+               FROM gr0),
+        cnt AS (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, n, g) AS c FROM gr),
+        rnkd AS (SELECT *, DENSE_RANK() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) AS rnk FROM cnt),
+        kept AS (SELECT * FROM rnkd WHERE (n >= 5 AND c >= 2) OR (n <= 4 AND rnk = 1)),
+        mk0 AS (SELECT doc_id, n, st, en,
+                  MAX(en) OVER (PARTITION BY doc_id, n ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+                FROM kept),
+        mk AS (SELECT *, CASE WHEN runmax IS NULL OR st > runmax + 1 THEN 1 ELSE 0 END AS brk FROM mk0),
+        isl AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id, n ORDER BY st, en
+                  ROWS UNBOUNDED PRECEDING) AS island FROM mk),
+        sp AS (SELECT doc_id, n, island, MIN(st) AS a, MAX(en) AS b
+               FROM isl GROUP BY doc_id, n, island),
+        cov AS (SELECT doc_id, n, CAST(SUM(b - a + 1) AS BIGINT) AS cov
+                FROM sp GROUP BY doc_id, n)
+        SELECT b.doc_id, b.total_chars,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 2 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS top2gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 3 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS top3gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 4 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS top4gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 5 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup5gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 6 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup6gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 7 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup7gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 8 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup8gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 9 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup9gram_char_permille,
+          CASE WHEN b.total_chars > 0 THEN (CAST(COALESCE(SUM(CASE WHEN c.n = 10 THEN c.cov END), 0) AS BIGINT) * 1000) // b.total_chars ELSE 0 END AS dup10gram_char_permille
+        FROM w b LEFT JOIN cov c ON b.doc_id = c.doc_id
+        GROUP BY b.doc_id, b.total_chars
+        ORDER BY b.doc_id"""),
+      doc = "The MassiveText n-gram repetition character-coverage rules (Rae et al. 2021 A1.1), completing the family q38/q193 started: per-doc fraction of characters covered by the most frequent 2/3/4-gram and by any duplicated 5..10-gram, as exact integral permille — coverage is the interval union of occurrence char spans (overlaps never double-counted), computed distributed with doc-keyed windows (count, deterministic top rank, island merge), never a per-row quadratic lambda or a cross-document join; oracle replays tokenization, offsets, ranking tie-break, and the island union in DuckDB.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
