@@ -39,10 +39,10 @@ import java.nio.file.{Files, Paths}
   *     rows drop first, each omission accounted by `"omitted":K,
   *     "omitted_max":V` (every omitted row's min <= V — a sub-omitted_max
   *     row cannot hide a regression bigger than omitted_max). Errors are
-  *     never dropped. Zero-valued accounting fields (`omitted`,
-  *     `omitted_max`, `errors_omitted`) are ABSENT — absence == 0,
-  *     ContractSpec-pinned — which buys 4-5 extra per-query rows on the
-  *     common full-coverage run.
+  *     never dropped. Zero/empty-valued accounting fields (`omitted`,
+  *     `omitted_max`, `errors`, `errors_omitted`) are ABSENT —
+  *     absence == 0/empty, ContractSpec-pinned — which buys 5-6 extra
+  *     per-query rows on the common full-coverage run.
   *
   * Pure string-building over (name, median, reps) rows so ContractSpec
   * can exercise the budget/capping behavior on synthetic registries
@@ -147,7 +147,13 @@ object BenchFormat {
     val total = rows.map(_._2).filter(_ >= 0).sum
     val totalMin = rows.collect { case (_, v, ts) if v >= 0 => minOf(v, ts) }.sum
     val errKeys = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
-    val errors = errKeys.take(MaxNamedErrors).mkString("[", ",", "]")
+    // absent == empty, like the other accounting fields (absence == 0,
+    // ContractSpec-pinned): the 12 chars of a "errors":[] literal are
+    // one more per-query row of zero-omission headroom as the registry
+    // grows (211 rows + the sentinel crossed the budget at r14)
+    val errorsField =
+      if (errKeys.isEmpty) ""
+      else s""""errors":${errKeys.take(MaxNamedErrors).mkString("[", ",", "]")},"""
     val errorsOmitted = (errKeys.size - MaxNamedErrors).max(0)
     // slowest-first by min (errored rows sort last: the errors array
     // already names them, and a -1 carries no timing signal)
@@ -169,7 +175,7 @@ object BenchFormat {
         else s""""omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"""
       val errOmittedField =
         if (errorsOmitted == 0) "" else s""""errors_omitted":$errorsOmitted,"""
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField"errors":$errors,$errOmittedField"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField$errorsField$errOmittedField"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)

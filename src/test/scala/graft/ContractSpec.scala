@@ -206,9 +206,11 @@ class ContractSpec extends AnyFunSuite {
     val j = parse(line)
     assert(j.get("errors").size == BenchFormat.MaxNamedErrors)
     assert(j.get("errors_omitted").asInt == 300 - BenchFormat.MaxNamedErrors)
-    // and a zero-error run carries NO errors_omitted field (absence == 0)
-    assert(parse(BenchFormat.compactLine(Seq(("q1_a", 1.0, Seq(1.0))), "sf"))
-      .get("errors_omitted") == null)
+    // and a zero-error run carries NO errors / errors_omitted fields at
+    // all (absence == empty/0 — the chars are zero-omission headroom)
+    val clean = parse(BenchFormat.compactLine(Seq(("q1_a", 1.0, Seq(1.0))), "sf"))
+    assert(clean.get("errors_omitted") == null)
+    assert(clean.get("errors") == null)
     // degenerate rep lists must not throw (the formatter can never be
     // what kills a snapshot write)
     val weird = Seq(("q1_a", 1.0, Seq.empty[Double]), ("q2_b", 2.0, Seq(-1.0)))
