@@ -26,15 +26,18 @@ import org.apache.spark.sql.functions._
   * granularity. All signals are intra-document: nothing joins across
   * documents.
   *
-  * Scale shape: ONE scalar projection per doc builds the word array,
-  * the running character offsets, and the tagged gram structs for every
-  * requested n (HOFs staged as real projection columns — the
-  * gopherGateFrame discipline, since HOF lambdas are CodegenFallback
-  * and don't share codegen CSE); one explode; then doc-keyed window
-  * passes (occurrence count on (doc, n, gram), top-gram rank on
-  * (doc, n), interval-union islanding on (doc, n)). Shuffle volume is
-  * Σ|doc words| per requested n with bounded per-group state — never a
-  * cross-document join, never a per-row O(words²) lambda.
+  * Scale shape: words posexplode narrowly; ONE doc-keyed window pass
+  * computes the running character offset (prefix sum over preceding
+  * word lengths) and, per requested n, the n-word frame as a
+  * frame-bounded collect_list — every per-word quantity is LINEAR in
+  * the document (an array-building prefix-sum HOF would copy O(words²)
+  * bytes per doc and break on long documents; the window formulation
+  * is the declarative linear form). Gram structs then explode and flow
+  * through doc-keyed window passes (occurrence count on (doc, n,
+  * gram), top-gram rank on (doc, n), interval-union islanding on
+  * (doc, n)). Shuffle volume is Σ|doc words| per requested n with
+  * bounded per-group state — never a cross-document join, never a
+  * per-row quadratic lambda.
   *
   * Determinism: the top gram per (doc, n) ties on (count DESC, gram md5
   * ASC) — a pure function of the text, replayed identically by the
@@ -59,29 +62,44 @@ object NgramRep {
     require((topNs ++ dupNs).forall(_ >= 1), "n-gram sizes must be positive")
     val allNs = (topNs ++ dupNs).distinct.sorted
 
-    // stage A — per-row scalar: words, running 1-based char offsets
-    // (word i starts at 1 + Σ_{j<i} (len_j + 1)), and one tagged gram
-    // struct per (n, position). Each HOF output is a real projection
-    // column so downstream references don't re-evaluate the chain.
-    val offsSql = """
-      aggregate(ws,
-        named_struct('a', cast(array() as array<bigint>), 'p', cast(1 as bigint)),
-        (ac, w) -> named_struct('a', concat(ac.a, array(ac.p)),
-                                'p', ac.p + length(w) + 1),
-        ac -> ac.a)"""
-    val gramsSql = s"""
-      flatten(transform(array(${allNs.mkString(", ")}), nn ->
-        transform(if(size(ws) >= nn, sequence(1, size(ws) - nn + 1), array()),
-          i -> named_struct(
-            'n', nn,
-            'st', element_at(offs, i),
-            'en', element_at(offs, i + nn - 1)
-                    + length(element_at(ws, i + nn - 1)) - 1,
-            'g', md5(cast(concat_ws(' ', slice(ws, i, nn)) as binary))))))"""
+    // stage A — linear per-word window pass: word rows posexplode
+    // narrowly, ONE doc-keyed exchange of (doc_id, wi, word) computes
+    // the running 1-based char offset (word i starts at
+    // 1 + Σ_{j<i}(len_j + 1)) and, per n, the n-word forward frame as a
+    // frame-bounded collect_list — all linear in the doc (a prefix-sum
+    // HOF building the offsets ARRAY would copy O(words²) bytes on long
+    // docs). A frame shorter than n (the doc's tail) yields no gram.
+    // `en` falls out of the joined gram text itself: the gram spans
+    // exactly length(gram) chars from its start (single-space joins are
+    // what split guarantees).
+    val byWord = Window.partitionBy(col("doc_id")).orderBy(col("wi"))
+    val off = (lit(1L) + coalesce(
+      sum(length(col("word")).cast("long") + 1L)
+        .over(byWord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .as("st")
+    // ONE forward frame at the largest n; each smaller gram is a
+    // prefix slice of it (slice/concat_ws are codegen'd scalar
+    // expressions — only the null-filter lambda is a HOF). Gram texts
+    // are staged as projection columns so the en/md5 pair references
+    // each one twice without re-evaluating it.
+    val maxN = allNs.max
+    val frame = collect_list(col("word"))
+      .over(byWord.rowsBetween(Window.currentRow, maxN - 1)).as("aw")
+    val gramTextCols = allNs.map(nn =>
+      expr(s"if(size(aw) >= $nn, concat_ws(' ', slice(aw, 1, $nn)), null)")
+        .as(s"gs$nn"))
+    val gramStructSql = allNs.map(nn =>
+      s"""if(gs$nn is null, null,
+            named_struct('n', $nn, 'st', st,
+              'en', st + length(gs$nn) - 1,
+              'g', md5(cast(gs$nn as binary))))""").mkString(", ")
     val grams = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
-      .select(col("doc_id"), col("ws"), expr(offsSql).as("offs"))
-      .select(col("doc_id"), explode(expr(gramsSql)).as("gr"))
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("wi", "word")))
+      .select(col("doc_id"), off, frame)
+      .select(col("doc_id") +: col("st") +: gramTextCols: _*)
+      .select(col("doc_id"), explode(expr(
+        s"filter(array($gramStructSql), x -> x is not null)")).as("gr"))
       .select(col("doc_id"), col("gr.n").as("n"), col("gr.st").as("st"),
         col("gr.en").as("en"), col("gr.g").as("g"))
 
