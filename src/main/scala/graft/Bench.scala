@@ -31,9 +31,11 @@ import java.nio.file.{Files, Paths}
   *     official 18.1 s vs 2.6 s committed detail — unexplainable from
   *     the official artifact alone); the min is the code's actual cost
   *     and is what regressions must be judged by. Values are integer
-  *     DECISECONDS (see [[fmtDs]]); `"queries_value":"min_ds"` marks
-  *     both semantics in-band. Medians + per-rep arrays + per-rep JVM
-  *     counters stay in the detail line (bench.json).
+  *     DECISECONDS (see [[fmtDs]]); `"qv":"min_ds"` marks both
+  *     semantics in-band (key shortened from `queries_value` at r15 —
+  *     same marker, 11 chars of registry headroom back). Medians +
+  *     per-rep arrays + per-rep JVM counters stay in the detail line
+  *     (bench.json).
   *   - entries are ordered SLOWEST-FIRST and the map is capped to the
   *     budget: when the registry outgrows the tail window the FASTEST
   *     rows drop first, each omission accounted by `"omitted":K,
@@ -49,8 +51,15 @@ import java.nio.file.{Files, Paths}
   * (the 200+-row model) without running a bench.
   */
 object BenchFormat {
-  /** Stay comfortably under the driver's 2000-char tail capture. */
-  val TailBudget = 1900
+  /** Stay under the driver's 2000-char tail capture. The compact line is
+    * always the LAST stdout line, so the tail always contains it whole
+    * as long as length + newline fits; the 52-char margin absorbs the
+    * newline plus a log-framework line prefix ("[info] "-sized). Raised
+    * from 1900 at r15 — the cheapest honest capacity step for the
+    * growing registry (the alternative was dropping the in-band
+    * value-semantics marker; see NOTES r14 #3).
+    */
+  val TailBudget = 1948
 
   /** "q113_window_sql_verbatim" -> "113": every query name is qNN_...,
     * so the bare number is unambiguous (ContractSpec pins uniqueness).
@@ -138,12 +147,20 @@ object BenchFormat {
     * small numbers; a contended window shows the drift directly, so any
     * reader can tell "box was busy" from "code got slower" from the
     * compact line alone (the round-11 official artifact carried 9×
-    * ghosts exactly because this signal didn't exist). Emitted as
-    * `"sentinel_ds":[first,last]` when present.
+    * ghosts exactly because this signal didn't exist).
+    *
+    * `sentinelMid`: the MAXIMUM of the interleaved mid-run readings (the
+    * every-[[SentinelEvery]]-rows cadence; -1 before the first one) —
+    * the r14 official artifact read CALM on its [first,last] pair while
+    * a co-tenant inflated a dozen mid-run rows, a shape the boundary
+    * pair structurally cannot see; one more element makes the OFFICIAL
+    * line self-adjudicating (full series stays in the detail line).
+    * Emitted together as `"sentinel_ds":[first,last,midMax]`.
     */
   def compactLine(rows: Seq[(String, Double, Seq[Double])], sfDir: String,
                   budget: Int = TailBudget,
-                  sentinel: Option[(Double, Double)] = None): String = {
+                  sentinel: Option[(Double, Double)] = None,
+                  sentinelMid: Double = -1.0): String = {
     val total = rows.map(_._2).filter(_ >= 0).sum
     val totalMin = rows.collect { case (_, v, ts) if v >= 0 => minOf(v, ts) }.sum
     val errKeys = rows.collect { case (k, v, _) if v < 0 => "\"" + shortKey(k) + "\"" }
@@ -161,7 +178,9 @@ object BenchFormat {
       .sortBy { case (k, mn) => (-mn, k) }
     val entries = ranked.map { case (k, mn) => "\"" + k + "\":" + fmtDs(mn) }
     val sentinelField = sentinel
-      .map { case (a, b) => s""""sentinel_ds":[${fmtDs(a)},${fmtDs(b)}],""" }
+      .map { case (a, b) =>
+        s""""sentinel_ds":[${fmtDs(a)},${fmtDs(b)},${fmtDs(sentinelMid)}],"""
+      }
       .getOrElse("")
     def lineWith(n: Int): String = {
       val omitted = ranked.drop(n)
@@ -175,7 +194,7 @@ object BenchFormat {
         else s""""omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"""
       val errOmittedField =
         if (errorsOmitted == 0) "" else s""""errors_omitted":$errorsOmitted,"""
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"queries_value":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField$errorsField$errOmittedField"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"qv":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField$errorsField$errOmittedField"sf":"$sfDir"}"""
     }
     var n = entries.length
     var line = lineWith(n)
@@ -338,12 +357,21 @@ object Bench {
     // Compact line for the driver — see BenchFormat (min-valued,
     // slowest-first, budget-capped; the tail-surviving artifact).
     // sentinel last reading is -1 until measured: a killed run's final
-    // snapshot self-describes as "second reading never happened".
-    def compactLine(): String =
+    // snapshot self-describes as "second reading never happened". The
+    // third element is the max MID-RUN reading (the interleaved cadence,
+    // strictly between the boundary pair) so the official line shows a
+    // co-tenant that woke mid-run and slept again — the r14 ghost shape.
+    def compactLine(): String = {
+      val mids = sentinelSeries.toSeq
+        .filter { case (i, v) => i > 0 && v >= 0 }
+        .filterNot { case (i, _) => sentinelLast.nonEmpty && i == selected.size }
+        .map(_._2)
       BenchFormat.compactLine(
         results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, sfDir,
         sentinel = Some((sentinelFirst.min,
-          if (sentinelLast.nonEmpty) sentinelLast.min else -1.0)))
+          if (sentinelLast.nonEmpty) sentinelLast.min else -1.0)),
+        sentinelMid = mids.maxOption.getOrElse(-1.0))
+    }
     // Snapshot after EVERY timed query: rounds 5 and 6 both lost the whole
     // bench artifact because the driver killed a contended window before
     // the single end-of-run write. Rewriting bench.json and printing the

@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
   * granularity. All signals are intra-document: nothing joins across
   * documents.
   *
+  * THRESHOLD-COMPARABILITY NOTE (deliberate divergence): widespread
+  * Gopher-rule reimplementations (the RedPajama/Dolma-style quality
+  * signal sets) compute `count x gram_char_length / total_chars`
+  * WITHOUT the overlap clause — on self-overlapping occurrences (e.g.
+  * the top bigram of "a a a a") that product double-counts shared
+  * characters and can exceed 1, while the interval union here never
+  * does. The two agree exactly whenever occurrences are disjoint;
+  * where they differ, this union form is the one the paper's clause
+  * describes. Cut-offs tuned against count-times-length pipelines are
+  * therefore NOT directly portable to these columns on repetitive
+  * text — re-tune thresholds on this operator's own output (the
+  * Spark/DuckDB oracle pair agrees bit-for-bit on the union form).
+  *
   * Scale shape: words posexplode narrowly; ONE doc-keyed window pass
   * computes the running character offset (prefix sum over preceding
   * word lengths) and, per requested n, the n-word frame as a

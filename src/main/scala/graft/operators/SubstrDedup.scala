@@ -90,6 +90,16 @@ object SubstrDedup {
     * is unaffected). This is also the PERSISTED incremental state:
     * store it partitioned by `anchor` so [[dupSpansAgainst]]'s
     * semi-join prunes at the source (the chunkPairState discipline).
+    *
+    * The output records its NORMALIZATION MODE as a constant `norm`
+    * boolean column (free under parquet RLE): anchor hashes and span
+    * positions live in raw-byte or NFC coordinates depending on the
+    * flag, and a state probed under the other mode would silently miss
+    * spans (byte-distinct k-grams) or report coordinates in the wrong
+    * space — so the state-probing legs ([[dupSpansAgainst]],
+    * [[contaminationSpansAgainst]]) verify the recorded bit against
+    * their own flag and fail LOUDLY on mismatch, as they do for the
+    * pre-xxhash64 string format ([[requireAnchorState]]).
     */
   def anchors(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", k: Int = DefaultK,
@@ -99,7 +109,50 @@ object SubstrDedup {
         graft.functions.WinnowAnchors(col(textCol), k, w).as("ps"))
       .select(col("doc_id"), col("text"), explode(col("ps")).as("pos"))
       .select(col("doc_id"), col("pos"),
-        xxhash64(expr(s"substring(text, pos, $k)")).as("anchor"))
+        xxhash64(expr(s"substring(text, pos, $k)")).as("anchor"),
+        lit(normalize).as("norm"))
+
+  /** Loud persisted-state validation, run BEFORE any join against the
+    * state can silently return nothing: (1) `anchor` must be LongType —
+    * a pre-r14 md5-hex STRING state joined against 64-bit probe anchors
+    * coerces to null and misses every duplicate with no error; (2) the
+    * state's recorded `norm` bit (see [[anchors]]) must equal the
+    * probe's `normalize` flag — mismatched coordinate spaces silently
+    * hide NFD-variant spans or mis-place reported positions. The value
+    * check reads ONE row of the state (a footer-bounded limit-1 scan;
+    * the bit is constant by construction).
+    */
+  private def requireAnchorState(state: DataFrame, normalize: Boolean,
+                                 what: String): Unit = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+    val fields = state.schema.fields.map(f => f.name -> f.dataType).toMap
+    fields.get("anchor") match {
+      case Some(LongType) => ()
+      case Some(StringType) => throw new IllegalArgumentException(
+        s"$what: anchor column is STRING — an md5-hex anchor state from the " +
+          "pre-xxhash64 format; joining it against 64-bit probe anchors would " +
+          "coerce to null and silently miss every duplicate. Rebuild the state " +
+          "with anchors() under the current format.")
+      case other => throw new IllegalArgumentException(
+        s"$what: expected a LongType anchor column, found $other")
+    }
+    fields.get("norm") match {
+      case Some(BooleanType) =>
+        state.select(col("norm")).limit(1).collect().headOption.foreach { r =>
+          require(r.getBoolean(0) == normalize,
+            s"$what was built with normalize=${r.getBoolean(0)} but this probe " +
+              s"runs with normalize=$normalize — anchor hashes and span " +
+              "coordinates would silently disagree across the join; rebuild " +
+              "the state or pass the matching flag")
+        }
+      case None => throw new IllegalArgumentException(
+        s"$what records no `norm` column — an anchor state predating the " +
+          "normalization record; rebuild with anchors() so coordinate " +
+          "compatibility is verifiable")
+      case other => throw new IllegalArgumentException(
+        s"$what: expected a BooleanType norm column, found $other")
+    }
+  }
 
   /** Docs carrying at least one anchor shared with ANOTHER doc — the
     * lossless candidate set. Two shuffles on the anchor key (aggregate
@@ -367,17 +420,23 @@ object SubstrDedup {
   def contaminationSpans(train: DataFrame, bench: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          minLen: Int = DefaultMinLen, k: Int = DefaultK,
-                         w: Int = DefaultW): DataFrame = {
+                         w: Int = DefaultW,
+                         normalize: Boolean = false): DataFrame = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
-    val ta = anchors(train, idCol, textCol, k, w)
-    val ba = anchors(bench, idCol, textCol, k, w)
+    // normalize BOTH sides before any hash-keyed stage (the dupSpans
+    // discipline): an NFD-encoded leak of a bench span is byte-invisible
+    // to raw anchors and windows; spans come back in NFC coordinates
+    val t = maybeNfc(train, textCol, normalize)
+    val b = maybeNfc(bench, textCol, normalize)
+    val ta = anchors(t, idCol, textCol, k, w)
+    val ba = anchors(b, idCol, textCol, k, w)
     val touched = ta
       .join(ba.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
       .select(col("doc_id")).distinct()
-    val candTrain = train.join(touched,
-      train(idCol) === touched("doc_id"), "left_semi")
-    spansFromHits(crossSetHits(candTrain, bench, idCol, textCol, minLen), minLen)
+    val candTrain = t.join(touched,
+      t(idCol) === touched("doc_id"), "left_semi")
+    spansFromHits(crossSetHits(candTrain, b, idCol, textCol, minLen), minLen)
   }
 
   /** Cross-set exact window hits: (doc_id, pos) of every `candTrain`
@@ -433,25 +492,31 @@ object SubstrDedup {
     * semantics): re-processing a benchmark doc is IDEMPOTENT here — its
     * spans re-derive and merge into themselves under interval union.
     * The only contract is that `trainAnchors` is the [[anchors]] output
-    * over `train`. Per-batch cost scales with the new benchmark plus
-    * the genuinely-contaminated train mass, never the train corpus.
+    * over `train`, built under the SAME `normalize` mode as this probe
+    * (validated loudly — see [[requireAnchorState]]). Per-batch cost
+    * scales with the new benchmark plus the genuinely-contaminated
+    * train mass, never the train corpus.
     */
   def contaminationSpansAgainst(newBench: DataFrame, train: DataFrame,
                                 trainAnchors: DataFrame,
                                 idCol: String = "doc_id",
                                 textCol: String = "text",
                                 minLen: Int = DefaultMinLen, k: Int = DefaultK,
-                                w: Int = DefaultW): DataFrame = {
+                                w: Int = DefaultW,
+                                normalize: Boolean = false): DataFrame = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
-    val ba = anchors(newBench, idCol, textCol, k, w)
+    requireAnchorState(trainAnchors, normalize,
+      "contaminationSpansAgainst: trainAnchors")
+    val ba = anchors(newBench, idCol, textCol, k, w, normalize)
     val touched = trainAnchors
       .join(ba.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
       .select(col("doc_id")).distinct()
-    val candTrain = train.join(touched,
-      train(idCol) === touched("doc_id"), "left_semi")
-    spansFromHits(crossSetHits(candTrain, newBench, idCol, textCol, minLen),
-      minLen)
+    val t = maybeNfc(train, textCol, normalize)
+    val candTrain = t.join(touched,
+      t(idCol) === touched("doc_id"), "left_semi")
+    spansFromHits(crossSetHits(candTrain,
+      maybeNfc(newBench, textCol, normalize), idCol, textCol, minLen), minLen)
   }
 
   /** Merge possibly-overlapping/adjacent span sets into maximal spans —
@@ -495,14 +560,20 @@ object SubstrDedup {
     * whose coverage changes is touched, and a new doc's spans involve
     * only new or touched docs — both sides of the rule are complete.
     * Per-batch cost scales with the batch plus the genuinely-duplicated
-    * old mass, never the corpus.
+    * old mass, never the corpus. `oldAnchors` must have been built
+    * under the SAME `normalize` mode as this probe (validated loudly —
+    * see [[requireAnchorState]]; with the flag on, batch text is
+    * NFC-normalized before hashing and spans come back in normalized
+    * coordinates, matching the batch [[dupSpans]] leg).
     */
   def dupSpansAgainst(newDocs: DataFrame, oldDocs: DataFrame,
                       oldAnchors: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", minLen: Int = DefaultMinLen,
-                      k: Int = DefaultK, w: Int = DefaultW): DataFrame = {
+                      k: Int = DefaultK, w: Int = DefaultW,
+                      normalize: Boolean = false): DataFrame = {
     require(w + k - 1 <= minLen,
       s"winnowing guarantee t = w + k - 1 = ${w + k - 1} must not exceed minLen=$minLen")
+    requireAnchorState(oldAnchors, normalize, "dupSpansAgainst: oldAnchors")
     // loud disjointness probe on the batch's RAW ids (the
     // jaccardPairsAgainst discipline) — reading ids straight off
     // newDocs instead of its anchor rows costs one column-pruned scan
@@ -516,15 +587,17 @@ object SubstrDedup {
     require(dup.isEmpty,
       s"dupSpansAgainst batch overlaps the state (e.g. doc=${dup.headOption.map(_.get(0)).orNull}): " +
         "the incremental contract requires disjoint doc sets")
-    val na = anchors(newDocs, idCol, textCol, k, w)
+    val na = anchors(newDocs, idCol, textCol, k, w, normalize)
     val touched = oldAnchors
       .join(na.select(col("anchor")).distinct(), Seq("anchor"), "left_semi")
       .select(col("doc_id")).distinct()
     val touchedOldDocs = oldDocs.join(touched,
       oldDocs(idCol) === touched("doc_id"), "left_semi")
-    val corpus = newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .unionByName(touchedOldDocs.select(col(idCol).as("doc_id"),
-        col(textCol).as("text")))
+    val corpus = maybeNfc(
+      newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .unionByName(touchedOldDocs.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"))),
+      "text", normalize)
     val allAnchors = na.unionByName(
       oldAnchors.join(touched, Seq("doc_id"), "left_semi"))
     val cands = candidateDocs(allAnchors)

@@ -107,14 +107,25 @@ object TextModelSeam {
   def saveScorer(scorer: BigramLmScorer, path: String): Unit = {
     val bos = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(bos)
+    // modified-UTF-8 entries carry a 16-bit length prefix; a token over
+    // 65535 encoded bytes would throw a bare UTFDataFormatException from
+    // writeUTF mid-stream — check up front with a named failure instead
+    // (the tokenizer's letter-run tokens are ASCII, so encoded length ==
+    // char length; a >64 KiB "word" is corrupt input, not a model)
+    def checkedUtf(w: String): String = {
+      require(w.length <= 65535,
+        s"saveScorer: token of ${w.length} chars exceeds the 65535-byte " +
+          "modified-UTF-8 entry limit — not a plausible word token")
+      w
+    }
     d.writeLong(scorer.vocab)
     val uni = scorer.unigrams.toSeq.sortBy(_._1)
     d.writeInt(uni.size)
-    uni.foreach { case (w, c) => d.writeUTF(w); d.writeLong(c) }
+    uni.foreach { case (w, c) => d.writeUTF(checkedUtf(w)); d.writeLong(c) }
     val bi = scorer.bigrams.toSeq.sortBy(_._1)
     d.writeInt(bi.size)
     bi.foreach { case ((w1, w2), c) =>
-      d.writeUTF(w1); d.writeUTF(w2); d.writeLong(c)
+      d.writeUTF(checkedUtf(w1)); d.writeUTF(checkedUtf(w2)); d.writeLong(c)
     }
     d.flush()
     val payload = bos.toByteArray
@@ -137,6 +148,11 @@ object TextModelSeam {
     */
   def loadScorer(path: String): BigramLmScorer = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // the 16-byte header (magic + CRC + length) must be present before a
+    // single readInt — a shorter file would otherwise throw a bare
+    // EOFException ahead of the path-named checks below
+    require(bytes.length >= 16,
+      s"$path is not a bigram-LM artifact (${bytes.length} bytes, header needs 16)")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val magic = in.readInt()
     require(magic == ArtifactMagic,

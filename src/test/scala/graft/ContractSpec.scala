@@ -120,12 +120,14 @@ class ContractSpec extends AnyFunSuite {
     assert(errs.size == rows.count(_._2 < 0))
   }
 
-  test("BenchFormat: real registry padded to 205 rows fits with ZERO omission (full per-row tail coverage)") {
+  test("BenchFormat: real registry padded to 215 rows fits with ZERO omission (full per-row tail coverage)") {
     // realistic value model: the round-10 clean run is ~0.1-3.6 s per
     // row. The ds encoding exists so the judge gets FULL per-row tail
     // coverage — pin omitted == 0 with headroom past the real registry
+    // (215 is the r15 estimate guard: the line crossed budget at ~211
+    // rows twice; every capacity step must re-prove the margin here)
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (205 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (215 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       val v = 0.1 + (i % 36) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
@@ -134,34 +136,40 @@ class ContractSpec extends AnyFunSuite {
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
     assert(j.get("omitted") == null,
-      s"${j.get("omitted")} rows omitted at a 205-row realistic model — " +
+      s"${j.get("omitted")} rows omitted at a 215-row realistic model — " +
         "the ds-encoding headroom guarantee broke; shrink the format again")
     assert(j.get("queries").size == rows.size)
-    assert(j.get("queries_value").asText == "min_ds")
+    assert(j.get("qv").asText == "min_ds")
   }
 
   test("BenchFormat: contention sentinel rides the compact line and does not break the zero-omission guarantee") {
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (205 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (215 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       val v = 0.1 + (i % 36) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
     }
     val line = BenchFormat.compactLine(rows, "/root/testdata/sf0.1",
-      sentinel = Some((0.73, 0.81)))
+      sentinel = Some((0.73, 0.81)), sentinelMid = 1.27)
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
-    // two readings, deciseconds, same encoding as the per-query values
+    // three readings, deciseconds, same encoding as the per-query
+    // values: [first, last, max-mid-run]. The third element is what
+    // makes the OFFICIAL artifact self-adjudicating against the r14
+    // ghost shape (calm boundary pair, contended middle)
     val s = j.get("sentinel_ds")
-    assert(s != null && s.size == 2, "sentinel_ds must carry (first, last)")
-    assert(s.get(0).asInt == 7 && s.get(1).asInt == 8)
+    assert(s != null && s.size == 3,
+      "sentinel_ds must carry (first, last, midMax)")
+    assert(s.get(0).asInt == 7 && s.get(1).asInt == 8 && s.get(2).asInt == 13)
     assert(j.get("omitted") == null,
       "the sentinel field must not push the full-registry model into omission " +
         "(absent field == zero, the compact line's accounting contract)")
-    // a killed run's snapshot self-describes: last reading still pending
+    // a killed run's snapshot self-describes: last reading still
+    // pending, and no mid reading taken yet -> both -1
     val killed = parse(BenchFormat.compactLine(rows.take(3), "sf",
       sentinel = Some((0.73, -1.0))))
     assert(killed.get("sentinel_ds").get(1).asInt == -1)
+    assert(killed.get("sentinel_ds").get(2).asInt == -1)
     // absent sentinel -> absent field (synthetic-registry tests unchanged)
     assert(parse(BenchFormat.compactLine(rows.take(3), "sf")).get("sentinel_ds") == null)
   }

@@ -1197,6 +1197,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination with the normalize flag: an NFD-encoded bench leak is invisible raw, caught flagged, == flagged batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SubstrDedup
+    // the NfcSpec construction through the STREAMING leg: train carries
+    // the NFC license, the arriving benchmark micro-batch carries its
+    // NFD re-encoding — byte-distinct at every window, so a raw anchor
+    // state can never see the leak; the flagged state + flagged probe
+    // must equal the flagged batch answer
+    val lic = java.text.Normalizer.normalize(
+      (0 until 12).map(i => s"shar\u00E9d$i lic\u00EAnce$i").mkString(" "),
+      java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(lic, java.text.Normalizer.Form.NFD)
+    assert(nfd != lic)
+    val train = Seq(
+      1L -> ("unique head one." + lic + ",unique tail one"),
+      2L -> "wholly unrelated training text sharing nothing with anything")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("decontam_nfc").toString
+    train.write.mode("overwrite").parquet(s"$dir/train")
+    val trainLake = spark.read.parquet(s"$dir/train")
+    SubstrDedup.anchors(trainLake, normalize = true)
+      .write.mode("overwrite").parquet(s"$dir/anchors_n")
+    SubstrDedup.anchors(trainLake)
+      .write.mode("overwrite").parquet(s"$dir/anchors_raw")
+    val anchorsN = spark.read.parquet(s"$dir/anchors_n")
+    val anchorsRaw = spark.read.parquet(s"$dir/anchors_raw")
+    @volatile var statePath: Option[String] = None
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the raw twin of the very same batch sees NOTHING — pinned
+        // inside the stream so the contrast rides the streaming leg
+        assert(SubstrDedup.contaminationSpansAgainst(
+          batch, trainLake, anchorsRaw).count() == 0L)
+        val newSpans = SubstrDedup.contaminationSpansAgainst(
+          batch, trainLake, anchorsN, normalize = true)
+        val merged = statePath match {
+          case None => newSpans
+          case Some(prev) => SubstrDedup.mergeSpans(
+            spark.read.parquet(prev).unionByName(newSpans))
+        }
+        val out = s"$dir/state_$id"
+        merged.write.mode("overwrite").parquet(out)
+        statePath = Some(out)
+      }
+      .start()
+    try {
+      input.addData(Seq(9100L -> ("benchmark head;" + nfd + ":benchmark tail")))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(statePath.get)
+        .collect().map(_.toSeq).toSet
+      val bench = Seq(9100L -> ("benchmark head;" + nfd + ":benchmark tail"))
+        .toDF("doc_id", "text")
+      val batchAnswer = SubstrDedup
+        .contaminationSpans(trainLake, bench, normalize = true)
+        .collect().map(_.toSeq).toSet
+      assert(batchAnswer.nonEmpty && batchAnswer.map(_.head) == Set(1L))
+      assert(streamed == batchAnswer,
+        s"flagged streaming decontamination diverged: $streamed vs $batchAnswer")
+    } finally q.stop()
+  }
+
   test("streaming composed curation manifest (foreachBatch + incremental pair state) EQUALS batch q204 on a cross-batch dedup split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -429,4 +429,87 @@ class SubstrDedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disjoint"))
     oldAnchors.unpersist()
   }
+
+  test("normalize flag on the incremental/decontamination legs: NFD spans invisible raw, found flagged, parity with the batch leg") {
+    import spark.implicits._
+    // the NfcSpec license construction: an accent in EVERY word, so no
+    // accent-free stretch >= L is byte-identical across encodings
+    val lic = java.text.Normalizer.normalize(
+      (0 until 12).map(i => s"shar\u00E9d$i lic\u00EAnce$i").mkString(" "),
+      java.text.Normalizer.Form.NFC)
+    val nfd = java.text.Normalizer.normalize(lic, java.text.Normalizer.Form.NFD)
+    assert(nfd != lic && lic.length >= 100)
+    val oldDocs = df(
+      1L -> ("unique head one." + lic + ",unique tail one"),
+      5L -> "wholly unrelated prior text sharing nothing with anything")
+    val newDocs = df(10L -> ("another head ten;" + nfd + ":another tail ten"))
+    val stateRaw = SubstrDedup.anchors(oldDocs)
+    val stateNorm = SubstrDedup.anchors(oldDocs, normalize = true)
+    // raw state + raw probe: byte-distinct at every window -> nothing
+    assert(SubstrDedup.dupSpansAgainst(newDocs, oldDocs, stateRaw).count() == 0L)
+    // flagged state + flagged probe == the flagged BATCH leg (doc 1 is
+    // touched and doc 10 is the batch, so the incremental output covers
+    // every duplicated doc), spans in normalized coordinates
+    val viaInc = SubstrDedup
+      .dupSpansAgainst(newDocs, oldDocs, stateNorm, normalize = true)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = SubstrDedup
+      .dupSpans(oldDocs.unionByName(newDocs), normalize = true)
+      .collect().map(_.toSeq).toSet
+    assert(viaInc == viaBatch && viaInc.nonEmpty,
+      s"incremental ${viaInc.size} vs batch ${viaBatch.size}")
+    assert(viaInc.map(_.head).map(_.asInstanceOf[Long]) == Set(1L, 10L))
+    // decontamination twins: batch-vs-batch and batch-vs-state agree
+    // under the flag; both see nothing raw
+    assert(SubstrDedup.contaminationSpans(oldDocs, newDocs).count() == 0L)
+    assert(SubstrDedup
+      .contaminationSpansAgainst(newDocs, oldDocs, stateRaw).count() == 0L)
+    val decontam = SubstrDedup
+      .contaminationSpans(oldDocs, newDocs, normalize = true)
+      .collect().map(_.toSeq).toSet
+    val decontamInc = SubstrDedup
+      .contaminationSpansAgainst(newDocs, oldDocs, stateNorm, normalize = true)
+      .collect().map(_.toSeq).toSet
+    assert(decontam == decontamInc && decontam.nonEmpty)
+    // contamination reports TRAIN-side spans only: doc 1's leaked license
+    assert(decontam.map(_.head) == Set(1L))
+  }
+
+  test("anchor-state guards fail loudly: normalization mismatch both ways, legacy md5-string format, missing norm record") {
+    import spark.implicits._
+    val oldDocs = df(1L -> ("x" * 80), 2L -> ("y" * 80))
+    val newDocs = df(10L -> ("z" * 80))
+    val stateRaw = SubstrDedup.anchors(oldDocs)
+    val stateNorm = SubstrDedup.anchors(oldDocs, normalize = true)
+    // a normalized state probed raw (and vice versa) must fail BEFORE
+    // any join can silently return empty — the coordinate-space contract
+    val e1 = intercept[IllegalArgumentException] {
+      SubstrDedup.dupSpansAgainst(newDocs, oldDocs, stateNorm)
+    }
+    assert(e1.getMessage.contains("normalize=true") &&
+      e1.getMessage.contains("normalize=false"))
+    val e2 = intercept[IllegalArgumentException] {
+      SubstrDedup.contaminationSpansAgainst(newDocs, oldDocs, stateRaw,
+        normalize = true)
+    }
+    assert(e2.getMessage.contains("normalize"))
+    // the pre-xxhash64 md5-hex state: string-vs-bigint join keys coerce
+    // to null and miss everything — the dtype guard names the migration
+    val legacy = stateRaw.select($"doc_id", $"pos",
+      md5($"anchor".cast("string")).as("anchor"), $"norm")
+    val e3 = intercept[IllegalArgumentException] {
+      SubstrDedup.dupSpansAgainst(newDocs, oldDocs, legacy)
+    }
+    assert(e3.getMessage.contains("STRING") && e3.getMessage.contains("Rebuild"))
+    // a state predating the normalization record
+    val noNorm = stateRaw.drop("norm")
+    val e4 = intercept[IllegalArgumentException] {
+      SubstrDedup.contaminationSpansAgainst(newDocs, oldDocs, noNorm)
+    }
+    assert(e4.getMessage.contains("norm"))
+    // an EMPTY state carries no recorded bit to contradict — the probe
+    // proceeds (nothing to miss) instead of failing on a vacuous state
+    assert(SubstrDedup.dupSpansAgainst(newDocs, oldDocs,
+      stateRaw.limit(0)).count() == 0L)
+  }
 }

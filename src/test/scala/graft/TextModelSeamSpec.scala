@@ -125,6 +125,23 @@ class TextModelSeamSpec extends AnyFunSuite {
       TextModelSeam.loadScorer(foreign.toString)
     }
     assert(magicEx.getMessage.contains("not a bigram-LM artifact"))
+    // a file shorter than the 16-byte header -> the path-named check
+    // fires, never a bare EOFException from the header reads
+    val stub = dir.resolve("stub.glm")
+    java.nio.file.Files.write(stub, Array[Byte](0x47, 0x4C, 0x4D))
+    val stubEx = intercept[IllegalArgumentException] {
+      TextModelSeam.loadScorer(stub.toString)
+    }
+    assert(stubEx.getMessage.contains("header needs 16"),
+      s"sub-header file must fail by name: ${stubEx.getMessage}")
+    // and the WRITE side's modified-UTF-8 entry limit is a named check,
+    // not a mid-stream UTFDataFormatException
+    val monster = new TextModelSeam.BigramLmScorer(
+      Map(("x" * 70000) -> 1L), Map.empty, 1L)
+    val utfEx = intercept[IllegalArgumentException] {
+      TextModelSeam.saveScorer(monster, dir.resolve("monster.glm").toString)
+    }
+    assert(utfEx.getMessage.contains("65535"))
     // and through the seam: a bad artifact kills the TASK loudly (load
     // happens per partition, outside the per-row quarantine — a broken
     // MODEL must never degrade into per-doc ok=false noise)
