@@ -23,6 +23,18 @@ object CurationQueries {
   private def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % 100
 
+  /** The q212 model-score keep threshold (average per-bigram surprisal,
+    * integer milli-bits). Sized off the add-one separation the fixture
+    * construction guarantees: an in-domain doc's bigrams all exist in
+    * the reference model (c12 >= 1, so every per-bigram value carries
+    * at least the -mlog2(2) = -1000 term), while an out-of-domain doc's
+    * bigrams take the c12 = 0 floor — exactly 1000 millibits higher on
+    * the fixture (measured: in-domain max 13268, out-of-domain min
+    * 14268). 13750 sits mid-gap with ~500 millibits of air each way;
+    * the q212 oracle and TextQualitySpec pin both sides.
+    */
+  private[graft] val LmKeepMaxAvgMillibits = 13750L
+
   private val bucketSql =
     "CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
@@ -82,11 +94,33 @@ object CurationQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
+  // q212's REFERENCE model: the bigram LM trained on the fixture's
+  // in-domain blocks only (doc_id < 4000 — base, victims, substr hosts),
+  // scoring the WHOLE corpus. This is the published deployment shape
+  // (CCNet trains on Wikipedia and scores the crawl): self-training
+  // would hand the 4000-block its own bigrams back at c12 >= 1 and
+  // erase the very signal the row exists to record. Memoized + persisted
+  // per session like the other fixture artifacts; released in clearCaches.
+  private val fixtureLmCache =
+    scala.collection.mutable.Map.empty[SparkSession, graft.operators.NgramLm.Model]
+  private def fixtureLm(s: SparkSession): graft.operators.NgramLm.Model =
+    synchronized {
+      fixtureLmCache.getOrElseUpdate(s,
+        graft.operators.NgramLm.train(
+          s.read.parquet(CurationFixture.ensure(s)).filter(col("doc_id") < 4000L),
+          prepare =
+            _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    }
+
   private[queries] def clearCaches(): Unit = synchronized {
     bgCache.values.foreach(_.unpersist())
     bgCache.clear()
     lmCache.values.foreach { m => m.unigrams.unpersist(); m.bigrams.unpersist() }
     lmCache.clear()
+    fixtureLmCache.values.foreach { m =>
+      m.unigrams.unpersist(); m.bigrams.unpersist()
+    }
+    fixtureLmCache.clear()
     Seq(fixturePairsCache, fixtureSpansCache).foreach { m =>
       m.values.foreach(_.unpersist())
       m.clear()
@@ -117,11 +151,26 @@ object CurationQueries {
     * duplicated mass and both flag — the q204 four-signal manifest
     * keeps the min-id original, the five-signal manifest drops it too
     * when its duplicated fraction crosses the threshold).
+    *
+    * `lmScores` (the q212 arm) threads the quality-MODEL score in as
+    * the SIXTH signal — the gate every published curation pipeline ends
+    * with (CCNet's KenLM perplexity, the FineWeb classifier): a
+    * [[graft.operators.NgramLm.score]]-shaped frame (doc_id,
+    * avg_millibits — average per-bigram surprisal against a
+    * REFERENCE-trained model) is recorded per doc and the keep bit
+    * additionally requires `avg_millibits <= lmMaxAvgMillibits`.
+    * Out-of-domain/gibberish text carries transitions the reference
+    * model never saw, so its average surprisal sits ~one add-one term
+    * above every in-domain doc — the only signal that fires on fluent-
+    * looking vocabulary noise that passes the gate, carries no PII and
+    * duplicates nothing (the fixture's 4000-block plants exactly that).
     */
   private[graft] def webCurationManifest(
       docs: DataFrame, pairs: DataFrame,
       substrSpans: Option[DataFrame] = None,
-      substrMaxPermille: Long = 300L): DataFrame = {
+      substrMaxPermille: Long = 300L,
+      lmScores: Option[DataFrame] = None,
+      lmMaxAvgMillibits: Long = LmKeepMaxAvgMillibits): DataFrame = {
     val gated = TextFns.gopherGateFrame(docs, "text")
     val pii = PiiFns.piiFrame(docs, "doc_id", "text")
       .select(col("doc_id"), col("has_pii"))
@@ -137,12 +186,9 @@ object CurationQueries {
       col("is_victim") === 0L
     val split = when(bucket < 80, "train").when(bucket < 90, "val")
       .otherwise("test").as("split")
-    substrSpans match {
-      case None =>
-        joined.select(col("doc_id"), col("lang"), col("n_words"),
-          col("pass_gate"), col("has_pii"), col("is_victim"),
-          keep4.cast("long").as("keep"), split)
-          .orderBy(col("doc_id"))
+    // each optional signal joins its per-doc column and tightens keep
+    val (withSub, keep5, subCols) = substrSpans match {
+      case None => (joined, keep4, Seq.empty[Column])
       case Some(spans) =>
         // integral per-mille, exactly the q202 accounting (sum of
         // maximal-span lengths over total code points); left join keeps
@@ -155,14 +201,22 @@ object CurationQueries {
             when(col("total_chars") === 0L, lit(0L))
               .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
               .as("substr_permille"))
-        joined.join(perm, "doc_id")
-          .select(col("doc_id"), col("lang"), col("n_words"),
-            col("pass_gate"), col("has_pii"), col("is_victim"),
-            col("substr_permille"),
-            (keep4 && col("substr_permille") <= substrMaxPermille)
-              .cast("long").as("keep"), split)
-          .orderBy(col("doc_id"))
+        (joined.join(perm, "doc_id"),
+          keep4 && col("substr_permille") <= substrMaxPermille,
+          Seq(col("substr_permille")))
     }
+    val (withLm, keep6, lmCols) = lmScores match {
+      case None => (withSub, keep5, Seq.empty[Column])
+      case Some(scores) =>
+        (withSub.join(scores.select(col("doc_id"), col("avg_millibits")),
+          "doc_id"),
+          keep5 && col("avg_millibits") <= lmMaxAvgMillibits,
+          Seq(col("avg_millibits")))
+    }
+    withLm.select(Seq(col("doc_id"), col("lang"), col("n_words"),
+        col("pass_gate"), col("has_pii"), col("is_victim")) ++ subCols ++
+        lmCols ++ Seq(keep6.cast("long").as("keep"), split): _*)
+      .orderBy(col("doc_id"))
   }
 
   val queries: Seq[Q] = Seq(
@@ -1215,7 +1269,75 @@ object CurationQueries {
         FROM w b LEFT JOIN cov c ON b.doc_id = c.doc_id
         GROUP BY b.doc_id, b.total_chars
         ORDER BY b.doc_id"""),
-      doc = "The MassiveText n-gram repetition character-coverage rules (Rae et al. 2021 A1.1), completing the family q38/q193 started: per-doc fraction of characters covered by the most frequent 2/3/4-gram and by any duplicated 5..10-gram, as exact integral permille — coverage is the interval union of occurrence char spans (overlaps never double-counted), computed distributed with doc-keyed windows (count, deterministic top rank, island merge), never a per-row quadratic lambda or a cross-document join; oracle replays tokenization, offsets, ranking tie-break, and the island union in DuckDB.")
+      doc = "The MassiveText n-gram repetition character-coverage rules (Rae et al. 2021 A1.1), completing the family q38/q193 started: per-doc fraction of characters covered by the most frequent 2/3/4-gram and by any duplicated 5..10-gram, as exact integral permille — coverage is the interval union of occurrence char spans (overlaps never double-counted), computed distributed with doc-keyed windows (count, deterministic top rank, island merge), never a per-row quadratic lambda or a cross-document join; oracle replays tokenization, offsets, ranking tie-break, and the island union in DuckDB."),
+
+    Q(
+      "q212_curation_manifest_lm",
+      (s, _) => {   // CurationFixture; dir arg unused
+        // THE SIX-SIGNAL manifest: q209's composition plus the quality-
+        // MODEL score as a recorded per-doc decision — the gate every
+        // published pipeline ends with (CCNet's KenLM perplexity,
+        // FineWeb's classifier). The model is the q192 bigram LM trained
+        // on the fixture's IN-DOMAIN blocks (doc_id < 4000, the
+        // reference-corpus deployment shape — q192's scaladoc promises a
+        // foreign model "drops in unchanged"; this row is that promise
+        // exercised), scoring the whole corpus; avg_millibits rides the
+        // manifest and keep additionally requires <= 13750. The
+        // 4000-block plants what ONLY this signal catches: fluent-shaped
+        // vocabulary noise that passes the Gopher gate, carries no PII,
+        // and duplicates nothing — but whose transitions the reference
+        // model never saw (the c12 = 0 add-one floor puts it 1000
+        // millibits above every in-domain doc). Oracle replays the full
+        // six-way composition: the recursive Jaccard closure, gate and
+        // PII arithmetic, the exhaustive substring definition, AND the
+        // reference-trained LM with the left-join add-one floor.
+        val docs = s.read.parquet(CurationFixture.ensure(s))
+        webCurationManifest(docs, fixturePairs(s), Some(fixtureSpans(s)),
+          lmScores = Some(graft.operators.NgramLm.score(docs, fixtureLm(s))))
+      },
+      Some(s"""
+        WITH RECURSIVE ${OracleCtes.jaccardReach(source = s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate(s"read_parquet('${CurationFixture.Root}/*.parquet')", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted(s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        ${DedupQueries.substrSpansCte(source = s"read_parquet('${CurationFixture.Root}/*.parquet')", docsName = "sdocs")},
+        ${OracleCtes.bigramLm(
+          trainSource = s"(SELECT * FROM read_parquet('${CurationFixture.Root}/*.parquet') WHERE doc_id < 4000) lmref",
+          scoreSource = s"read_parquet('${CurationFixture.Root}/*.parquet')")},
+        sperm AS (
+          SELECT d.doc_id,
+                 CASE WHEN LENGTH(d.text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(COALESCE(SUM(x.span_len), 0) AS BIGINT) * 1000 // LENGTH(d.text)
+                 END AS substr_permille
+          FROM sdocs d LEFT JOIN spansx x USING (doc_id)
+          GROUP BY d.doc_id, d.text),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN $bucketSql < 80 THEN 'train'
+                      WHEN $bucketSql < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM read_parquet('${CurationFixture.Root}/*.parquet'))
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               sp.substr_permille,
+               lm.avg_millibits,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
+                    AND v.doc_id IS NULL
+                    AND sp.substr_permille <= 300
+                    AND lm.avg_millibits <= $LmKeepMaxAvgMillibits AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii_counted p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN sperm sp ON g.doc_id = sp.doc_id
+        JOIN lmsc lm ON g.doc_id = lm.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The six-signal curation manifest: q209's Gopher-gate x PII x near-dup-victim x exact-substring composition extended with the quality-MODEL score — the q192 bigram LM trained on the fixture's in-domain reference blocks scores every doc (avg per-bigram surprisal in exact integer milli-bits, unseen bigrams on the add-one floor) and keep additionally requires <= 13750; the fixture's out-of-domain block is caught by NO other signal (passes the gate, clean of PII, duplicates nothing) — the CCNet/FineWeb model-gate shape, fully oracle-replayed including the reference-trained LM with left-join floor semantics.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -1454,7 +1576,20 @@ object CurationQueries {
           substrDoc(3003L, 2L, 9, 40, pii = false),
           substrDoc(3004L, 3L, 30, 5, pii = true),
           substrDoc(3005L, 3L, 30, 28, pii = true))
-        base ++ victims ++ piiVictims ++ substr
+        // the 4000-block (q212's sixth signal): six OUT-OF-DOMAIN docs —
+        // the exact construction of a clean gate-passing base doc (60
+        // words, every-5th-stopword cadence, no PII, unique fillers so
+        // neither dedup tier fires), but seeded OUTSIDE the reference
+        // corpus the q212 bigram LM trains on (doc_id < 4000), so every
+        // filler word and every bigram is UNSEEN by the model: their
+        // average surprisal sits one add-one term (1000 millibits) above
+        // every in-domain doc — the vocabulary-noise case only the model
+        // signal catches (gate passes, no PII, no victim, no spans)
+        val gibberish = (0 until 6).map { j =>
+          val id = 4000L + j
+          (id, lang(id), words(id, stops = true).mkString(" "))
+        }
+        base ++ victims ++ piiVictims ++ substr ++ gibberish
       }, "doc_id", "lang", "text")
   }
 

@@ -667,7 +667,67 @@ object DedupQueries {
       Some(jaccardOracle("0.5", docsCte =
         "SELECT doc_id, STRING_SPLIT(nfc_normalize(text), ' ') AS toks " +
           s"FROM read_parquet('${TextQueries.NfcFixture.Root}/*.parquet')")),
-      doc = "Normalization-keyed NEAR-dup detection (the NFC flag on the shingle tier, gated): exact trigram-Jaccard pairs over NFC-normalized text on the encoding-variance fixture — composed/decomposed/mixed variants of one page are invisible to raw shingling (every accented word byte-differs) and collapse to J=1.0 pairs under the flag; oracle replays tokenization over DuckDB's independent utf8proc NFC.")
+      doc = "Normalization-keyed NEAR-dup detection (the NFC flag on the shingle tier, gated): exact trigram-Jaccard pairs over NFC-normalized text on the encoding-variance fixture — composed/decomposed/mixed variants of one page are invisible to raw shingling (every accented word byte-differs) and collapse to J=1.0 pairs under the flag; oracle replays tokenization over DuckDB's independent utf8proc NFC."),
+
+    Q(
+      "q213_token_decontam",
+      (s, _) => {   // TokenFixture; dir arg unused
+        // TOKEN-level decontamination — the published methodology
+        // verbatim (GPT-3 appendix C / PaLM §7 both match 13-grams of
+        // TOKENIZER tokens, not characters): maximal contaminated
+        // token spans of train docs against the benchmark set, with
+        // the q140 BPE stream as the coordinate space. The fixture
+        // plants the case the char tier (q208, L=40) provably misses —
+        // an out-of-vocabulary phrase whose 2-letter words explode to
+        // ~3 sub-word tokens each, carrying 14 tokens in 14 characters
+        // — plus a sharp-threshold pair (a 13-token shared run flags,
+        // a 12-token one does not) and a long sentence BOTH tiers see.
+        // Oracle replays the whole pass: the
+        // per-word REPLACE-chain BPE (generated from the same merges
+        // constant as the Spark expression), window md5s, the
+        // broadcast-shaped semi-join, and the token-island union.
+        val fx = s.read.parquet(TokenFixture.ensure(s))
+        graft.operators.TokenDecontam.contaminationTokenSpans(
+            fx.filter(col("doc_id") < 900L), fx.filter(col("doc_id") >= 900L))
+          .orderBy(col("doc_id"), col("span_idx"))
+      },
+      Some(s"""
+        WITH fdocs AS (SELECT doc_id, text FROM read_parquet('${TokenFixture.Root}/*.parquet')),
+        words AS (SELECT doc_id, pos, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM fdocs) t
+          WHERE LENGTH(w) > 0),
+        enc AS (SELECT doc_id, pos, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                FROM words),
+        toks AS (SELECT doc_id, STRING_SPLIT(STRING_AGG(e, ' ' ORDER BY pos), ' ') AS ts
+                 FROM enc GROUP BY doc_id),
+        tw AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                      MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+               FROM (SELECT doc_id, UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                     FROM toks WHERE doc_id < 900) t),
+        bw AS (SELECT DISTINCT MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+               FROM (SELECT UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                     FROM toks WHERE doc_id >= 900) t),
+        hits AS (SELECT doc_id, pos FROM tw JOIN bw USING (g)),
+        marked AS (SELECT doc_id, pos,
+                     CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 13
+                          THEN 1 ELSE 0 END AS brk
+                   FROM hits),
+        isl AS (SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+                FROM marked),
+        spans AS (SELECT doc_id,
+                    CAST(MIN(pos) AS BIGINT) AS span_start,
+                    CAST(MAX(pos) + 12 AS BIGINT) AS span_end
+                  FROM isl GROUP BY doc_id, island)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) AS BIGINT) AS span_idx,
+               span_start, span_end,
+               span_end - span_start + 1 AS span_len
+        FROM spans
+        ORDER BY doc_id, span_idx"""),
+      doc = "Token-level exact decontamination (the GPT-3/PaLM 13-token-gram methodology): maximal contaminated TOKEN spans of train docs against a benchmark set over the q140 BPE stream — catches short token-dense leaks (an OOV phrase carrying 14 tokens in 14 chars) that the char-level L=40 tier provably misses, with a sharp 13-vs-12-token threshold pinned by the fixture; oracle replays the per-word REPLACE-chain BPE from the same merges constant, the window join, and the token-island union.")
   )
 
   /** The exact-substring span set replayed in DuckDB, shared by
@@ -802,6 +862,56 @@ object DedupQueries {
           (9010L, License + " unique middle bits " + License),
           (9011L, intra + " " + prose(9011L, 10) + " " + intra))
         main ++ edges
+      }, "doc_id", "text")
+  }
+
+  /** Deterministic corpus for the TOKEN-level decontamination tier
+    * (q213). Train docs < 900, benchmark docs >= 900. The plants (all
+    * shapes reasoned in BPE-token space — an out-of-vocabulary 2-letter
+    * word like "zq" encodes to three sub-word tokens z / q / </w>,
+    * except where a suffix rule like `p </w> -> p</w>` glues the
+    * marker):
+    *
+    *   - Dense14 ("zq vx wf kp jm", 14 CHARS and 14 TOKENS
+    *     [z q </w> v x </w> w f </w> k p</w> j m </w>]): shared by
+    *     train docs 10/11 and bench doc 900 — far under the char
+    *     tier's 40-code-point floor, over the 13-token one; the case
+    *     the tier exists for. (The flanking words on both sides end in
+    *     a bare </w> token, itself shared boundary context, so the
+    *     maximal token run is 15.)
+    *   - the SHARP pair: doc 16 ("... kp jmx ...") shares EXACTLY 13
+    *     tokens with bench 900 (Dense14's first 12 plus j, m — "jmx"
+    *     diverges at the x where the bench has </w>) and flags; doc 12
+    *     ("... kp jq ...") shares exactly 12 (through k p</w> plus j,
+    *     then q vs m) and must NOT. Both are flanked by "the" — whose
+    *     last token is the MERGED the</w>, not a bare </w> — so
+    *     neither run gains a boundary token and the 13-vs-12 edge is
+    *     exact.
+    *   - Long17 (a 62-char sentence of merge-table words, 17 tokens
+    *     incl. its leading the</w>): train doc 13 vs bench 901 — BOTH
+    *     tiers see this one (>= 40 chars AND >= 13 tokens), pinning
+    *     that the tiers agree where they overlap.
+    *   - clean train prose, an intra-train-only repeat, and a
+    *     no-contamination bench doc as negatives.
+    */
+  object TokenFixture {
+    val Root = "/root/repo/target/token_fixture"
+    private val Dense14 = "zq vx wf kp jm"
+    private val Long17 =
+      "the data batch scan join stream merge sort fast key row window"
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String = once.ensure(s)({
+        Seq(
+          (10L, "alpha preamble words before xo " + Dense14 + " xq tail words one"),
+          (11L, "second carrier begins mm " + Dense14 + " nn finish line"),
+          (12L, "under threshold host the zq vx wf kp jq bb something"),
+          (13L, "left context q " + Long17 + " r right context"),
+          (14L, "completely clean training document with no shared phrases at all"),
+          (15L, "self repeated qqq www qqq www nothing shared with benchmarks"),
+          (16L, "threshold edge host the zq vx wf kp jmx something else"),
+          (900L, "different beta start yy " + Dense14 + " zz end"),
+          (901L, "benchmark with the long sentence " + Long17 + " trailing"),
+          (902L, "a benchmark document contaminating nothing at all"))
       }, "doc_id", "text")
   }
 

@@ -160,4 +160,59 @@ private[queries] object OracleCtes {
                + LEN(REGEXP_EXTRACT_ALL(redacted, '${PiiFns.IbanPattern}'))
                + LEN(${ccValidSql("redacted")}) AS BIGINT) AS residual_pii
           FROM p6)"""
+
+  /** The q192 add-one bigram LM replay against a FOREIGN model: train
+    * the count tables over `trainSource`, score every `scoreSource` doc
+    * — the CCNet reference-corpus deployment, which the q192 self-scored
+    * oracle cannot express (its INNER joins assume every scored bigram
+    * exists in the model; a reference model needs LEFT joins with the
+    * c1 = 0 / c12 = 0 add-one floor, exactly `NgramLm.score`'s
+    * semantics). Emits body-only CTEs lmtrain/lmuni/lmv/lmbi/lmlists/
+    * lmbg/lmscored/lmsc; `lmsc` has (doc_id, avg_millibits) with the
+    * q192 `total div n, 0 when n = 0` rule. Tokenization and the
+    * milli_log2 kernel are byte-for-byte the q192 oracle's.
+    */
+  def bigramLm(trainSource: String, scoreSource: String): String = {
+    def mlog2(x: String): String =
+      s"((LENGTH(PRINTF('%b', $x)) - 1) * 1000" +
+        s" + (($x) * 1000 >> (LENGTH(PRINTF('%b', $x)) - 1)) - 1000)"
+    s"""
+        lmtrain AS (
+          SELECT LIST_FILTER(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
+          FROM $trainSource),
+        lmuni AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM (SELECT UNNEST(ts) AS token FROM lmtrain) u GROUP BY token),
+        lmv AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM lmuni),
+        lmbi AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM (SELECT b['w1'] AS w1, b['w2'] AS w2
+                FROM (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts)),
+                        i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+                      FROM lmtrain) t) p
+          GROUP BY w1, w2),
+        lmlists AS (
+          SELECT doc_id,
+                 LIST_FILTER(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts
+          FROM $scoreSource),
+        lmbg AS (
+          SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+          FROM (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ts)),
+                  i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+                FROM lmlists) t),
+        lmscored AS (
+          SELECT bg.doc_id,
+                 ${mlog2("COALESCE(u.c1, 0) + vocab")}
+               - ${mlog2("COALESCE(b.c12, 0) + 1")} AS bits
+          FROM lmbg bg
+          LEFT JOIN lmbi b USING (w1, w2)
+          LEFT JOIN lmuni u ON bg.w1 = u.token, lmv),
+        lmsc AS (
+          SELECT l.doc_id,
+                 CASE WHEN COUNT(s.bits) > 0
+                      THEN CAST(SUM(s.bits) AS BIGINT) // CAST(COUNT(s.bits) AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS avg_millibits
+          FROM lmlists l LEFT JOIN lmscored s USING (doc_id)
+          GROUP BY l.doc_id)"""
+  }
 }

@@ -260,6 +260,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "exact semi join must remain after the prefilter")
   }
 
+  test("q213: the benchmark token-window set broadcasts; the train corpus is never exchanged before detection") {
+    import org.apache.spark.sql.functions.col
+    // the tier's 100 TB contract: train-side window rows filter
+    // MAP-SIDE against the broadcast bench set — the only corpus-scale
+    // exchange is the doc-keyed island window over the (subset-bounded)
+    // hit positions; the other shuffle is the tiny bench-side distinct
+    val fx = spark.read.parquet(
+      graft.queries.DedupQueries.TokenFixture.ensure(spark))
+    val df = graft.operators.TokenDecontam.contaminationTokenSpans(
+      fx.filter(col("doc_id") < 900L), fx.filter(col("doc_id") >= 900L))
+    df.collect() // settle AQE so the final plan is the judged one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bench windows must broadcast into a semi join:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2,
+      s"expected at most (bench distinct + island window) exchanges, got $shuffles:\n${p.take(1200)}")
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at RUNTIME") {
     import spark.implicits._
     // The 100 TB star-join enabler beyond q61's STATIC pruning: the fact

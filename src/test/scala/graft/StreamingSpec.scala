@@ -1260,6 +1260,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TOKEN decontamination (benchmarks as micro-batches) EQUALS batch; spans grow across waves by token-interval union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{SubstrDedup, TokenDecontam}
+    // the q213 tier through the streaming discipline: benchmark docs
+    // arrive as micro-batches, each batch's token spans merge into the
+    // stored manifest by interval union (the same union-semantics
+    // argument as the char tier — coverage is a per-position property
+    // of the benchmark SET, so disjoint benchmark subsets compose
+    // through mergeSpans, in token coordinates). The two waves carry
+    // OVERLAPPING 13-token fragments of the fixture's 17-token
+    // sentence, so train doc 13's span must GROW across batches
+    // (13-token spans per wave, the full 17 only after the union).
+    val fx = spark.read
+      .parquet(graft.queries.DedupQueries.TokenFixture.ensure(spark))
+    val train = fx.filter($"doc_id" < 900L)
+    val waves = Seq(
+      Seq(9100L -> "aaa the data batch scan join stream merge sort fast key row zzz"),
+      Seq(9101L -> "qqq batch scan join stream merge sort fast key row window www",
+        9102L -> "this benchmark wave contaminates nothing in training"))
+    val dir = java.nio.file.Files.createTempDirectory("tok_decontam_stream").toString
+    @volatile var statePath: Option[String] = None
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val newSpans = TokenDecontam.contaminationTokenSpans(train, batch)
+        val merged = statePath match {
+          case None => newSpans
+          case Some(prev) => SubstrDedup.mergeSpans(
+            spark.read.parquet(prev).unionByName(newSpans))
+        }
+        val out = s"$dir/state_$id"
+        merged.write.mode("overwrite").parquet(out)
+        statePath = Some(out)
+      }
+      .start()
+    try {
+      waves.foreach { w => input.addData(w); q.processAllAvailable() }
+      val streamed = spark.read.parquet(statePath.get)
+        .collect().map(_.toSeq).toSet
+      val batchAnswer = TokenDecontam.contaminationTokenSpans(
+          train, waves.flatten.toDF("doc_id", "text"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batchAnswer,
+        s"streaming token decontamination diverged: $streamed vs $batchAnswer")
+      // the union actually grew the span: the full 17-token sentence,
+      // which neither wave alone covers (each fragment is 13 tokens)
+      val d13 = batchAnswer.filter(_.head == 13L)
+      assert(d13.size == 1 && d13.head(4) == 17L, s"doc 13 span: $d13")
+    } finally q.stop()
+  }
+
   test("streaming composed curation manifest (foreachBatch + incremental pair state) EQUALS batch q204 on a cross-batch dedup split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

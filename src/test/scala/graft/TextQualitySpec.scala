@@ -106,13 +106,15 @@ class TextQualitySpec extends AnyFunSuite {
     // the 3000-block (q209's substring plants) raises keep by 4 (the
     // heavy/light pairs are clean on the FOUR-signal manifest — the
     // whole point is that only the fifth signal catches them) and PII
-    // by 2 (3004/3005 carry the planted email)
-    assert(m.getLong(0) == 204L, s"keep=1 volume: ${m.getLong(0)}")
+    // by 2 (3004/3005 carry the planted email); the 4000-block (q212's
+    // out-of-domain plants) raises keep by 6 more for the same reason
+    // one tier up — only the SIXTH signal catches those
+    assert(m.getLong(0) == 210L, s"keep=1 volume: ${m.getLong(0)}")
     assert(m.getLong(1) == 100L, s"gate-fail volume: ${m.getLong(1)}")
     assert(m.getLong(2) == 122L, s"PII volume: ${m.getLong(2)}")
     assert(m.getLong(3) == 120L, s"victim volume: ${m.getLong(3)}")
     assert(m.getLong(4) == 20L, s"double-reason (PII+victim) volume: ${m.getLong(4)}")
-    assert(m.getLong(5) == 526L && m.getLong(6) == 3L && m.getLong(7) == 2L)
+    assert(m.getLong(5) == 532L && m.getLong(6) == 3L && m.getLong(7) == 2L)
   }
 
   test("q209 fixture: the five-signal manifest's substring paths fire at volume; the threshold is real") {
@@ -154,15 +156,89 @@ class TextQualitySpec extends AnyFunSuite {
     val origs = (0 until 400).filter(_ % 4 == 3).map(_.toLong)
     assert(origs.forall(id => rows(id)._4 > 300L && rows(id)._5 == 0L),
       "one-word-changed originals must be substring-flagged")
-    // keep volume: the i%4==0 clean class plus the light pair only
+    // keep volume: the i%4==0 clean class, the light pair, and the
+    // 4000-block (substring-clean by construction — q212's point)
     val keepCount = rows.values.count(_._5 == 1L)
-    assert(keepCount == 102L, s"five-signal keep volume: $keepCount")
-    // and the four-signal manifest over the SAME corpus keeps 204 — the
+    assert(keepCount == 108L, s"five-signal keep volume: $keepCount")
+    // and the four-signal manifest over the SAME corpus keeps 210 — the
     // fifth signal is doing real, attributable work
     val m4keep = graft.queries.CurationQueries
       .webCurationManifest(docs, pairs)
       .selectExpr("sum(keep)").head().getLong(0)
-    assert(m4keep == 204L)
+    assert(m4keep == 210L)
+  }
+
+  test("q212 fixture: the model signal catches the out-of-domain block every other signal passes; in-domain scores clear the threshold") {
+    import spark.implicits._
+    val docs = spark.read.parquet(
+      graft.queries.CurationQueries.CurationFixture.ensure(spark))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+    val spans = graft.operators.SubstrDedup.dupSpans(docs)
+    // the q212 model: trained on the in-domain reference blocks only
+    // (the CCNet shape); self-training would hand the 4000-block its own
+    // bigrams back and erase the signal
+    val model = graft.operators.NgramLm.train(docs.filter($"doc_id" < 4000L))
+    val scores = graft.operators.NgramLm.score(docs, model)
+    val m6 = graft.queries.CurationQueries
+      .webCurationManifest(docs, pairs, Some(spans), lmScores = Some(scores))
+    val rows = m6.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("pass_gate"), r.getAs[Long]("has_pii"),
+        r.getAs[Long]("is_victim"), r.getAs[Long]("substr_permille"),
+        r.getAs[Long]("avg_millibits"), r.getAs[Long]("keep")))).toMap
+    val thr = graft.queries.CurationQueries.LmKeepMaxAvgMillibits
+    // the planted block: clean on EVERY other signal, dropped by this one
+    for (id <- 4000L to 4005L) {
+      val (gate, pii, victim, perm, avg, keep) = rows(id)
+      assert(gate == 1L && pii == 0L && victim == 0L && perm == 0L,
+        s"doc $id must be clean on the five-signal manifest: ${rows(id)}")
+      assert(avg > thr && keep == 0L,
+        s"doc $id must be model-flagged (avg $avg vs $thr): ${rows(id)}")
+    }
+    // every OTHER doc's score clears the threshold — the signal is
+    // attributable: six-signal keep == five-signal keep minus the block
+    val others = rows.filter(_._1 < 4000L).values
+    assert(others.forall(_._5 <= thr),
+      s"in-domain scores must clear the threshold; worst = ${others.map(_._5).max}")
+    val keep6 = rows.values.count(_._6 == 1L)
+    assert(keep6 == 102L, s"six-signal keep volume: $keep6")
+    // the margin is real on both sides (not a knife-edge the next
+    // fixture tweak flips): >= 300 millibits of air each way
+    val maxIn = others.map(_._5).max
+    val minOut = (4000L to 4005L).map(id => rows(id)._5).min
+    assert(maxIn <= thr - 300L && minOut >= thr + 300L,
+      s"threshold margin: in-domain max $maxIn, out-of-domain min $minOut, thr $thr")
+  }
+
+  test("q212 composes with the model-artifact leg: a file-loaded per-partition scorer drives the manifest identically to the join-based score") {
+    import spark.implicits._
+    // the full deployment shape, end-to-end: train the reference model,
+    // localize + save it as the r14 binary artifact, score the corpus
+    // through the per-partition file-loaded seam, thread THOSE scores
+    // into the six-signal manifest — bit-for-bit the join-based path
+    val docs = spark.read.parquet(
+      graft.queries.CurationQueries.CurationFixture.ensure(spark))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 3), 0.5)
+    val spans = graft.operators.SubstrDedup.dupSpans(docs)
+    val model = graft.operators.NgramLm.train(docs.filter($"doc_id" < 4000L))
+    val path = java.nio.file.Files.createTempDirectory("q212_lm")
+      .resolve("ref.glm").toString
+    graft.operators.TextModelSeam.saveScorer(
+      graft.operators.TextModelSeam.localize(model), path)
+    val viaArtifact = graft.operators.TextModelSeam.scoreSafe(
+        docs.select($"doc_id", $"text").as[(Long, String)],
+        graft.operators.TextModelSeam.fileScorerFactory(path))(spark)
+      .toDF()
+    assert(viaArtifact.filter(!$"ok").isEmpty, "no quarantined rows expected")
+    def manifest(scores: org.apache.spark.sql.DataFrame) =
+      graft.queries.CurationQueries
+        .webCurationManifest(docs, pairs, Some(spans), lmScores = Some(scores))
+        .collect().map(_.toSeq).toSet
+    val a = manifest(viaArtifact.select($"doc_id", $"avg_millibits"))
+    val b = manifest(graft.operators.NgramLm.score(docs, model))
+    assert(a == b && a.nonEmpty,
+      s"artifact-scored manifest diverged: ${a.size} vs ${b.size} rows")
   }
 
   test("runs distributed over the documents corpus with sane bounds") {

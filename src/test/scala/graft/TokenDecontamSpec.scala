@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{SubstrDedup, TokenDecontam}
+
+/** Pins the token-level decontamination tier (q213):
+  *   - the PLANTED CASE the char tier provably misses: a 14-char
+  *     out-of-vocabulary phrase carrying 14 BPE tokens — char-level
+  *     contaminationSpans (L=40) sees nothing, the 13-token tier flags
+  *     both carriers;
+  *   - the threshold is sharp IN TOKEN UNITS: a 13-token shared run
+  *     flags, a 12-token one does not;
+  *   - the tiers agree where they overlap (a 62-char / 17-token
+  *     sentence flags in both);
+  *   - spans come back in BPE-token coordinates (verified against the
+  *     encoder's own token stream);
+  *   - n is a real parameter (raising it past the longest plant
+  *     empties the answer).
+  */
+class TokenDecontamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private def fx = spark.read.parquet(
+    graft.queries.DedupQueries.TokenFixture.ensure(spark))
+  private def train = fx.filter(col("doc_id") < 900L)
+  private def bench = fx.filter(col("doc_id") >= 900L)
+
+  test("token-dense leak invisible to the char tier, flagged by the token tier; threshold sharp; tiers agree on the long plant") {
+    // char tier: ONLY the 62-char sentence host crosses L=40 — the
+    // dense plants are 14-16 shared chars
+    val charDocs = SubstrDedup.contaminationSpans(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(charDocs == Set(13L),
+      s"char tier must see only the long-sentence host: $charDocs")
+    val spans = TokenDecontam.contaminationTokenSpans(train, bench)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = spans.groupBy(_._1)
+    // token tier: the two dense carriers, the long-sentence host, and
+    // the exactly-13 edge — NOT the 12-token prefix, the clean doc, or
+    // the intra-train repeat
+    assert(byDoc.keySet == Set(10L, 11L, 13L, 16L),
+      s"token tier docs: ${byDoc.keySet}")
+    assert(spans.forall(_._2 == 1L), "one maximal span per carrier")
+    val lens = byDoc.view.mapValues(_.head._5).toMap
+    // 15 = boundary </w> (both flanking words end in a bare </w> token,
+    // itself shared context) + Dense14's 14 tokens
+    assert(lens(10L) == 15L && lens(11L) == 15L, s"dense spans: $lens")
+    // the sharp edge: exactly the 13-token run, no boundary gain (the
+    // "the" flank ends in the MERGED the</w> token)
+    assert(lens(16L) == 13L, s"edge span: ${lens(16L)}")
+    // the both-tiers sentence: Long17's 17 tokens, no boundary gain
+    assert(lens(13L) == 17L, s"sentence span: ${lens(13L)}")
+  }
+
+  test("spans are in BPE-token coordinates: the edge span covers exactly the planted token run") {
+    import spark.implicits._
+    // re-derive doc 16's token stream through the same encoder and
+    // locate the planted run ["z","q","</w>",...] — the reported span
+    // must cover it exactly
+    val ts = train.filter($"doc_id" === 16L)
+      .select(split(graft.operators.Bpe.encode($"text"), " ").as("ts"))
+      .head().getSeq[String](0)
+    val zAt = ts.indexOf("z") + 1 // 1-based
+    assert(zAt > 1, s"plant not found in token stream: $ts")
+    val span = TokenDecontam.contaminationTokenSpans(train, bench)
+      .filter(col("doc_id") === 16L)
+      .select("span_start", "span_end").head()
+    assert(span.getLong(0) == zAt.toLong && span.getLong(1) == zAt + 12L,
+      s"span [${span.getLong(0)}, ${span.getLong(1)}] vs planted run at $zAt in $ts")
+  }
+
+  test("n is a real parameter: raising it past the longest plant empties the answer; lowering it admits the 12-token prefix") {
+    // longest shared run is Long17's 17 tokens: n=18 finds nothing
+    assert(TokenDecontam.contaminationTokenSpans(train, bench, n = 18)
+      .count() == 0L)
+    // n=12 admits the 12-token host too
+    val at12 = TokenDecontam.contaminationTokenSpans(train, bench, n = 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(at12.contains(12L), s"n=12 must flag the prefix host: $at12")
+    assert(intercept[IllegalArgumentException] {
+      TokenDecontam.contaminationTokenSpans(train, bench, n = 1)
+    }.getMessage.contains("not a contamination test"))
+  }
+}
