@@ -72,6 +72,51 @@ class TokenDecontamSpec extends AnyFunSuite {
       s"span [${span.getLong(0)}, ${span.getLong(1)}] vs planted run at $zAt in $ts")
   }
 
+  test("incremental leg: the persisted token-window index reconstructs the from-scratch answer; waves union; mismatched state fails loudly") {
+    import spark.implicits._
+    // the frozen-train-index deployment: tokenize + window the corpus
+    // ONCE, persist, probe every future benchmark against the lake copy
+    val dir = java.nio.file.Files.createTempDirectory("tok_idx").toString
+    TokenDecontam.tokenWindowIndex(train).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val against = TokenDecontam.contaminationTokenSpansAgainst(bench, idx)
+      .collect().map(_.toSeq).toSet
+    val scratch = TokenDecontam.contaminationTokenSpans(train, bench)
+      .collect().map(_.toSeq).toSet
+    assert(against == scratch && against.nonEmpty)
+    // two benchmark waves with OVERLAPPING 13-token fragments of the
+    // 17-token sentence: per-wave probes merge through mergeSpans into
+    // the from-scratch answer over the union (growth actually happens —
+    // each wave alone yields a 13-token span for doc 13)
+    val w1 = Seq(9100L ->
+      "aaa the data batch scan join stream merge sort fast key row zzz")
+      .toDF("doc_id", "text")
+    val w2 = Seq(9101L ->
+      "qqq batch scan join stream merge sort fast key row window www")
+      .toDF("doc_id", "text")
+    val s1 = TokenDecontam.contaminationTokenSpansAgainst(w1, idx)
+    val s2 = TokenDecontam.contaminationTokenSpansAgainst(w2, idx)
+    assert(s1.collect().forall(_.getAs[Long]("span_len") == 13L))
+    val merged = graft.operators.SubstrDedup.mergeSpans(s1.unionByName(s2))
+      .collect().map(_.toSeq).toSet
+    val full = TokenDecontam.contaminationTokenSpans(train, w1.unionByName(w2))
+      .collect().map(_.toSeq).toSet
+    assert(merged == full)
+    assert(full.exists(r => r.head == 13L && r(4) == 17L),
+      s"the union must cover the full 17-token sentence: $full")
+    // loud state guards: an index built at another n joins to nothing
+    // and must refuse instead; a frame without the n record is not an
+    // index at all
+    val e1 = intercept[IllegalArgumentException] {
+      TokenDecontam.contaminationTokenSpansAgainst(bench, idx, n = 12)
+    }
+    assert(e1.getMessage.contains("n=13") && e1.getMessage.contains("n=12"))
+    val e2 = intercept[IllegalArgumentException] {
+      TokenDecontam.contaminationTokenSpansAgainst(bench, idx.drop("n"))
+    }
+    assert(e2.getMessage.contains("records no"))
+  }
+
   test("n is a real parameter: raising it past the longest plant empties the answer; lowering it admits the 12-token prefix") {
     // longest shared run is Long17's 17 tokens: n=18 finds nothing
     assert(TokenDecontam.contaminationTokenSpans(train, bench, n = 18)
