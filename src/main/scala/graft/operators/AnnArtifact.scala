@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * centroids, inverted lists, SQ8 codes, sign words, and PQ codebooks
   * lived only as session-memoized frames and died with the JVM.
   *
-  * Layout under one directory:
+  * Layout under one directory (the [[ArtifactStore]] discipline):
   *
   *   MANIFEST.json    — format version, the driver-side index dims, the
   *                      persisted tables and their exact schemas. Written
@@ -60,42 +60,6 @@ object AnnArtifact {
                           pq: Option[PqSearch.PqIndex],
                           pqEncoded: Option[DataFrame])
 
-  // ---- blob framing (magic + CRC32 + length + payload) ---------------
-
-  private def writeBlob(path: java.nio.file.Path, magic: Int,
-                        payload: Array[Byte]): Unit = {
-    val crc = new java.util.zip.CRC32()
-    crc.update(payload)
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(path)))
-    try {
-      out.writeInt(magic)
-      out.writeLong(crc.getValue)
-      out.writeInt(payload.length)
-      out.write(payload)
-    } finally out.close()
-  }
-
-  private def readBlob(path: java.nio.file.Path, magic: Int,
-                       what: String): Array[Byte] = {
-    val bytes = java.nio.file.Files.readAllBytes(path)
-    require(bytes.length >= 16,
-      s"$path is not a $what blob (${bytes.length} bytes, header needs 16)")
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val m = in.readInt()
-    require(m == magic, f"$path is not a $what blob (magic 0x$m%08X)")
-    val crcStored = in.readLong()
-    val len = in.readInt()
-    require(len == bytes.length - 16,
-      s"$path: truncated or padded $what blob ($len declared, ${bytes.length - 16} present)")
-    val payload = java.util.Arrays.copyOfRange(bytes, 16, bytes.length)
-    val crc = new java.util.zip.CRC32()
-    crc.update(payload)
-    require(crc.getValue == crcStored,
-      s"$path: $what CRC mismatch — refusing to serve from a corrupted index")
-    payload
-  }
-
   private def doublesToBytes(header: Seq[Int], flat: Array[Double]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val d = new java.io.DataOutputStream(bos)
@@ -104,25 +68,6 @@ object AnnArtifact {
     flat.foreach(x => d.writeLong(java.lang.Double.doubleToRawLongBits(x)))
     d.flush()
     bos.toByteArray
-  }
-
-  /** Schema for the manifest with nullability RELAXED everywhere: a
-    * parquet round trip legally drops NOT NULL (the reader cannot prove
-    * it), so comparing raw DDL would reject every freshly-written
-    * index. Names and types are the skew the check exists for;
-    * nullability is not.
-    */
-  private def relaxedDdl(schema: org.apache.spark.sql.types.StructType): String = {
-    import org.apache.spark.sql.types._
-    def relax(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = relax(f.dataType), nullable = true)))
-      case a: ArrayType => ArrayType(relax(a.elementType), containsNull = true)
-      case m: MapType =>
-        MapType(relax(m.keyType), relax(m.valueType), valueContainsNull = true)
-      case other => other
-    }
-    relax(schema).asInstanceOf[StructType].toDDL
   }
 
   // ---- save -----------------------------------------------------------
@@ -147,30 +92,20 @@ object AnnArtifact {
     val dim = ivf.centroids.head.length
     require(ivf.centroids.forall(_.length == dim),
       "ragged centroids — the index is corrupt before saving")
-    writeBlob(root.resolve("centroids.bin"), CentroidMagic,
+    ArtifactStore.writeBlob(root.resolve("centroids.bin"), CentroidMagic,
       doublesToBytes(Seq(k, dim), ivf.centroids.flatten))
     pq.foreach { p =>
-      writeBlob(root.resolve("pq_codebooks.bin"), PqMagic,
+      ArtifactStore.writeBlob(root.resolve("pq_codebooks.bin"), PqMagic,
         doublesToBytes(Seq(p.m, p.ks, p.dsub, p.dim), p.codebooks.flatten.flatten))
     }
     val tables = Seq("assigned" -> Some(assigned), "q8" -> quantized,
       "sign" -> signed, "pq" -> pqEncoded)
-    val written = tables.collect { case (name, Some(df)) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
-      name -> relaxedDdl(df.schema)
+      .collect { case (name, Some(df)) => name -> df }
+    ArtifactStore.commit(dir, "graft-ann", FormatVersion, tables) { node =>
+      node.put("k", k)
+      node.put("dim", dim)
+      node.put("pq", pq.nonEmpty)
     }
-    // manifest LAST: its existence certifies every blob and table landed
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = om.createObjectNode()
-    node.put("format", "graft-ann")
-    node.put("version", FormatVersion)
-    node.put("k", k)
-    node.put("dim", dim)
-    node.put("pq", pq.nonEmpty)
-    val tn = node.putObject("tables")
-    written.foreach { case (name, ddl) => tn.put(name, ddl) }
-    java.nio.file.Files.write(root.resolve("MANIFEST.json"),
-      om.writeValueAsBytes(node))
   }
 
   // ---- load -----------------------------------------------------------
@@ -181,19 +116,10 @@ object AnnArtifact {
     */
   def load(spark: SparkSession, dir: String): Loaded = {
     val root = java.nio.file.Paths.get(dir)
-    val mPath = root.resolve("MANIFEST.json")
-    require(java.nio.file.Files.exists(mPath),
-      s"$dir has no MANIFEST.json — not a persisted ANN index (or its save never completed)")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val m = om.readTree(java.nio.file.Files.readAllBytes(mPath))
-    require(m.path("format").asText() == "graft-ann",
-      s"$dir/MANIFEST.json: format '${m.path("format").asText()}' is not graft-ann")
-    val v = m.path("version").asInt(-1)
-    require(v == FormatVersion,
-      s"$dir: index format version $v, this reader is version $FormatVersion — " +
-        "rebuild the index or upgrade the reader (refusing a skewed read)")
+    val m = ArtifactStore.manifest(dir, "graft-ann", FormatVersion, "ANN index")
     // centroids
-    val cb = readBlob(root.resolve("centroids.bin"), CentroidMagic, "centroid")
+    val cb = ArtifactStore.readBlob(root.resolve("centroids.bin"),
+      CentroidMagic, "centroid")
     val cin = new java.io.DataInputStream(new java.io.ByteArrayInputStream(cb))
     val k = cin.readInt(); val dim = cin.readInt()
     require(k == m.path("k").asInt() && dim == m.path("dim").asInt(),
@@ -206,7 +132,8 @@ object AnnArtifact {
     val ivf = IvfSearch.IvfIndex(centroids)
     // PQ codebooks (optional by manifest)
     val pq = if (!m.path("pq").asBoolean(false)) None else {
-      val pb = readBlob(root.resolve("pq_codebooks.bin"), PqMagic, "PQ codebook")
+      val pb = ArtifactStore.readBlob(root.resolve("pq_codebooks.bin"),
+        PqMagic, "PQ codebook")
       val pin = new java.io.DataInputStream(new java.io.ByteArrayInputStream(pb))
       val pm = pin.readInt(); val ks = pin.readInt()
       val dsub = pin.readInt(); val pdim = pin.readInt()
@@ -218,23 +145,13 @@ object AnnArtifact {
         java.lang.Double.longBitsToDouble(pin.readLong()))))
       Some(PqSearch.PqIndex(books, pdim))
     }
-    // tables: _SUCCESS commit marker + exact schema equality, per table
-    def table(name: String): Option[DataFrame] = {
-      val node = m.path("tables").path(name)
-      if (node.isMissingNode) None
-      else {
-        require(java.nio.file.Files.exists(root.resolve(name).resolve("_SUCCESS")),
-          s"$dir/$name: no _SUCCESS marker — the table write never committed")
-        val df = spark.read.parquet(s"$dir/$name")
-        require(relaxedDdl(df.schema) == node.asText(),
-          s"$dir/$name: schema '${relaxedDdl(df.schema)}' does not match the " +
-            s"manifest's '${node.asText()}' — a skewed or overwritten table")
-        Some(df)
-      }
-    }
-    val assigned = table("assigned").getOrElse(
+    val assigned = ArtifactStore.table(spark, dir, m, "assigned").getOrElse(
       throw new IllegalArgumentException(
         s"$dir: manifest lists no 'assigned' table — the mandatory rung is missing"))
-    Loaded(ivf, assigned, table("q8"), table("sign"), pq, table("pq"))
+    Loaded(ivf, assigned,
+      ArtifactStore.table(spark, dir, m, "q8"),
+      ArtifactStore.table(spark, dir, m, "sign"),
+      pq,
+      ArtifactStore.table(spark, dir, m, "pq"))
   }
 }

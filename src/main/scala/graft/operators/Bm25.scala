@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,6 +98,48 @@ object Bm25 {
     val n = docs.count()
     val l = tfLen.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
     Index(tfLen, n, l, unicode)
+  }
+
+  /** Index artifact format version — bumped on ANY layout change so a
+    * stale reader or writer fails by name.
+    */
+  val ArtifactVersion = 1
+
+  /** Persist an [[Index]] as a manifest-gated artifact directory (the
+    * [[ArtifactStore]] discipline shared with [[AnnArtifact]]): the
+    * posting table as parquet, the control-plane scalars (N, L) and the
+    * TOKENIZER MODE in the manifest, manifest written LAST. Recording
+    * `unicode` is the load-bearing part: an index rebuilt into a session
+    * without it would default the mode and [[append]]'s one-token-space
+    * guard would either block valid appends or admit a silent blend.
+    */
+  def saveIndex(idx: Index, dir: String): Unit =
+    ArtifactStore.commit(dir, "graft-bm25", ArtifactVersion,
+      Seq("tf_len" -> idx.tfLen)) { node =>
+      node.put("n_docs", idx.nDocs)
+      node.put("total_tokens", idx.totalTokens)
+      node.put("unicode", idx.unicode)
+    }
+
+  /** Load a [[saveIndex]] artifact, verifying version, the posting
+    * table's commit marker + schema, and scalar presence before
+    * returning — loud-at-load, like every artifact leg. The posting
+    * frame is a lazy parquet read; loading ships no data, and a
+    * deployment serves months of [[topk]]/[[append]] calls from it
+    * without re-tokenizing a byte of the corpus.
+    */
+  def loadIndex(spark: SparkSession, dir: String): Index = {
+    val m = ArtifactStore.manifest(dir, "graft-bm25", ArtifactVersion,
+      "BM25 index")
+    val tfLen = ArtifactStore.table(spark, dir, m, "tf_len").getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: manifest lists no 'tf_len' table — not a BM25 index"))
+    require(m.hasNonNull("n_docs") && m.hasNonNull("total_tokens") &&
+      m.hasNonNull("unicode"),
+      s"$dir: manifest is missing the control-plane scalars (n_docs / " +
+        "total_tokens / unicode) — a skewed or hand-edited artifact")
+    Index(tfLen, m.path("n_docs").asLong(), m.path("total_tokens").asLong(),
+      m.path("unicode").asBoolean())
   }
 
   /** Incremental maintenance: extend the index with a NEW batch of docs

@@ -145,6 +145,61 @@ class Bm25Spec extends AnyFunSuite {
     assert(Bm25.append(uniIdx, more, unicode = true).nDocs == 4)
   }
 
+  test("index artifact leg: loaded == built retrieval bit-for-bit; mode survives the round trip; skew fails loudly") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = Bm25.build(docs)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_art").toString
+    Bm25.saveIndex(idx, dir)
+    val loaded = Bm25.loadIndex(spark, dir)
+    // scalars integer-exact; retrieval bit-for-bit
+    assert(loaded.nDocs == idx.nDocs && loaded.totalTokens == idx.totalTokens
+      && loaded.unicode == idx.unicode)
+    val terms = Seq("data", "the", "with")
+    def rows(i: Bm25.Index) =
+      Bm25.topk(i, terms, 10).collect().map(_.toSeq).toSet
+    assert(rows(loaded) == rows(idx) && rows(loaded).nonEmpty)
+    // append composes with the LOADED index: probe a fresh batch through
+    // the lake copy, never re-tokenizing the corpus lineage
+    val extra = Seq((900001L, "brand new data document with tokens"))
+      .toDF("doc_id", "text")
+    assert(rows(Bm25.append(loaded, extra)) == rows(Bm25.append(idx, extra)))
+    // the tokenizer-mode record survives the round trip AND keeps
+    // enforcing: a unicode index reloaded still refuses an ascii append
+    val uniDir = java.nio.file.Files.createTempDirectory("bm25_uni").toString
+    Bm25.saveIndex(Bm25.build(
+      Seq((1L, "数据处理引擎"), (2L, "spark engine")).toDF("doc_id", "text"),
+      unicode = true), uniDir)
+    val uniLoaded = Bm25.loadIndex(spark, uniDir)
+    assert(uniLoaded.unicode)
+    assert(intercept[IllegalArgumentException] {
+      Bm25.append(uniLoaded, extra)
+    }.getMessage.contains("tokenizer mode mismatch"))
+    // loud skew: version bump refused by name; a scalar-stripped
+    // manifest is not an index; missing _SUCCESS blocks the table
+    import java.nio.file.{Files, Paths}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mPath = Paths.get(dir, "MANIFEST.json")
+    val mj = om.readTree(Files.readAllBytes(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mj.put("version", 99)
+    Files.write(mPath, om.writeValueAsBytes(mj))
+    val verEx = intercept[IllegalArgumentException] { Bm25.loadIndex(spark, dir) }
+    assert(verEx.getMessage.contains("version 99"))
+    mj.put("version", Bm25.ArtifactVersion); mj.remove("n_docs")
+    Files.write(mPath, om.writeValueAsBytes(mj))
+    assert(intercept[IllegalArgumentException] { Bm25.loadIndex(spark, dir) }
+      .getMessage.contains("control-plane scalars"))
+    assert(intercept[IllegalArgumentException] {
+      Bm25.loadIndex(spark, java.nio.file.Files
+        .createTempDirectory("bm25_empty").toString)
+    }.getMessage.contains("MANIFEST"))
+    Files.delete(Paths.get(uniDir, "tf_len", "_SUCCESS"))
+    assert(intercept[IllegalArgumentException] { Bm25.loadIndex(spark, uniDir) }
+      .getMessage.contains("_SUCCESS"))
+  }
+
   test("fixed-point ranking tracks true double-ln BM25: top-20 overlap >= 16/20") {
     import graft.operators.Bm25
     val dir = "/root/testdata/sf0.01"
