@@ -65,7 +65,14 @@ object ChunkDedup {
       // st > en there, and on empty docs st=1 > en=0 — drop both
       .filter(col("se.st") <= col("se.en"))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        expr("substring(text, se.st, se.en - se.st + 1)").as("chunk"))
+        expr("substring(text, se.st, se.en - se.st + 1)").as("chunk"),
+        // the BUILD-CONFIG record (constant — free under parquet RLE):
+        // chunks cut at another (window, div) or in the other
+        // normalization mode hash to different boundaries entirely, so
+        // a persisted chunk state probed by a mismatched batch silently
+        // reports "no duplication" — the incremental leg validates this
+        // record instead (the shingleSets/anchors discipline)
+        lit(s"w=$window,div=$div,nfc=$normalize").as("cfg"))
   }
 
   /** Chunk clusters repeated across documents: group [[cdcChunks]]
@@ -97,6 +104,35 @@ object ChunkDedup {
     * same two-level (hash, doc) → (hash) aggregate Catalyst's
     * single-distinct rewrite produces for a direct countDistinct.
     */
+  /** Loud build-config validation for the incremental chunk leg: the
+    * batch's chunker params + minChunkLen must equal the persisted
+    * state's recorded ones — mismatched boundaries/thresholds hash to
+    * disjoint chunk populations and the silent answer would be "no
+    * duplication". One limit-1 read per side (constant columns).
+    */
+  private def requireChunkCompat(newState: DataFrame,
+                                 state: DataFrame): Unit = {
+    import org.apache.spark.sql.types.StringType
+    def cfgOf(df: DataFrame, side: String): Option[String] =
+      df.schema.fields.find(_.name == "cfg").map(_.dataType) match {
+        case Some(StringType) =>
+          df.select(col("cfg")).limit(1).collect().headOption.map(_.getString(0))
+        case None => throw new IllegalArgumentException(
+          s"crossDocChunksAgainst: the $side records no `cfg` column — a " +
+            "pre-record chunk state; rebuild with cdcChunks + chunkPairState " +
+            "so build-config compatibility is verifiable")
+        case other => throw new IllegalArgumentException(
+          s"crossDocChunksAgainst: expected a StringType cfg column on the $side, found $other")
+      }
+    (cfgOf(newState, "batch"), cfgOf(state, "state")) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"crossDocChunksAgainst: batch chunked with ($a) but the state with " +
+          s"($b) — chunk hashes cannot match and duplication would be " +
+          "silently missed; rebuild one side")
+      case _ => ()
+    }
+  }
+
   private def clusterAgg(pairState: DataFrame): DataFrame =
     pairState
       .groupBy(col("chunk_hash"))
@@ -128,13 +164,27 @@ object ChunkDedup {
     * batch (q187–q189 oracles), incremental (merge rule == full
     * recompute), streaming (state == batch).
     */
-  def chunkPairState(chunks: DataFrame, minChunkLen: Int = 16): DataFrame =
-    chunks
+  def chunkPairState(chunks: DataFrame, minChunkLen: Int = 16): DataFrame = {
+    // hand-built chunk frames (alternative chunkers — e.g. the spec's
+    // fixed-width contrast) are legitimate for the batch path and carry
+    // an explicit "unrecorded" config: the incremental guard then
+    // matches unrecorded-vs-unrecorded and refuses a recorded state
+    // probed by an unrecorded batch (or vice versa) — still loud where
+    // it matters, never a resolution error on the batch path
+    val src = if (chunks.columns.contains("cfg")) chunks
+              else chunks.withColumn("cfg", lit("unrecorded"))
+    src
       .filter(length(col("chunk")) >= minChunkLen)
       .select(col("doc_id"), md5(col("chunk").cast("binary")).as("chunk_hash"),
-        length(col("chunk")).cast("long").as("len"))
-      .groupBy(col("chunk_hash"), col("doc_id"))
+        length(col("chunk")).cast("long").as("len"),
+        // extend the chunker's config record with this state's own
+        // parameter: a state filtered at another minChunkLen holds a
+        // different chunk population, so the merge rule's "untouched
+        // rows stay valid" premise breaks silently
+        concat_ws(",", col("cfg"), lit(s"min=$minChunkLen")).as("cfg"))
+      .groupBy(col("chunk_hash"), col("doc_id"), col("cfg"))
       .agg(count(lit(1)).as("n_occ"), min(col("len")).as("len"))
+  }
 
   /** Incremental cross-document chunk clusters: a NEW batch of chunked
     * docs against the persisted [[chunkPairState]] of the prior corpus
@@ -154,6 +204,7 @@ object ChunkDedup {
   def crossDocChunksAgainst(newChunks: DataFrame, state: DataFrame,
                             minChunkLen: Int = 16): DataFrame = {
     val newState = chunkPairState(newChunks, minChunkLen)
+    requireChunkCompat(newState, state)
     // state side deliberately NOT distinct'd: semi-join semantics
     // ignore right-side duplicates, and a corpus-scale exchange per
     // batch would break the batch-scaled-cost contract

@@ -59,6 +59,53 @@ object Dedup {
         explode(TextFns.shingles(t, n, unicode)).as("s"))
       .select(col("doc"), xxhash64(col("s")).as("sh"))
       .distinct()
+      // the BUILD-CONFIG record (constant — free under parquet RLE): a
+      // persisted shingle table probed by a batch built at another
+      // (n, unicode, normalize) has byte-distinct hash keys and the
+      // incremental joins silently return nothing; the *Against legs
+      // validate this record instead (the SubstrDedup norm-column
+      // discipline)
+      .withColumn("cfg", lit(shingleCfg(n, unicode, normalize)))
+  }
+
+  /** Build-config encoding recorded on every shingle table:
+    * `n * 4 + unicode-bit * 2 + normalize-bit`.
+    */
+  private[operators] def shingleCfg(n: Int, unicode: Boolean,
+                                    normalize: Boolean): Int =
+    n * 4 + (if (unicode) 2 else 0) + (if (normalize) 1 else 0)
+
+  private def decodeShingleCfg(cfg: Int): String =
+    s"n=${cfg / 4}, unicode=${(cfg & 2) != 0}, normalize=${(cfg & 1) != 0}"
+
+  /** Loud build-config validation for the incremental shingle legs: the
+    * batch and the persisted index must have been built at the SAME
+    * (n, unicode, normalize) — mismatched keys join to nothing and the
+    * silent answer would be "no duplicates". One limit-1 read per side
+    * (the recorded column is constant by construction).
+    */
+  private def requireShingleCompat(shNew: DataFrame, shIndex: DataFrame,
+                                   what: String): Unit = {
+    import org.apache.spark.sql.types.IntegerType
+    def cfgOf(df: DataFrame, side: String): Option[Int] = {
+      df.schema.fields.find(_.name == "cfg").map(_.dataType) match {
+        case Some(IntegerType) =>
+          df.select(col("cfg")).limit(1).collect().headOption.map(_.getInt(0))
+        case None => throw new IllegalArgumentException(
+          s"$what: the $side records no `cfg` column — a pre-record shingle " +
+            "table; rebuild with shingleSets so build-config compatibility " +
+            "is verifiable")
+        case other => throw new IllegalArgumentException(
+          s"$what: expected an IntegerType cfg column on the $side, found $other")
+      }
+    }
+    (cfgOf(shNew, "batch"), cfgOf(shIndex, "index")) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"$what: batch shingles built with (${decodeShingleCfg(a)}) but the " +
+          s"index with (${decodeShingleCfg(b)}) — hash keys cannot match and " +
+          "every duplicate would be silently missed; rebuild one side")
+      case _ => () // an empty side carries no recorded value to contradict
+    }
   }
 
   /** Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold) via
@@ -251,6 +298,7 @@ object Dedup {
     */
   def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                           threshold: Double): DataFrame = {
+    requireShingleCompat(shNew, shIndex, "jaccardPairsAgainst")
     // loud disjointness probe (the Bm25.append discipline): a doc in
     // BOTH inputs would emit mirror-duplicate pairs and defeat the
     // per-side sizing — one O(batch) semi-join names the offender
@@ -318,6 +366,7 @@ object Dedup {
     */
   def containmentPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                               threshold: Double): DataFrame = {
+    requireShingleCompat(shNew, shIndex, "containmentPairsAgainst")
     // the semi join's RIGHT side needs no distinct (duplicates are
     // ignored by semi semantics); a corpus-side .distinct() would add a
     // full corpus-scale exchange to every incremental batch, breaking

@@ -124,6 +124,7 @@ class ChunkDedupSpec extends AnyFunSuite {
     // collections: owner = min doc over identical chunk content
     val collected = chunks
       .orderBy($"doc_id", $"chunk_idx")
+      .select($"doc_id", $"chunk_idx", $"chunk")
       .as[(Long, Long, String)].collect()
     val owner: Map[String, Long] = collected
       .filter(_._3.length >= 16)
@@ -203,6 +204,35 @@ class ChunkDedupSpec extends AnyFunSuite {
       ChunkDedup.crossDocChunksAgainst(chunks, state)
     }
     assert(e.getMessage.contains("disjoint doc sets"))
+  }
+
+  test("crossDocChunksAgainst refuses a build-config mismatch loudly (mismatched boundaries silently miss everything otherwise)") {
+    import org.apache.spark.sql.functions.col
+    val oldChunks = ChunkDedup.cdcChunks(
+      fixture.filter(col("doc_id") <= 2), "doc_id", "text")
+    val state = ChunkDedup.chunkPairState(oldChunks)
+    val newDocs = fixture.filter(col("doc_id") >= 3)
+    // another divisor -> different expected chunk size -> disjoint hashes
+    val e1 = intercept[IllegalArgumentException] {
+      ChunkDedup.crossDocChunksAgainst(
+        ChunkDedup.cdcChunks(newDocs, "doc_id", "text", div = 32L), state)
+    }
+    assert(e1.getMessage.contains("div=32") && e1.getMessage.contains("div=64"),
+      e1.getMessage)
+    // same chunker, another minChunkLen -> different state population
+    val e2 = intercept[IllegalArgumentException] {
+      ChunkDedup.crossDocChunksAgainst(
+        ChunkDedup.cdcChunks(newDocs, "doc_id", "text"), state, minChunkLen = 32)
+    }
+    assert(e2.getMessage.contains("min=32") && e2.getMessage.contains("min=16"))
+    // a state predating the record is named as such
+    assert(intercept[IllegalArgumentException] {
+      ChunkDedup.crossDocChunksAgainst(
+        ChunkDedup.cdcChunks(newDocs, "doc_id", "text"), state.drop("cfg"))
+    }.getMessage.contains("records no"))
+    // matching configs still run (the guard is not over-broad)
+    assert(ChunkDedup.crossDocChunksAgainst(
+      ChunkDedup.cdcChunks(newDocs, "doc_id", "text"), state).count() >= 0L)
   }
 
   test("bucketed chunk-pair state: the corpus side of the incremental semi-join never moves") {

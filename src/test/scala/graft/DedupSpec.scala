@@ -125,6 +125,26 @@ class DedupSpec extends AnyFunSuite {
       Dedup.jaccardPairsAgainst(shNew, shAll, 0.5)
     }
     assert(e.getMessage.contains("disjoint"))
+    // build-config guard: a batch shingled at another (n, unicode,
+    // normalize) has byte-distinct hash keys — the join would silently
+    // return "no duplicates"; the recorded cfg refuses first, decoding
+    // both sides. Same through the containment twin, and a state
+    // predating the record is named as such.
+    val shNew4 = Dedup.shingleSets(docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", 4)
+    val cfgEx = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAgainst(shNew4, shOld, 0.5)
+    }
+    assert(cfgEx.getMessage.contains("n=4") && cfgEx.getMessage.contains("n=3"),
+      cfgEx.getMessage)
+    val shNewNorm = Dedup.shingleSets(docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", 3, normalize = true)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.containmentPairsAgainst(shNewNorm, shOld, 0.5)
+    }.getMessage.contains("normalize=true"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAgainst(shNew.drop("cfg"), shOld, 0.5)
+    }.getMessage.contains("records no"))
     Seq(shAll, shOld, shNew).foreach(_.unpersist())
   }
 
