@@ -84,7 +84,8 @@ object Dedup {
     * silent answer would be "no duplicates". One limit-1 read per side
     * (the recorded column is constant by construction).
     */
-  private def requireShingleCompat(shNew: DataFrame, shIndex: DataFrame,
+  private def requireShingleCompat(dfA: DataFrame, sideA: String,
+                                   dfB: DataFrame, sideB: String,
                                    what: String): Unit = {
     import org.apache.spark.sql.types.IntegerType
     def cfgOf(df: DataFrame, side: String): Option[Int] = {
@@ -92,17 +93,17 @@ object Dedup {
         case Some(IntegerType) =>
           df.select(col("cfg")).limit(1).collect().headOption.map(_.getInt(0))
         case None => throw new IllegalArgumentException(
-          s"$what: the $side records no `cfg` column — a pre-record shingle " +
-            "table; rebuild with shingleSets so build-config compatibility " +
-            "is verifiable")
+          s"$what: the $side records no `cfg` column — a pre-record artifact; " +
+            "rebuild with shingleSets/minhashSignatures so build-config " +
+            "compatibility is verifiable")
         case other => throw new IllegalArgumentException(
           s"$what: expected an IntegerType cfg column on the $side, found $other")
       }
     }
-    (cfgOf(shNew, "batch"), cfgOf(shIndex, "index")) match {
+    (cfgOf(dfA, sideA), cfgOf(dfB, sideB)) match {
       case (Some(a), Some(b)) => require(a == b,
-        s"$what: batch shingles built with (${decodeShingleCfg(a)}) but the " +
-          s"index with (${decodeShingleCfg(b)}) — hash keys cannot match and " +
+        s"$what: $sideA built with (${decodeShingleCfg(a)}) but the " +
+          s"$sideB with (${decodeShingleCfg(b)}) — hash keys cannot match and " +
           "every duplicate would be silently missed; rebuild one side")
       case _ => () // an empty side carries no recorded value to contradict
     }
@@ -298,7 +299,8 @@ object Dedup {
     */
   def jaccardPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                           threshold: Double): DataFrame = {
-    requireShingleCompat(shNew, shIndex, "jaccardPairsAgainst")
+    requireShingleCompat(shNew, "batch shingles", shIndex, "index",
+      "jaccardPairsAgainst")
     // loud disjointness probe (the Bm25.append discipline): a doc in
     // BOTH inputs would emit mirror-duplicate pairs and defeat the
     // per-side sizing — one O(batch) semi-join names the offender
@@ -366,7 +368,8 @@ object Dedup {
     */
   def containmentPairsAgainst(shNew: DataFrame, shIndex: DataFrame,
                               threshold: Double): DataFrame = {
-    requireShingleCompat(shNew, shIndex, "containmentPairsAgainst")
+    requireShingleCompat(shNew, "batch shingles", shIndex, "index",
+      "containmentPairsAgainst")
     // the semi join's RIGHT side needs no distinct (duplicates are
     // ignored by semi semantics); a corpus-side .distinct() would add a
     // full corpus-scale exchange to every incremental batch, breaking
@@ -522,9 +525,19 @@ object Dedup {
     * separate agg columns). The materialize-once index artifact of the
     * MinHash family; `minhashLshPairsFromSignatures` consumes it.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame =
-    sh.groupBy("doc")
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    // propagate the shingle table's build-config record into the
+    // signature artifact (constant — grouping by it changes nothing):
+    // the two persisted artifacts must agree when
+    // [[minhashLshPairsFromSignatures]] joins candidates from one
+    // against verification sets from the other; a hand-built shingle
+    // frame carries the explicit "unrecorded" sentinel (-1)
+    val src = if (sh.columns.contains("cfg")) sh
+              else sh.withColumn("cfg", lit(-1))
+    src.groupBy(col("doc"), col("cfg"))
       .agg(graft.functions.MinHashSketch(col("sh"), numHashes).as("sig"))
+      .select(col("doc"), col("sig"), col("cfg"))
+  }
 
   def minhashLshPairs(sh: DataFrame, threshold: Double,
                       numHashes: Int = 64, bands: Int = 32): DataFrame =
@@ -536,6 +549,11 @@ object Dedup {
     */
   def minhashLshPairsFromSignatures(sig: DataFrame, sh: DataFrame, threshold: Double,
                                     numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    // the two persisted artifacts must come from ONE shingle space:
+    // candidates mined from signatures of one config verified against
+    // shingle sets of another silently mis-verify every pair
+    requireShingleCompat(sig, "signature table", sh, "shingle table",
+      "minhashLshPairsFromSignatures")
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1))

@@ -145,6 +145,16 @@ class DedupSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dedup.jaccardPairsAgainst(shNew.drop("cfg"), shOld, 0.5)
     }.getMessage.contains("records no"))
+    // the cross-ARTIFACT boundary: signatures mined from one shingle
+    // space verified against another silently mis-verify every pair —
+    // the propagated record refuses first
+    val sigOf3 = Dedup.minhashSignatures(shOld)
+    assert(intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsFromSignatures(sigOf3, shNew4, 0.5)
+    }.getMessage.contains("n=4"))
+    // matching artifacts still run (the guard is not over-broad)
+    assert(Dedup.minhashLshPairsFromSignatures(sigOf3, shOld, 0.5)
+      .count() >= 0L)
     Seq(shAll, shOld, shNew).foreach(_.unpersist())
   }
 
