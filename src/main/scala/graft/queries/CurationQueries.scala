@@ -69,6 +69,20 @@ object CurationQueries {
           _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
+  // per-doc LM score frame per (session, dir): the scored table is
+  // CCNet's materialize-once artifact — the SAME scores feed the raw
+  // q192 row, the q214 bucketing (which references the frame several
+  // times: cutoff selection + final tag), and any threshold filter; one
+  // score pass per session instead of one per downstream reference.
+  // Released via clearCaches like the model tables it derives from.
+  private val lmScoreCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String), DataFrame]
+  private def lmScores(s: SparkSession, d: String): DataFrame = synchronized {
+    lmScoreCache.getOrElseUpdate((s, d),
+      graft.operators.NgramLm.score(Tables.documents(s, d), lmModel(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   // the CurationFixture's index artifacts — the t=0.5 pair set (q204 +
   // q209) and the exact-substring span table (q209) — materialized once
   // per session and shared, exactly the sharedSubstrSpans discipline:
@@ -117,6 +131,8 @@ object CurationQueries {
     bgCache.clear()
     lmCache.values.foreach { m => m.unigrams.unpersist(); m.bigrams.unpersist() }
     lmCache.clear()
+    lmScoreCache.values.foreach(_.unpersist())
+    lmScoreCache.clear()
     fixtureLmCache.values.foreach { m =>
       m.unigrams.unpersist(); m.bigrams.unpersist()
     }
@@ -126,6 +142,34 @@ object CurationQueries {
       m.clear()
     }
   }
+
+  /** q214's cutoff-estimation half: per-language head/middle tercile
+    * cuts of `avg_millibits` over a `(lang, avg_millibits)` frame, via
+    * the distributed exact rank selection (never a per-language sort
+    * funnel). The OFFLINE phase of CCNet tagging — re-estimated
+    * periodically, frozen between estimations.
+    */
+  def ccnetCuts(scored: DataFrame): DataFrame =
+    graft.operators.Percentiles.exactInterpolated(
+      scored, "lang",
+      Seq(("avg_millibits", 1.0 / 3, "cut_head"),
+        ("avg_millibits", 2.0 / 3, "cut_middle")))
+
+  /** q214's tagging tier alone: `(doc_id, lang, avg_millibits)` ×
+    * a frozen `(lang, cut_head, cut_middle)` table → bucket per doc.
+    * STATELESS given the cuts (a broadcast join + a map-side CASE), so
+    * the streaming twin applies it per micro-batch unchanged — what is
+    * NOT stream-safe is re-estimating the terciles inside the stream
+    * (a percentile over all history is unbounded state); the published
+    * deployment freezes cutoffs offline exactly because of that, and
+    * StreamingSpec pins chunked tagging == batch under frozen cuts.
+    */
+  def ccnetTag(scored: DataFrame, cuts: DataFrame): DataFrame =
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_millibits"),
+        when(col("avg_millibits") <= col("cut_head"), "head")
+          .when(col("avg_millibits") <= col("cut_middle"), "middle")
+          .otherwise("tail").as("bucket"))
 
   /** q200's body over any `(doc_id, lang, text)` relation and a
     * near-dup pair set — factored so the keep composition can be
@@ -729,8 +773,7 @@ object CurationQueries {
         // kernel) so every score is an exact BIGINT. NgramLm.score
         // takes the model as an argument — a held-out model persisted
         // from another corpus drops in unchanged (self-scored here).
-        graft.operators.NgramLm.score(Tables.documents(s, d), lmModel(s, d))
-          .orderBy(col("doc_id"))
+        lmScores(s, d).orderBy(col("doc_id"))
       },
       Some("""
         WITH lists AS (
@@ -1338,6 +1381,127 @@ object CurationQueries {
         JOIN splits s ON g.doc_id = s.doc_id
         ORDER BY g.doc_id"""),
       doc = "The six-signal curation manifest: q209's Gopher-gate x PII x near-dup-victim x exact-substring composition extended with the quality-MODEL score — the q192 bigram LM trained on the fixture's in-domain reference blocks scores every doc (avg per-bigram surprisal in exact integer milli-bits, unseen bigrams on the add-one floor) and keep additionally requires <= 13750; the fixture's out-of-domain block is caught by NO other signal (passes the gate, clean of PII, duplicates nothing) — the CCNet/FineWeb model-gate shape, fully oracle-replayed including the reference-trained LM with left-join floor semantics.")
+  ,
+
+    Q(
+      "q214_ccnet_buckets",
+      (s, d) => {
+        import s.implicits._
+        // CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.4): the
+        // published pipeline does NOT threshold perplexity at a fixed
+        // cut — it computes PER-LANGUAGE head/middle/tail terciles of
+        // the LM score distribution and tags every doc, so downstream
+        // mixing can sample buckets at different rates (head-heavy for
+        // quality, tail kept for diversity audits). q192 is the score,
+        // q212 is a fixed-cut gate; THIS row is the distribution-
+        // relative tagging between them. The partition key is the
+        // corpus's recorded language assignment (the upstream
+        // identifier's output — q18 is the in-engine langId; its
+        // five-marker heuristic collapses to 'en' on this synthetic
+        // corpus, which would leave the per-language machinery
+        // untested, so the gate partitions on the recorded column and
+        // keeps five genuinely different score distributions live).
+        // Tercile cutoffs come from Percentiles.exactInterpolated —
+        // the executor-memory-safe distributed rank selection (never
+        // the built-in's per-group value map, never a per-language
+        // global sort: English is half of any real crawl, and a window
+        // partitioned by language funnels it through one task). The
+        // cutoff table is |languages| rows → broadcast; the tag itself
+        // is a map-side CASE, so the whole 100 TB pass after cutoff
+        // estimation is one scan with no shuffle. Ties at a cutoff go
+        // to the lower bucket on BOTH engines (score <= cut, integer
+        // vs interpolated-double compare — exact: millibits << 2^53).
+        // Sub-2-token docs score 0 by the q192 contract and land in
+        // head; CCNet has the same property (empty docs score as
+        // perfectly predictable) and drops them at the earlier gate.
+        val tagged = Tables.documents(s, d)
+          .select($"doc_id", $"lang")
+          .join(lmScores(s, d).select($"doc_id", $"avg_millibits"), Seq("doc_id"))
+        val cuts = ccnetCuts(tagged)
+        ccnetTag(tagged, cuts).orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH ${OracleCtes.bigramLm(trainSource = "documents", scoreSource = "documents")},
+        cuts AS (
+          SELECT d.lang,
+                 QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
+                 QUANTILE_CONT(sc.avg_millibits, 2.0/3) AS cut_middle
+          FROM documents d JOIN lmsc sc USING (doc_id)
+          GROUP BY d.lang)
+        SELECT d.doc_id, d.lang, sc.avg_millibits,
+               CASE WHEN sc.avg_millibits <= c.cut_head THEN 'head'
+                    WHEN sc.avg_millibits <= c.cut_middle THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM documents d
+        JOIN lmsc sc USING (doc_id)
+        JOIN cuts c USING (lang)
+        ORDER BY d.doc_id"""),
+      doc = "CCNet head/middle/tail perplexity bucketing: per-LANGUAGE terciles of the bigram-LM score (not a fixed cut — the distribution-relative tagging Wenzek et al. apply before mixing), partitioned on the corpus's recorded language assignment, tercile cutoffs from the distributed exact-percentile operator (bit-equal to QUANTILE_CONT, no per-language sort funnel), cutoff table broadcast and the tag a map-side CASE — oracle replays the LM and both cutoffs per language."),
+
+    Q(
+      "q215_tokenizer_fertility",
+      (s, d) => {
+        import s.implicits._
+        // TOKENIZER FERTILITY BY LANGUAGE — the standard multilingual
+        // tokenizer-equity audit (fertility = subword tokens per word;
+        // chars per token = the compression the context window actually
+        // buys): a BPE trained on English-heavy data fragments other
+        // scripts into several times more tokens, which silently taxes
+        // their effective context and training compute share. Every
+        // pretraining-mix report tables exactly these ratios per
+        // language. Composition: the REAL q140 merge-table BPE (a
+        // codegen'd per-row scalar) grouped by the corpus's language
+        // assignment (the q214 partition-key rationale), one small
+        // aggregate — corpus scan with NO shuffle except the
+        // |languages|-row final agg. Ratios in exact integer
+        // milli-units (tok*1000 div words) so the gate is bitwise.
+        // Whitespace words are counted nonempty (the q141 words-CTE
+        // convention); fertility_milli >= 1000 whenever words exist
+        // (a word is >= 1 token) is spec-pinned.
+        val perDoc = Tables.documents(s, d).select(
+          $"lang",
+          size(filter(split($"text", " "), w => length(w) > 0))
+            .cast("long").as("nw"),
+          length($"text").cast("long").as("nc"),
+          graft.operators.Bpe.tokenCount(graft.operators.Bpe.encode($"text")).as("nt"))
+        perDoc.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nw").as("n_words"),
+            sum($"nt").as("n_tokens"),
+            expr("case when sum(nw) > 0 then sum(nt) * 1000L div sum(nw) else 0L end")
+              .as("fertility_milli"),
+            expr("case when sum(nt) > 0 then sum(nc) * 1000L div sum(nt) else 0L end")
+              .as("chars_per_token_milli"))
+          .orderBy($"lang")
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+          WHERE LENGTH(w) > 0),
+        enc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                FROM words),
+        cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                       CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS nt
+                FROM enc GROUP BY doc_id),
+        perdoc AS (
+          SELECT d.doc_id, d.lang, CAST(LENGTH(d.text) AS BIGINT) AS nc,
+                 COALESCE(c.nw, 0) AS nw, COALESCE(c.nt, 0) AS nt
+          FROM documents d LEFT JOIN cnt c USING (doc_id))
+        SELECT p.lang, COUNT(*) AS n_docs,
+               CAST(SUM(p.nw) AS BIGINT) AS n_words,
+               CAST(SUM(p.nt) AS BIGINT) AS n_tokens,
+               CASE WHEN SUM(p.nw) > 0
+                    THEN CAST(SUM(p.nt) AS BIGINT) * 1000 // CAST(SUM(p.nw) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS fertility_milli,
+               CASE WHEN SUM(p.nt) > 0
+                    THEN CAST(SUM(p.nc) AS BIGINT) * 1000 // CAST(SUM(p.nt) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS chars_per_token_milli
+        FROM perdoc p
+        GROUP BY p.lang
+        ORDER BY p.lang"""),
+      doc = "Per-language tokenizer fertility audit (subword tokens per word, chars per token — the multilingual tokenizer-equity metrics every pretraining-mix report tables): real q140 merge-table BPE counts grouped by the corpus language assignment, one shuffle-free corpus scan into a |languages|-row aggregate, ratios as exact integer milli-units; oracle replays the REPLACE-chain tokenizer per word and the integer ratio arithmetic.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:

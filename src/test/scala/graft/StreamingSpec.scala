@@ -1374,4 +1374,57 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming composed manifest diverged: ${streamed.size} vs ${batchM.size} rows")
     } finally q.stop()
   }
+
+  test("streaming CCNet bucket tagging (foreachBatch vs FROZEN model + cutoffs) EQUALS the batch terciles, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.NgramLm
+    import graft.queries.CurationQueries
+    // the q214 deployment split: the LM and the per-language tercile
+    // cutoffs are estimated OFFLINE and FROZEN; the stream is a
+    // stateless score+tag tier (per-doc scoring touches only the doc's
+    // own bigrams against the static model tables; the cut table
+    // broadcasts). Re-estimating terciles INSIDE the stream would be
+    // unbounded state — a percentile over all history — which is
+    // exactly why CCNet freezes them; this twin pins that the frozen
+    // tier alone reproduces the batch q214 body across batch splits.
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(docs.size >= 30, s"fixture corpus too small: ${docs.size}")
+    val all = docs.toDF("doc_id", "lang", "text")
+    val model = NgramLm.train(all)
+    def scoreTag(in: org.apache.spark.sql.DataFrame,
+                 cuts: org.apache.spark.sql.DataFrame) =
+      CurationQueries.ccnetTag(
+        NgramLm.score(in, model)
+          .join(in.select($"doc_id", $"lang"), Seq("doc_id"))
+          .select($"doc_id", $"lang", $"avg_millibits"),
+        cuts)
+    val scoredAll = NgramLm.score(all, model)
+      .join(all.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"avg_millibits")
+    val cuts = CurationQueries.ccnetCuts(scoredAll)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"lang", $"avg_millibits", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val batch = toSet(scoreTag(all, cuts))
+    assert(batch.map(_._4) == Set("head", "middle", "tail"),
+      "fixture must populate all three buckets")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, String, Long, String)]
+    val q = input.toDS().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed ++= toSet(scoreTag(b.toDF(), cuts)); ()
+      }
+      .start()
+    try {
+      val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+      assert(chunks.size == 3, "want three micro-batches")
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      assert(streamed.toSet == batch,
+        s"chunked frozen-cut tagging diverged from batch: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
 }
