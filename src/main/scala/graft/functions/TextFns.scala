@@ -288,6 +288,21 @@ object TextFns {
   def paraArray(text: Column): Column =
     filter(transform(split(text, "\n\n", -1), p => trim(p)), p => length(p) > 0)
 
+  /** C4 line-cleaning survivors (Raffel et al. 2020 §2.2): the
+    * [[lineArray]] lines that end in a terminal punctuation mark
+    * ('.', '!', '?', '"'), have at least 5 whitespace words, and do
+    * not mention javascript (CONTAINS on the lowered line — the C4
+    * lua-filter shape, deliberately not word-bounded; q216's fixture
+    * pins the embedded-token consequence). `array_join(_, "\n")` of
+    * this IS the cleaned page text; q216 audits it as md5 plus the
+    * doc-level lorem/brace/3-line rules.
+    */
+  def c4KeptLines(text: Column): Column =
+    filter(lineArray(text), l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= 5 &&
+        !lower(l).contains("javascript"))
+
   /** Occurrences beyond the first of any repeated element. */
   def dupOccurrences(arr: Column): Column =
     (size(arr) - size(array_distinct(arr))).cast("long")

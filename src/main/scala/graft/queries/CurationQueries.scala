@@ -1501,7 +1501,68 @@ object CurationQueries {
         FROM perdoc p
         GROUP BY p.lang
         ORDER BY p.lang"""),
-      doc = "Per-language tokenizer fertility audit (subword tokens per word, chars per token — the multilingual tokenizer-equity metrics every pretraining-mix report tables): real q140 merge-table BPE counts grouped by the corpus language assignment, one shuffle-free corpus scan into a |languages|-row aggregate, ratios as exact integer milli-units; oracle replays the REPLACE-chain tokenizer per word and the integer ratio arithmetic.")
+      doc = "Per-language tokenizer fertility audit (subword tokens per word, chars per token — the multilingual tokenizer-equity metrics every pretraining-mix report tables): real q140 merge-table BPE counts grouped by the corpus language assignment, one shuffle-free corpus scan into a |languages|-row aggregate, ratios as exact integer milli-units; oracle replays the REPLACE-chain tokenizer per word and the integer ratio arithmetic."),
+
+    Q(
+      "q216_c4_line_clean",
+      (s, _) => {   // dedicated multi-line fixture; dir arg unused
+        import s.implicits._
+        // C4 LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2) — the
+        // published rules are a TRANSFORM, not a doc filter: keep only
+        // lines that end in a terminal punctuation mark ('.', '!',
+        // '?', '"'), have >= 5 words, and do not mention javascript;
+        // then drop the whole page if it says "lorem ipsum", contains
+        // a curly brace (code), or retains fewer than 3 cleaned lines.
+        // The engine had doc-level gates (q194) and intra/cross-doc
+        // dedup, but not this line-surgery tier every C4 descendant
+        // (RefinedWeb, FineWeb) starts from. One codegen'd scalar HOF
+        // pass per document — segment-bounded per-row work, NO shuffle
+        // at any corpus scale (the 100 TB shape is scan → filter HOF →
+        // project; the cleaned text feeds the writer directly).
+        // "javascript" is matched by CONTAINS on the lowered line (the
+        // C4 impl drops any line with the token; contains-not-
+        // word-boundary is deliberate and fixture-pinned so the
+        // divergence from tokenizing reimplementations is recorded).
+        // Cleaned text crosses the gate as md5 (NOTES determinism
+        // rule: no multi-KB string cells), with the TAB-survival and
+        // trim edges pinning the reconstruction byte-exactly.
+        s.read.parquet(C4Fixture.ensure(s))
+          .select($"doc_id", $"text",
+            TextFns.c4KeptLines($"text").as("kept"),
+            size(TextFns.lineArray($"text")).cast("long").as("n_lines"))
+          .select($"doc_id", $"n_lines",
+            size($"kept").cast("long").as("kept_lines"),
+            lower($"text").contains("lorem ipsum").cast("long").as("has_lorem"),
+            $"text".contains("{").cast("long").as("has_brace"),
+            (size($"kept") >= 3 &&
+              !lower($"text").contains("lorem ipsum") &&
+              !$"text".contains("{")).cast("long").as("keep"),
+            md5(array_join($"kept", "\n")).as("cleaned_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, text,
+            LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+              x -> TRIM(x)), x -> LENGTH(x) > 0) AS lines
+          FROM read_parquet('${C4Fixture.Root}/*.parquet')),
+        k AS (
+          SELECT doc_id, text, CAST(LEN(lines) AS BIGINT) AS n_lines,
+            LIST_FILTER(lines, l ->
+              SUBSTR(l, LENGTH(l), 1) IN ('.', '!', '?', '"')
+              AND LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> LENGTH(w) > 0)) >= 5
+              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
+          FROM base)
+        SELECT doc_id, n_lines,
+               CAST(LEN(kept) AS BIGINT) AS kept_lines,
+               CAST(CONTAINS(LOWER(text), 'lorem ipsum') AS BIGINT) AS has_lorem,
+               CAST(CONTAINS(text, '{') AS BIGINT) AS has_brace,
+               CAST(LEN(kept) >= 3 AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+                    AND NOT CONTAINS(text, '{') AS BIGINT) AS keep,
+               MD5(COALESCE(ARRAY_TO_STRING(kept, chr(10)), '')) AS cleaned_md5
+        FROM k
+        ORDER BY doc_id"""),
+      doc = "C4 line-level cleaning (Raffel et al. 2020 §2.2 — the transform every C4 descendant starts from): keep lines ending in terminal punctuation with >= 5 words and no javascript mention, then drop pages with lorem ipsum, curly braces, or fewer than 3 retained lines — one codegen'd HOF pass, no shuffle, cleaned text crossing the gate as md5 over a fixture that plants each rule's violation on coprime cycles plus trim/tab/case/substring edges.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
@@ -1554,6 +1615,79 @@ object CurationQueries {
           // stopword test lowercases) but "with," does not (attached
           // punctuation is content, never stripped)
           (1011L, Seq.fill(10)("The data with, value have more").mkString("\n")))
+        main ++ edges
+      }, "doc_id", "text")
+  }
+
+  /** Deterministic multi-line corpus for the q216 C4 line-cleaning
+    * rules (Raffel et al. 2020 §2.2): 900 generated docs of 3–5 prose
+    * lines that PASS every line rule, with planted violations on
+    * coprime cycles so each rule drops lines attributably — a
+    * nav-menu line with no terminal punctuation (every 2nd doc), a
+    * sub-5-word punctuated line (every 3rd), a well-formed line
+    * containing "javascript" (every 5th — dropped by that rule
+    * ALONE), a ≥5-word line missing terminal punctuation (every 7th),
+    * a "lorem ipsum" line (every 11th — the line itself is
+    * kept-shaped; the DOC rule rejects), a '{'-bearing code line
+    * (every 13th — same), and a line ending in a quotation mark
+    * (every 17th — terminal-punct set membership). Edge docs pin:
+    * empty doc, nav-only, exactly-2-kept (below the 3-line doc
+    * floor), exactly-3-kept (the floor), uppercase "JavaScript",
+    * "javascript" embedded inside a longer token (CONTAINS semantics,
+    * not word-boundary — documented divergence from tokenizing
+    * reimplementations), trailing-space trim, brace-only, mixed-case
+    * lorem, and a TAB-leading line (TRIM is space-only in both
+    * engines: the tab survives into the cleaned text).
+    */
+  object C4Fixture {
+    val Root = "/root/repo/target/c4_fixture"
+    private def word(seed: Long, len: Int): String =
+      (0 until len).map(j =>
+        ('a' + (((seed * 41 + j * 13) % 26 + 26) % 26).toInt).toChar).mkString
+    private def good(i: Int, k: Int): String =
+      (0 until 6).map(j => word(i.toLong * 103 + k * 19 + j, 3 + (i + k + j) % 5))
+        .mkString(" ") + "."
+    private val nav = "home | about | contact | subscribe"
+    private def shortPunct(i: Int): String =
+      s"${word(i.toLong * 5, 4)} ${word(i.toLong * 5 + 1, 4)} ok."
+    private def jsLine(i: Int): String =
+      s"please enable javascript to view the ${word(i.toLong * 23, 5)} content."
+    private def noPunct(i: Int): String =
+      (0 until 6).map(j => word(i.toLong * 31 + j, 4)).mkString(" ")
+    private val loremLine =
+      "lorem ipsum dolor sit amet consectetur adipiscing elit."
+    private val braceLine = "if (x) { return y; } end of snippet."
+    private def quoteLine(i: Int): String =
+      s"""he said "${word(i.toLong * 43, 5)} there my good friend""""
+    private def doc(i: Int): String = {
+      val body = (0 until 3 + i % 3).map(k => good(i, k))
+      val extra =
+        (if (i % 2 == 0) Seq(nav) else Nil) ++
+          (if (i % 3 == 0) Seq(shortPunct(i)) else Nil) ++
+          (if (i % 5 == 0) Seq(jsLine(i)) else Nil) ++
+          (if (i % 7 == 0) Seq(noPunct(i)) else Nil) ++
+          (if (i % 11 == 0) Seq(loremLine) else Nil) ++
+          (if (i % 13 == 0) Seq(braceLine) else Nil) ++
+          (if (i % 17 == 0) Seq(quoteLine(i)) else Nil)
+      (body ++ extra).mkString("\n")
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String = once.ensure(s)({
+        val main = (0 until 900).map(i => (i.toLong, doc(i)))
+        val edges = Seq(
+          (900L, ""),
+          (901L, nav),
+          (902L, Seq(good(902, 0), good(902, 1), nav).mkString("\n")),
+          (903L, Seq(good(903, 0), good(903, 1), good(903, 2)).mkString("\n")),
+          (904L, "Please enable JavaScript before continuing to this site."),
+          (905L, "thenojavascriptword is embedded inside this long line."),
+          (906L, Seq(good(906, 0), good(906, 1), good(906, 2),
+            "  trailing spaces trimmed before the punct check here.   ").mkString("\n")),
+          (907L, "{}"),
+          (908L, (Seq("Lorem Ipsum dolor sit amet here again today.") ++
+            (0 until 3).map(k => good(908, k))).mkString("\n")),
+          (909L, (Seq("\tthis line leads with a tab and still ends well.") ++
+            (0 until 2).map(k => good(909, k))).mkString("\n")))
         main ++ edges
       }, "doc_id", "text")
   }

@@ -120,14 +120,19 @@ class ContractSpec extends AnyFunSuite {
     assert(errs.size == rows.count(_._2 < 0))
   }
 
-  test("BenchFormat: real registry padded to 215 rows fits with ZERO omission (full per-row tail coverage)") {
+  test("BenchFormat: real registry padded to 218 rows fits with ZERO omission (full per-row tail coverage)") {
     // realistic value model: the round-10 clean run is ~0.1-3.6 s per
     // row. The ds encoding exists so the judge gets FULL per-row tail
     // coverage — pin omitted == 0 with headroom past the real registry
-    // (215 is the r15 estimate guard: the line crossed budget at ~211
-    // rows twice; every capacity step must re-prove the margin here)
+    // (218 is the late-r15 estimate guard, raised from 215 when q216
+    // landed at 216 real rows; 220 was tried and the SENTINEL-bearing
+    // sibling test omits 6 rows there — the model's 0.1–3.6 s values
+    // run ~2 chars/row fatter than the real registry's 1783-char line,
+    // which is the right conservatism for a guard. The line crossed
+    // budget at ~211 rows twice, so every capacity step must re-prove
+    // the margin here, in BOTH tests)
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (215 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (218 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       val v = 0.1 + (i % 36) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
@@ -136,7 +141,7 @@ class ContractSpec extends AnyFunSuite {
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
     assert(j.get("omitted") == null,
-      s"${j.get("omitted")} rows omitted at a 215-row realistic model — " +
+      s"${j.get("omitted")} rows omitted at a 218-row realistic model — " +
         "the ds-encoding headroom guarantee broke; shrink the format again")
     assert(j.get("queries").size == rows.size)
     assert(j.get("qv").asText == "min_ds")
@@ -144,7 +149,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("BenchFormat: contention sentinel rides the compact line and does not break the zero-omission guarantee") {
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (215 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (218 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       val v = 0.1 + (i % 36) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
