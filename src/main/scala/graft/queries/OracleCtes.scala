@@ -45,7 +45,6 @@ private[queries] object OracleCtes {
   val victims: String = """
         victims AS (SELECT doc AS doc_id FROM reach GROUP BY doc HAVING MIN(r) != doc)"""
 
-
   /** The Gopher gate staged replay of `TextFns.gopherGateFrame` over
     * `source` (a table name or `read_parquet(...)`), carrying `carry`
     * columns through. Emits ggbase/ggcounted/ggscored/gate; `gate` has

@@ -1427,4 +1427,48 @@ class StreamingSpec extends AnyFunSuite {
         s"chunked frozen-cut tagging diverged from batch: ${streamed.size} vs ${batch.size}")
     } finally q.stop()
   }
+
+  test("streaming C4 line-cleaning ingest (c4KeptLines, append mode) EQUALS batch q216 cleaning, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the C4Fixture edge tail (every planted rule) plus a generated
+    // slice — stateless scalar HOF chain, the gopherGateFrame twin
+    // shape, sharing the ONE TextFns.c4KeptLines definition: the
+    // crawl-ingest deployment cleans lines as pages arrive, before any
+    // stateful dedup tier sees them
+    val fixture = spark.read
+      .parquet(graft.queries.CurationQueries.C4Fixture.ensure(spark))
+      .filter($"doc_id" >= 890L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fixture.size == 20, s"expected 10 generated + 10 edge docs, got ${fixture.size}")
+
+    def cleanFrame(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFns.c4KeptLines($"text")).cast("long").as("kept_lines"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.array_join(
+            graft.functions.TextFns.c4KeptLines($"text"), "\n")).as("cleaned_md5"))
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = cleanFrame(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_ingest").start()
+    try {
+      val (chunk1, chunk2) = fixture.splitAt(11)
+      input.addData(chunk1)
+      q.processAllAvailable()
+      input.addData(chunk2)
+      q.processAllAvailable()
+      def toSet(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"kept_lines", $"cleaned_md5")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val got = toSet(spark.table("c4_ingest"))
+      val batch = toSet(cleanFrame(fixture.toDF("doc_id", "text")))
+      assert(batch.exists(_._2 == 0L) && batch.exists(_._2 >= 3L),
+        "fixture slice must carry both fully-scrubbed and surviving pages")
+      assert(got == batch,
+        s"streaming c4KeptLines diverged from batch: ${got.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
 }
