@@ -92,4 +92,57 @@ class C4CleanSpec extends AnyFunSuite {
     assert(got(909L)._2 == 3L && got(909L)._5 == 1L &&
       got(909L)._6 == md5hex(kept909.mkString("\n")))
   }
+
+  test("c4KeptLines is idempotent and an ordered subsequence of the lines (randomized adversarial corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // re-running a cleaning pipeline over already-cleaned pages must be
+    // a no-op — the operational property a resumed/replayed ingest
+    // relies on. It holds because every survivor is closed under the
+    // rules (trimmed, nonempty, punct-terminated, >= 5 words, no
+    // javascript) and the rejoin/resplit round-trips survivors exactly
+    // (no survivor can contain a newline). One Spark job over a
+    // seed-fixed adversarial corpus: javascript in three cases, braces,
+    // tabs, runs of spaces, empty and whitespace-only lines, every
+    // terminator, words straddling the 5-word boundary.
+    val rnd = new scala.util.Random(20260816L)
+    val words = Vector("the", "data", "javascript", "JavaScript", "lorem",
+      "ipsum", "a", "pipeline", "{x}", "value", "\tindent", "two  spaces")
+    val ends = Vector(".", "!", "?", "\"", "", " ", "...")
+    def line(): String = {
+      val n = 1 + rnd.nextInt(8)
+      (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ") +
+        ends(rnd.nextInt(ends.size))
+    }
+    def doc(): String =
+      (0 until rnd.nextInt(8)).map(_ =>
+        if (rnd.nextInt(10) == 0) Vector("", "   ", "\t")(rnd.nextInt(3)) else line())
+        .mkString("\n")
+    val docs = (0 until 300).map(i => (i.toLong, doc()))
+    val got = docs.toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextFns.lineArray($"text").as("lines"),
+        graft.functions.TextFns.c4KeptLines($"text").as("kept"),
+        graft.functions.TextFns.c4KeptLines(
+          array_join(graft.functions.TextFns.c4KeptLines($"text"), "\n")).as("recleaned"))
+      .collect()
+    var keptTotal = 0
+    got.foreach { r =>
+      val lines = r.getSeq[String](1)
+      val kept = r.getSeq[String](2)
+      val recleaned = r.getSeq[String](3)
+      assert(recleaned == kept, s"doc ${r.getLong(0)}: not idempotent\n$kept\n$recleaned")
+      // kept must be an ORDERED subsequence of the trimmed lines
+      var i = 0
+      kept.foreach { k =>
+        val j = lines.indexOf(k, i)
+        assert(j >= 0, s"doc ${r.getLong(0)}: survivor '$k' not found in order")
+        i = j + 1
+      }
+      keptTotal += kept.size
+    }
+    assert(keptTotal > 50, s"corpus too tame to exercise the rules ($keptTotal survivors)")
+    assert(got.exists(r => r.getSeq[String](2).size < r.getSeq[String](1).size),
+      "corpus must actually drop lines")
+  }
 }
