@@ -70,6 +70,75 @@ object Bpe {
     */
   def encode(text: Column): Column = BpeEncodeExpr(text, StandardMerges)
 
+  /** [[encode]] with an arbitrary merges table — the learned-tokenizer
+    * deployment half: `encodeWith(text, loadMerges(path))` runs a
+    * [[learnMerges]] vocabulary persisted by another session.
+    */
+  def encodeWith(text: Column, merges: Seq[(String, String)]): Column =
+    BpeEncodeExpr(text, merges)
+
+  // ---- tokenizer artifact leg ------------------------------------------
+  // The tokenizer is the one model whose train/serve skew silently
+  // corrupts EVERYTHING downstream (token counts, packing budgets,
+  // token-level decontamination coordinates), so the learned merges
+  // table gets the same loud artifact discipline as the LM scorer, the
+  // ANN index, and the BM25 index: CRC32-framed deterministic bytes,
+  // byte-identical re-saves, corrupt/truncated/foreign files refused by
+  // name at load — a broken tokenizer artifact must kill the job, never
+  // degrade into a differently-tokenized corpus.
+
+  private val MergesMagic = 0x42504d31 // "BPM1"
+
+  /** Persist a merges table (the `tokenizer.json` equivalent): rank
+    * order IS the file order, so identical tables are byte-identical
+    * artifacts. Rejects out-of-spec rules by name (writeUTF's 64 KiB
+    * limit would otherwise throw a bare UTFDataFormatException — the
+    * saveScorer lesson).
+    */
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
+    require(merges.nonEmpty, "refusing to persist an empty merges table")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(merges.length)
+    merges.foreach { case (pair, merged) =>
+      require(pair.contains(' ') && merged.nonEmpty,
+        s"malformed merge rule ('$pair' -> '$merged') — pairs are two " +
+          "space-separated symbols (the learnMerges output shape)")
+      require(pair.getBytes("UTF-8").length < 65536 &&
+        merged.getBytes("UTF-8").length < 65536,
+        s"merge rule exceeds the 64 KiB writeUTF limit ('${pair.take(32)}…')")
+      out.writeUTF(pair)
+      out.writeUTF(merged)
+    }
+    out.flush()
+    ArtifactStore.writeBlob(java.nio.file.Paths.get(path), MergesMagic,
+      bos.toByteArray)
+  }
+
+  /** Load a [[saveMerges]] artifact: magic + CRC + declared-length gates
+    * (via the shared blob framing), then per-rule shape validation — a
+    * loaded table is exactly as trustworthy as the Seq it round-tripped
+    * from, and [[encodeWith]] runs it unchanged.
+    */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    val payload = ArtifactStore.readBlob(java.nio.file.Paths.get(path),
+      MergesMagic, "BPE merges")
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val n = in.readInt()
+    require(n > 0 && n <= 1000000,
+      s"$path: implausible rule count $n — corrupted or foreign artifact")
+    val merges = (0 until n).map { _ => (in.readUTF(), in.readUTF()) }
+    require(in.available() == 0,
+      s"$path: ${in.available()} trailing bytes after $n rules — truncated " +
+        "write or foreign artifact")
+    merges.foreach { case (pair, merged) =>
+      require(pair.contains(' ') && merged.nonEmpty,
+        s"$path: malformed merge rule ('$pair' -> '$merged') in a " +
+          "CRC-clean artifact — not a saveMerges file")
+    }
+    merges
+  }
+
   /** True token count of an [[encode]] output ("" → 0). */
   def tokenCount(tokens: Column): Column =
     when(length(tokens) === 0, 0L)

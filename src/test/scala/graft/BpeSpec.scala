@@ -239,4 +239,55 @@ class BpeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       BpeByteEncodeExpr(col("x"), Seq("74  68" -> "7468")))  // malformed pattern
   }
+
+  test("tokenizer artifact: save/load round-trips byte-identically; loaded table encodes bit-for-bit") {
+    import spark.implicits._
+    // the deployment loop the artifact leg exists for: learn on one
+    // session, persist, reload elsewhere, and every downstream token
+    // count / packing budget / decontamination coordinate is unchanged
+    val docs = Tables.documents(spark, sf)
+    val learned = Bpe.learnMerges(docs, "text", nMerges = 12)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact")
+    val p = s"$dir/merges.bin"
+    Bpe.saveMerges(p, learned)
+    assert(Bpe.loadMerges(p) == learned, "round trip must be exact")
+    // identical tables are byte-identical artifacts (re-save == save)
+    val bytes1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    Bpe.saveMerges(p, learned)
+    assert(java.util.Arrays.equals(bytes1,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))))
+    // encode with the LOADED table == encode with the in-memory one
+    val sample = docs.limit(50)
+    val a = sample.select($"doc_id", Bpe.encodeWith($"text", learned).as("t"))
+      .as[(Long, String)].collect().toSet
+    val b = sample.select($"doc_id", Bpe.encodeWith($"text", Bpe.loadMerges(p)).as("t"))
+      .as[(Long, String)].collect().toSet
+    assert(a == b, "loaded-table encoding diverged from the in-memory table")
+  }
+
+  test("tokenizer artifact: corrupt, truncated, foreign, and malformed files fail LOUDLY by name") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact_bad")
+    val p = s"$dir/merges.bin"
+    Bpe.saveMerges(p, Seq("t h" -> "th", "th e" -> "the"))
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // CRC flip in the payload
+    val flipped = good.clone(); flipped(good.length - 1) = (flipped(good.length - 1) ^ 0x01).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/crc.bin"), flipped)
+    val e1 = intercept[IllegalArgumentException](Bpe.loadMerges(s"$dir/crc.bin"))
+    assert(e1.getMessage.contains("CRC"), e1.getMessage)
+    // truncation below the 16-byte header
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/trunc.bin"), good.take(9))
+    val e2 = intercept[IllegalArgumentException](Bpe.loadMerges(s"$dir/trunc.bin"))
+    assert(e2.getMessage.contains("header"), e2.getMessage)
+    // foreign magic
+    val foreign = good.clone(); foreign(0) = 'X'.toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/magic.bin"), foreign)
+    val e3 = intercept[IllegalArgumentException](Bpe.loadMerges(s"$dir/magic.bin"))
+    assert(e3.getMessage.contains("magic"), e3.getMessage)
+    // out-of-spec rules never reach the writer
+    val e4 = intercept[IllegalArgumentException](
+      Bpe.saveMerges(s"$dir/bad.bin", Seq("nospace" -> "x")))
+    assert(e4.getMessage.contains("malformed merge rule"), e4.getMessage)
+    assertThrows[IllegalArgumentException](Bpe.saveMerges(s"$dir/empty.bin", Seq.empty))
+  }
 }
