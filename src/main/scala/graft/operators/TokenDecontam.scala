@@ -47,18 +47,37 @@ object TokenDecontam {
   /** The published contamination window: 13 tokens (GPT-3/PaLM). */
   val DefaultN = 13
 
+  /** Stable fingerprint of a merges table — recorded on the persisted
+    * window index and verified by every probe: two DIFFERENT tokenizers
+    * produce different token streams, so windows of the same text hash
+    * differently and an index/probe tokenizer skew silently reads as
+    * "no contamination" (the exact failure [[Bpe.saveMerges]] makes
+    * possible: a session can now legitimately run a reloaded learned
+    * table instead of the frozen constant). CRC32 over the rank-ordered
+    * rules — rank order is identity for BPE, so equal tables fingerprint
+    * equal and any rule/order change moves the value.
+    */
+  def tokenizerFingerprint(merges: Seq[(String, String)]): Long = {
+    val crc = new java.util.zip.CRC32()
+    merges.foreach { case (p, m) =>
+      crc.update(p.getBytes("UTF-8")); crc.update(0)
+      crc.update(m.getBytes("UTF-8")); crc.update(0)
+    }
+    crc.getValue
+  }
+
   /** Per-doc BPE token array (empty for empty/whitespace docs). */
-  private def tokenArrays(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String,
+                          merges: Seq[(String, String)]): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      filter(split(Bpe.encode(col(textCol)), " "), t => t =!= "").as("ts"))
+      filter(split(Bpe.encodeWith(col(textCol), merges), " "), t => t =!= "").as("ts"))
 
   /** One row per n-token window: (doc_id, pos, g) with 1-based token
     * position and g = md5 of the space-joined window content.
     */
   private def windowRows(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
-    tokenArrays(docs, idCol, textCol)
+                         n: Int, merges: Seq[(String, String)]): DataFrame =
+    tokenArrays(docs, idCol, textCol, merges)
       .select(col("doc_id"), col("ts"), explode(expr(
         s"if(size(ts) >= $n, sequence(1, size(ts) - $n + 1), array())")).as("pos"))
       .select(col("doc_id"), col("pos"),
@@ -76,31 +95,56 @@ object TokenDecontam {
     * future benchmark against the index).
     */
   def tokenWindowIndex(train: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text", n: Int = DefaultN): DataFrame = {
+                       textCol: String = "text", n: Int = DefaultN,
+                       merges: Seq[(String, String)] = Bpe.StandardMerges): DataFrame = {
     require(n >= 2, s"a $n-token window is not a contamination test")
-    windowRows(train, idCol, textCol, n).withColumn("n", lit(n))
+    windowRows(train, idCol, textCol, n, merges)
+      .withColumn("n", lit(n))
+      // the TOKENIZER identity record (constant — free under parquet
+      // RLE), the second compatibility axis beside n: see
+      // [[tokenizerFingerprint]]
+      .withColumn("tok", lit(tokenizerFingerprint(merges)))
   }
 
   /** Loud persisted-state validation (the [[SubstrDedup]] discipline):
-    * the recorded window length must equal the probe's `n` — a
-    * mismatched state joins to nothing and would otherwise read as
-    * "no contamination". The value check reads ONE row.
+    * the recorded window length AND tokenizer fingerprint must equal
+    * the probe's — a mismatch on either axis joins to nothing and
+    * would otherwise read as "no contamination". The value checks read
+    * ONE row (both columns are constant by construction).
     */
-  private def requireTokenState(state: DataFrame, n: Int): Unit = {
-    import org.apache.spark.sql.types.IntegerType
+  private def requireTokenState(state: DataFrame, n: Int,
+                                merges: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     state.schema.fields.find(_.name == "n").map(_.dataType) match {
-      case Some(IntegerType) =>
-        state.select(col("n")).limit(1).collect().headOption.foreach { r =>
-          require(r.getInt(0) == n,
-            s"token-window state was built at n=${r.getInt(0)} but this probe " +
-              s"runs at n=$n — the md5 keys cannot match; rebuild the index " +
-              "or pass the matching n")
-        }
+      case Some(IntegerType) => ()
       case None => throw new IllegalArgumentException(
         "token-window state records no `n` column — not a tokenWindowIndex " +
           "output; rebuild the index so window-length compatibility is verifiable")
       case other => throw new IllegalArgumentException(
         s"token-window state: expected an IntegerType n column, found $other")
+    }
+    state.schema.fields.find(_.name == "tok").map(_.dataType) match {
+      case Some(LongType) => ()
+      case None => throw new IllegalArgumentException(
+        "token-window state records no `tok` tokenizer fingerprint — a " +
+          "pre-record index; rebuild with tokenWindowIndex so tokenizer " +
+          "compatibility is verifiable (a skewed tokenizer silently misses " +
+          "every leak)")
+      case other => throw new IllegalArgumentException(
+        s"token-window state: expected a LongType tok column, found $other")
+    }
+    state.select(col("n"), col("tok")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == n,
+        s"token-window state was built at n=${r.getInt(0)} but this probe " +
+          s"runs at n=$n — the md5 keys cannot match; rebuild the index " +
+          "or pass the matching n")
+      val want = tokenizerFingerprint(merges)
+      require(r.getLong(1) == want,
+        f"token-window state was built with tokenizer 0x${r.getLong(1)}%08x " +
+          f"but this probe tokenizes with 0x$want%08x — different merge " +
+          "tables produce different token streams, so every leak would be " +
+          "silently missed; rebuild the index or load the matching merges " +
+          "artifact (Bpe.loadMerges)")
     }
   }
 
@@ -121,10 +165,11 @@ object TokenDecontam {
                                      trainWindows: DataFrame,
                                      idCol: String = "doc_id",
                                      textCol: String = "text",
-                                     n: Int = DefaultN): DataFrame = {
+                                     n: Int = DefaultN,
+                                     merges: Seq[(String, String)] = Bpe.StandardMerges): DataFrame = {
     require(n >= 2, s"a $n-token window is not a contamination test")
-    requireTokenState(trainWindows, n)
-    val bg = windowRows(newBench, idCol, textCol, n).select(col("g")).distinct()
+    requireTokenState(trainWindows, n, merges)
+    val bg = windowRows(newBench, idCol, textCol, n, merges).select(col("g")).distinct()
     val hits = trainWindows
       .join(bg, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
@@ -143,10 +188,11 @@ object TokenDecontam {
   def contaminationTokenSpans(train: DataFrame, bench: DataFrame,
                               idCol: String = "doc_id",
                               textCol: String = "text",
-                              n: Int = DefaultN): DataFrame = {
+                              n: Int = DefaultN,
+                              merges: Seq[(String, String)] = Bpe.StandardMerges): DataFrame = {
     require(n >= 2, s"a $n-token window is not a contamination test")
-    val bg = windowRows(bench, idCol, textCol, n).select(col("g")).distinct()
-    val hits = windowRows(train, idCol, textCol, n)
+    val bg = windowRows(bench, idCol, textCol, n, merges).select(col("g")).distinct()
+    val hits = windowRows(train, idCol, textCol, n, merges)
       .join(bg, Seq("g"), "left_semi")
       .select(col("doc_id"), col("pos"))
     SubstrDedup.spansFromHits(hits, n)

@@ -115,6 +115,31 @@ class TokenDecontamSpec extends AnyFunSuite {
       TokenDecontam.contaminationTokenSpansAgainst(bench, idx.drop("n"))
     }
     assert(e2.getMessage.contains("records no"))
+    // TOKENIZER compatibility axis (live since Bpe.saveMerges made
+    // running a reloaded learned table legitimate): a probe tokenizing
+    // with a different merges table hashes disjoint window keys and
+    // must refuse by fingerprint, a pre-record index must refuse by
+    // name, and a MATCHED non-default tokenizer reconstructs the
+    // from-scratch answer under that tokenizer end-to-end
+    val other = graft.operators.Bpe.StandardMerges.take(10)
+    val e3 = intercept[IllegalArgumentException] {
+      TokenDecontam.contaminationTokenSpansAgainst(bench, idx, merges = other)
+    }
+    assert(e3.getMessage.contains("tokenizer 0x"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      TokenDecontam.contaminationTokenSpansAgainst(bench, idx.drop("tok"))
+    }
+    assert(e4.getMessage.contains("tok"), e4.getMessage)
+    val idx2 = TokenDecontam.tokenWindowIndex(train, merges = other)
+    val against2 = TokenDecontam.contaminationTokenSpansAgainst(bench, idx2, merges = other)
+      .collect().map(_.toSeq).toSet
+    val scratch2 = TokenDecontam.contaminationTokenSpans(train, bench, merges = other)
+      .collect().map(_.toSeq).toSet
+    assert(against2 == scratch2,
+      "matched non-default tokenizer must reconstruct the from-scratch answer")
+    assert(scratch2 != scratch,
+      "the truncated merges table must actually change token coordinates " +
+        "(otherwise the skew guard tests nothing)")
   }
 
   test("n is a real parameter: raising it past the longest plant empties the answer; lowering it admits the 12-token prefix") {
