@@ -306,4 +306,30 @@ class PlanSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("q214: the cutoff table broadcasts into the tag join — the corpus-scale pass never sort-merges") {
+    // the CCNet-bucketing 100 TB contract: after cutoff estimation, the
+    // tag is a broadcast join + a map-side CASE; English being half the
+    // corpus must never funnel through a SortMergeJoin on lang (a
+    // 5-key skewed shuffle) — the |languages|-row cut table ships to
+    // the scan instead
+    val df = SparkEntry.queries("q214_ccnet_buckets")(spark, sf)
+    df.collect() // settle AQE so the final plan is the judged one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"),
+      s"the tag path must not sort-merge on lang:\n${p.take(1000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the cut table must broadcast:\n${p.take(800)}")
+  }
+
+  test("q216: line cleaning is one scalar pass — no join, no aggregation, only the output sort exchanges") {
+    val df = SparkEntry.queries("q216_c4_line_clean")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"line surgery must stay per-row:\n${p.take(800)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"only the deterministic ORDER BY may exchange, got $exchanges:\n${p.take(1000)}")
+  }
 }
