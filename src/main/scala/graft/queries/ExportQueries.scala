@@ -100,6 +100,50 @@ object ExportQueries {
                MIN(x) AS min_x, MAX(x) AS max_x,
                MIN(y) AS min_y, MAX(y) AS max_y
         FROM z GROUP BY 1 ORDER BY bucket"""),
-      doc = "Z-order (Morton) clustering key as five codegen'd bitwise ops per coordinate: bucket by the interleaved key and emit each bucket's two-dimensional zone map — the data-skipping layout where predicates on EITHER column prune files; oracle replays the identical shift cascade bit-for-bit.")
+      doc = "Z-order (Morton) clustering key as five codegen'd bitwise ops per coordinate: bucket by the interleaved key and emit each bucket's two-dimensional zone map — the data-skipping layout where predicates on EITHER column prune files; oracle replays the identical shift cascade bit-for-bit."),
+
+    Q(
+      "q217_warc_ingest",
+      (s, d) => {
+        import s.implicits._
+        // WARC SOURCE — the container a 100 TB pipeline actually starts
+        // from: CommonCrawl ships crawl shards as .warc.gz, per-record
+        // gzip members concatenated into one file. The engine muxes the
+        // documents table into real shards (WARC/1.0 records, ISO 28500
+        // CRLF framing, hand-rolled gzip member framing) and demuxes
+        // them back with every frame verified (member magic/FLG/CRC32/
+        // ISIZE, version line, Content-Length fill, the mandated
+        // CRLF CRLF record trailer) — the q40/q50 codec-oracle trick on
+        // a SOURCE format: DuckDB predicts every parsed field from the
+        // text alone, so any header, length, boundary, or compression
+        // bug is a hash mismatch. Content-Length is UTF-8 BYTES
+        // (STRLEN, not LENGTH — the zh docs make the difference real).
+        // Deployment shape: the blobs are files — binaryFile scan →
+        // flatMap(parseShard) is an embarrassingly parallel per-file
+        // scalar demux, no shuffle before curation; the in-engine mux
+        // (one groupByKey over the fixture) exists only so the oracle
+        // can see through the round trip.
+        val docs = Tables.documents(s, d).select($"doc_id", $"text").as[(Long, String)]
+        val shards = docs.groupByKey(_._1 / 10).mapGroups { (sid, it) =>
+          (sid, graft.sources.Warc.buildShard(it.toSeq.sortBy(_._1)))
+        }
+        shards.flatMap { case (sid, blob) =>
+          graft.sources.Warc.parseShard(blob).map { r =>
+            (sid, r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+              r.url, r.contentLength, r.payload)
+          }
+        }.toDF("shard_id", "doc_id", "url", "content_length", "payload")
+          .select($"shard_id", $"doc_id", $"url", $"content_length",
+            md5($"payload").as("payload_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        SELECT CAST(doc_id // 10 AS BIGINT) AS shard_id, doc_id,
+               '${graft.sources.Warc.UrlPrefix}' || CAST(doc_id AS VARCHAR) AS url,
+               CAST(STRLEN(text) AS BIGINT) AS content_length,
+               MD5(text) AS payload_md5
+        FROM documents
+        ORDER BY doc_id"""),
+      doc = "WARC (.warc.gz) crawl-shard ingestion, pure JVM both ways: mux documents into WARC/1.0 records wrapped in per-record gzip members (the CommonCrawl seekable-shard format), demux with every frame verified loudly (member magic/FLG/CRC32/ISIZE, version line, Content-Length fill, CRLF CRLF record trailer) — oracle predicts shard, target URI, byte-exact Content-Length, and payload md5 from the source text, so any codec bug breaks the gate; deployment is binaryFile scan + per-file scalar demux, no shuffle.")
   )
 }

@@ -1,0 +1,194 @@
+package graft.sources
+
+/** WARC ingestion — the container a 100 TB text pipeline actually starts
+  * from: CommonCrawl publishes crawl shards as `.warc.gz`, a stream of
+  * INDIVIDUALLY-gzipped WARC records concatenated into one file (the
+  * per-record members are what make a multi-GB shard seekable and
+  * record-splittable). This module implements both halves pure-JVM, the
+  * Multimodal codec discipline (no format library, loud failures):
+  *
+  *   - MUX ([[buildShard]]): WARC/1.0 response records (version line,
+  *     `WARC-Type`/`WARC-Target-URI`/`WARC-Date`/`Content-Length`
+  *     headers, CRLF framing, the mandated CRLF CRLF record trailer —
+  *     ISO 28500 §4), each record wrapped in its OWN gzip member
+  *     (hand-rolled framing: fixed 10-byte header, raw-deflate body,
+  *     CRC32 + ISIZE trailer) and concatenated.
+  *   - DEMUX ([[parseShard]]): walks the members one Inflater at a time
+  *     (java.util.zip.GZIPInputStream would transparently concatenate
+  *     members and destroy the boundaries this format exists for),
+  *     verifies every member's magic, flags, CRC32 and ISIZE, then
+  *     parses each record's version line, headers, declared
+  *     Content-Length and record trailer. Every gate fails BY NAME —
+  *     a truncated shard or a flipped byte must kill the task, never
+  *     yield a silently-short corpus.
+  *
+  * The q217 gate runs the whole loop against documents muxed in-engine,
+  * so the DuckDB oracle predicts every parsed field (shard, url,
+  * byte-exact Content-Length, payload md5) from the source text alone —
+  * the q40/q50 codec-oracle trick applied to a SOURCE format. At
+  * deployment the blobs are files: `spark.read.format("binaryFile")` →
+  * `flatMap(parseShard)` is an embarrassingly parallel per-file scalar
+  * demux with no shuffle before downstream curation.
+  */
+object Warc {
+
+  final case class WarcRecord(url: String, warcType: String,
+                              contentLength: Long, payload: Array[Byte])
+
+  private val Crlf = "\r\n"
+
+  /** One constant for the synthetic target URIs — the q217 oracle
+    * interpolates it, so the Spark mux and the DuckDB replay cannot
+    * drift (the Bpe.oracleEncodeSql discipline).
+    */
+  private[graft] val UrlPrefix = "https://crawl.example.com/doc/"
+  private[graft] def recordUrl(docId: Long): String = s"$UrlPrefix$docId"
+
+  /** One WARC/1.0 response record, CRLF-framed per ISO 28500. */
+  private[graft] def recordBytes(docId: Long, payload: Array[Byte]): Array[Byte] = {
+    val header = new StringBuilder()
+      .append("WARC/1.0").append(Crlf)
+      .append("WARC-Type: response").append(Crlf)
+      .append("WARC-Target-URI: ").append(recordUrl(docId)).append(Crlf)
+      .append("WARC-Date: 2026-01-01T00:00:00Z").append(Crlf)
+      .append("Content-Length: ").append(payload.length).append(Crlf)
+      .append(Crlf)
+      .toString.getBytes("US-ASCII")
+    val trailer = (Crlf + Crlf).getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + payload.length + trailer.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    System.arraycopy(trailer, 0, out, header.length + payload.length, trailer.length)
+    out
+  }
+
+  /** One gzip member: 10-byte fixed header (FLG=0 — no name/extra/
+    * comment, so the reader's offset arithmetic is closed-form),
+    * raw-deflate body, CRC32 + ISIZE little-endian trailer.
+    */
+  private[graft] def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    deflater.setInput(payload)
+    deflater.finish()
+    val buf = new Array[Byte](math.max(64, payload.length + 64))
+    val body = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) body.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    body.writeTo(out)
+    def le32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue)
+    le32(payload.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Build one `.warc.gz` shard blob: each (docId, text) becomes one
+    * record in its own gzip member, concatenated in input order.
+    */
+  def buildShard(records: Seq[(Long, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { case (id, text) =>
+      out.write(gzipMember(recordBytes(id, text.getBytes("UTF-8"))))
+    }
+    out.toByteArray
+  }
+
+  /** Walk the shard's gzip members (one record each), verifying every
+    * frame. Returns records in shard order.
+    */
+  def parseShard(blob: Array[Byte]): Seq[WarcRecord] = {
+    val records = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var o = 0
+    while (o < blob.length) {
+      require(blob.length - o >= 18,
+        s"truncated shard: ${blob.length - o} bytes at offset $o cannot hold " +
+          "a gzip member (10-byte header + 8-byte trailer)")
+      require((blob(o) & 0xff) == 0x1f && (blob(o + 1) & 0xff) == 0x8b,
+        f"not a gzip member at offset $o (magic 0x${blob(o) & 0xff}%02x${blob(o + 1) & 0xff}%02x)")
+      require(blob(o + 2) == 8, s"gzip member at $o: unsupported method ${blob(o + 2)}")
+      require(blob(o + 3) == 0,
+        s"gzip member at $o: FLG=${blob(o + 3)} — this reader writes and " +
+          "reads bare members (no FNAME/FEXTRA/FCOMMENT)")
+      val inflater = new java.util.zip.Inflater(true)
+      inflater.setInput(blob, o + 10, blob.length - o - 10)
+      val chunk = new Array[Byte](8192)
+      val body = new java.io.ByteArrayOutputStream()
+      while (!inflater.finished()) {
+        val n = try inflater.inflate(chunk) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"gzip member at $o: corrupt deflate stream (${e.getMessage})")
+        }
+        require(n > 0 || inflater.finished(),
+          s"gzip member at $o: deflate stream ended without BFINAL — truncated member")
+        body.write(chunk, 0, n)
+      }
+      val consumed = (blob.length - o - 10) - inflater.getRemaining
+      inflater.end()
+      val trailerAt = o + 10 + consumed
+      require(blob.length - trailerAt >= 8,
+        s"gzip member at $o: truncated before the CRC32/ISIZE trailer")
+      def le32(p: Int): Long =
+        (0 until 4).map(i => (blob(p + i).toLong & 0xff) << (8 * i)).sum
+      val payload = body.toByteArray
+      val crc = new java.util.zip.CRC32(); crc.update(payload)
+      require(le32(trailerAt) == crc.getValue,
+        s"gzip member at $o: CRC32 mismatch — refusing a corrupted record")
+      require(le32(trailerAt + 4) == (payload.length.toLong & 0xffffffffL),
+        s"gzip member at $o: ISIZE ${le32(trailerAt + 4)} != ${payload.length}")
+      records += parseRecord(payload, o)
+      o = trailerAt + 8
+    }
+    records.toSeq
+  }
+
+  /** Parse one decompressed WARC record: version line, headers,
+    * Content-Length-bounded payload, mandatory CRLF CRLF trailer,
+    * nothing after it.
+    */
+  private def parseRecord(rec: Array[Byte], memberOffset: Int): WarcRecord = {
+    val sep = indexOf(rec, s"$Crlf$Crlf".getBytes("US-ASCII"), 0)
+    require(sep >= 0,
+      s"record in member at $memberOffset: no header/payload separator")
+    val headerText = new String(rec, 0, sep, "US-ASCII")
+    val lines = headerText.split(Crlf)
+    require(lines.head == "WARC/1.0",
+      s"record in member at $memberOffset: version line '${lines.head.take(32)}' is not WARC/1.0")
+    val headers = lines.tail.map { l =>
+      val i = l.indexOf(": ")
+      require(i > 0, s"record in member at $memberOffset: malformed header line '${l.take(48)}'")
+      l.substring(0, i) -> l.substring(i + 2)
+    }.toMap
+    val cl = headers.getOrElse("Content-Length",
+      throw new IllegalArgumentException(
+        s"record in member at $memberOffset: no Content-Length header")).toLong
+    val payloadStart = sep + 4
+    require(rec.length == payloadStart + cl + 4,
+      s"record in member at $memberOffset: declared Content-Length $cl does not " +
+        s"fill the member (payload + CRLF CRLF trailer: have ${rec.length - payloadStart} bytes)")
+    require(new String(rec, (payloadStart + cl).toInt, 4, "US-ASCII") == s"$Crlf$Crlf",
+      s"record in member at $memberOffset: missing the mandated CRLF CRLF record trailer")
+    WarcRecord(
+      url = headers.getOrElse("WARC-Target-URI",
+        throw new IllegalArgumentException(
+          s"record in member at $memberOffset: no WARC-Target-URI header")),
+      warcType = headers.getOrElse("WARC-Type", ""),
+      contentLength = cl,
+      payload = java.util.Arrays.copyOfRange(rec, payloadStart, (payloadStart + cl).toInt))
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

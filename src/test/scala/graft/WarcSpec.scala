@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+
+/** Pins the WARC codec beyond the q217 gate: byte-exact round trips
+  * over adversarial payloads (empty, multibyte, CRLF-CRLF-bearing), and
+  * every framing gate failing BY NAME — a crawl shard with a flipped
+  * byte must kill the task, never yield a silently-short corpus.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  test("round trip: fields and payload bytes survive, incl. empty, multibyte, and CRLF-CRLF payloads") {
+    val docs = Seq(
+      (1L, ""),                       // empty payload: Content-Length 0
+      (2L, "hello world"),
+      (3L, "数据处理引擎 big data"),     // Content-Length is UTF-8 BYTES
+      (10L, "a\r\nb\r\n\r\nc"),        // CRLF CRLF INSIDE the payload
+      (11L, "tail\r\n\r\n"))           // payload ENDING in the trailer bytes
+    val blob = Warc.buildShard(docs)
+    val recs = Warc.parseShard(blob)
+    assert(recs.size == docs.size)
+    docs.zip(recs).foreach { case ((id, text), r) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(r.url == Warc.recordUrl(id) && r.warcType == "response")
+      assert(r.contentLength == bytes.length,
+        s"doc $id: Content-Length must count UTF-8 bytes")
+      assert(java.util.Arrays.equals(r.payload, bytes), s"doc $id payload mangled")
+    }
+    // member boundaries are real: each record parses from its own member,
+    // so a prefix of the blob ending at a boundary parses cleanly
+    val one = Warc.buildShard(docs.take(1))
+    assert(Warc.parseShard(blob.take(one.length)).size == 1)
+  }
+
+  test("every framing gate fails by name") {
+    val blob = Warc.buildShard(Seq(5L -> "some payload text here"))
+    def mutated(i: Int, b: Byte): Array[Byte] = {
+      val m = blob.clone(); m(i) = b; m
+    }
+    val eMagic = intercept[IllegalArgumentException](Warc.parseShard(mutated(0, 0)))
+    assert(eMagic.getMessage.contains("not a gzip member"), eMagic.getMessage)
+    val eFlg = intercept[IllegalArgumentException](Warc.parseShard(mutated(3, 8)))
+    assert(eFlg.getMessage.contains("FLG"), eFlg.getMessage)
+    val eCrc = intercept[IllegalArgumentException](
+      Warc.parseShard(mutated(blob.length - 6, (blob(blob.length - 6) ^ 1).toByte)))
+    assert(eCrc.getMessage.contains("CRC32"), eCrc.getMessage)
+    val eIsz = intercept[IllegalArgumentException](
+      Warc.parseShard(mutated(blob.length - 1, (blob(blob.length - 1) ^ 1).toByte)))
+    assert(eIsz.getMessage.contains("ISIZE"), eIsz.getMessage)
+    val eTrunc = intercept[IllegalArgumentException](
+      Warc.parseShard(blob.take(blob.length - 3)))
+    assert(eTrunc.getMessage.toLowerCase.contains("trunc"), eTrunc.getMessage)
+    // a deflate-body flip is either a CRC mismatch or a corrupt stream —
+    // both loud
+    val eBody = intercept[IllegalArgumentException](
+      Warc.parseShard(mutated(14, (blob(14) ^ 0x40).toByte)))
+    assert(eBody.getMessage.contains("CRC32") || eBody.getMessage.contains("corrupt")
+      || eBody.getMessage.contains("truncated"), eBody.getMessage)
+  }
+
+  test("record-grammar gates fail by name (crafted members)") {
+    def member(s: String): Array[Byte] = Warc.gzipMember(s.getBytes("UTF-8"))
+    val eVer = intercept[IllegalArgumentException](
+      Warc.parseShard(member("HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n")))
+    assert(eVer.getMessage.contains("WARC/1.0"), eVer.getMessage)
+    val eFill = intercept[IllegalArgumentException](Warc.parseShard(member(
+      "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 5\r\n\r\nabc\r\n\r\n")))
+    assert(eFill.getMessage.contains("does not fill"), eFill.getMessage)
+    val eTrailer = intercept[IllegalArgumentException](Warc.parseShard(member(
+      "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 3\r\n\r\nabcXXXX")))
+    assert(eTrailer.getMessage.contains("CRLF CRLF"), eTrailer.getMessage)
+    val eNoCl = intercept[IllegalArgumentException](Warc.parseShard(member(
+      "WARC/1.0\r\nWARC-Target-URI: u\r\n\r\n\r\n\r\n")))
+    assert(eNoCl.getMessage.contains("Content-Length"), eNoCl.getMessage)
+  }
+}
