@@ -26,6 +26,19 @@ object ExportQueries {
   private val trickySql =
     """'"' || SUBSTR(text, 1, 20) || ',' || CHR(10) || 'end'"""
 
+  /** The q218 page template — ONE constant pair interpolated into both
+    * the Spark mux and the DuckDB oracle (no single quotes: the SQL
+    * embeds them verbatim). Carries a script block and two nav anchors
+    * so the extraction chain has real work on every page. Defined
+    * BEFORE `queries`: the oracle string interpolates these at object
+    * initialization, so a definition below the `queries` val would
+    * capture null (the bug the first q218 run caught).
+    */
+  private[queries] val PagePrefix: String =
+    "<html><head><title>doc page</title><script>var x = 1;</script></head>" +
+      "<body><nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav><p>"
+  private[queries] val PageSuffix: String = "</p></body></html>"
+
   private def exported(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(
@@ -144,6 +157,64 @@ object ExportQueries {
                MD5(text) AS payload_md5
         FROM documents
         ORDER BY doc_id"""),
-      doc = "WARC (.warc.gz) crawl-shard ingestion, pure JVM both ways: mux documents into WARC/1.0 records wrapped in per-record gzip members (the CommonCrawl seekable-shard format), demux with every frame verified loudly (member magic/FLG/CRC32/ISIZE, version line, Content-Length fill, CRLF CRLF record trailer) — oracle predicts shard, target URI, byte-exact Content-Length, and payload md5 from the source text, so any codec bug breaks the gate; deployment is binaryFile scan + per-file scalar demux, no shuffle.")
+      doc = "WARC (.warc.gz) crawl-shard ingestion, pure JVM both ways: mux documents into WARC/1.0 records wrapped in per-record gzip members (the CommonCrawl seekable-shard format), demux with every frame verified loudly (member magic/FLG/CRC32/ISIZE, version line, Content-Length fill, CRLF CRLF record trailer) — oracle predicts shard, target URI, byte-exact Content-Length, and payload md5 from the source text, so any codec bug breaks the gate; deployment is binaryFile scan + per-file scalar demux, no shuffle."),
+
+    Q(
+      "q218_crawl_ladder",
+      (s, d) => {
+        import s.implicits._
+        // THE FULL CRAWL-TO-TEXT LADDER in one oracle-gated pass:
+        // WARC member → HTTP response → HTML page → extracted text +
+        // link-density signal — the exact front-end every web corpus
+        // (C4, CCNet, RefinedWeb, FineWeb) runs before curation, with
+        // every layer's framing verified loudly on the way down. The
+        // oracle sees through the container layers because mux/demux
+        // are exact inverses (q217's and parseHttp's byte gates prove
+        // it): DuckDB wraps the source text in the SAME page template
+        // (one constant pair, interpolated) and replays the q191
+        // extraction chain (HtmlOracleSql — shared, so q191 and this
+        // row can never drift), predicting link counts, byte-exact
+        // text length, integral-permille link density, and the
+        // extracted-text md5 with three container formats in between.
+        // Scale shape: the mux groupByKey exists only so the oracle
+        // can see through the round trip; deployment is binaryFile
+        // scan → flatMap(parseShard) → parseHttp → htmlExtract, a
+        // per-file scalar demux plus codegen'd scalar extraction —
+        // no shuffle before curation at any corpus size.
+        val docs = Tables.documents(s, d).select($"doc_id", $"text").as[(Long, String)]
+        val shards = docs.groupByKey(_._1 / 10).mapGroups { (sid, it) =>
+          val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            (id, graft.sources.Warc.httpMessage(PagePrefix + text + PageSuffix))
+          }
+          (sid, graft.sources.Warc.buildShard(recs))
+        }
+        val pages = shards.flatMap { case (_, blob) =>
+          graft.sources.Warc.parseShard(blob).map { r =>
+            val http = graft.sources.Warc.parseHttp(r.payload)
+            (r.url.substring(r.url.lastIndexOf('/') + 1).toLong, http.body)
+          }
+        }.toDF("doc_id", "html")
+        graft.functions.TextFns.htmlExtract(pages, "doc_id", "html")
+          .select($"doc_id", $"n_links", $"link_chars", $"text_chars",
+            $"link_permille", md5($"text").as("text_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH page AS (
+          SELECT doc_id, '$PagePrefix' || text || '$PageSuffix' AS html
+          FROM documents),
+        ex AS (
+          SELECT doc_id,
+                 ${TextQueries.HtmlOracleSql.stripped("html")} AS text,
+                 ${TextQueries.HtmlOracleSql.linkCols("html")}
+          FROM page)
+        SELECT doc_id, n_links, link_chars,
+               CAST(LENGTH(text) AS BIGINT) AS text_chars,
+               CAST(CASE WHEN LENGTH(text) > 0
+                    THEN (link_chars * 1000) // LENGTH(text) ELSE 0 END AS BIGINT) AS link_permille,
+               MD5(text) AS text_md5
+        FROM ex
+        ORDER BY doc_id"""),
+      doc = "The full crawl-to-text ladder end to end: WARC gzip members → HTTP/1.1 response parse (status grammar + Content-Length body verification) → HTML page → q191 extraction chain, in one pass with every container frame verified loudly — the oracle wraps the source text in the same one-constant page template and replays the shared extraction SQL, predicting link counts, text length, link density, and extracted-text md5 through three container formats; deployment is a per-file scalar demux + codegen'd extraction, no shuffle before curation.")
   )
 }

@@ -547,34 +547,11 @@ object TextQueries {
         .orderBy($"doc_id")
     },
     Some {
-      import graft.functions.TextFns._
-      // the strip chain replayed in DuckDB for an input expression,
-      // generated from the SAME pattern constants the Spark side uses
-      def blocksRemoved(e: String): String = {
-        val noComment = s"REGEXP_REPLACE($e, '$HtmlCommentPattern', ' ', 'g')"
-        val noScript = s"REGEXP_REPLACE($noComment, '$HtmlScriptPattern', ' ', 'g')"
-        s"REGEXP_REPLACE($noScript, '$HtmlStylePattern', ' ', 'g')"
-      }
-      // anchors extracted from the blocks-removed form (commented-out
-      // links are dead); bodies re-stripped so nested tags don't count
-      def tagsEntities(e: String): String = {
-        val noTags = s"REGEXP_REPLACE($e, '$HtmlTagPattern', ' ', 'g')"
-        val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
-          s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
-        }
-        s"TRIM(REGEXP_REPLACE($decoded, '$HtmlSpacePattern', ' ', 'g'))"
-      }
-      // the document chain IS the anchor chain over the blocks-removed
-      // form — one definition, so the two can never drift apart
-      def stripped(e: String): String = tagsEntities(blocksRemoved(e))
-      val anchors = s"REGEXP_EXTRACT_ALL(${blocksRemoved("html")}, '$HtmlAnchorPattern', 1)"
       s"""
       WITH ex AS (
         SELECT doc_id,
-               ${stripped("html")} AS text,
-               CAST(LEN($anchors) AS BIGINT) AS n_links,
-               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM($anchors,
-                 a -> LENGTH(${tagsEntities("a")}))), 0) AS BIGINT) AS link_chars
+               ${HtmlOracleSql.stripped("html")} AS text,
+               ${HtmlOracleSql.linkCols("html")}
         FROM read_parquet('${HtmlFixture.Root}/*.parquet'))
       SELECT doc_id, n_links, link_chars,
              CAST(LENGTH(text) AS BIGINT) AS text_chars,
@@ -585,6 +562,39 @@ object TextQueries {
       ORDER BY doc_id"""
     },
     doc = "HTML -> text extraction + link-density boilerplate signal over a 1 200-doc generated HTML fixture (nav bars, scripts, styles, comments, entities, nested-tag anchors, double-encoding / unclosed-tag / script-only / link-only edges): RE2-safe regex chain shared verbatim with the oracle, integral-permille link density, one codegen'd scalar pass.")
+
+  /** The q191 extraction chain replayed in DuckDB for an input
+    * expression — generated from the SAME pattern constants the Spark
+    * side uses, factored so q191 (the fixture gate) and q218 (the
+    * WARC→HTTP→HTML ladder) share one replay and can never drift.
+    */
+  private[queries] object HtmlOracleSql {
+    import graft.functions.TextFns._
+    def blocksRemoved(e: String): String = {
+      val noComment = s"REGEXP_REPLACE($e, '$HtmlCommentPattern', ' ', 'g')"
+      val noScript = s"REGEXP_REPLACE($noComment, '$HtmlScriptPattern', ' ', 'g')"
+      s"REGEXP_REPLACE($noScript, '$HtmlStylePattern', ' ', 'g')"
+    }
+    // anchors extracted from the blocks-removed form (commented-out
+    // links are dead); bodies re-stripped so nested tags don't count
+    def tagsEntities(e: String): String = {
+      val noTags = s"REGEXP_REPLACE($e, '$HtmlTagPattern', ' ', 'g')"
+      val decoded = HtmlEntities.foldLeft(noTags) { case (acc, (ent, rep)) =>
+        s"REPLACE($acc, '$ent', '${rep.replace("'", "''")}')"
+      }
+      s"TRIM(REGEXP_REPLACE($decoded, '$HtmlSpacePattern', ' ', 'g'))"
+    }
+    // the document chain IS the anchor chain over the blocks-removed
+    // form — one definition, so the two can never drift apart
+    def stripped(e: String): String = tagsEntities(blocksRemoved(e))
+    def anchors(e: String): String =
+      s"REGEXP_EXTRACT_ALL(${blocksRemoved(e)}, '$HtmlAnchorPattern', 1)"
+    /** `n_links` + `link_chars` column pair for an html expression. */
+    def linkCols(e: String): String =
+      s"""CAST(LEN(${anchors(e)}) AS BIGINT) AS n_links,
+               CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(${anchors(e)},
+                 a -> LENGTH(${tagsEntities("a")}))), 0) AS BIGINT) AS link_chars"""
+  }
 
   /** Deterministic HTML corpus: 1 200 generated pages (nav with 6 links,
     * script + style + comment blocks each containing trap markup, three

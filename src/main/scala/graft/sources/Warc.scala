@@ -181,6 +181,46 @@ object Warc {
       payload = java.util.Arrays.copyOfRange(rec, payloadStart, (payloadStart + cl).toInt))
   }
 
+  // ---- the HTTP layer inside response records --------------------------
+  // Real WARC response payloads are HTTP messages, not bare documents:
+  // the crawl-to-text ladder is WARC member → HTTP response → HTML →
+  // text. The mux/demux pair below carries that layer with the same
+  // loud-gate discipline (q218 runs the whole ladder end to end).
+
+  final case class HttpResponse(status: Int, body: String)
+
+  /** Wrap an HTML page as a minimal HTTP/1.1 200 response message
+    * (Content-Length counts BODY bytes — UTF-8).
+    */
+  private[graft] def httpMessage(html: String): String = {
+    val n = html.getBytes("UTF-8").length
+    s"HTTP/1.1 200 OK${Crlf}Content-Type: text/html; charset=utf-8$Crlf" +
+      s"Content-Length: $n$Crlf$Crlf$html"
+  }
+
+  /** Parse an HTTP response payload: status line grammar, headers,
+    * Content-Length-verified body. Fails by name — a half-fetched page
+    * must never enter the corpus as truncated text.
+    */
+  def parseHttp(payload: Array[Byte]): HttpResponse = {
+    val sep = indexOf(payload, s"$Crlf$Crlf".getBytes("US-ASCII"), 0)
+    require(sep >= 0, "HTTP message: no header/body separator")
+    val lines = new String(payload, 0, sep, "US-ASCII").split(Crlf)
+    val status = lines.head.split(" ")
+    require(status.length >= 2 && status(0) == "HTTP/1.1" && status(1).forall(_.isDigit),
+      s"not an HTTP/1.1 response: '${lines.head.take(40)}'")
+    val cl = lines.tail.collectFirst {
+      case l if l.toLowerCase.startsWith("content-length:") =>
+        l.substring(15).trim.toLong
+    }.getOrElse(throw new IllegalArgumentException(
+      "HTTP message: no Content-Length header"))
+    val body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    require(body.length == cl,
+      s"HTTP Content-Length $cl does not match the ${body.length}-byte body — " +
+        "truncated fetch, refusing the record")
+    HttpResponse(status(1).toInt, new String(body, "UTF-8"))
+  }
+
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = from
     while (i <= hay.length - needle.length) {

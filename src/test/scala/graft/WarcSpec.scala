@@ -59,6 +59,31 @@ class WarcSpec extends AnyFunSuite {
       || eBody.getMessage.contains("truncated"), eBody.getMessage)
   }
 
+  test("HTTP layer: round trip + every gate fails by name") {
+    val html = "<p>body with 多字节 text</p>"
+    val msg = Warc.httpMessage(html).getBytes("UTF-8")
+    val r = Warc.parseHttp(msg)
+    assert(r.status == 200 && r.body == html)
+    def bytes(s: String) = s.getBytes("UTF-8")
+    val eSep = intercept[IllegalArgumentException](
+      Warc.parseHttp(bytes("HTTP/1.1 200 OK\r\nContent-Length: 0")))
+    assert(eSep.getMessage.contains("separator"), eSep.getMessage)
+    val eLine = intercept[IllegalArgumentException](
+      Warc.parseHttp(bytes("ICY 200 OK\r\n\r\nx")))
+    assert(eLine.getMessage.contains("HTTP/1.1"), eLine.getMessage)
+    val eNoCl = intercept[IllegalArgumentException](
+      Warc.parseHttp(bytes("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx")))
+    assert(eNoCl.getMessage.contains("Content-Length"), eNoCl.getMessage)
+    // a truncated fetch: declared length exceeds the delivered body
+    val eShort = intercept[IllegalArgumentException](
+      Warc.parseHttp(msg.take(msg.length - 3)))
+    assert(eShort.getMessage.contains("truncated fetch"), eShort.getMessage)
+    // non-200 statuses parse (filtering them is a curation decision,
+    // not a parse error)
+    assert(Warc.parseHttp(bytes(
+      "HTTP/1.1 404 Not Found\r\nContent-Length: 2\r\n\r\nno")).status == 404)
+  }
+
   test("record-grammar gates fail by name (crafted members)") {
     def member(s: String): Array[Byte] = Warc.gzipMember(s.getBytes("UTF-8"))
     val eVer = intercept[IllegalArgumentException](
