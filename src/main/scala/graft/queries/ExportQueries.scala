@@ -34,10 +34,10 @@ object ExportQueries {
     * initialization, so a definition below the `queries` val would
     * capture null (the bug the first q218 run caught).
     */
-  private[queries] val PagePrefix: String =
+  private[graft] val PagePrefix: String =
     "<html><head><title>doc page</title><script>var x = 1;</script></head>" +
       "<body><nav><a href=\"/home\">home</a> <a href=\"/about\">about</a></nav><p>"
-  private[queries] val PageSuffix: String = "</p></body></html>"
+  private[graft] val PageSuffix: String = "</p></body></html>"
 
   private def exported(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)

@@ -202,4 +202,38 @@ class PropertySpec extends AnyFunSuite {
       luhnSum(card) % 10 == 0 && luhnSum(mutated) % 10 != 0
     })
   }
+
+  test("WARC shard mux/demux round-trips arbitrary unicode payload sets (incl. CRLF runs and empties)") {
+    import graft.sources.Warc
+    // piece pool biased toward the framing's own alphabet: CRLF pairs,
+    // bare CR/LF, header-grammar fragments, multibyte — the payload may
+    // contain anything the container uses as structure
+    val piece = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)), Gen.const("\r\n"),
+      Gen.const("\r\n\r\n"), Gen.const("Content-Length: 7"),
+      Gen.const("WARC/1.0"), Gen.const("数据"), Gen.const(""), Gen.const("\n"))
+    val doc = for {
+      id <- Gen.choose(0L, 1000000L)
+      parts <- Gen.listOf(piece)
+    } yield (id, parts.mkString)
+    check(Prop.forAll(Gen.listOf(doc)) { docs =>
+      val recs = Warc.parseShard(Warc.buildShard(docs))
+      recs.size == docs.size && docs.zip(recs).forall { case ((id, text), r) =>
+        val bytes = text.getBytes("UTF-8")
+        r.url == Warc.recordUrl(id) && r.contentLength == bytes.length &&
+          java.util.Arrays.equals(r.payload, bytes)
+      }
+    })
+  }
+
+  test("HTTP message wrap/parse round-trips arbitrary bodies byte-exactly") {
+    import graft.sources.Warc
+    val body = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(10)), Gen.const("\r\n\r\n"),
+      Gen.const("Content-Length: 3"), Gen.const("多字节"))).map(_.mkString)
+    check(Prop.forAll(body) { b =>
+      val r = Warc.parseHttp(Warc.httpMessage(b).getBytes("UTF-8"))
+      r.status == 200 && r.body == b
+    })
+  }
 }

@@ -1471,4 +1471,54 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming c4KeptLines diverged from batch: ${got.size} vs ${batch.size} rows")
     } finally q.stop()
   }
+
+  test("streaming crawl ingest: .warc.gz shards as micro-batches through the q218 ladder EQUAL the batch extraction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warc
+    // the live-crawl deployment: shard FILES arrive continuously, each
+    // micro-batch demuxes its members, parses the HTTP layer, and runs
+    // the extraction chain — all stateless per shard, so the whole
+    // q218 ladder streams unchanged (the c4/gopher ingest-twin shape,
+    // one layer deeper: three container formats inside the stream)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    def page(text: String) =
+      graft.queries.ExportQueries.PagePrefix + text + graft.queries.ExportQueries.PageSuffix
+    val shards = docs.grouped(10).zipWithIndex.map { case (g, i) =>
+      (i.toLong, Warc.buildShard(g.map { case (id, t) => (id, Warc.httpMessage(page(t))) }))
+    }.toSeq
+    assert(shards.size >= 5, s"want several shards, got ${shards.size}")
+
+    def ladder(df: org.apache.spark.sql.Dataset[(Long, Array[Byte])]) = {
+      val pages = df.flatMap { case (_, blob) =>
+        Warc.parseShard(blob).map { r =>
+          val http = Warc.parseHttp(r.payload)
+          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong, http.body)
+        }
+      }.toDF("doc_id", "html")
+      graft.functions.TextFns.htmlExtract(pages, "doc_id", "html")
+        .select($"doc_id", $"n_links", $"link_chars", $"text_chars",
+          $"link_permille", org.apache.spark.sql.functions.md5($"text").as("text_md5"))
+    }
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val batch = toSet(ladder(shards.toDS()))
+    assert(batch.size == docs.size)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+    val q = ladder(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("crawl_ingest").start()
+    try {
+      val (w1, w2) = shards.splitAt(shards.size / 2)
+      input.addData(w1)
+      q.processAllAvailable()
+      input.addData(w2)
+      q.processAllAvailable()
+      val got = toSet(spark.table("crawl_ingest"))
+      assert(got == batch,
+        s"streaming crawl ladder diverged from batch: ${got.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
 }
