@@ -111,6 +111,14 @@ object TokenDecontam {
     * the probe's — a mismatch on either axis joins to nothing and
     * would otherwise read as "no contamination". The value checks read
     * ONE row (both columns are constant by construction).
+    *
+    * FORMAT MIGRATION NOTE: indexes persisted before the `tok` column
+    * existed are refused here BY DESIGN and must be rebuilt with
+    * [[tokenWindowIndex]] — a legacy index records no tokenizer
+    * identity, so "assume StandardMerges" would re-admit exactly the
+    * silent train/serve tokenizer skew this gate exists to refuse.
+    * The rebuild is one pass over the train corpus; the refusal
+    * message names it.
     */
   private def requireTokenState(state: DataFrame, n: Int,
                                 merges: Seq[(String, String)]): Unit = {

@@ -137,7 +137,9 @@ object ExportQueries {
         // (one groupByKey over the fixture) exists only so the oracle
         // can see through the round trip.
         val docs = Tables.documents(s, d).select($"doc_id", $"text").as[(Long, String)]
-        val shards = docs.groupByKey(_._1 / 10).mapGroups { (sid, it) =>
+        // floorDiv, not /: the oracle buckets with DuckDB`s // (floor), and the
+        // two diverge on negative ids
+        val shards = docs.groupByKey(d => Math.floorDiv(d._1, 10L)).mapGroups { (sid, it) =>
           (sid, graft.sources.Warc.buildShard(it.toSeq.sortBy(_._1)))
         }
         shards.flatMap { case (sid, blob) =>
@@ -182,7 +184,9 @@ object ExportQueries {
         // per-file scalar demux plus codegen'd scalar extraction —
         // no shuffle before curation at any corpus size.
         val docs = Tables.documents(s, d).select($"doc_id", $"text").as[(Long, String)]
-        val shards = docs.groupByKey(_._1 / 10).mapGroups { (sid, it) =>
+        // floorDiv, not /: the oracle buckets with DuckDB`s // (floor), and the
+        // two diverge on negative ids
+        val shards = docs.groupByKey(d => Math.floorDiv(d._1, 10L)).mapGroups { (sid, it) =>
           val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
             (id, graft.sources.Warc.httpMessage(PagePrefix + text + PageSuffix))
           }

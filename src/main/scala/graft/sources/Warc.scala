@@ -11,16 +11,27 @@ package graft.sources
   *     `WARC-Type`/`WARC-Target-URI`/`WARC-Date`/`Content-Length`
   *     headers, CRLF framing, the mandated CRLF CRLF record trailer —
   *     ISO 28500 §4), each record wrapped in its OWN gzip member
-  *     (hand-rolled framing: fixed 10-byte header, raw-deflate body,
-  *     CRC32 + ISIZE trailer) and concatenated.
+  *     (hand-rolled framing: fixed 10-byte header with FLG=0,
+  *     raw-deflate body, CRC32 + ISIZE trailer) and concatenated.
   *   - DEMUX ([[parseShard]]): walks the members one Inflater at a time
   *     (java.util.zip.GZIPInputStream would transparently concatenate
   *     members and destroy the boundaries this format exists for),
-  *     verifies every member's magic, flags, CRC32 and ISIZE, then
-  *     parses each record's version line, headers, declared
-  *     Content-Length and record trailer. Every gate fails BY NAME —
-  *     a truncated shard or a flipped byte must kill the task, never
-  *     yield a silently-short corpus.
+  *     verifies every member's magic, CRC32 and ISIZE, then parses each
+  *     record's version line, headers, declared Content-Length and
+  *     record trailer. Every gate fails BY NAME — a truncated shard or
+  *     a flipped byte must kill the task, never yield a silently-short
+  *     corpus.
+  *
+  * Dialect breadth: the reader accepts what real crawl shards carry,
+  * not just its own mux — optional gzip header fields (FEXTRA / FNAME /
+  * FCOMMENT skipped, FHCRC verified; RFC 1952 §2.3.1), WARC/1.0 and
+  * WARC/1.1 version lines, HTTP/1.0 and HTTP/1.1 responses, and
+  * `Transfer-Encoding: chunked` bodies (RFC 9112 §7.1, decoded with the
+  * same loud framing gates). The one deliberate refusal: an HTTP body
+  * with NEITHER Content-Length NOR chunked framing, because a truncated
+  * fetch of such a message is undetectable — admitting it would trade
+  * the module's no-silently-short-corpus guarantee for coverage of a
+  * response shape CommonCrawl's own fetcher normalizes away.
   *
   * The q217 gate runs the whole loop against documents muxed in-engine,
   * so the DuckDB oracle predicts every parsed field (shard, url,
@@ -110,11 +121,44 @@ object Warc {
       require((blob(o) & 0xff) == 0x1f && (blob(o + 1) & 0xff) == 0x8b,
         f"not a gzip member at offset $o (magic 0x${blob(o) & 0xff}%02x${blob(o + 1) & 0xff}%02x)")
       require(blob(o + 2) == 8, s"gzip member at $o: unsupported method ${blob(o + 2)}")
-      require(blob(o + 3) == 0,
-        s"gzip member at $o: FLG=${blob(o + 3)} — this reader writes and " +
-          "reads bare members (no FNAME/FEXTRA/FCOMMENT)")
+      val flg = blob(o + 3) & 0xff
+      require((flg & 0xe0) == 0,
+        f"gzip member at $o: reserved FLG bits set (FLG=0x$flg%02x) — not a " +
+          "valid RFC 1952 member")
+      // Optional header fields (real crawl shards may carry any of these;
+      // the mux writes FLG=0): FEXTRA and name/comment strings are
+      // skipped, FHCRC is verified — a flipped header byte must still be
+      // loud.
+      def le16(p: Int): Int =
+        (blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8)
+      var bodyAt = o + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte XLEN then XLEN bytes
+        require(blob.length - bodyAt >= 2,
+          s"gzip member at $o: truncated inside the FEXTRA length field")
+        val xlen = le16(bodyAt)
+        bodyAt += 2 + xlen
+        require(blob.length - bodyAt >= 8,
+          s"gzip member at $o: FEXTRA of $xlen bytes overruns the member")
+      }
+      def skipZeroTerminated(field: String): Unit = {
+        val z = blob.indexOf(0.toByte, bodyAt)
+        require(z >= 0,
+          s"gzip member at $o: unterminated $field string — truncated member")
+        bodyAt = z + 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) { // FHCRC: CRC-16 of all header bytes so far
+        require(blob.length - bodyAt >= 2,
+          s"gzip member at $o: truncated inside the FHCRC field")
+        val hcrc = new java.util.zip.CRC32()
+        hcrc.update(blob, o, bodyAt - o)
+        require((hcrc.getValue & 0xffffL) == le16(bodyAt).toLong,
+          s"gzip member at $o: FHCRC mismatch — corrupted member header")
+        bodyAt += 2
+      }
       val inflater = new java.util.zip.Inflater(true)
-      inflater.setInput(blob, o + 10, blob.length - o - 10)
+      inflater.setInput(blob, bodyAt, blob.length - bodyAt)
       val chunk = new Array[Byte](8192)
       val body = new java.io.ByteArrayOutputStream()
       while (!inflater.finished()) {
@@ -127,9 +171,9 @@ object Warc {
           s"gzip member at $o: deflate stream ended without BFINAL — truncated member")
         body.write(chunk, 0, n)
       }
-      val consumed = (blob.length - o - 10) - inflater.getRemaining
+      val consumed = (blob.length - bodyAt) - inflater.getRemaining
       inflater.end()
-      val trailerAt = o + 10 + consumed
+      val trailerAt = bodyAt + consumed
       require(blob.length - trailerAt >= 8,
         s"gzip member at $o: truncated before the CRC32/ISIZE trailer")
       def le32(p: Int): Long =
@@ -156,16 +200,21 @@ object Warc {
       s"record in member at $memberOffset: no header/payload separator")
     val headerText = new String(rec, 0, sep, "US-ASCII")
     val lines = headerText.split(Crlf)
-    require(lines.head == "WARC/1.0",
-      s"record in member at $memberOffset: version line '${lines.head.take(32)}' is not WARC/1.0")
+    require(lines.head == "WARC/1.0" || lines.head == "WARC/1.1",
+      s"record in member at $memberOffset: version line '${lines.head.take(32)}' " +
+        "is not WARC/1.0 or WARC/1.1")
     val headers = lines.tail.map { l =>
       val i = l.indexOf(": ")
       require(i > 0, s"record in member at $memberOffset: malformed header line '${l.take(48)}'")
       l.substring(0, i) -> l.substring(i + 2)
     }.toMap
-    val cl = headers.getOrElse("Content-Length",
+    val clStr = headers.getOrElse("Content-Length",
       throw new IllegalArgumentException(
-        s"record in member at $memberOffset: no Content-Length header")).toLong
+        s"record in member at $memberOffset: no Content-Length header"))
+    require(clStr.nonEmpty && clStr.length <= 18 && clStr.forall(_.isDigit),
+      s"record in member at $memberOffset: non-numeric Content-Length " +
+        s"'${clStr.take(32)}'")
+    val cl = clStr.toLong
     val payloadStart = sep + 4
     require(rec.length == payloadStart + cl + 4,
       s"record in member at $memberOffset: declared Content-Length $cl does not " +
@@ -198,27 +247,99 @@ object Warc {
       s"Content-Length: $n$Crlf$Crlf$html"
   }
 
-  /** Parse an HTTP response payload: status line grammar, headers,
-    * Content-Length-verified body. Fails by name — a half-fetched page
-    * must never enter the corpus as truncated text.
+  /** Parse an HTTP response payload: status line grammar (HTTP/1.0 or
+    * HTTP/1.1), headers, then a body verified against Content-Length or
+    * decoded from chunked framing. Fails by name — a half-fetched page
+    * must never enter the corpus as truncated text. A message with
+    * neither Content-Length nor chunked framing is REFUSED (truncation
+    * of such a body is undetectable).
     */
   def parseHttp(payload: Array[Byte]): HttpResponse = {
     val sep = indexOf(payload, s"$Crlf$Crlf".getBytes("US-ASCII"), 0)
     require(sep >= 0, "HTTP message: no header/body separator")
     val lines = new String(payload, 0, sep, "US-ASCII").split(Crlf)
-    val status = lines.head.split(" ")
-    require(status.length >= 2 && status(0) == "HTTP/1.1" && status(1).forall(_.isDigit),
-      s"not an HTTP/1.1 response: '${lines.head.take(40)}'")
-    val cl = lines.tail.collectFirst {
-      case l if l.toLowerCase.startsWith("content-length:") =>
-        l.substring(15).trim.toLong
-    }.getOrElse(throw new IllegalArgumentException(
-      "HTTP message: no Content-Length header"))
-    val body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
-    require(body.length == cl,
-      s"HTTP Content-Length $cl does not match the ${body.length}-byte body — " +
-        "truncated fetch, refusing the record")
+    // tokenize tolerantly (a double SP in the status line must not
+    // produce a phantom empty code), then gate each piece by name
+    val status = lines.head.split(" ").filter(_.nonEmpty)
+    require(status.length >= 2 &&
+        (status(0) == "HTTP/1.1" || status(0) == "HTTP/1.0"),
+      s"not an HTTP/1.0 or HTTP/1.1 response: '${lines.head.take(40)}'")
+    require(status(1).nonEmpty && status(1).length <= 9 &&
+        status(1).forall(_.isDigit),
+      s"HTTP message: non-numeric status code '${status(1).take(16)}' in " +
+        s"'${lines.head.take(40)}'")
+    def headerVal(lowerName: String): Option[String] =
+      lines.tail.collectFirst {
+        case l if l.toLowerCase.startsWith(lowerName + ":") =>
+          l.substring(lowerName.length + 1).trim
+      }
+    val raw = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    val body =
+      if (headerVal("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+        decodeChunked(raw)
+      else {
+        val clStr = headerVal("content-length").getOrElse(
+          throw new IllegalArgumentException(
+            "HTTP message: no Content-Length header and no chunked " +
+              "Transfer-Encoding — a truncated fetch would be undetectable; " +
+              "refusing the record"))
+        require(clStr.nonEmpty && clStr.length <= 18 && clStr.forall(_.isDigit),
+          s"HTTP message: non-numeric Content-Length '${clStr.take(32)}'")
+        val cl = clStr.toLong
+        require(raw.length == cl,
+          s"HTTP Content-Length $cl does not match the ${raw.length}-byte body — " +
+            "truncated fetch, refusing the record")
+        raw
+      }
     HttpResponse(status(1).toInt, new String(body, "UTF-8"))
+  }
+
+  /** Decode a `Transfer-Encoding: chunked` body (RFC 9112 §7.1):
+    * hex-size line (chunk extensions after `;` ignored), data, CRLF,
+    * repeating until the zero-size last chunk; an optional trailer
+    * section is tolerated. Chunked framing is self-delimiting, so every
+    * truncation or corruption is caught by a named gate here.
+    */
+  private[graft] def decodeChunked(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val crlf = Crlf.getBytes("US-ASCII")
+    var p = 0
+    var done = false
+    while (!done) {
+      val eol = indexOf(raw, crlf, p)
+      require(eol >= 0,
+        s"chunked body: no CRLF after the chunk-size line at offset $p — " +
+          "truncated fetch")
+      val sizeLine = new String(raw, p, eol - p, "US-ASCII")
+      val hex = sizeLine.split(";")(0).trim
+      require(hex.nonEmpty && hex.length <= 15 &&
+          hex.forall(c => (c >= '0' && c <= '9') ||
+            (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')),
+        s"chunked body: malformed chunk-size line '${sizeLine.take(32)}'")
+      val n = java.lang.Long.parseLong(hex, 16)
+      require(n <= Int.MaxValue.toLong,
+        s"chunked body: implausible chunk size $n")
+      p = eol + 2
+      if (n == 0L) {
+        // trailer section: zero or more header lines, then the final
+        // CRLF; tolerate a bare end (some fetchers strip it)
+        val rest = new String(raw, p, raw.length - p, "US-ASCII")
+        require(rest.isEmpty || rest.endsWith(Crlf),
+          s"chunked body: ${raw.length - p} trailing bytes after the last " +
+            "chunk do not form a CRLF-terminated trailer section")
+        done = true
+      } else {
+        require(raw.length - p >= n + 2,
+          s"chunked body: chunk of $n bytes at offset $p overruns the " +
+            "message — truncated fetch")
+        out.write(raw, p, n.toInt)
+        p += n.toInt
+        require(raw(p) == '\r' && raw(p + 1) == '\n',
+          s"chunked body: chunk data ending at offset $p not followed by CRLF")
+        p += 2
+      }
+    }
+    out.toByteArray
   }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {

@@ -40,8 +40,8 @@ class WarcSpec extends AnyFunSuite {
     }
     val eMagic = intercept[IllegalArgumentException](Warc.parseShard(mutated(0, 0)))
     assert(eMagic.getMessage.contains("not a gzip member"), eMagic.getMessage)
-    val eFlg = intercept[IllegalArgumentException](Warc.parseShard(mutated(3, 8)))
-    assert(eFlg.getMessage.contains("FLG"), eFlg.getMessage)
+    val eFlg = intercept[IllegalArgumentException](Warc.parseShard(mutated(3, 0x20)))
+    assert(eFlg.getMessage.contains("reserved FLG"), eFlg.getMessage)
     val eCrc = intercept[IllegalArgumentException](
       Warc.parseShard(mutated(blob.length - 6, (blob(blob.length - 6) ^ 1).toByte)))
     assert(eCrc.getMessage.contains("CRC32"), eCrc.getMessage)
@@ -98,5 +98,76 @@ class WarcSpec extends AnyFunSuite {
     val eNoCl = intercept[IllegalArgumentException](Warc.parseShard(member(
       "WARC/1.0\r\nWARC-Target-URI: u\r\n\r\n\r\n\r\n")))
     assert(eNoCl.getMessage.contains("Content-Length"), eNoCl.getMessage)
+    // a CRC-clean member whose Content-Length is garbage must fail BY
+    // NAME, not with a bare NumberFormatException
+    val eNan = intercept[IllegalArgumentException](Warc.parseShard(member(
+      "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: abc\r\n\r\n\r\n\r\n")))
+    assert(eNan.getMessage.contains("non-numeric Content-Length"), eNan.getMessage)
+  }
+
+  test("real-crawl dialects: optional gzip header fields, WARC/1.1, HTTP/1.0, chunked") {
+    // --- gzip members carrying FNAME / FEXTRA / FHCRC (RFC 1952 §2.3.1):
+    // rebuild a bare member's header with optional fields and re-parse
+    val rec = Warc.recordBytes(7L, "dialect payload".getBytes("UTF-8"))
+    val bare = Warc.gzipMember(rec)
+    val deflateAndTrailer = bare.drop(10)
+    def withHeader(flg: Int, extra: Array[Byte]): Array[Byte] = {
+      val header = Array[Byte](0x1f, 0x8b.toByte, 8, flg.toByte,
+        0, 0, 0, 0, 0, 0xff.toByte) ++ extra
+      header ++ deflateAndTrailer
+    }
+    val named = withHeader(8, "crawl-00.warc".getBytes("US-ASCII") :+ 0.toByte)
+    assert(Warc.parseShard(named).head.url == Warc.recordUrl(7L),
+      "FNAME member must parse")
+    val fextra = Array[Byte](4, 0) ++ "SLza".getBytes("US-ASCII") // XLEN=4
+    assert(Warc.parseShard(withHeader(4, fextra)).head.contentLength ==
+      "dialect payload".length, "FEXTRA member must parse")
+    // FHCRC: CRC-16 (low 16 bits of CRC32) over the header bytes so far
+    val hdrNoCrc = Array[Byte](0x1f, 0x8b.toByte, 8, 2, 0, 0, 0, 0, 0, 0xff.toByte)
+    val c = new java.util.zip.CRC32(); c.update(hdrNoCrc)
+    val crc16 = (c.getValue & 0xffffL).toInt
+    val good = hdrNoCrc ++ Array[Byte]((crc16 & 0xff).toByte,
+      ((crc16 >> 8) & 0xff).toByte) ++ deflateAndTrailer
+    assert(Warc.parseShard(good).head.warcType == "response",
+      "FHCRC member must parse when the header CRC is correct")
+    val bad = good.clone(); bad(5) = 1 // MTIME flip invalidates the FHCRC
+    val eHcrc = intercept[IllegalArgumentException](Warc.parseShard(bad))
+    assert(eHcrc.getMessage.contains("FHCRC"), eHcrc.getMessage)
+    // --- WARC/1.1 version line
+    val rec11 = new String(rec, "UTF-8").replaceFirst("WARC/1\\.0", "WARC/1.1")
+    assert(Warc.parseShard(Warc.gzipMember(rec11.getBytes("UTF-8")))
+      .head.contentLength == "dialect payload".length)
+    // --- HTTP/1.0 response
+    assert(Warc.parseHttp(
+      "HTTP/1.0 200 OK\r\nContent-Length: 2\r\n\r\nok".getBytes("UTF-8"))
+      .body == "ok")
+    // --- a doubled SP in the status line must not crash or mis-parse
+    assert(Warc.parseHttp(
+      "HTTP/1.1  301 Moved\r\nContent-Length: 0\r\n\r\n".getBytes("UTF-8"))
+      .status == 301)
+    val eCode = intercept[IllegalArgumentException](Warc.parseHttp(
+      "HTTP/1.1 abc OK\r\nContent-Length: 0\r\n\r\n".getBytes("UTF-8")))
+    assert(eCode.getMessage.contains("non-numeric status code"), eCode.getMessage)
+    val eClNan = intercept[IllegalArgumentException](Warc.parseHttp(
+      "HTTP/1.1 200 OK\r\nContent-Length: abc\r\n\r\n".getBytes("UTF-8")))
+    assert(eClNan.getMessage.contains("non-numeric Content-Length"), eClNan.getMessage)
+    // --- chunked bodies: multibyte text split across chunks reassembles
+    val text = "chunked 多字节 body"
+    val bytes = text.getBytes("UTF-8")
+    val (a, b) = bytes.splitAt(5)
+    def hex(n: Int) = Integer.toHexString(n)
+    val chunked = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      s"${hex(a.length)};ext=1\r\n").getBytes("UTF-8") ++ a ++
+      s"\r\n${hex(b.length)}\r\n".getBytes("UTF-8") ++ b ++
+      "\r\n0\r\n\r\n".getBytes("UTF-8")
+    assert(Warc.parseHttp(chunked).body == text)
+    // truncated mid-chunk and malformed sizes fail by name
+    val eChTrunc = intercept[IllegalArgumentException](
+      Warc.parseHttp(chunked.take(chunked.length - 12)))
+    assert(eChTrunc.getMessage.contains("chunked body"), eChTrunc.getMessage)
+    val eChSize = intercept[IllegalArgumentException](Warc.parseHttp(
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+        "xyz\r\nabc\r\n0\r\n\r\n").getBytes("UTF-8")))
+    assert(eChSize.getMessage.contains("chunk-size"), eChSize.getMessage)
   }
 }
