@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimQueries.queries ++ TypedQueries.queries ++ CurationQueries.queries ++
       CnpjLakeQueries.queries ++ AnalyticsQueries.queries ++
-      BehaviorQueries.queries ++ ExportQueries.queries
+      BehaviorQueries.queries ++ ExportQueries.queries ++
+      PipelineQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full star join: one fact shuffle, every dimension broadcast.

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine language identification — CCNet's stage 1 (Wenzek et al.
+  * 2020 §4.2 routes every downstream per-language decision through a
+  * fastText language classifier; a pipeline that cannot ASSIGN language
+  * cannot route anything). This is the trainable replacement for the
+  * q18 five-marker heuristic: a character-n-gram multinomial
+  * Naive-Bayes classifier in the [[NgramLm]] exact-integer discipline,
+  * so a DuckDB oracle replays every prediction bit-for-bit.
+  *
+  * Model: per-language char-n-gram counts `c_L(g)` with add-one
+  * smoothing over the GLOBAL n-gram vocabulary V. Scoring minimizes
+  * total surprisal (= maximizes likelihood; no class prior — the
+  * training label distribution is a corpus-construction artifact, not
+  * evidence about a new document):
+  *
+  *   bits_L(g) = log2((tot_L + V) / (c_L(g) + 1))        [milli-bits]
+  *
+  * summed over the document's n-gram INSTANCES; the predicted language
+  * is the argmin with ties broken by language code ascending (struct
+  * sort — deterministic on both engines), and the CONFIDENCE column is
+  * the margin to the runner-up in milli-bits (0 = a pure tie; small =
+  * ambiguous/mixed-language doc — the routing signal real pipelines
+  * threshold before trusting the assignment). Both mlog2 arguments are
+  * >= 1 and tot_L + V > c_L(g) + 1 - 1 (c <= tot, V >= 1), so every
+  * per-gram value is a nonnegative exact BIGINT.
+  *
+  * 100 TB story: the model is VOCABULARY-sized, not corpus-sized
+  * (fastText's LID model is a few MB for 176 languages) — counts and
+  * totals broadcast, so scoring a corpus is one scan: per-doc gram
+  * aggregation (map-side combinable on (doc, gram)), a broadcast join
+  * against the model, and one (doc, lang) aggregation; no shuffle
+  * carries document text. Training is one keyed aggregation over the
+  * labeled set plus a distinct-count action for V.
+  *
+  * Persistence ([[save]]/[[load]]): the [[ArtifactStore]] leg — counts
+  * and totals as manifest-gated parquet, `n` and `vocab` as manifest
+  * scalars, written manifest-LAST; load refuses version/format/schema
+  * skew by name, and [[requireCompatible]] refuses scoring with a
+  * model whose `n` differs from the caller's expectation (a skewed n
+  * silently extracts different grams and misroutes every document).
+  */
+object LangId {
+
+  /** The trained classifier: per-(lang, gram) counts, per-lang totals,
+    * the global n-gram vocabulary size, and the gram length.
+    */
+  final case class Model(counts: DataFrame, totals: DataFrame,
+                         vocab: Long, n: Int)
+
+  private[graft] val FormatName = "graft-langid"
+  private[graft] val Version = 1
+
+  // the q173/NgramLm fixed-point integer log2 kernel, inlined from
+  // BUILT-IN expressions so the operator works in any SparkSession
+  private def mlog2(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + shiftright(($x) * 1000, length(bin($x)) - 1) - 1000)"
+
+  /** Character n-gram INSTANCES per key row: `(keyCol, gram)`, one row
+    * per position (code-point indexed on both engines — DuckDB
+    * SUBSTRING/LENGTH and Spark substring/length agree on BMP text).
+    * The `length >= n` guard matters: sequence(1, 0) is the DESCENDING
+    * [1, 0], not empty (the NgramLm gotcha).
+    */
+  def charGrams(docs: DataFrame, keyCol: String, textCol: String,
+                n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"char n-gram length $n out of range [1, 8]")
+    docs.select(col(keyCol), col(textCol).as("__t"))
+      .select(col(keyCol), explode(expr(
+        s"if(length(__t) >= $n, transform(sequence(1, length(__t) - ${n - 1}), " +
+          s"i -> substring(__t, i, $n)), array())")).as("gram"))
+  }
+
+  /** Train on a labeled corpus: one (lang, gram) aggregation, totals
+    * derived from it, one distinct-count action for V. `prepare` is the
+    * storage hook (the NgramLm.train discipline): it wraps counts
+    * before the derived aggregations, so the V action, the totals
+    * rollup, and every downstream score join share one extraction pass.
+    */
+  def train(docs: DataFrame, langCol: String = "lang",
+            textCol: String = "text", n: Int = 2,
+            prepare: DataFrame => DataFrame = identity): Model = {
+    val counts = prepare(charGrams(docs, langCol, textCol, n)
+      .groupBy(col(langCol).as("lang"), col("gram"))
+      .agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    Model(counts, totals, counts.select(col("gram")).distinct().count(), n)
+  }
+
+  /** Total surprisal per (doc, lang) in exact integer milli-bits —
+    * every document gets a row for EVERY language (zero-gram docs score
+    * 0 everywhere: no evidence). Plan shape: per-doc gram aggregation,
+    * broadcast model joins, one (doc, lang) aggregation.
+    */
+  def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val dg = charGrams(docs, idCol, textCol, model.n)
+      .groupBy(col(idCol).as("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("k"))
+    val scored = dg
+      .crossJoin(broadcast(model.totals))
+      .join(broadcast(model.counts), Seq("lang", "gram"), "left")
+      .withColumn("bits", expr(
+        s"${mlog2(s"tot + ${model.vocab}L")} - ${mlog2("coalesce(c, 0L) + 1L")}"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("bits")).as("total_millibits"))
+    docs.select(col(idCol).as("doc_id"))
+      .crossJoin(broadcast(model.totals.select(col("lang"))))
+      .join(scored, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("total_millibits"), lit(0L)).as("total_millibits"))
+  }
+
+  /** Argmin language per document plus the runner-up margin:
+    * `(doc_id, pred_lang, best_millibits, margin_millibits)`. The
+    * per-doc collect is |languages|-bounded (the q214 cut-table
+    * argument — a language inventory is never corpus-scale), and the
+    * struct sort (total asc, lang asc) is the deterministic tie-break
+    * both engines share.
+    */
+  def predict(docs: DataFrame, model: Model, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    score(docs, model, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("total_millibits"), col("lang")))).as("r"))
+      .select(col("doc_id"),
+        col("r").getItem(0).getField("lang").as("pred_lang"),
+        col("r").getItem(0).getField("total_millibits").as("best_millibits"),
+        when(size(col("r")) > 1,
+          col("r").getItem(1).getField("total_millibits")
+            - col("r").getItem(0).getField("total_millibits"))
+          .otherwise(lit(0L)).as("margin_millibits"))
+
+  // ---- persistence (the ArtifactStore leg) ---------------------------
+
+  /** Persist: counts + totals as manifest-gated parquet, n and vocab as
+    * manifest scalars, manifest written LAST.
+    */
+  def save(model: Model, dir: String): Unit =
+    ArtifactStore.commit(dir, FormatName, Version,
+      Seq("counts" -> model.counts, "totals" -> model.totals)) { node =>
+      node.put("n", model.n)
+      node.put("vocab", model.vocab)
+    }
+
+  /** Load with every gate by name: manifest existence/format/version,
+    * per-table `_SUCCESS` + schema equality, scalar presence.
+    */
+  def load(spark: SparkSession, dir: String): Model = {
+    val m = ArtifactStore.manifest(dir, FormatName, Version,
+      "language-ID model")
+    def tab(name: String): DataFrame =
+      ArtifactStore.table(spark, dir, m, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$dir: manifest lists no `$name` table — not a complete " +
+            "language-ID model"))
+    require(m.has("n") && m.has("vocab"),
+      s"$dir/MANIFEST.json: missing the n/vocab scalars — a partial or " +
+        "foreign manifest")
+    Model(tab("counts"), tab("totals"),
+      m.path("vocab").asLong(), m.path("n").asInt())
+  }
+
+  /** Refuse a gram-length-skewed model by name: a model trained at a
+    * different n extracts different grams, joins to the add-one floor
+    * everywhere, and silently degrades every prediction toward the
+    * smallest-total language.
+    */
+  def requireCompatible(model: Model, n: Int): Unit =
+    require(model.n == n,
+      s"language-ID model was trained with ${model.n}-grams but this " +
+        s"caller expects n=$n — gram streams cannot match; rebuild or load " +
+        "the matching model")
+}

@@ -172,10 +172,17 @@ private[queries] object OracleCtes {
     * q192 `total div n, 0 when n = 0` rule. Tokenization and the
     * milli_log2 kernel are byte-for-byte the q192 oracle's.
     */
+  /** The DuckDB side of the fixed-point integer log2 kernel (the q173
+    * BM25 / q192 LM / LangId shared arithmetic): bit-length plus a
+    * one-shift interpolation, exact BIGINT for any argument >= 1 —
+    * byte-for-byte the Spark side's length(bin(x))/shiftright formula.
+    */
+  def milliLog2(x: String): String =
+    s"((LENGTH(PRINTF('%b', $x)) - 1) * 1000" +
+      s" + (($x) * 1000 >> (LENGTH(PRINTF('%b', $x)) - 1)) - 1000)"
+
   def bigramLm(trainSource: String, scoreSource: String): String = {
-    def mlog2(x: String): String =
-      s"((LENGTH(PRINTF('%b', $x)) - 1) * 1000" +
-        s" + (($x) * 1000 >> (LENGTH(PRINTF('%b', $x)) - 1)) - 1000)"
+    def mlog2(x: String): String = milliLog2(x)
     s"""
         lmtrain AS (
           SELECT LIST_FILTER(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ts

@@ -11,5 +11,6 @@ object QueryCaches {
     SimQueries.clearCaches()
     AnalyticsQueries.clearCaches()
     CurationQueries.clearCaches()
+    PipelineQueries.clearCaches()
   }
 }
