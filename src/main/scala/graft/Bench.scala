@@ -138,6 +138,42 @@ object BenchFormat {
     }
   }
 
+  /** Bounded retry plan over the contention attribution (the r15
+    * prescription: the artifact should CORRECT for a flagged co-tenant,
+    * not merely confess it): the registry row indices lying inside a
+    * [[contendedWindows]] range, slowest-median-first so the bounded
+    * budget spends itself where a ghost costs most, capped at
+    * `maxRetries`. Rows whose median is -1 are excluded — an error is a
+    * correctness fact, not a timing artifact, and must never be
+    * retried away.
+    */
+  def retryPlan(rows: Seq[(String, Double, Seq[Double])],
+                windows: Seq[(Int, Int)],
+                maxRetries: Int = 40): Seq[Int] =
+    rows.indices
+      .filter(i => rows(i)._2 >= 0 &&
+        windows.exists { case (a, b) => i >= a && i < b })
+      .sortBy(i => (-rows(i)._2, i))
+      .take(maxRetries)
+
+  /** Merge a retry pass into a row: the retry ran under a verified-calm
+    * sentinel, so a LOWER retry median replaces the original (the
+    * official number converges toward the calm value); a higher one is
+    * kept only in the rep arrays (a retry must never make a row look
+    * slower than its calm cost, and never faster than any honest
+    * measurement). All reps concatenate in execution order — the
+    * detail line shows both passes. An errored original (-1) stays
+    * errored regardless of the retry.
+    */
+  def mergeRetry(origMedian: Double, origReps: Seq[Double],
+                 retryMedian: Double, retryReps: Seq[Double])
+      : (Double, Seq[Double]) = {
+    val reps = origReps ++ retryReps
+    if (origMedian < 0) (-1.0, reps)
+    else if (retryMedian >= 0 && retryMedian < origMedian) (retryMedian, reps)
+    else (origMedian, reps)
+  }
+
   /** rows = (fullName, medianOrMinus1, perRepSeconds).
     *
     * `sentinel`: the CONTENTION CANARY — min deciseconds of a fixed
@@ -319,6 +355,14 @@ object Bench {
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Seq[Double], Seq[RepStats])]
 
+    // contention-correcting retry accounting (see the pass below):
+    // name -> (original median, retry-pass median); calm-probe seconds;
+    // rows whose retry was skipped because the box never calmed
+    val retriedRows =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    var retryCalmS = -1.0
+    var retrySkipped = 0
+
     def detailLine(): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -346,13 +390,24 @@ object Bench {
       val sentinelJson =
         s""""sentinel_reps":{"first":${repArr(sentinelFirst)},"last":${repArr(sentinelLast)}},""" +
           s""""sentinel_series":${BenchFormat.seriesJson(sentinelSeries.toSeq)}"""
+      // retry accounting: absent when no retry ran (absence == none,
+      // the compact-line discipline applied to the detail)
+      val retriedJson =
+        if (retriedRows.isEmpty && retrySkipped == 0) ""
+        else {
+          val rr = retriedRows.map { case (k, (o, n)) =>
+            "\"" + k + "\":" + f"[$o%.3f,$n%.3f]"
+          }.mkString("{", ",", "}")
+          s""""retried_rows":$rr,"retry_calm_s":${f"$retryCalmS%.3f"},""" +
+            (if (retrySkipped > 0) s""""retry_skipped":$retrySkipped,""" else "")
+        }
       val total = results.map(_._2).filter(_ >= 0).sum
       // total_min = sum of per-query minima: a contended driver window shows
       // total >> total_min, making scheduling noise self-diagnosing at the
       // headline level (not just per-query)
       val totalMin = results
         .collect { case (_, v, ts, _) if v >= 0 => ts.filter(_ >= 0).min }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,$sentinelJson,"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,$sentinelJson,$retriedJson"queries":$qs,"queries_min":$qsMin,"queries_reps":$qsReps,"queries_jvm":$qsJvm,"errors":$errors,"sf":"$sfDir"}"""
     }
     // Compact line for the driver — see BenchFormat (min-valued,
     // slowest-first, budget-capped; the tail-surviving artifact).
@@ -418,6 +473,63 @@ object Bench {
     sentinelLast = sentinelMin(spark)
     sentinelSeries += ((selected.size, sentinelLast.min))
     emitSnapshot()
+    // CONTENTION-CORRECTING RETRY (the r15 prescription — correct for a
+    // flagged co-tenant instead of merely confessing it): rows bracketed
+    // by a spiky sentinel reading re-run ONCE, and only after the box is
+    // verified calm (bounded probes — if it never calms, the retry is
+    // skipped and accounted, never attempted under the same load it is
+    // meant to cancel). A retry can only LOWER a median (mergeRetry);
+    // errors never retry. All accounting lands in the detail line as
+    // retried_rows / retry_calm_s / retry_skipped.
+    val windows = BenchFormat.contendedWindows(sentinelSeries.toSeq)
+    if (windows.nonEmpty) {
+      val plan = BenchFormat.retryPlan(
+        results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, windows)
+      if (plan.nonEmpty) {
+        val base = sentinelSeries.toSeq.filter(_._2 >= 0).map(_._2).min
+        var calm = -1.0
+        var probes = 0
+        while (calm < 0 && probes < 5) {
+          probes += 1
+          val r = sentinelMin(spark, reps = 1).min
+          if (r <= base * 2.0) calm = r
+        }
+        if (calm < 0) {
+          retrySkipped = plan.size
+          emitSnapshot()
+        } else {
+          retryCalmS = calm
+          val byIndex = selected
+          plan.foreach { i =>
+            val (name, origMedian, origTimes, origStats) = results(i)
+            val q = byIndex(i)
+            val stats2 = scala.collection.mutable.ArrayBuffer.empty[RepStats]
+            val times2 = (0 until reps).map { _ =>
+              val gc0 = gcMillis()
+              val t0 = System.nanoTime()
+              val ok =
+                try { force(q.run(spark, sfDir)); true }
+                catch { case e: Throwable =>
+                  System.err.println(
+                    s"[bench] retry ${q.name} FAILED: ${e.getMessage}")
+                  false
+                }
+              val dt = (System.nanoTime() - t0) / 1e9
+              stats2 += repStats(gc0)
+              if (ok) dt else -1.0
+            }
+            val sorted2 = times2.sorted
+            val m2 =
+              if (sorted2.head < 0) -1.0 else sorted2(sorted2.length / 2)
+            val (merged, mergedTimes) =
+              BenchFormat.mergeRetry(origMedian, origTimes, m2, times2)
+            results(i) = ((name, merged, mergedTimes, origStats ++ stats2.toSeq))
+            retriedRows(name) = ((origMedian, m2))
+            emitSnapshot()
+          }
+        }
+      }
+    }
     val line = detailLine(); val compact = compactLine()
     spark.stop()
     // print AFTER stop so no log line can interleave; System.out directly.

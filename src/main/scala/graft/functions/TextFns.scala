@@ -240,6 +240,29 @@ object TextFns {
     */
   def htmlText(html: Column): Column = stripTagsEntities(stripBlocks(html))
 
+  /** `<br>` break pattern for [[htmlTextLines]]: case-insensitive,
+    * optional self-closing slash; `[ \t]` spelled explicitly (the
+    * HtmlSpacePattern RE2-vs-Java `\s` lesson).
+    */
+  val HtmlBrPattern = "(?i)<br[ \\t]*/?>"
+
+  /** LINE-PRESERVING HTML extraction — the variant the C4 line-cleaning
+    * tier needs upstream: [[htmlText]] squeezes ALL whitespace (newlines
+    * included) to single spaces, which destroys the very line structure
+    * Raffel et al. 2020 §2.2's rules operate on. Here the
+    * blocks-removed document is split on `<br>` breaks FIRST, each
+    * segment is tag-stripped/entity-decoded/space-squeezed
+    * independently, and the segments rejoin on newline — a page
+    * authored as `line<br>line` round-trips into [[lineArray]]
+    * coordinates exactly. The split runs on the blocks-removed form
+    * (a `<br>` inside a comment or script block is dead markup, not a
+    * line break). Same codegen'd one-pass shape as [[htmlText]];
+    * replayed in DuckDB by `HtmlOracleSql.strippedLines`.
+    */
+  def htmlTextLines(html: Column): Column =
+    array_join(transform(split(stripBlocks(html), HtmlBrPattern, -1),
+      s => stripTagsEntities(s)), "\n")
+
   /** Number of anchor (`<a>`) elements outside comment/script/style. */
   def htmlLinkCount(html: Column): Column =
     size(regexp_extract_all(stripBlocks(html), lit(HtmlAnchorPattern), lit(1))).cast("long")

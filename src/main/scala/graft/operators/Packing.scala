@@ -85,4 +85,75 @@ object Packing {
     exclusivePrefixSum(df, orderCol, tokenCol, "__tok_before")
       .withColumn(packCol, (col("__tok_before") / budget).cast("long"))
       .drop("__tok_before")
+
+  /** PER-GROUP exclusive prefix sum with the same two-phase plan — the
+    * scale shape for "running total within each (lang, bucket)" that a
+    * `Window.partitionBy(group).orderBy(key)` would funnel through one
+    * task per group (English is half of any real crawl — the q214
+    * per-language-sort argument applies verbatim to per-group running
+    * sums). The range boundaries come from GLOBAL quantiles of
+    * `orderCol`: when the key is a uniform integer hash (the Sampling
+    * priority — the intended caller), global boundaries split EVERY
+    * group about evenly, so no per-group sketch is needed; physical
+    * windows partition by (group, range-bucket) and the per-(group,
+    * bucket) offsets — O(|groups| * numBuckets) rows — prefix on the
+    * driver. `tieCol` breaks `orderCol` ties deterministically (ties
+    * land in one range bucket, so the tie-break stays window-local).
+    */
+  def groupedExclusivePrefixSum(df: DataFrame, groupCols: Seq[String],
+                                orderCol: String, tieCol: String,
+                                valueCol: String, outCol: String,
+                                numBuckets: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty, "groupedExclusivePrefixSum needs group columns")
+    val n = math.max(1, if (numBuckets > 0) numBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val projected = df.select(
+        (groupCols :+ orderCol :+ valueCol).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bounds, totals) =
+      try {
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val bs =
+          if (n == 1) Array.empty[Double]
+          else projected.stat.approxQuantile(orderCol, probs, 0.001)
+        val bCol = bs.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(orderCol) > b, 1).otherwise(0)
+        }
+        val ts = projected.withColumn("__bkt", bCol)
+          .groupBy((groupCols.map(col) :+ col("__bkt")): _*)
+          .agg(sum(col(valueCol)).cast("long").as("__btotal"))
+          .collect()
+          .map(r => (groupCols.indices.map(r.get).toSeq, r.getInt(groupCols.size))
+            -> r.getLong(groupCols.size + 1))
+          .toMap
+        (bs, ts)
+      } finally projected.unpersist()
+    val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val bucketed = df.withColumn("__bkt", bucketCol)
+    val w = Window
+      .partitionBy((groupCols.map(col) :+ col("__bkt")): _*)
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed
+      .withColumn("__local", coalesce(sum(col(valueCol)).over(w), lit(0L)))
+    // per-group exclusive prefix over the bucket totals, folded back as
+    // one nested CASE per group (groups * buckets literals — tiny)
+    val offsetCol: Column = totals.keys.map(_._1).toSeq.distinct
+      .foldLeft(lit(0L)) { (accG, g) =>
+        val groupMatch = groupCols.zipWithIndex
+          .map { case (c, i) => col(c) <=> lit(g(i)) }
+          .reduce(_ && _)
+        val offsets = (0 until n).scanLeft(0L)((acc, b) =>
+          acc + totals.getOrElse((g, b), 0L))
+        val inner = offsets.zipWithIndex.init.foldLeft(lit(0L)) {
+          case (acc, (off, b)) => when(col("__bkt") === b, lit(off)).otherwise(acc)
+        }
+        when(groupMatch, inner).otherwise(accG)
+      }
+    local
+      .withColumn(outCol, col("__local") + offsetCol)
+      .drop("__bkt", "__local")
+  }
 }

@@ -70,4 +70,41 @@ object Sampling {
       .filter(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** TOKEN-BUDGET sampling per group — the actual CCNet/Gopher mixing
+    * step the per-row-count [[weightedSamplePerGroup]] approximates: a
+    * pretraining mix allocates each (language, quality-bucket) cell a
+    * budget of TOKENS, not documents (doc lengths vary by orders of
+    * magnitude, so a row count k is the wrong unit). Within each group,
+    * documents are taken in deterministic integer-priority order (the
+    * same mid-square mixer — never an RNG, so the mix replays
+    * bit-for-bit across runs, engines, and partitionings) until the
+    * group's budget is reached; the document that CROSSES the line is
+    * included, so realized tokens exceed the budget by strictly less
+    * than one document (the published sample-to-token-budget contract —
+    * a budget in tokens cannot be hit exactly at document granularity).
+    *
+    * `budgetCol` is a per-row column carrying the group's token budget
+    * (join a |groups|-row broadcast table or a CASE over the bucket —
+    * both are map-side). The running sum is the GROUPED two-phase
+    * prefix sum ([[Packing.groupedExclusivePrefixSum]]), never a
+    * per-group sort window — English is half of any real crawl, and a
+    * window partitioned by language funnels it through one task.
+    *
+    * Output: input columns plus `priority` and `tokens_before` (the
+    * audit pair: the oracle replays the priority formula and the
+    * running-sum cutoff verbatim, and `tokens_before < budget` IS the
+    * keep rule).
+    */
+  def sampleToTokenBudget(df: DataFrame, groupCols: Seq[String],
+                          idCol: String, tokenCol: String,
+                          budgetCol: String, seed: Long,
+                          weightCol: Option[String] = None): DataFrame = {
+    val pr = weightCol.map(wc => priority(idCol, wc, seed))
+      .getOrElse(expr(prioritySql(idCol, "1", seed)))
+    Packing.groupedExclusivePrefixSum(
+        df.withColumn("priority", pr),
+        groupCols, "priority", idCol, tokenCol, "tokens_before")
+      .filter(col("tokens_before") < col(budgetCol))
+  }
 }

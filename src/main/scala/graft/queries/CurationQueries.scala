@@ -1562,7 +1562,97 @@ object CurationQueries {
                MD5(COALESCE(ARRAY_TO_STRING(kept, chr(10)), '')) AS cleaned_md5
         FROM k
         ORDER BY doc_id"""),
-      doc = "C4 line-level cleaning (Raffel et al. 2020 §2.2 — the transform every C4 descendant starts from): keep lines ending in terminal punctuation with >= 5 words and no javascript mention, then drop pages with lorem ipsum, curly braces, or fewer than 3 retained lines — one codegen'd HOF pass, no shuffle, cleaned text crossing the gate as md5 over a fixture that plants each rule's violation on coprime cycles plus trim/tab/case/substring edges.")
+      doc = "C4 line-level cleaning (Raffel et al. 2020 §2.2 — the transform every C4 descendant starts from): keep lines ending in terminal punctuation with >= 5 words and no javascript mention, then drop pages with lorem ipsum, curly braces, or fewer than 3 retained lines — one codegen'd HOF pass, no shuffle, cleaned text crossing the gate as md5 over a fixture that plants each rule's violation on coprime cycles plus trim/tab/case/substring edges."),
+
+    Q(
+      "q221_token_budget_mix",
+      (s, d) => {
+        import s.implicits._
+        // TOKEN-BUDGET MIXING — the step q214's buckets exist FOR:
+        // CCNet/Gopher mixes allocate each (language, quality-bucket)
+        // cell a budget of TOKENS (doc lengths vary by orders of
+        // magnitude, so the q90 per-row-count k is the wrong unit),
+        // head-heavy (6000/3000/1000 here — quality upsampled, tail
+        // kept for diversity). Composition: the q214 tercile tagging
+        // (shared lmScores frame + broadcast cuts + map-side CASE),
+        // real q140 BPE token counts (codegen'd scalar), budgets as a
+        // map-side CASE on the bucket, then
+        // Sampling.sampleToTokenBudget: deterministic integer
+        // priorities (the q90 mid-square mixer, weight 1 — uniform
+        // within cell; budgets carry the head-heavy skew) and the
+        // GROUPED two-phase prefix sum — never a per-(lang, bucket)
+        // sort window (English is half of any real crawl; the q214
+        // funnel argument applies verbatim to running sums). The doc
+        // that crosses the budget line is included: realized tokens
+        // overshoot by strictly less than one document, the published
+        // sample-to-token-budget contract (MixingSpec pins adherence,
+        // repartition determinism, and the two-phase == single-window
+        // equality; the oracle IS the single-window answer —
+        // distributed plan, bottleneck replay, the q174 discipline).
+        val docs = Tables.documents(s, d)
+        val tagged = docs.select($"doc_id", $"lang")
+          .join(lmScores(s, d).select($"doc_id", $"avg_millibits"), Seq("doc_id"))
+        val bucketed = ccnetTag(tagged, ccnetCuts(tagged))
+        val withTok = bucketed
+          .join(docs.select($"doc_id",
+            graft.operators.Bpe.tokenCount(
+              graft.operators.Bpe.encode($"text")).as("n_tok")), Seq("doc_id"))
+          .withColumn("token_budget",
+            when($"bucket" === "head", 6000L)
+              .when($"bucket" === "middle", 3000L).otherwise(1000L))
+        graft.operators.Sampling.sampleToTokenBudget(withTok,
+            Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget", seed = 17L)
+          .select($"doc_id", $"lang", $"bucket", $"n_tok",
+            $"priority", $"tokens_before")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH ${OracleCtes.bigramLm(trainSource = "documents", scoreSource = "documents")},
+        cuts AS (
+          SELECT d.lang,
+                 QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
+                 QUANTILE_CONT(sc.avg_millibits, 2.0/3) AS cut_middle
+          FROM documents d JOIN lmsc sc USING (doc_id)
+          GROUP BY d.lang),
+        tagged AS (
+          SELECT d.doc_id, d.lang,
+                 CASE WHEN sc.avg_millibits <= c.cut_head THEN 'head'
+                      WHEN sc.avg_millibits <= c.cut_middle THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM documents d
+          JOIN lmsc sc USING (doc_id)
+          JOIN cuts c USING (lang)),
+        mwords AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+          WHERE LENGTH(w) > 0),
+        menc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM mwords),
+        mcnt AS (SELECT doc_id,
+                   CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                 FROM menc GROUP BY doc_id),
+        mtok AS (
+          SELECT t.doc_id, t.lang, t.bucket, COALESCE(c.n, 0) AS n_tok,
+                 CASE t.bucket WHEN 'head' THEN 6000
+                               WHEN 'middle' THEN 3000 ELSE 1000 END AS budget,
+                 CAST(((((t.doc_id + 17) % 2147483647)
+                     * ((t.doc_id + 17) % 2147483647))
+                     % 2147483647 * 48271 % 2147483647 * 1000000)
+                   // GREATEST(1, 1) AS BIGINT) AS priority
+          FROM tagged t LEFT JOIN mcnt c USING (doc_id)),
+        mrun AS (
+          SELECT doc_id, lang, bucket, n_tok, budget, priority,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang, bucket ORDER BY priority, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tokens_before
+          FROM mtok)
+        SELECT doc_id, lang, bucket, n_tok, priority, tokens_before
+        FROM mrun
+        WHERE tokens_before < budget
+        ORDER BY doc_id"""),
+      doc = "Token-budget mixing (the CCNet/Gopher sample-to-token-budget step the q214 buckets exist for): per-(language, tercile-bucket) TOKEN budgets (head-heavy 6000/3000/1000), docs taken in deterministic mid-square integer-priority order until the budget line, crossing doc included (overshoot < one doc) — tercile tagging + real BPE counts + grouped two-phase prefix sum (never a per-group sort window); oracle replays the LM, the cuts, the tokenizer, the priority formula, and the running-sum cutoff verbatim in one window.")
   )
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:

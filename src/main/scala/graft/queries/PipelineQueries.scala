@@ -58,6 +58,99 @@ object PipelineQueries {
     lmScoreCache.clear()
   }
 
+  /** The capstone's LM keep threshold. The corpus is small, so absolute
+    * surprisal sits lower than the q212 fixture's (smaller V, smaller
+    * counts): measured on the deterministic fixture, every in-domain
+    * doc scores <= 10637 milli-bits and the out-of-domain 5000 doc
+    * scores 11636 — the ~1000-milli-bit add-one gap the construction
+    * guarantees. 11000 sits in the gap; both engines compare the same
+    * exact integers, so the margin is structural, not statistical.
+    */
+  private[graft] val CapLmMaxAvgMillibits = 11000L
+
+  /** Every intermediate frame of the q220 chain, exposed so the gated
+    * row and CapstoneSpec drive ONE copy of the composition (the
+    * three-implementation discipline: the oracle replays it in SQL,
+    * the spec attributes each stage's casualties over these frames).
+    */
+  private[graft] final case class CapstoneStages(
+      corpus: DataFrame, bench: DataFrame, extracted: DataFrame,
+      c4Audit: DataFrame, cleaned: DataFrame, cur: DataFrame,
+      spans: DataFrame, contaminated: DataFrame, cur2: DataFrame,
+      manifest: DataFrame, kept: DataFrame, packed: DataFrame)
+
+  private[graft] def capstoneStages(s: SparkSession): CapstoneStages = {
+    import s.implicits._
+    val fx = s.read.parquet(CapstoneFixture.ensure(s))
+    val corpus = fx.filter($"doc_id" < 9000L)
+    val bench = fx.filter($"doc_id" >= 9000L).select($"doc_id", $"text")
+    // 1+2: mux into WARC shards of HTML pages, demux, parse, extract
+    val shards = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .groupByKey(t => Math.floorDiv(t._1, 16L)).mapGroups { (sid, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          (id, graft.sources.Warc.httpMessage(
+            CapstoneFixture.PagePrefix +
+              text.replace("\n", "<br>") + CapstoneFixture.PageSuffix))
+        }
+        (sid, graft.sources.Warc.buildShard(recs))
+      }
+    val pages = shards.flatMap { case (_, blob) =>
+      graft.sources.Warc.parseShard(blob).map { r =>
+        (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+          graft.sources.Warc.parseHttp(r.payload).body)
+      }
+    }.toDF("doc_id", "html")
+    val extracted = pages.select($"doc_id",
+      graft.functions.TextFns.htmlTextLines($"html").as("text"))
+    // 3: C4 line clean (drops lines; drops lorem/brace/short pages)
+    val c4Audit = extracted
+      .select($"doc_id", $"text",
+        size(graft.functions.TextFns.lineArray($"text")).cast("long").as("n_lines"),
+        graft.functions.TextFns.c4KeptLines($"text").as("kept"),
+        lower($"text").contains("lorem ipsum").as("lorem"),
+        $"text".contains("{").as("brace"))
+    val cleaned = c4Audit
+      .filter(size($"kept") >= 3 && !$"lorem" && !$"brace")
+      .select($"doc_id", array_join($"kept", "\n").as("text"))
+    // 4: NFC canonicalization + exact dedup (md5 election, min id)
+    val nfc = cleaned.select($"doc_id",
+      graft.functions.NfcNormalize($"text").as("text"))
+    val cur = graft.operators.Dedup.exactDedup(
+        nfc.withColumn("__k", md5($"text")), Seq("__k"), Seq($"doc_id"))
+      .drop("__k")
+      .join(corpus.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"text")
+    // 5: the substring span table over the deduped corpus
+    val spans = graft.operators.SubstrDedup.dupSpans(cur)
+    // 6: token decontamination against the benchmark set — any
+    // contaminated span drops the doc
+    val contaminated = graft.operators.TokenDecontam
+      .contaminationTokenSpans(cur, bench)
+      .select($"doc_id").distinct()
+    val cur2 = cur.join(contaminated, Seq("doc_id"), "left_anti")
+    // 7: the six-signal manifest over the decontaminated corpus
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(cur2, "doc_id", "text", 3), 0.5)
+    val lm = graft.operators.NgramLm.score(cur2,
+      graft.operators.NgramLm.train(cur2.filter($"doc_id" < 5000L)))
+    val man = CurationQueries.webCurationManifest(cur2, pairs,
+      Some(spans), lmScores = Some(lm),
+      lmMaxAvgMillibits = CapLmMaxAvgMillibits)
+    val kept = cur2.join(
+      man.filter($"keep" === 1L).select($"doc_id"), Seq("doc_id"))
+    // 8: BPE token counts -> prefix-sum packing at budget 1024
+    val packable = kept.select($"doc_id",
+      graft.operators.Bpe.tokenCount(
+        graft.operators.Bpe.encode($"text")).as("n_tok"))
+    val packed = graft.operators.Packing
+      .packByBudget(packable, "doc_id", "n_tok", 1024L)
+      .join(kept.select($"doc_id", md5($"text").as("text_md5")), Seq("doc_id"))
+      .select($"doc_id", $"n_tok", $"pack_id", $"text_md5")
+      .orderBy($"doc_id")
+    CapstoneStages(corpus, bench, extracted, c4Audit, cleaned, cur, spans,
+      contaminated, cur2, man, kept, packed)
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q(
@@ -151,7 +244,156 @@ object PipelineQueries {
         JOIN lmsc sc USING (doc_id)
         JOIN lcuts c USING (lang)
         ORDER BY p.doc_id"""),
-      doc = "In-engine language identification routing the CCNet machinery: a char-bigram multinomial NB classifier (exact integer milli-log2 surprisal, add-one floor over the global gram vocabulary, no class prior) trained on the fixture's labeled split PREDICTS every doc's language — argmin with deterministic (total, lang) tie-break and a runner-up-margin confidence column — and the q214 per-language tercile machinery keys on the PREDICTED assignment; planted edges: an all-OOV Greek doc ties all five languages exactly (equal train totals by construction) and resolves by tie-break at margin 0, and a mixed en/es doc carries a small nonzero margin; oracle replays classifier, tie-break, margin, LM, and both tercile cuts."))
+      doc = "In-engine language identification routing the CCNet machinery: a char-bigram multinomial NB classifier (exact integer milli-log2 surprisal, add-one floor over the global gram vocabulary, no class prior) trained on the fixture's labeled split PREDICTS every doc's language — argmin with deterministic (total, lang) tie-break and a runner-up-margin confidence column — and the q214 per-language tercile machinery keys on the PREDICTED assignment; planted edges: an all-OOV Greek doc ties all five languages exactly (equal train totals by construction) and resolves by tie-break at margin 0, and a mixed en/es doc carries a small nonzero margin; oracle replays classifier, tie-break, margin, LM, and both tercile cuts."),
+
+    Q(
+      "q220_corpus_capstone",
+      (s, _) => {   // dedicated capstone fixture; dir arg unused
+        import s.implicits._
+        // THE CORPUS-BUILD CAPSTONE: every pipeline stage this engine
+        // implements, composed into ONE oracle-gated pass from crawl
+        // shards to packed training sequences — the end-to-end shape of
+        // C4/CCNet/RefinedWeb/FineWeb, and the row that proves the
+        // STAGE BOUNDARIES (id spaces, text versions, coordinate
+        // systems), not just the stages:
+        //   1. MUX (q217): documents become WARC/1.0 records (lines
+        //      joined by <br> inside an HTML page template carrying
+        //      script/comment traps) in per-record gzip members.
+        //   2. LADDER (q218): demux -> HTTP parse -> LINE-PRESERVING
+        //      extraction (htmlTextLines — the <br>-split variant the
+        //      C4 tier needs; plain htmlText squeezes the newlines the
+        //      line rules operate on).
+        //   3. C4 LINE CLEAN (q216): per-line terminal-punct/5-word/
+        //      javascript rules, page-level lorem/brace/3-line rules.
+        //   4. NFC EXACT DEDUP (q207/q210 lesson): md5-of-NFC election,
+        //      min doc_id survives; text CANONICALIZES to NFC here —
+        //      every later stage sees NFC coordinates.
+        //   5. SUBSTRING SPANS (q202): the exact-substring span table
+        //      over the deduped corpus (signal 5's artifact).
+        //   6. TOKEN DECONTAMINATION (q213): docs sharing any 13-token
+        //      BPE window with the benchmark set are DROPPED (the PaLM
+        //      doc-drop stance).
+        //   7. SIX-SIGNAL MANIFEST (q212): Gopher gate x PII x
+        //      near-dup victim x substr-permille x LM surprisal.
+        //   8. PACK (q141): BPE token counts -> distributed prefix-sum
+        //      pack assignment at budget 1024.
+        // The fixture plants one casualty PER stage (lines dropped;
+        // lorem/brace/short pages; an NFD twin; a high-permille span
+        // host; a benchmark-contaminated doc; gate/PII/victim/LM
+        // failures) and the oracle predicts the FINAL packed output —
+        // doc ids, exact token counts, pack ids, and the md5 of each
+        // surviving text — from the raw fixture alone, re-deriving all
+        // eight stages in one WITH chain. A stage-boundary bug
+        // (normalized-vs-raw coordinates, a text version skew, an id
+        //-space leak) surfaces as a hash mismatch here even when every
+        // per-stage row still passes. CapstoneSpec drives the SAME
+        // [[capstoneStages]] chain and attributes >= 1 casualty to
+        // every stage by name.
+        capstoneStages(s).packed
+      },
+      Some(s"""
+        WITH RECURSIVE csrc AS (
+          SELECT doc_id, lang, text
+          FROM read_parquet('${CapstoneFixture.Root}/*.parquet')),
+        cpage AS (
+          SELECT doc_id,
+                 '${CapstoneFixture.PagePrefix}' || REPLACE(text, chr(10), '<br>')
+                   || '${CapstoneFixture.PageSuffix}' AS html
+          FROM csrc WHERE doc_id < 9000),
+        cex AS (
+          SELECT doc_id, ${TextQueries.HtmlOracleSql.strippedLines("html")} AS text
+          FROM cpage),
+        ccln AS (
+          SELECT doc_id, text,
+            LIST_FILTER(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+                x -> TRIM(x)), x -> LENGTH(x) > 0), l ->
+              SUBSTR(l, LENGTH(l), 1) IN ('.', '!', '?', '"')
+              AND LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> LENGTH(w) > 0)) >= 5
+              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
+          FROM cex),
+        ckeepc4 AS (
+          SELECT doc_id, ARRAY_TO_STRING(kept, chr(10)) AS text
+          FROM ccln
+          WHERE LEN(kept) >= 3 AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+            AND NOT CONTAINS(text, '{')),
+        cnfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM ckeepc4),
+        ccur AS (
+          SELECT n.doc_id, s.lang, n.text
+          FROM (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+                FROM cnfc) n
+          JOIN csrc s USING (doc_id)
+          WHERE n.doc_id = n.keeper),
+        ${DedupQueries.substrSpansCte(source = "ccur", docsName = "sdocs")},
+        ctoksrc AS (
+          SELECT doc_id, text FROM ccur
+          UNION ALL
+          SELECT doc_id, text FROM csrc WHERE doc_id >= 9000),
+        cwords AS (SELECT doc_id, pos, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM ctoksrc) t
+          WHERE LENGTH(w) > 0),
+        cenc AS (SELECT doc_id, pos, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM cwords),
+        ctoks AS (SELECT doc_id, STRING_SPLIT(STRING_AGG(e, ' ' ORDER BY pos), ' ') AS ts
+                  FROM cenc GROUP BY doc_id),
+        ctw AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+                FROM (SELECT doc_id, UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                      FROM ctoks WHERE doc_id < 9000) t),
+        cbw AS (SELECT DISTINCT MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+                FROM (SELECT UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                      FROM ctoks WHERE doc_id >= 9000) t),
+        cdrop AS (SELECT DISTINCT doc_id FROM ctw JOIN cbw USING (g)),
+        ccur2 AS (
+          SELECT c.doc_id, c.lang, c.text FROM ccur c
+          WHERE NOT EXISTS (SELECT 1 FROM cdrop x WHERE x.doc_id = c.doc_id)),
+        ${OracleCtes.jaccardReach(source = "ccur2")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate("ccur2", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted("ccur2")},
+        ${OracleCtes.bigramLm(
+          trainSource = "(SELECT doc_id, text FROM ccur2 WHERE doc_id < 5000) lmref",
+          scoreSource = "ccur2")},
+        csperm AS (
+          SELECT c.doc_id,
+                 CASE WHEN LENGTH(c.text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(COALESCE(SUM(x.span_len), 0) AS BIGINT) * 1000 // LENGTH(c.text)
+                 END AS substr_permille
+          FROM ccur2 c LEFT JOIN spansx x USING (doc_id)
+          GROUP BY c.doc_id, c.text),
+        ckept AS (
+          SELECT c.doc_id, c.text
+          FROM ccur2 c
+          JOIN gate g ON c.doc_id = g.doc_id
+          JOIN pii_counted p ON c.doc_id = p.doc_id
+          LEFT JOIN victims v ON c.doc_id = v.doc_id
+          JOIN csperm sp ON c.doc_id = sp.doc_id
+          JOIN lmsc lm ON c.doc_id = lm.doc_id
+          WHERE g.pass_gate = 1
+            AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                 + p.iban_count + p.cc_count) = 0
+            AND v.doc_id IS NULL
+            AND sp.substr_permille <= 300
+            AND lm.avg_millibits <= $CapLmMaxAvgMillibits),
+        cpw AS (SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM ckept) t
+          WHERE LENGTH(w) > 0),
+        cpenc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                  FROM cpw),
+        cpcnt AS (SELECT doc_id,
+                    CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                  FROM cpenc GROUP BY doc_id),
+        cpackable AS (
+          SELECT k.doc_id, COALESCE(c.n, 0) AS n_tok, MD5(k.text) AS text_md5
+          FROM ckept k LEFT JOIN cpcnt c USING (doc_id))
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS BIGINT) AS pack_id,
+               text_md5
+        FROM cpackable
+        ORDER BY doc_id"""),
+      doc = "The corpus-build capstone: crawl mux (WARC/HTTP/HTML with script+comment traps) -> line-preserving extraction -> C4 line clean -> NFC canonicalization + exact dedup -> substring span table -> 13-token BPE decontamination against a benchmark set -> six-signal manifest -> prefix-sum packing at budget 128, ALL in one gated pass whose final packed output (doc ids, exact token counts, pack ids, surviving-text md5) the oracle re-derives from the raw fixture through every stage — the row where a stage-boundary bug (text-version skew, coordinate mismatch, id-space leak) becomes a hash mismatch; the fixture plants at least one casualty per stage."))
 
   /** Deterministic multilingual corpus for the language-ID family:
     * five languages with genuinely distinct character distributions
@@ -225,6 +467,129 @@ object PipelineQueries {
         ((0 until 6).map(j => word("en", 555L + j)) ++
           (0 until 6).map(j => word("es", 777L + j))).mkString(" "))
       main ++ Seq(oov, mixed)
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String =
+      once.ensure3(s)(rows, "doc_id", "lang", "text")
+  }
+
+  /** Deterministic corpus for the q220 capstone, one planted casualty
+    * per pipeline stage. Page template: minimal HTML with a script
+    * block mentioning javascript and a comment carrying braces — TRAPS:
+    * if block removal ever ran after the <br> split or not at all, the
+    * leaked "javascript"/brace would C4-kill every document and the
+    * gate would light up red across the board.
+    *
+    * Corpus ids (< 9000): 0-59 clean base docs (survive everything);
+    * 100 line-casualty (three C4-dropped lines, doc survives); 101/102/
+    * 103 page casualties (lorem ipsum / brace / under 3 kept lines);
+    * 110+111 NFC twins (111 is the NFD spelling — exact-dedup casualty);
+    * 120/121 substring-span hosts sharing three verbatim lines (120 is
+    * short, permille > 300, manifest signal-5 casualty; 121 is long,
+    * ~200 permille, KEPT with spans — the signal's negative control);
+    * 130/131 near-dup pair (one word changed; victim election drops
+    * 131, and both carry spans — the documented q209 double-flag);
+    * 140 gate casualty (48 words < 50); 141 PII casualty (email);
+    * 150 decontamination casualty (line 3 is verbatim benchmark text);
+    * 5000 LM casualty (clean-shaped, but excluded from the < 5000
+    * reference-training split, so every bigram sits on the add-one
+    * floor). Benchmark ids (>= 9000, never enter the corpus): 9001
+    * carries 150's planted line verbatim; 9002 is unique (specificity
+    * control).
+    */
+  object CapstoneFixture {
+    val Root = "/root/repo/target/capstone_fixture"
+    private[queries] val PagePrefix: String =
+      "<html><head><script>var hidden = javascript;</script>" +
+        "<!-- draft { not published } --></head><body><p>"
+    private[queries] val PageSuffix: String = "</p></body></html>"
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private def pick(n: Int, seed: Long): Int =
+      java.lang.Math.floorMod(mix(seed), n.toLong).toInt
+    private val Stops = graft.functions.TextFns.GopherStopwords
+    private val Cons = "bcdfghjklmnprstvz"
+    private val Vows = "aeiou"
+    private def filler(seed: Long): String = {
+      val len = 4 + pick(4, seed * 3 + 1)
+      (0 until len).map(j =>
+        if (j % 2 == 0) Cons(pick(Cons.length, seed * 64 + j))
+        else Vows(pick(Vows.length, seed * 64 + j))).mkString
+    }
+    /** One n-word line ending in '.': every word at absolute position
+      * p = li*n + j with p % 5 == 2 is a Gopher stopword (>= 2 distinct
+      * per doc — the gate's stop_hits floor), the rest seeded fillers.
+      */
+    private def lineWords(seed: Long, li: Int, n: Int): IndexedSeq[String] =
+      (0 until n).map { j =>
+        val p = li * n + j
+        if (p % 5 == 2) Stops(java.lang.Math.floorMod(seed + p / 5, 8L).toInt)
+        else filler(seed * 1013 + li * 97 + j)
+      }
+    private def line(seed: Long, li: Int, n: Int = 9): String =
+      lineWords(seed, li, n).mkString(" ") + "."
+    private def baseDoc(seed: Long, nLines: Int = 7): String =
+      (0 until nLines).map(k => line(seed, k)).mkString("\n")
+    private def sharedLine(k: Int): String = line(777444L, k)
+    /** The 18-word benchmark line planted in doc 150 and bench 9001:
+      * interior words 2-17 keep clean space boundaries in the
+      * multi-line host (its edge words space-merge with the adjacent
+      * lines' words in the ' '-split token stream), leaving >= 16
+      * matching consecutive BPE tokens — over the 13-window floor.
+      */
+    private def contamLine: String = line(424242L, 0, 18)
+    private def nfcDoc(composed: Boolean): String = {
+      val word = if (composed) "cafétal" else "cafétal"
+      (0 until 7).map { k =>
+        val ws = lineWords(110L, k, 9).updated(1, word)
+        ws.mkString(" ") + "."
+      }.mkString("\n")
+    }
+    private def rows: Seq[(Long, String, String)] = {
+      val base = (0 until 60).map(i => (i.toLong, "en", baseDoc(3000L + i)))
+      val planted = Seq(
+        // 100: three C4 line casualties appended to a clean doc
+        (100L, "en", baseDoc(100L) + "\n" +
+          "this line has no terminal punctuation at all\n" +
+          "too short line.\n" +
+          "the javascript framework loads the page quickly today."),
+        (101L, "en", baseDoc(101L) +
+          "\nthe lorem ipsum filler text shows here plainly."),
+        (102L, "en", baseDoc(102L) +
+          "\nthe config block uses the { symbol today."),
+        (103L, "en", line(103L, 0) + "\n" + line(103L, 1) + "\n" +
+          "no punct here at the end\nshort line here"),
+        (110L, "en", nfcDoc(composed = true)),
+        (111L, "en", nfcDoc(composed = false)),
+        // 120/121: three shared verbatim lines; 120 short (permille >
+        // 300), 121 long (permille ~200)
+        (120L, "en", (Seq(line(120L, 0), line(120L, 1)) ++
+          (0 until 3).map(sharedLine) ++
+          Seq(line(120L, 5), line(120L, 6))).mkString("\n")),
+        (121L, "en", ((0 until 11).map(k => line(121L, k)) ++
+          (0 until 3).map(sharedLine)).mkString("\n")),
+        // 130/131: near-dup pair — one filler changed in line 3
+        (130L, "en", baseDoc(130L)),
+        (131L, "en", (0 until 7).map { k =>
+          if (k == 3) lineWords(130L, k, 9).updated(4, filler(987654L))
+            .mkString(" ") + "."
+          else line(130L, k)
+        }.mkString("\n")),
+        (140L, "en", (0 until 3).map(k => line(140L, k, 16)).mkString("\n")),
+        (141L, "en", baseDoc(141L) +
+          "\ncontact the team now at user141@mail.example.com for the details today."),
+        (150L, "en", (0 until 7).map { k =>
+          if (k == 3) contamLine else line(150L, k)
+        }.mkString("\n")),
+        (5000L, "en", baseDoc(5000L)))
+      val bench = Seq(
+        (9001L, "xx", contamLine),
+        (9002L, "xx", line(909090L, 0, 18)))
+      base ++ planted ++ bench
     }
     private val once = new FixtureOnce(Root)
     def ensure(s: SparkSession): String =

@@ -587,6 +587,13 @@ object TextQueries {
     // the document chain IS the anchor chain over the blocks-removed
     // form — one definition, so the two can never drift apart
     def stripped(e: String): String = tagsEntities(blocksRemoved(e))
+    /** The `TextFns.htmlTextLines` twin: split the blocks-removed form
+      * on `<br>` breaks, strip each segment, rejoin on newline.
+      */
+    def strippedLines(e: String): String =
+      s"ARRAY_TO_STRING(LIST_TRANSFORM(STRING_SPLIT_REGEX(" +
+        s"${blocksRemoved(e)}, '${TextFns.HtmlBrPattern}'), " +
+        s"s -> ${tagsEntities("s")}), chr(10))"
     def anchors(e: String): String =
       s"REGEXP_EXTRACT_ALL(${blocksRemoved(e)}, '$HtmlAnchorPattern', 1)"
     /** `n_links` + `link_chars` column pair for an html expression. */

@@ -214,6 +214,34 @@ class ContractSpec extends AnyFunSuite {
     assert(BenchFormat.contendedWindows(nearMiss, calmFactor = 1.5) == Seq((0, 50)))
   }
 
+  test("BenchFormat: retry plan + merge accounting (the contention-correcting pass)") {
+    // a synthetic 6-row registry: rows 0-2 inside a contended window,
+    // rows 3-5 outside; row 1 errored
+    val rows = Seq(
+      ("q1_a", 2.0, Seq(2.0, 2.1, 2.2)),
+      ("q2_b", -1.0, Seq(-1.0, 1.0, 1.0)),
+      ("q3_c", 5.0, Seq(5.0, 5.1, 4.9)),
+      ("q4_d", 9.0, Seq(9.0, 9.1, 9.2)),
+      ("q5_e", 0.3, Seq(0.3, 0.3, 0.3)),
+      ("q6_f", 0.2, Seq(0.2, 0.2, 0.2)))
+    val windows = Seq((0, 3))
+    // slowest-first within the window; the errored row is NEVER planned
+    assert(BenchFormat.retryPlan(rows, windows) == Seq(2, 0))
+    // the cap bounds the pass and spends it on the slowest rows
+    assert(BenchFormat.retryPlan(rows, windows, maxRetries = 1) == Seq(2))
+    // no contended windows -> no plan
+    assert(BenchFormat.retryPlan(rows, Seq.empty).isEmpty)
+    // merge: a calm retry LOWERS the median and concatenates reps
+    assert(BenchFormat.mergeRetry(5.0, Seq(5.0, 5.1), 1.4, Seq(1.4, 1.5)) ==
+      ((1.4, Seq(5.0, 5.1, 1.4, 1.5))))
+    // a slower retry never raises the official number
+    assert(BenchFormat.mergeRetry(2.0, Seq(2.0), 3.0, Seq(3.0))._1 == 2.0)
+    // an errored original stays errored — a retry must not launder -1
+    assert(BenchFormat.mergeRetry(-1.0, Seq(-1.0), 1.0, Seq(1.0))._1 == -1.0)
+    // an errored RETRY leaves the original standing
+    assert(BenchFormat.mergeRetry(2.0, Seq(2.0), -1.0, Seq(-1.0))._1 == 2.0)
+  }
+
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
     // every row errors: the errors array alone would blow the tail
     // window without the MaxNamedErrors cap

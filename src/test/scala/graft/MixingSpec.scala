@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Packing, Sampling}
+
+/** Pins the token-budget mixing family (q221): the grouped two-phase
+  * prefix sum equals the single-task per-group window exactly, the
+  * sampler respects each group's token budget to within one document,
+  * the selection is a pure function of (id, seed) — invariant under
+  * repartitioning — and head-heavy budgets realize head-heavy mixes.
+  */
+class MixingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
+
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  // skewed synthetic frame: one huge group, one small, one singleton,
+  // plus planted ORDER-KEY TIES inside the huge group (tie-break path)
+  private lazy val skewed = {
+    import spark.implicits._
+    val rows = (0 until 2000).map(i =>
+      ("g0", i.toLong, math.floorMod(mix(i), 5000L), 1L + math.floorMod(mix(i * 7 + 1), 90L))) ++
+      (0 until 50).map(i =>
+        ("g1", 10000L + i, math.floorMod(mix(i + 99), 5000L), 1L + math.floorMod(mix(i * 3 + 2), 90L))) ++
+      Seq(("g2", 20000L, 17L, 40L)) ++
+      // ties: five g0 rows sharing one order key, distinct ids
+      (0 until 5).map(i => ("g0", 30000L + i, 4242L, 10L + i))
+    rows.toDF("g", "id", "k", "v")
+  }
+
+  test("groupedExclusivePrefixSum == single-task per-group window, incl. ties and singleton groups") {
+    val got = Packing.groupedExclusivePrefixSum(
+        skewed, Seq("g"), "k", "id", "v", "run", numBuckets = 8)
+      .select(col("g"), col("id"), col("run"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = skewed
+      .withColumn("run", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select(col("g"), col("id"), col("run"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "two-phase grouped prefix sum must equal the bottleneck window")
+  }
+
+  test("sampleToTokenBudget: per-group budget respected to within ONE document; priority matches the plain-Scala formula") {
+    import spark.implicits._
+    val budgeted = skewed.withColumn("budget",
+      when(col("g") === "g0", 20000L)
+        .when(col("g") === "g1", 800L).otherwise(10L))
+    val kept = Sampling.sampleToTokenBudget(
+        budgeted, Seq("g"), "id", "v", "budget", seed = 7L)
+      .select($"g", $"id", $"v", $"priority", $"tokens_before", $"budget")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(kept.nonEmpty)
+    // the reference priority: mid-square Lehmer of (id + seed), weight 1
+    def prioRef(id: Long): Long = {
+      val m = 2147483647L
+      val x = (id + 7L) % m
+      x * x % m * 48271L % m * 1000000L
+    }
+    kept.foreach { case (_, id, _, p, _, _) =>
+      assert(p == prioRef(id), s"id $id priority $p != ${prioRef(id)}")
+    }
+    // adherence: every kept doc started under the line, and the total
+    // overshoot is bounded by the crossing document
+    kept.groupBy(_._1).foreach { case (g, rows) =>
+      val budget = rows.head._6
+      rows.foreach { case (_, id, _, _, before, _) =>
+        assert(before < budget, s"$g doc $id took tokens past the budget line")
+      }
+      val total = rows.map(_._3).sum
+      val maxDoc = rows.map(_._3).max
+      assert(total < budget + maxDoc,
+        s"$g realized $total tokens vs budget $budget + one doc $maxDoc")
+    }
+    // the singleton group's one doc (40 tokens, budget 10) IS the
+    // crossing doc: tokens_before = 0 < 10 keeps it — overshoot < 1 doc
+    assert(kept.count(_._1 == "g2") == 1)
+  }
+
+  test("selection is invariant under repartitioning (pure function of id and seed)") {
+    val budgeted = skewed.withColumn("budget", lit(1500L))
+    def run(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      Sampling.sampleToTokenBudget(df, Seq("g"), "id", "v", "budget", seed = 31L)
+        .select(col("g"), col("id"), col("tokens_before"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(budgeted)
+    val b = run(budgeted.repartition(7))
+    val c = run(budgeted.repartition(1))
+    assert(a == b && b == c, "mix must not depend on physical partitioning")
+  }
+
+  test("head-heavy budgets realize head-heavy token shares") {
+    import spark.implicits._
+    // three equally-sized buckets with equal doc-length distributions;
+    // budgets 6000/3000/1000 must order the realized token mass
+    val rows = for {
+      (b, bi) <- Seq("head", "middle", "tail").zipWithIndex
+      i <- 0 until 300
+    } yield (b, (bi * 1000 + i).toLong, 20L + math.floorMod(mix(i + bi), 60L))
+    val df = rows.toDF("bucket", "id", "n_tok")
+      .withColumn("budget",
+        when(col("bucket") === "head", 6000L)
+          .when(col("bucket") === "middle", 3000L).otherwise(1000L))
+    val kept = Sampling.sampleToTokenBudget(
+        df, Seq("bucket"), "id", "n_tok", "budget", seed = 5L)
+      .groupBy("bucket").agg(sum("n_tok").as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("head") > kept("middle") && kept("middle") > kept("tail"),
+      s"realized mix not head-heavy: $kept")
+    // and each realized share is within one mean doc of its budget
+    Seq("head" -> 6000L, "middle" -> 3000L, "tail" -> 1000L).foreach {
+      case (b, budget) =>
+        assert(kept(b) >= budget && kept(b) < budget + 80L,
+          s"$b realized ${kept(b)} vs budget $budget")
+    }
+  }
+}
