@@ -90,6 +90,26 @@ object LangId {
     Model(counts, totals, counts.select(col("gram")).distinct().count(), n)
   }
 
+  /** Merge two models trained on DISJOINT labeled corpora (the
+    * [[NgramLm.merge]] incremental-training story: a new labeled batch
+    * trains batch-locally and folds in with one keyed aggregation —
+    * the old corpus is never re-read). Counts add; totals and the
+    * vocabulary re-derive from the merged counts (NOT vocab_a +
+    * vocab_b — shared grams would double-count). Gram lengths must
+    * match, refused by name otherwise. Exactness is spec-pinned:
+    * train(A ∪ B) == merge(train(A), train(B)).
+    */
+  def merge(a: Model, b: Model,
+            prepare: DataFrame => DataFrame = identity): Model = {
+    require(a.n == b.n,
+      s"cannot merge a ${a.n}-gram model with a ${b.n}-gram model — " +
+        "their gram streams never matched")
+    val counts = prepare(a.counts.unionByName(b.counts)
+      .groupBy(col("lang"), col("gram")).agg(sum(col("c")).as("c")))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    Model(counts, totals, counts.select(col("gram")).distinct().count(), a.n)
+  }
+
   /** Total surprisal per (doc, lang) in exact integer milli-bits —
     * every document gets a row for EVERY language (zero-gram docs score
     * 0 everywhere: no evidence). Plan shape: per-doc gram aggregation,

@@ -91,6 +91,25 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental training: train(A ∪ B) == merge(train(A), train(B)) table-for-table") {
+    val a = trainDocs.filter(col("doc_id") < 2000L)
+    val b = trainDocs.filter(col("doc_id") >= 2000L)
+    val merged = LangId.merge(LangId.train(a, n = 2), LangId.train(b, n = 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(merged.counts) == rows(model.counts), "counts diverge")
+    assert(rows(merged.totals) == rows(model.totals), "totals diverge")
+    assert(merged.vocab == model.vocab && merged.n == model.n)
+    // and therefore identical predictions
+    assert(LangId.predict(docs, merged).collect().map(_.toSeq).toSet ==
+      LangId.predict(docs, model).collect().map(_.toSeq).toSet)
+    // gram-length skew refused by name
+    val eN = intercept[IllegalArgumentException] {
+      LangId.merge(model, LangId.train(trainDocs, n = 3))
+    }
+    assert(eN.getMessage.contains("cannot merge"), eN.getMessage)
+  }
+
   test("save -> load == original predictions bit-for-bit; scalars survive") {
     val dir = java.nio.file.Files.createTempDirectory("langid_rt").toString
     LangId.save(model, dir)

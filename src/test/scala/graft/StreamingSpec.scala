@@ -1428,6 +1428,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming language identification (stateless predict vs a FROZEN model) EQUALS batch predict, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LangId
+    // the LID deployment split (the q219/CCNet stage-1 shape): the
+    // classifier trains OFFLINE on the labeled split and freezes; the
+    // stream is a stateless score+argmin tier — per-doc scoring touches
+    // only the doc's own grams against the static (broadcastable)
+    // count tables, so the tier applies per micro-batch unchanged.
+    // What is NOT stream-safe is re-training inside the stream (the
+    // counts over all history are unbounded state) — same argument as
+    // the frozen-cuts twin above.
+    val fixture = spark.read.parquet(
+      graft.queries.PipelineQueries.LangIdFixture.ensure(spark))
+    val model = LangId.train(
+      fixture.filter($"doc_id" % 1000 < 40 && $"doc_id" < 9000))
+    val docs = fixture.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = toSet(LangId.predict(fixture, model))
+    assert(batch.map(_._2).size >= 5 && batch.exists(_._2 == "zh"),
+      "all five fixture languages must appear among predictions")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, String, Long, Long)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed ++= toSet(LangId.predict(b.toDF(), model)); ()
+      }
+      .start()
+    try {
+      val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      assert(streamed.toSet == batch,
+        s"chunked frozen-model LID diverged from batch: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("streaming CCNet tagging from a RELOADED serving-pair artifact EQUALS batch, chunked") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CcnetServing, NgramLm, TextModelSeam}
+    import graft.queries.CurationQueries
+    // the cross-SESSION version of the frozen-pair twin above: the
+    // model + cuts persist as ONE CcnetServing artifact, and the
+    // streaming tier reloads the scorer PER PARTITION from the blob
+    // (nothing model-sized in any task closure) and broadcasts the
+    // loaded cuts — the deployment where the estimating session and
+    // the serving stream are different processes.
+    val all = Tables.documents(spark, sf).select($"doc_id", $"lang", $"text")
+    val model = NgramLm.train(all)
+    val scored = NgramLm.score(all, model)
+      .join(all.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"avg_millibits")
+    val cuts = CurationQueries.ccnetCuts(scored)
+    val dir = java.nio.file.Files.createTempDirectory("ccnet_stream").toString
+    CcnetServing.save(dir, TextModelSeam.localize(model), cuts)
+    val pair = CcnetServing.load(spark, dir)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"lang", $"avg_millibits", $"bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val batch = toSet(CurationQueries.ccnetTag(scored, cuts))
+
+    val docs = all.as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, String, Long, String)]
+    val q = input.toDS().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed ++= toSet(CcnetServing.tag(spark, b.toDF(), pair.cuts,
+          CcnetServing.scorerFactory(dir))); ()
+      }
+      .start()
+    try {
+      val chunks = docs.grouped((docs.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      assert(streamed.toSet == batch,
+        s"reloaded-pair streaming tagging diverged from batch: ${streamed.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming C4 line-cleaning ingest (c4KeptLines, append mode) EQUALS batch q216 cleaning, chunked") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
