@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
 
 /** End-to-end LLM-corpus pipeline rows: in-engine language
   * identification (q219 — CCNet stage 1, the upstream router every
