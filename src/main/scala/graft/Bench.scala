@@ -53,13 +53,23 @@ import java.nio.file.{Files, Paths}
 object BenchFormat {
   /** Stay under the driver's 2000-char tail capture. The compact line is
     * always the LAST stdout line, so the tail always contains it whole
-    * as long as length + newline fits; the 52-char margin absorbs the
+    * as long as length + newline fits; the 40-char margin absorbs the
     * newline plus a log-framework line prefix ("[info] "-sized). Raised
-    * from 1900 at r15 — the cheapest honest capacity step for the
-    * growing registry (the alternative was dropping the in-band
-    * value-semantics marker; see NOTES r14 #3).
+    * 1900 -> 1948 at r15, -> 1960 at r16 (together with the sf-basename
+    * step below) — the registry crossed its previous 224-row
+    * zero-omission proof at 223 rows.
     */
-  val TailBudget = 1948
+  val TailBudget = 1960
+
+  /** The compact line carries only the BASENAME of the sf dir ("sf0.1")
+    * — the full path stays in the detail line; the 15 saved chars are
+    * ~1.5 per-query rows of zero-omission headroom (the r16 capacity
+    * step).
+    */
+  def sfLabel(sfDir: String): String = {
+    val base = java.nio.file.Paths.get(sfDir).getFileName
+    if (base == null) sfDir else base.toString
+  }
 
   /** "q113_window_sql_verbatim" -> "113": every query name is qNN_...,
     * so the bare number is unambiguous (ContractSpec pins uniqueness).
@@ -230,7 +240,7 @@ object BenchFormat {
         else s""""omitted":${omitted.size},"omitted_max":${fmtDs(omittedMax)},"""
       val errOmittedField =
         if (errorsOmitted == 0) "" else s""""errors_omitted":$errorsOmitted,"""
-      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"qv":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField$errorsField$errOmittedField"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","total_min":$totalMin%.1f,$sentinelField"qv":"min_ds","queries":${entries.take(n).mkString("{", ",", "}")},$omittedField$errorsField$errOmittedField"sf":"${sfLabel(sfDir)}"}"""
     }
     var n = entries.length
     var line = lineWith(n)

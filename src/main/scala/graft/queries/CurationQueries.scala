@@ -1625,7 +1625,71 @@ object CurationQueries {
           .orderBy($"doc_id")
       },
       Some(s"""
-        WITH ${OracleCtes.bigramLm(trainSource = "documents", scoreSource = "documents")},
+        WITH $mixOracleCtes
+        SELECT doc_id, lang, bucket, n_tok, priority, tokens_before
+        FROM mrun
+        WHERE tokens_before < budget
+        ORDER BY doc_id"""),
+      doc = "Token-budget mixing (the CCNet/Gopher sample-to-token-budget step the q214 buckets exist for): per-(language, tercile-bucket) TOKEN budgets (head-heavy 6000/3000/1000), docs taken in deterministic mid-square integer-priority order until the budget line, crossing doc included (overshoot < one doc) — tercile tagging + real BPE counts + grouped two-phase prefix sum (never a per-group sort window); oracle replays the LM, the cuts, the tokenizer, the priority formula, and the running-sum cutoff verbatim in one window."),
+
+    Q(
+      "q223_mix_shuffle_pack",
+      (s, d) => {
+        import s.implicits._
+        // THE BATCH-ASSEMBLY TAIL — what happens to the mixed sample:
+        // after curation and token-budget mixing (q221), a pretraining
+        // job reads the sample in an epoch-deterministic pseudo-random
+        // order (the q174 shuffle key — a resumable job must replay the
+        // same order bit-for-bit) and packs fixed-token-budget batches
+        // IN THAT ORDER (q141's machinery keyed by the shuffle key, not
+        // doc_id — consecutive packs draw from all languages and
+        // buckets instead of id-adjacent runs). Three already-gated
+        // rows composed end to end; the cross-row contracts (the mix's
+        // kept set, the key's uniqueness envelope, the prefix-sum
+        // coordinates) are what this row pins. Plan shape: the mix
+        // reads the memoized tag+token artifact, the key is a codegen'd
+        // per-row integer expression, and the pack is the two-phase
+        // prefix sum over it — the oracle IS the single-task window
+        // (distributed plan, bottleneck replay, the q174 discipline).
+        val mixed = graft.operators.Sampling.sampleToTokenBudget(
+          bucketTok(s, d), Seq("lang", "bucket"), "doc_id", "n_tok",
+          "token_budget", seed = 17L)
+        val keyed = mixed.select($"doc_id", $"lang", $"bucket", $"n_tok",
+          expr("(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
+            " % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id")
+            .as("shuffle_key"))
+        graft.operators.Packing
+          .packByBudget(keyed, "shuffle_key", "n_tok", 512L)
+          .select($"doc_id", $"lang", $"bucket", $"n_tok",
+            $"shuffle_key", $"pack_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH $mixOracleCtes,
+        mixed AS (
+          SELECT doc_id, lang, bucket, n_tok,
+                 (((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))
+                   % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id
+                   AS shuffle_key
+          FROM mrun
+          WHERE tokens_before < budget)
+        SELECT doc_id, lang, bucket, n_tok, shuffle_key,
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY shuffle_key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 512 AS BIGINT) AS pack_id
+        FROM mixed
+        ORDER BY doc_id"""),
+      doc = "The batch-assembly tail composing three gated rows: the q221 token-budget mix read in the q174 epoch-deterministic shuffle order and packed into fixed 512-token batches by the q141 two-phase prefix sum KEYED BY THE SHUFFLE KEY — consecutive packs draw from every language and bucket, the order replays bit-for-bit across runs/engines/partitionings (a resumable pretraining read), and the oracle replays mix, key, and pack in one single-task window.")
+  )
+
+  /** The q221 mixing chain as BODY-ONLY CTEs (bigramLm's lm* chain +
+    * cuts/tagged/mwords/menc/mcnt/mtok/mrun — `mrun` carries
+    * (doc_id, lang, bucket, n_tok, budget, priority, tokens_before));
+    * shared by the q221 and q223 oracles so the two rows can never
+    * drift (the HtmlOracleSql discipline).
+    */
+  private def mixOracleCtes: String = s"""${
+      OracleCtes.bigramLm(trainSource = "documents", scoreSource = "documents")},
         cuts AS (
           SELECT d.lang,
                  QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
@@ -1665,13 +1729,7 @@ object CurationQueries {
                    PARTITION BY lang, bucket ORDER BY priority, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS tokens_before
-          FROM mtok)
-        SELECT doc_id, lang, bucket, n_tok, priority, tokens_before
-        FROM mrun
-        WHERE tokens_before < budget
-        ORDER BY doc_id"""),
-      doc = "Token-budget mixing (the CCNet/Gopher sample-to-token-budget step the q214 buckets exist for): per-(language, tercile-bucket) TOKEN budgets (head-heavy 6000/3000/1000), docs taken in deterministic mid-square integer-priority order until the budget line, crossing doc included (overshoot < one doc) — tercile tagging + real BPE counts + grouped two-phase prefix sum (never a per-group sort window); oracle replays the LM, the cuts, the tokenizer, the priority formula, and the running-sum cutoff verbatim in one window.")
-  )
+          FROM mtok)"""
 
   /** Deterministic multi-line corpus for the Gopher repetition rules:
     * 1 000 generated docs of three paragraphs — a prose body, a
