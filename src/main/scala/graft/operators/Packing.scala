@@ -138,22 +138,35 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed
       .withColumn("__local", coalesce(sum(col(valueCol)).over(w), lit(0L)))
-    // per-group exclusive prefix over the bucket totals, folded back as
-    // one nested CASE per group (groups * buckets literals — tiny)
-    val offsetCol: Column = totals.keys.map(_._1).toSeq.distinct
-      .foldLeft(lit(0L)) { (accG, g) =>
-        val groupMatch = groupCols.zipWithIndex
-          .map { case (c, i) => col(c) <=> lit(g(i)) }
-          .reduce(_ && _)
+    // per-group exclusive prefix over the bucket totals, folded back via
+    // a BROADCAST JOIN on (group, bucket) — O(groups * numBuckets) rows
+    // built on the driver. A nested-CASE literal fold would bloat the
+    // plan linearly in the group count (176 languages x 3 buckets x 32
+    // range buckets is a 16k-branch expression); the join keeps the
+    // plan constant-size at any group inventory.
+    val spark = df.sparkSession
+    val offsetRows: Seq[org.apache.spark.sql.Row] =
+      totals.keys.map(_._1).toSeq.distinct.flatMap { g =>
         val offsets = (0 until n).scanLeft(0L)((acc, b) =>
           acc + totals.getOrElse((g, b), 0L))
-        val inner = offsets.zipWithIndex.init.foldLeft(lit(0L)) {
-          case (acc, (off, b)) => when(col("__bkt") === b, lit(off)).otherwise(acc)
-        }
-        when(groupMatch, inner).otherwise(accG)
+        // Seq[Any] is load-bearing: Seq(b, offsets(b)) would WIDEN the
+        // Int bucket to Long (Scala numeric unification) and the
+        // IntegerType schema field would hold a boxed Long — a
+        // ClassCastException at the first join predicate
+        (0 until n).map(b =>
+          org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](b, offsets(b))))
       }
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => df.schema(c).copy(nullable = true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__bkt",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    val offsetsDf = spark.createDataFrame(offsetRows.asJava, offsetSchema)
     local
-      .withColumn(outCol, col("__local") + offsetCol)
-      .drop("__bkt", "__local")
+      .join(broadcast(offsetsDf), groupCols :+ "__bkt", "left")
+      .withColumn(outCol, col("__local") + coalesce(col("__offset"), lit(0L)))
+      .drop("__bkt", "__local", "__offset")
   }
 }
