@@ -1679,7 +1679,63 @@ object CurationQueries {
                  // 512 AS BIGINT) AS pack_id
         FROM mixed
         ORDER BY doc_id"""),
-      doc = "The batch-assembly tail composing three gated rows: the q221 token-budget mix read in the q174 epoch-deterministic shuffle order and packed into fixed 512-token batches by the q141 two-phase prefix sum KEYED BY THE SHUFFLE KEY — consecutive packs draw from every language and bucket, the order replays bit-for-bit across runs/engines/partitionings (a resumable pretraining read), and the oracle replays mix, key, and pack in one single-task window.")
+      doc = "The batch-assembly tail composing three gated rows: the q221 token-budget mix read in the q174 epoch-deterministic shuffle order and packed into fixed 512-token batches by the q141 two-phase prefix sum KEYED BY THE SHUFFLE KEY — consecutive packs draw from every language and bucket, the order replays bit-for-bit across runs/engines/partitionings (a resumable pretraining read), and the oracle replays mix, key, and pack in one single-task window."),
+
+    Q(
+      "q224_epoch_schedule",
+      (s, d) => {
+        import s.implicits._
+        // MULTI-EPOCH DATA SCHEDULING — the data-constrained regime
+        // (Muennighoff et al. 2023: repeating curated data up to ~4
+        // epochs is near-free; Gopher/LLaMA mixes sample quality
+        // sources at > 1 epoch while crawl passes once). Each source
+        // class gets an epoch count (3/2/1 by the q161 class index),
+        // every doc explodes to one row per epoch, and each EPOCH gets
+        // ITS OWN deterministic shuffle order — the q174 mid-square key
+        // seeded by the epoch, so epoch 2 is a genuine reshuffle of
+        // epoch 1 (same multiset, different replayable order), which is
+        // the published schedule shape (repeat != replay: re-reading in
+        // the same order concentrates gradient correlation). Key
+        // uniqueness: h(doc+epoch-seed) fills the high 31 bits,
+        // doc_id*8+epoch the low 32 (envelope: doc_id < 2^29, epoch <
+        // 8 — documented like q174's 4e9 bound). The global position is
+        // the two-phase prefix sum, never a single-task window; the
+        // oracle IS that window (the q174 discipline). Explode + key
+        // are codegen'd per-row work; the only exchange is the prefix
+        // sum's bucket shuffle.
+        val docs = Tables.documents(s, d)
+        val srcIdx = substring($"source", 4, 10).cast("int")
+        val epochsCol = when(srcIdx % 4 === 0, 3)
+          .when(srcIdx % 4 === 1, 2).otherwise(1)
+        val exploded = docs.select($"doc_id", $"source",
+          explode(sequence(lit(1), epochsCol)).as("epoch"))
+        val key = expr(
+          "((((doc_id + 1000003 * epoch + 7) % 2147483647)" +
+            " * ((doc_id + 1000003 * epoch + 7) % 2147483647))" +
+            " % 2147483647 * 48271 % 2147483647) * 4294967296" +
+            " + doc_id * 8 + epoch")
+        graft.operators.Packing.exclusivePrefixSum(
+            exploded.select($"doc_id", $"epoch".cast("long").as("epoch"),
+              $"source", key.as("k"), lit(1L).as("__one")),
+            "k", "__one", "pos0")
+          .select($"doc_id", $"epoch", $"source", ($"pos0" + 1L).as("pos"))
+          .orderBy($"doc_id", $"epoch")
+      },
+      Some("""
+        WITH ex AS (
+          SELECT doc_id, source,
+                 UNNEST(RANGE(1, CASE CAST(SUBSTRING(source, 4, 10) AS INT) % 4
+                                 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 2 END)) AS epoch
+          FROM documents)
+        SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, source,
+               ROW_NUMBER() OVER (ORDER BY
+                 ((((doc_id + 1000003 * epoch + 7) % 2147483647)
+                   * ((doc_id + 1000003 * epoch + 7) % 2147483647))
+                   % 2147483647 * 48271 % 2147483647) * 4294967296
+                   + doc_id * 8 + epoch) AS pos
+        FROM ex
+        ORDER BY doc_id, epoch"""),
+      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window.")
   )
 
   /** The q221 mixing chain as BODY-ONLY CTEs (bigramLm's lm* chain +
