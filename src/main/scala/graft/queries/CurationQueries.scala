@@ -1735,7 +1735,66 @@ object CurationQueries {
                    + doc_id * 8 + epoch) AS pos
         FROM ex
         ORDER BY doc_id, epoch"""),
-      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window.")
+      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window."),
+
+    Q(
+      "q225_pack_boundaries",
+      (s, d) => {
+        import s.implicits._
+        // THE PACKING BOUNDARY MAP — what a training data loader
+        // actually consumes downstream of q141: packing concatenates
+        // documents into fixed-token sequences, and the loader must
+        // know WHERE each document starts inside its pack so attention
+        // masks reset at document boundaries (packing without the
+        // reset leaks cross-document attention — the published
+        // "contamination-free packing" concern). Per doc: the starting
+        // pack (q141's assignment verbatim), the token offset within
+        // it, and how many packs the doc SPANS (greedy contiguous
+        // packing splits long docs across pack borders; the loader
+        // needs the straddle count to stitch or drop). Pure integer
+        // arithmetic over the same two-phase prefix sum — no new
+        // exchange beyond q141's; the oracle is the single-task window
+        // plus the identical div/mod arithmetic.
+        val docs = Tables.documents(s, d).select($"doc_id",
+          graft.operators.Bpe.tokenCount(
+            graft.operators.Bpe.encode($"text")).as("n_tok"))
+        graft.operators.Packing.exclusivePrefixSum(
+            docs, "doc_id", "n_tok", "tok_before")
+          .select($"doc_id", $"n_tok",
+            expr("tok_before div 512").as("pack_id"),
+            expr("tok_before % 512").as("start_off"),
+            expr("""case when n_tok = 0 then 0L
+                    else (tok_before + n_tok - 1) div 512
+                         - tok_before div 512 + 1L end""").as("n_packs"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""
+        WITH pwords AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+          WHERE LENGTH(w) > 0),
+        penc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM pwords),
+        pcnt AS (SELECT doc_id,
+                   CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                 FROM penc GROUP BY doc_id),
+        pdocs AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n_tok
+                  FROM documents d LEFT JOIN pcnt c USING (doc_id)),
+        prun AS (SELECT doc_id, n_tok,
+                   CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tok_before
+                 FROM pdocs)
+        SELECT doc_id, n_tok,
+               tok_before // 512 AS pack_id,
+               tok_before % 512 AS start_off,
+               CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (tok_before + n_tok - 1) // 512
+                         - tok_before // 512 + 1 END AS n_packs
+        FROM prun
+        ORDER BY doc_id"""),
+      doc = "The packing boundary map a training loader consumes (attention masks must reset at document boundaries — contamination-free packing): per doc the q141 pack assignment, the token offset inside the starting pack, and the straddle count across pack borders, all exact integer div/mod over the same two-phase prefix sum; oracle replays the tokenizer, the window, and the arithmetic verbatim.")
   )
 
   /** The q221 mixing chain as BODY-ONLY CTEs (bigramLm's lm* chain +

@@ -352,4 +352,64 @@ class TextFnsSpec extends AnyFunSuite {
       assert(r.getInt(1) == 0 && r.getLong(2) == 0L && r.getLong(3) == 0L)
     }
   }
+
+  test("htmlTextLines == independent per-segment strip fold over generated and adversarial pages") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // independent reimplementation of the contract: split the
+    // blocks-removed page on <br> variants, per segment strip tags,
+    // decode entities in table order, squeeze the explicit whitespace
+    // class, trim; rejoin on newline
+    def stripRef(seg: String): String = {
+      var t = seg.replaceAll("(?s)<[^>]*>", " ")
+      graft.functions.TextFns.HtmlEntities.foreach { case (e, r) =>
+        t = t.replace(e, r)
+      }
+      t.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
+        .replaceAll("^ | $", "").replaceAll("^ | $", "")
+    }
+    def linesRef(html: String): String = {
+      val noBlocks = html
+        .replaceAll("(?s)<!--.*?-->", " ")
+        .replaceAll("(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+        .replaceAll("(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+      noBlocks.split("(?i)<br[ \\t]*/?>", -1).map(stripRef).mkString("\n")
+    }
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val pieces = Vector("plain words here", "  spaced  ", "<b>bold</b>",
+      "&amp;lt;", "<br>", "<BR/>", "<br />", "<script>var x = 1 < 2; // <br> inside</script>",
+      "<!-- <br> commented out { } -->", "多字节 text", "tab\there",
+      "<a href=x>link text</a>", "&quot;quoted&quot;", "")
+    val pages = (0 until 120).map { i =>
+      val n = 3 + (mix(i).abs % 8).toInt
+      val body = (0 until n)
+        .map(j => pieces((mix(i * 131 + j).abs % pieces.size).toInt))
+        .mkString(" ")
+      (i.toLong, s"<html><head><script>hidden<br></script></head><body>$body</body></html>")
+    } ++ Seq(
+      (900L, ""),
+      (901L, "<br><br><br>"),                       // empty segments survive as empty lines
+      (902L, "no markup at all"),
+      (903L, "<script>all hidden<br></script>"))    // block strip before the split
+    val got = pages.toDF("doc_id", "html")
+      .select($"doc_id", graft.functions.TextFns.htmlTextLines($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pages.foreach { case (id, html) =>
+      assert(got(id) == linesRef(html), s"doc $id:\n[${got(id)}]\n[${linesRef(html)}]")
+    }
+    // and the round-trip contract the capstone relies on: clean
+    // single-spaced trimmed lines joined by <br> come back verbatim
+    val lines = Seq("first line here.", "second line.", "third one!")
+    val wrapped = "<p>" + lines.mkString("<br>") + "</p>"
+    assert(got.nonEmpty) // keep the map referenced
+    val rt = Seq((0L, wrapped)).toDF("doc_id", "html")
+      .select(graft.functions.TextFns.htmlTextLines(col("html")))
+      .collect().head.getString(0)
+    assert(rt == lines.mkString("\n"), rt)
+  }
 }
