@@ -241,10 +241,17 @@ object TextFns {
   def htmlText(html: Column): Column = stripTagsEntities(stripBlocks(html))
 
   /** `<br>` break pattern for [[htmlTextLines]]: case-insensitive,
-    * optional self-closing slash; `[ \t]` spelled explicitly (the
-    * HtmlSpacePattern RE2-vs-Java `\s` lesson).
+    * optional ATTRIBUTE section (`<br clear="all">` is common in real
+    * crawl HTML — without it the tag falls through to
+    * [[stripTagsEntities]] and two authored lines silently merge, the
+    * exact structure loss [[htmlTextLines]] exists to prevent),
+    * optional self-closing slash. The attribute branch requires one
+    * whitespace char first so `<brew>` never matches; whitespace is
+    * spelled as the explicit [[HtmlSpacePattern]] class, not `\s` (the
+    * RE2-vs-Java U+000B lesson). No backrefs/lookaround — RE2-safe,
+    * replayed verbatim by `HtmlOracleSql.strippedLines`.
     */
-  val HtmlBrPattern = "(?i)<br[ \\t]*/?>"
+  val HtmlBrPattern = "(?i)<br([ \\t\\n\\x0B\\f\\r][^>]*)?/?>"
 
   /** LINE-PRESERVING HTML extraction — the variant the C4 line-cleaning
     * tier needs upstream: [[htmlText]] squeezes ALL whitespace (newlines

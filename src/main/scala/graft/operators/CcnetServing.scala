@@ -96,6 +96,14 @@ object CcnetServing {
     * [[TextModelSeam.scoreSafe]] if the caller wants them), broadcast
     * the cut table, tag with the `<= cut` CASE (ties to the lower
     * bucket — the q214 rule verbatim). Zero corpus shuffles.
+    *
+    * A document whose `lang` has NO row in the cuts table fails BY
+    * NAME (ADVICE r16): the pair's cuts are per-language, so a missing
+    * language means the frozen pair was estimated on a different
+    * language inventory than the corpus being tagged — an inner join
+    * would shrink the corpus silently, the exact failure mode the
+    * manifest pairing gate exists to refuse. The check is a map-side
+    * CASE over the broadcast left join — still zero corpus shuffles.
     */
   def tag(spark: SparkSession, docs: DataFrame, cuts: DataFrame,
           mkScorer: () => TextModelSeam.TextScorer): DataFrame = {
@@ -107,9 +115,17 @@ object CcnetServing {
       .select(col("doc_id"), col("avg_millibits"))
     docs.select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"))
-      .join(broadcast(cuts), Seq("lang"))
+      .join(broadcast(cuts), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_millibits"),
-        when(col("avg_millibits") <= col("cut_head"), "head")
+        when(col("cut_head").isNull || col("cut_middle").isNull,
+          raise_error(concat(
+            lit("CcnetServing.tag: language `"), col("lang"),
+            lit("` (doc_id "), col("doc_id"),
+            lit(") has no row in the pair's cuts table — the frozen " +
+              "pair was estimated on a different language inventory " +
+              "than this corpus; re-estimate cuts or route the " +
+              "language out before tagging"))))
+          .when(col("avg_millibits") <= col("cut_head"), "head")
           .when(col("avg_millibits") <= col("cut_middle"), "middle")
           .otherwise("tail").as("bucket"))
   }

@@ -119,10 +119,27 @@ object Packing {
         val bCol = bs.foldLeft(lit(0)) { (acc, b) =>
           acc + when(col(orderCol) > b, 1).otherwise(0)
         }
-        val ts = projected.withColumn("__bkt", bCol)
+        val collected = projected.withColumn("__bkt", bCol)
           .groupBy((groupCols.map(col) :+ col("__bkt")): _*)
           .agg(sum(col(valueCol)).cast("long").as("__btotal"))
           .collect()
+        // ADVICE r16: the offset fold below joins with NULL-UNSAFE
+        // equality on the group columns, so a null group value would
+        // silently miss its offset row and coalesce to 0 — a wrong
+        // prefix sum whenever that group spans range buckets. The
+        // grouped totals (already on the driver — no extra job) see
+        // every group value present in the data, so nulls fail BY NAME
+        // here instead of corrupting downstream sums.
+        collected.foreach { r =>
+          groupCols.indices.foreach { i =>
+            require(!r.isNullAt(i),
+              s"groupedExclusivePrefixSum: group column `${groupCols(i)}` " +
+                "contains NULL — the offset fold joins null-unsafely and " +
+                "would silently assign offset 0; filter or fill null " +
+                "groups before calling")
+          }
+        }
+        val ts = collected
           .map(r => (groupCols.indices.map(r.get).toSeq, r.getInt(groupCols.size))
             -> r.getLong(groupCols.size + 1))
           .toMap

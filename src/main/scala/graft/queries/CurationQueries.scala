@@ -35,7 +35,7 @@ object CurationQueries {
     */
   private[graft] val LmKeepMaxAvgMillibits = 13750L
 
-  private val bucketSql =
+  private[queries] val bucketSql =
     "CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
   // corpus bigram table per (session, dir) — q60 references it TWICE
@@ -1698,11 +1698,15 @@ object CurationQueries {
         // the same order concentrates gradient correlation). Key
         // uniqueness: h(doc+epoch-seed) fills the high 31 bits,
         // doc_id*8+epoch the low 32 (envelope: doc_id < 2^29, epoch <
-        // 8 — documented like q174's 4e9 bound). The global position is
-        // the two-phase prefix sum, never a single-task window; the
-        // oracle IS that window (the q174 discipline). Explode + key
-        // are codegen'd per-row work; the only exchange is the prefix
-        // sum's bucket shuffle.
+        // 8 — ENFORCED by the assert_true folded into the key, ADVICE
+        // r16: a corpus outside the envelope fails BY NAME instead of
+        // silently colliding keys into nondeterministic positions; the
+        // guard rides inside the key expression so column pruning can
+        // never drop it, and it costs two integer compares per row).
+        // The global position is the two-phase prefix sum, never a
+        // single-task window; the oracle IS that window (the q174
+        // discipline). Explode + key are codegen'd per-row work; the
+        // only exchange is the prefix sum's bucket shuffle.
         val docs = Tables.documents(s, d)
         val srcIdx = substring($"source", 4, 10).cast("int")
         val epochsCol = when(srcIdx % 4 === 0, 3)
@@ -1713,7 +1717,12 @@ object CurationQueries {
           "((((doc_id + 1000003 * epoch + 7) % 2147483647)" +
             " * ((doc_id + 1000003 * epoch + 7) % 2147483647))" +
             " % 2147483647 * 48271 % 2147483647) * 4294967296" +
-            " + doc_id * 8 + epoch")
+            " + doc_id * 8 + epoch" +
+            " + coalesce(cast(assert_true(doc_id < 536870912 and epoch < 8," +
+            " concat('q224_epoch_schedule: shuffle-key uniqueness envelope" +
+            " violated (need doc_id < 2^29 and epoch < 8; got doc_id='," +
+            " doc_id, ', epoch=', epoch, ') — keys would collide and" +
+            " positions become nondeterministic')) as bigint), 0)")
         graft.operators.Packing.exclusivePrefixSum(
             exploded.select($"doc_id", $"epoch".cast("long").as("epoch"),
               $"source", key.as("k"), lit(1L).as("__one")),
@@ -1735,7 +1744,7 @@ object CurationQueries {
                    + doc_id * 8 + epoch) AS pos
         FROM ex
         ORDER BY doc_id, epoch"""),
-      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window."),
+      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8, ENFORCED by an assert_true inside the key — out-of-envelope corpora fail by name, never collide silently); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window."),
 
     Q(
       "q225_pack_boundaries",

@@ -73,6 +73,10 @@ object PipelineQueries {
     stagesPersisted.foreach(_.unpersist())
     stagesPersisted = Seq.empty
     stagesCache.clear()
+    multiStagesCache.clear()
+    qualityModelCache.values.foreach(_.counts.unpersist())
+    qualityModelCache.clear()
+    qualityStagesCache.clear()
   }
 
   /** The capstone's LM keep threshold. The corpus is small, so absolute
@@ -188,47 +192,256 @@ object PipelineQueries {
       contaminated, cur2, man, kept, packed)
   }
 
-  /** The NB-classifier replay as BODY-ONLY CTEs (lsrc/ltr/ltg/lcnt/
-    * ltot/lvoc/ldg/lpersc/lrank/lpred — `lpred` has (doc_id, lang,
-    * margin_millibits)), shared by the q219 and q222 oracles so the two
-    * rows can never drift (the HtmlOracleSql discipline).
+  /** q226's per-(pred_lang, bucket) token budgets — sized BELOW every
+    * cell's token mass on the deterministic fixture (measured masses
+    * 1736-4908 tokens per cell), so the mixing stage provably drops an
+    * over-budget tail in each non-empty cell (the mix casualty class).
+    */
+  private[graft] val MultiHeadBudget = 400L
+  private[graft] val MultiMiddleBudget = 250L
+  private[graft] val MultiTailBudget = 120L
+
+  /** q226's route threshold in milli-bits PER GRAM (margin divided by
+    * the document's bigram count): the q222 ABSOLUTE margin cut is
+    * right for a fixed-length fixture, but an unnormalized margin grows
+    * linearly with document length — a long mixed-language page would
+    * clear any absolute cut a short pure page also clears. fastText
+    * thresholds a normalized confidence for exactly this reason.
+    * Measured on the deterministic fixture: the planted mixed en/es
+    * page scores 203 milli-bits/gram, every pure page >= 4032 — 1000
+    * (one bit of margin per character bigram) sits mid-gap with >= 4x
+    * air on both sides, and both engines compare the same exact
+    * integers (margin >= threshold * (len - 1), never a division).
+    */
+  private[graft] val RoutePerGramMillibits = 1000L
+
+  /** Every intermediate frame of the q226 LID-routed multilingual
+    * chain (the [[CapstoneStages]] discipline: the gated row and
+    * CapstoneSpec drive ONE copy; the oracle replays it in SQL).
+    * `pred` is the FULL prediction frame (pre-threshold) so the spec
+    * can read the routing casualty's margin directly.
+    */
+  private[graft] final case class MultiStages(
+      corpus: DataFrame, extracted: DataFrame, cleaned: DataFrame,
+      cur: DataFrame, pred: DataFrame, routed: DataFrame,
+      tagged: DataFrame, mixed: DataFrame)
+
+  private val multiStagesCache =
+    scala.collection.mutable.Map.empty[SparkSession, MultiStages]
+  private[graft] def multiStages(s: SparkSession): MultiStages =
+    synchronized { multiStagesCache.getOrElseUpdate(s, buildMultiStages(s)) }
+
+  private def buildMultiStages(s: SparkSession): MultiStages = {
+    import s.implicits._
+    def pin(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stagesPersisted = stagesPersisted :+ p
+      p
+    }
+    // Wenzek et al. 2020 run the published pipeline in exactly this
+    // order: crawl -> extraction -> (line clean) -> dedup -> LID ->
+    // per-language LM bucketing; mixing consumes the buckets. The LID
+    // model is the PRETRAINED LangIdFixture artifact ([[langidModel]])
+    // — in deployment fastText LID ships as a frozen model; a crawl
+    // never trains its own router.
+    val corpus = s.read.parquet(MultiCrawlFixture.ensure(s))
+    // 1+2: WARC mux -> demux -> HTTP -> line-preserving extraction
+    // (identical machinery to q220 — same template, same traps)
+    val shards = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .groupByKey(t => Math.floorDiv(t._1, 16L)).mapGroups { (sid, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          (id, graft.sources.Warc.httpMessage(
+            CapstoneFixture.PagePrefix +
+              text.replace("\n", "<br>") + CapstoneFixture.PageSuffix))
+        }
+        (sid, graft.sources.Warc.buildShard(recs))
+      }
+    val pages = shards.flatMap { case (_, blob) =>
+      graft.sources.Warc.parseShard(blob).map { r =>
+        (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+          graft.sources.Warc.parseHttp(r.payload).body)
+      }
+    }.toDF("doc_id", "html")
+    val extracted = pages.select($"doc_id",
+      graft.functions.TextFns.htmlTextLines($"html").as("text"))
+    // 3: C4 line clean (same rules as the q220 stage)
+    val cleaned = extracted
+      .select($"doc_id", $"text",
+        graft.functions.TextFns.c4KeptLines($"text").as("kept"))
+      .filter(size($"kept") >= 3 && !lower($"text").contains("lorem ipsum")
+        && !$"text".contains("{"))
+      .select($"doc_id", array_join($"kept", "\n").as("text"))
+    // 4: NFC canonicalize + md5 exact-dedup election (min id survives)
+    val nfc = cleaned.select($"doc_id",
+      graft.functions.NfcNormalize($"text").as("text"))
+    val cur = pin(graft.operators.Dedup.exactDedup(
+        nfc.withColumn("__k", md5($"text")), Seq("__k"), Seq($"doc_id"))
+      .drop("__k"))
+    // 5: LID + confidence routing (the q222 rule, LENGTH-NORMALIZED —
+    // see [[RoutePerGramMillibits]]) — low-confidence docs are 'und'
+    // and DROPPED, the casualty class q220 cannot have
+    val pred = pin(graft.operators.LangId.predict(cur, langidModel(s)))
+    val routed = pin(cur
+      .join(pred.select($"doc_id", $"pred_lang", $"margin_millibits"),
+        Seq("doc_id"))
+      .filter($"margin_millibits" >=
+        lit(RoutePerGramMillibits) * (length($"text") - 1)))
+    // 6: per-PREDICTED-language LM terciles (self-trained on the routed
+    // corpus — the q219 shape, keyed on the classifier's output)
+    val lm = graft.operators.NgramLm.score(routed,
+      graft.operators.NgramLm.train(routed, prepare = pin))
+    val scored = routed.select($"doc_id", $"pred_lang".as("lang"))
+      .join(lm.select($"doc_id", $"avg_millibits"), Seq("doc_id"))
+    val tagged = pin(CurationQueries.ccnetTag(scored,
+      CurationQueries.ccnetCuts(scored)))
+    // 7: token-budget mixing keyed on (PREDICTED lang, bucket)
+    val mixIn = tagged
+      .join(routed.select($"doc_id", $"margin_millibits",
+        graft.operators.Bpe.tokenCount(
+          graft.operators.Bpe.encode($"text")).as("n_tok")), Seq("doc_id"))
+      .withColumn("token_budget",
+        when($"bucket" === "head", MultiHeadBudget)
+          .when($"bucket" === "middle", MultiMiddleBudget)
+          .otherwise(MultiTailBudget))
+    val mixed = graft.operators.Sampling.sampleToTokenBudget(
+        mixIn, Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget",
+        seed = 23L)
+      .select($"doc_id", $"lang".as("pred_lang"), $"margin_millibits",
+        $"avg_millibits", $"bucket", $"n_tok", $"tokens_before")
+      .orderBy($"doc_id")
+    MultiStages(corpus, extracted, cleaned, cur, pred, routed, tagged, mixed)
+  }
+
+  /** q227's pieces, exposed for the gated row and QualityClassifierSpec
+    * to drive ONE copy: the supervised quality classifier (the
+    * [[graft.operators.LangId]] NB machinery keyed on good/bad labels —
+    * the FineWeb-Edu/DCLM stage), its prediction frame over the
+    * curation corpus, and the SEVEN-signal manifest.
+    */
+  private[graft] final case class QualityStages(
+      corpus: DataFrame, cls: DataFrame, manifest: DataFrame)
+
+  // the trained quality model is memoized separately so the spec's
+  // save/load round-trip can reuse it without rebuilding the manifest
+  private val qualityModelCache =
+    scala.collection.mutable.Map.empty[SparkSession, graft.operators.LangId.Model]
+  private[graft] def qualityModel(s: SparkSession): graft.operators.LangId.Model =
+    synchronized {
+      qualityModelCache.getOrElseUpdate(s, {
+        val fx = s.read.parquet(QualityFixture.ensure(s))
+        graft.operators.LangId.train(
+          fx.filter(col("doc_id") >= 30000L), langCol = "label", n = 2,
+          prepare = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      })
+    }
+
+  private val qualityStagesCache =
+    scala.collection.mutable.Map.empty[SparkSession, QualityStages]
+  private[graft] def qualityStages(s: SparkSession): QualityStages =
+    synchronized { qualityStagesCache.getOrElseUpdate(s, buildQualityStages(s)) }
+
+  private def buildQualityStages(s: SparkSession): QualityStages = {
+    import s.implicits._
+    def pin(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stagesPersisted = stagesPersisted :+ p
+      p
+    }
+    val fx = s.read.parquet(QualityFixture.ensure(s))
+    // the corpus under curation; its `label` slot carries the language
+    // column the manifest records — the good/bad labels live ONLY on
+    // the training block (>= 30000), which never enters the manifest
+    val corpus = pin(fx.filter($"doc_id" < 9000L)
+      .withColumnRenamed("label", "lang"))
+    // classifier predictions: pred 'good'/'bad' + margin as the GRADE
+    // (FineWeb-Edu publishes a graded score and thresholds it; here the
+    // margin in exact integer milli-bits is the grade)
+    val cls = pin(graft.operators.LangId.predict(corpus, qualityModel(s)))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(corpus, "doc_id", "text", 3), 0.5)
+    val spans = graft.operators.SubstrDedup.dupSpans(corpus)
+    val lm = graft.operators.NgramLm.score(corpus,
+      graft.operators.NgramLm.train(corpus, prepare = pin))
+    val man6 = CurationQueries.webCurationManifest(corpus, pairs,
+      Some(spans), lmScores = Some(lm))
+    // the classifier joins as the SEVENTH recorded signal: label +
+    // margin ride the manifest, keep additionally requires pred 'good'
+    val manifest = man6
+      .join(cls.select($"doc_id", $"pred_lang".as("cls_label"),
+        $"margin_millibits".as("cls_margin")), Seq("doc_id"))
+      .withColumn("keep",
+        (($"keep" === 1L) && ($"cls_label" === "good")).cast("long"))
+      .select($"doc_id", $"lang", $"n_words", $"pass_gate", $"has_pii",
+        $"is_victim", $"substr_permille", $"avg_millibits",
+        $"cls_label", $"cls_margin", $"keep", $"split")
+      .orderBy($"doc_id")
+    QualityStages(corpus, cls, manifest)
+  }
+
+  /** The NB-classifier TRAINING replay as body-only CTEs, generalized
+    * over the labeled source, the LABEL column, and a CTE prefix so the
+    * language family (q219/q222/q226) and any other labeled NB tier
+    * (the q227 quality classifier) share ONE kernel and can never
+    * drift (the HtmlOracleSql discipline). `trainSource` must expose
+    * `($labelCol, text)`; emits `${p}cnt` (label, gram, count),
+    * `${p}tot` (label totals), `${p}voc` (global gram vocabulary).
+    * The label column is aliased to `lang` inside — [[LangId]] is
+    * label-agnostic the same way (its `langCol` parameter).
+    */
+  private[queries] def nbTrainCtes(trainSource: String, labelCol: String,
+                                   p: String): String =
+    s"""${p}tg AS (SELECT $labelCol AS lang,
+                  UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text)),
+                    i -> SUBSTRING(text, i, 2))) AS g FROM $trainSource),
+        ${p}cnt AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ${p}tg GROUP BY 1, 2),
+        ${p}tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot
+                 FROM ${p}cnt GROUP BY 1),
+        ${p}voc AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM ${p}tg)"""
+
+  /** The NB-classifier SCORING replay: argmin with the (total, label)
+    * tie-break and the runner-up margin over `scoreSource` (doc_id,
+    * text), against a model trained by [[nbTrainCtes]] under prefix
+    * `tp`. Emits `${p}pred` (doc_id, lang, margin_millibits).
+    */
+  private[queries] def nbScoreCtes(scoreSource: String, p: String,
+                                   tp: String): String =
+    s"""${p}dg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k
+                FROM (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text)),
+                        i -> SUBSTRING(text, i, 2))) AS g FROM $scoreSource) t
+                GROUP BY 1, 2),
+        ${p}persc AS (
+          SELECT ids.doc_id, t.lang,
+                 CAST(COALESCE(SUM(k * (${OracleCtes.milliLog2("tot + v")}
+                   - ${OracleCtes.milliLog2("COALESCE(c.c, 0) + 1")})), 0) AS BIGINT) AS total
+          FROM (SELECT doc_id FROM $scoreSource) ids
+          CROSS JOIN ${tp}tot t
+          CROSS JOIN ${tp}voc
+          LEFT JOIN ${p}dg ON ${p}dg.doc_id = ids.doc_id
+          LEFT JOIN ${tp}cnt c ON c.lang = t.lang AND c.g = ${p}dg.g
+          GROUP BY 1, 2),
+        ${p}rank AS (SELECT doc_id, lang, total,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY total, lang) AS rn
+                  FROM ${p}persc),
+        ${p}pred AS (SELECT r1.doc_id, r1.lang AS lang,
+                         CAST(COALESCE(r2.total - r1.total, 0) AS BIGINT)
+                           AS margin_millibits
+                  FROM ${p}rank r1
+                  LEFT JOIN ${p}rank r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+                  WHERE r1.rn = 1)"""
+
+  /** The q219/q222 chain: LangIdFixture source + train split + the
+    * shared NB kernel under prefix `l` (`lpred` has (doc_id, lang,
+    * margin_millibits)).
     */
   private def langidOracleCtes: String = s"""lsrc AS (
           SELECT doc_id, lang, text
           FROM read_parquet('${LangIdFixture.Root}/*.parquet')),
         ltr AS (SELECT lang, text FROM lsrc
                 WHERE doc_id % 1000 < 40 AND doc_id < 9000),
-        ltg AS (SELECT lang, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text)),
-                  i -> SUBSTRING(text, i, 2))) AS g FROM ltr),
-        lcnt AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
-                 FROM ltg GROUP BY 1, 2),
-        ltot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot
-                 FROM lcnt GROUP BY 1),
-        lvoc AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS v FROM ltg),
-        ldg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS k
-                FROM (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text)),
-                        i -> SUBSTRING(text, i, 2))) AS g FROM lsrc) t
-                GROUP BY 1, 2),
-        lpersc AS (
-          SELECT ids.doc_id, t.lang,
-                 CAST(COALESCE(SUM(k * (${OracleCtes.milliLog2("tot + v")}
-                   - ${OracleCtes.milliLog2("COALESCE(c.c, 0) + 1")})), 0) AS BIGINT) AS total
-          FROM (SELECT doc_id FROM lsrc) ids
-          CROSS JOIN ltot t
-          CROSS JOIN lvoc
-          LEFT JOIN ldg ON ldg.doc_id = ids.doc_id
-          LEFT JOIN lcnt c ON c.lang = t.lang AND c.g = ldg.g
-          GROUP BY 1, 2),
-        lrank AS (SELECT doc_id, lang, total,
-                         ROW_NUMBER() OVER (PARTITION BY doc_id
-                           ORDER BY total, lang) AS rn
-                  FROM lpersc),
-        lpred AS (SELECT r1.doc_id, r1.lang AS lang,
-                         CAST(COALESCE(r2.total - r1.total, 0) AS BIGINT)
-                           AS margin_millibits
-                  FROM lrank r1
-                  LEFT JOIN lrank r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
-                  WHERE r1.rn = 1)"""
+        ${nbTrainCtes("ltr", "lang", "l")},
+        ${nbScoreCtes("lsrc", "l", "l")}"""
 
   /** q222's routing threshold: 10 bits of margin. Measured on the
     * deterministic fixture, every pure-language doc margins >= 530149
@@ -477,7 +690,144 @@ object PipelineQueries {
                text_md5
         FROM cpackable
         ORDER BY doc_id"""),
-      doc = "The corpus-build capstone: crawl mux (WARC/HTTP/HTML with script+comment traps) -> line-preserving extraction -> C4 line clean -> NFC canonicalization + exact dedup -> substring span table -> 13-token BPE decontamination against a benchmark set -> six-signal manifest -> prefix-sum packing at budget 128, ALL in one gated pass whose final packed output (doc ids, exact token counts, pack ids, surviving-text md5) the oracle re-derives from the raw fixture through every stage — the row where a stage-boundary bug (text-version skew, coordinate mismatch, id-space leak) becomes a hash mismatch; the fixture plants at least one casualty per stage."))
+      doc = "The corpus-build capstone: crawl mux (WARC/HTTP/HTML with script+comment traps) -> line-preserving extraction -> C4 line clean -> NFC canonicalization + exact dedup -> substring span table -> 13-token BPE decontamination against a benchmark set -> six-signal manifest -> prefix-sum packing at budget 1024, ALL in one gated pass whose final packed output (doc ids, exact token counts, pack ids, surviving-text md5) the oracle re-derives from the raw fixture through every stage — the row where a stage-boundary bug (text-version skew, coordinate mismatch, id-space leak) becomes a hash mismatch; the fixture plants at least one casualty per stage."),
+
+    Q(
+      "q226_multilingual_capstone",
+      (s, _) => {   // dedicated multilingual crawl fixture; dir arg unused
+        // THE LID-ROUTED MULTILINGUAL CORPUS BUILD — the composition
+        // seam q220 structurally cannot exercise: its corpus is
+        // English-only with a RECORDED lang column, while the published
+        // pipeline (Wenzek et al. 2020 §4.2) runs language
+        // identification BEFORE every per-language decision. This row
+        // starts a multilingual crawl from raw WARC shards and routes
+        // everything downstream through the classifier's OUTPUT:
+        //   1+2. WARC mux -> demux -> HTTP -> line-preserving
+        //        extraction (the q217/q218 machinery, UTF-8 payloads —
+        //        CJK and combining marks survive the byte leg);
+        //   3.   C4 line clean (page + line casualties planted);
+        //   4.   NFC canonicalize + md5 exact-dedup election (the NFD
+        //        twin casualty — dedup must run BEFORE LID so the
+        //        router scores canonical text once);
+        //   5.   LID + CONFIDENCE ROUTING (q219's classifier — the
+        //        PRETRAINED LangIdFixture artifact, never trained on
+        //        the crawl — thresholded by the LENGTH-NORMALIZED
+        //        q222 rule, RoutePerGramMillibits): the planted mixed
+        //        en/es page scores 203 milli-bits of margin per gram
+        //        (pure pages >= 4032), routes 'und', and is DROPPED —
+        //        the casualty class only an in-pipeline router can
+        //        produce;
+        //   6.   per-PREDICTED-language LM terciles (ccnetCuts/
+        //        ccnetTag keyed on pred_lang, not the recorded col);
+        //   7.   token-budget mixing per (pred_lang, bucket) — budgets
+        //        sized below cell mass, so every cell drops an
+        //        over-budget tail.
+        // The oracle composes the shared NB kernel (nbTrainCtes/
+        // nbScoreCtes — the q219 chain verbatim) with the capstone
+        // WITH-chain end to end: template replay, strippedLines, C4,
+        // NFC election, classifier + tie-break + margin + route, the
+        // self-trained LM, both tercile cuts per predicted language,
+        // the BPE tokenizer, the priority formula, and the running-sum
+        // cutoff. CapstoneSpec attributes >= 1 casualty to EVERY
+        // stage including routing. Plan shape: the model is
+        // vocabulary-sized (broadcast), the cut table is
+        // |lang|x|bucket|-row broadcast, and the only corpus exchanges
+        // are the gram/doc aggregations and the prefix sum's bucket
+        // shuffle — no shuffle carries text beyond the stage tables
+        // a deployment would materialize anyway.
+        multiStages(s).mixed
+      },
+      Some(s"""
+        WITH lsrc AS (
+          SELECT doc_id, lang, text
+          FROM read_parquet('${LangIdFixture.Root}/*.parquet')),
+        ltr AS (SELECT lang, text FROM lsrc
+                WHERE doc_id % 1000 < 40 AND doc_id < 9000),
+        ${nbTrainCtes("ltr", "lang", "l")},
+        msrc AS (
+          SELECT doc_id, text
+          FROM read_parquet('${MultiCrawlFixture.Root}/*.parquet')),
+        mpage AS (
+          SELECT doc_id,
+                 '${CapstoneFixture.PagePrefix}' || REPLACE(text, chr(10), '<br>')
+                   || '${CapstoneFixture.PageSuffix}' AS html
+          FROM msrc),
+        mex AS (
+          SELECT doc_id, ${TextQueries.HtmlOracleSql.strippedLines("html")} AS text
+          FROM mpage),
+        mcln AS (
+          SELECT doc_id, text,
+            LIST_FILTER(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+                x -> TRIM(x)), x -> LENGTH(x) > 0), l ->
+              SUBSTR(l, LENGTH(l), 1) IN ('.', '!', '?', '"')
+              AND LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> LENGTH(w) > 0)) >= 5
+              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
+          FROM mex),
+        mkeep AS (
+          SELECT doc_id, ARRAY_TO_STRING(kept, chr(10)) AS text
+          FROM mcln
+          WHERE LEN(kept) >= 3 AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+            AND NOT CONTAINS(text, '{')),
+        mnfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM mkeep),
+        mcur AS (
+          SELECT doc_id, text
+          FROM (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+                FROM mnfc) n
+          WHERE doc_id = keeper),
+        ${nbScoreCtes("mcur", "m", "l")},
+        mroute AS (
+          SELECT c.doc_id, p.lang AS pred_lang, p.margin_millibits, c.text
+          FROM mcur c JOIN mpred p USING (doc_id)
+          WHERE p.margin_millibits >= $RoutePerGramMillibits * (LENGTH(c.text) - 1)),
+        ${OracleCtes.bigramLm(trainSource = "mroute", scoreSource = "mroute")},
+        mcuts AS (
+          SELECT r.pred_lang,
+                 QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
+                 QUANTILE_CONT(sc.avg_millibits, 2.0/3) AS cut_middle
+          FROM mroute r JOIN lmsc sc USING (doc_id)
+          GROUP BY 1),
+        mtag AS (
+          SELECT r.doc_id, r.pred_lang, r.margin_millibits, sc.avg_millibits,
+                 CASE WHEN sc.avg_millibits <= c.cut_head THEN 'head'
+                      WHEN sc.avg_millibits <= c.cut_middle THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM mroute r
+          JOIN lmsc sc USING (doc_id)
+          JOIN mcuts c USING (pred_lang)),
+        mw AS (SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM mroute) t
+          WHERE LENGTH(w) > 0),
+        menc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM mw),
+        mtokc AS (SELECT doc_id,
+                    CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                  FROM menc GROUP BY doc_id),
+        mmixin AS (
+          SELECT t.doc_id, t.pred_lang, t.margin_millibits, t.avg_millibits,
+                 t.bucket, COALESCE(k.n, 0) AS n_tok,
+                 CASE t.bucket WHEN 'head' THEN $MultiHeadBudget
+                               WHEN 'middle' THEN $MultiMiddleBudget
+                               ELSE $MultiTailBudget END AS budget,
+                 CAST(((((t.doc_id + 23) % 2147483647)
+                     * ((t.doc_id + 23) % 2147483647))
+                     % 2147483647 * 48271 % 2147483647 * 1000000)
+                   // GREATEST(1, 1) AS BIGINT) AS priority
+          FROM mtag t LEFT JOIN mtokc k USING (doc_id)),
+        mrun AS (
+          SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
+                 n_tok, budget,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY pred_lang, bucket ORDER BY priority, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tokens_before
+          FROM mmixin)
+        SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
+               n_tok, tokens_before
+        FROM mrun
+        WHERE tokens_before < budget
+        ORDER BY doc_id"""),
+      doc = "The LID-routed multilingual corpus build — the last composition seam: a five-language crawl muxed into WARC shards, extracted line-preserving, C4-cleaned, NFC-deduped, then routed by the PRETRAINED q219 classifier under the length-normalized confidence rule (margin >= 1000 milli-bits per gram; 'und' docs dropped — the planted mixed en/es page at 203/gram is the routing casualty, every pure page clears 4x), with LM terciles and token-budget mixing keyed on the PREDICTED language; the oracle composes the shared NB kernel with the full capstone WITH-chain (template, strippedLines, C4, NFC election, classifier, route, LM, cuts, tokenizer, priority, running-sum cutoff) and CapstoneSpec attributes a casualty to every stage including routing."))
 
   /** Deterministic multilingual corpus for the language-ID family:
     * five languages with genuinely distinct character distributions
@@ -516,8 +866,8 @@ object PipelineQueries {
         "oi", "eur", "une"),
       "zh" -> Vector("数据", "处理", "引擎", "查询", "分布", "计算",
         "存储", "模型", "语言", "文本"))
-    private val Langs = Vector("de", "en", "es", "fr", "zh")
-    private def word(lang: String, seed: Long): String = {
+    private[queries] val Langs = Vector("de", "en", "es", "fr", "zh")
+    private[queries] def word(lang: String, seed: Long): String = {
       val inv = Syllables(lang)
       val k = 2 + pick(2, seed)
       (0 until k).map(j => inv(pick(inv.size, seed * 31 + j + 1))).mkString
@@ -614,9 +964,9 @@ object PipelineQueries {
         if (p % 5 == 2) Stops(java.lang.Math.floorMod(seed + p / 5, 8L).toInt)
         else filler(seed * 1013 + li * 97 + j)
       }
-    private def line(seed: Long, li: Int, n: Int = 9): String =
+    private[queries] def line(seed: Long, li: Int, n: Int = 9): String =
       lineWords(seed, li, n).mkString(" ") + "."
-    private def baseDoc(seed: Long, nLines: Int = 7): String =
+    private[queries] def baseDoc(seed: Long, nLines: Int = 7): String =
       (0 until nLines).map(k => line(seed, k)).mkString("\n")
     private def sharedLine(k: Int): String = line(777444L, k)
     /** The 18-word benchmark line planted in doc 150 and bench 9001:
@@ -678,5 +1028,140 @@ object PipelineQueries {
     private val once = new FixtureOnce(Root)
     def ensure(s: SparkSession): String =
       once.ensure3(s)(rows, "doc_id", "lang", "text")
+  }
+
+  /** Deterministic MULTILINGUAL crawl for the q226 LID-routed capstone:
+    * the [[LangIdFixture]] word generators (same five languages, same
+    * syllable inventories — so the PRETRAINED LangIdFixture model
+    * classifies this corpus the way a deployed fastText LID classifies
+    * a new crawl) inside the [[CapstoneFixture]] page machinery (lines
+    * joined by `<br>` in the HTML template with script/comment traps).
+    *
+    * Corpus ids: `langIdx * 1000 + i`, i < 20 — twenty pure pages per
+    * language (every one routes at a huge margin; the recorded `lang`
+    * column exists ONLY for spec assertions, the chain never reads it).
+    * Planted casualties, one per stage:
+    *   - 8803: C4 page casualty (a `{` line kills the page);
+    *   - 8804: C4 LINE casualty (one unterminated line dropped, doc
+    *     survives with 5 of 6 lines);
+    *   - 8801/8802: NFC twins — 8802 is the NFD spelling of 8801's
+    *     `été`-bearing French text; exact dedup elects 8801;
+    *   - 9901: the ROUTING casualty — three alternating en/es lines,
+    *     ambiguous by construction; its margin lands under the route
+    *     threshold and the doc drops to 'und' (the one class of
+    *     casualty q220 structurally cannot have);
+    *   - the MIX stage drops the over-budget tail of every (lang,
+    *     bucket) cell (budgets sized below cell token mass).
+    */
+  object MultiCrawlFixture {
+    val Root = "/root/repo/target/multicrawl_fixture"
+    import LangIdFixture.{word, Langs}
+    private def line(lang: String, seed: Long, li: Int): String =
+      (0 until 8).map(j => word(lang, seed * 977 + li * 31 + j))
+        .mkString(" ") + "."
+    private def doc(lang: String, seed: Long): String =
+      (0 until 5).map(li => line(lang, seed, li)).mkString("\n")
+    /** French page with `été` pinned into every line — guarantees the
+      * composed/decomposed twin pair actually differs pre-NFC.
+      */
+    private def frTwin: String =
+      (0 until 5).map { li =>
+        val ws = (0 until 8).map(j => word("fr", 881100L + li * 31 + j))
+        ws.updated(3, "été").mkString(" ") + "."
+      }.mkString("\n")
+    private def mixedLine(seed: Long): String =
+      (0 until 3).flatMap(j =>
+        Seq(word("en", seed * 7 + j), word("es", seed * 11 + j)))
+        .mkString(" ") + "."
+    private def rows: Seq[(Long, String, String)] = {
+      val main = for {
+        (l, li) <- Langs.zipWithIndex
+        i <- 0 until 20
+      } yield ((li * 1000 + i).toLong, l, doc(l, li * 6007L + i + 31))
+      val planted = Seq(
+        (8801L, "fr", frTwin),
+        // NFD spelling: U+00E9 -> e + U+0301 (combining acute), written
+        // as escapes so no tool can silently re-normalize the source
+        (8802L, "fr", frTwin.replace("\u00e9", "e\u0301")),
+        (8803L, "en", doc("en", 880300L) +
+          "\nthe config block uses the { symbol today."),
+        (8804L, "en", doc("en", 880400L) +
+          "\nthis line has no terminal punctuation at all"),
+        (9901L, "xx", (0 until 3).map(li => mixedLine(990100L + li)).mkString("\n")))
+      main ++ planted
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String =
+      once.ensure3(s)(rows, "doc_id", "lang", "text")
+  }
+
+  /** Deterministic corpus + LABELED training block for the q227
+    * supervised quality classifier (the FineWeb-Edu/DCLM stage: a
+    * trained classifier, not a heuristic, is the current published
+    * quality gate \u2014 and its training data is a curated labeled set,
+    * never the crawl itself).
+    *
+    * Training block (ids >= 30000, never enters the manifest):
+    * 30000-30039 labeled `good` \u2014 the [[CapstoneFixture]] prose
+    * machinery (stopword-seeded consonant-vowel filler lines);
+    * 31000-31039 labeled `bad` \u2014 promotional spam built from a promo
+    * word inventory whose character-bigram distribution is disjoint
+    * enough for the NB kernel to separate.
+    *
+    * Corpus (ids < 9000, `label` column = the recorded language 'en'):
+    * 0-59 clean prose (pass everything); 100 the CLASSIFIER-ONLY
+    * catch \u2014 promo-styled but signal-clean: >= 50 words, stopwords
+    * seeded at every 5th position (gate passes), all-alpha words, no
+    * PII, unique text (no dup/span), and the self-trained LM hands it
+    * its own bigrams back (the q212 self-training lesson \u2014 it passes
+    * the LM signal BY CONSTRUCTION); 140 gate casualty (48 words,
+    * good prose \u2014 the classifier says `good`, proving the two signals
+    * are independent in both directions); 141 PII casualty.
+    */
+  object QualityFixture {
+    val Root = "/root/repo/target/quality_fixture"
+    private val Promo = Vector("free", "win", "buy", "now", "click",
+      "offer", "deal", "prize", "cash", "bonus", "mega", "sale", "gift",
+      "claim", "lucky", "jackpot")
+    private def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    private def pick(n: Int, seed: Long): Int =
+      java.lang.Math.floorMod(mix(seed), n.toLong).toInt
+    /** Promo line with the SAME stopword seeding as the prose
+      * generator (every 5th absolute position) so the Gopher gate
+      * cannot tell the styles apart \u2014 only the classifier can.
+      */
+    private def promoLine(seed: Long, li: Int, n: Int = 9): String =
+      (0 until n).map { j =>
+        val p = li * n + j
+        if (p % 5 == 2)
+          graft.functions.TextFns.GopherStopwords(
+            java.lang.Math.floorMod(seed + p / 5, 8L).toInt)
+        else Promo(pick(Promo.size, seed * 131 + p))
+      }.mkString(" ") + "."
+    private def promoDoc(seed: Long, nLines: Int = 7): String =
+      (0 until nLines).map(k => promoLine(seed, k)).mkString("\n")
+    private def rows: Seq[(Long, String, String)] = {
+      val corpus = (0 until 60).map(i =>
+        (i.toLong, "en", CapstoneFixture.baseDoc(41000L + i)))
+      val planted = Seq(
+        (100L, "en", promoDoc(100100L)),
+        (140L, "en", (0 until 3).map(k =>
+          CapstoneFixture.line(140140L, k, 16)).mkString("\n")),
+        (141L, "en", CapstoneFixture.baseDoc(141141L) +
+          "\ncontact the team now at q227user@mail.example.com for details today."))
+      val trainGood = (0 until 40).map(i =>
+        ((30000 + i).toLong, "good", CapstoneFixture.baseDoc(52000L + i)))
+      val trainBad = (0 until 40).map(i =>
+        ((31000 + i).toLong, "bad", promoDoc(63000L + i)))
+      corpus ++ planted ++ trainGood ++ trainBad
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String =
+      once.ensure3(s)(rows, "doc_id", "label", "text")
   }
 }

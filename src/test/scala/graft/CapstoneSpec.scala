@@ -128,4 +128,107 @@ class CapstoneSpec extends AnyFunSuite {
         s"pack $p overruns budget by more than one straddling doc")
     }
   }
+
+  // ---- q226: the LID-routed multilingual chain -----------------------
+  // Same discipline over PipelineQueries.multiStages: the oracle pins
+  // end-to-end values; these tests pin WHERE each planted page died —
+  // including the ROUTING stage, the casualty class q220 cannot have.
+
+  private lazy val ms = PipelineQueries.multiStages(spark)
+
+  test("q226 stage 1+2: extraction round-trips every multilingual page — CJK and the NFD combining mark survive the WARC byte leg") {
+    val src = ms.corpus.select(col("doc_id"), col("text").as("src"))
+    val diff = ms.extracted.join(src, "doc_id")
+      .filter(col("text") =!= col("src")).count()
+    assert(diff == 0, "multilingual ladder extraction must round-trip")
+    assert(ms.extracted.count() == ms.corpus.count())
+  }
+
+  test("q226 stage 3 (C4): page 8803 dies to the brace rule; 8804 loses exactly its unterminated line and survives") {
+    val after = ids(ms.cleaned)
+    assert(!after.contains(8803L), "8803 must die to the page brace rule")
+    assert(after.contains(8804L), "8804 must survive its line casualty")
+    val kept = ms.cleaned.filter(col("doc_id") === 8804L)
+      .select("text").collect()(0).getString(0)
+    assert(kept.split("\n").length == 5,
+      "8804 must keep 5 of its 6 lines (the unterminated one dropped)")
+  }
+
+  test("q226 stage 4 (NFC dedup): the NFD twin 8802 dies, 8801 survives, texts byte-differ pre-normalization") {
+    val pre = ms.cleaned.filter(col("doc_id").isin(8801L, 8802L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pre(8801L) != pre(8802L), "twins must byte-differ before NFC")
+    assert(java.text.Normalizer.normalize(pre(8802L),
+      java.text.Normalizer.Form.NFC) == pre(8801L),
+      "8802 must be the NFD spelling of 8801")
+    val after = ids(ms.cur)
+    assert(after.contains(8801L) && !after.contains(8802L))
+  }
+
+  test("q226 stage 5 (ROUTING): the mixed en/es page falls under the per-gram margin threshold, routes 'und', and is DROPPED; every pure page routes to its authored language") {
+    // the per-gram rule: margin >= RoutePerGramMillibits * (len - 1)
+    val pred = ms.pred.join(ms.cur, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("margin_millibits"),
+        (length(col("text")) - 1).cast("long").as("grams"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val t = PipelineQueries.RoutePerGramMillibits
+    assert(pred(9901L)._2 < t * pred(9901L)._3,
+      s"mixed page ${pred(9901L)} must fall under $t milli-bits/gram")
+    assert(!ids(ms.routed).contains(9901L),
+      "the routing casualty must not reach any per-language stage")
+    // pure pages: prediction == authored language, margin clears the
+    // per-gram threshold (the classifier was trained on a DIFFERENT
+    // corpus — the LangIdFixture — so this is genuine held-out routing)
+    val authored = ms.corpus.filter(col("doc_id") < 8000L)
+      .select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    authored.foreach { case (id, lang) =>
+      if (pred.contains(id)) { // dedup/C4 casualties are already gone
+        assert(pred(id)._1 == lang, s"doc $id: ${pred(id)._1} != $lang")
+        assert(pred(id)._2 >= t * pred(id)._3,
+          s"doc $id ${pred(id)} under the per-gram route threshold")
+      }
+    }
+  }
+
+  test("q226 stage 6 (terciles on PREDICTED lang): the tag inventory is exactly the five routed languages") {
+    val langs = ms.tagged.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set("de", "en", "es", "fr", "zh"),
+      s"tercile inventory must be the routed languages, got $langs")
+  }
+
+  test("q226 stage 7 (mixing): every non-empty (pred_lang, bucket) cell drops an over-budget tail; kept mass respects budget + one doc") {
+    val cells = ms.tagged.join(
+        ms.routed.select(col("doc_id"),
+          graft.operators.Bpe.tokenCount(
+            graft.operators.Bpe.encode(col("text"))).as("n_tok")),
+        Seq("doc_id"))
+      .select(col("lang"), col("bucket"), col("doc_id"), col("n_tok"))
+      .collect().toSeq.map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val kept = ms.mixed
+      .select(col("pred_lang"), col("bucket"), col("doc_id"), col("n_tok"))
+      .collect().toSeq.map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def budget(b: String): Long = b match {
+      case "head" => PipelineQueries.MultiHeadBudget
+      case "middle" => PipelineQueries.MultiMiddleBudget
+      case _ => PipelineQueries.MultiTailBudget
+    }
+    cells.foreach { case (cell @ (_, b), docs) =>
+      val keptDocs = kept.getOrElse(cell, Seq.empty[(Long, Long)])
+      assert(keptDocs.size < docs.size,
+        s"cell $cell kept all ${docs.size} docs — budget never bit")
+      val realized = keptDocs.map(_._2).sum
+      val maxDoc = docs.map(_._2).max
+      assert(realized < budget(b) + maxDoc,
+        s"cell $cell realized $realized vs budget ${budget(b)}")
+      assert(realized >= budget(b) || keptDocs.size == docs.size,
+        s"cell $cell stopped at $realized before filling budget ${budget(b)}")
+    }
+  }
 }

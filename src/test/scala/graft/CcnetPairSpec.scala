@@ -101,4 +101,19 @@ class CcnetPairSpec extends AnyFunSuite {
     }
     assert(eSave.getMessage.contains("cut_head"), eSave.getMessage)
   }
+
+  test("tag refuses a language with no cuts row BY NAME (ADVICE r16 — an inner join would shrink the corpus silently)") {
+    // one doc relabeled to a language the frozen pair never saw: the
+    // tag pass must fail naming the language, not drop the doc
+    val dir = fresh("ccnet_alien")
+    val alien = docs.limit(1).withColumn("lang", lit("tlh"))
+    val e = intercept[Exception] {
+      CcnetServing.tag(spark, alien, cuts,
+        CcnetServing.scorerFactory(dir)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("tlh") && msgs.contains("cuts table"), msgs.take(500))
+  }
 }

@@ -120,7 +120,7 @@ class ContractSpec extends AnyFunSuite {
     assert(errs.size == rows.count(_._2 < 0))
   }
 
-  test("BenchFormat: real registry padded to 227 rows fits with ZERO omission (full per-row tail coverage)") {
+  test("BenchFormat: real registry padded to 233 rows fits with ZERO omission (full per-row tail coverage)") {
     // realistic value model, RECALIBRATED late r15 against the round's
     // nine committed runs (n=218: mean 0.49 s, p50 0.32, p90 1.07,
     // max 2.42; 11% of rows >= 1 s): the old uniform 0.1–3.6 s model
@@ -129,12 +129,14 @@ class ContractSpec extends AnyFunSuite {
     // registry does not have. The model below keeps the real SHAPE
     // with margin on top — 1 row in 13 is a 1.0–3.8 s "monster"
     // (future expensive rows stay anticipated; today's max is 2.42),
-    // the rest 0.1–0.9 s — and the padding target moved 218 → 224 → 227 (r16: sf-basename + budget 1960),
+    // the rest 0.1–0.9 s — and the padding target moved 218 → 224 → 227 → 233
+    // (r17: measured headroom — the realistic model reads 1908 chars at
+    // 233 rows vs the 1960 budget; no format change was needed),
     // re-proved in BOTH tests (the sentinel-bearing sibling is the
     // binding one). The line crossed budget at ~211 rows twice, so
     // every capacity step must re-prove the margin here.
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (227 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (233 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       val v = if (i % 13 == 0) 1.0 + (i % 29) / 10.0 else 0.1 + (i % 9) / 10.0
       (n, v, Seq(v + 0.2, v, v + 0.5))
@@ -143,7 +145,7 @@ class ContractSpec extends AnyFunSuite {
     assert(line.length <= BenchFormat.TailBudget)
     val j = parse(line)
     assert(j.get("omitted") == null,
-      s"${j.get("omitted")} rows omitted at a 227-row realistic model — " +
+      s"${j.get("omitted")} rows omitted at a 233-row realistic model — " +
         "the ds-encoding headroom guarantee broke; shrink the format again")
     assert(j.get("queries").size == rows.size)
     assert(j.get("qv").asText == "min_ds")
@@ -151,7 +153,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("BenchFormat: contention sentinel rides the compact line and does not break the zero-omission guarantee") {
     val real = SparkEntry.allQueries.map(_.name)
-    val names = real ++ (900 until (900 + (227 - real.size).max(0))).map(i => s"q${i}_headroom")
+    val names = real ++ (900 until (900 + (233 - real.size).max(0))).map(i => s"q${i}_headroom")
     val rows = names.zipWithIndex.map { case (n, i) =>
       // the recalibrated value model (see the sibling test) — THIS
       // test is the binding one: it carries the sentinel field

@@ -124,4 +124,37 @@ class MixingSpec extends AnyFunSuite {
           s"$b realized ${kept(b)} vs budget $budget")
     }
   }
+
+  test("groupedExclusivePrefixSum: a NULL group value fails BY NAME (ADVICE r16 — the offset fold joins null-unsafely)") {
+    import spark.implicits._
+    val bad = skewed.union(
+      Seq((null.asInstanceOf[String], 99999L, 17L, 5L)).toDF("g", "id", "k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      Packing.groupedExclusivePrefixSum(
+        bad, Seq("g"), "k", "id", "v", "run", numBuckets = 8)
+    }
+    assert(e.getMessage.contains("`g` contains NULL"), e.getMessage)
+  }
+
+  test("q224 epoch schedule: an out-of-envelope doc_id fails BY NAME instead of colliding shuffle keys (ADVICE r16)") {
+    import spark.implicits._
+    // doc_id = 2^29 is exactly the first value whose doc_id*8+epoch low
+    // bits could collide with a neighbor's — the guard must name it
+    val dir = java.nio.file.Files.createTempDirectory("env224").toString
+    Seq((536870912L, "boundary doc text", "en", "src0", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q224_epoch_schedule")(spark, dir).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("uniqueness envelope violated"), msgs.take(500))
+    // and the in-envelope path still works from the same loader
+    Seq((536870911L, "ok doc", "en", "src0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(SparkEntry.queries("q224_epoch_schedule")(spark, dir).count() == 3L)
+  }
 }

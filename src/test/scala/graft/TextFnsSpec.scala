@@ -373,7 +373,8 @@ class TextFnsSpec extends AnyFunSuite {
         .replaceAll("(?s)<!--.*?-->", " ")
         .replaceAll("(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
         .replaceAll("(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-      noBlocks.split("(?i)<br[ \\t]*/?>", -1).map(stripRef).mkString("\n")
+      noBlocks.split("(?i)<br([ \\t\\n\\x0B\\f\\r][^>]*)?/?>", -1)
+        .map(stripRef).mkString("\n")
     }
     def mix(x0: Long): Long = {
       var x = x0 + 0x9E3779B97F4A7C15L
@@ -384,7 +385,8 @@ class TextFnsSpec extends AnyFunSuite {
     val pieces = Vector("plain words here", "  spaced  ", "<b>bold</b>",
       "&amp;lt;", "<br>", "<BR/>", "<br />", "<script>var x = 1 < 2; // <br> inside</script>",
       "<!-- <br> commented out { } -->", "多字节 text", "tab\there",
-      "<a href=x>link text</a>", "&quot;quoted&quot;", "")
+      "<a href=x>link text</a>", "&quot;quoted&quot;", "",
+      "<br clear=\"all\">", "<BR CLEAR=left />", "<brew>kettle</brew>")
     val pages = (0 until 120).map { i =>
       val n = 3 + (mix(i).abs % 8).toInt
       val body = (0 until n)
@@ -395,13 +397,24 @@ class TextFnsSpec extends AnyFunSuite {
       (900L, ""),
       (901L, "<br><br><br>"),                       // empty segments survive as empty lines
       (902L, "no markup at all"),
-      (903L, "<script>all hidden<br></script>"))    // block strip before the split
+      (903L, "<script>all hidden<br></script>"),    // block strip before the split
+      // ADVICE r16: an attribute-carrying <br> is still a line break —
+      // before the pattern widened it fell through to tag stripping and
+      // silently MERGED the two authored lines
+      (904L, "first authored line.<br clear=\"all\">second authored line."),
+      (905L, "a<BR CLEAR=left />b<br\n>c"),
+      (906L, "the <brew>kettle</brew> boils"))      // <brew> is NOT a break
     val got = pages.toDF("doc_id", "html")
       .select($"doc_id", graft.functions.TextFns.htmlTextLines($"html").as("t"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     pages.foreach { case (id, html) =>
       assert(got(id) == linesRef(html), s"doc $id:\n[${got(id)}]\n[${linesRef(html)}]")
     }
+    // the attributed-<br> contract directly (not just fold equality):
+    // two authored lines stay two lines, and <brew> is not a break
+    assert(got(904L) == "first authored line.\nsecond authored line.")
+    assert(got(905L) == "a\nb\nc")
+    assert(got(906L) == "the kettle boils")
     // and the round-trip contract the capstone relies on: clean
     // single-spaced trimmed lines joined by <br> come back verbatim
     val lines = Seq("first line here.", "second line.", "third one!")
