@@ -827,7 +827,88 @@ object PipelineQueries {
         FROM mrun
         WHERE tokens_before < budget
         ORDER BY doc_id"""),
-      doc = "The LID-routed multilingual corpus build — the last composition seam: a five-language crawl muxed into WARC shards, extracted line-preserving, C4-cleaned, NFC-deduped, then routed by the PRETRAINED q219 classifier under the length-normalized confidence rule (margin >= 1000 milli-bits per gram; 'und' docs dropped — the planted mixed en/es page at 203/gram is the routing casualty, every pure page clears 4x), with LM terciles and token-budget mixing keyed on the PREDICTED language; the oracle composes the shared NB kernel with the full capstone WITH-chain (template, strippedLines, C4, NFC election, classifier, route, LM, cuts, tokenizer, priority, running-sum cutoff) and CapstoneSpec attributes a casualty to every stage including routing."))
+      doc = "The LID-routed multilingual corpus build — the last composition seam: a five-language crawl muxed into WARC shards, extracted line-preserving, C4-cleaned, NFC-deduped, then routed by the PRETRAINED q219 classifier under the length-normalized confidence rule (margin >= 1000 milli-bits per gram; 'und' docs dropped — the planted mixed en/es page at 203/gram is the routing casualty, every pure page clears 4x), with LM terciles and token-budget mixing keyed on the PREDICTED language; the oracle composes the shared NB kernel with the full capstone WITH-chain (template, strippedLines, C4, NFC election, classifier, route, LM, cuts, tokenizer, priority, running-sum cutoff) and CapstoneSpec attributes a casualty to every stage including routing."),
+
+    Q(
+      "q227_quality_classifier",
+      (s, _) => {   // dedicated labeled quality fixture; dir arg unused
+        // THE SUPERVISED QUALITY CLASSIFIER — the FineWeb-Edu/DCLM
+        // stage: the current published SOTA quality gate is a TRAINED
+        // classifier over curated labels, not a heuristic. The engine's
+        // NB machinery is label-agnostic (LangId's langCol parameter is
+        // just the label column), so the same exact-integer milli-log2
+        // kernel that identifies languages trains here on good/bad
+        // labels: argmin class with the deterministic tie-break, and
+        // the runner-up MARGIN as the published graded score. The
+        // classifier joins q212's manifest as the SEVENTH recorded
+        // signal: label + margin ride every row, keep additionally
+        // requires pred 'good'. The fixture plants what ONLY this
+        // signal catches — a promotional-spam page that is signal-clean
+        // everywhere else (>= 50 words, stopwords seeded so the Gopher
+        // gate passes, all-alpha, no PII, unique, and the self-trained
+        // LM hands it its own bigrams back — the q212 self-training
+        // lesson applied CONSTRUCTIVELY) — and the converse (a gate
+        // casualty the classifier calls 'good'), so the two newest
+        // signals are independent in both directions. Plan shape: the
+        // model is vocabulary-sized (broadcast), scoring is the q219
+        // gram-agg chain, the manifest joins are doc-keyed; oracle
+        // replays the two-class NB chain (the q219 CTEs with two
+        // classes) plus the full six-signal composition.
+        qualityStages(s).manifest
+      },
+      Some(s"""
+        WITH RECURSIVE qsrc AS (
+          SELECT doc_id, label, text
+          FROM read_parquet('${QualityFixture.Root}/*.parquet')),
+        qtr AS (SELECT label, text FROM qsrc WHERE doc_id >= 30000),
+        ${nbTrainCtes("qtr", "label", "q")},
+        qcorp AS (SELECT doc_id, label AS lang, text FROM qsrc
+                  WHERE doc_id < 9000),
+        ${nbScoreCtes("qcorp", "qs", "q")},
+        ${OracleCtes.jaccardReach(source = "qcorp")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate("qcorp", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted("qcorp")},
+        ${DedupQueries.substrSpansCte(source = "qcorp", docsName = "sdocs")},
+        ${OracleCtes.bigramLm(trainSource = "qcorp", scoreSource = "qcorp")},
+        sperm AS (
+          SELECT d.doc_id,
+                 CASE WHEN LENGTH(d.text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(COALESCE(SUM(x.span_len), 0) AS BIGINT) * 1000 // LENGTH(d.text)
+                 END AS substr_permille
+          FROM sdocs d LEFT JOIN spansx x USING (doc_id)
+          GROUP BY d.doc_id, d.text),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN ${CurationQueries.bucketSql} < 80 THEN 'train'
+                      WHEN ${CurationQueries.bucketSql} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM qcorp)
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               sp.substr_permille,
+               lm.avg_millibits,
+               c.lang AS cls_label,
+               c.margin_millibits AS cls_margin,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
+                    AND v.doc_id IS NULL
+                    AND sp.substr_permille <= 300
+                    AND lm.avg_millibits <= ${CurationQueries.LmKeepMaxAvgMillibits}
+                    AND c.lang = 'good' AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii_counted p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN sperm sp ON g.doc_id = sp.doc_id
+        JOIN lmsc lm ON g.doc_id = lm.doc_id
+        JOIN qspred c ON g.doc_id = c.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The supervised quality classifier (the FineWeb-Edu/DCLM stage): the label-agnostic NB kernel trains on curated good/bad labels — same exact-integer milli-log2 scoring as q219, runner-up margin as the published graded score — and joins the q212 curation manifest as the SEVENTH recorded signal (label + margin on every row, keep requires pred 'good'); the fixture plants a promotional page caught by NO other signal (gate-passing, PII-free, unique, LM-clean by the self-training construction) and a gate casualty the classifier calls 'good', proving the signals independent both ways; oracle replays the two-class NB chain plus the full six-signal composition."))
 
   /** Deterministic multilingual corpus for the language-ID family:
     * five languages with genuinely distinct character distributions
