@@ -107,4 +107,92 @@ object Sampling {
         groupCols, "priority", idCol, tokenCol, "tokens_before")
       .filter(col("tokens_before") < col(budgetCol))
   }
+
+  // ---- the PERSISTED mixing allocation (the ArtifactStore leg) -------
+  // A pretraining mix is an offline decision artifact exactly like the
+  // CCNet pair: the per-cell token budgets, the selection seed, and the
+  // TOKENIZER identity (the budgets are denominated in tokens of one
+  // specific tokenizer — re-counting with a different merges table
+  // silently shifts every running sum) must replay together across
+  // sessions and streams, or two jobs "running the same mix" select
+  // different documents.
+
+  final case class Allocation(cells: DataFrame, groupCols: Seq[String],
+                              budgetCol: String, seed: Long, tok: Long)
+
+  private val AllocationFormat = "graft-mix-allocation"
+  private val AllocationVersion = 1
+
+  /** Persist an allocation: the |cells|-row (group cols, budget) table
+    * plus seed and tokenizer fingerprint as manifest scalars, manifest
+    * written LAST (the [[ArtifactStore]] discipline).
+    */
+  def saveAllocation(dir: String, cells: DataFrame, groupCols: Seq[String],
+                     budgetCol: String, seed: Long,
+                     merges: Seq[(String, String)] = Bpe.StandardMerges): Unit = {
+    require(groupCols.nonEmpty, "an allocation needs group columns")
+    (groupCols :+ budgetCol).foreach(c =>
+      require(cells.columns.contains(c),
+        s"allocation cells table is missing `$c` " +
+          s"(have: ${cells.columns.mkString(", ")})"))
+    ArtifactStore.commit(dir, AllocationFormat, AllocationVersion,
+      Seq("cells" -> cells)) { node =>
+      node.put("seed", seed)
+      node.put("group_cols", groupCols.mkString(","))
+      node.put("budget_col", budgetCol)
+      node.put("tok", TokenDecontam.tokenizerFingerprint(merges))
+    }
+  }
+
+  /** Load with every gate by name: manifest format/version, cells
+    * `_SUCCESS` + schema, scalar presence.
+    */
+  def loadAllocation(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Allocation = {
+    val m = ArtifactStore.manifest(dir, AllocationFormat, AllocationVersion,
+      "mixing allocation")
+    val cells = ArtifactStore.table(spark, dir, m, "cells").getOrElse(
+      throw new IllegalArgumentException(
+        s"$dir: manifest lists no `cells` table — not a mixing allocation"))
+    require(m.has("seed") && m.has("group_cols") && m.has("budget_col")
+        && m.has("tok"),
+      s"$dir/MANIFEST.json: missing seed/group_cols/budget_col/tok scalars " +
+        "— a partial or foreign manifest")
+    Allocation(cells, m.path("group_cols").asText().split(",").toSeq,
+      m.path("budget_col").asText(), m.path("seed").asLong(),
+      m.path("tok").asLong())
+  }
+
+  /** Replay a persisted mix over a tagged + token-counted corpus frame:
+    * verify the TOKENIZER pairing by name (the [[TokenDecontam]]
+    * fingerprint discipline — `tokenCol` must have been counted with
+    * the same merges the allocation was budgeted in), broadcast-join
+    * the budget cells, and fail BY NAME on any group with no cell (an
+    * inner join would silently drop the group — the CcnetServing.tag
+    * lesson). Selection is [[sampleToTokenBudget]] under the RECORDED
+    * seed, so the kept set replays bit-for-bit across sessions.
+    */
+  def sampleWithAllocation(df: DataFrame, alloc: Allocation, idCol: String,
+                           tokenCol: String,
+                           merges: Seq[(String, String)] = Bpe.StandardMerges)
+      : DataFrame = {
+    val fp = TokenDecontam.tokenizerFingerprint(merges)
+    require(alloc.tok == fp,
+      s"mixing allocation was budgeted under tokenizer fingerprint " +
+        s"${alloc.tok} but this corpus is counted under $fp — token budgets " +
+        "in one tokenizer's units cannot select over another's counts; " +
+        "re-estimate the allocation or load the matching merges table")
+    val joined = df.join(broadcast(alloc.cells), alloc.groupCols, "left")
+      .withColumn(alloc.budgetCol,
+        when(col(alloc.budgetCol).isNull,
+          raise_error(concat(
+            lit("sampleWithAllocation: group ("),
+            concat_ws(", ", alloc.groupCols.map(col): _*),
+            lit(") has no cell in the persisted allocation — the mix was " +
+              "estimated on a different group inventory; re-estimate or " +
+              "route the group out before sampling"))))
+          .otherwise(col(alloc.budgetCol)))
+    sampleToTokenBudget(joined, alloc.groupCols, idCol, tokenCol,
+      alloc.budgetCol, alloc.seed)
+  }
 }

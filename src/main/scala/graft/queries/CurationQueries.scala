@@ -134,6 +134,18 @@ object CurationQueries {
   // over it. Released via clearCaches like the other artifacts.
   private val bucketTokCache = scala.collection.mutable.Map
     .empty[(SparkSession, String), DataFrame]
+  /** q221's frozen selection seed — recorded in the persisted mixing
+    * allocation so a replayed mix draws the identical ordering.
+    */
+  private[graft] val MixSeed = 17L
+
+  /** The memoized tag+token artifact, exposed for the allocation
+    * replay spec (MixingSpec drives save -> load -> sampleWithAllocation
+    * against the q221 row's own kept set).
+    */
+  private[graft] def bucketTokFrame(s: SparkSession, d: String): DataFrame =
+    bucketTok(s, d)
+
   private def bucketTok(s: SparkSession, d: String): DataFrame =
     synchronized {
       bucketTokCache.getOrElseUpdate((s, d), {
@@ -1619,7 +1631,7 @@ object CurationQueries {
         // equality; the oracle IS the single-window answer —
         // distributed plan, bottleneck replay, the q174 discipline).
         graft.operators.Sampling.sampleToTokenBudget(bucketTok(s, d),
-            Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget", seed = 17L)
+            Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget", seed = MixSeed)
           .select($"doc_id", $"lang", $"bucket", $"n_tok",
             $"priority", $"tokens_before")
           .orderBy($"doc_id")
@@ -1653,7 +1665,7 @@ object CurationQueries {
         // (distributed plan, bottleneck replay, the q174 discipline).
         val mixed = graft.operators.Sampling.sampleToTokenBudget(
           bucketTok(s, d), Seq("lang", "bucket"), "doc_id", "n_tok",
-          "token_budget", seed = 17L)
+          "token_budget", seed = MixSeed)
         val keyed = mixed.select($"doc_id", $"lang", $"bucket", $"n_tok",
           expr("(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
             " % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id")

@@ -125,6 +125,63 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted allocation: save -> load -> sampleWithAllocation reproduces q221's kept set bit-for-bit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val bt = graft.queries.CurationQueries.bucketTokFrame(spark, sfDir)
+    // the allocation IS the |cells|-row decision table the q221 row
+    // derives inline: one (lang, bucket) -> token_budget cell each
+    val cells = bt.select(col("lang"), col("bucket"), col("token_budget"))
+      .distinct()
+    val dir = java.nio.file.Files.createTempDirectory("mix_alloc").toString
+    Sampling.saveAllocation(dir, cells, Seq("lang", "bucket"),
+      "token_budget", graft.queries.CurationQueries.MixSeed)
+    val alloc = Sampling.loadAllocation(spark, dir)
+    assert(alloc.seed == graft.queries.CurationQueries.MixSeed)
+    val direct = Sampling.sampleToTokenBudget(bt, Seq("lang", "bucket"),
+        "doc_id", "n_tok", "token_budget",
+        graft.queries.CurationQueries.MixSeed)
+      .select(col("doc_id"), col("priority"), col("tokens_before"))
+      .collect().map(_.toSeq).toSet
+    val replayed = Sampling.sampleWithAllocation(
+        bt.drop("token_budget"), alloc, "doc_id", "n_tok")
+      .select(col("doc_id"), col("priority"), col("tokens_before"))
+      .collect().map(_.toSeq).toSet
+    assert(replayed == direct,
+      "a loaded allocation must reproduce the in-session mix exactly")
+    // every skew refused by name:
+    // (a) tokenizer fingerprint mismatch — budgets denominated in one
+    // tokenizer's units cannot select over another's counts
+    val eTok = intercept[IllegalArgumentException] {
+      Sampling.sampleWithAllocation(bt.drop("token_budget"), alloc,
+        "doc_id", "n_tok",
+        merges = graft.operators.Bpe.StandardMerges.take(3))
+    }
+    assert(eTok.getMessage.contains("fingerprint"), eTok.getMessage)
+    // (b) a group with no cell fails by name instead of silently
+    // dropping (the CcnetServing.tag lesson)
+    import spark.implicits._
+    val alien = bt.select(col("lang"), col("bucket"), col("doc_id"), col("n_tok"))
+      .unionByName(Seq(("xq", "head", 999999L, 10L))
+        .toDF("lang", "bucket", "doc_id", "n_tok"))
+    val eCell = intercept[Exception] {
+      Sampling.sampleWithAllocation(alien, alloc, "doc_id", "n_tok").collect()
+    }
+    val msgs = Iterator.iterate(eCell: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("no cell in the persisted allocation"), msgs.take(400))
+    // (c) version skew
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mPath = java.nio.file.Paths.get(dir, "MANIFEST.json")
+    val mj = om.readTree(java.nio.file.Files.readAllBytes(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mj.put("version", 99)
+    java.nio.file.Files.write(mPath, om.writeValueAsBytes(mj))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.loadAllocation(spark, dir)
+    }.getMessage.contains("99"))
+  }
+
   test("groupedExclusivePrefixSum: a NULL group value fails BY NAME (ADVICE r16 — the offset fold joins null-unsafely)") {
     import spark.implicits._
     val bad = skewed.union(
