@@ -155,6 +155,90 @@ object LangId {
             - col("r").getItem(0).getField("total_millibits"))
           .otherwise(lit(0L)).as("margin_millibits"))
 
+  // ---- the SERVING leg: scalar-local scoring --------------------------
+
+  /** The model in executor-local form — the SERVING shape (fastText LID
+    * ships as one frozen in-memory model and scores each record
+    * scalar-locally; a streaming router cannot run [[predict]]'s
+    * multi-aggregation plan inside a micro-batch). `totals` is SORTED
+    * by language so iteration order — and therefore the (total, lang)
+    * tie-break — is deterministic and identical to the struct sort the
+    * distributed path uses. The per-doc work is one gram-count map plus
+    * |languages| fold passes; exact integer milli-log2 throughout, so
+    * every prediction is bit-equal to [[predict]] (spec-pinned).
+    */
+  final class LocalScorer(val counts: Map[(String, String), Long],
+                          val totals: Seq[(String, Long)],
+                          val vocab: Long, val n: Int) extends Serializable {
+    private def mlog2(x: Long): Long = {
+      val floor = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      floor * 1000L + ((x * 1000L) >> floor) - 1000L
+    }
+    /** `(pred_lang, best_millibits, margin_millibits)` — argmin with the
+      * (total, lang) tie-break, margin 0 for a single-language model.
+      * Same BMP code-point contract as [[charGrams]].
+      */
+    def predict(text: String): (String, Long, Long) = {
+      val k = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + n <= text.length) {
+        val g = text.substring(i, i + n)
+        k.update(g, k.getOrElse(g, 0L) + 1L)
+        i += 1
+      }
+      var bestLang = ""; var best = Long.MaxValue; var second = Long.MaxValue
+      totals.foreach { case (lang, tot) =>
+        var total = 0L
+        k.foreach { case (g, cnt) =>
+          total += cnt * (mlog2(tot + vocab) -
+            mlog2(counts.getOrElse((lang, g), 0L) + 1L))
+        }
+        // totals are sorted by lang, so a strict < keeps the FIRST
+        // (alphabetically smallest) language on ties — the struct-sort
+        // rule verbatim
+        if (total < best) { second = best; best = total; bestLang = lang }
+        else if (total < second) second = total
+      }
+      (bestLang, best, if (second == Long.MaxValue) 0L else second - best)
+    }
+  }
+
+  /** Collect the model into its serving form. BOUNDED-BY-CONTRACT
+    * collect (the [[TextModelSeam.localize]] argument verbatim): the
+    * model is VOCABULARY-sized — fastText LID is a few MB for 176
+    * languages — and the operator's whole premise is that it broadcasts.
+    */
+  def localize(model: Model): LocalScorer =
+    new LocalScorer(
+      model.counts.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      model.totals.collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1).toSeq,
+      model.vocab, model.n)
+
+  /** The serving pass: broadcast the local scorer once, score each
+    * `(doc_id, text)` row scalar-locally per partition — zero shuffles,
+    * and the SAME code path runs unchanged inside a streaming
+    * micro-batch (a stream cannot run [[predict]]'s groupBy chain; this
+    * is the LID router's deployment shape, the [[CcnetServing.tag]]
+    * argument). Output schema matches [[predict]].
+    */
+  def predictLocal(spark: SparkSession, docs: DataFrame,
+                   scorer: LocalScorer, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(scorer)
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val s = b.value
+        it.map { case (id, t) =>
+          val (lang, best, margin) = s.predict(t)
+          (id, lang, best, margin)
+        }
+      }
+      .toDF("doc_id", "pred_lang", "best_millibits", "margin_millibits")
+  }
+
   // ---- persistence (the ArtifactStore leg) ---------------------------
 
   /** Persist: counts + totals as manifest-gated parquet, n and vocab as

@@ -182,6 +182,11 @@ object Sampling {
         s"${alloc.tok} but this corpus is counted under $fp — token budgets " +
         "in one tokenizer's units cannot select over another's counts; " +
         "re-estimate the allocation or load the matching merges table")
+    require(!df.columns.contains(alloc.budgetCol),
+      s"corpus frame already carries a `${alloc.budgetCol}` column — the " +
+        "allocation's budgets would join ambiguously against it; drop the " +
+        "in-session column and let the PERSISTED allocation be the one " +
+        "authority for budgets")
     val joined = df.join(broadcast(alloc.cells), alloc.groupCols, "left")
       .withColumn(alloc.budgetCol,
         when(col(alloc.budgetCol).isNull,

@@ -304,12 +304,15 @@ object PipelineQueries {
         when($"bucket" === "head", MultiHeadBudget)
           .when($"bucket" === "middle", MultiMiddleBudget)
           .otherwise(MultiTailBudget))
-    val mixed = graft.operators.Sampling.sampleToTokenBudget(
+    // the final mix is pinned too: in deployment it IS a materialized
+    // lake table (the q178/q220 memoize discipline), and without the
+    // pin every warm read re-runs the prefix sum's three driver actions
+    val mixed = pin(graft.operators.Sampling.sampleToTokenBudget(
         mixIn, Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget",
         seed = 23L)
       .select($"doc_id", $"lang".as("pred_lang"), $"margin_millibits",
         $"avg_millibits", $"bucket", $"n_tok", $"tokens_before")
-      .orderBy($"doc_id")
+      .orderBy($"doc_id"))
     MultiStages(corpus, extracted, cleaned, cur, pred, routed, tagged, mixed)
   }
 
@@ -494,7 +497,7 @@ object PipelineQueries {
       .orderBy($"doc_id")
     IncrementalStages(wave1, wave2, bench1, bench2, anchors1, winIdx1,
       lidDir, pairDir, tokSpansW1, spansInc, tokSpansNewBench, finalSpans,
-      manifest)
+      pin(manifest))
   }
 
   /** The NB-classifier TRAINING replay as body-only CTEs, generalized

@@ -170,4 +170,42 @@ class LangIdSpec extends AnyFunSuite {
     assert(eN.getMessage.contains("2-grams") &&
       eN.getMessage.contains("n=3"), eN.getMessage)
   }
+
+  test("serving leg: localized scalar scorer == distributed predict bit-for-bit, batch and STREAMING") {
+    import org.apache.spark.sql.functions.col
+    // every fixture doc, planted edges included: the exact five-way tie
+    // (margin 0, tie-break 'de') and the mixed low-margin doc must come
+    // out of the per-partition scalar path identically
+    val batch = LangId.predict(docs, model)
+      .select(col("doc_id"), col("pred_lang"), col("best_millibits"),
+        col("margin_millibits"))
+      .collect().map(_.toSeq).toSet
+    val scorer = LangId.localize(model)
+    val served = LangId.predictLocal(spark, docs, scorer)
+      .collect().map(_.toSeq).toSet
+    assert(served == batch,
+      "the broadcast scalar scorer must reproduce the distributed argmin exactly")
+    // the streaming twin: the SAME serving pass inside micro-batches —
+    // the deployment shape a streaming router actually runs (the
+    // distributed predict's multi-aggregation plan cannot)
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamed = LangId.predictLocal(spark,
+      input.toDF().toDF("doc_id", "text"), scorer)
+    val q = streamed.writeStream.format("memory")
+      .queryName("langid_serve").outputMode("append").start()
+    try {
+      input.addData(rows.take(100))
+      q.processAllAvailable()
+      input.addData(rows.drop(100))
+      q.processAllAvailable()
+      val got = spark.table("langid_serve").collect().map(_.toSeq).toSet
+      assert(got == batch,
+        "chunked streaming serving must equal the batch predictions")
+    } finally q.stop()
+  }
 }
