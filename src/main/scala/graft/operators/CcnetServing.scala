@@ -119,8 +119,9 @@ object CcnetServing {
       .select(col("doc_id"), col("lang"), col("avg_millibits"),
         when(col("cut_head").isNull || col("cut_middle").isNull,
           raise_error(concat(
-            lit("CcnetServing.tag: language `"), col("lang"),
-            lit("` (doc_id "), col("doc_id"),
+            lit("CcnetServing.tag: language `"),
+            coalesce(col("lang"), lit("NULL")),
+            lit("` (doc_id "), coalesce(col("doc_id").cast("string"), lit("NULL")),
             lit(") has no row in the pair's cuts table — the frozen " +
               "pair was estimated on a different language inventory " +
               "than this corpus; re-estimate cuts or route the " +

@@ -170,21 +170,27 @@ object LangId {
   final class LocalScorer(val counts: Map[(String, String), Long],
                           val totals: Seq[(String, Long)],
                           val vocab: Long, val n: Int) extends Serializable {
-    private def mlog2(x: Long): Long = {
-      val floor = 63 - java.lang.Long.numberOfLeadingZeros(x)
-      floor * 1000L + ((x * 1000L) >> floor) - 1000L
-    }
+    private def mlog2(x: Long): Long = TextModelSeam.milliLog2(x)
     /** `(pred_lang, best_millibits, margin_millibits)` — argmin with the
       * (total, lang) tie-break, margin 0 for a single-language model.
-      * Same BMP code-point contract as [[charGrams]].
+      * Grams are CODE-POINT indexed like Spark's substring/length in
+      * [[charGrams]] (UTF-16 unit indexing would split surrogate pairs
+      * on astral text and silently diverge from the batch path), and a
+      * null text scores like the distributed plan's empty gram array
+      * (no evidence -> tie-break first language, margin 0) instead of
+      * crashing the serving task.
       */
     def predict(text: String): (String, Long, Long) = {
+      val t = if (text == null) "" else text
       val k = scala.collection.mutable.HashMap.empty[String, Long]
-      var i = 0
-      while (i + n <= text.length) {
-        val g = text.substring(i, i + n)
+      val cps = t.codePointCount(0, t.length)
+      var off = 0
+      var ci = 0
+      while (ci + n <= cps) {
+        val g = t.substring(off, t.offsetByCodePoints(off, n))
         k.update(g, k.getOrElse(g, 0L) + 1L)
-        i += 1
+        off = t.offsetByCodePoints(off, 1)
+        ci += 1
       }
       var bestLang = ""; var best = Long.MaxValue; var second = Long.MaxValue
       totals.foreach { case (lang, tot) =>

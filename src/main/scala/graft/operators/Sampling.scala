@@ -131,12 +131,22 @@ object Sampling {
                      budgetCol: String, seed: Long,
                      merges: Seq[(String, String)] = Bpe.StandardMerges): Unit = {
     require(groupCols.nonEmpty, "an allocation needs group columns")
-    (groupCols :+ budgetCol).foreach(c =>
+    (groupCols :+ budgetCol).foreach { c =>
       require(cells.columns.contains(c),
         s"allocation cells table is missing `$c` " +
-          s"(have: ${cells.columns.mkString(", ")})"))
+          s"(have: ${cells.columns.mkString(", ")})")
+      // the manifest records group_cols as a comma list; a comma-bearing
+      // name would round-trip into a DIFFERENT column set at load
+      require(!c.contains(","),
+        s"allocation column name `$c` contains a comma — it cannot " +
+          "round-trip through the manifest's group_cols record")
+    }
+    // persist ONLY the decision columns: a diagnostic extra (doc counts,
+    // token mass) would ride the replay join and collide with corpus
+    // columns or silently appear in the sample output
+    val decision = cells.select((groupCols :+ budgetCol).map(col): _*)
     ArtifactStore.commit(dir, AllocationFormat, AllocationVersion,
-      Seq("cells" -> cells)) { node =>
+      Seq("cells" -> decision)) { node =>
       node.put("seed", seed)
       node.put("group_cols", groupCols.mkString(","))
       node.put("budget_col", budgetCol)

@@ -51,13 +51,22 @@ object TextModelSeam {
     * milli-log2 kernel (bit length + one-shift interpolation) —
     * bit-for-bit the join-based [[NgramLm.score]].
     */
+  /** THE scalar exact-integer milli-log2 kernel — the one copy every
+    * local scorer shares ([[BigramLmScorer]] here, `LangId.LocalScorer`
+    * for routing): the kernel's exactness is the engine's cross-engine
+    * equality contract, and two drifting copies would silently break
+    * bit-equality between serving legs. Mirrors the SQL-side
+    * `OracleCtes.milliLog2` / the inlined bin/shiftright expression.
+    */
+  private[operators] def milliLog2(x: Long): Long = {
+    val bl = 63 - java.lang.Long.numberOfLeadingZeros(x) // = length(bin(x)) - 1
+    bl * 1000L + ((x * 1000L) >> bl) - 1000L
+  }
+
   final class BigramLmScorer(val unigrams: Map[String, Long],
                              val bigrams: Map[(String, String), Long],
                              val vocab: Long) extends TextScorer with Serializable {
-    private def mlog2(x: Long): Long = {
-      val bl = 63 - java.lang.Long.numberOfLeadingZeros(x) // = length(bin(x)) - 1
-      bl * 1000L + ((x * 1000L) >> bl) - 1000L
-    }
+    private def mlog2(x: Long): Long = TextModelSeam.milliLog2(x)
     def score(text: String): TextScores = {
       val ts = text.toLowerCase(java.util.Locale.ROOT)
         .split("[^a-z]+", -1).filter(_.nonEmpty)

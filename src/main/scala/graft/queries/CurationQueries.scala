@@ -1730,9 +1730,10 @@ object CurationQueries {
             " * ((doc_id + 1000003 * epoch + 7) % 2147483647))" +
             " % 2147483647 * 48271 % 2147483647) * 4294967296" +
             " + doc_id * 8 + epoch" +
-            " + coalesce(cast(assert_true(doc_id < 536870912 and epoch < 8," +
+            " + coalesce(cast(assert_true(" +
+            "doc_id >= 0 and doc_id < 536870912 and epoch < 8," +
             " concat('q224_epoch_schedule: shuffle-key uniqueness envelope" +
-            " violated (need doc_id < 2^29 and epoch < 8; got doc_id='," +
+            " violated (need 0 <= doc_id < 2^29 and epoch < 8; got doc_id='," +
             " doc_id, ', epoch=', epoch, ') — keys would collide and" +
             " positions become nondeterministic')) as bigint), 0)")
         graft.operators.Packing.exclusivePrefixSum(
@@ -1756,7 +1757,7 @@ object CurationQueries {
                    + doc_id * 8 + epoch) AS pos
         FROM ex
         ORDER BY doc_id, epoch"""),
-      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope doc_id < 2^29, epoch < 8, ENFORCED by an assert_true inside the key — out-of-envelope corpora fail by name, never collide silently); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window."),
+      doc = "Multi-epoch data scheduling (the data-constrained regime: quality sources repeat 3/2 epochs, crawl passes once) with a GENUINE reshuffle per epoch — the q174 mid-square shuffle key seeded by the epoch, global read positions from the two-phase distributed prefix sum (uniqueness envelope 0 <= doc_id < 2^29, epoch < 8, ENFORCED by an assert_true inside the key — out-of-envelope corpora fail by name, never collide silently); the oracle replays the epoch expansion, the per-epoch key, and the position in one single-task window."),
 
     Q(
       "q225_pack_boundaries",

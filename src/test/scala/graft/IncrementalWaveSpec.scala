@@ -87,8 +87,8 @@ class IncrementalWaveSpec extends AnyFunSuite {
     val incIds = ids(st.spansInc)
     assert(Set(105L, 1900L).subsetOf(incIds),
       s"the incremental span pass must see the new doc AND the touched old doc: $incIds")
-    assert(incIds.forall(id => id == 1900L || id < 1000L || id >= 1000L),
-      "sanity")
+    assert(incIds.forall(_ < 9000L),
+      s"benchmark ids must never enter the span corpus: $incIds")
     // only the genuinely-touched wave-1 doc appears — the pass never
     // drags untouched wave-1 docs back in
     assert((incIds - 1900L).filter(_ < 1000L) == Set(105L),

@@ -176,20 +176,30 @@ class LangIdSpec extends AnyFunSuite {
     // every fixture doc, planted edges included: the exact five-way tie
     // (margin 0, tie-break 'de') and the mixed low-margin doc must come
     // out of the per-partition scalar path identically
-    val batch = LangId.predict(docs, model)
+    // the fixture plus two crawl-reality rows: an astral-plane doc
+    // (surrogate pairs — Spark's substring/length count CODE POINTS, so
+    // a UTF-16-indexed scalar scorer would extract different grams) and
+    // a null text (the distributed plan scores it as zero evidence; the
+    // scalar path must not crash the serving task)
+    import spark.implicits._
+    val extra = Seq(
+      (8000001L, "xx", "😀😁😂 über eau"),
+      (8000002L, "xx", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text")
+    val probe = docs.unionByName(extra)
+    val batch = LangId.predict(probe, model)
       .select(col("doc_id"), col("pred_lang"), col("best_millibits"),
         col("margin_millibits"))
       .collect().map(_.toSeq).toSet
     val scorer = LangId.localize(model)
-    val served = LangId.predictLocal(spark, docs, scorer)
+    val served = LangId.predictLocal(spark, probe, scorer)
       .collect().map(_.toSeq).toSet
     assert(served == batch,
       "the broadcast scalar scorer must reproduce the distributed argmin exactly")
     // the streaming twin: the SAME serving pass inside micro-batches —
     // the deployment shape a streaming router actually runs (the
     // distributed predict's multi-aggregation plan cannot)
-    import spark.implicits._
-    val rows = docs.select(col("doc_id"), col("text"))
+    val rows = probe.select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime
