@@ -100,6 +100,72 @@ class IncrementalWaveSpec extends AnyFunSuite {
     assert(man(0L)._1 == 0L && man(107L)._1 == 0L, "clean docs carry no spans")
   }
 
+  test("streaming waves: micro-batched ingestion with a GROWING anchor state == the one-shot incremental pass, incl. a cross-batch duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two stream-only docs sharing three >= 40-char lines, arriving in
+    // DIFFERENT micro-batches: only a state that grows batch-by-batch
+    // (append each batch's anchors after probing — the production
+    // continuous-ingestion shape) can see the pair at all
+    val shared = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today.",
+      "every continuous ingestion wave appends its anchors to the state table.",
+      "probing before appending keeps the disjointness contract intact here.")
+    val extraA = (2900L, (shared :+
+      "batch one carries this fresh closing line nobody else shares.").mkString("\n"))
+    val extraB = (2901L, (shared :+
+      "batch two ends with a different unshared closing line instead.").mkString("\n"))
+    val w2rows = st.wave2.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val batch1 = w2rows.filter(_._1 % 2 == 0) :+ extraA
+    val batch2 = w2rows.filter(_._1 % 2 == 1) :+ extraB
+    // the streamed pass
+    var state = st.anchors1
+    var corpus = st.wave1
+    val streamedSpans = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch frame dies with the micro-batch — freeze it first
+        val docs = b.localCheckpoint(true)
+        val spans = SubstrDedup.dupSpansAgainst(docs, corpus, state)
+        streamedSpans ++= spans
+          .select(col("doc_id"), col("span_start"), col("span_end"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        state = SubstrDedup.anchors(docs).unionByName(state)
+          .localCheckpoint(true)
+        corpus = corpus.unionByName(docs).localCheckpoint(true)
+      }
+      .start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // one-shot reference: the whole second wave in one incremental pass
+    val oneShot = SubstrDedup.dupSpansAgainst(
+      st.wave2.unionByName(Seq(extraA, extraB).toDF("doc_id", "text")),
+      st.wave1, st.anchors1)
+    def merged(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      SubstrDedup.mergeSpans(df)
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamedMerged = merged(streamedSpans.toSeq
+      .toDF("doc_id", "span_start", "span_end")
+      .withColumn("span_len", col("span_end") - col("span_start") + 1))
+    val oneShotMerged = merged(oneShot)
+    assert(streamedMerged == oneShotMerged,
+      s"streamed-union vs one-shot diff: ${(streamedMerged -- oneShotMerged).take(3)} " +
+        s"vs ${(oneShotMerged -- streamedMerged).take(3)}")
+    // the cross-batch pair was genuinely caught (and only catchable by
+    // the grown state: 2900 was in NO persisted state when it arrived)
+    val spanDocs = streamedMerged.map(_._1)
+    assert(spanDocs.contains(2900L) && spanDocs.contains(2901L),
+      s"cross-batch duplicate pair missed: $spanDocs")
+    assert(Set(105L, 1900L).subsetOf(spanDocs))
+  }
+
   test("every state guard refuses a skewed probe by name") {
     // (a) anchor normalization-mode mismatch
     val eNorm = intercept[IllegalArgumentException] {
