@@ -166,6 +166,35 @@ object BenchFormat {
       .sortBy(i => (-rows(i)._2, i))
       .take(maxRetries)
 
+  /** Second retry trigger (r17 prescription 6): a row whose run MIN
+    * exceeds this factor times its COMMITTED calm-detail min joins the
+    * retry set even when every sentinel reading stayed calm. The
+    * official r17 artifact carried a 12x q01 spike that sat strictly
+    * between two calm sentinel readings — sentinel bracketing is
+    * structurally blind to a spike shorter than its cadence, but the
+    * row's own history is not.
+    */
+  val HistoryRetryFactor = 4.0
+
+  /** Row indices whose run min exceeds `factor` x the committed calm
+    * min from `history` (query name -> calm min seconds). Rows with no
+    * history NEVER retry on this rule (a new row has no calm baseline
+    * to exceed — ContractSpec pins this), nor do errored rows (-1 is a
+    * correctness fact) or rows with a non-positive history value (a
+    * corrupt baseline must not flag everything). Slowest-first like
+    * [[retryPlan]] so a shared cap spends itself where ghosts cost most.
+    */
+  def historyOutliers(rows: Seq[(String, Double, Seq[Double])],
+                      history: Map[String, Double],
+                      factor: Double = HistoryRetryFactor): Seq[Int] =
+    rows.indices
+      .filter { i =>
+        val (name, med, ts) = rows(i)
+        med >= 0 && history.get(name).exists(h =>
+          h > 0 && minOf(med, ts) > h * factor)
+      }
+      .sortBy(i => (-minOf(rows(i)._2, rows(i)._3), i))
+
   /** Merge a retry pass into a row: the retry ran under a verified-calm
     * sentinel, so a LOWER retry median replaces the original (the
     * official number converges toward the calm value); a higher one is
@@ -491,10 +520,38 @@ object Bench {
     // meant to cancel). A retry can only LOWER a median (mergeRetry);
     // errors never retry. All accounting lands in the detail line as
     // retried_rows / retry_calm_s / retry_skipped.
+    // Per-row history baseline for the SECOND retry trigger (r17
+    // prescription 6): committed calm per-row mins, regenerated each
+    // round from the committed detail artifact. A missing or corrupt
+    // file silently disables the rule (logged) — the bench must never
+    // die on its own baseline; a new row absent from the file never
+    // retries on this rule.
+    val historyPath = sys.env.get("SPARK_GRAFT_BENCH_HISTORY")
+      .orElse(Seq("BENCH_HISTORY.json", "/root/repo/BENCH_HISTORY.json")
+        .find(p => Files.exists(Paths.get(p))))
+    val history: Map[String, Double] = historyPath.map { p =>
+      try {
+        val j = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readAllBytes(Paths.get(p)))
+        import scala.jdk.CollectionConverters._
+        j.fields().asScala
+          .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] history $p unreadable: ${e.getMessage}")
+          Map.empty[String, Double]
+      }
+    }.getOrElse(Map.empty)
+
     val windows = BenchFormat.contendedWindows(sentinelSeries.toSeq)
-    if (windows.nonEmpty) {
-      val plan = BenchFormat.retryPlan(
-        results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }, windows)
+    locally {
+      val rowsNow = results.toSeq.map { case (k, v, ts, _) => (k, v, ts) }
+      // union of the two triggers: sentinel-bracketed rows plus per-row
+      // history outliers (a spike the sentinel cadence cannot see);
+      // one shared cap, slowest-first within each trigger
+      val plan = (BenchFormat.retryPlan(rowsNow, windows) ++
+        BenchFormat.historyOutliers(rowsNow, history))
+        .distinct.take(40)
       if (plan.nonEmpty) {
         val base = sentinelSeries.toSeq.filter(_._2 >= 0).map(_._2).min
         var calm = -1.0

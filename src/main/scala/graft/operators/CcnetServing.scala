@@ -34,6 +34,25 @@ object CcnetServing {
   private val FormatName = "graft-ccnet-pair"
   private val Version = 1
 
+  /** A cuts row with a NULL cut value can never bucket anything — it is
+    * a different defect from a MISSING language row (an empty tercile
+    * estimation vs a skewed language inventory) and must be refused AT
+    * THE ARTIFACT BOUNDARY by its own name (ADVICE r17: the old [[tag]]
+    * guard misdiagnosed it as a missing row). The cuts table is
+    * |languages|-row by contract, so the check is one tiny action.
+    */
+  private def requireCutsNonNull(cuts: DataFrame, where: String): Unit = {
+    val bad = cuts.filter(col("cut_head").isNull || col("cut_middle").isNull)
+      .select(col("lang")).limit(1).collect()
+    require(bad.isEmpty,
+      s"CcnetServing.$where: language `${
+        if (bad.isEmpty) "" else Option(bad.head.get(0)).getOrElse("NULL")
+      }` has a cuts row with a NULL cut value — its terciles were never " +
+        "estimated (an empty or failed per-language estimation), and a " +
+        "null cut buckets nothing; re-estimate cuts for that language or " +
+        "drop it from the pair")
+  }
+
   /** Persist the pair: blob first, cuts table + manifest via
     * [[ArtifactStore.commit]] (manifest LAST certifies both landed).
     */
@@ -43,6 +62,7 @@ object CcnetServing {
       require(cuts.columns.contains(c),
         s"cuts table is missing `$c` — not a ccnetCuts output " +
           s"(have: ${cuts.columns.mkString(", ")})"))
+    requireCutsNonNull(cuts, "save")
     val root = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(root)
     TextModelSeam.saveScorer(scorer, root.resolve("model.bin").toString)
@@ -80,6 +100,10 @@ object CcnetServing {
         s"${m.path("n_unigrams").asInt()}/${m.path("n_bigrams").asInt()}) — " +
         "a foreign blob was swapped in; cuts from a different model " +
         "silently mis-bucket every document")
+    // re-gate non-nullness at load too: save() refuses to WRITE a null
+    // cut, but a pair written by older code (or a hand-edited cuts
+    // table) must still be refused here, not misdiagnosed downstream
+    requireCutsNonNull(cuts, "load")
     Pair(scorer, cuts)
   }
 
@@ -113,11 +137,19 @@ object CcnetServing {
         mkScorer)(spark)
       .filter(col("ok"))
       .select(col("doc_id"), col("avg_millibits"))
+    // the marker column distinguishes "no row for this language" from
+    // "a row whose cut VALUE is null" (ADVICE r17): a left join renders
+    // both as null cuts, but they are different defects with different
+    // fixes — the marker is non-null exactly when a cuts row matched.
+    // [[save]]/[[load]] refuse null cut values at the artifact boundary;
+    // this keeps the diagnosis honest for callers passing an in-session
+    // cuts frame that never crossed the artifact gates.
     docs.select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"))
-      .join(broadcast(cuts), Seq("lang"), "left")
+      .join(broadcast(cuts.withColumn("__cut_row", lit(1L))),
+        Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_millibits"),
-        when(col("cut_head").isNull || col("cut_middle").isNull,
+        when(col("__cut_row").isNull,
           raise_error(concat(
             lit("CcnetServing.tag: language `"),
             coalesce(col("lang"), lit("NULL")),
@@ -126,6 +158,13 @@ object CcnetServing {
               "pair was estimated on a different language inventory " +
               "than this corpus; re-estimate cuts or route the " +
               "language out before tagging"))))
+          .when(col("cut_head").isNull || col("cut_middle").isNull,
+            raise_error(concat(
+              lit("CcnetServing.tag: language `"),
+              coalesce(col("lang"), lit("NULL")),
+              lit("` has a cuts row with a NULL cut value — its " +
+                "terciles were never estimated; re-estimate cuts for " +
+                "that language (a null cut buckets nothing)"))))
           .when(col("avg_millibits") <= col("cut_head"), "head")
           .when(col("avg_millibits") <= col("cut_middle"), "middle")
           .otherwise("tail").as("bucket"))

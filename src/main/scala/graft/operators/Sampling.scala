@@ -145,6 +145,22 @@ object Sampling {
     // token mass) would ride the replay join and collide with corpus
     // columns or silently appear in the sample output
     val decision = cells.select((groupCols :+ budgetCol).map(col): _*)
+    // group-key UNIQUENESS is part of the artifact's contract (ADVICE
+    // r17): the replay join is a broadcast LEFT join, so a duplicated
+    // (groupCols) cell would silently fan out every corpus row in that
+    // group — double-counted tokens in the prefix sum and duplicate
+    // output rows, the exact silent-corruption class the other gates
+    // fail by name. Cells are |groups|-sized by contract, so the check
+    // is one tiny aggregation at save time.
+    val dup = decision.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"allocation cells table has more than one row for group " +
+        s"(${groupCols.zipWithIndex.map { case (c, i) => s"$c=${dup.head.get(i)}" }
+          .mkString(", ")}) — duplicate cells would fan out every corpus " +
+        "row in that group at replay (double-counted budgets, duplicate " +
+        "samples); aggregate the cells to one budget per group first")
     ArtifactStore.commit(dir, AllocationFormat, AllocationVersion,
       Seq("cells" -> decision)) { node =>
       node.put("seed", seed)
@@ -197,12 +213,16 @@ object Sampling {
         "allocation's budgets would join ambiguously against it; drop the " +
         "in-session column and let the PERSISTED allocation be the one " +
         "authority for budgets")
+    // the failure names the COLUMNS as well as the values, and a null
+    // group key renders as a visible NULL instead of an empty segment
+    // (ADVICE r17 — mirrors CcnetServing.tag's message discipline)
+    val groupDesc = concat_ws(", ", alloc.groupCols.map(c =>
+      concat(lit(s"$c="), coalesce(col(c).cast("string"), lit("NULL")))): _*)
     val joined = df.join(broadcast(alloc.cells), alloc.groupCols, "left")
       .withColumn(alloc.budgetCol,
         when(col(alloc.budgetCol).isNull,
           raise_error(concat(
-            lit("sampleWithAllocation: group ("),
-            concat_ws(", ", alloc.groupCols.map(col): _*),
+            lit("sampleWithAllocation: group ("), groupDesc,
             lit(") has no cell in the persisted allocation — the mix was " +
               "estimated on a different group inventory; re-estimate or " +
               "route the group out before sampling"))))

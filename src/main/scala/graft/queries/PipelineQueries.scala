@@ -81,7 +81,31 @@ object PipelineQueries {
     })
   }
 
+  // Session-scoped scratch ARTIFACT directories created by the memoized
+  // stage builders (the incremental wave's LID/pair dirs, the capstone's
+  // mixing allocation). Tracked here and deleted in [[clearCaches]]
+  // (ADVICE r17: every clear-and-rebuild cycle in a long-lived session
+  // used to leak a fresh set of model/pair dirs on disk). Deletion is
+  // safe exactly when the caches clear: nothing can hold a frame over a
+  // deleted dir once the memoized stages are dropped.
+  private var tempArtifactDirs: Seq[java.nio.file.Path] = Seq.empty
+  private[graft] def trackedTempDirs: Seq[java.nio.file.Path] =
+    synchronized(tempArtifactDirs)
+  private def newTempArtifactDir(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempArtifactDirs = tempArtifactDirs :+ p
+    p.toString
+  }
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   private[queries] def clearCaches(): Unit = synchronized {
+    tempArtifactDirs.foreach(deleteRecursively)
+    tempArtifactDirs = Seq.empty
     modelCache.values.foreach { m =>
       m.counts.unpersist()
     }
@@ -102,6 +126,9 @@ object PipelineQueries {
     qualityModelCache.values.foreach(_.counts.unpersist())
     qualityModelCache.clear()
     qualityStagesCache.clear()
+    gradedModelCache.values.foreach(_.counts.unpersist())
+    gradedModelCache.clear()
+    gradedStagesCache.clear()
     incStagesCache.clear()
   }
 
@@ -267,12 +294,152 @@ object PipelineQueries {
   private[graft] final case class MultiStages(
       corpus: DataFrame, extracted: DataFrame, cleaned: DataFrame,
       cur: DataFrame, pred: DataFrame, routed: DataFrame,
-      tagged: DataFrame, mixed: DataFrame)
+      tagged: DataFrame, mixIn: DataFrame, allocDir: String,
+      mixed: DataFrame)
 
   private val multiStagesCache =
     scala.collection.mutable.Map.empty[SparkSession, MultiStages]
   private[graft] def multiStages(s: SparkSession): MultiStages =
     synchronized { multiStagesCache.getOrElseUpdate(s, buildMultiStages(s)) }
+
+  /** The q226 chain's stage functions — ONE copy shared by the memoized
+    * fixture build ([[buildMultiStages]]) and the dir-parameterized
+    * deployment driver ([[graft.CorpusBuildJob]]), so the gated row and
+    * the job cannot drift (the nbTrainCtes oracle discipline applied to
+    * the Spark side). Each function is a pure frame transform; the two
+    * callers differ only in WHERE stage outputs live (session-persisted
+    * frames here; partitioned lake tables + artifact dirs in the job).
+    */
+  private[graft] object MultiChain {
+    import graft.operators._
+
+    /** Demux WARC shard blobs into (doc_id, html) pages — at deployment
+      * the blobs come from a `binaryFile` scan over `*.warc.gz` files
+      * (the [[graft.sources.Warc]] documented scan shape: one scalar
+      * per-file demux, embarrassingly parallel, no shuffle); the
+      * fixture path muxes shards in-session first.
+      */
+    def pagesFromBlobs(s: SparkSession,
+                       blobs: org.apache.spark.sql.Dataset[Array[Byte]])
+        : DataFrame = {
+      import s.implicits._
+      blobs.flatMap { blob =>
+        graft.sources.Warc.parseShard(blob).map { r =>
+          (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
+            graft.sources.Warc.parseHttp(r.payload).body)
+        }
+      }.toDF("doc_id", "html")
+    }
+
+    /** Mux `(doc_id, text)` docs into ONE `.warc.gz` shard blob under
+      * the capstone page template — the fixture-side inverse of
+      * [[pagesFromBlobs]], shared by the memoized build and by specs
+      * writing real shard FILES for [[graft.CorpusBuildJob]]. Records
+      * are id-sorted inside the shard (deterministic blob bytes).
+      */
+    def muxShard(recs: Seq[(Long, String)]): Array[Byte] =
+      graft.sources.Warc.buildShard(recs.sortBy(_._1).map { case (id, text) =>
+        (id, graft.sources.Warc.httpMessage(
+          CapstoneFixture.PagePrefix + text.replace("\n", "<br>") +
+            CapstoneFixture.PageSuffix))
+      })
+
+    /** Stage 2: line-preserving extraction (htmlTextLines — the
+      * `<br>`-split variant the C4 line rules need).
+      */
+    def extract(pages: DataFrame): DataFrame =
+      pages.select(col("doc_id"),
+        graft.functions.TextFns.htmlTextLines(col("html")).as("text"))
+
+    /** Stage 3: C4 line clean (same rules as the q220 stage). */
+    def c4Clean(extracted: DataFrame): DataFrame =
+      extracted
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextFns.c4KeptLines(col("text")).as("kept"))
+        .filter(size(col("kept")) >= 3
+          && !lower(col("text")).contains("lorem ipsum")
+          && !col("text").contains("{"))
+        .select(col("doc_id"), array_join(col("kept"), "\n").as("text"))
+
+    /** Stage 4: NFC canonicalize + md5 exact-dedup election (min doc_id
+      * survives) — dedup runs BEFORE LID so the router scores canonical
+      * text once.
+      */
+    def nfcDedup(cleaned: DataFrame): DataFrame =
+      Dedup.exactDedup(
+          cleaned.select(col("doc_id"),
+              graft.functions.NfcNormalize(col("text")).as("text"))
+            .withColumn("__k", md5(col("text"))),
+          Seq("__k"), Seq(col("doc_id")))
+        .drop("__k")
+
+    /** Stage 5: confidence routing under the LENGTH-NORMALIZED q222
+      * rule (see [[RoutePerGramMillibits]]) — low-confidence docs drop.
+      */
+    def route(cur: DataFrame, pred: DataFrame): DataFrame =
+      cur.join(pred.select(col("doc_id"), col("pred_lang"),
+          col("margin_millibits")), Seq("doc_id"))
+        // margin >= threshold * (len - 1): exact integers, never a
+        // division. Degenerate edge (documented, unreachable): at
+        // length <= 1 the right side is <= 0 and the comparison is
+        // vacuously true — an empty/one-char doc would route IN rather
+        // than to 'und'. The chain guarantees length >> 1 before this
+        // stage (C4 keeps only docs with >= 3 lines of >= 5 words),
+        // and the oracle replays the identical formula, so the edge
+        // can neither fire nor diverge here.
+        .filter(col("margin_millibits") >=
+          lit(RoutePerGramMillibits) * (length(col("text")) - 1))
+
+    /** Stage 6a: the self-trained bigram LM over the routed corpus. */
+    def lmModel(routed: DataFrame,
+                prepare: DataFrame => DataFrame): NgramLm.Model =
+      NgramLm.train(routed, prepare = prepare)
+
+    /** Stage 6b: `(doc_id, lang = pred_lang, avg_millibits)` — the
+      * tercile machinery keyed on the PREDICTED language.
+      */
+    def scoredFrame(routed: DataFrame, lm: NgramLm.Model): DataFrame =
+      routed.select(col("doc_id"), col("pred_lang").as("lang"))
+        .join(NgramLm.score(routed, lm)
+          .select(col("doc_id"), col("avg_millibits")), Seq("doc_id"))
+
+    /** Stage 6c/d: per-language tercile cuts + the bucket tag. */
+    def cuts(scored: DataFrame): DataFrame =
+      CurationQueries.ccnetCuts(scored)
+    def tagged(scored: DataFrame, cutTable: DataFrame): DataFrame =
+      CurationQueries.ccnetTag(scored, cutTable)
+
+    /** Stage 7a: the |cells|-row (lang, bucket) -> token_budget table —
+      * the DECISION the allocation artifact persists (budgets sized
+      * below every cell's fixture token mass; see [[MultiHeadBudget]]).
+      */
+    def budgetCells(tagged: DataFrame): DataFrame =
+      tagged.select(col("lang"), col("bucket")).distinct()
+        .withColumn("token_budget",
+          when(col("bucket") === "head", MultiHeadBudget)
+            .when(col("bucket") === "middle", MultiMiddleBudget)
+            .otherwise(MultiTailBudget))
+
+    /** Stage 7b: the mix input — tag columns + routing margin + BPE
+      * token counts (the units the budgets are denominated in).
+      */
+    def mixInput(tagged: DataFrame, routed: DataFrame): DataFrame =
+      tagged.join(routed.select(col("doc_id"), col("margin_millibits"),
+        Bpe.tokenCount(Bpe.encode(col("text"))).as("n_tok")), Seq("doc_id"))
+
+    /** Stage 7c: token-budget selection under the PERSISTED allocation
+      * (seed + budgets + tokenizer fingerprint replay from the artifact
+      * — [[Sampling.sampleWithAllocation]] refuses every skew by name).
+      */
+    def mixed(mixIn: DataFrame, alloc: Sampling.Allocation): DataFrame =
+      Sampling.sampleWithAllocation(mixIn, alloc, "doc_id", "n_tok")
+        .select(col("doc_id"), col("lang").as("pred_lang"),
+          col("margin_millibits"), col("avg_millibits"), col("bucket"),
+          col("n_tok"), col("tokens_before"))
+
+    /** The q226 mix seed, recorded in the allocation artifact. */
+    val MixSeed = 23L
+  }
 
   private def buildMultiStages(s: SparkSession): MultiStages = {
     import s.implicits._
@@ -291,72 +458,44 @@ object PipelineQueries {
     // 1+2: WARC mux -> demux -> HTTP -> line-preserving extraction
     // (identical machinery to q220 — same template, same traps)
     val shards = corpus.select($"doc_id", $"text").as[(Long, String)]
-      .groupByKey(t => Math.floorDiv(t._1, 16L)).mapGroups { (sid, it) =>
-        val recs = it.toSeq.sortBy(_._1).map { case (id, text) =>
-          (id, graft.sources.Warc.httpMessage(
-            CapstoneFixture.PagePrefix +
-              text.replace("\n", "<br>") + CapstoneFixture.PageSuffix))
-        }
-        (sid, graft.sources.Warc.buildShard(recs))
-      }
-    val pages = shards.flatMap { case (_, blob) =>
-      graft.sources.Warc.parseShard(blob).map { r =>
-        (r.url.substring(r.url.lastIndexOf('/') + 1).toLong,
-          graft.sources.Warc.parseHttp(r.payload).body)
-      }
-    }.toDF("doc_id", "html")
-    val extracted = pages.select($"doc_id",
-      graft.functions.TextFns.htmlTextLines($"html").as("text"))
+      .groupByKey(t => Math.floorDiv(t._1, 16L))
+      .mapGroups { (sid, it) => (sid, MultiChain.muxShard(it.toSeq)) }
+    val pages = MultiChain.pagesFromBlobs(s, shards.map(_._2))
+    val extracted = MultiChain.extract(pages)
     // 3: C4 line clean (same rules as the q220 stage)
-    val cleaned = extracted
-      .select($"doc_id", $"text",
-        graft.functions.TextFns.c4KeptLines($"text").as("kept"))
-      .filter(size($"kept") >= 3 && !lower($"text").contains("lorem ipsum")
-        && !$"text".contains("{"))
-      .select($"doc_id", array_join($"kept", "\n").as("text"))
+    val cleaned = MultiChain.c4Clean(extracted)
     // 4: NFC canonicalize + md5 exact-dedup election (min id survives)
-    val nfc = cleaned.select($"doc_id",
-      graft.functions.NfcNormalize($"text").as("text"))
-    val cur = pin(graft.operators.Dedup.exactDedup(
-        nfc.withColumn("__k", md5($"text")), Seq("__k"), Seq($"doc_id"))
-      .drop("__k"))
+    val cur = pin(MultiChain.nfcDedup(cleaned))
     // 5: LID + confidence routing (the q222 rule, LENGTH-NORMALIZED —
     // see [[RoutePerGramMillibits]]) — low-confidence docs are 'und'
     // and DROPPED, the casualty class q220 cannot have
     val pred = pin(graft.operators.LangId.predict(cur, langidModel(s)))
-    val routed = pin(cur
-      .join(pred.select($"doc_id", $"pred_lang", $"margin_millibits"),
-        Seq("doc_id"))
-      .filter($"margin_millibits" >=
-        lit(RoutePerGramMillibits) * (length($"text") - 1)))
+    val routed = pin(MultiChain.route(cur, pred))
     // 6: per-PREDICTED-language LM terciles (self-trained on the routed
     // corpus — the q219 shape, keyed on the classifier's output)
-    val lm = graft.operators.NgramLm.score(routed,
-      graft.operators.NgramLm.train(routed, prepare = pin))
-    val scored = routed.select($"doc_id", $"pred_lang".as("lang"))
-      .join(lm.select($"doc_id", $"avg_millibits"), Seq("doc_id"))
-    val tagged = pin(CurationQueries.ccnetTag(scored,
-      CurationQueries.ccnetCuts(scored)))
-    // 7: token-budget mixing keyed on (PREDICTED lang, bucket)
-    val mixIn = tagged
-      .join(routed.select($"doc_id", $"margin_millibits",
-        graft.operators.Bpe.tokenCount(
-          graft.operators.Bpe.encode($"text")).as("n_tok")), Seq("doc_id"))
-      .withColumn("token_budget",
-        when($"bucket" === "head", MultiHeadBudget)
-          .when($"bucket" === "middle", MultiMiddleBudget)
-          .otherwise(MultiTailBudget))
+    val scored = MultiChain.scoredFrame(routed,
+      MultiChain.lmModel(routed, prepare = pin))
+    val tagged = pin(MultiChain.tagged(scored, MultiChain.cuts(scored)))
+    // 7: token-budget mixing keyed on (PREDICTED lang, bucket) — the
+    // budgets live in a PERSISTED mixing allocation (the r17 artifact,
+    // now on the composed chain's own path: cells + seed + tokenizer
+    // fingerprint round-trip through the manifest-gated dir, and the
+    // selection replays from the RECORDED seed — a tokenizer-skewed or
+    // cell-missing allocation refuses by name inside this chain)
+    val mixIn = MultiChain.mixInput(tagged, routed)
+    val allocDir = newTempArtifactDir("mix_alloc")
+    graft.operators.Sampling.saveAllocation(allocDir,
+      MultiChain.budgetCells(tagged), Seq("lang", "bucket"),
+      "token_budget", seed = MultiChain.MixSeed)
     // the final mix is a materialized lake table in deployment (the
     // q178/q220 memoize discipline) — and it gets the LOGICAL cut, not
     // just a persist (see cutFinal: the chain is deep enough that
     // re-planning dominated every warm read)
-    val mixed = cutFinal(graft.operators.Sampling.sampleToTokenBudget(
-        mixIn, Seq("lang", "bucket"), "doc_id", "n_tok", "token_budget",
-        seed = 23L)
-      .select($"doc_id", $"lang".as("pred_lang"), $"margin_millibits",
-        $"avg_millibits", $"bucket", $"n_tok", $"tokens_before"))
+    val mixed = cutFinal(MultiChain.mixed(mixIn,
+        graft.operators.Sampling.loadAllocation(s, allocDir)))
       .orderBy($"doc_id")
-    MultiStages(corpus, extracted, cleaned, cur, pred, routed, tagged, mixed)
+    MultiStages(corpus, extracted, cleaned, cur, pred, routed, tagged,
+      mixIn, allocDir, mixed)
   }
 
   /** q227's pieces, exposed for the gated row and QualityClassifierSpec
@@ -425,6 +564,73 @@ object PipelineQueries {
     QualityStages(corpus, cls, manifest)
   }
 
+  /** q229's keep threshold on the published INTEGER grade: keep means
+    * `grade >= 2` on the 0..3 scale (the FineWeb-Edu shape — they
+    * publish a 0-5 educational score and threshold it; a binary gate
+    * cannot express "keep the top two grades").
+    */
+  private[graft] val GradedKeepMinGrade = 2L
+
+  /** q229's pieces (the [[QualityStages]] discipline): the GRADED
+    * quality classifier — the same label-agnostic NB kernel, now with
+    * FOUR grade classes — its prediction frame, and the manifest whose
+    * keep thresholds the integer grade.
+    */
+  private[graft] final case class GradedStages(
+      corpus: DataFrame, cls: DataFrame, manifest: DataFrame)
+
+  private val gradedModelCache =
+    scala.collection.mutable.Map.empty[SparkSession, graft.operators.LangId.Model]
+  private[graft] def gradedModel(s: SparkSession): graft.operators.LangId.Model =
+    synchronized {
+      gradedModelCache.getOrElseUpdate(s, {
+        val fx = s.read.parquet(GradedQualityFixture.ensure(s))
+        graft.operators.LangId.train(
+          fx.filter(col("doc_id") >= 30000L), langCol = "label", n = 2,
+          prepare = _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      })
+    }
+
+  private val gradedStagesCache =
+    scala.collection.mutable.Map.empty[SparkSession, GradedStages]
+  private[graft] def gradedStages(s: SparkSession): GradedStages =
+    synchronized { gradedStagesCache.getOrElseUpdate(s, buildGradedStages(s)) }
+
+  private def buildGradedStages(s: SparkSession): GradedStages = {
+    import s.implicits._
+    def pin(df: DataFrame): DataFrame = synchronized {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      stagesPersisted = stagesPersisted :+ p
+      p
+    }
+    val fx = s.read.parquet(GradedQualityFixture.ensure(s))
+    val corpus = pin(fx.filter($"doc_id" < 9000L)
+      .withColumnRenamed("label", "lang"))
+    // predictions over the 4-class model: the predicted label IS the
+    // integer grade (cast exactly on both engines), the margin the
+    // classifier's confidence in it
+    val cls = pin(graft.operators.LangId.predict(corpus, gradedModel(s)))
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleSets(corpus, "doc_id", "text", 3), 0.5)
+    val spans = graft.operators.SubstrDedup.dupSpans(corpus)
+    val lm = graft.operators.NgramLm.score(corpus,
+      graft.operators.NgramLm.train(corpus, prepare = pin))
+    val man6 = CurationQueries.webCurationManifest(corpus, pairs,
+      Some(spans), lmScores = Some(lm))
+    val manifest = cutFinal(man6
+      .join(cls.select($"doc_id",
+        $"pred_lang".cast("long").as("cls_grade"),
+        $"margin_millibits".as("cls_margin")), Seq("doc_id"))
+      .withColumn("keep",
+        (($"keep" === 1L) && ($"cls_grade" >= GradedKeepMinGrade))
+          .cast("long"))
+      .select($"doc_id", $"lang", $"n_words", $"pass_gate", $"has_pii",
+        $"is_victim", $"substr_permille", $"avg_millibits",
+        $"cls_grade", $"cls_margin", $"keep", $"split"))
+      .orderBy($"doc_id")
+    GradedStages(corpus, cls, manifest)
+  }
+
   /** q228's frames: the wave-1 state-build outputs (what a prior
     * session left behind), the incremental-pass intermediates, and the
     * final two-wave manifest — exposed so the gated row and
@@ -464,7 +670,7 @@ object PipelineQueries {
     // the LID model and the CCNet pair go to manifest-gated dirs; the
     // anchor table and the token-window index are the lake tables their
     // operators document as the incremental state.
-    val lidDir = java.nio.file.Files.createTempDirectory("incr_lid").toString
+    val lidDir = newTempArtifactDir("incr_lid")
     graft.operators.LangId.save(langidModel(s), lidDir)
     val anchors1 = pin(graft.operators.SubstrDedup.anchors(wave1))
     val winIdx1 = pin(graft.operators.TokenDecontam.tokenWindowIndex(wave1))
@@ -483,7 +689,7 @@ object PipelineQueries {
       .select($"doc_id", $"pred_lang".as("lang"))
       .join(graft.operators.NgramLm.score(wave1, lmModel1)
         .select($"doc_id", $"avg_millibits"), Seq("doc_id"))
-    val pairDir = java.nio.file.Files.createTempDirectory("incr_pair").toString
+    val pairDir = newTempArtifactDir("incr_pair")
     graft.operators.CcnetServing.save(pairDir,
       graft.operators.TextModelSeam.localize(lmModel1),
       CurationQueries.ccnetCuts(scoredW1))
@@ -1068,6 +1274,85 @@ object PipelineQueries {
       doc = "The supervised quality classifier (the FineWeb-Edu/DCLM stage): the label-agnostic NB kernel trains on curated good/bad labels — same exact-integer milli-log2 scoring as q219, runner-up margin as the published graded score — and joins the q212 curation manifest as the SEVENTH recorded signal (label + margin on every row, keep requires pred 'good'); the fixture plants a promotional page caught by NO other signal (gate-passing, PII-free, unique, LM-clean by the self-training construction) and a gate casualty the classifier calls 'good', proving the signals independent both ways; oracle replays the two-class NB chain plus the full six-signal composition."),
 
     Q(
+      "q229_graded_quality",
+      (s, _) => {   // dedicated graded labeled fixture; dir arg unused
+        // THE GRADED QUALITY CLASSIFIER — the step q227's binary gate
+        // cannot take: FineWeb-Edu's published stage scores documents
+        // on an INTEGER educational-quality scale and keeps
+        // `score >= cut`, because a binary good/bad model cannot RANK
+        // two mediocre documents against each other. The NB kernel is
+        // multi-class by construction (q219 ran it with five language
+        // classes), so the identical exact-integer machinery trains on
+        // FOUR graded labels ("0".."3"); the predicted label casts to
+        // the integer grade on both engines, the runner-up margin
+        // rides as its confidence, and keep additionally requires
+        // grade >= 2. The fixture plants the pair that DEFINES the
+        // stage: a grade-1 and a grade-2 document, both signal-clean
+        // under all six q212 signals AND inseparable by a binary
+        // extreme-grades model (QualityClassifierSpec pins both
+        // halves) — only the grade threshold splits them. The promo
+        // page (grade 0) and the gate-casualty converse carry over
+        // from q227 unchanged. Plan shape: identical to q227 (the
+        // model is vocabulary-sized broadcast; the class count only
+        // widens the |classes|-bounded argmin collect). Oracle: the
+        // q227 chain with four classes and the integer-grade keep.
+        gradedStages(s).manifest
+      },
+      Some(s"""
+        WITH RECURSIVE gsrc AS (
+          SELECT doc_id, label, text
+          FROM read_parquet('${GradedQualityFixture.Root}/*.parquet')),
+        gtr AS (SELECT label, text FROM gsrc WHERE doc_id >= 30000),
+        ${nbTrainCtes("gtr", "label", "g")},
+        gcorp AS (SELECT doc_id, label AS lang, text FROM gsrc
+                  WHERE doc_id < 9000),
+        ${nbScoreCtes("gcorp", "gs", "g")},
+        ${OracleCtes.jaccardReach(source = "gcorp")},
+        ${OracleCtes.victims},
+        ${OracleCtes.gopherGate("gcorp", Seq("doc_id", "lang"))},
+        ${OracleCtes.piiCounted("gcorp")},
+        ${DedupQueries.substrSpansCte(source = "gcorp", docsName = "sdocs")},
+        ${OracleCtes.bigramLm(trainSource = "gcorp", scoreSource = "gcorp")},
+        sperm AS (
+          SELECT d.doc_id,
+                 CASE WHEN LENGTH(d.text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(COALESCE(SUM(x.span_len), 0) AS BIGINT) * 1000 // LENGTH(d.text)
+                 END AS substr_permille
+          FROM sdocs d LEFT JOIN spansx x USING (doc_id)
+          GROUP BY d.doc_id, d.text),
+        splits AS (
+          SELECT doc_id,
+                 CASE WHEN ${CurationQueries.bucketSql} < 80 THEN 'train'
+                      WHEN ${CurationQueries.bucketSql} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM gcorp)
+        SELECT g.doc_id, g.lang, g.n_words, g.pass_gate,
+               CAST(p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                    + p.iban_count + p.cc_count > 0 AS BIGINT) AS has_pii,
+               CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_victim,
+               sp.substr_permille,
+               lm.avg_millibits,
+               CAST(c.lang AS BIGINT) AS cls_grade,
+               c.margin_millibits AS cls_margin,
+               CAST(g.pass_gate = 1
+                    AND (p.email_count + p.ip_count + p.phone_count + p.ssn_count
+                         + p.iban_count + p.cc_count) = 0
+                    AND v.doc_id IS NULL
+                    AND sp.substr_permille <= 300
+                    AND lm.avg_millibits <= ${CurationQueries.LmKeepMaxAvgMillibits}
+                    AND CAST(c.lang AS BIGINT) >= $GradedKeepMinGrade AS BIGINT) AS keep,
+               s.split
+        FROM gate g
+        JOIN pii_counted p ON g.doc_id = p.doc_id
+        LEFT JOIN victims v ON g.doc_id = v.doc_id
+        JOIN sperm sp ON g.doc_id = sp.doc_id
+        JOIN lmsc lm ON g.doc_id = lm.doc_id
+        JOIN gspred c ON g.doc_id = c.doc_id
+        JOIN splits s ON g.doc_id = s.doc_id
+        ORDER BY g.doc_id"""),
+      doc = "The graded quality classifier (FineWeb-Edu's integer-score stage): the multi-class NB kernel trains on FOUR graded labels, the predicted label casts to an integer grade on both engines, and keep thresholds grade >= 2 on top of the six q212 signals — the fixture plants a grade-1/grade-2 pair that is signal-clean under everything else AND provably unrankable by a binary extreme-grades model (spec-pinned), so the grade threshold is the only separating signal; the gate casualty stays graded 3 (independence both ways); oracle replays the four-class NB chain plus the full manifest."),
+
+    Q(
       "q228_incremental_wave",
       (s, _) => {   // dedicated two-wave fixture; dir arg unused
         // THE INCREMENTAL WAVE — the production shape every published
@@ -1481,7 +1766,7 @@ object PipelineQueries {
             java.lang.Math.floorMod(seed + p / 5, 8L).toInt)
         else Promo(pick(Promo.size, seed * 131 + p))
       }.mkString(" ") + "."
-    private def promoDoc(seed: Long, nLines: Int = 7): String =
+    private[queries] def promoDoc(seed: Long, nLines: Int = 7): String =
       (0 until nLines).map(k => promoLine(seed, k)).mkString("\n")
     private def rows: Seq[(Long, String, String)] = {
       val corpus = (0 until 60).map(i =>
@@ -1497,6 +1782,96 @@ object PipelineQueries {
       val trainBad = (0 until 40).map(i =>
         ((31000 + i).toLong, "bad", promoDoc(63000L + i)))
       corpus ++ planted ++ trainGood ++ trainBad
+    }
+    private val once = new FixtureOnce(Root)
+    def ensure(s: SparkSession): String =
+      once.ensure3(s)(rows, "doc_id", "label", "text")
+  }
+
+  /** Deterministic corpus + GRADED labeled training block for the q229
+    * graded quality classifier (the published SOTA shape: FineWeb-Edu
+    * scores documents on an INTEGER educational-quality scale and
+    * keeps `score >= cut` — a binary good/bad gate cannot rank two
+    * mediocre documents against each other; a graded one can).
+    *
+    * Four grade styles, each a distinct character-bigram distribution
+    * (the NB kernel is multi-class by construction — languages were 5
+    * classes; grades are 4):
+    *   - grade 3: the [[CapstoneFixture]] prose machinery;
+    *   - grade 2: `qqxxqx` filler words;
+    *   - grade 1: `qxqxqx` filler words;
+    *   - grade 0: the [[QualityFixture]] promo-spam inventory.
+    * Every style seeds Gopher stopwords at the SAME positions (every
+    * 5th absolute word), so the gate passes all four and ONLY the
+    * classifier grades them.
+    *
+    * The mid grades are built so the binary-cannot-rank claim is
+    * STRUCTURAL, not statistical: the letters q and x occur NOWHERE in
+    * the prose/promo/stopword text, so every filler-bearing gram of a
+    * mid doc is out-of-vocabulary for a binary model trained on the
+    * extreme grades; with identical word counts, word lengths, and the
+    * SAME stopword sequence (shared stopSeed), the 110/111 pair's
+    * binary scores are EXACTLY equal gram-for-gram — same label, same
+    * margin, unrankable in principle. The graded model separates them
+    * trivially: `qq`/`xx` occur only in grade 2, and the qx/xq mass
+    * ratio differs.
+    *
+    * Training block (ids >= 30000, never enters the manifest): 40 docs
+    * per grade, label = the grade as a string ("0".."3").
+    *
+    * Corpus (ids < 9000, `label` column = recorded lang 'en'): 0-59
+    * prose (grade 3, pass everything); 100 promo (grade 0 — the q227
+    * classifier-only catch, signal-clean everywhere else); 110 grade-1
+    * and 111 grade-2 — BOTH signal-clean (gate-passing, PII-free,
+    * unique, LM-clean by self-training), so the grade threshold
+    * `>= 2` is the ONLY signal separating them; 140 gate casualty
+    * (48 words of grade-3 prose — graded 3 but dropped, the converse
+    * independence); 141 PII casualty.
+    */
+  object GradedQualityFixture {
+    val Root = "/root/repo/target/graded_quality_fixture"
+    // constant per-style fillers over the {q, x} alphabet — disjoint
+    // from every letter the extreme-grade training text uses (prose
+    // consonants/vowels, the promo inventory, the stopword list), which
+    // is what makes the binary tie exact rather than approximate
+    private val G1Filler = "qxqxqx"
+    private val G2Filler = "qqxxqx"
+    /** One 9-word line: stopwords at the SAME absolute positions as the
+      * prose/promo generators (p % 5 == 2), fillers constant per style.
+      */
+    private def styleLine(filler: String, stopSeed: Long, li: Int): String =
+      (0 until 9).map { j =>
+        val p = li * 9 + j
+        if (p % 5 == 2)
+          graft.functions.TextFns.GopherStopwords(
+            java.lang.Math.floorMod(stopSeed + p / 5, 8L).toInt)
+        else filler
+      }.mkString(" ") + "."
+    private def styleDoc(filler: String, stopSeed: Long): String =
+      (0 until 7).map(k => styleLine(filler, stopSeed, k)).mkString("\n")
+    private def rows: Seq[(Long, String, String)] = {
+      val corpus = (0 until 60).map(i =>
+        (i.toLong, "en", CapstoneFixture.baseDoc(71000L + i)))
+      val planted = Seq(
+        (100L, "en", QualityFixture.promoDoc(100100L)),
+        // 110/111 share ONE stopSeed: gram-for-gram equal under any
+        // model that never saw q/x — the unrankable pair
+        (110L, "en", styleDoc(G1Filler, 110110L)),
+        (111L, "en", styleDoc(G2Filler, 110110L)),
+        (140L, "en", (0 until 3).map(k =>
+          CapstoneFixture.line(140140L, k, 16)).mkString("\n")),
+        (141L, "en", CapstoneFixture.baseDoc(141141L) +
+          "\ncontact the team now at q229user@mail.example.com for details today."))
+      val train =
+        (0 until 40).map(i =>
+          ((30000 + i).toLong, "3", CapstoneFixture.baseDoc(82000L + i))) ++
+        (0 until 40).map(i =>
+          ((31000 + i).toLong, "0", QualityFixture.promoDoc(93000L + i))) ++
+        (0 until 40).map(i =>
+          ((32000 + i).toLong, "1", styleDoc(G1Filler, 104000L + i))) ++
+        (0 until 40).map(i =>
+          ((33000 + i).toLong, "2", styleDoc(G2Filler, 115000L + i)))
+      corpus ++ planted ++ train
     }
     private val once = new FixtureOnce(Root)
     def ensure(s: SparkSession): String =

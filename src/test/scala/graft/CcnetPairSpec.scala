@@ -116,4 +116,43 @@ class CcnetPairSpec extends AnyFunSuite {
       .mkString("\n")
     assert(msgs.contains("tlh") && msgs.contains("cuts table"), msgs.take(500))
   }
+
+  test("a NULL cut value is its own defect, refused at save/load and diagnosed distinctly by tag (ADVICE r17)") {
+    import spark.implicits._
+    // a cuts row that EXISTS but whose cut values are null (an empty or
+    // failed per-language estimation) is not a missing language — the
+    // old guard misdiagnosed it as "no row in the cuts table"
+    val nullCut = cuts.unionByName(
+      Seq(("tlh", null.asInstanceOf[java.lang.Long],
+        null.asInstanceOf[java.lang.Long]))
+        .toDF("lang", "cut_head", "cut_middle"))
+    // (a) save refuses to WRITE the defect, naming the language
+    val eSave = intercept[IllegalArgumentException] {
+      CcnetServing.save(
+        java.nio.file.Files.createTempDirectory("ccnet_nullcut").toString,
+        scorer, nullCut)
+    }
+    assert(eSave.getMessage.contains("tlh")
+      && eSave.getMessage.contains("NULL cut value"), eSave.getMessage)
+    // (b) an in-session tag over the defective frame (never crossed the
+    // artifact gates) names the NULL-cut defect, not a missing row
+    val alien = docs.limit(1).withColumn("lang", lit("tlh"))
+    val eTag = intercept[Exception] {
+      CcnetServing.tag(spark, alien, nullCut,
+        CcnetServing.scorerFactory(fresh("ccnet_nullcut_tag"))).collect()
+    }
+    val msgs = Iterator.iterate(eTag: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("NULL cut value") && !msgs.contains("no row in"),
+      msgs.take(500))
+    // (c) a pair whose cuts were nulled AFTER save (older writer /
+    // hand-edited table) is refused at LOAD by the same name
+    val dir = fresh("ccnet_nullcut_load")
+    nullCut.write.mode("overwrite").parquet(s"$dir/cuts")
+    val eLoad = intercept[IllegalArgumentException] {
+      CcnetServing.load(spark, dir)
+    }
+    assert(eLoad.getMessage.contains("NULL cut value"), eLoad.getMessage)
+  }
 }

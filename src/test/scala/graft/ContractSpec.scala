@@ -244,6 +244,33 @@ class ContractSpec extends AnyFunSuite {
     assert(BenchFormat.mergeRetry(2.0, Seq(2.0), -1.0, Seq(-1.0))._1 == 2.0)
   }
 
+  test("BenchFormat: history-outlier retry trigger (r17 — a 12x spike the calm sentinel bracketing cannot see)") {
+    // the r17 official artifact: q01 min 14.1 s vs a 1.17 s committed
+    // calm baseline, with every sentinel reading calm — the window
+    // trigger never fired. The history trigger flags exactly that row.
+    val rows = Seq(
+      ("q1_a", 14.1, Seq(14.1, 14.3, 14.2)),   // 12x its 1.17 history
+      ("q2_b", 1.0, Seq(1.0, 1.2, 1.1)),       // within 4x of 0.9
+      ("q3_new", 50.0, Seq(50.0, 50.0, 50.0)), // NO history: new rows never retry on this rule
+      ("q4_err", -1.0, Seq(-1.0, 9.9, 9.9)),   // errored: a correctness fact, never retried
+      ("q5_zero", 9.0, Seq(9.0)),              // non-positive history: corrupt baseline, inert
+      ("q6_c", 8.0, Seq(8.0, 2.0, 8.0)))       // MIN is 2.0 <= 4x1.0: min semantics, not median
+    val history = Map("q1_a" -> 1.17, "q2_b" -> 0.9, "q4_err" -> 1.0,
+      "q5_zero" -> 0.0, "q6_c" -> 1.0)
+    assert(BenchFormat.historyOutliers(rows, history) == Seq(0))
+    // the factor is strict: exactly 4x stays calm
+    assert(BenchFormat.historyOutliers(
+      Seq(("q1_a", 4.0, Seq(4.0))), Map("q1_a" -> 1.0)).isEmpty)
+    assert(BenchFormat.historyOutliers(
+      Seq(("q1_a", 4.01, Seq(4.01))), Map("q1_a" -> 1.0)) == Seq(0))
+    // several flagged rows order slowest-first (the shared-cap rule)
+    assert(BenchFormat.historyOutliers(
+      Seq(("q1_a", 5.0, Seq(5.0)), ("q2_b", 50.0, Seq(50.0))),
+      Map("q1_a" -> 1.0, "q2_b" -> 1.0)) == Seq(1, 0))
+    // no committed baseline at all -> the rule is inert, never a crash
+    assert(BenchFormat.historyOutliers(rows, Map.empty).isEmpty)
+  }
+
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
     // every row errors: the errors array alone would blow the tail
     // window without the MaxNamedErrors cap

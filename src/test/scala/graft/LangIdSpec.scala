@@ -218,4 +218,53 @@ class LangIdSpec extends AnyFunSuite {
         "chunked streaming serving must equal the batch predictions")
     } finally q.stop()
   }
+
+  test("n=3 tier: a bigram-identical confusable pair — n=2 PROVABLY ties, n=3 separates; an n=2 caller refuses the n=3 artifact by name") {
+    import spark.implicits._
+    // Two Eulerian circuits over the SAME directed edge multiset
+    // {ab, bc, ca, ac, cb, ba}, both anchored at 'a': the two words
+    // have identical character-BIGRAM multisets — including the
+    // space-adjacent grams, since both start and end with 'a' — but
+    // distinct trigram sets ('cac' occurs only in the first, 'bab'
+    // only in the second). The real-crawl analog is a confusable
+    // language pair (sr/hr, id/ms) where character bigrams carry no
+    // signal and the published routers move to longer grams.
+    val wa = "abcacba"
+    val wb = "acbabca"
+    def doc(w: String): String = Seq.fill(6)(w).mkString(" ")
+    val train = ((0 until 4).map(_ => ("aa", doc(wa))) ++
+      (0 until 4).map(_ => ("bb", doc(wb)))).toDF("lang", "text")
+    val tests = Seq((1L, doc(wa)), (2L, doc(wb))).toDF("doc_id", "text")
+    // n=2: every (lang, gram) count and both totals are EQUAL between
+    // the classes by construction, so both docs tie at margin 0 and
+    // fall to the alphabetical tie-break — the bb doc misclassifies.
+    // This is structural, not statistical: no amount of bigram data
+    // separates the pair.
+    val m2 = LangId.train(train, n = 2)
+    val p2 = LangId.predict(tests, m2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(p2(1L) == (("aa", 0L)) && p2(2L) == (("aa", 0L)),
+      s"n=2 must tie exactly on the confusable pair: $p2")
+    // n=3: the distinctive trigrams separate both docs with a real
+    // margin, through the artifact round-trip
+    val m3 = LangId.train(train, n = 3)
+    val dir = java.nio.file.Files.createTempDirectory("lid_n3").toString
+    LangId.save(m3, dir)
+    val l3 = LangId.load(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      LangId.requireCompatible(l3, 2)
+    }
+    assert(e.getMessage.contains("3-grams") && e.getMessage.contains("n=2"),
+      e.getMessage)
+    LangId.requireCompatible(l3, 3)
+    val p3 = LangId.predict(tests, l3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(p3(1L)._1 == "aa" && p3(2L)._1 == "bb",
+      s"n=3 must separate the pair: $p3")
+    assert(p3(1L)._2 > 0L && p3(2L)._2 > 0L,
+      s"n=3 margins must be real, not tie-breaks: $p3")
+    // loaded == in-session at n=3, bit-for-bit
+    assert(LangId.predict(tests, l3).collect().map(_.toSeq).toSet
+      == LangId.predict(tests, m3).collect().map(_.toSeq).toSet)
+  }
 }

@@ -182,6 +182,103 @@ class MixingSpec extends AnyFunSuite {
     }.getMessage.contains("99"))
   }
 
+  test("allocation cells with a duplicated group key are refused at SAVE (ADVICE r17 — a dup cell fans out every row in its group)") {
+    import spark.implicits._
+    val cells = Seq(("en", "head", 100L), ("en", "head", 200L),
+      ("en", "tail", 50L)).toDF("lang", "bucket", "token_budget")
+    val dir = java.nio.file.Files.createTempDirectory("mix_dup").toString
+    val e = intercept[IllegalArgumentException] {
+      Sampling.saveAllocation(dir, cells, Seq("lang", "bucket"),
+        "token_budget", seed = 7L)
+    }
+    assert(e.getMessage.contains("more than one row")
+      && e.getMessage.contains("lang=en") && e.getMessage.contains("bucket=head"),
+      e.getMessage)
+    // the refusal happened BEFORE the manifest — nothing half-committed
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "MANIFEST.json")))
+  }
+
+  test("the no-cell failure names columns AND values; a NULL group key is refused upstream by name (ADVICE r17)") {
+    import spark.implicits._
+    val cells = Seq(("en", "head", 100L)).toDF("lang", "bucket", "token_budget")
+    val dir = java.nio.file.Files.createTempDirectory("mix_namedkey").toString
+    Sampling.saveAllocation(dir, cells, Seq("lang", "bucket"),
+      "token_budget", seed = 7L)
+    val alloc = Sampling.loadAllocation(spark, dir)
+    // (a) a group with no cell: the failure renders name=value pairs,
+    // not bare values (the old message printed values only — a reader
+    // could not tell WHICH column set defined the group)
+    val corpus = Seq(("xq", "head", 1L, 10L), ("en", "head", 2L, 10L))
+      .toDF("lang", "bucket", "doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Sampling.sampleWithAllocation(corpus, alloc, "doc_id", "n_tok").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("lang=xq") && msgs.contains("bucket=head")
+      && msgs.contains("no cell in the persisted allocation"), msgs.take(500))
+    // (b) a NULL group key never reaches the no-cell raise: the grouped
+    // prefix sum refuses it by name FIRST (the r16 null-group gate) —
+    // pinned here so the two failure layers stay attributable
+    val nullKey = Seq((null.asInstanceOf[String], "head", 1L, 10L))
+      .toDF("lang", "bucket", "doc_id", "n_tok")
+    val e2 = intercept[Exception] {
+      Sampling.sampleWithAllocation(nullKey, alloc, "doc_id", "n_tok").collect()
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs2.contains("contains NULL"), msgs2.take(500))
+  }
+
+  test("a tokenizer-skewed allocation refuses INSIDE the composed q226 chain (the r17 wiring, prescription 3)") {
+    // the gated q226 row now mixes through its own persisted allocation;
+    // this pins the skew gate ON THE CHAIN'S OWN FRAMES — a replacement
+    // allocation budgeted under a different merges table must refuse by
+    // fingerprint before any selection runs
+    val st = graft.queries.PipelineQueries.multiStages(spark)
+    val good = Sampling.loadAllocation(spark, st.allocDir)
+    val skewDir = java.nio.file.Files.createTempDirectory("mix_skew").toString
+    Sampling.saveAllocation(skewDir, good.cells, Seq("lang", "bucket"),
+      "token_budget", good.seed,
+      merges = graft.operators.Bpe.StandardMerges.take(3))
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.PipelineQueries.MultiChain.mixed(st.mixIn,
+        Sampling.loadAllocation(spark, skewDir))
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    // and the matching allocation still replays the gated row's mix
+    val replay = graft.queries.PipelineQueries.MultiChain
+      .mixed(st.mixIn, good)
+      .collect().map(_.toSeq).toSet
+    assert(replay == st.mixed.collect().map(_.toSeq).toSet)
+  }
+
+  test("session temp artifact dirs are tracked for cleanup; the recursive delete removes a populated dir (ADVICE r17)") {
+    import graft.queries.PipelineQueries
+    // building the composed chains registers their scratch artifact dirs
+    // (incremental LID/pair, the q226 allocation) with the cache layer —
+    // clearCaches deletes exactly this list, so a clear-and-rebuild
+    // cycle in a long-lived session no longer leaks dirs on disk
+    val st = PipelineQueries.multiStages(spark)
+    val tracked = PipelineQueries.trackedTempDirs.map(_.toString)
+    assert(tracked.contains(st.allocDir),
+      s"the q226 allocation dir must be tracked: $tracked")
+    val inc = PipelineQueries.incrementalStages(spark)
+    val tracked2 = PipelineQueries.trackedTempDirs.map(_.toString)
+    assert(tracked2.contains(inc.lidDir) && tracked2.contains(inc.pairDir),
+      s"the incremental LID/pair dirs must be tracked: $tracked2")
+    // the deletion helper itself, on a synthetic populated dir (the
+    // tracked dirs stay alive — other suites share the memoized stages)
+    val p = java.nio.file.Files.createTempDirectory("cleanup_probe")
+    java.nio.file.Files.createDirectories(p.resolve("sub"))
+    java.nio.file.Files.writeString(p.resolve("sub/x.txt"), "y")
+    PipelineQueries.deleteRecursively(p)
+    assert(!java.nio.file.Files.exists(p))
+  }
+
   test("groupedExclusivePrefixSum: a NULL group value fails BY NAME (ADVICE r16 — the offset fold joins null-unsafely)") {
     import spark.implicits._
     val bad = skewed.union(

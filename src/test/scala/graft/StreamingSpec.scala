@@ -1604,4 +1604,61 @@ class StreamingSpec extends AnyFunSuite {
         s"streaming crawl ladder diverged from batch: ${got.size} vs ${batch.size} rows")
     } finally q.stop()
   }
+
+  test("streaming LID ROUTING (frozen artifact scorer in foreachBatch) EQUALS the q226 batch routed set, incl. a mid-stream low-margin casualty") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LangId
+    import graft.queries.PipelineQueries
+    // the q226 routing stage's deployment twin (VERDICT r17 #2): a
+    // live-crawl pipeline routes IN-STREAM, so the frozen PRETRAINED
+    // router loads from its artifact dir, localizes to the scalar
+    // serving scorer (LangId.predictLocal — zero shuffles, nothing
+    // model-sized re-aggregated per batch), and every micro-batch
+    // applies the SAME length-normalized rule the batch chain uses.
+    // The union over batches must equal the batch `routed` frame
+    // exactly, and the planted mixed en/es page (9901) arrives
+    // MID-stream and must route out — the casualty class only the
+    // in-pipeline router can produce, exercised at serving time.
+    val st = PipelineQueries.multiStages(spark)
+    val model = LangId.train(
+      spark.read.parquet(PipelineQueries.LangIdFixture.ensure(spark))
+        .filter($"doc_id" % 1000 < 40 && $"doc_id" < 9000))
+    val dir = java.nio.file.Files.createTempDirectory("route_lid").toString
+    LangId.save(model, dir)
+    val loaded = LangId.load(spark, dir)
+    LangId.requireCompatible(loaded, 2)
+    val scorer = LangId.localize(loaded)
+    def routedSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"pred_lang", $"margin_millibits")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = routedSet(st.routed)
+    val docs = st.cur.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // rotate the routing casualty into the MIDDLE chunk explicitly —
+    // a low-confidence doc arriving mid-stream, not at a batch edge
+    val casualty = docs.filter(_._1 == 9901L)
+    assert(casualty.nonEmpty, "the mixed-language page must survive to cur")
+    val rest = docs.filterNot(_._1 == 9901L)
+    val third = (rest.size + 2) / 3
+    val chunks = Seq(rest.take(third),
+      casualty ++ rest.slice(third, 2 * third), rest.drop(2 * third))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val pred = LangId.predictLocal(spark, b.toDF(), scorer)
+        streamed ++= routedSet(b.toDF().join(pred, Seq("doc_id"))
+          .filter($"margin_millibits" >=
+            lit(PipelineQueries.RoutePerGramMillibits) * (length($"text") - 1)))
+        ()
+      }
+      .start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      assert(streamed.toSet == batch,
+        s"streamed routing diverged from batch: ${streamed.size} vs ${batch.size}")
+      assert(!streamed.exists(_._1 == 9901L),
+        "the low-margin mid-stream doc must route to 'und' and drop")
+    } finally q.stop()
+  }
 }
