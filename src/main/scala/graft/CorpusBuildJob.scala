@@ -83,6 +83,11 @@ object CorpusBuildJob {
     val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
     // 4: NFC canonicalize + exact-dedup election
     val cur = materialize("cur", MultiChain.nfcDedup(cleaned))
+    // the DEDUP STATE for corpus growth: the winnow-anchor table over
+    // the curated corpus is what [[runIncremental]] probes new waves
+    // against without re-reading this one (the q228 leg) — compact
+    // (positions + 64-bit anchors, no text), norm bit recorded
+    materialize("anchors", graft.operators.SubstrDedup.anchors(cur))
     // 5: frozen-router LID + length-normalized confidence routing
     val pred = materialize("pred",
       graft.operators.LangId.predict(cur, lid))
@@ -110,6 +115,127 @@ object CorpusBuildJob {
     materialize("mixed",
       MultiChain.mixed(MultiChain.mixInput(tagged, routed), alloc),
       partitionCols = Seq("pred_lang"))
+    results.toSeq
+  }
+
+  /** The CORPUS-GROWTH leg (the q228 shape, dir-parameterized): process
+    * a NEW wave of `.warc.gz` shards against a prior [[run]]'s lake —
+    * the old corpus is touched ONLY through its persisted states:
+    *
+    *   - `<lakeDir>/cur` — md5 keys for cross-wave exact dedup (one
+    *     column-pruned scan of the old table, no text comparison);
+    *   - `<lakeDir>/anchors` — the winnow-anchor state
+    *     (`dupSpansAgainst`: per-wave cost scales with the wave plus
+    *     the genuinely-duplicated old mass);
+    *   - `<lakeDir>/ccnet_pair` — the FROZEN serving pair: the new
+    *     wave is tagged with wave-1's model and cuts, never a
+    *     re-estimation (re-estimating per wave would re-bucket history
+    *     — the published CCNet deployment freezes the pair);
+    *   - `<lakeDir>/allocation` — the persisted mix: each wave samples
+    *     under the SAME per-cell token budgets and recorded seed (the
+    *     per-wave-quota reading of a budget; a group the allocation
+    *     never saw refuses by name).
+    *
+    * Stage tables land under `<lakeDir>/waves/<waveName>/…`, overwrite
+    * mode — re-running a wave is idempotent.
+    *
+    * Gates, all loud: router n, pair/allocation manifests, anchor norm
+    * bit (inside `dupSpansAgainst`), and the ID-SPACE gate — every new
+    * doc_id must exceed every old one, because the min-id dedup
+    * election is only incremental == from-scratch under that order
+    * (spec-pinned: the kept set equals a from-scratch dedup over the
+    * union). An empty post-clean wave refuses by name rather than
+    * silently writing empty tables.
+    *
+    * keep = `dup_permille <= 300 && bucket != tail` (the q228 rule;
+    * benchmark decontamination is the q213/q228 operators' own leg and
+    * composes upstream of mixing when a benchmark set exists).
+    */
+  def runIncremental(spark: SparkSession, newShardsDir: String,
+                     lakeDir: String, lidDir: String,
+                     waveName: String): Seq[StageResult] = {
+    import spark.implicits._
+    val waveDir = s"$lakeDir/waves/$waveName"
+    val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    def materialize(name: String, df: DataFrame): DataFrame = {
+      val path = s"$waveDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      val back = spark.read.parquet(path)
+      results += StageResult(name, path, back.count())
+      back
+    }
+    // every state gate fires BEFORE shard work
+    val lid = graft.operators.LangId.load(spark, lidDir)
+    graft.operators.LangId.requireCompatible(lid, 2)
+    val pair = graft.operators.CcnetServing.load(spark, s"$lakeDir/ccnet_pair")
+    val alloc = graft.operators.Sampling.loadAllocation(spark,
+      s"$lakeDir/allocation")
+    val oldCur = spark.read.parquet(s"$lakeDir/cur")
+    val oldAnchors = spark.read.parquet(s"$lakeDir/anchors")
+
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(newShardsDir)
+      .select(col("content")).as[Array[Byte]]
+    val extracted = materialize("extracted",
+      MultiChain.extract(MultiChain.pagesFromBlobs(spark, blobs)))
+    val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
+    // within-wave NFC dedup, then the CROSS-WAVE election: a new doc
+    // whose canonical text already exists in the old corpus loses to
+    // the old copy (min-id election — the id-space gate makes the old
+    // id always smaller, so incremental == from-scratch on the union)
+    val curWithin = MultiChain.nfcDedup(cleaned)
+    val bounds = curWithin.agg(min(col("doc_id")), count(lit(1))).head()
+    require(bounds.getLong(1) > 0L,
+      s"$newShardsDir: the wave produced ZERO post-clean documents — " +
+        "nothing to ingest; a whole-wave casualty is a crawl defect, " +
+        "not a no-op")
+    val maxOld = oldCur.agg(max(col("doc_id"))).head().getLong(0)
+    require(bounds.getLong(0) > maxOld,
+      s"id-space overlap: new wave min doc_id ${bounds.getLong(0)} <= old " +
+        s"corpus max $maxOld — the min-id dedup election is only " +
+        "incremental == from-scratch when every new id exceeds every old " +
+        "one; renumber the wave")
+    val cur = materialize("cur", curWithin
+      .join(oldCur.select(md5(col("text")).as("__k")),
+        md5(curWithin("text")) === col("__k"), "left_anti"))
+    // frozen-router LID + routing, exactly the initial run's stages
+    val pred = materialize("pred", graft.operators.LangId.predict(cur, lid))
+    val routed = materialize("routed", MultiChain.route(cur, pred))
+    // FROZEN-pair tagging (scorer loads per partition from the blob)
+    val tagged = materialize("tagged", graft.operators.CcnetServing.tag(
+      spark,
+      routed.select(col("doc_id"), col("pred_lang").as("lang"), col("text")),
+      pair.cuts,
+      graft.operators.CcnetServing.scorerFactory(s"$lakeDir/ccnet_pair")))
+    // cross-wave duplicated spans against the persisted anchor state;
+    // the span table includes retroactively-touched OLD docs — the
+    // state users consume it — while the manifest covers the new wave
+    val spans = materialize("spans", graft.operators.SubstrDedup
+      .mergeSpans(graft.operators.SubstrDedup.dupSpansAgainst(
+        cur, oldCur, oldAnchors)))
+    val permille = cur
+      .select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
+      .join(spans.groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("dup_chars")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("total_chars") === 0L, 0L)
+          .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
+          .as("dup_permille"))
+    val manifest = materialize("manifest", tagged
+      .join(permille, Seq("doc_id"))
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("bucket"),
+        col("avg_millibits"), col("dup_permille"),
+        (col("dup_permille") <= 300L && col("bucket") =!= "tail")
+          .cast("long").as("keep")))
+    // the mix: kept docs sample under the PERSISTED allocation —
+    // recorded seed + budgets + tokenizer fingerprint, the replayable
+    // per-wave quota
+    val kept = routed.join(
+      manifest.filter(col("keep") === 1L).select(col("doc_id")), Seq("doc_id"))
+    val mixIn = MultiChain.mixInput(
+      tagged.join(kept.select(col("doc_id")), Seq("doc_id")), kept)
+    materialize("mixed", MultiChain.mixed(mixIn, alloc))
     results.toSeq
   }
 }

@@ -1678,11 +1678,11 @@ object PipelineQueries {
   object MultiCrawlFixture {
     val Root = "/root/repo/target/multicrawl_fixture"
     import LangIdFixture.{word, Langs}
-    private[queries] def line(lang: String, seed: Long, li: Int,
-                              n: Int = 8): String =
+    private[graft] def line(lang: String, seed: Long, li: Int,
+                            n: Int = 8): String =
       (0 until n).map(j => word(lang, seed * 977 + li * 31 + j))
         .mkString(" ") + "."
-    private[queries] def doc(lang: String, seed: Long): String =
+    private[graft] def doc(lang: String, seed: Long): String =
       (0 until 5).map(li => line(lang, seed, li)).mkString("\n")
     /** French page with `été` pinned into every line — guarantees the
       * composed/decomposed twin pair actually differs pre-NFC.

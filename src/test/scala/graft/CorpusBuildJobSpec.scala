@@ -59,7 +59,8 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   test("job over real .warc.gz shard files == the memoized q226 frames, stage by stage, bit-for-bit") {
     val st = PipelineQueries.multiStages(spark)
     assert(firstRun.map(_.name) == Seq("extracted", "cleaned", "cur",
-      "pred", "routed", "ccnet_pair", "tagged", "allocation", "mixed"))
+      "anchors", "pred", "routed", "ccnet_pair", "tagged", "allocation",
+      "mixed"))
     assert(tableSet("extracted", Seq("doc_id", "text"))
       == frameSet(st.extracted, Seq("doc_id", "text")))
     assert(tableSet("cur", Seq("doc_id", "text"))
@@ -100,6 +101,93 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     // artifacts re-committed cleanly (manifest still gates)
     assert(graft.operators.Sampling.loadAllocation(spark,
       s"$lakeDir/allocation").seed == PipelineQueries.MultiChain.MixSeed)
+  }
+
+  test("incremental wave: new shards against the prior lake's persisted states — dedup == from-scratch, retro spans, frozen pair, persisted mix") {
+    import spark.implicits._
+    firstRun // the prior lake must exist
+    val fxDocs = spark.read
+      .parquet(PipelineQueries.MultiCrawlFixture.ensure(spark))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // the wave: one EXACT cross-wave duplicate (old doc 0's text under a
+    // new id — only the old corpus's md5 keys can see it), one NEAR
+    // duplicate (old es doc 2000's lines reordered — every line is a
+    // shared >= 40-char run only the anchor state can see), and six
+    // fresh pure-language pages
+    val langs = Vector("de", "en", "es", "fr", "zh")
+    val wave = Seq(
+      (20000L, fxDocs(0L)),
+      (20001L, fxDocs(2000L).split("\n").reverse.mkString("\n"))) ++
+      (0 until 6).map(i =>
+        ((20010 + i).toLong,
+          PipelineQueries.MultiCrawlFixture.doc(langs(i % 5), 987000L + i)))
+    val dir2 = java.nio.file.Files.createTempDirectory("cbj_shards2")
+    wave.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
+      java.nio.file.Files.write(dir2.resolve(f"shard-$sid%05d.warc.gz"),
+        PipelineQueries.MultiChain.muxShard(recs))
+    }
+    val inc = CorpusBuildJob.runIncremental(spark, dir2.toString, lakeDir,
+      lidDir, "wave2")
+    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "pred",
+      "routed", "tagged", "spans", "manifest", "mixed"))
+    val waveDir = s"$lakeDir/waves/wave2"
+    def waveSet(name: String, cols: Seq[String]) =
+      spark.read.parquet(s"$waveDir/$name")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    // (a) the exact duplicate died to the OLD corpus's keys; the near
+    // duplicate and the fresh docs survived
+    val curIds = waveSet("cur", Seq("doc_id")).map(_.head)
+    assert(!curIds.contains(20000L), "exact cross-wave duplicate must die")
+    assert(curIds.contains(20001L) && curIds.size == 7, s"cur ids: $curIds")
+    // (b) incremental dedup == a FROM-SCRATCH election over the union
+    // of both waves' cleaned tables, restricted to the new id space
+    val unionCleaned = spark.read.parquet(s"$lakeDir/cleaned")
+      .unionByName(spark.read.parquet(s"$waveDir/cleaned"))
+    val fromScratch = PipelineQueries.MultiChain.nfcDedup(unionCleaned)
+      .filter($"doc_id" >= 20000L)
+      .select($"doc_id", $"text").collect().map(_.toSeq).toSet
+    assert(waveSet("cur", Seq("doc_id", "text")) == fromScratch,
+      "incremental dedup must equal the from-scratch union election")
+    // (c) the near duplicate is caught ONLY through the anchor state:
+    // dup_permille over the keep line, keep = 0; fresh docs stay clean
+    val man = spark.read.parquet(s"$waveDir/manifest").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(man(20001L).getAs[Long]("dup_permille") > 300L
+      && man(20001L).getAs[Long]("keep") == 0L, s"20001: ${man(20001L)}")
+    (0 until 6).foreach { i =>
+      val r = man((20010 + i).toLong)
+      assert(r.getAs[Long]("dup_permille") <= 300L, s"fresh doc: $r")
+      assert(r.getAs[Long]("keep")
+        == (if (r.getAs[String]("bucket") != "tail") 1L else 0L), s"$r")
+    }
+    // (d) the mix selected only kept docs, under the persisted budgets
+    val mixedIds = waveSet("mixed", Seq("doc_id")).map(_.head.asInstanceOf[Long])
+    assert(mixedIds.nonEmpty)
+    mixedIds.foreach(id => assert(man(id).getAs[Long]("keep") == 1L))
+    // (e) idempotent re-run
+    val again = CorpusBuildJob.runIncremental(spark, dir2.toString, lakeDir,
+      lidDir, "wave2")
+    assert(again.map(r => (r.name, r.rows)) == inc.map(r => (r.name, r.rows)))
+    // (f) the id-space gate refuses an overlapping wave by name; an
+    // all-casualty wave refuses as a crawl defect, not a no-op
+    val overlapDir = java.nio.file.Files.createTempDirectory("cbj_overlap")
+    java.nio.file.Files.write(overlapDir.resolve("shard-00000.warc.gz"),
+      PipelineQueries.MultiChain.muxShard(
+        Seq((100L, PipelineQueries.MultiCrawlFixture.doc("en", 999111L)))))
+    val eId = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark, overlapDir.toString, lakeDir,
+        lidDir, "wave_bad")
+    }
+    assert(eId.getMessage.contains("id-space overlap"), eId.getMessage)
+    val emptyDir = java.nio.file.Files.createTempDirectory("cbj_empty")
+    java.nio.file.Files.write(emptyDir.resolve("shard-00000.warc.gz"),
+      PipelineQueries.MultiChain.muxShard(
+        Seq((30000L, "the config block uses the { symbol today."))))
+    val eEmpty = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark, emptyDir.toString, lakeDir,
+        lidDir, "wave_empty")
+    }
+    assert(eEmpty.getMessage.contains("ZERO post-clean"), eEmpty.getMessage)
   }
 
   test("a gram-length-skewed router artifact is refused by name BEFORE any shard work") {
