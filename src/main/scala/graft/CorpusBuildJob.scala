@@ -52,8 +52,20 @@ object CorpusBuildJob {
   /** One row per materialized stage table / artifact, in build order. */
   final case class StageResult(name: String, path: String, rows: Long)
 
+  /** `benchDir` (optional): a parquet directory of `(doc_id, text)`
+    * benchmark documents. When present, the run records every curated
+    * doc sharing a 13-token BPE window with the benchmark set
+    * (`contaminated` table — the PaLM doc-drop stance, q213) and
+    * EXCLUDES those docs from the mix; the registry itself persists as
+    * `<lakeDir>/bench` so later waves test against it. The
+    * token-window index persists as state REGARDLESS — benchmarks
+    * arrive after ingest in production (the q228 retroactive-flip
+    * story), and an index built at ingest time is what makes a late
+    * probe wave-sized instead of corpus-sized.
+    */
   def run(spark: SparkSession, shardsDir: String, lakeDir: String,
-          lidDir: String): Seq[StageResult] = {
+          lidDir: String, benchDir: Option[String] = None)
+      : Seq[StageResult] = {
     import spark.implicits._
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def materialize(name: String, df: DataFrame,
@@ -88,6 +100,23 @@ object CorpusBuildJob {
     // against without re-reading this one (the q228 leg) — compact
     // (positions + 64-bit anchors, no text), norm bit recorded
     materialize("anchors", graft.operators.SubstrDedup.anchors(cur))
+    // the TOKEN-WINDOW state: built at ingest time even with no
+    // benchmark in hand — a benchmark that arrives later probes THIS
+    // index (contaminationTokenSpansAgainst) at new-bench cost instead
+    // of re-tokenizing the corpus (the q228 doc-106 leg)
+    materialize("token_windows",
+      graft.operators.TokenDecontam.tokenWindowIndex(cur))
+    // benchmark decontamination, when a registry exists at build time:
+    // the hit record is a stage table (audit — window spans per doc),
+    // the drop applies at the MIX boundary (tagged still covers every
+    // doc, so the tag table stays a full-corpus audit surface)
+    val contaminatedIds = benchDir.map { bd =>
+      val bench = spark.read.parquet(bd)
+      materialize("bench", bench)
+      materialize("contaminated", graft.operators.TokenDecontam
+          .contaminationTokenSpans(cur, bench))
+        .select(col("doc_id")).distinct()
+    }
     // 5: frozen-router LID + length-normalized confidence routing
     val pred = materialize("pred",
       graft.operators.LangId.predict(cur, lid))
@@ -112,8 +141,11 @@ object CorpusBuildJob {
       cells.count())
     val alloc = graft.operators.Sampling.loadAllocation(spark,
       s"$lakeDir/allocation")
+    val mixBase = contaminatedIds
+      .map(c => tagged.join(c, Seq("doc_id"), "left_anti"))
+      .getOrElse(tagged)
     materialize("mixed",
-      MultiChain.mixed(MultiChain.mixInput(tagged, routed), alloc),
+      MultiChain.mixed(MultiChain.mixInput(mixBase, routed), alloc),
       partitionCols = Seq("pred_lang"))
     results.toSeq
   }
@@ -147,13 +179,23 @@ object CorpusBuildJob {
     * union). An empty post-clean wave refuses by name rather than
     * silently writing empty tables.
     *
-    * keep = `dup_permille <= 300 && bucket != tail` (the q228 rule;
-    * benchmark decontamination is the q213/q228 operators' own leg and
-    * composes upstream of mixing when a benchmark set exists).
+    * keep = `contaminated == 0 && dup_permille <= 300 && bucket !=
+    * tail` (the q228 rule verbatim).
+    *
+    * `newBenchDir` (optional): a parquet dir of benchmark documents
+    * that ARRIVED WITH THIS WAVE. Two probes run: (a) the new
+    * benchmark against the lake's PERSISTED token-window index —
+    * `retro_contaminated` records OLD docs that flip contaminated
+    * retroactively (the q228 doc-106 shape: cost scales with the new
+    * benchmark, never the old corpus); (b) the new WAVE against every
+    * benchmark known so far (the initial registry plus this wave's).
+    * The wave also materializes its own anchor/window state tables so
+    * future waves can layer over them.
     */
   def runIncremental(spark: SparkSession, newShardsDir: String,
-                     lakeDir: String, lidDir: String,
-                     waveName: String): Seq[StageResult] = {
+                     lakeDir: String, lidDir: String, waveName: String,
+                     newBenchDir: Option[String] = None)
+      : Seq[StageResult] = {
     import spark.implicits._
     val waveDir = s"$lakeDir/waves/$waveName"
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
@@ -172,6 +214,7 @@ object CorpusBuildJob {
       s"$lakeDir/allocation")
     val oldCur = spark.read.parquet(s"$lakeDir/cur")
     val oldAnchors = spark.read.parquet(s"$lakeDir/anchors")
+    val oldWindows = spark.read.parquet(s"$lakeDir/token_windows")
 
     val blobs = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
@@ -199,6 +242,10 @@ object CorpusBuildJob {
     val cur = materialize("cur", curWithin
       .join(oldCur.select(md5(col("text")).as("__k")),
         md5(curWithin("text")) === col("__k"), "left_anti"))
+    // the wave's OWN growth state (future waves layer over it)
+    materialize("anchors", graft.operators.SubstrDedup.anchors(cur))
+    materialize("token_windows",
+      graft.operators.TokenDecontam.tokenWindowIndex(cur))
     // frozen-router LID + routing, exactly the initial run's stages
     val pred = materialize("pred", graft.operators.LangId.predict(cur, lid))
     val routed = materialize("routed", MultiChain.route(cur, pred))
@@ -222,12 +269,39 @@ object CorpusBuildJob {
         when(col("total_chars") === 0L, 0L)
           .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
           .as("dup_permille"))
-    val manifest = materialize("manifest", tagged
+    // the benchmark legs: (a) the LATE benchmark probes the persisted
+    // window index — OLD docs flip contaminated retroactively at
+    // new-bench cost; (b) the new wave tests against every benchmark
+    // known so far. The `contaminated` column is ALWAYS present
+    // (0 when no benchmark exists anywhere) — a manifest schema that
+    // appears and disappears with the registry would skew consumers.
+    val newBench = newBenchDir.map { bd =>
+      val nb = spark.read.parquet(bd)
+      materialize("bench", nb)
+      materialize("retro_contaminated", graft.operators.TokenDecontam
+        .contaminationTokenSpansAgainst(nb, oldWindows))
+      nb
+    }
+    val oldBench =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(lakeDir, "bench", "_SUCCESS")))
+        Some(spark.read.parquet(s"$lakeDir/bench"))
+      else None
+    val waveContaminated = (oldBench.toSeq ++ newBench.toSeq)
+      .reduceOption(_.unionByName(_))
+      .map(b => graft.operators.TokenDecontam
+        .contaminationTokenSpans(cur, b)
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(1L)))
+    val manifest = materialize("manifest", waveContaminated
+      .map(c => tagged.join(c, Seq("doc_id"), "left"))
+      .getOrElse(tagged.withColumn("contaminated", lit(null).cast("long")))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
       .join(permille, Seq("doc_id"))
       .select(col("doc_id"), col("lang").as("pred_lang"), col("bucket"),
-        col("avg_millibits"), col("dup_permille"),
-        (col("dup_permille") <= 300L && col("bucket") =!= "tail")
-          .cast("long").as("keep")))
+        col("avg_millibits"), col("dup_permille"), col("contaminated"),
+        (col("contaminated") === 0L && col("dup_permille") <= 300L
+          && col("bucket") =!= "tail").cast("long").as("keep")))
     // the mix: kept docs sample under the PERSISTED allocation —
     // recorded seed + budgets + tokenizer fingerprint, the replayable
     // per-wave quota

@@ -47,6 +47,21 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   private lazy val lakeDir: String =
     java.nio.file.Files.createTempDirectory("cbj_lake").toString
 
+  private lazy val fxDocs: Map[Long, String] = {
+    import spark.implicits._
+    spark.read.parquet(PipelineQueries.MultiCrawlFixture.ensure(spark))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+  }
+
+  private def writeShards(docs: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("cbj_wave")
+    docs.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
+      java.nio.file.Files.write(dir.resolve(f"shard-$sid%05d.warc.gz"),
+        PipelineQueries.MultiChain.muxShard(recs))
+    }
+    dir.toString
+  }
+
   private lazy val firstRun: Seq[CorpusBuildJob.StageResult] =
     CorpusBuildJob.run(spark, shardsDir, lakeDir, lidDir)
 
@@ -59,8 +74,8 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   test("job over real .warc.gz shard files == the memoized q226 frames, stage by stage, bit-for-bit") {
     val st = PipelineQueries.multiStages(spark)
     assert(firstRun.map(_.name) == Seq("extracted", "cleaned", "cur",
-      "anchors", "pred", "routed", "ccnet_pair", "tagged", "allocation",
-      "mixed"))
+      "anchors", "token_windows", "pred", "routed", "ccnet_pair",
+      "tagged", "allocation", "mixed"))
     assert(tableSet("extracted", Seq("doc_id", "text"))
       == frameSet(st.extracted, Seq("doc_id", "text")))
     assert(tableSet("cur", Seq("doc_id", "text"))
@@ -106,9 +121,6 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   test("incremental wave: new shards against the prior lake's persisted states — dedup == from-scratch, retro spans, frozen pair, persisted mix") {
     import spark.implicits._
     firstRun // the prior lake must exist
-    val fxDocs = spark.read
-      .parquet(PipelineQueries.MultiCrawlFixture.ensure(spark))
-      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
     // the wave: one EXACT cross-wave duplicate (old doc 0's text under a
     // new id — only the old corpus's md5 keys can see it), one NEAR
     // duplicate (old es doc 2000's lines reordered — every line is a
@@ -121,15 +133,12 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       (0 until 6).map(i =>
         ((20010 + i).toLong,
           PipelineQueries.MultiCrawlFixture.doc(langs(i % 5), 987000L + i)))
-    val dir2 = java.nio.file.Files.createTempDirectory("cbj_shards2")
-    wave.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
-      java.nio.file.Files.write(dir2.resolve(f"shard-$sid%05d.warc.gz"),
-        PipelineQueries.MultiChain.muxShard(recs))
-    }
-    val inc = CorpusBuildJob.runIncremental(spark, dir2.toString, lakeDir,
+    val dir2 = writeShards(wave)
+    val inc = CorpusBuildJob.runIncremental(spark, dir2, lakeDir,
       lidDir, "wave2")
-    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "pred",
-      "routed", "tagged", "spans", "manifest", "mixed"))
+    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
+      "token_windows", "pred", "routed", "tagged", "spans", "manifest",
+      "mixed"))
     val waveDir = s"$lakeDir/waves/wave2"
     def waveSet(name: String, cols: Seq[String]) =
       spark.read.parquet(s"$waveDir/$name")
@@ -165,7 +174,7 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(mixedIds.nonEmpty)
     mixedIds.foreach(id => assert(man(id).getAs[Long]("keep") == 1L))
     // (e) idempotent re-run
-    val again = CorpusBuildJob.runIncremental(spark, dir2.toString, lakeDir,
+    val again = CorpusBuildJob.runIncremental(spark, dir2, lakeDir,
       lidDir, "wave2")
     assert(again.map(r => (r.name, r.rows)) == inc.map(r => (r.name, r.rows)))
     // (f) the id-space gate refuses an overlapping wave by name; an
@@ -188,6 +197,66 @@ class CorpusBuildJobSpec extends AnyFunSuite {
         lidDir, "wave_empty")
     }
     assert(eEmpty.getMessage.contains("ZERO post-clean"), eEmpty.getMessage)
+  }
+
+  test("benchmark decontamination through the job: the registry drops at the mix; a LATE benchmark retro-flips old docs through the persisted index") {
+    import spark.implicits._
+    // B1 quotes two consecutive lines of fixture doc 1000 verbatim
+    // (joined by the same \n, so the glued boundary token matches and
+    // the shared run clears the 13-token window)
+    val b1 = fxDocs(1000L).split("\n").slice(1, 3).mkString("\n")
+    val benchDir1 = java.nio.file.Files
+      .createTempDirectory("cbj_bench1").toString
+    Seq((9000001L, b1)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir1)
+    val lake2 = java.nio.file.Files.createTempDirectory("cbj_lake2").toString
+    val r = CorpusBuildJob.run(spark, shardsDir, lake2, lidDir,
+      benchDir = Some(benchDir1))
+    assert(r.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
+      "token_windows", "bench", "contaminated", "pred", "routed",
+      "ccnet_pair", "tagged", "allocation", "mixed"))
+    // exactly the quoted host is recorded; it vanishes from the MIX but
+    // stays on the tag table (the full-corpus audit surface)
+    val hit = spark.read.parquet(s"$lake2/contaminated")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(hit == Set(1000L), s"contaminated: $hit")
+    val mixedIds = spark.read.parquet(s"$lake2/mixed")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!mixedIds.contains(1000L) && mixedIds.nonEmpty)
+    assert(spark.read.parquet(s"$lake2/tagged")
+      .filter($"doc_id" === 1000L).count() == 1)
+
+    // the LATE benchmark B2 (arrives with the wave) quotes OLD doc 3000
+    // — it must flip 3000 contaminated RETROACTIVELY through the
+    // PERSISTED window index, never by re-reading the corpus; and the
+    // wave doc quoting B1 must flag against the INITIAL registry (the
+    // union of everything known so far)
+    val b2 = fxDocs(3000L).split("\n").slice(0, 2).mkString("\n")
+    val benchDir2 = java.nio.file.Files
+      .createTempDirectory("cbj_bench2").toString
+    Seq((9000002L, b2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir2)
+    val langs = Vector("de", "en", "es", "fr", "zh")
+    val quoting = (PipelineQueries.MultiCrawlFixture.doc("en", 31337L)
+      .split("\n").take(2) ++ b1.split("\n")).mkString("\n")
+    val wave = Seq((20021L, quoting)) ++ (0 until 3).map(i =>
+      ((20030 + i).toLong,
+        PipelineQueries.MultiCrawlFixture.doc(langs(i), 555000L + i)))
+    val inc = CorpusBuildJob.runIncremental(spark, writeShards(wave),
+      lake2, lidDir, "wave2", newBenchDir = Some(benchDir2))
+    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
+      "token_windows", "pred", "routed", "tagged", "spans", "bench",
+      "retro_contaminated", "manifest", "mixed"))
+    val retro = spark.read.parquet(s"$lake2/waves/wave2/retro_contaminated")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(retro == Set(3000L), s"retro flips: $retro")
+    val man = spark.read.parquet(s"$lake2/waves/wave2/manifest").collect()
+      .map(r2 => r2.getAs[Long]("doc_id") -> r2).toMap
+    assert(man(20021L).getAs[Long]("contaminated") == 1L
+      && man(20021L).getAs[Long]("keep") == 0L, s"${man(20021L)}")
+    (0 until 3).foreach { i =>
+      assert(man((20030 + i).toLong).getAs[Long]("contaminated") == 0L)
+    }
   }
 
   test("a gram-length-skewed router artifact is refused by name BEFORE any shard work") {

@@ -1661,4 +1661,46 @@ class StreamingSpec extends AnyFunSuite {
         "the low-margin mid-stream doc must route to 'und' and drop")
     } finally q.stop()
   }
+
+  test("streaming GRADED quality scoring (frozen 4-class artifact in foreachBatch) EQUALS the q229 batch classification across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LangId
+    import graft.queries.PipelineQueries
+    // the q229 stage's deployment shape: FineWeb-Edu-style graded
+    // scoring serves as a FROZEN classifier over the candidate stream
+    // (training in-stream would be unbounded state — the frozen-cuts
+    // argument); the scalar serving scorer is class-count-agnostic, so
+    // the same predictLocal leg that routes languages grades quality.
+    // The mid-grade pair lands in DIFFERENT micro-batches and must
+    // grade exactly like the batch stage.
+    val gs = PipelineQueries.gradedStages(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graded_stream").toString
+    LangId.save(PipelineQueries.gradedModel(spark), dir)
+    val scorer = LangId.localize(LangId.load(spark, dir))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"pred_lang", $"best_millibits", $"margin_millibits")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = toSet(gs.cls)
+    val docs = gs.corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // grade-1 doc 110 in batch one, grade-2 doc 111 in batch two
+    val (first, second) = docs.partition(_._1 <= 110L)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val streamed = scala.collection.mutable.Set.empty[(Long, String, Long, Long)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed ++= toSet(LangId.predictLocal(spark, b.toDF(), scorer)); ()
+      }
+      .start()
+    try {
+      Seq(first, second).foreach { c => input.addData(c); q.processAllAvailable() }
+      assert(streamed.toSet == batch,
+        s"streamed grading diverged from batch: ${streamed.size} vs ${batch.size}")
+      val grades = streamed.map(t => t._1 -> t._2).toMap
+      assert(grades(110L) == "1" && grades(111L) == "2",
+        s"the mid pair must grade across the batch split: $grades")
+    } finally q.stop()
+  }
 }
