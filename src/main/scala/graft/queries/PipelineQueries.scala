@@ -129,6 +129,7 @@ object PipelineQueries {
     gradedModelCache.values.foreach(_.counts.unpersist())
     gradedModelCache.clear()
     gradedStagesCache.clear()
+    jobMixedCache.clear()
     incStagesCache.clear()
   }
 
@@ -564,6 +565,40 @@ object PipelineQueries {
     QualityStages(corpus, cls, manifest)
   }
 
+  /** q230's frame: the DEPLOYMENT DRIVER's mixed table — the fixture
+    * muxed into real `.warc.gz` shard FILES, [[graft.CorpusBuildJob]]
+    * run over them with a persisted router artifact into a session
+    * lake, and the final lake table read back. Memoized + cut like the
+    * other composition finals (in deployment this IS a materialized
+    * lake table; the build runs once per session, honest in bench
+    * rep 1). The shards/LID/lake dirs are tracked temp dirs released
+    * by [[clearCaches]].
+    */
+  private val jobMixedCache =
+    scala.collection.mutable.Map.empty[SparkSession, DataFrame]
+  private[graft] def jobMixed(s: SparkSession): DataFrame =
+    synchronized { jobMixedCache.getOrElseUpdate(s, buildJobMixed(s)) }
+
+  private def buildJobMixed(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val shardsDir = newTempArtifactDir("job_shards")
+    val docs = s.read.parquet(MultiCrawlFixture.ensure(s))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    docs.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(shardsDir, f"shard-$sid%05d.warc.gz"),
+        MultiChain.muxShard(recs))
+    }
+    val lidDir = newTempArtifactDir("job_lid")
+    graft.operators.LangId.save(langidModel(s), lidDir)
+    val lakeDir = newTempArtifactDir("job_lake")
+    graft.CorpusBuildJob.run(s, shardsDir, lakeDir, lidDir)
+    cutFinal(s.read.parquet(s"$lakeDir/mixed")
+      .select($"doc_id", $"pred_lang", $"margin_millibits",
+        $"avg_millibits", $"bucket", $"n_tok", $"tokens_before"))
+      .orderBy($"doc_id")
+  }
+
   /** q229's keep threshold on the published INTEGER grade: keep means
     * `grade >= 2` on the 0..3 scale (the FineWeb-Edu shape — they
     * publish a 0-5 educational score and threshold it; a binary gate
@@ -820,6 +855,103 @@ object PipelineQueries {
     * of magnitude on each side, so the gate is structural.
     */
   private[graft] val RouteMinMarginMillibits = 10000L
+
+  /** The q226 oracle WITH-chain, shared VERBATIM by q226 (the
+    * in-session composition row) and q230 (the deployment driver row):
+    * one SQL string means the two rows cannot drift from each other —
+    * if the job's lake ever diverged from the memoized chain, exactly
+    * one of them would hash-mismatch and name the seam.
+    */
+  private def multiCapstoneOracleSql: String = s"""
+        WITH lsrc AS (
+          SELECT doc_id, lang, text
+          FROM read_parquet('${LangIdFixture.Root}/*.parquet')),
+        ltr AS (SELECT lang, text FROM lsrc
+                WHERE doc_id % 1000 < 40 AND doc_id < 9000),
+        ${nbTrainCtes("ltr", "lang", "l")},
+        msrc AS (
+          SELECT doc_id, text
+          FROM read_parquet('${MultiCrawlFixture.Root}/*.parquet')),
+        mpage AS (
+          SELECT doc_id,
+                 '${CapstoneFixture.PagePrefix}' || REPLACE(text, chr(10), '<br>')
+                   || '${CapstoneFixture.PageSuffix}' AS html
+          FROM msrc),
+        mex AS (
+          SELECT doc_id, ${TextQueries.HtmlOracleSql.strippedLines("html")} AS text
+          FROM mpage),
+        mcln AS (
+          SELECT doc_id, text,
+            LIST_FILTER(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
+                x -> TRIM(x)), x -> LENGTH(x) > 0), l ->
+              SUBSTR(l, LENGTH(l), 1) IN ('.', '!', '?', '"')
+              AND LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> LENGTH(w) > 0)) >= 5
+              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
+          FROM mex),
+        mkeep AS (
+          SELECT doc_id, ARRAY_TO_STRING(kept, chr(10)) AS text
+          FROM mcln
+          WHERE LEN(kept) >= 3 AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+            AND NOT CONTAINS(text, '{')),
+        mnfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM mkeep),
+        mcur AS (
+          SELECT doc_id, text
+          FROM (SELECT doc_id, text,
+                       MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+                FROM mnfc) n
+          WHERE doc_id = keeper),
+        ${nbScoreCtes("mcur", "m", "l")},
+        mroute AS (
+          SELECT c.doc_id, p.lang AS pred_lang, p.margin_millibits, c.text
+          FROM mcur c JOIN mpred p USING (doc_id)
+          WHERE p.margin_millibits >= $RoutePerGramMillibits * (LENGTH(c.text) - 1)),
+        ${OracleCtes.bigramLm(trainSource = "mroute", scoreSource = "mroute")},
+        mcuts AS (
+          SELECT r.pred_lang,
+                 QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
+                 QUANTILE_CONT(sc.avg_millibits, 2.0/3) AS cut_middle
+          FROM mroute r JOIN lmsc sc USING (doc_id)
+          GROUP BY 1),
+        mtag AS (
+          SELECT r.doc_id, r.pred_lang, r.margin_millibits, sc.avg_millibits,
+                 CASE WHEN sc.avg_millibits <= c.cut_head THEN 'head'
+                      WHEN sc.avg_millibits <= c.cut_middle THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM mroute r
+          JOIN lmsc sc USING (doc_id)
+          JOIN mcuts c USING (pred_lang)),
+        mw AS (SELECT doc_id, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM mroute) t
+          WHERE LENGTH(w) > 0),
+        menc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM mw),
+        mtokc AS (SELECT doc_id,
+                    CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
+                  FROM menc GROUP BY doc_id),
+        mmixin AS (
+          SELECT t.doc_id, t.pred_lang, t.margin_millibits, t.avg_millibits,
+                 t.bucket, COALESCE(k.n, 0) AS n_tok,
+                 CASE t.bucket WHEN 'head' THEN $MultiHeadBudget
+                               WHEN 'middle' THEN $MultiMiddleBudget
+                               ELSE $MultiTailBudget END AS budget,
+                 CAST(((((t.doc_id + 23) % 2147483647)
+                     * ((t.doc_id + 23) % 2147483647))
+                     % 2147483647 * 48271 % 2147483647 * 1000000)
+                   // GREATEST(1, 1) AS BIGINT) AS priority
+          FROM mtag t LEFT JOIN mtokc k USING (doc_id)),
+        mrun AS (
+          SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
+                 n_tok, budget,
+                 CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY pred_lang, bucket ORDER BY priority, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tokens_before
+          FROM mmixin)
+        SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
+               n_tok, tokens_before
+        FROM mrun
+        WHERE tokens_before < budget
+        ORDER BY doc_id"""
 
   def queries: Seq[Q] = Seq(
 
@@ -1100,97 +1232,36 @@ object PipelineQueries {
         // a deployment would materialize anyway.
         multiStages(s).mixed
       },
-      Some(s"""
-        WITH lsrc AS (
-          SELECT doc_id, lang, text
-          FROM read_parquet('${LangIdFixture.Root}/*.parquet')),
-        ltr AS (SELECT lang, text FROM lsrc
-                WHERE doc_id % 1000 < 40 AND doc_id < 9000),
-        ${nbTrainCtes("ltr", "lang", "l")},
-        msrc AS (
-          SELECT doc_id, text
-          FROM read_parquet('${MultiCrawlFixture.Root}/*.parquet')),
-        mpage AS (
-          SELECT doc_id,
-                 '${CapstoneFixture.PagePrefix}' || REPLACE(text, chr(10), '<br>')
-                   || '${CapstoneFixture.PageSuffix}' AS html
-          FROM msrc),
-        mex AS (
-          SELECT doc_id, ${TextQueries.HtmlOracleSql.strippedLines("html")} AS text
-          FROM mpage),
-        mcln AS (
-          SELECT doc_id, text,
-            LIST_FILTER(LIST_FILTER(LIST_TRANSFORM(STRING_SPLIT(text, chr(10)),
-                x -> TRIM(x)), x -> LENGTH(x) > 0), l ->
-              SUBSTR(l, LENGTH(l), 1) IN ('.', '!', '?', '"')
-              AND LEN(LIST_FILTER(STRING_SPLIT(l, ' '), w -> LENGTH(w) > 0)) >= 5
-              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
-          FROM mex),
-        mkeep AS (
-          SELECT doc_id, ARRAY_TO_STRING(kept, chr(10)) AS text
-          FROM mcln
-          WHERE LEN(kept) >= 3 AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
-            AND NOT CONTAINS(text, '{')),
-        mnfc AS (SELECT doc_id, nfc_normalize(text) AS text FROM mkeep),
-        mcur AS (
-          SELECT doc_id, text
-          FROM (SELECT doc_id, text,
-                       MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
-                FROM mnfc) n
-          WHERE doc_id = keeper),
-        ${nbScoreCtes("mcur", "m", "l")},
-        mroute AS (
-          SELECT c.doc_id, p.lang AS pred_lang, p.margin_millibits, c.text
-          FROM mcur c JOIN mpred p USING (doc_id)
-          WHERE p.margin_millibits >= $RoutePerGramMillibits * (LENGTH(c.text) - 1)),
-        ${OracleCtes.bigramLm(trainSource = "mroute", scoreSource = "mroute")},
-        mcuts AS (
-          SELECT r.pred_lang,
-                 QUANTILE_CONT(sc.avg_millibits, 1.0/3) AS cut_head,
-                 QUANTILE_CONT(sc.avg_millibits, 2.0/3) AS cut_middle
-          FROM mroute r JOIN lmsc sc USING (doc_id)
-          GROUP BY 1),
-        mtag AS (
-          SELECT r.doc_id, r.pred_lang, r.margin_millibits, sc.avg_millibits,
-                 CASE WHEN sc.avg_millibits <= c.cut_head THEN 'head'
-                      WHEN sc.avg_millibits <= c.cut_middle THEN 'middle'
-                      ELSE 'tail' END AS bucket
-          FROM mroute r
-          JOIN lmsc sc USING (doc_id)
-          JOIN mcuts c USING (pred_lang)),
-        mw AS (SELECT doc_id, w FROM (
-            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM mroute) t
-          WHERE LENGTH(w) > 0),
-        menc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
-                 FROM mw),
-        mtokc AS (SELECT doc_id,
-                    CAST(SUM(LEN(STRING_SPLIT(e, ' '))) AS BIGINT) AS n
-                  FROM menc GROUP BY doc_id),
-        mmixin AS (
-          SELECT t.doc_id, t.pred_lang, t.margin_millibits, t.avg_millibits,
-                 t.bucket, COALESCE(k.n, 0) AS n_tok,
-                 CASE t.bucket WHEN 'head' THEN $MultiHeadBudget
-                               WHEN 'middle' THEN $MultiMiddleBudget
-                               ELSE $MultiTailBudget END AS budget,
-                 CAST(((((t.doc_id + 23) % 2147483647)
-                     * ((t.doc_id + 23) % 2147483647))
-                     % 2147483647 * 48271 % 2147483647 * 1000000)
-                   // GREATEST(1, 1) AS BIGINT) AS priority
-          FROM mtag t LEFT JOIN mtokc k USING (doc_id)),
-        mrun AS (
-          SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
-                 n_tok, budget,
-                 CAST(COALESCE(SUM(n_tok) OVER (
-                   PARTITION BY pred_lang, bucket ORDER BY priority, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS tokens_before
-          FROM mmixin)
-        SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
-               n_tok, tokens_before
-        FROM mrun
-        WHERE tokens_before < budget
-        ORDER BY doc_id"""),
+      Some(multiCapstoneOracleSql),
       doc = "The LID-routed multilingual corpus build — the last composition seam: a five-language crawl muxed into WARC shards, extracted line-preserving, C4-cleaned, NFC-deduped, then routed by the PRETRAINED q219 classifier under the length-normalized confidence rule (margin >= 1000 milli-bits per gram; 'und' docs dropped — the planted mixed en/es page at 203/gram is the routing casualty, every pure page clears 4x), with LM terciles and token-budget mixing keyed on the PREDICTED language; the oracle composes the shared NB kernel with the full capstone WITH-chain (template, strippedLines, C4, NFC election, classifier, route, LM, cuts, tokenizer, priority, running-sum cutoff) and CapstoneSpec attributes a casualty to every stage including routing."),
+
+    Q(
+      "q230_corpus_build_job",
+      (s, _) => {   // fixture muxed to real shard FILES; dir arg unused
+        // THE DEPLOYMENT DRIVER, ORACLE-GATED: q226 proves the
+        // composed SEMANTICS on in-session frames; this row proves the
+        // DEPLOYMENT PATH produces the same bytes — the fixture muxed
+        // into real `.warc.gz` files on disk, scanned back through
+        // `binaryFile` -> per-file gzip/WARC/HTTP demux, every stage
+        // written to and re-read from parquet lake tables, the router
+        // loaded from its manifest-gated artifact dir, budgets and
+        // seed replayed from the persisted mixing allocation, and the
+        // final pred_lang-partitioned `mixed` table read back. The
+        // oracle is q226's WITH-chain VERBATIM (one shared string):
+        // the DuckDB replay predicts the lake table's contents from
+        // the raw fixture text alone, so a defect anywhere on the
+        // file boundary — gzip member framing, CRLF parsing, parquet
+        // round-trip type skew, partition-value encoding, a stale
+        // stage under the overwrite discipline — is a hash mismatch
+        // HERE while q226 stays green (and vice versa: the pair
+        // brackets the seam). Scale shape: identical to q226's chain
+        // plus the stage-table writes a deployment performs anyway;
+        // the binaryFile demux is per-file scalar work with no
+        // shuffle before curation.
+        jobMixed(s)
+      },
+      Some(multiCapstoneOracleSql),
+      doc = "The corpus-build deployment driver under the correctness gate: the multilingual fixture muxed into real .warc.gz shard files, CorpusBuildJob run over them (binaryFile scan -> demux -> the q226 stage functions -> per-stage parquet lake tables -> persisted router/pair/allocation artifacts -> a pred_lang-partitioned mixed table), and the final lake table read back and compared under q226's oracle WITH-chain verbatim — one shared SQL string, so the in-session row and the deployment row must both match the same prediction and a file-boundary defect (gzip framing, parquet round-trip, partition encoding, stale overwrite) surfaces as a hash mismatch on exactly one of them."),
 
     Q(
       "q227_quality_classifier",
