@@ -169,7 +169,14 @@ object CorpusBuildJob {
     *     never saw refuses by name).
     *
     * Stage tables land under `<lakeDir>/waves/<waveName>/…`, overwrite
-    * mode — re-running a wave is idempotent.
+    * mode — re-running the LATEST wave is idempotent (its own state
+    * dirs are excluded from the prior-state union). Prior state LAYERS:
+    * every earlier wave's cur/anchors/token_windows/bench tables union
+    * with the initial build's, so wave N dedups and probes against all
+    * of waves 1..N-1 at compact-state cost. Replaying an EARLIER wave
+    * after later ones landed refuses at the id-space gate (by then its
+    * ids no longer exceed the layered max) — out-of-order replay is a
+    * loud error, never a silent dedup against the future.
     *
     * Gates, all loud: router n, pair/allocation manifests, anchor norm
     * bit (inside `dupSpansAgainst`), and the ID-SPACE gate — every new
@@ -192,6 +199,37 @@ object CorpusBuildJob {
     * The wave also materializes its own anchor/window state tables so
     * future waves can layer over them.
     */
+  /** All committed copies of one state table across the lake: the
+    * initial build's plus every prior wave's (`waves/<w>/<name>`),
+    * EXCLUDING `excludeWave` — a wave re-run must never treat its own
+    * previous output as prior state, or every doc would dedup against
+    * itself. Wave order is name-sorted for determinism (row order is
+    * irrelevant — every consumer aggregates or joins).
+    */
+  private def stateTables(spark: SparkSession, lakeDir: String,
+                          name: String, excludeWave: String)
+      : Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    def committed(p: java.nio.file.Path): Option[DataFrame] =
+      if (java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+        Some(spark.read.parquet(p.toString))
+      else None
+    val wavesRoot = java.nio.file.Paths.get(lakeDir, "waves")
+    val fromWaves =
+      if (!java.nio.file.Files.exists(wavesRoot)) Seq.empty
+      else java.nio.file.Files.list(wavesRoot).iterator().asScala.toSeq
+        .sortBy(_.getFileName.toString)
+        .filter(_.getFileName.toString != excludeWave)
+        .flatMap(w => committed(w.resolve(name)))
+    committed(java.nio.file.Paths.get(lakeDir, name)).toSeq ++ fromWaves
+  }
+
+  private def unionState(spark: SparkSession, lakeDir: String,
+                         name: String, excludeWave: String)
+      : Option[DataFrame] =
+    stateTables(spark, lakeDir, name, excludeWave)
+      .reduceOption(_.unionByName(_))
+
   def runIncremental(spark: SparkSession, newShardsDir: String,
                      lakeDir: String, lidDir: String, waveName: String,
                      newBenchDir: Option[String] = None)
@@ -212,23 +250,35 @@ object CorpusBuildJob {
     val pair = graft.operators.CcnetServing.load(spark, s"$lakeDir/ccnet_pair")
     val alloc = graft.operators.Sampling.loadAllocation(spark,
       s"$lakeDir/allocation")
-    val oldCur = spark.read.parquet(s"$lakeDir/cur")
-    val oldAnchors = spark.read.parquet(s"$lakeDir/anchors")
-    val oldWindows = spark.read.parquet(s"$lakeDir/token_windows")
+    // prior state is the UNION across the initial build and every
+    // PRIOR wave (each wave materialized its own anchors/windows/cur)
+    // — wave 3 dedups and probes against waves 1 AND 2, still never
+    // re-reading any old corpus beyond its compact states. The current
+    // wave's own dirs are excluded, which is what keeps a latest-wave
+    // re-run idempotent; replaying an EARLIER wave after later ones
+    // layered refuses loudly at the id-space gate below (its min id no
+    // longer exceeds the layered max) instead of silently deduping
+    // against the future.
+    def requiredState(name: String): DataFrame =
+      unionState(spark, lakeDir, name, waveName).getOrElse(
+        throw new IllegalArgumentException(
+          s"$lakeDir has no committed `$name` state (initial build or " +
+            "prior waves) — run the initial CorpusBuildJob.run first"))
+    val oldCur = requiredState("cur")
+    val oldAnchors = requiredState("anchors")
+    val oldWindows = requiredState("token_windows")
 
     val blobs = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
       .load(newShardsDir)
       .select(col("content")).as[Array[Byte]]
-    val extracted = materialize("extracted",
-      MultiChain.extract(MultiChain.pagesFromBlobs(spark, blobs)))
-    val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
-    // within-wave NFC dedup, then the CROSS-WAVE election: a new doc
-    // whose canonical text already exists in the old corpus loses to
-    // the old copy (min-id election — the id-space gate makes the old
-    // id always smaller, so incremental == from-scratch on the union)
-    val curWithin = MultiChain.nfcDedup(cleaned)
-    val bounds = curWithin.agg(min(col("doc_id")), count(lit(1))).head()
+    // the whole-wave gates run BEFORE the first write: a refused run
+    // (empty wave, id-space overlap — incl. an out-of-order replay)
+    // must leave the lake byte-identical, not half-overwrite the
+    // target wave's tables on its way to the refusal
+    val extractedF = MultiChain.extract(MultiChain.pagesFromBlobs(spark, blobs))
+    val curProbe = MultiChain.nfcDedup(MultiChain.c4Clean(extractedF))
+    val bounds = curProbe.agg(min(col("doc_id")), count(lit(1))).head()
     require(bounds.getLong(1) > 0L,
       s"$newShardsDir: the wave produced ZERO post-clean documents — " +
         "nothing to ingest; a whole-wave casualty is a crawl defect, " +
@@ -238,7 +288,16 @@ object CorpusBuildJob {
       s"id-space overlap: new wave min doc_id ${bounds.getLong(0)} <= old " +
         s"corpus max $maxOld — the min-id dedup election is only " +
         "incremental == from-scratch when every new id exceeds every old " +
-        "one; renumber the wave")
+        "one; renumber the wave (or, for an out-of-order wave replay, " +
+        "rebuild the lake — replaying an early wave after later ones " +
+        "layered would dedup it against the future)")
+    val extracted = materialize("extracted", extractedF)
+    val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
+    // within-wave NFC dedup, then the CROSS-WAVE election: a new doc
+    // whose canonical text already exists in the old corpus loses to
+    // the old copy (min-id election — the id-space gate makes the old
+    // id always smaller, so incremental == from-scratch on the union)
+    val curWithin = MultiChain.nfcDedup(cleaned)
     val cur = materialize("cur", curWithin
       .join(oldCur.select(md5(col("text")).as("__k")),
         md5(curWithin("text")) === col("__k"), "left_anti"))
@@ -282,11 +341,7 @@ object CorpusBuildJob {
         .contaminationTokenSpansAgainst(nb, oldWindows))
       nb
     }
-    val oldBench =
-      if (java.nio.file.Files.exists(
-          java.nio.file.Paths.get(lakeDir, "bench", "_SUCCESS")))
-        Some(spark.read.parquet(s"$lakeDir/bench"))
-      else None
+    val oldBench = unionState(spark, lakeDir, "bench", waveName)
     val waveContaminated = (oldBench.toSeq ++ newBench.toSeq)
       .reduceOption(_.unionByName(_))
       .map(b => graft.operators.TokenDecontam

@@ -199,6 +199,68 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(eEmpty.getMessage.contains("ZERO post-clean"), eEmpty.getMessage)
   }
 
+  test("wave 3 layers over wave 2's state: cross-wave dedup, anchor spans, and a retro flip all reach WAVE-2 docs; out-of-order replay refuses") {
+    import spark.implicits._
+    firstRun // lakeDir carries the initial build + wave2 (prior test)
+    val langs = Vector("de", "en", "es", "fr", "zh")
+    // wave-2 docs regenerate deterministically (same seeds the wave-2
+    // test used) so this test is self-contained in content
+    def w2doc(i: Int): String =
+      PipelineQueries.MultiCrawlFixture.doc(langs(i % 5), 987000L + i)
+    val wave3 = Seq(
+      // 30000: EXACT duplicate of WAVE-2 doc 20010 — only the layered
+      // union of cur keys can see it (the initial lake never did)
+      (30000L, w2doc(0)),
+      // 30001: three lines of WAVE-2 doc 20011 + two fresh — the
+      // cross-wave near-dup only wave-2's ANCHOR state can see
+      (30001L, (w2doc(1).split("\n").take(3) ++
+        Seq(PipelineQueries.MultiCrawlFixture.line("en", 777333L, 0),
+          PipelineQueries.MultiCrawlFixture.line("en", 777333L, 1)))
+        .mkString("\n"))) ++
+      (0 until 3).map(i =>
+        ((30010 + i).toLong,
+          PipelineQueries.MultiCrawlFixture.doc(langs(i), 444000L + i)))
+    // B3 quotes two lines of WAVE-2 doc 20012 — the retro flip must
+    // reach a WAVE-2 doc through wave-2's OWN persisted window state
+    val b3 = w2doc(2).split("\n").slice(0, 2).mkString("\n")
+    val benchDir3 = java.nio.file.Files
+      .createTempDirectory("cbj_bench3").toString
+    Seq((9000003L, b3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(benchDir3)
+    val inc3 = CorpusBuildJob.runIncremental(spark, writeShards(wave3),
+      lakeDir, lidDir, "wave3", newBenchDir = Some(benchDir3))
+    val w3 = s"$lakeDir/waves/wave3"
+    val curIds = spark.read.parquet(s"$w3/cur")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!curIds.contains(30000L),
+      "the wave-2 duplicate must die to the LAYERED cur keys")
+    assert(curIds.contains(30001L) && curIds.size == 4, s"$curIds")
+    val man = spark.read.parquet(s"$w3/manifest").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(man(30001L).getAs[Long]("dup_permille") > 300L
+      && man(30001L).getAs[Long]("keep") == 0L, s"${man(30001L)}")
+    val retro = spark.read.parquet(s"$w3/retro_contaminated")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(retro == Set(20012L),
+      s"the retro flip must reach the WAVE-2 doc through layered state: $retro")
+    // idempotent latest-wave re-run (wave3's own state is excluded
+    // from the prior union)
+    val again = CorpusBuildJob.runIncremental(spark, writeShards(wave3),
+      lakeDir, lidDir, "wave3", newBenchDir = Some(benchDir3))
+    assert(again.map(r => (r.name, r.rows)) == inc3.map(r => (r.name, r.rows)))
+    // out-of-order replay: re-running wave2 NOW would dedup against
+    // the future — the id-space gate refuses it by name instead
+    val w2wave = Seq((20010L, w2doc(0)))
+    val eOrder = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark, writeShards(w2wave), lakeDir,
+        lidDir, "wave2")
+    }
+    assert(eOrder.getMessage.contains("id-space overlap"), eOrder.getMessage)
+    // and the refused replay wrote NOTHING — wave2's tables are intact
+    assert(spark.read.parquet(s"$lakeDir/waves/wave2/cur").count() == 7,
+      "a refused run must leave the lake byte-identical")
+  }
+
   test("benchmark decontamination through the job: the registry drops at the mix; a LATE benchmark retro-flips old docs through the persisted index") {
     import spark.implicits._
     // B1 quotes two consecutive lines of fixture doc 1000 verbatim
