@@ -230,6 +230,62 @@ object CorpusBuildJob {
     stateTables(spark, lakeDir, name, excludeWave)
       .reduceOption(_.unionByName(_))
 
+  /** State COMPACTION: absorb every wave's state tables into the base
+    * lake tables, so the per-wave union read ([[stateTables]]) goes
+    * back to one table per state regardless of how many waves have
+    * landed — the union-read cost is linear in wave count, and all
+    * four states are PLAIN UNIONS (md5-keyed corpus text, anchor rows,
+    * window rows, benchmark docs), so compaction is one rewrite per
+    * state with no semantics to re-derive. Value-preservation is
+    * spec-pinned: a duplicate of an absorbed wave's doc still dies,
+    * and the retro probe still reaches absorbed docs.
+    *
+    * Write discipline: each compacted state writes to a scratch dir
+    * first, then swaps into place and deletes the absorbed wave
+    * copies — Spark cannot overwrite a table it is reading, and a
+    * crash between swap and wave-copy deletion only leaves DUPLICATE
+    * state rows, which every consumer tolerates (dedup keys, anchor
+    * probes, window probes, and benchmark grams are all idempotent
+    * under row duplication... except `cur`, whose duplicate rows
+    * would double the anti-join's build side but never change its
+    * result set). Re-running compaction is a no-op (nothing left to
+    * absorb). Single-writer lake assumed, same as every overwrite in
+    * this job.
+    */
+  def compactState(spark: SparkSession, lakeDir: String)
+      : Seq[StageResult] = {
+    import scala.jdk.CollectionConverters._
+    val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    val wavesRoot = java.nio.file.Paths.get(lakeDir, "waves")
+    StateTableNames.foreach { name =>
+      val waveCopies =
+        if (!java.nio.file.Files.exists(wavesRoot)) Seq.empty
+        else java.nio.file.Files.list(wavesRoot).iterator().asScala.toSeq
+          .sortBy(_.getFileName.toString)
+          .map(_.resolve(name))
+          .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      if (waveCopies.nonEmpty) {
+        val all = stateTables(spark, lakeDir, name, excludeWave = "")
+          .reduce(_.unionByName(_))
+        val scratch = java.nio.file.Paths.get(lakeDir, s"__compact_$name")
+        all.write.mode("overwrite").parquet(scratch.toString)
+        val base = java.nio.file.Paths.get(lakeDir, name)
+        graft.queries.PipelineQueries.deleteRecursively(base)
+        java.nio.file.Files.move(scratch, base)
+        waveCopies.foreach(graft.queries.PipelineQueries.deleteRecursively)
+        results += StageResult(name, base.toString,
+          spark.read.parquet(base.toString).count())
+      }
+    }
+    results.toSeq
+  }
+
+  /** The state tables [[runIncremental]] layers and [[compactState]]
+    * absorbs.
+    */
+  private val StateTableNames =
+    Seq("cur", "anchors", "token_windows", "bench")
+
   def runIncremental(spark: SparkSession, newShardsDir: String,
                      lakeDir: String, lidDir: String, waveName: String,
                      newBenchDir: Option[String] = None)

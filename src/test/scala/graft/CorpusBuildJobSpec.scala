@@ -261,6 +261,41 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       "a refused run must leave the lake byte-identical")
   }
 
+  test("state compaction absorbs wave state into the base tables — row-exact, idempotent, and future waves still see absorbed docs") {
+    import spark.implicits._
+    firstRun // lakeDir carries the initial build + waves 2 and 3
+    def unionCount(name: String): Long =
+      Seq(s"$lakeDir/$name", s"$lakeDir/waves/wave2/$name",
+          s"$lakeDir/waves/wave3/$name")
+        .filter(p => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(p, "_SUCCESS")))
+        .map(p => spark.read.parquet(p).count()).sum
+    val expect = Seq("cur", "anchors", "token_windows", "bench")
+      .map(n => n -> unionCount(n)).toMap
+    val res = CorpusBuildJob.compactState(spark, lakeDir)
+    // this lake has wave state for all three always-on tables plus
+    // wave3's benchmark registry
+    assert(res.map(_.name) == Seq("cur", "anchors", "token_windows",
+      "bench"), res.toString)
+    res.foreach(r => assert(r.rows == expect(r.name),
+      s"compaction must be row-exact: $r vs ${expect(r.name)}"))
+    // absorbed wave copies are gone; re-compaction is a no-op
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(lakeDir, "waves/wave2/cur")))
+    assert(CorpusBuildJob.compactState(spark, lakeDir).isEmpty)
+    // a wave-4 duplicate of a WAVE-2 doc still dies: the absorbed
+    // state kept its value through the rewrite
+    val dup = PipelineQueries.MultiCrawlFixture.doc("en", 987001L)
+    val wave4 = Seq((40000L, dup),
+      (40001L, PipelineQueries.MultiCrawlFixture.doc("zh", 888111L)))
+    CorpusBuildJob.runIncremental(spark, writeShards(wave4), lakeDir,
+      lidDir, "wave4")
+    val cur4 = spark.read.parquet(s"$lakeDir/waves/wave4/cur")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(cur4 == Set(40001L),
+      s"the absorbed wave-2 duplicate must still die: $cur4")
+  }
+
   test("benchmark decontamination through the job: the registry drops at the mix; a LATE benchmark retro-flips old docs through the persisted index") {
     import spark.implicits._
     // B1 quotes two consecutive lines of fixture doc 1000 verbatim
