@@ -150,55 +150,6 @@ object CorpusBuildJob {
     results.toSeq
   }
 
-  /** The CORPUS-GROWTH leg (the q228 shape, dir-parameterized): process
-    * a NEW wave of `.warc.gz` shards against a prior [[run]]'s lake —
-    * the old corpus is touched ONLY through its persisted states:
-    *
-    *   - `<lakeDir>/cur` — md5 keys for cross-wave exact dedup (one
-    *     column-pruned scan of the old table, no text comparison);
-    *   - `<lakeDir>/anchors` — the winnow-anchor state
-    *     (`dupSpansAgainst`: per-wave cost scales with the wave plus
-    *     the genuinely-duplicated old mass);
-    *   - `<lakeDir>/ccnet_pair` — the FROZEN serving pair: the new
-    *     wave is tagged with wave-1's model and cuts, never a
-    *     re-estimation (re-estimating per wave would re-bucket history
-    *     — the published CCNet deployment freezes the pair);
-    *   - `<lakeDir>/allocation` — the persisted mix: each wave samples
-    *     under the SAME per-cell token budgets and recorded seed (the
-    *     per-wave-quota reading of a budget; a group the allocation
-    *     never saw refuses by name).
-    *
-    * Stage tables land under `<lakeDir>/waves/<waveName>/…`, overwrite
-    * mode — re-running the LATEST wave is idempotent (its own state
-    * dirs are excluded from the prior-state union). Prior state LAYERS:
-    * every earlier wave's cur/anchors/token_windows/bench tables union
-    * with the initial build's, so wave N dedups and probes against all
-    * of waves 1..N-1 at compact-state cost. Replaying an EARLIER wave
-    * after later ones landed refuses at the id-space gate (by then its
-    * ids no longer exceed the layered max) — out-of-order replay is a
-    * loud error, never a silent dedup against the future.
-    *
-    * Gates, all loud: router n, pair/allocation manifests, anchor norm
-    * bit (inside `dupSpansAgainst`), and the ID-SPACE gate — every new
-    * doc_id must exceed every old one, because the min-id dedup
-    * election is only incremental == from-scratch under that order
-    * (spec-pinned: the kept set equals a from-scratch dedup over the
-    * union). An empty post-clean wave refuses by name rather than
-    * silently writing empty tables.
-    *
-    * keep = `contaminated == 0 && dup_permille <= 300 && bucket !=
-    * tail` (the q228 rule verbatim).
-    *
-    * `newBenchDir` (optional): a parquet dir of benchmark documents
-    * that ARRIVED WITH THIS WAVE. Two probes run: (a) the new
-    * benchmark against the lake's PERSISTED token-window index —
-    * `retro_contaminated` records OLD docs that flip contaminated
-    * retroactively (the q228 doc-106 shape: cost scales with the new
-    * benchmark, never the old corpus); (b) the new WAVE against every
-    * benchmark known so far (the initial registry plus this wave's).
-    * The wave also materializes its own anchor/window state tables so
-    * future waves can layer over them.
-    */
   /** All committed copies of one state table across the lake: the
     * initial build's plus every prior wave's (`waves/<w>/<name>`),
     * EXCLUDING `excludeWave` — a wave re-run must never treat its own
@@ -286,6 +237,55 @@ object CorpusBuildJob {
   private val StateTableNames =
     Seq("cur", "anchors", "token_windows", "bench")
 
+  /** The CORPUS-GROWTH leg (the q228 shape, dir-parameterized): process
+    * a NEW wave of `.warc.gz` shards against a prior [[run]]'s lake —
+    * the old corpus is touched ONLY through its persisted states:
+    *
+    *   - `<lakeDir>/cur` — md5 keys for cross-wave exact dedup (one
+    *     column-pruned scan of the old table, no text comparison);
+    *   - `<lakeDir>/anchors` — the winnow-anchor state
+    *     (`dupSpansAgainst`: per-wave cost scales with the wave plus
+    *     the genuinely-duplicated old mass);
+    *   - `<lakeDir>/ccnet_pair` — the FROZEN serving pair: the new
+    *     wave is tagged with wave-1's model and cuts, never a
+    *     re-estimation (re-estimating per wave would re-bucket history
+    *     — the published CCNet deployment freezes the pair);
+    *   - `<lakeDir>/allocation` — the persisted mix: each wave samples
+    *     under the SAME per-cell token budgets and recorded seed (the
+    *     per-wave-quota reading of a budget; a group the allocation
+    *     never saw refuses by name).
+    *
+    * Stage tables land under `<lakeDir>/waves/<waveName>/…`, overwrite
+    * mode — re-running the LATEST wave is idempotent (its own state
+    * dirs are excluded from the prior-state union). Prior state LAYERS:
+    * every earlier wave's cur/anchors/token_windows/bench tables union
+    * with the initial build's, so wave N dedups and probes against all
+    * of waves 1..N-1 at compact-state cost. Replaying an EARLIER wave
+    * after later ones landed refuses at the id-space gate (by then its
+    * ids no longer exceed the layered max) — out-of-order replay is a
+    * loud error, never a silent dedup against the future.
+    *
+    * Gates, all loud: router n, pair/allocation manifests, anchor norm
+    * bit (inside `dupSpansAgainst`), and the ID-SPACE gate — every new
+    * doc_id must exceed every old one, because the min-id dedup
+    * election is only incremental == from-scratch under that order
+    * (spec-pinned: the kept set equals a from-scratch dedup over the
+    * union). An empty post-clean wave refuses by name rather than
+    * silently writing empty tables.
+    *
+    * keep = `contaminated == 0 && dup_permille <= 300 && bucket !=
+    * tail` (the q228 rule verbatim).
+    *
+    * `newBenchDir` (optional): a parquet dir of benchmark documents
+    * that ARRIVED WITH THIS WAVE. Two probes run: (a) the new
+    * benchmark against the lake's PERSISTED token-window index —
+    * `retro_contaminated` records OLD docs that flip contaminated
+    * retroactively (the q228 doc-106 shape: cost scales with the new
+    * benchmark, never the old corpus); (b) the new WAVE against every
+    * benchmark known so far (the initial registry plus this wave's).
+    * The wave also materializes its own anchor/window state tables so
+    * future waves can layer over them.
+    */
   def runIncremental(spark: SparkSession, newShardsDir: String,
                      lakeDir: String, lidDir: String, waveName: String,
                      newBenchDir: Option[String] = None)
