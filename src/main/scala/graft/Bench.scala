@@ -159,12 +159,19 @@ object BenchFormat {
     */
   def retryPlan(rows: Seq[(String, Double, Seq[Double])],
                 windows: Seq[(Int, Int)],
-                maxRetries: Int = 40): Seq[Int] =
+                maxRetries: Int = MaxRetries): Seq[Int] =
     rows.indices
       .filter(i => rows(i)._2 >= 0 &&
         windows.exists { case (a, b) => i >= a && i < b })
       .sortBy(i => (-rows(i)._2, i))
       .take(maxRetries)
+
+  /** The ONE retry-pass cap, shared by the window trigger
+    * ([[retryPlan]]'s default) and the unioned plan in Bench.main — a
+    * bare literal in either place would silently starve the other
+    * trigger when someone raises one of them (review r18).
+    */
+  val MaxRetries = 40
 
   /** Second retry trigger (r17 prescription 6): a row whose run MIN
     * exceeds this factor times its COMMITTED calm-detail min joins the
@@ -533,9 +540,21 @@ object Bench {
       try {
         val j = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readAllBytes(Paths.get(p)))
-        import scala.jdk.CollectionConverters._
-        j.fields().asScala
-          .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+        // the baseline is SCALE-FACTOR-bound (review r18): calm mins
+        // recorded at sf0.1 would mass-flag a legitimate sf1 run (or
+        // sit inert under sf0.01); a history whose recorded sf differs
+        // from this run's disables the rule, loudly
+        val histSf = j.path("__sf").asText("")
+        if (histSf.nonEmpty && histSf != BenchFormat.sfLabel(sfDir)) {
+          System.err.println(s"[bench] history $p is for $histSf, this " +
+            s"run is ${BenchFormat.sfLabel(sfDir)} — history trigger off")
+          Map.empty[String, Double]
+        } else {
+          import scala.jdk.CollectionConverters._
+          j.fields().asScala
+            .filterNot(_.getKey.startsWith("__"))
+            .map(e => e.getKey -> e.getValue.asDouble(-1.0)).toMap
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] history $p unreadable: ${e.getMessage}")
@@ -551,7 +570,7 @@ object Bench {
       // one shared cap, slowest-first within each trigger
       val plan = (BenchFormat.retryPlan(rowsNow, windows) ++
         BenchFormat.historyOutliers(rowsNow, history))
-        .distinct.take(40)
+        .distinct.take(BenchFormat.MaxRetries)
       if (plan.nonEmpty) {
         val base = sentinelSeries.toSeq.filter(_._2 >= 0).map(_._2).min
         var calm = -1.0

@@ -35,12 +35,14 @@ import graft.queries.PipelineQueries.MultiChain
   * deployment shape the memoized fixture rows model — their persisted
   * frames stand in for these tables.
   *
-  * Idempotency: every stage write is `mode("overwrite")`; under the
-  * session's dynamic `partitionOverwriteMode` the partitioned `mixed`
-  * table replaces only the partitions this run produces (the
-  * `Ingest.writeSnapshot` discipline, `cnpj/Ingest.scala:94-101`) —
-  * re-running the job over the same shards is a no-op at value level,
-  * spec-pinned in CorpusBuildJobSpec.
+  * Idempotency: every stage write is `mode("overwrite")`, and the
+  * partitioned `mixed` table overwrites STATICALLY — [[run]] is a FULL
+  * rebuild, so a partition for a language the new input no longer
+  * produces must vanish, not linger (the session's dynamic mode is the
+  * right default for per-partition incremental writers like the cnpj
+  * `ref_date` snapshots, `cnpj/Ingest.scala:94-101`, not for
+  * rebuilds). Re-running the job over the same shards is a no-op at
+  * value level, spec-pinned in CorpusBuildJobSpec.
   *
   * The LID router is a FROZEN pretrained artifact passed by directory —
   * a crawl never trains its own router (Wenzek et al. 2020 §4.2 deploy
@@ -69,10 +71,13 @@ object CorpusBuildJob {
     import spark.implicits._
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def materialize(name: String, df: DataFrame,
-                    partitionCols: Seq[String] = Seq.empty): DataFrame = {
+                    partitionCols: Seq[String] = Seq.empty,
+                    fullRebuild: Boolean = false): DataFrame = {
       val path = s"$lakeDir/$name"
       val w = df.write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      val w2 = if (fullRebuild)
+        w.option("partitionOverwriteMode", "static") else w
+      (if (partitionCols.nonEmpty) w2.partitionBy(partitionCols: _*) else w2)
         .parquet(path)
       val back = spark.read.parquet(path)
       results += StageResult(name, path, back.count())
@@ -126,13 +131,19 @@ object CorpusBuildJob {
     val lm = MultiChain.lmModel(routed,
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val scored = MultiChain.scoredFrame(routed, lm)
+    // the cuts frame (per-language quantiles over the scored corpus)
+    // is consumed four times (save's null gate, the artifact write,
+    // the count, the tag join) — persist the |languages|-row table
+    // instead of re-running the quantile aggregation each time
+    // (review r18)
     val cuts = MultiChain.cuts(scored)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.operators.CcnetServing.save(s"$lakeDir/ccnet_pair",
       graft.operators.TextModelSeam.localize(lm), cuts)
     results += StageResult("ccnet_pair", s"$lakeDir/ccnet_pair",
       cuts.count())
     val tagged = materialize("tagged", MultiChain.tagged(scored, cuts))
-    lm.unigrams.unpersist(); lm.bigrams.unpersist()
+    lm.unigrams.unpersist(); lm.bigrams.unpersist(); cuts.unpersist()
     // 7: the persisted mixing allocation + the token-budget mix
     val cells = MultiChain.budgetCells(tagged)
     graft.operators.Sampling.saveAllocation(s"$lakeDir/allocation", cells,
@@ -144,9 +155,14 @@ object CorpusBuildJob {
     val mixBase = contaminatedIds
       .map(c => tagged.join(c, Seq("doc_id"), "left_anti"))
       .getOrElse(tagged)
+    // STATIC partition overwrite for the partitioned table: run() is a
+    // FULL rebuild, and the session's dynamic mode would leave a stale
+    // pred_lang= directory behind when a re-run no longer produces
+    // that language (review r18) — dynamic is for per-partition
+    // incremental writers (the cnpj ref_date shape), not rebuilds
     materialize("mixed",
       MultiChain.mixed(MultiChain.mixInput(mixBase, routed), alloc),
-      partitionCols = Seq("pred_lang"))
+      partitionCols = Seq("pred_lang"), fullRebuild = true)
     results.toSeq
   }
 
@@ -160,19 +176,40 @@ object CorpusBuildJob {
   private def stateTables(spark: SparkSession, lakeDir: String,
                           name: String, excludeWave: String)
       : Seq[DataFrame] = {
-    import scala.jdk.CollectionConverters._
     def committed(p: java.nio.file.Path): Option[DataFrame] =
       if (java.nio.file.Files.exists(p.resolve("_SUCCESS")))
         Some(spark.read.parquet(p.toString))
       else None
+    // a committed compaction scratch with NO base table is the
+    // signature of a crash inside compactState's swap window — the
+    // state is intact (the scratch IS the full union) but not yet in
+    // place; refuse by name rather than serving waves-only state that
+    // silently forgets the initial corpus (review r18)
+    require(!(java.nio.file.Files.exists(java.nio.file.Paths
+          .get(lakeDir, s"__compact_$name", "_SUCCESS"))
+        && !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(lakeDir, name, "_SUCCESS"))),
+      s"$lakeDir: an interrupted compaction left `__compact_$name` " +
+        s"committed but no `$name` base table — re-run " +
+        "CorpusBuildJob.compactState to finish the swap before " +
+        "processing more waves")
     val wavesRoot = java.nio.file.Paths.get(lakeDir, "waves")
     val fromWaves =
       if (!java.nio.file.Files.exists(wavesRoot)) Seq.empty
-      else java.nio.file.Files.list(wavesRoot).iterator().asScala.toSeq
+      else listDir(wavesRoot)
         .sortBy(_.getFileName.toString)
         .filter(_.getFileName.toString != excludeWave)
         .flatMap(w => committed(w.resolve(name)))
     committed(java.nio.file.Paths.get(lakeDir, name)).toSeq ++ fromWaves
+  }
+
+  /** `Files.list` with the stream CLOSED (an unclosed DirectoryStream
+    * leaks one fd per call until GC — review r18).
+    */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala.toVector finally s.close()
   }
 
   private def unionState(spark: SparkSession, lakeDir: String,
@@ -191,36 +228,63 @@ object CorpusBuildJob {
     * spec-pinned: a duplicate of an absorbed wave's doc still dies,
     * and the retro probe still reaches absorbed docs.
     *
-    * Write discipline: each compacted state writes to a scratch dir
-    * first, then swaps into place and deletes the absorbed wave
-    * copies — Spark cannot overwrite a table it is reading, and a
-    * crash between swap and wave-copy deletion only leaves DUPLICATE
-    * state rows, which every consumer tolerates (dedup keys, anchor
-    * probes, window probes, and benchmark grams are all idempotent
-    * under row duplication... except `cur`, whose duplicate rows
-    * would double the anti-join's build side but never change its
-    * result set). Re-running compaction is a no-op (nothing left to
-    * absorb). Single-writer lake assumed, same as every overwrite in
-    * this job.
+    * Write discipline, CRASH-SAFE at every window (review r18 — the
+    * first cut could lose the base table between delete and move):
+    *
+    *   1. write the DISTINCT union to `__compact_<name>` (scratch);
+    *   2. delete the base table;
+    *   3. move the scratch into place;
+    *   4. delete the absorbed wave copies.
+    *
+    * A crash after (1) leaves a stale scratch beside an intact base —
+    * the next compaction deletes and rebuilds it. A crash between (2)
+    * and (3) leaves the committed scratch as the ONLY full copy;
+    * [[stateTables]] refuses that lake by name and re-running
+    * compactState FINISHES THE SWAP (the recovery branch below) —
+    * state is never lost, merely not yet in place. A crash after (3)
+    * leaves wave copies that the next compaction re-absorbs; the
+    * DISTINCT union makes that re-absorption row-exact instead of
+    * row-doubling (all four states are sets — md5-keyed docs, anchor
+    * rows, window rows, benchmark docs). Re-running a completed
+    * compaction is a no-op. Single-writer lake assumed, same as every
+    * overwrite in this job.
+    *
+    * Compaction FREEZES the absorbed waves: their ids now live in the
+    * base tables, so re-running an absorbed wave refuses at the
+    * id-space gate exactly like any out-of-order replay (the
+    * latest-wave idempotent-re-run guarantee holds only BEFORE that
+    * wave is compacted — spec-pinned both ways).
     */
   def compactState(spark: SparkSession, lakeDir: String)
       : Seq[StageResult] = {
-    import scala.jdk.CollectionConverters._
     val results = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     val wavesRoot = java.nio.file.Paths.get(lakeDir, "waves")
     StateTableNames.foreach { name =>
+      val base = java.nio.file.Paths.get(lakeDir, name)
+      val scratch = java.nio.file.Paths.get(lakeDir, s"__compact_$name")
+      // recovery: a committed scratch with no base is a crash inside
+      // the previous swap — finish it (the scratch was the full union
+      // when written, and stateTables refuses the lake until then, so
+      // nothing can have changed since)
+      if (java.nio.file.Files.exists(scratch.resolve("_SUCCESS"))
+          && !java.nio.file.Files.exists(base.resolve("_SUCCESS")))
+        java.nio.file.Files.move(scratch, base)
       val waveCopies =
         if (!java.nio.file.Files.exists(wavesRoot)) Seq.empty
-        else java.nio.file.Files.list(wavesRoot).iterator().asScala.toSeq
+        else listDir(wavesRoot)
           .sortBy(_.getFileName.toString)
           .map(_.resolve(name))
           .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      if (waveCopies.isEmpty && java.nio.file.Files.exists(scratch))
+        // a stale scratch beside an intact base (crash after step 1)
+        // has nothing to contribute — clear it
+        graft.queries.PipelineQueries.deleteRecursively(scratch)
       if (waveCopies.nonEmpty) {
+        // DISTINCT, not a bare union: a crash-after-swap re-absorption
+        // would otherwise double every absorbed row
         val all = stateTables(spark, lakeDir, name, excludeWave = "")
-          .reduce(_.unionByName(_))
-        val scratch = java.nio.file.Paths.get(lakeDir, s"__compact_$name")
+          .reduce(_.unionByName(_)).distinct()
         all.write.mode("overwrite").parquet(scratch.toString)
-        val base = java.nio.file.Paths.get(lakeDir, name)
         graft.queries.PipelineQueries.deleteRecursively(base)
         java.nio.file.Files.move(scratch, base)
         waveCopies.foreach(graft.queries.PipelineQueries.deleteRecursively)
@@ -331,24 +395,40 @@ object CorpusBuildJob {
     // the whole-wave gates run BEFORE the first write: a refused run
     // (empty wave, id-space overlap — incl. an out-of-order replay)
     // must leave the lake byte-identical, not half-overwrite the
-    // target wave's tables on its way to the refusal
+    // target wave's tables on its way to the refusal. The extraction
+    // is PERSISTED across the probe so the wave's most expensive leg
+    // (gzip/WARC/HTTP/HTML parsing of every shard) runs once, not once
+    // for the gate and again for the materialization (review r18).
     val extractedF = MultiChain.extract(MultiChain.pagesFromBlobs(spark, blobs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val curProbe = MultiChain.nfcDedup(MultiChain.c4Clean(extractedF))
-    val bounds = curProbe.agg(min(col("doc_id")), count(lit(1))).head()
-    require(bounds.getLong(1) > 0L,
-      s"$newShardsDir: the wave produced ZERO post-clean documents — " +
-        "nothing to ingest; a whole-wave casualty is a crawl defect, " +
-        "not a no-op")
-    val maxOld = oldCur.agg(max(col("doc_id"))).head().getLong(0)
-    require(bounds.getLong(0) > maxOld,
-      s"id-space overlap: new wave min doc_id ${bounds.getLong(0)} <= old " +
-        s"corpus max $maxOld — the min-id dedup election is only " +
-        "incremental == from-scratch when every new id exceeds every old " +
-        "one; renumber the wave (or, for an out-of-order wave replay, " +
-        "rebuild the lake — replaying an early wave after later ones " +
-        "layered would dedup it against the future)")
+    try {
+      val bounds = curProbe.agg(min(col("doc_id")), count(lit(1))).head()
+      require(bounds.getLong(1) > 0L,
+        s"$newShardsDir: the wave produced ZERO post-clean documents — " +
+          "nothing to ingest; a whole-wave casualty is a crawl defect, " +
+          "not a no-op")
+      val maxOld = oldCur.agg(max(col("doc_id"))).head().getLong(0)
+      require(bounds.getLong(0) > maxOld,
+        s"id-space overlap: new wave min doc_id ${bounds.getLong(0)} <= old " +
+          s"corpus max $maxOld — the min-id dedup election is only " +
+          "incremental == from-scratch when every new id exceeds every old " +
+          "one; renumber the wave (or, for a replay of an out-of-order or " +
+          "already-COMPACTED wave, rebuild the lake — its docs would " +
+          "otherwise dedup against the future)")
+    } catch {
+      case t: Throwable => extractedF.unpersist(blocking = false); throw t
+    }
     val extracted = materialize("extracted", extractedF)
+    extractedF.unpersist(blocking = false)
     val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
+    // a re-run WITHOUT a benchmark must also retract the wave's prior
+    // benchmark record (review r18): a stale waves/<w>/bench would keep
+    // feeding future waves a registry this run's manifest ignores
+    if (newBenchDir.isEmpty)
+      Seq("bench", "retro_contaminated").foreach(n =>
+        graft.queries.PipelineQueries.deleteRecursively(
+          java.nio.file.Paths.get(waveDir, n)))
     // within-wave NFC dedup, then the CROSS-WAVE election: a new doc
     // whose canonical text already exists in the old corpus loses to
     // the old copy (min-id election — the id-space gate makes the old

@@ -99,8 +99,10 @@ object PipelineQueries {
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // the walk stream must CLOSE (one leaked fd per call otherwise)
+      val walk = java.nio.file.Files.walk(p)
+      val all = try walk.iterator().asScala.toVector finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   private[queries] def clearCaches(): Unit = synchronized {

@@ -288,12 +288,27 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val dup = PipelineQueries.MultiCrawlFixture.doc("en", 987001L)
     val wave4 = Seq((40000L, dup),
       (40001L, PipelineQueries.MultiCrawlFixture.doc("zh", 888111L)))
-    CorpusBuildJob.runIncremental(spark, writeShards(wave4), lakeDir,
+    val w4shards = writeShards(wave4)
+    val inc4 = CorpusBuildJob.runIncremental(spark, w4shards, lakeDir,
       lidDir, "wave4")
     val cur4 = spark.read.parquet(s"$lakeDir/waves/wave4/cur")
       .select($"doc_id").as[Long].collect().toSet
     assert(cur4 == Set(40001L),
       s"the absorbed wave-2 duplicate must still die: $cur4")
+    // compaction FREEZES absorbed waves: replaying wave3 (its ids now
+    // live in the base tables) refuses at the id-space gate...
+    val eFrozen = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark, writeShards(Seq(
+          (30001L, PipelineQueries.MultiCrawlFixture.doc("fr", 99001L)))),
+        lakeDir, lidDir, "wave3")
+    }
+    assert(eFrozen.getMessage.contains("id-space overlap"),
+      eFrozen.getMessage)
+    // ...while the NOT-yet-absorbed latest wave re-runs idempotently
+    val again4 = CorpusBuildJob.runIncremental(spark, w4shards, lakeDir,
+      lidDir, "wave4")
+    assert(again4.map(r => (r.name, r.rows))
+      == inc4.map(r => (r.name, r.rows)))
   }
 
   test("benchmark decontamination through the job: the registry drops at the mix; a LATE benchmark retro-flips old docs through the persisted index") {
@@ -339,7 +354,8 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val wave = Seq((20021L, quoting)) ++ (0 until 3).map(i =>
       ((20030 + i).toLong,
         PipelineQueries.MultiCrawlFixture.doc(langs(i), 555000L + i)))
-    val inc = CorpusBuildJob.runIncremental(spark, writeShards(wave),
+    val waveShards = writeShards(wave)
+    val inc = CorpusBuildJob.runIncremental(spark, waveShards,
       lake2, lidDir, "wave2", newBenchDir = Some(benchDir2))
     assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
       "token_windows", "pred", "routed", "tagged", "spans", "bench",
@@ -354,6 +370,19 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     (0 until 3).foreach { i =>
       assert(man((20030 + i).toLong).getAs[Long]("contaminated") == 0L)
     }
+    // re-running the wave WITHOUT the benchmark RETRACTS its registry
+    // (review r18: a stale waves/<w>/bench would keep feeding future
+    // waves a benchmark this run's manifest ignores) — the wave doc
+    // quoting B1 stays contaminated via the INITIAL registry alone
+    CorpusBuildJob.runIncremental(spark, waveShards, lake2, lidDir, "wave2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(lake2, "waves/wave2/bench")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(lake2, "waves/wave2/retro_contaminated")))
+    val man2 = spark.read.parquet(s"$lake2/waves/wave2/manifest").collect()
+      .map(r2 => r2.getAs[Long]("doc_id") -> r2).toMap
+    assert(man2(20021L).getAs[Long]("contaminated") == 1L,
+      "the initial registry still catches the B1 quote after retraction")
   }
 
   test("a gram-length-skewed router artifact is refused by name BEFORE any shard work") {

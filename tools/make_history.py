@@ -22,9 +22,13 @@ def main() -> None:
         detail = json.loads(f.readline())
     mins = detail["queries_min"]
     out = {k: v for k, v in sorted(mins.items()) if v >= 0}
+    # the baseline is scale-factor-bound: the bench disables the history
+    # trigger when its run SF differs from the recorded one
+    out["__sf"] = detail["sf"].rstrip("/").rsplit("/", 1)[-1]
     with open("BENCH_HISTORY.json", "w") as f:
         json.dump(out, f, indent=0, sort_keys=True)
-    print(f"BENCH_HISTORY.json: {len(out)} rows from {src}")
+    print(f"BENCH_HISTORY.json: {len(out) - 1} rows from {src} "
+          f"at {out['__sf']}")
 
 
 if __name__ == "__main__":
