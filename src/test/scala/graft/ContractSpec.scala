@@ -271,6 +271,24 @@ class ContractSpec extends AnyFunSuite {
     assert(BenchFormat.historyOutliers(rows, Map.empty).isEmpty)
   }
 
+  test("the committed BENCH_HISTORY baseline parses, is SF-stamped, and names only live queries") {
+    // the history trigger silently disarms row-by-row when its keys go
+    // stale (a renamed/removed query never matches) — this makes a
+    // stale committed baseline a loud failure, forcing the documented
+    // regen step (tools/make_history.py) after registry changes
+    val j = parse(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/BENCH_HISTORY.json")))
+    assert(j.get("__sf") != null && j.get("__sf").asText.startsWith("sf"),
+      "the baseline must record the scale factor it was measured at")
+    import scala.jdk.CollectionConverters._
+    val keys = j.fieldNames.asScala.filterNot(_.startsWith("__")).toSet
+    val names = SparkEntry.allQueries.map(_.name).toSet
+    assert((keys -- names).isEmpty,
+      s"stale history keys (regenerate BENCH_HISTORY.json): ${(keys -- names).take(5)}")
+    // and every recorded min is a usable positive baseline
+    keys.foreach(k => assert(j.get(k).asDouble(-1) > 0, s"$k baseline"))
+  }
+
   test("BenchFormat: a mass-failure run still fits the budget with capped, accounted errors") {
     // every row errors: the errors array alone would blow the tail
     // window without the MaxNamedErrors cap
