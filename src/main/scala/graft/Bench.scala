@@ -202,6 +202,18 @@ object BenchFormat {
       }
       .sortBy(i => (-minOf(rows(i)._2, rows(i)._3), i))
 
+  /** The calm baseline a retry pass compares its probes against: the
+    * minimum VALID (>= 0) sentinel reading of the run. None when every
+    * reading errored — previously unreachable (a nonempty window set
+    * implied valid readings), but the history-outlier trigger can
+    * produce a nonempty retry plan with zero valid sentinel readings,
+    * and a bare `.min` there would kill the bench after all queries ran
+    * (ADVICE r18). The caller skips the retry pass instead — the bench
+    * must never die on its own baseline.
+    */
+  def calmBase(series: Seq[(Int, Double)]): Option[Double] =
+    series.filter(_._2 >= 0).map(_._2).minOption
+
   /** Merge a retry pass into a row: the retry ran under a verified-calm
     * sentinel, so a LOWER retry median replaces the original (the
     * official number converges toward the calm value); a higher one is
@@ -572,13 +584,17 @@ object Bench {
         BenchFormat.historyOutliers(rowsNow, history))
         .distinct.take(BenchFormat.MaxRetries)
       if (plan.nonEmpty) {
-        val base = sentinelSeries.toSeq.filter(_._2 >= 0).map(_._2).min
+        // an all-errored sentinel series has no calm baseline to verify
+        // against — skip (and account) the whole retry pass rather than
+        // dying on `.min` of an empty seq (ADVICE r18; reachable since
+        // the history trigger can plan retries under errored sentinels)
+        val baseOpt = BenchFormat.calmBase(sentinelSeries.toSeq)
         var calm = -1.0
         var probes = 0
-        while (calm < 0 && probes < 5) {
+        while (baseOpt.nonEmpty && calm < 0 && probes < 5) {
           probes += 1
           val r = sentinelMin(spark, reps = 1).min
-          if (r <= base * 2.0) calm = r
+          if (r <= baseOpt.get * 2.0) calm = r
         }
         if (calm < 0) {
           retrySkipped = plan.size

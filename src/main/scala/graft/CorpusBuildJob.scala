@@ -17,11 +17,16 @@ import graft.queries.PipelineQueries.MultiChain
   * ([[graft.queries.PipelineQueries.MultiChain]] — one copy, so the row
   * and the job cannot drift), and materializes
   *
-  *   - `<lakeDir>/extracted|cleaned|cur|pred|routed|tagged` — parquet
-  *     stage tables;
+  *   - `<lakeDir>/extracted|cleaned|cur|cur_keys|anchors|token_windows|
+  *     pred|routed|tagged|spans|manifest` — parquet stage tables
+  *     (`manifest` is the per-doc keep audit, the q228 shape — see
+  *     [[MultiChain.keepManifest]]);
   *   - `<lakeDir>/mixed` — the final mix, PARTITIONED by `pred_lang`
   *     (downstream per-language consumers prune at the directory
   *     level);
+  *   - `<lakeDir>/alloc_spent` — the per-cell token spend LEDGER under
+  *     the persisted allocation (what makes the global budget reading
+  *     possible across waves);
   *   - `<lakeDir>/ccnet_pair` — the frozen serving pair
   *     ([[graft.operators.CcnetServing]]): the artifact the NEXT wave's
   *     incremental pass tags with (the q228 leg);
@@ -54,6 +59,56 @@ object CorpusBuildJob {
   /** One row per materialized stage table / artifact, in build order. */
   final case class StageResult(name: String, path: String, rows: Long)
 
+  /** The wave-level COMMIT MARKER (ADVICE r18): a wave's state tables
+    * commit per-table (`_SUCCESS`), so a wave that crashes AFTER
+    * materializing cur/anchors/token_windows but BEFORE its manifest
+    * would otherwise leave committed dedup state for a wave that never
+    * entered the corpus — and if that wave is then abandoned or
+    * renumbered (as the gate messages advise), a later doc could
+    * silently die as a "duplicate" of a doc that was never ingested.
+    * [[runIncremental]] deletes this marker before its first write and
+    * re-creates it only after the LAST table lands; [[stateTables]]
+    * layers and [[compactState]] absorbs ONLY marked waves, so a
+    * half-written wave contributes nothing until it completes.
+    */
+  private[graft] val WaveMarker = "_WAVE_COMMITTED"
+
+  /** The compact exact-dedup state (VERDICT r19 #1): `(doc_id, key)`
+    * with `key = md5(NFC text)` — what [[runIncremental]]'s cross-wave
+    * election and id-space gate scan instead of re-hashing the entire
+    * old corpus text every wave. The full-text `cur` table remains a
+    * state too, but is read ONLY by the anchor-verification leg
+    * ([[graft.operators.SubstrDedup.dupSpansAgainst]]), which
+    * semi-joins it down to the anchor-touched docs before any text
+    * moves.
+    */
+  private[graft] def curKeys(cur: DataFrame): DataFrame =
+    cur.select(col("doc_id"), md5(col("text")).as("key"))
+
+  /** The cross-wave exact-dedup election against the KEY state: a new
+    * doc whose canonical text hash already exists in the layered
+    * `cur_keys` loses to the old copy. Hashing happens only on the NEW
+    * wave's text; the state side is a 32-hex-char column scan.
+    */
+  private[graft] def electAgainstKeys(within: DataFrame,
+                                      oldKeys: DataFrame): DataFrame =
+    within.join(oldKeys.select(col("key")),
+      md5(within("text")) === col("key"), "left_anti")
+
+  /** The per-cell token spend this run/wave contributed under the
+    * allocation — one row per (lang, bucket) cell actually selected
+    * into `mixed`, stamped with the source wave ("" for the initial
+    * build; rows stay unique per wave so compaction's set-union can
+    * never collapse two waves that happened to spend equal amounts)
+    * and the allocation fingerprint the spend is denominated under.
+    */
+  private def spentLedger(mixed: DataFrame, fp: Long,
+                          wave: String): DataFrame =
+    mixed.groupBy(col("pred_lang").as("lang"), col("bucket"))
+      .agg(sum(col("n_tok")).as("spent_tokens"))
+      .withColumn("wave", lit(wave))
+      .withColumn("alloc_fp", lit(fp))
+
   /** `benchDir` (optional): a parquet directory of `(doc_id, text)`
     * benchmark documents. When present, the run records every curated
     * doc sharing a 13-token BPE window with the benchmark set
@@ -64,6 +119,13 @@ object CorpusBuildJob {
     * arrive after ingest in production (the q228 retroactive-flip
     * story), and an index built at ingest time is what makes a late
     * probe wave-sized instead of corpus-sized.
+    *
+    * The materialized `manifest` is the AUDIT surface (the wave keep
+    * rule over the initial corpus: within-corpus duplication permille,
+    * contamination, bucket); the initial MIX itself remains the q226
+    * budget-only contract (registry exclusion + per-cell budgets —
+    * oracle-pinned by q230/q231), while waves additionally apply the
+    * keep rule before mixing (the q228 contract).
     */
   def run(spark: SparkSession, shardsDir: String, lakeDir: String,
           lidDir: String, benchDir: Option[String] = None)
@@ -100,10 +162,13 @@ object CorpusBuildJob {
     val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
     // 4: NFC canonicalize + exact-dedup election
     val cur = materialize("cur", MultiChain.nfcDedup(cleaned))
-    // the DEDUP STATE for corpus growth: the winnow-anchor table over
-    // the curated corpus is what [[runIncremental]] probes new waves
-    // against without re-reading this one (the q228 leg) — compact
-    // (positions + 64-bit anchors, no text), norm bit recorded
+    // the COMPACT exact-dedup state for corpus growth: 16-byte keys, no
+    // text — what every later wave's election and id gate actually scan
+    materialize("cur_keys", curKeys(cur))
+    // the winnow-anchor table over the curated corpus is what
+    // [[runIncremental]] probes new waves against without re-reading
+    // this one (the q228 leg) — compact (positions + 64-bit anchors,
+    // no text), norm bit recorded
     materialize("anchors", graft.operators.SubstrDedup.anchors(cur))
     // the TOKEN-WINDOW state: built at ingest time even with no
     // benchmark in hand — a benchmark that arrives later probes THIS
@@ -144,6 +209,14 @@ object CorpusBuildJob {
       cuts.count())
     val tagged = materialize("tagged", MultiChain.tagged(scored, cuts))
     lm.unigrams.unpersist(); lm.bigrams.unpersist(); cuts.unpersist()
+    // the within-corpus substring span table + the per-doc keep
+    // manifest (VERDICT r19 #3: the initial build previously had no
+    // per-doc audit surface — waves did; ONE copy of the keep rule,
+    // [[MultiChain.keepManifest]], serves both)
+    val spans = materialize("spans",
+      graft.operators.SubstrDedup.dupSpans(cur))
+    materialize("manifest", MultiChain.keepManifest(tagged,
+      MultiChain.dupPermille(cur, spans), contaminatedIds))
     // 7: the persisted mixing allocation + the token-budget mix
     val cells = MultiChain.budgetCells(tagged)
     graft.operators.Sampling.saveAllocation(s"$lakeDir/allocation", cells,
@@ -160,18 +233,28 @@ object CorpusBuildJob {
     // pred_lang= directory behind when a re-run no longer produces
     // that language (review r18) — dynamic is for per-partition
     // incremental writers (the cnpj ref_date shape), not rebuilds
-    materialize("mixed",
+    val mixed = materialize("mixed",
       MultiChain.mixed(MultiChain.mixInput(mixBase, routed), alloc),
       partitionCols = Seq("pred_lang"), fullRebuild = true)
+    // the SPEND LEDGER under the persisted allocation (VERDICT r19 #2):
+    // the tokens this build consumed per cell, the base state the
+    // global budget reading charges waves against
+    materialize("alloc_spent", spentLedger(mixed,
+      graft.operators.Sampling.allocationFingerprint(alloc), wave = ""))
     results.toSeq
   }
 
   /** All committed copies of one state table across the lake: the
-    * initial build's plus every prior wave's (`waves/<w>/<name>`),
-    * EXCLUDING `excludeWave` — a wave re-run must never treat its own
-    * previous output as prior state, or every doc would dedup against
-    * itself. Wave order is name-sorted for determinism (row order is
-    * irrelevant — every consumer aggregates or joins).
+    * initial build's plus every prior COMMITTED wave's
+    * (`waves/<w>/<name>` where the wave carries its [[WaveMarker]] — a
+    * wave that crashed mid-run has per-table `_SUCCESS` files but no
+    * marker, and its state must NOT layer: its docs never entered the
+    * corpus, so deduping against them would silently kill legitimate
+    * re-ingests, ADVICE r18), EXCLUDING `excludeWave` — a wave re-run
+    * must never treat its own previous output as prior state, or every
+    * doc would dedup against itself. Wave order is name-sorted for
+    * determinism (row order is irrelevant — every consumer aggregates
+    * or joins).
     */
   private def stateTables(spark: SparkSession, lakeDir: String,
                           name: String, excludeWave: String)
@@ -199,6 +282,7 @@ object CorpusBuildJob {
       else listDir(wavesRoot)
         .sortBy(_.getFileName.toString)
         .filter(_.getFileName.toString != excludeWave)
+        .filter(w => java.nio.file.Files.exists(w.resolve(WaveMarker)))
         .flatMap(w => committed(w.resolve(name)))
     committed(java.nio.file.Paths.get(lakeDir, name)).toSeq ++ fromWaves
   }
@@ -218,20 +302,32 @@ object CorpusBuildJob {
     stateTables(spark, lakeDir, name, excludeWave)
       .reduceOption(_.unionByName(_))
 
-  /** State COMPACTION: absorb every wave's state tables into the base
-    * lake tables, so the per-wave union read ([[stateTables]]) goes
-    * back to one table per state regardless of how many waves have
-    * landed — the union-read cost is linear in wave count, and all
-    * four states are PLAIN UNIONS (md5-keyed corpus text, anchor rows,
-    * window rows, benchmark docs), so compaction is one rewrite per
-    * state with no semantics to re-derive. Value-preservation is
-    * spec-pinned: a duplicate of an absorbed wave's doc still dies,
-    * and the retro probe still reaches absorbed docs.
+  /** Spec accessor: the layered union of one state table (what
+    * [[runIncremental]] actually probes), exposed so CorpusBuildJobSpec
+    * can assert the election frame's inputs structurally.
+    */
+  private[graft] def layeredState(spark: SparkSession, lakeDir: String,
+                                  name: String,
+                                  excludeWave: String = ""): Option[DataFrame] =
+    unionState(spark, lakeDir, name, excludeWave)
+
+  /** State COMPACTION: absorb every COMMITTED wave's state tables into
+    * the base lake tables, so the per-wave union read ([[stateTables]])
+    * goes back to one table per state regardless of how many waves have
+    * landed — the union-read cost is linear in wave count, and all the
+    * states are PLAIN UNIONS (doc-keyed corpus text and keys, anchor
+    * rows, window rows, benchmark docs, wave-stamped spend rows), so
+    * compaction is one rewrite per state with no semantics to
+    * re-derive. An UNCOMMITTED wave (no [[WaveMarker]] — a mid-run
+    * crash) is never absorbed: its state is not real corpus state.
+    * Value-preservation is spec-pinned: a duplicate of an absorbed
+    * wave's doc still dies, and the retro probe still reaches absorbed
+    * docs.
     *
     * Write discipline, CRASH-SAFE at every window (review r18 — the
     * first cut could lose the base table between delete and move):
     *
-    *   1. write the DISTINCT union to `__compact_<name>` (scratch);
+    *   1. write the deduplicated union to `__compact_<name>` (scratch);
     *   2. delete the base table;
     *   3. move the scratch into place;
     *   4. delete the absorbed wave copies.
@@ -240,14 +336,24 @@ object CorpusBuildJob {
     * the next compaction deletes and rebuilds it. A crash between (2)
     * and (3) leaves the committed scratch as the ONLY full copy;
     * [[stateTables]] refuses that lake by name and re-running
-    * compactState FINISHES THE SWAP (the recovery branch below) —
-    * state is never lost, merely not yet in place. A crash after (3)
-    * leaves wave copies that the next compaction re-absorbs; the
-    * DISTINCT union makes that re-absorption row-exact instead of
-    * row-doubling (all four states are sets — md5-keyed docs, anchor
-    * rows, window rows, benchmark docs). Re-running a completed
-    * compaction is a no-op. Single-writer lake assumed, same as every
-    * overwrite in this job.
+    * compactState FINISHES THE SWAP (the recovery branch below, which
+    * first clears any partial base left by a crash mid-delete — ADVICE
+    * r18) — state is never lost, merely not yet in place. A crash
+    * after (3) leaves wave copies that the next compaction re-absorbs;
+    * the dedup makes that re-absorption row-exact instead of
+    * row-doubling. Re-running a completed compaction is a no-op.
+    * Single-writer lake assumed, same as every overwrite in this job.
+    *
+    * DEDUP SHAPE (VERDICT r19 "missing" #3): the doc-keyed states
+    * (`cur`, `cur_keys`) do NOT pay a full-row DISTINCT — wave
+    * id-spaces are disjoint by the id gate, so outside the
+    * crash-re-absorption window the union is already a set keyed by
+    * doc_id. Compaction probes for duplicate ids with a column-pruned
+    * key-sized aggregation first and falls back to a doc_id-keyed
+    * dedup only when a re-absorption actually duplicated rows — the
+    * common path rewrites corpus text WITHOUT shuffling it. The
+    * remaining states are compact rows (anchors/windows/spend) or
+    * benchmark-sized (`bench`) and keep the set-union DISTINCT.
     *
     * Compaction FREEZES the absorbed waves: their ids now live in the
     * base tables, so re-running an absorbed wave refuses at the
@@ -267,12 +373,20 @@ object CorpusBuildJob {
       // when written, and stateTables refuses the lake until then, so
       // nothing can have changed since)
       if (java.nio.file.Files.exists(scratch.resolve("_SUCCESS"))
-          && !java.nio.file.Files.exists(base.resolve("_SUCCESS")))
+          && !java.nio.file.Files.exists(base.resolve("_SUCCESS"))) {
+        // a crash MID-delete of the base (after its _SUCCESS went but
+        // before the dir root) leaves a partial base directory that
+        // would make the move throw FileAlreadyExists — clear it first;
+        // safe because the committed scratch is the full union whenever
+        // the base lacks _SUCCESS (ADVICE r18)
+        graft.queries.PipelineQueries.deleteRecursively(base)
         java.nio.file.Files.move(scratch, base)
+      }
       val waveCopies =
         if (!java.nio.file.Files.exists(wavesRoot)) Seq.empty
         else listDir(wavesRoot)
           .sortBy(_.getFileName.toString)
+          .filter(w => java.nio.file.Files.exists(w.resolve(WaveMarker)))
           .map(_.resolve(name))
           .filter(p => java.nio.file.Files.exists(p.resolve("_SUCCESS")))
       if (waveCopies.isEmpty && java.nio.file.Files.exists(scratch))
@@ -280,11 +394,21 @@ object CorpusBuildJob {
         // has nothing to contribute — clear it
         graft.queries.PipelineQueries.deleteRecursively(scratch)
       if (waveCopies.nonEmpty) {
-        // DISTINCT, not a bare union: a crash-after-swap re-absorption
-        // would otherwise double every absorbed row
         val all = stateTables(spark, lakeDir, name, excludeWave = "")
-          .reduce(_.unionByName(_)).distinct()
-        all.write.mode("overwrite").parquet(scratch.toString)
+          .reduce(_.unionByName(_))
+        val compacted =
+          if (DocKeyedStates(name)) {
+            // duplicate-id probe: one column-pruned aggregation over the
+            // id column; clean (the common case) -> plain union write,
+            // no text shuffle; dirty (crash re-absorption) -> doc-keyed
+            // dedup (the copies are identical rows, so any survivor is
+            // the right one)
+            val hasDup = all.groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+              .limit(1).collect().nonEmpty
+            if (hasDup) all.dropDuplicates("doc_id") else all
+          } else all.distinct()
+        compacted.write.mode("overwrite").parquet(scratch.toString)
         graft.queries.PipelineQueries.deleteRecursively(base)
         java.nio.file.Files.move(scratch, base)
         waveCopies.foreach(graft.queries.PipelineQueries.deleteRecursively)
@@ -299,46 +423,65 @@ object CorpusBuildJob {
     * absorbs.
     */
   private val StateTableNames =
-    Seq("cur", "anchors", "token_windows", "bench")
+    Seq("cur", "cur_keys", "anchors", "token_windows", "bench",
+      "alloc_spent")
+
+  /** States keyed by `doc_id` whose compaction takes the shuffle-free
+    * path (see [[compactState]]'s dedup-shape note).
+    */
+  private val DocKeyedStates = Set("cur", "cur_keys")
 
   /** The CORPUS-GROWTH leg (the q228 shape, dir-parameterized): process
     * a NEW wave of `.warc.gz` shards against a prior [[run]]'s lake —
     * the old corpus is touched ONLY through its persisted states:
     *
-    *   - `<lakeDir>/cur` — md5 keys for cross-wave exact dedup (one
-    *     column-pruned scan of the old table, no text comparison);
-    *   - `<lakeDir>/anchors` — the winnow-anchor state
-    *     (`dupSpansAgainst`: per-wave cost scales with the wave plus
-    *     the genuinely-duplicated old mass);
+    *   - `<lakeDir>/cur_keys` — 16-byte md5 keys for the cross-wave
+    *     exact-dedup election AND the id-space gate (no old text is
+    *     read or re-hashed on this leg — VERDICT r19 #1);
+    *   - `<lakeDir>/anchors` (+ `<lakeDir>/cur` for the verification
+    *     semi-join over anchor-touched docs only) — the winnow-anchor
+    *     state (`dupSpansAgainst`: per-wave cost scales with the wave
+    *     plus the genuinely-duplicated old mass);
     *   - `<lakeDir>/ccnet_pair` — the FROZEN serving pair: the new
     *     wave is tagged with wave-1's model and cuts, never a
     *     re-estimation (re-estimating per wave would re-bucket history
     *     — the published CCNet deployment freezes the pair);
-    *   - `<lakeDir>/allocation` — the persisted mix: each wave samples
-    *     under the SAME per-cell token budgets and recorded seed (the
-    *     per-wave-quota reading of a budget; a group the allocation
-    *     never saw refuses by name).
+    *   - `<lakeDir>/allocation` + `<lakeDir>/alloc_spent` — the
+    *     persisted mix under the GLOBAL budget reading (default): each
+    *     wave samples only the REMAINDER of every cell's budget after
+    *     the spend recorded by the initial build and every prior wave
+    *     (`cumulativeBudget = false` keeps the per-wave-quota reading:
+    *     each wave re-spends the full per-cell budget).
     *
     * Stage tables land under `<lakeDir>/waves/<waveName>/…`, overwrite
     * mode — re-running the LATEST wave is idempotent (its own state
-    * dirs are excluded from the prior-state union). Prior state LAYERS:
-    * every earlier wave's cur/anchors/token_windows/bench tables union
-    * with the initial build's, so wave N dedups and probes against all
-    * of waves 1..N-1 at compact-state cost. Replaying an EARLIER wave
-    * after later ones landed refuses at the id-space gate (by then its
-    * ids no longer exceed the layered max) — out-of-order replay is a
-    * loud error, never a silent dedup against the future.
+    * dirs are excluded from the prior-state union, including its own
+    * spend rows). Prior state LAYERS: every earlier COMMITTED wave's
+    * state tables union with the initial build's, so wave N dedups and
+    * probes against all of waves 1..N-1 at compact-state cost.
+    * Replaying an EARLIER wave after later ones landed refuses at the
+    * id-space gate (by then its ids no longer exceed the layered max)
+    * — out-of-order replay is a loud error, never a silent dedup
+    * against the future.
     *
-    * Gates, all loud: router n, pair/allocation manifests, anchor norm
-    * bit (inside `dupSpansAgainst`), and the ID-SPACE gate — every new
-    * doc_id must exceed every old one, because the min-id dedup
-    * election is only incremental == from-scratch under that order
-    * (spec-pinned: the kept set equals a from-scratch dedup over the
-    * union). An empty post-clean wave refuses by name rather than
-    * silently writing empty tables.
+    * Gates, all loud and all BEFORE the first write: router n,
+    * pair/allocation manifests, the spend ledger's allocation
+    * fingerprint, anchor norm bit (inside `dupSpansAgainst`), the
+    * ID-SPACE gate (every new doc_id must exceed every old one,
+    * because the min-id dedup election is only incremental ==
+    * from-scratch under that order), the empty-wave gate, and the
+    * LANGUAGE-INVENTORY gate (ADVICE r18): every language the wave
+    * ROUTES must have a cut row in the frozen pair and a cell
+    * inventory entry in the allocation — otherwise the failure would
+    * fire MID-run (CcnetServing.tag's raise_error) after the wave's
+    * state tables committed. The wave's [[WaveMarker]] is deleted
+    * before the first write and re-created after the last, so a
+    * mid-run crash leaves an UNCOMMITTED wave that no later wave
+    * layers over (the same silent-corruption class, closed
+    * structurally).
     *
     * keep = `contaminated == 0 && dup_permille <= 300 && bucket !=
-    * tail` (the q228 rule verbatim).
+    * tail` (the q228 rule, ONE copy — [[MultiChain.keepManifest]]).
     *
     * `newBenchDir` (optional): a parquet dir of benchmark documents
     * that ARRIVED WITH THIS WAVE. Two probes run: (a) the new
@@ -347,12 +490,13 @@ object CorpusBuildJob {
     * retroactively (the q228 doc-106 shape: cost scales with the new
     * benchmark, never the old corpus); (b) the new WAVE against every
     * benchmark known so far (the initial registry plus this wave's).
-    * The wave also materializes its own anchor/window state tables so
-    * future waves can layer over them.
+    * The wave also materializes its own key/anchor/window/spend state
+    * tables so future waves can layer over them.
     */
   def runIncremental(spark: SparkSession, newShardsDir: String,
                      lakeDir: String, lidDir: String, waveName: String,
-                     newBenchDir: Option[String] = None)
+                     newBenchDir: Option[String] = None,
+                     cumulativeBudget: Boolean = true)
       : Seq[StageResult] = {
     import spark.implicits._
     val waveDir = s"$lakeDir/waves/$waveName"
@@ -370,35 +514,64 @@ object CorpusBuildJob {
     val pair = graft.operators.CcnetServing.load(spark, s"$lakeDir/ccnet_pair")
     val alloc = graft.operators.Sampling.loadAllocation(spark,
       s"$lakeDir/allocation")
+    val allocFp = graft.operators.Sampling.allocationFingerprint(alloc)
     // prior state is the UNION across the initial build and every
-    // PRIOR wave (each wave materialized its own anchors/windows/cur)
-    // — wave 3 dedups and probes against waves 1 AND 2, still never
-    // re-reading any old corpus beyond its compact states. The current
-    // wave's own dirs are excluded, which is what keeps a latest-wave
-    // re-run idempotent; replaying an EARLIER wave after later ones
-    // layered refuses loudly at the id-space gate below (its min id no
-    // longer exceeds the layered max) instead of silently deduping
-    // against the future.
+    // prior COMMITTED wave (each wave materialized its own
+    // keys/anchors/windows/spend) — wave 3 dedups and probes against
+    // waves 1 AND 2, still never re-reading any old corpus beyond its
+    // compact states. The current wave's own dirs are excluded, which
+    // is what keeps a latest-wave re-run idempotent; replaying an
+    // EARLIER wave after later ones layered refuses loudly at the
+    // id-space gate below (its min id no longer exceeds the layered
+    // max) instead of silently deduping against the future.
     def requiredState(name: String): DataFrame =
       unionState(spark, lakeDir, name, waveName).getOrElse(
         throw new IllegalArgumentException(
           s"$lakeDir has no committed `$name` state (initial build or " +
-            "prior waves) — run the initial CorpusBuildJob.run first"))
+            "prior waves) — run the initial CorpusBuildJob.run first" +
+            (if (name == "cur_keys")
+              " (a lake built before the key state existed can backfill " +
+                "it: write select doc_id, md5(text) as key from `cur`)"
+             else if (name == "alloc_spent")
+              " (a lake built before the spend ledger existed can " +
+                "backfill it from its `mixed` table, or pass " +
+                "cumulativeBudget = false for the per-wave-quota reading)"
+             else "")))
+    val oldKeys = requiredState("cur_keys")
     val oldCur = requiredState("cur")
     val oldAnchors = requiredState("anchors")
     val oldWindows = requiredState("token_windows")
+    // the spend ledger must be denominated under THIS allocation — a
+    // re-estimated allocation with a stale ledger would subtract
+    // apples from oranges; refuse by name before any shard work
+    val spentPrior =
+      if (!cumulativeBudget) None
+      else Some {
+        val sp = requiredState("alloc_spent")
+        val fps = sp.select(col("alloc_fp")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        require(fps.subsetOf(Set(allocFp)),
+          s"$lakeDir/alloc_spent: spend recorded under allocation " +
+            s"fingerprint(s) ${(fps - allocFp).mkString(", ")} but the " +
+            s"persisted allocation fingerprints to $allocFp — tokens " +
+            "spent under one allocation cannot be charged against " +
+            "another; rebuild the ledger with the current allocation " +
+            "or restore the allocation the ledger was recorded under")
+        sp
+      }
 
     val blobs = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz")
       .load(newShardsDir)
       .select(col("content")).as[Array[Byte]]
     // the whole-wave gates run BEFORE the first write: a refused run
-    // (empty wave, id-space overlap — incl. an out-of-order replay)
-    // must leave the lake byte-identical, not half-overwrite the
-    // target wave's tables on its way to the refusal. The extraction
-    // is PERSISTED across the probe so the wave's most expensive leg
-    // (gzip/WARC/HTTP/HTML parsing of every shard) runs once, not once
-    // for the gate and again for the materialization (review r18).
+    // (empty wave, id-space overlap — incl. an out-of-order replay —
+    // or a language the frozen artifacts never saw) must leave the
+    // lake byte-identical, not half-overwrite the target wave's tables
+    // on its way to the refusal. The extraction is PERSISTED across
+    // the probe so the wave's most expensive leg (gzip/WARC/HTTP/HTML
+    // parsing of every shard) runs once, not once for the gate and
+    // again for the materialization (review r18).
     val extractedF = MultiChain.extract(MultiChain.pagesFromBlobs(spark, blobs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val curProbe = MultiChain.nfcDedup(MultiChain.c4Clean(extractedF))
@@ -408,7 +581,9 @@ object CorpusBuildJob {
         s"$newShardsDir: the wave produced ZERO post-clean documents — " +
           "nothing to ingest; a whole-wave casualty is a crawl defect, " +
           "not a no-op")
-      val maxOld = oldCur.agg(max(col("doc_id"))).head().getLong(0)
+      // the id gate reads the KEY state — a column-pruned scan of one
+      // long column, never the old text table
+      val maxOld = oldKeys.agg(max(col("doc_id"))).head().getLong(0)
       require(bounds.getLong(0) > maxOld,
         s"id-space overlap: new wave min doc_id ${bounds.getLong(0)} <= old " +
           s"corpus max $maxOld — the min-id dedup election is only " +
@@ -416,9 +591,42 @@ object CorpusBuildJob {
           "one; renumber the wave (or, for a replay of an out-of-order or " +
           "already-COMPACTED wave, rebuild the lake — its docs would " +
           "otherwise dedup against the future)")
+      // LANGUAGE-INVENTORY gate (ADVICE r18): a language this wave
+      // ROUTES that the frozen pair has no cuts for (or the allocation
+      // no cells for) would otherwise fail MID-run — inside
+      // CcnetServing.tag's raise_error or the mix's no-cell refusal —
+      // after the wave's dedup state committed. Fail here, before any
+      // write. One broadcast-model scoring pass over the persisted
+      // probe; the inventories are |languages|-sized collects.
+      val waveLangs = MultiChain.route(curProbe,
+          graft.operators.LangId.predict(curProbe, lid))
+        .select(col("pred_lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val cutLangs = pair.cuts.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val cellLangs = alloc.cells.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val noCut = waveLangs -- cutLangs
+      require(noCut.isEmpty,
+        s"wave routes language(s) ${noCut.toSeq.sorted.mkString(", ")} " +
+          "absent from the frozen pair's cuts — the frozen CCNet pair " +
+          "cannot bucket a language it was never estimated on; " +
+          "re-estimate the pair (full rebuild) or route the language " +
+          "out before ingesting this wave")
+      val noCell = waveLangs -- cellLangs
+      require(noCell.isEmpty,
+        s"wave routes language(s) ${noCell.toSeq.sorted.mkString(", ")} " +
+          "absent from the persisted allocation's cell inventory — the " +
+          "mix was estimated on a different language inventory; " +
+          "re-estimate the allocation or route the language out")
     } catch {
       case t: Throwable => extractedF.unpersist(blocking = false); throw t
     }
+    // the wave's PREVIOUS completion marker drops before the first
+    // write: a re-run that crashes mid-way must leave an UNCOMMITTED
+    // wave, never a stale marker over half-new tables
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(waveDir, WaveMarker))
     val extracted = materialize("extracted", extractedF)
     extractedF.unpersist(blocking = false)
     val cleaned = materialize("cleaned", MultiChain.c4Clean(extracted))
@@ -429,15 +637,16 @@ object CorpusBuildJob {
       Seq("bench", "retro_contaminated").foreach(n =>
         graft.queries.PipelineQueries.deleteRecursively(
           java.nio.file.Paths.get(waveDir, n)))
-    // within-wave NFC dedup, then the CROSS-WAVE election: a new doc
-    // whose canonical text already exists in the old corpus loses to
-    // the old copy (min-id election — the id-space gate makes the old
-    // id always smaller, so incremental == from-scratch on the union)
-    val curWithin = MultiChain.nfcDedup(cleaned)
-    val cur = materialize("cur", curWithin
-      .join(oldCur.select(md5(col("text")).as("__k")),
-        md5(curWithin("text")) === col("__k"), "left_anti"))
+    // within-wave NFC dedup, then the CROSS-WAVE election against the
+    // KEY state: a new doc whose canonical text already exists in the
+    // old corpus loses to the old copy (min-id election — the id-space
+    // gate makes the old id always smaller, so incremental ==
+    // from-scratch on the union). Only the NEW wave's text is hashed;
+    // the old side is the 16-byte key column (VERDICT r19 #1).
+    val cur = materialize("cur",
+      electAgainstKeys(MultiChain.nfcDedup(cleaned), oldKeys))
     // the wave's OWN growth state (future waves layer over it)
+    materialize("cur_keys", curKeys(cur))
     materialize("anchors", graft.operators.SubstrDedup.anchors(cur))
     materialize("token_windows",
       graft.operators.TokenDecontam.tokenWindowIndex(cur))
@@ -456,14 +665,6 @@ object CorpusBuildJob {
     val spans = materialize("spans", graft.operators.SubstrDedup
       .mergeSpans(graft.operators.SubstrDedup.dupSpansAgainst(
         cur, oldCur, oldAnchors)))
-    val permille = cur
-      .select(col("doc_id"), length(col("text")).cast("long").as("total_chars"))
-      .join(spans.groupBy(col("doc_id"))
-        .agg(sum(col("span_len")).as("dup_chars")), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("total_chars") === 0L, 0L)
-          .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
-          .as("dup_permille"))
     // the benchmark legs: (a) the LATE benchmark probes the persisted
     // window index — OLD docs flip contaminated retroactively at
     // new-bench cost; (b) the new wave tests against every benchmark
@@ -482,25 +683,29 @@ object CorpusBuildJob {
       .reduceOption(_.unionByName(_))
       .map(b => graft.operators.TokenDecontam
         .contaminationTokenSpans(cur, b)
-        .select(col("doc_id")).distinct()
-        .withColumn("contaminated", lit(1L)))
-    val manifest = materialize("manifest", waveContaminated
-      .map(c => tagged.join(c, Seq("doc_id"), "left"))
-      .getOrElse(tagged.withColumn("contaminated", lit(null).cast("long")))
-      .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
-      .join(permille, Seq("doc_id"))
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("bucket"),
-        col("avg_millibits"), col("dup_permille"), col("contaminated"),
-        (col("contaminated") === 0L && col("dup_permille") <= 300L
-          && col("bucket") =!= "tail").cast("long").as("keep")))
+        .select(col("doc_id")).distinct())
+    val manifest = materialize("manifest", MultiChain.keepManifest(tagged,
+      MultiChain.dupPermille(cur, spans), waveContaminated))
     // the mix: kept docs sample under the PERSISTED allocation —
-    // recorded seed + budgets + tokenizer fingerprint, the replayable
-    // per-wave quota
+    // recorded seed + budgets + tokenizer fingerprint; under the
+    // global reading (default) each cell's budget is reduced by the
+    // spend every prior run recorded in the ledger
     val kept = routed.join(
       manifest.filter(col("keep") === 1L).select(col("doc_id")), Seq("doc_id"))
     val mixIn = MultiChain.mixInput(
       tagged.join(kept.select(col("doc_id")), Seq("doc_id")), kept)
-    materialize("mixed", MultiChain.mixed(mixIn, alloc))
+    val mixed = materialize("mixed", spentPrior match {
+      case Some(sp) => MultiChain.mixedCumulative(mixIn, alloc, sp)
+      case None     => MultiChain.mixed(mixIn, alloc)
+    })
+    // the wave's own spend rows (possibly zero rows when every cell was
+    // already exhausted — the schema still commits so the ledger stays
+    // uniform across waves)
+    materialize("alloc_spent", spentLedger(mixed, allocFp, waveName))
+    // the wave COMMIT MARKER, written LAST: only now may later waves
+    // layer this wave's state (ADVICE r18)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(waveDir, WaveMarker), Array.emptyByteArray)
     results.toSeq
   }
 }

@@ -189,6 +189,66 @@ object Sampling {
       m.path("tok").asLong())
   }
 
+  /** Deterministic fingerprint of an allocation's full decision content
+    * — group cols, budget col, seed, tokenizer, and every cell row
+    * (sorted) — the identity a cumulative spend ledger records so
+    * tokens spent under one allocation can never silently count
+    * against another (re-estimated budgets, a different seed, or a
+    * different cell inventory each change what "remaining budget"
+    * means). Cells are |groups|-sized by contract, so the collect is
+    * bounded; CRC32 matches the [[TokenDecontam.tokenizerFingerprint]]
+    * discipline.
+    */
+  def allocationFingerprint(alloc: Allocation): Long = {
+    val crc = new java.util.zip.CRC32()
+    def put(s: String): Unit = { crc.update(s.getBytes("UTF-8")); crc.update(0) }
+    put(alloc.groupCols.mkString(","))
+    put(alloc.budgetCol)
+    put(alloc.seed.toString)
+    put(alloc.tok.toString)
+    alloc.cells.select((alloc.groupCols :+ alloc.budgetCol).map(col): _*)
+      .collect()
+      .map(_.toSeq.map(String.valueOf).mkString("\u0001"))
+      .sorted
+      .foreach(put)
+    crc.getValue
+  }
+
+  /** [[sampleWithAllocation]] under a CUMULATIVE spend ledger (the
+    * global-budget reading of a persisted mix): `spent` carries
+    * (groupCols, `spentCol`) rows of tokens already selected under THIS
+    * allocation by prior runs/waves, and each cell's effective budget
+    * becomes `greatest(budget - spent, 0)` — a corpus-growth wave
+    * samples only the REMAINDER, so the sum over waves stays within the
+    * budget plus at most one crossing document per wave that still had
+    * headroom, instead of re-spending the full budget every wave. A
+    * cell with no spend row spends from zero; an exhausted cell
+    * selects nothing (tokens_before >= 0 can never be < 0). The
+    * no-cell refusal and the tokenizer gate of [[sampleWithAllocation]]
+    * apply unchanged — the adjusted cells keep the allocation's own
+    * group inventory. The ledger is per-cell-per-wave rows (tiny), so
+    * the adjustment join is a broadcast.
+    */
+  def sampleWithAllocationRemaining(df: DataFrame, alloc: Allocation,
+                                    idCol: String, tokenCol: String,
+                                    spent: DataFrame, spentCol: String,
+                                    merges: Seq[(String, String)] = Bpe.StandardMerges)
+      : DataFrame = {
+    require(spent.columns.contains(spentCol)
+        && alloc.groupCols.forall(spent.columns.contains),
+      s"spend ledger must expose (${alloc.groupCols.mkString(", ")}, " +
+        s"$spentCol) — have (${spent.columns.mkString(", ")})")
+    val agg = spent.groupBy(alloc.groupCols.map(col): _*)
+      .agg(sum(col(spentCol)).as("__spent"))
+    val remaining = alloc.cells.join(broadcast(agg), alloc.groupCols, "left")
+      .withColumn(alloc.budgetCol,
+        greatest(col(alloc.budgetCol) - coalesce(col("__spent"), lit(0L)),
+          lit(0L)))
+      .drop("__spent")
+    sampleWithAllocation(df, alloc.copy(cells = remaining), idCol, tokenCol,
+      merges)
+  }
+
   /** Replay a persisted mix over a tagged + token-counted corpus frame:
     * verify the TOKENIZER pairing by name (the [[TokenDecontam]]
     * fingerprint discipline — `tokenCol` must have been counted with

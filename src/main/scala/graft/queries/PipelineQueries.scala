@@ -440,6 +440,59 @@ object PipelineQueries {
           col("margin_millibits"), col("avg_millibits"), col("bucket"),
           col("n_tok"), col("tokens_before"))
 
+    /** Stage 7c under the CUMULATIVE spend ledger (the global-budget
+      * reading, VERDICT r19 #2): identical selection machinery, but
+      * each cell's effective budget is the PERSISTED budget minus the
+      * tokens prior runs/waves already spent under this allocation —
+      * [[Sampling.sampleWithAllocationRemaining]].
+      */
+    def mixedCumulative(mixIn: DataFrame, alloc: Sampling.Allocation,
+                        spent: DataFrame): DataFrame =
+      Sampling.sampleWithAllocationRemaining(mixIn, alloc, "doc_id", "n_tok",
+          spent, "spent_tokens")
+        .select(col("doc_id"), col("lang").as("pred_lang"),
+          col("margin_millibits"), col("avg_millibits"), col("bucket"),
+          col("n_tok"), col("tokens_before"))
+
+    /** The per-doc duplicated-character permille over a span table —
+      * ONE copy of the formula shared by the initial build's and every
+      * wave's manifest (and replayed verbatim by the q228 oracle).
+      */
+    def dupPermille(cur: DataFrame, spans: DataFrame): DataFrame =
+      cur.select(col("doc_id"),
+          length(col("text")).cast("long").as("total_chars"))
+        .join(spans.groupBy(col("doc_id"))
+          .agg(sum(col("span_len")).as("dup_chars")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("total_chars") === 0L, 0L)
+            .otherwise(expr("(coalesce(dup_chars, 0L) * 1000) div total_chars"))
+            .as("dup_permille"))
+
+    /** The per-doc keep manifest — the q228 audit surface with ONE copy
+      * of the keep rule (`contaminated == 0 && dup_permille <= 300 &&
+      * bucket != 'tail'`), shared by the initial build and every wave
+      * (VERDICT r19 #3: the rule must not fork between the two).
+      * `tagged` must expose (doc_id, lang, avg_millibits, bucket);
+      * `contaminatedIds`, when present, is a (doc_id) set. The
+      * `contaminated` column is ALWAYS present (0 with no registry) —
+      * a schema that appears and disappears with the registry would
+      * skew consumers.
+      */
+    def keepManifest(tagged: DataFrame, permille: DataFrame,
+                     contaminatedIds: Option[DataFrame]): DataFrame =
+      contaminatedIds
+        .map(c => tagged.join(
+          c.select(col("doc_id")).distinct()
+            .withColumn("contaminated", lit(1L)),
+          Seq("doc_id"), "left"))
+        .getOrElse(tagged.withColumn("contaminated", lit(null).cast("long")))
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(0L)))
+        .join(permille, Seq("doc_id"))
+        .select(col("doc_id"), col("lang").as("pred_lang"), col("bucket"),
+          col("avg_millibits"), col("dup_permille"), col("contaminated"),
+          (col("contaminated") === 0L && col("dup_permille") <= 300L
+            && col("bucket") =!= "tail").cast("long").as("keep"))
+
     /** The q226 mix seed, recorded in the allocation artifact. */
     val MixSeed = 23L
   }

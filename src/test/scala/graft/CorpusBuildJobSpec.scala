@@ -11,7 +11,10 @@ import graft.queries.PipelineQueries
   * frames bit-for-bit — the job and the gated row share one copy of
   * every stage function, and this spec proves the sharing holds through
   * the file boundary (binaryFile scan, parquet round-trips, dynamic
-  * partition overwrite).
+  * partition overwrite). Round 19 adds the compact `cur_keys` dedup
+  * state (the wave's exact-dedup leg provably never reads old text),
+  * the cumulative spend ledger (global budget reading), the
+  * initial-build keep manifest, and the wave commit marker.
   */
 class CorpusBuildJobSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]").getOrCreate()
@@ -71,15 +74,26 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   private def frameSet(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
     df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
 
+  private val RunStageNames = Seq("extracted", "cleaned", "cur", "cur_keys",
+    "anchors", "token_windows", "pred", "routed", "ccnet_pair", "tagged",
+    "spans", "manifest", "allocation", "mixed", "alloc_spent")
+  private val WaveStageNames = Seq("extracted", "cleaned", "cur", "cur_keys",
+    "anchors", "token_windows", "pred", "routed", "tagged", "spans",
+    "manifest", "mixed", "alloc_spent")
+
   test("job over real .warc.gz shard files == the memoized q226 frames, stage by stage, bit-for-bit") {
     val st = PipelineQueries.multiStages(spark)
-    assert(firstRun.map(_.name) == Seq("extracted", "cleaned", "cur",
-      "anchors", "token_windows", "pred", "routed", "ccnet_pair",
-      "tagged", "allocation", "mixed"))
+    assert(firstRun.map(_.name) == RunStageNames)
     assert(tableSet("extracted", Seq("doc_id", "text"))
       == frameSet(st.extracted, Seq("doc_id", "text")))
     assert(tableSet("cur", Seq("doc_id", "text"))
       == frameSet(st.cur, Seq("doc_id", "text")))
+    // the compact dedup state: exactly (doc_id, md5-of-text), no text
+    assert(spark.read.parquet(s"$lakeDir/cur_keys").columns.toSeq
+      == Seq("doc_id", "key"))
+    assert(tableSet("cur_keys", Seq("doc_id", "key"))
+      == frameSet(st.cur.select(col("doc_id"),
+        md5(col("text")).as("key")), Seq("doc_id", "key")))
     val routedCols = Seq("doc_id", "pred_lang", "margin_millibits")
     assert(tableSet("routed", routedCols) == frameSet(st.routed, routedCols))
     val tagCols = Seq("doc_id", "lang", "avg_millibits", "bucket")
@@ -102,6 +116,28 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     // the job's own allocation replays the gated row's mix exactly
     assert(frameSet(PipelineQueries.MultiChain.mixed(st.mixIn, alloc), mixCols)
       == frameSet(st.mixed, mixCols))
+    // the SPEND LEDGER records exactly the realized per-cell token
+    // spend of the mix, under this allocation's fingerprint; every
+    // fixture cell's mass exceeds its budget, so every cell crossed
+    // the line (spent >= budget)
+    val fp = graft.operators.Sampling.allocationFingerprint(alloc)
+    val spent = spark.read.parquet(s"$lakeDir/alloc_spent").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        (r.getAs[Long]("spent_tokens"), r.getAs[String]("wave"),
+          r.getAs[Long]("alloc_fp"))).toMap
+    val mixSpend = spark.read.parquet(s"$lakeDir/mixed")
+      .groupBy(col("pred_lang"), col("bucket"))
+      .agg(sum(col("n_tok")).as("s")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("s")).toMap
+    assert(spent.keySet == mixSpend.keySet)
+    val budgets = alloc.cells.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        r.getAs[Long]("token_budget")).toMap
+    spent.foreach { case (cell, (s, wave, f)) =>
+      assert(s == mixSpend(cell) && wave == "" && f == fp, s"$cell -> $s")
+      assert(s >= budgets(cell),
+        s"fixture budgets are sized below cell mass, so $cell must cross")
+    }
   }
 
   test("re-running the job over the same shards is idempotent (the dynamic-partition-overwrite discipline)") {
@@ -118,11 +154,35 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       s"$lakeDir/allocation").seed == PipelineQueries.MultiChain.MixSeed)
   }
 
-  test("incremental wave: new shards against the prior lake's persisted states — dedup == from-scratch, retro spans, frozen pair, persisted mix") {
+  test("initial-build MANIFEST PARITY: run()'s keep manifest == the derivation over the memoized q226 frames, same schema as a wave's") {
+    import spark.implicits._
+    firstRun
+    val st = PipelineQueries.multiStages(spark)
+    // the audit columns and the ONE shared keep rule, derived on the
+    // oracle-gated memoized frames: within-corpus spans -> permille,
+    // no registry -> contaminated = 0, keep = the q228 rule
+    val expected = PipelineQueries.MultiChain.keepManifest(st.tagged,
+      PipelineQueries.MultiChain.dupPermille(st.cur,
+        graft.operators.SubstrDedup.dupSpans(st.cur)),
+      contaminatedIds = None)
+    val manCols = Seq("doc_id", "pred_lang", "bucket", "avg_millibits",
+      "dup_permille", "contaminated", "keep")
+    assert(spark.read.parquet(s"$lakeDir/manifest").columns.toSeq == manCols,
+      "base and wave manifests must share one schema (union-consistent)")
+    assert(tableSet("manifest", manCols) == frameSet(expected, manCols))
+    // every curated doc carries a manifest row (full-corpus audit), and
+    // with no registry nothing is contaminated
+    assert(tableSet("manifest", Seq("doc_id")).map(_.head)
+      == tableSet("tagged", Seq("doc_id")).map(_.head))
+    assert(spark.read.parquet(s"$lakeDir/manifest")
+      .filter($"contaminated" =!= 0L).count() == 0)
+  }
+
+  test("incremental wave: new shards against the prior lake's persisted states — dedup == from-scratch, global budget reading, per-wave mode") {
     import spark.implicits._
     firstRun // the prior lake must exist
     // the wave: one EXACT cross-wave duplicate (old doc 0's text under a
-    // new id — only the old corpus's md5 keys can see it), one NEAR
+    // new id — only the old corpus's key state can see it), one NEAR
     // duplicate (old es doc 2000's lines reordered — every line is a
     // shared >= 40-char run only the anchor state can see), and six
     // fresh pure-language pages
@@ -136,13 +196,14 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val dir2 = writeShards(wave)
     val inc = CorpusBuildJob.runIncremental(spark, dir2, lakeDir,
       lidDir, "wave2")
-    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
-      "token_windows", "pred", "routed", "tagged", "spans", "manifest",
-      "mixed"))
+    assert(inc.map(_.name) == WaveStageNames)
     val waveDir = s"$lakeDir/waves/wave2"
     def waveSet(name: String, cols: Seq[String]) =
       spark.read.parquet(s"$waveDir/$name")
         .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    // a completed wave carries its commit marker
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(waveDir, "_WAVE_COMMITTED")))
     // (a) the exact duplicate died to the OLD corpus's keys; the near
     // duplicate and the fresh docs survived
     val curIds = waveSet("cur", Seq("doc_id")).map(_.head)
@@ -169,14 +230,35 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       assert(r.getAs[Long]("keep")
         == (if (r.getAs[String]("bucket") != "tail") 1L else 0L), s"$r")
     }
-    // (d) the mix selected only kept docs, under the persisted budgets
-    val mixedIds = waveSet("mixed", Seq("doc_id")).map(_.head.asInstanceOf[Long])
-    assert(mixedIds.nonEmpty)
-    mixedIds.foreach(id => assert(man(id).getAs[Long]("keep") == 1L))
-    // (e) idempotent re-run
+    // base and wave manifests union to one consistent audit surface
+    assert(spark.read.parquet(s"$waveDir/manifest").columns.toSeq
+      == spark.read.parquet(s"$lakeDir/manifest").columns.toSeq)
+    // (d) the GLOBAL budget reading (default): the initial build spent
+    // every cell past its budget (fixture budgets sit below cell
+    // mass), so this wave's remainder is zero everywhere — it selects
+    // NOTHING and records zero spend; the corpus-wide spend is
+    // unchanged, which IS the sum-over-waves <= realized-spend
+    // invariant at this lake's state
+    assert(spark.read.parquet(s"$waveDir/mixed").count() == 0,
+      "exhausted cells must select nothing under the global reading")
+    assert(spark.read.parquet(s"$waveDir/alloc_spent").count() == 0)
+    // (e) idempotent re-run (its own spend rows are excluded from the
+    // prior-state union, so the replay sees the same remainder)
     val again = CorpusBuildJob.runIncremental(spark, dir2, lakeDir,
       lidDir, "wave2")
     assert(again.map(r => (r.name, r.rows)) == inc.map(r => (r.name, r.rows)))
+    // the EXPLICIT per-wave-quota mode: the wave re-spends the full
+    // per-cell budgets — the mix selects kept docs again and records
+    // its own spend rows stamped with the wave name
+    val perWave = CorpusBuildJob.runIncremental(spark, dir2, lakeDir,
+      lidDir, "wave2", cumulativeBudget = false)
+    assert(perWave.map(_.name) == WaveStageNames)
+    val mixedIds = waveSet("mixed", Seq("doc_id")).map(_.head.asInstanceOf[Long])
+    assert(mixedIds.nonEmpty, "per-wave mode re-spends the full budgets")
+    mixedIds.foreach(id => assert(man(id).getAs[Long]("keep") == 1L))
+    val waveSpent = spark.read.parquet(s"$waveDir/alloc_spent").collect()
+    assert(waveSpent.nonEmpty
+      && waveSpent.forall(_.getAs[String]("wave") == "wave2"))
     // (f) the id-space gate refuses an overlapping wave by name; an
     // all-casualty wave refuses as a crawl defect, not a no-op
     val overlapDir = java.nio.file.Files.createTempDirectory("cbj_overlap")
@@ -264,19 +346,19 @@ class CorpusBuildJobSpec extends AnyFunSuite {
   test("state compaction absorbs wave state into the base tables — row-exact, idempotent, and future waves still see absorbed docs") {
     import spark.implicits._
     firstRun // lakeDir carries the initial build + waves 2 and 3
+    val stateNames = Seq("cur", "cur_keys", "anchors", "token_windows",
+      "bench", "alloc_spent")
     def unionCount(name: String): Long =
       Seq(s"$lakeDir/$name", s"$lakeDir/waves/wave2/$name",
           s"$lakeDir/waves/wave3/$name")
         .filter(p => java.nio.file.Files.exists(
           java.nio.file.Paths.get(p, "_SUCCESS")))
         .map(p => spark.read.parquet(p).count()).sum
-    val expect = Seq("cur", "anchors", "token_windows", "bench")
-      .map(n => n -> unionCount(n)).toMap
+    val expect = stateNames.map(n => n -> unionCount(n)).toMap
     val res = CorpusBuildJob.compactState(spark, lakeDir)
-    // this lake has wave state for all three always-on tables plus
-    // wave3's benchmark registry
-    assert(res.map(_.name) == Seq("cur", "anchors", "token_windows",
-      "bench"), res.toString)
+    // this lake has wave state for the always-on tables plus wave3's
+    // benchmark registry and wave2's per-wave-mode spend rows
+    assert(res.map(_.name) == stateNames, res.toString)
     res.foreach(r => assert(r.rows == expect(r.name),
       s"compaction must be row-exact: $r vs ${expect(r.name)}"))
     // absorbed wave copies are gone; re-compaction is a no-op
@@ -324,11 +406,13 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val lake2 = java.nio.file.Files.createTempDirectory("cbj_lake2").toString
     val r = CorpusBuildJob.run(spark, shardsDir, lake2, lidDir,
       benchDir = Some(benchDir1))
-    assert(r.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
-      "token_windows", "bench", "contaminated", "pred", "routed",
-      "ccnet_pair", "tagged", "allocation", "mixed"))
+    assert(r.map(_.name) == Seq("extracted", "cleaned", "cur", "cur_keys",
+      "anchors", "token_windows", "bench", "contaminated", "pred",
+      "routed", "ccnet_pair", "tagged", "spans", "manifest", "allocation",
+      "mixed", "alloc_spent"))
     // exactly the quoted host is recorded; it vanishes from the MIX but
-    // stays on the tag table (the full-corpus audit surface)
+    // stays on the tag table (the full-corpus audit surface), and the
+    // base manifest records it contaminated with keep = 0
     val hit = spark.read.parquet(s"$lake2/contaminated")
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(hit == Set(1000L), s"contaminated: $hit")
@@ -337,6 +421,11 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     assert(!mixedIds.contains(1000L) && mixedIds.nonEmpty)
     assert(spark.read.parquet(s"$lake2/tagged")
       .filter($"doc_id" === 1000L).count() == 1)
+    val baseMan1000 = spark.read.parquet(s"$lake2/manifest")
+      .filter($"doc_id" === 1000L).collect()
+    assert(baseMan1000.length == 1
+      && baseMan1000.head.getAs[Long]("contaminated") == 1L
+      && baseMan1000.head.getAs[Long]("keep") == 0L, baseMan1000.toSeq)
 
     // the LATE benchmark B2 (arrives with the wave) quotes OLD doc 3000
     // — it must flip 3000 contaminated RETROACTIVELY through the
@@ -357,9 +446,9 @@ class CorpusBuildJobSpec extends AnyFunSuite {
     val waveShards = writeShards(wave)
     val inc = CorpusBuildJob.runIncremental(spark, waveShards,
       lake2, lidDir, "wave2", newBenchDir = Some(benchDir2))
-    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "anchors",
-      "token_windows", "pred", "routed", "tagged", "spans", "bench",
-      "retro_contaminated", "manifest", "mixed"))
+    assert(inc.map(_.name) == Seq("extracted", "cleaned", "cur", "cur_keys",
+      "anchors", "token_windows", "pred", "routed", "tagged", "spans",
+      "bench", "retro_contaminated", "manifest", "mixed", "alloc_spent"))
     val retro = spark.read.parquet(s"$lake2/waves/wave2/retro_contaminated")
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(retro == Set(3000L), s"retro flips: $retro")
@@ -383,6 +472,121 @@ class CorpusBuildJobSpec extends AnyFunSuite {
       .map(r2 => r2.getAs[Long]("doc_id") -> r2).toMap
     assert(man2(20021L).getAs[Long]("contaminated") == 1L,
       "the initial registry still catches the B1 quote after retraction")
+  }
+
+  // ---- the round-19 structural proofs run on a small dedicated lake
+  // (en + fr only, so the language-inventory gate has something real to
+  // refuse) whose base `cur` TEXT gets deliberately corrupted after the
+  // build — every later pass that still works proves it never read it.
+  private lazy val miniLake: String = {
+    val lake = java.nio.file.Files.createTempDirectory("cbj_mini").toString
+    val docs = (0 until 12).map(i => (i.toLong,
+        PipelineQueries.MultiCrawlFixture.doc("en", 52000L + i))) ++
+      (0 until 12).map(i => ((100 + i).toLong,
+        PipelineQueries.MultiCrawlFixture.doc("fr", 63000L + i)))
+    CorpusBuildJob.run(spark, writeShards(docs), lake, lidDir)
+    lake
+  }
+
+  test("the wave's exact-dedup leg reads ONLY the compact key state: a duplicate still dies after the old `cur` TEXT is destroyed") {
+    import spark.implicits._
+    // corrupt the base cur's text IN PLACE (keys stay real): if any
+    // wave leg re-derived md5 from old text, the planted duplicate's
+    // key would no longer match and it would silently survive
+    assert(spark.read.parquet(s"$miniLake/cur_keys").columns.toSeq
+      == Seq("doc_id", "key"), "the key state must carry no text")
+    val corrupted = spark.read.parquet(s"$miniLake/cur")
+      .select($"doc_id").as[Long].collect().toSeq
+      .map(id => (id, "[text destroyed by CorpusBuildJobSpec]"))
+    corrupted.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$miniLake/cur")
+    // the wave: an EXACT duplicate of mini doc 0 plus a fresh doc
+    val dupText = PipelineQueries.MultiCrawlFixture.doc("en", 52000L)
+    val wave = Seq((90000L, dupText),
+      (90001L, PipelineQueries.MultiCrawlFixture.doc("fr", 71000L)))
+    CorpusBuildJob.runIncremental(spark, writeShards(wave), miniLake,
+      lidDir, "waveA")
+    val curIds = spark.read.parquet(s"$miniLake/waves/waveA/cur")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(curIds == Set(90001L),
+      s"the duplicate must die against the KEY state alone: $curIds")
+    // and the layered key state the election consumed is text-free by
+    // schema, base and wave alike
+    Seq(s"$miniLake/cur_keys", s"$miniLake/waves/waveA/cur_keys").foreach {
+      p => assert(spark.read.parquet(p).columns.toSeq == Seq("doc_id", "key"))
+    }
+  }
+
+  test("wave COMMIT MARKER: a crashed wave's committed state tables do not layer, and compaction never absorbs them") {
+    import spark.implicits._
+    miniLake
+    // simulate a wave that crashed after materializing cur/cur_keys but
+    // before its manifest: per-table _SUCCESS exists, marker does not
+    val phantomText = PipelineQueries.MultiCrawlFixture.doc("en", 81000L)
+    val phantomDir = s"$miniLake/waves/phantom_crash"
+    Seq((91000L, phantomText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$phantomDir/cur")
+    Seq((91000L, phantomText)).toDF("doc_id", "text")
+      .select($"doc_id", md5($"text").as("key"))
+      .write.mode("overwrite").parquet(s"$phantomDir/cur_keys")
+    // a duplicate of the phantom's doc arrives in a real wave: the
+    // phantom's doc never entered the corpus, so it must SURVIVE — a
+    // lake that layered the unmarked wave would silently kill it as a
+    // "duplicate" of a doc that was never ingested (ADVICE r18)
+    CorpusBuildJob.runIncremental(spark,
+      writeShards(Seq((95000L, phantomText))), miniLake, lidDir, "waveB")
+    val curIds = spark.read.parquet(s"$miniLake/waves/waveB/cur")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(curIds == Set(95000L),
+      s"an unmarked (crashed) wave's state must not layer: $curIds")
+    // compaction absorbs the COMMITTED waves but leaves the phantom
+    // untouched (its state is not corpus state)
+    CorpusBuildJob.compactState(spark, miniLake)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(phantomDir, "cur", "_SUCCESS")),
+      "compaction must not consume an uncommitted wave")
+    val baseIds = spark.read.parquet(s"$miniLake/cur_keys")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!baseIds.contains(91000L)
+      && baseIds.contains(95000L) && baseIds.contains(90001L),
+      s"absorbed: real waves yes, phantom no — $baseIds")
+  }
+
+  test("language-inventory gate: a wave routing a language the frozen pair never saw refuses BY NAME before any write") {
+    miniLake // en + fr only: the pair has no zh cuts, the mix no zh cells
+    val e = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark,
+        writeShards(Seq((97000L,
+          PipelineQueries.MultiCrawlFixture.doc("zh", 930000L)))),
+        miniLake, lidDir, "waveC")
+    }
+    assert(e.getMessage.contains("zh")
+      && e.getMessage.contains("frozen pair"), e.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(miniLake, "waves", "waveC")),
+      "the refusal must fire before the wave's first write")
+  }
+
+  test("spend-ledger fingerprint gate: spend recorded under a different allocation refuses by name") {
+    import spark.implicits._
+    miniLake
+    // doctor the base ledger's fingerprint (collect-then-rewrite; the
+    // ledger is per-cell rows, tiny by contract)
+    val rows = spark.read.parquet(s"$miniLake/alloc_spent")
+      .select($"lang", $"bucket", $"spent_tokens", $"wave", $"alloc_fp")
+      .as[(String, String, Long, String, Long)].collect().toSeq
+      .map { case (l, b, s, w, f) => (l, b, s, w, f + 1L) }
+    rows.toDF("lang", "bucket", "spent_tokens", "wave", "alloc_fp")
+      .write.mode("overwrite").parquet(s"$miniLake/alloc_spent")
+    val e = intercept[IllegalArgumentException] {
+      CorpusBuildJob.runIncremental(spark,
+        writeShards(Seq((98000L,
+          PipelineQueries.MultiCrawlFixture.doc("en", 940000L)))),
+        miniLake, lidDir, "waveD")
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(miniLake, "waves", "waveD")))
   }
 
   test("a gram-length-skewed router artifact is refused by name BEFORE any shard work") {
