@@ -132,6 +132,8 @@ object PipelineQueries {
     gradedModelCache.clear()
     gradedStagesCache.clear()
     jobMixedCache.clear()
+    jobDecontamCache.clear()
+    jobInputsCache.clear()
     incStagesCache.clear()
   }
 
@@ -634,24 +636,71 @@ object PipelineQueries {
   private[graft] def jobMixed(s: SparkSession): DataFrame =
     synchronized { jobMixedCache.getOrElseUpdate(s, buildJobMixed(s)) }
 
-  private def buildJobMixed(s: SparkSession): DataFrame = {
+  // the shard FILES and the persisted router artifact, shared by the
+  // q230 and q231 job builds (one mux, one model save per session)
+  private val jobInputsCache =
+    scala.collection.mutable.Map.empty[SparkSession, (String, String)]
+  private def jobInputs(s: SparkSession): (String, String) = synchronized {
+    jobInputsCache.getOrElseUpdate(s, {
+      import s.implicits._
+      val shardsDir = newTempArtifactDir("job_shards")
+      val docs = s.read.parquet(MultiCrawlFixture.ensure(s))
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      docs.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(shardsDir, f"shard-$sid%05d.warc.gz"),
+          MultiChain.muxShard(recs))
+      }
+      val lidDir = newTempArtifactDir("job_lid")
+      graft.operators.LangId.save(langidModel(s), lidDir)
+      (shardsDir, lidDir)
+    })
+  }
+
+  private def readBackMixed(s: SparkSession, lakeDir: String): DataFrame = {
     import s.implicits._
-    val shardsDir = newTempArtifactDir("job_shards")
-    val docs = s.read.parquet(MultiCrawlFixture.ensure(s))
-      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
-    docs.groupBy(d => Math.floorDiv(d._1, 16L)).foreach { case (sid, recs) =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(shardsDir, f"shard-$sid%05d.warc.gz"),
-        MultiChain.muxShard(recs))
-    }
-    val lidDir = newTempArtifactDir("job_lid")
-    graft.operators.LangId.save(langidModel(s), lidDir)
-    val lakeDir = newTempArtifactDir("job_lake")
-    graft.CorpusBuildJob.run(s, shardsDir, lakeDir, lidDir)
     cutFinal(s.read.parquet(s"$lakeDir/mixed")
       .select($"doc_id", $"pred_lang", $"margin_millibits",
         $"avg_millibits", $"bucket", $"n_tok", $"tokens_before"))
       .orderBy($"doc_id")
+  }
+
+  private def buildJobMixed(s: SparkSession): DataFrame = {
+    val (shardsDir, lidDir) = jobInputs(s)
+    val lakeDir = newTempArtifactDir("job_lake")
+    graft.CorpusBuildJob.run(s, shardsDir, lakeDir, lidDir)
+    readBackMixed(s, lakeDir)
+  }
+
+  /** q231's frame: the deployment driver run WITH a benchmark registry
+    * — the registry itself DERIVED from the fixture (doc 9000001
+    * quotes lines 2-3 of fixture doc 1000 verbatim, written as a real
+    * parquet registry dir), so the oracle can re-derive both the
+    * registry and the contamination from the raw fixture alone. The
+    * lake is separate from q230's (same shards, same router): the pair
+    * brackets the `benchDir` seam — a decontamination defect mismatches
+    * exactly one of the two rows.
+    */
+  private val jobDecontamCache =
+    scala.collection.mutable.Map.empty[SparkSession, DataFrame]
+  private[graft] def jobDecontamMixed(s: SparkSession): DataFrame =
+    synchronized { jobDecontamCache.getOrElseUpdate(s, buildJobDecontamMixed(s)) }
+
+  private def buildJobDecontamMixed(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val (shardsDir, lidDir) = jobInputs(s)
+    val benchDir = newTempArtifactDir("job_bench")
+    // lines 2-3 (1-based) of fixture doc 1000 — the same derivation the
+    // oracle's jbench CTE replays with (STRING_SPLIT(text))[2:3]
+    s.read.parquet(MultiCrawlFixture.ensure(s))
+      .filter($"doc_id" === 1000L)
+      .select(lit(9000001L).as("doc_id"),
+        array_join(slice(split($"text", "\n"), 2, 2), "\n").as("text"))
+      .write.mode("overwrite").parquet(benchDir)
+    val lakeDir = newTempArtifactDir("job_lake_dc")
+    graft.CorpusBuildJob.run(s, shardsDir, lakeDir, lidDir,
+      benchDir = Some(benchDir))
+    readBackMixed(s, lakeDir)
   }
 
   /** q229's keep threshold on the published INTEGER grade: keep means
@@ -915,9 +964,54 @@ object PipelineQueries {
     * in-session composition row) and q230 (the deployment driver row):
     * one SQL string means the two rows cannot drift from each other —
     * if the job's lake ever diverged from the memoized chain, exactly
-    * one of them would hash-mismatch and name the seam.
+    * one of them would hash-mismatch and name the seam. q231 (the
+    * decontaminating deployment row) extends the SAME builder with
+    * `decontam = true`: the registry derivation (two lines of fixture
+    * doc 1000 — exactly what the Spark side writes as the registry),
+    * the q220 13-token-window CTEs over the curated corpus, and the
+    * mix-input exclusion — everything upstream of the mix stays the
+    * one shared chain, so the three rows bracket the `benchDir` seam
+    * the way q226/q230 bracket the file boundary.
     */
-  private def multiCapstoneOracleSql: String = s"""
+  private def multiCapstoneOracleSql: String =
+    multiCapstoneOracle(decontam = false)
+
+  private def multiCapstoneOracle(decontam: Boolean): String = {
+    // the benchmark registry replay: doc 9000001 quotes lines 2-3 of
+    // fixture doc 1000 verbatim (1-based inclusive slice — the Spark
+    // side derives the registry with slice(split(text), 2, 2)); the
+    // token-window machinery is the q220 oracle pattern with the
+    // corpus/bench id split at 9000000
+    val decontamCtes = if (!decontam) "" else s"""jbench AS (
+          SELECT CAST(9000001 AS BIGINT) AS doc_id,
+                 ARRAY_TO_STRING((STRING_SPLIT(text, chr(10)))[2:3], chr(10)) AS text
+          FROM msrc WHERE doc_id = 1000),
+        jtoksrc AS (
+          SELECT doc_id, text FROM mcur
+          UNION ALL
+          SELECT doc_id, text FROM jbench),
+        jwords AS (SELECT doc_id, pos, w FROM (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM jtoksrc) t
+          WHERE LENGTH(w) > 0),
+        jenc AS (SELECT doc_id, pos, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
+                 FROM jwords),
+        jtoks AS (SELECT doc_id, STRING_SPLIT(STRING_AGG(e, ' ' ORDER BY pos), ' ') AS ts
+                  FROM jenc GROUP BY doc_id),
+        jtw AS (SELECT doc_id, MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+                FROM (SELECT doc_id, UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                      FROM jtoks WHERE doc_id < 9000000) t),
+        jbw AS (SELECT DISTINCT MD5(ARRAY_TO_STRING(ts[pos : pos + 12], ' ')) AS g
+                FROM (SELECT UNNEST(RANGE(1, GREATEST(LEN(ts) - 11, 1))) AS pos, ts
+                      FROM jtoks WHERE doc_id >= 9000000) t),
+        jdrop AS (SELECT DISTINCT doc_id FROM jtw JOIN jbw USING (g)),
+        mtagd AS (
+          SELECT mtag.* FROM mtag
+          WHERE NOT EXISTS (SELECT 1 FROM jdrop d WHERE d.doc_id = mtag.doc_id)),
+        """
+    val mixSrc = if (decontam) "mtagd" else "mtag"
+    s"""
         WITH lsrc AS (
           SELECT doc_id, lang, text
           FROM read_parquet('${LangIdFixture.Root}/*.parquet')),
@@ -975,7 +1069,7 @@ object PipelineQueries {
           FROM mroute r
           JOIN lmsc sc USING (doc_id)
           JOIN mcuts c USING (pred_lang)),
-        mw AS (SELECT doc_id, w FROM (
+        ${decontamCtes}mw AS (SELECT doc_id, w FROM (
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM mroute) t
           WHERE LENGTH(w) > 0),
         menc AS (SELECT doc_id, ${graft.operators.Bpe.oracleEncodeSql("w")} AS e
@@ -993,7 +1087,7 @@ object PipelineQueries {
                      * ((t.doc_id + 23) % 2147483647))
                      % 2147483647 * 48271 % 2147483647 * 1000000)
                    // GREATEST(1, 1) AS BIGINT) AS priority
-          FROM mtag t LEFT JOIN mtokc k USING (doc_id)),
+          FROM $mixSrc t LEFT JOIN mtokc k USING (doc_id)),
         mrun AS (
           SELECT doc_id, pred_lang, margin_millibits, avg_millibits, bucket,
                  n_tok, budget,
@@ -1007,6 +1101,7 @@ object PipelineQueries {
         FROM mrun
         WHERE tokens_before < budget
         ORDER BY doc_id"""
+  }
 
   def queries: Seq[Q] = Seq(
 
@@ -1317,6 +1412,33 @@ object PipelineQueries {
       },
       Some(multiCapstoneOracleSql),
       doc = "The corpus-build deployment driver under the correctness gate: the multilingual fixture muxed into real .warc.gz shard files, CorpusBuildJob run over them (binaryFile scan -> demux -> the q226 stage functions -> per-stage parquet lake tables -> persisted router/pair/allocation artifacts -> a pred_lang-partitioned mixed table), and the final lake table read back and compared under q226's oracle WITH-chain verbatim — one shared SQL string, so the in-session row and the deployment row must both match the same prediction and a file-boundary defect (gzip framing, parquet round-trip, partition encoding, stale overwrite) surfaces as a hash mismatch on exactly one of them."),
+
+    Q(
+      "q231_decontam_build_job",
+      (s, _) => {   // same shards/router as q230, separate lake; dir unused
+        // THE DECONTAMINATING DEPLOYMENT RUN, ORACLE-GATED (VERDICT r18
+        // #4): q230 proves the driver's happy path; this row proves its
+        // `benchDir` seam — the same shard files and frozen router, but
+        // a benchmark REGISTRY rides the run: a real parquet registry
+        // dir whose one document quotes two consecutive lines of
+        // fixture doc 1000 verbatim. The job builds the token-window
+        // index over the curated corpus, records the quoted host in the
+        // `contaminated` table, and EXCLUDES it at the MIX boundary —
+        // so the final lake table differs from q230's in exactly the
+        // way the 13-token-window semantics predict: doc 1000 (in
+        // q230's mix) is gone, and its cell's running sum re-fills from
+        // the next priorities. The oracle is the SAME builder as
+        // q226/q230 with the decontamination CTEs composed in: the
+        // registry text re-derived from the raw fixture (lines 2-3 of
+        // doc 1000), the q220 window machinery over the curated docs,
+        // and the mix-input exclusion — the three rows together bracket
+        // both deployment seams (the file boundary AND the registry).
+        // Scale shape: q230's plus one window-index join at build time
+        // (the q213 shape); the registry side is benchmark-sized.
+        jobDecontamMixed(s)
+      },
+      Some(multiCapstoneOracle(decontam = true)),
+      doc = "The deployment driver's decontamination seam under the correctness gate: CorpusBuildJob run over the same real .warc.gz shards WITH a benchmark registry (a parquet dir whose document quotes two lines of fixture doc 1000), so the quoted host is recorded contaminated and excluded at the MIX boundary; the oracle extends the shared q226/q230 WITH-chain builder with the registry derivation (the same two-line slice), the q220 13-token BPE window CTEs, and the mix-input exclusion — the resulting lake table must differ from q230's in exactly the predicted way (doc 1000 gone, its cell re-filled by the running sum), and a defect anywhere on the benchDir seam hash-mismatches exactly this row while q230 stays green."),
 
     Q(
       "q227_quality_classifier",

@@ -271,6 +271,18 @@ class ContractSpec extends AnyFunSuite {
     assert(BenchFormat.historyOutliers(rows, Map.empty).isEmpty)
   }
 
+  test("BenchFormat: calmBase survives an all-errored sentinel series (ADVICE r18 — the retry pass skips instead of dying)") {
+    // reachable shape: the history trigger plans retries while every
+    // sentinel probe errored — the old inline `.min` threw
+    // UnsupportedOperationException AFTER all queries ran, killing the
+    // artifact on its own baseline
+    assert(BenchFormat.calmBase(Seq((0, -1.0), (5, -1.0), (9, -1.0))).isEmpty)
+    assert(BenchFormat.calmBase(Seq.empty).isEmpty)
+    // valid readings produce the min; pending (-1) readings never set it
+    assert(BenchFormat.calmBase(Seq((0, 0.4), (5, -1.0), (9, 0.3)))
+      .contains(0.3))
+  }
+
   test("the committed BENCH_HISTORY baseline parses, is SF-stamped, and names only live queries") {
     // the history trigger silently disarms row-by-row when its keys go
     // stale (a renamed/removed query never matches) — this makes a

@@ -182,6 +182,76 @@ class MixingSpec extends AnyFunSuite {
     }.getMessage.contains("99"))
   }
 
+  test("sampleWithAllocationRemaining: global budget across waves — remainder semantics, exhausted cells, deterministic replay, fingerprint identity") {
+    import spark.implicits._
+    // the cumulative reading (VERDICT r19 #2): a wave charges the
+    // PERSISTED allocation's budgets net of the spend every prior
+    // run recorded, so the sum over waves stays within budget plus at
+    // most one crossing doc per wave with headroom
+    val cells = Seq(("a", 100L), ("b", 60L), ("c", 40L))
+      .toDF("g", "token_budget")
+    val dir = java.nio.file.Files.createTempDirectory("alloc_rem").toString
+    Sampling.saveAllocation(dir, cells, Seq("g"), "token_budget", seed = 7L)
+    val alloc = Sampling.loadAllocation(spark, dir)
+    val fp = Sampling.allocationFingerprint(alloc)
+    // the fingerprint is a pure function of the artifact content
+    assert(Sampling.allocationFingerprint(
+      Sampling.loadAllocation(spark, dir)) == fp)
+    val budgets = Map("a" -> 100L, "b" -> 60L, "c" -> 40L)
+    def waveDf(ids: Range) = ids
+      .map(i => (Seq("a", "b", "c")(i % 3), i.toLong, 25L))
+      .toDF("g", "id", "n_tok")
+    // wave 1 under the full budgets: every cell's mass (250) crosses
+    // its budget, so realized spend is in [budget, budget + one doc)
+    val w1 = Sampling.sampleWithAllocation(waveDf(0 until 30), alloc,
+      "id", "n_tok")
+    val spent1 = w1.groupBy($"g").agg(sum($"n_tok").as("spent_tokens"))
+    val s1 = spent1.as[(String, Long)].collect().toMap
+    s1.foreach { case (g, s) =>
+      assert(s >= budgets(g) && s < budgets(g) + 25L, s"$g spent $s") }
+    // wave 2 against the full ledger: every cell exhausted -> nothing
+    assert(Sampling.sampleWithAllocationRemaining(waveDf(100 until 130),
+      alloc, "id", "n_tok", spent1, "spent_tokens").count() == 0,
+      "exhausted cells must select nothing")
+    // a PARTIAL ledger: a spent 40 of 100, b spent its full 60, c
+    // untouched — the wave samples a's and c's remainders only
+    val partial = Seq(("a", 40L), ("b", 60L)).toDF("g", "spent_tokens")
+    val prior = Map("a" -> 40L, "b" -> 60L).withDefaultValue(0L)
+    val w2 = Sampling.sampleWithAllocationRemaining(waveDf(100 until 130),
+      alloc, "id", "n_tok", partial, "spent_tokens")
+    val rows = w2.select($"g", $"id", $"n_tok", $"tokens_before")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._1 != "b"), rows.toString)
+    assert(rows.exists(_._1 == "a") && rows.exists(_._1 == "c"))
+    // the GLOBAL invariant: prior spend + this wave's running sum stays
+    // strictly under the budget for every selected doc...
+    rows.foreach { case (g, _, _, tb) =>
+      assert(prior(g) + tb < budgets(g), s"$g: ${prior(g)} + $tb") }
+    // ...so the sum over waves respects budget + <= one crossing doc
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(prior(g) + rs.map(_._3).sum < budgets(g) + 25L, g) }
+    // deterministic replay: same ledger, same allocation, same docs ->
+    // the same selection, bit for bit
+    val again = Sampling.sampleWithAllocationRemaining(waveDf(100 until 130),
+      alloc, "id", "n_tok", partial, "spent_tokens")
+      .select($"id").as[Long].collect().toSet
+    assert(again == rows.map(_._2).toSet)
+    // a re-budgeted allocation fingerprints differently (what the job's
+    // ledger gate refuses by name on)
+    val dir2 = java.nio.file.Files.createTempDirectory("alloc_rem2").toString
+    Sampling.saveAllocation(dir2,
+      Seq(("a", 101L), ("b", 60L), ("c", 40L)).toDF("g", "token_budget"),
+      Seq("g"), "token_budget", seed = 7L)
+    assert(Sampling.allocationFingerprint(
+      Sampling.loadAllocation(spark, dir2)) != fp)
+    // a ledger missing the group columns is refused by name
+    val eCols = intercept[IllegalArgumentException] {
+      Sampling.sampleWithAllocationRemaining(waveDf(100 until 103), alloc,
+        "id", "n_tok", Seq((1L, 2L)).toDF("x", "y"), "spent_tokens")
+    }
+    assert(eCols.getMessage.contains("spend ledger"), eCols.getMessage)
+  }
+
   test("allocation cells with a duplicated group key are refused at SAVE (ADVICE r17 — a dup cell fans out every row in its group)") {
     import spark.implicits._
     val cells = Seq(("en", "head", 100L), ("en", "head", 200L),
