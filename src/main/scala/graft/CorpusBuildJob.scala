@@ -478,7 +478,14 @@ object CorpusBuildJob {
     * before the first write and re-created after the last, so a
     * mid-run crash leaves an UNCOMMITTED wave that no later wave
     * layers over (the same silent-corruption class, closed
-    * structurally).
+    * structurally). Stated crash-window tradeoff: a RE-run of an
+    * already-committed wave that crashes mid-way also retracts that
+    * wave's marker — its tables are then a mix of old and new writes,
+    * and not-layering the ambiguous state is the recoverable side
+    * (re-running the wave to completion restores it; an idempotent
+    * re-run rewrites identical tables, so only the marker was ever at
+    * stake). The alternative — a stale marker over half-new tables —
+    * would layer WRONG state silently.
     *
     * keep = `contaminated == 0 && dup_permille <= 300 && bucket !=
     * tail` (the q228 rule, ONE copy — [[MultiChain.keepManifest]]).

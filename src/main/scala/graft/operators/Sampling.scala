@@ -240,6 +240,23 @@ object Sampling {
         s"$spentCol) — have (${spent.columns.mkString(", ")})")
     val agg = spent.groupBy(alloc.groupCols.map(col): _*)
       .agg(sum(col(spentCol)).as("__spent"))
+    // a spend row whose group has no cell means the ledger and the
+    // allocation disagree about the cell inventory — the left join
+    // below would silently DROP that spend (budget quietly re-spent),
+    // the same silent-corruption class the no-cell refusal guards on
+    // the corpus side; both frames are |cells|-sized, so the probe is
+    // free
+    val orphan = agg.join(alloc.cells, alloc.groupCols, "left_anti")
+      .limit(1).collect()
+    require(orphan.isEmpty, {
+      val r = orphan.head
+      s"spend ledger records group (${alloc.groupCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString(", ")}) that has " +
+        "no cell in the allocation — the ledger was recorded under a " +
+        "different cell inventory and its spend would be silently " +
+        "ignored; rebuild the ledger under this allocation or restore " +
+        "the allocation it was recorded under"
+    })
     val remaining = alloc.cells.join(broadcast(agg), alloc.groupCols, "left")
       .withColumn(alloc.budgetCol,
         greatest(col(alloc.budgetCol) - coalesce(col("__spent"), lit(0L)),

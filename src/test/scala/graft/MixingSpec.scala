@@ -250,6 +250,16 @@ class MixingSpec extends AnyFunSuite {
         "id", "n_tok", Seq((1L, 2L)).toDF("x", "y"), "spent_tokens")
     }
     assert(eCols.getMessage.contains("spend ledger"), eCols.getMessage)
+    // a ledger row for a group the allocation has no cell for would be
+    // SILENTLY dropped by the adjustment join (its spend quietly
+    // re-spent) — refused by name=value instead
+    val eOrphan = intercept[IllegalArgumentException] {
+      Sampling.sampleWithAllocationRemaining(waveDf(100 until 103), alloc,
+        "id", "n_tok", Seq(("ghost", 10L)).toDF("g", "spent_tokens"),
+        "spent_tokens")
+    }
+    assert(eOrphan.getMessage.contains("g=ghost")
+      && eOrphan.getMessage.contains("no cell"), eOrphan.getMessage)
   }
 
   test("allocation cells with a duplicated group key are refused at SAVE (ADVICE r17 — a dup cell fans out every row in its group)") {
