@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   *   2. per-(group, bucket) counts → per-group exclusive bucket offsets
   *      (a tiny aggregate, windowed per group over ≤numBuckets rows);
   *   3. local rank = row_number over (group, bucket) — parallel windows,
-  *      buckets split big groups so no single-task funnel;
+  *      buckets split big groups so no single-task funnel — computed ONLY
+  *      over the buckets whose global-rank interval contains a target
+  *      rank (≤ 2·|specs| buckets per group, decided from the tiny
+  *      count/offset table): every other bucket is filtered out BEFORE
+  *      the ranking shuffle, so the sort input is a numBuckets-th of the
+  *      data instead of all of it (r19 optimization, guide §2.3);
   *   4. global in-group rank = local + offset, matched against the target
-  *      ranks ⌊p·(n−1)⌋+1 and +2 derived from per-group counts;
+  *      ranks ⌊p·(n−1)⌋+1 and +2 derived from the bucket counts (no
+  *      separate per-group counting pass);
   *   5. interpolate `(1−frac)·vlo + frac·vhi` — bit-for-bit the formula
   *      of Spark's Percentile and DuckDB's QUANTILE_CONT.
   *
@@ -63,25 +69,31 @@ object Percentiles {
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
   }
 
-  /** True iff the group column folds to a literal (e.g. a caller passed
-    * `lit(1).as("g")` to get global percentiles). Checked on the OPTIMIZED
-    * plan of a one-column projection so constant propagation through
-    * intermediate projects is applied; anything unrecognized conservatively
-    * answers false (the grouped path is always correct, just windowed).
+  /** Local in-bucket rank window: buckets split big groups so no
+    * single-task funnel, and partitioning carries the group key.
     */
-  private def groupIsConstant(df: DataFrame, groupCol: String): Boolean =
-    df.select(col(groupCol)).queryExecution.optimizedPlan match {
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-        p.projectList.forall {
-          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child.foldable
-          case e => e.foldable
-        }
-      case _ => false
-    }
+  private def localW(groupCol: String, valueCol: String) =
+    Window.partitionBy(col(groupCol), col("__bkt")).orderBy(col(valueCol))
+
+  private def local(df: DataFrame,
+                    w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    df.withColumn("__local", row_number().over(w).cast("long"))
+
+  /** Driver-materialization bound for the per-(group, bucket) count
+    * table: at or under this many cells the offsets, target ranks and
+    * needed-bucket set compute on the driver (the q84/q87
+    * bounded-labeled-materialization class — the table is groups ×
+    * numBuckets, the same control-plane size as the approxQuantile
+    * bounds). Above it, the fully distributed pre-r19 plan runs
+    * unchanged — a million-group input never funnels through the
+    * driver.
+    */
+  val MaxDriverCells = 4096
 
   private def forOneColumn(df: DataFrame, groupCol: String, valueCol: String,
                            colSpecs: Seq[(String, Double, String)],
                            bounds: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
     // nulls are ignored like the built-in percentile's (unfiltered they
     // would be counted in __n and ranked first by row_number)
     val projected = df.select(col(groupCol), col(valueCol))
@@ -94,45 +106,80 @@ object Percentiles {
     val bucketed = projected.withColumn("__bkt", bucketCol)
 
     val counts = bucketed.groupBy(col(groupCol), col("__bkt")).agg(count(lit(1)).as("__c"))
-    val localW = Window.partitionBy(col(groupCol), col("__bkt")).orderBy(col(valueCol))
-    val local = bucketed.withColumn("__local", row_number().over(localW).cast("long"))
-    val ranked = (if (groupIsConstant(df, groupCol)) {
-      // The group key folds to a literal (q88 passes lit(1)): the per-group
-      // cumulative window below would fold to a no-partition global
-      // WindowExec ("No Partition Defined" WARN per run). With ONE group
-      // the bucket counts are ≤ numBuckets driver rows — the same
-      // control-plane class as the approxQuantile bounds — so compute the
-      // exclusive prefix sums on the driver and inline them as a literal
-      // CASE on __bkt: one window and one join fewer than the grouped path.
-      val cRows = counts.select(col("__bkt"), col("__c")).collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      var acc = 0L
-      val offs = cRows.map { case (b, c) => val o = acc; acc += c; (b, o) }
-      val offExpr = offs.foldLeft(lit(0L)) { case (e, (b, o)) =>
-        when(col("__bkt") === b, lit(o)).otherwise(e)
+    // RANK-RESTRICTED selection (optimization r19, guide §2.3): a target
+    // rank lands in exactly one bucket's global-rank interval
+    // (__off, __off + __c], and row_number within a (group, bucket)
+    // window is independent of every other bucket — so only the
+    // ≤ 2·|specs| buckets per group that CONTAIN a target rank need to
+    // be shuffled and sorted at all. The count table that decides which
+    // is groups × numBuckets rows: bounded-small, it collects ONCE and
+    // the offsets, per-group totals, target ranks and needed buckets all
+    // compute on the driver, returning as two broadcast LOCAL relations
+    // — the data then makes exactly TWO passes (the counts aggregation +
+    // the needed-bucket ranking) with no duplicated aggregation subtree
+    // (a distributed needed-join was measured SLOWER at bench scale:
+    // three copies of the counts subtree and two extra AQE stage waves).
+    val cells = counts.limit(MaxDriverCells + 1).collect()
+    val (rankedRaw, targets) = if (cells.length <= MaxDriverCells) {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val gType = counts.schema(groupCol).dataType
+      val byGroup = cells.map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+      // per group: bucket-sorted prefix offsets, total n, target ranks
+      val neededRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val targetRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      byGroup.foreach { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        var acc = 0L
+        val offs = sorted.map { case (_, b, c) => val o = acc; acc += c; (b, o, c) }
+        val n = acc
+        val ranks = colSpecs.zipWithIndex.flatMap { case ((_, p, _), i) =>
+          // bit-for-bit the distributed expression chain: double
+          // multiply, floor to long, min against n, frac = r − ⌊r⌋
+          val r = p * (n - 1).toDouble
+          val lo = math.floor(r).toLong
+          targetRows += org.apache.spark.sql.Row(
+            g, i, r - lo.toDouble, lo + 1, math.min(lo + 2, n))
+          Seq(lo + 1, math.min(lo + 2, n))
+        }.toSet
+        offs.foreach { case (b, o, c) =>
+          if (ranks.exists(r => r > o && r <= o + c))
+            neededRows += org.apache.spark.sql.Row(g, b, o)
+        }
       }
-      local.withColumn("__off", offExpr)
+      val needed = spark.createDataFrame(neededRows.toList.asJava, StructType(Seq(
+        StructField(groupCol, gType), StructField("__bkt", IntegerType, false),
+        StructField("__off", LongType, false))))
+      val targetsLocal = spark.createDataFrame(targetRows.toList.asJava, StructType(Seq(
+        StructField("__tgrp", gType), StructField("__spec", IntegerType, false),
+        StructField("__frac", DoubleType, false),
+        StructField("__lorank", LongType, false),
+        StructField("__hirank", LongType, false))))
+      (local(bucketed.join(broadcast(needed), Seq(groupCol, "__bkt")),
+        localW(groupCol, valueCol)), targetsLocal)
     } else {
+      // distributed fallback (the pre-r19 plan): per-group windowed
+      // offsets joined back on (group, bucket), every bucket ranked, and
+      // target ranks from a distributed per-group count
       val offW = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = counts.withColumn("__off", coalesce(sum(col("__c")).over(offW), lit(0L)))
         .select(col(groupCol), col("__bkt"), col("__off"))
-      local.join(offsets, Seq(groupCol, "__bkt"))
-    }).select(col(groupCol), col(valueCol), (col("__local") + col("__off")).as("__grank"))
-
-    val ngroups = projected.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    // two target ranks per (group, spec): lo = ⌊p(n−1)⌋+1 and hi = min(lo+1, n).
-    // The group column is RENAMED (__tgrp) on this side: both frames derive
-    // from the same parent, and a same-attribute equality would make Spark
-    // log a "trivially true equals predicate" warning per execution.
-    val targets = colSpecs.zipWithIndex.map { case ((_, p, _), i) =>
-      val r = lit(p) * (col("__n") - 1).cast("double")
-      val lo = floor(r)
-      ngroups.select(
-        col(groupCol).as("__tgrp"), lit(i).as("__spec"), (r - lo).as("__frac"),
-        (lo.cast("long") + 1).as("__lorank"),
-        least(lo.cast("long") + 2, col("__n")).as("__hirank"))
-    }.reduce(_ unionAll _)
+      val ngroups = counts.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+      val targetsDist = colSpecs.zipWithIndex.map { case ((_, p, _), i) =>
+        val r = lit(p) * (col("__n") - 1).cast("double")
+        val lo = floor(r)
+        ngroups.select(
+          col(groupCol).as("__tgrp"), lit(i).as("__spec"), (r - lo).as("__frac"),
+          (lo.cast("long") + 1).as("__lorank"),
+          least(lo.cast("long") + 2, col("__n")).as("__hirank"))
+      }.reduce(_ unionAll _)
+      (local(bucketed, localW(groupCol, valueCol)).join(offsets, Seq(groupCol, "__bkt")),
+        targetsDist)
+    }
+    val ranked = rankedRaw
+      .select(col(groupCol), col(valueCol), (col("__local") + col("__off")).as("__grank"))
 
     val matched = ranked.join(targets,
         col(groupCol) === col("__tgrp") &&

@@ -239,20 +239,29 @@ object BehaviorQueries {
         // DuckDB's quantile_disc follows the same cumdist>=p convention
         // (probed: n=4 p=0.5 -> rank 2; n=5 p=0.9 -> rank 5), so the
         // oracle uses the NATIVE aggregate — a conformance row, not a
-        // formula replay. One rank window per group (the group key is
-        // the partition key, so the sort is distributed); the q35
+        // formula replay. r19 shape (guide §2.3 "aggregate before you
+        // shuffle"): quantile_disc is a function of the value
+        // DISTRIBUTION, so the rows pre-aggregate map-side to
+        // (group, value) counts and the value at rank k is read off the
+        // cumulative histogram as min{v : cum(v) >= k} — the shuffle
+        // carries |distinct values| rows per group instead of every row,
+        // and no full-data row_number sort funnels a group through one
+        // task (was: a per-group rank window over all rows). The q35
         // bucketed-selection operator remains the path for near-unique
-        // doubles where a per-group sort would skew.
-        val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-        Tables(s, d, "lineitem")
+        // doubles where even the histogram would be row-sized.
+        val counts = Tables(s, d, "lineitem")
           .select($"l_returnflag", $"l_quantity")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+          .groupBy($"l_returnflag", $"l_quantity").agg(count(lit(1)).as("c"))
+        val cumW = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        counts
+          .withColumn("cum", sum($"c").over(cumW))
+          .withColumn("n", sum($"c").over(Window.partitionBy($"l_returnflag")))
           .groupBy($"l_returnflag")
           .agg(
-            max(when($"rn" === expr("(n + 1) div 2"), $"l_quantity")).as("p50_disc"),
-            max(when($"rn" === expr("(9 * n + 9) div 10"), $"l_quantity")).as("p90_disc"),
-            max(when($"rn" === expr("(99 * n + 99) div 100"), $"l_quantity")).as("p99_disc"))
+            min(when($"cum" >= expr("(n + 1) div 2"), $"l_quantity")).as("p50_disc"),
+            min(when($"cum" >= expr("(9 * n + 9) div 10"), $"l_quantity")).as("p90_disc"),
+            min(when($"cum" >= expr("(99 * n + 99) div 100"), $"l_quantity")).as("p99_disc"))
           .orderBy($"l_returnflag")
       },
       Some("""
@@ -922,18 +931,24 @@ object BehaviorQueries {
         // no −0) but ROUND_EVEN yields IEEE −0.0 in DuckDB — the one
         // genuine divergence this row found; both sides normalize with
         // `+ 0.0` (IEEE: −0.0 + 0.0 = +0.0), documented here so the
-        // edge stays visible. Pure codegen scalar pipeline, one scan.
+        // edge stays visible. Pure codegen scalar pipeline, one scan —
+        // the per-row BigDecimal rounding is CPU-heavy, so the ORDER
+        // BY's own range exchange runs BEFORE the projection
+        // (Scatter.ordered): same plan shape, rounding on every core
+        // instead of inside the row-group-bound scan task.
         val h = ($"l_orderkey" % 100).cast("double") + lit(0.5)
         val e = ($"l_orderkey" % 800).cast("double") / lit(8.0)
-        Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        graft.operators.Scatter.ordered(Tables.lineitem(s, d)
+            .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+          Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")) {
+          _.select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
             round(h).as("r_away"),
             bround(h).as("r_even"),
             (round(-h) + lit(0.0)).as("r_away_neg"),
             (bround(-h) + lit(0.0)).as("r_even_neg"),
             round(e, 2).as("r2_away"),
             bround(e, 2).as("r2_even"))
-          .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        }
       },
       Some("""
         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
@@ -971,19 +986,25 @@ object BehaviorQueries {
           .when($"o_orderkey" % 3 === 1,
             concat(lit(" "), $"o_orderkey".cast("string"), lit(" ")))
           .otherwise($"o_orderkey".cast("string"))
-        Tables.orders(s, d)
-          .withColumn("messy", messy)
-          .select($"o_orderkey",
-            try_divide($"o_totalprice".cast("double"), divisor).as("td"),
-            expr("try_cast(messy AS bigint)").as("tc"),
-            // overflow on ~0.1% of rows, not half: TRY arithmetic
-            // catches a JVM exception per overflowing row (~17 µs
-            // measured) — it is the contract for RARE corruption; a
-            // systematically overflowing column would make the "safe"
-            // path 40× slower than the job it protects
-            try_add(lit(Long.MaxValue),
-              when($"o_orderkey" % 1000 === 0, 1L).otherwise(0L)).as("ta"))
-          .orderBy($"o_orderkey")
+        // try_cast of the malformed third of rows catches a JVM
+        // exception each — CPU-heavy per row, so the ORDER BY's range
+        // exchange runs before the projection (Scatter.ordered): same
+        // plan shape, the catch cost spread over every core
+        graft.operators.Scatter.ordered(
+          Tables.orders(s, d).select($"o_orderkey", $"o_totalprice"),
+          Seq($"o_orderkey")) {
+          _.withColumn("messy", messy)
+            .select($"o_orderkey",
+              try_divide($"o_totalprice".cast("double"), divisor).as("td"),
+              expr("try_cast(messy AS bigint)").as("tc"),
+              // overflow on ~0.1% of rows, not half: TRY arithmetic
+              // catches a JVM exception per overflowing row (~17 µs
+              // measured) — it is the contract for RARE corruption; a
+              // systematically overflowing column would make the "safe"
+              // path 40× slower than the job it protects
+              try_add(lit(Long.MaxValue),
+                when($"o_orderkey" % 1000 === 0, 1L).otherwise(0L)).as("ta"))
+        }
       },
       Some("""
         SELECT o_orderkey,
@@ -1115,8 +1136,13 @@ object BehaviorQueries {
         val a = $"o_totalprice".cast(DecimalType(12, 2))
         val b = ($"o_orderkey" % 97 + 3).cast(DecimalType(12, 2))
         val negA = lit(0).cast(DecimalType(12, 2)) - a
-        Tables.orders(s, d)
-          .select($"o_orderkey",
+        // scale-15 BigDecimal division per row is the whole cost — run
+        // it on the parallel side of the ORDER BY's own range exchange
+        // (Scatter.ordered): same plan shape, every core dividing
+        graft.operators.Scatter.ordered(
+          Tables.orders(s, d).select($"o_orderkey", $"o_totalprice"),
+          Seq($"o_orderkey")) {
+          _.select($"o_orderkey",
             (a + b).cast("string").as("d_add"),
             (a - b).cast("string").as("d_sub"),
             (a * b).cast("string").as("d_mul"),
@@ -1128,7 +1154,7 @@ object BehaviorQueries {
             negA.cast("long").as("d_to_long_neg"),
             (($"o_orderkey" % 800).cast("double") / lit(8.0))
               .cast(DecimalType(10, 2)).cast("string").as("d_from_double"))
-          .orderBy($"o_orderkey")
+        }
       },
       Some("""
         WITH base AS (

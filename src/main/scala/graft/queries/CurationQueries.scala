@@ -528,9 +528,15 @@ object CurationQueries {
           df.select($"doc_id", explode(array_distinct(TextFns.shingles($"text", 3))).as("sh"))
         val docs = Tables.documents(s, d)
         // filter BEFORE shingling: the benchmark side explodes 1/50 of the
-        // corpus, not all of it, and each side's scan prunes on doc_id
+        // corpus, not all of it, and each side's scan prunes on doc_id.
+        // The corpus-side shingling (split + distinct + explode per row)
+        // is the CPU cost — Scatter.even widens a narrower-than-the-
+        // cluster scan before it (identity when the scan parallelizes),
+        // so the shingle+probe+partial-count pipeline runs on every core.
         val benchSh = docShingles(docs.filter($"doc_id" % 50 === 0)).select($"sh").distinct()
-        docShingles(docs.filter($"doc_id" % 50 =!= 0))
+        docShingles(graft.operators.Scatter.even(
+            docs.filter($"doc_id" % 50 =!= 0).select($"doc_id", $"text"),
+            Seq($"doc_id")))
           .join(benchSh, Seq("sh"))
           .groupBy($"doc_id")
           .agg(countDistinct($"sh").as("n_shared"))
@@ -559,12 +565,18 @@ object CurationQueries {
         // the q53-era TextFns pattern trio was a second authority
         // waiting to drift). Counts on progressively redacted text,
         // residual re-scan emitted; one codegen'd scalar pass, no
-        // shuffle except the final sort.
-        PiiFns.piiFrame(Tables.documents(s, d), "doc_id", "text")
-          .select($"doc_id", $"redacted", $"email_count", $"ip_count",
-            $"phone_count", $"ssn_count", $"iban_count", $"cc_count",
-            $"pii_total", $"has_pii", $"residual_pii")
-          .orderBy($"doc_id")
+        // shuffle except the final sort — whose range exchange runs
+        // BEFORE the ~13-regex-scan chain (Scatter.ordered): same plan
+        // shape, the scrub on every core instead of inside the
+        // row-group-bound scan task.
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          Seq($"doc_id")) { sc =>
+          PiiFns.piiFrame(sc, "doc_id", "text")
+            .select($"doc_id", $"redacted", $"email_count", $"ip_count",
+              $"phone_count", $"ssn_count", $"iban_count", $"cc_count",
+              $"pii_total", $"has_pii", $"residual_pii")
+        }
       },
       Some(s"""
         WITH ${OracleCtes.piiCounted("documents")}
@@ -690,7 +702,11 @@ object CurationQueries {
         // totals), so the global running sum never funnels the corpus
         // through one task; the tokenizer itself is a per-row codegen'd
         // scalar that pipelines with the scan.
-        val docs = Tables.documents(s, d)
+        // Scatter.even widens a narrower-than-the-cluster scan first
+        // (identity at scale) so the REPLACE-chain tokenizer runs on
+        // every core in each of the packing operator's passes
+        val docs = graft.operators.Scatter.even(
+            Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id"))
           .select($"doc_id", Bpe.tokenCount(Bpe.encode($"text")).as("n_tok"))
         graft.operators.Packing.packByBudget(docs, "doc_id", "n_tok", 512L)
           .select($"doc_id", $"n_tok", $"pack_id")

@@ -482,7 +482,12 @@ object Relational {
         import s.implicits._
         // SURVEY T2: decimal-comma strings → double. Format with fixed
         // 2-decimal pattern, comma-ize, parse back, aggregate exactly.
-        Tables.lineitem(s, d)
+        // The per-row format/regex/parse chain is the cost — Scatter.even
+        // widens a narrower-than-the-cluster scan before it (identity
+        // when the scan already parallelizes).
+        graft.operators.Scatter.even(Tables.lineitem(s, d)
+            .select($"l_returnflag", $"l_extendedprice"),
+            Seq($"l_returnflag", $"l_extendedprice"))
           .withColumn("comma_str", regexp_replace(format_string("%.2f", $"l_extendedprice"), "\\.", ","))
           .withColumn("parsed", regexp_replace($"comma_str", ",", ".").cast("double"))
           .groupBy($"l_returnflag")

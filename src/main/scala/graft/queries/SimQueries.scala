@@ -408,8 +408,13 @@ object SimQueries {
         // bytes, decode it with the pure-JVM parser, emit exact integer
         // features the oracle predicts from the text alone — a header,
         // offset, or row-order bug in the decoder breaks the pixel sums.
-        val media = Multimodal.bmpFromDocuments(Tables.documents(s, d))
-        Multimodal.decodeImageFeatures(media).toDF().orderBy($"doc_id")
+        // codec work is per-row CPU: run it on the parallel side of the
+        // ORDER BY's own range exchange (Scatter.ordered — same plan
+        // shape, decode on every core, not in the row-group-bound scan)
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodeImageFeatures(Multimodal.bmpFromDocuments(sc)).toDF()
+        }
       },
       Some("""
         SELECT doc_id, CAST(16 AS INT) AS width,
@@ -427,8 +432,10 @@ object SimQueries {
         import s.implicits._
         // REAL PCM16 WAV codec round-trip: RIFF chunk walk + exact
         // integer signal energy, oracle-predicted from the code points.
-        val media = Multimodal.wavFromDocuments(Tables.documents(s, d))
-        Multimodal.decodeAudioFeatures(media).toDF().orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodeAudioFeatures(Multimodal.wavFromDocuments(sc)).toDF()
+        }
       },
       Some("""
         SELECT doc_id, CAST(16000 AS INT) AS sample_rate,
@@ -449,8 +456,10 @@ object SimQueries {
         // filters). Decode walks chunks, checks CRC32s, inflates, and
         // unfilters all five PNG filter types — any bug there breaks the
         // exact pixel sums the oracle predicts from the text alone.
-        val media = Multimodal.pngFromDocuments(Tables.documents(s, d))
-        Multimodal.decodePngFeatures(media).toDF().orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodePngFeatures(Multimodal.pngFromDocuments(sc)).toDF()
+        }
       },
       Some("""
         SELECT doc_id, CAST(16 AS INT) AS width,
@@ -471,8 +480,10 @@ object SimQueries {
         // library exists for it, unlike PNG's zlib). Lossless, so the
         // decoded palette-resolved pixel sum is exactly the q40/q50
         // oracle (width 48: one palette index per byte vs BMP's 3).
-        val media = Multimodal.gifFromDocuments(Tables.documents(s, d))
-        Multimodal.decodeGifFeatures(media).toDF().orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodeGifFeatures(Multimodal.gifFromDocuments(sc)).toDF()
+        }
       },
       Some("""
         SELECT doc_id, CAST(48 AS INT) AS width,
@@ -493,8 +504,10 @@ object SimQueries {
         // oracle even in principle, so this is a rows-only gate query —
         // JpegSpec + MultimodalSpec pin determinism, exact dimensions,
         // and PSNR bounds instead.
-        val media = Multimodal.jpegFromDocuments(Tables.documents(s, d))
-        Multimodal.decodeJpegFeatures(media).toDF().orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodeJpegFeatures(Multimodal.jpegFromDocuments(sc)).toDF()
+        }
       },
       None, // lossy: decoded sums are deterministic but not SQL-derivable
       doc = "REAL baseline JPEG decode (pure-JVM: marker walk, canonical Huffman entropy decode, dequantize, IDCT): exact dimensions + deterministic decoded pixel sum; spec-verified (lossy - no SQL oracle exists)."),
@@ -509,9 +522,12 @@ object SimQueries {
         // real DCT decode on each — the 1→N fan-out the old stub only
         // imitated. Lossy frames ⇒ rows-only gate; specs pin the
         // container as byte-lossless and the sampling stride.
-        val media = Multimodal.videoFromDocuments(Tables.documents(s, d), nFrames = 4)
-        Multimodal.sampleVideoFrames(media, stride = 2).toDF()
-          .orderBy($"doc_id", $"frame_idx")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          Seq($"doc_id"), Seq($"doc_id", $"frame_idx")) { sc =>
+          Multimodal.sampleVideoFrames(
+            Multimodal.videoFromDocuments(sc, nFrames = 4), stride = 2).toDF()
+        }
       },
       None, // frames are lossy JPEG: deterministic but not SQL-derivable
       doc = "REAL video frame sampling (pure-JVM AVI/MJPEG: RIFF demux + per-frame baseline JPEG decode, every 2nd frame): per-frame dims + deterministic pixel sums; spec-verified (container byte-lossless, frames lossy)."),
@@ -525,8 +541,10 @@ object SimQueries {
         // adaptive state machine — deterministic but lossy, so rows-only;
         // AdpcmSpec pins determinism, exact counts/silence/stream size,
         // SNR, and corpus energy drift vs the lossless WAV truth.
-        val media = Multimodal.adpcmFromDocuments(Tables.documents(s, d))
-        Multimodal.decodeAdpcmFeatures(media).toDF().orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          sc => Multimodal.decodeAdpcmFeatures(Multimodal.adpcmFromDocuments(sc)).toDF()
+        }
       },
       None, // lossy integer codec: deterministic, not SQL-derivable
       doc = "REAL IMA-ADPCM decode (pure-JVM 4:1 compressed audio, integer state machine): sample rate/count + deterministic decoded energy; spec-verified (lossy - no SQL oracle exists).")
@@ -545,14 +563,14 @@ object SimQueries {
         // never shuffle. Float DSP has no SQL oracle → rows-only; DspSpec
         // pins FFT == naive DFT, Parseval, planted-tone detection, and
         // the end-to-end bin == (doc_id % 60) + 4 loop this query runs.
-        val media = Multimodal.toneFromDocuments(
-          Tables.documents(s, d).select($"doc_id"))
-        media.map { r =>
-          val audio = graft.multimodal.Codecs.decodeWav(r.media)
-          val bins = graft.multimodal.Dsp.dominantBins(audio, 128)
-          (r.doc_id, bins.length.toLong, bins.mkString(","))
-        }.toDF("doc_id", "n_frames", "bins")
-          .orderBy($"doc_id")
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id"), Seq($"doc_id")) { sc =>
+          Multimodal.toneFromDocuments(sc).map { r =>
+            val audio = graft.multimodal.Codecs.decodeWav(r.media)
+            val bins = graft.multimodal.Dsp.dominantBins(audio, 128)
+            (r.doc_id, bins.length.toLong, bins.mkString(","))
+          }.toDF("doc_id", "n_frames", "bins")
+        }
       },
       None, // float DSP: deterministic (StrictMath) but not SQL-expressible
       doc = "Audio spectral features via a from-scratch radix-2 FFT (multimodal/Dsp): dominant frequency bin per 128-sample frame over decoded WAV audio — StrictMath-deterministic, integer bin outputs; DspSpec pins FFT==DFT, Parseval, and exact planted-tone recovery (no SQL oracle for float DSP).")

@@ -223,10 +223,14 @@ object TextQueries {
         // must match DuckDB replaying the identical merge passes via a
         // REPLACE chain GENERATED FROM THE SAME SCALA CONSTANT
         // (Bpe.oracleEncodeSql) — one merges definition, two engines.
-        Tables.documents(s, d)
-          .select($"doc_id", Bpe.encode($"text").as("tokens"))
-          .select($"doc_id", Bpe.tokenCount($"tokens").as("n_tokens"), $"tokens")
-          .orderBy($"doc_id")
+        // the REPLACE-chain tokenizer is the per-row cost — run it on
+        // the parallel side of the ORDER BY's own range exchange
+        // (Scatter.ordered: same plan shape, every core tokenizing)
+        graft.operators.Scatter.ordered(
+          Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id")) {
+          _.select($"doc_id", Bpe.encode($"text").as("tokens"))
+            .select($"doc_id", Bpe.tokenCount($"tokens").as("n_tokens"), $"tokens")
+        }
       },
       Some(s"""
         WITH words AS (
