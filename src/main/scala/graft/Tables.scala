@@ -14,8 +14,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Loaded-DataFrame memo per (session, file path) — METADATA reuse, not
+  // data caching: `spark.read.parquet` eagerly lists the path and reads
+  // the footer schema on every call, so a registry where each of ~230
+  // queries re-loads its tables per execution pays that driver-side work
+  // hundreds of times per bench pass (measured 50-150 ms per table).
+  // A DataFrame is an immutable plan; handing every caller the same
+  // analyzed relation changes no results and keeps full pushdown/pruning
+  // (each query still plans its own scan from the shared relation).
+  // Bounded: |dirs seen| × |tables| entries, nothing persisted.
+  private val loadCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    synchronized {
+      loadCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** Typed loader dispatch: the single place that knows which tables
     * need a normalizing loader (events' ns-timestamp today; any future

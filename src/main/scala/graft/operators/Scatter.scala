@@ -56,16 +56,27 @@ object Scatter {
     */
   def parallelism(df: DataFrame): Int = {
     val spark = df.sparkSession
-    val cores = spark.sparkContext.defaultParallelism
-    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val advisory = org.apache.spark.sql.internal.SQLConf.get.getConf(
       org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val byBytes =
       if (advisory <= 0) BigInt(1) else (bytes + advisory - 1) / advisory
-    val capped = byBytes.min(BigInt(1 << 20)).toInt.max(1)
-    math.max(math.max(cores, shuffleParts), capped)
+    // Catalyst's size estimate is reliable for scan-rooted frames (file
+    // bytes) but joins MULTIPLY estimates — cap the bytes term at 8×
+    // the cluster width so a wild join estimate can only widen the
+    // stage, never explode the partition count (a raw cap of 2^20 let a
+    // self-join estimate request six-figure partition counts)
+    val capped = byBytes.min(BigInt(8L * cores(spark))).toInt.max(1)
+    math.max(cores(spark), capped)
   }
+
+  /** The cluster-width floor alone — for sizing a persisted artifact or
+    * any frame whose logical size estimate is untrustworthy (join- or
+    * aggregate-rooted lineage).
+    */
+  def cores(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
   /** `heavy(df ordered-scattered on sortCols)` sorted within partitions:
     * the drop-in replacement for `heavy(df).orderBy(sortCols)` when

@@ -66,11 +66,15 @@ object AnalyticsQueries {
       val li = Tables.lineitem(s, d)
         .filter($"l_partkey" % 4 === 0)
         .select($"l_orderkey", $"l_partkey")
-      li.as("a")
+      val edges = li.as("a")
         .join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
         .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
         .distinct()
+      // persist WIDE (r19): the distinct's AQE-coalesced output is ~1
+      // small partition, so q83's wedge generation (Σ outdeg² rows) and
+      // q86's per-iteration joins ran single-threaded off the cache
+      edges.repartition(graft.operators.Scatter.cores(s), $"u", $"v")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }

@@ -31,9 +31,17 @@ object DedupQueries {
     * per (session, dir) and shared across the dedup queries.
     */
   private def sharedShingles(s: SparkSession, d: String): DataFrame = synchronized {
-    shingleCache.getOrElseUpdate((s, d),
-      Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    shingleCache.getOrElseUpdate((s, d), {
+      // persist WIDE (r19): the distinct's AQE-coalesced output is 1-2
+      // small partitions, so every consumer's first stage (sketch agg,
+      // pair mining, against-probes) ran near-single-threaded off the
+      // cache. Doc-keyed hash partitioning at cluster width keeps all
+      // cores busy AND already satisfies the per-doc aggregations'
+      // clustering (minhash signatures group by doc — no re-exchange).
+      val sh = Dedup.shingleSets(Tables.documents(s, d), "doc_id", "text", 3)
+      sh.repartition(graft.operators.Scatter.cores(s), col("doc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   private val strategyCache =
@@ -82,9 +90,13 @@ object DedupQueries {
     * once per (session, dir) — the MinHash family's index artifact.
     */
   private def sharedSignatures(s: SparkSession, d: String): DataFrame = synchronized {
-    sigCache.getOrElseUpdate((s, d),
-      Dedup.minhashSignatures(sharedShingles(s, d), numHashes = 64)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    sigCache.getOrElseUpdate((s, d), {
+      // persist WIDE like sharedShingles: band mining explodes each
+      // signature 32× — off a 1-partition cache that ran single-threaded
+      val sig = Dedup.minhashSignatures(sharedShingles(s, d), numHashes = 64)
+      sig.repartition(graft.operators.Scatter.cores(s), col("doc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** SimHash fingerprint table, materialized once per (session, dir) —
@@ -92,9 +104,11 @@ object DedupQueries {
     * pair mining bands + joins against it.
     */
   private def sharedFingerprints(s: SparkSession, d: String): DataFrame = synchronized {
-    fpCache.getOrElseUpdate((s, d),
-      Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    fpCache.getOrElseUpdate((s, d), {
+      val fp = Dedup.simhashFingerprints(Tables.documents(s, d), "doc_id", "text")
+      fp.repartition(graft.operators.Scatter.cores(s), col("doc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   // the exact-substring span table over the (scale-independent)
