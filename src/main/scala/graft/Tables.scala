@@ -14,22 +14,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Loaded-DataFrame memo per (session, file path) — METADATA reuse, not
-  // data caching: `spark.read.parquet` eagerly lists the path and reads
-  // the footer schema on every call, so a registry where each of ~230
-  // queries re-loads its tables per execution pays that driver-side work
-  // hundreds of times per bench pass (measured 50-150 ms per table).
-  // A DataFrame is an immutable plan; handing every caller the same
-  // analyzed relation changes no results and keeps full pushdown/pruning
-  // (each query still plans its own scan from the shared relation).
-  // Bounded: |dirs seen| × |tables| entries, nothing persisted.
-  private val loadCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  // Loaded-DataFrame memo per (session, file path, path mtime) —
+  // METADATA reuse, not data caching: `spark.read.parquet` eagerly lists
+  // the path and reads the footer schema on every call, so a registry
+  // where each of ~230 queries re-loads its tables per execution pays
+  // that driver-side work hundreds of times per bench pass (measured
+  // 50-150 ms per table). A DataFrame is an immutable plan; handing
+  // every caller the same analyzed relation changes no results and keeps
+  // full pushdown/pruning (each query still plans its own scan from the
+  // shared relation). The mtime key makes the memo overwrite-safe: a
+  // re-written table dir (mode("overwrite") recreates the root, so its
+  // mtime moves) misses the memo and re-lists instead of serving the
+  // old file set back (FILE_NOT_EXIST — the MixingSpec q224 shape); the
+  // staleness check is ONE stat call, not a listing. Bounded:
+  // |dirs seen| × |tables| live entries plus overwritten-generation
+  // leftovers, nothing persisted.
+  private val loadCache = scala.collection.mutable.Map
+    .empty[(SparkSession, String, java.nio.file.attribute.FileTime), DataFrame]
+
+  private def mtime(path: String): java.nio.file.attribute.FileTime =
+    try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path))
+    catch { // non-local or vanished path: a constant key (plain read below throws the real error)
+      case _: Throwable => java.nio.file.attribute.FileTime.fromMillis(0L)
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     synchronized {
-      loadCache.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-        spark.read.parquet(s"$dir/$name.parquet"))
+      val p = s"$dir/$name.parquet"
+      loadCache.getOrElseUpdate((spark, p, mtime(p)), spark.read.parquet(p))
     }
 
   /** Typed loader dispatch: the single place that knows which tables
