@@ -223,24 +223,45 @@ object PiiFns {
     * composition, and the streaming ingest-scrub twin — every column is
     * a stateless per-row scalar.
     */
+  // STAGED intermediates (the gopherGateFrame __gg_* discipline): each
+  // progressively-redacted text is a real projection column referenced
+  // TWICE (the next stage's input and its own count scan), which is
+  // exactly what keeps CollapseProject from re-inlining the regex
+  // chain into every consumer. This matters doubly since the card
+  // stage: the Luhn HOFs are CodegenFallback, and interpreted
+  // consumers don't share codegen's common-subexpression elimination —
+  // without staging, each of the three ccValid sites would recompute
+  // the full five-stage regex chain per row (measured ~1.5x on q53 at
+  // sf0.1).
+  private def stagedPii(df: DataFrame, textCol: String): DataFrame = df
+    .withColumn("__pii_ne", regexp_replace(col(textCol), EmailPattern, EmailToken))
+    .withColumn("__pii_ni", regexp_replace(col("__pii_ne"), Ipv4Pattern, IpToken))
+    .withColumn("__pii_np", regexp_replace(col("__pii_ni"), PhonePattern, PhoneToken))
+    .withColumn("__pii_ns", regexp_replace(col("__pii_np"), SsnPattern, SsnToken))
+    .withColumn("__pii_nb", regexp_replace(col("__pii_ns"), IbanPattern, IbanToken))
+    .withColumn("__pii_cc", ccValid(col("__pii_nb")))
+
+  /** APPEND `has_pii` to the frame, keeping every existing column — the
+    * manifest-composition shape: the gate stats and the PII bit come
+    * off ONE scan in one projection pass instead of two full text
+    * chains joined back on the id (the q200 plan had two documents
+    * scans + a broadcast join carrying nothing but this bit). Counts
+    * and redaction stay [[piiFrame]]'s job; the staged chain is shared.
+    */
+  def withHasPii(df: DataFrame, textCol: String): DataFrame =
+    stagedPii(df, textCol)
+      .withColumn("has_pii",
+        ((matchCount(col(textCol), EmailPattern) +
+          matchCount(col("__pii_ne"), Ipv4Pattern) +
+          matchCount(col("__pii_ni"), PhonePattern) +
+          matchCount(col("__pii_np"), SsnPattern) +
+          matchCount(col("__pii_ns"), IbanPattern) +
+          size(col("__pii_cc")).cast("long")) > 0).cast("long"))
+      .drop("__pii_ne", "__pii_ni", "__pii_np", "__pii_ns", "__pii_nb",
+        "__pii_cc")
+
   def piiFrame(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // STAGED intermediates (the gopherGateFrame __gg_* discipline): each
-    // progressively-redacted text is a real projection column referenced
-    // TWICE (the next stage's input and its own count scan), which is
-    // exactly what keeps CollapseProject from re-inlining the regex
-    // chain into every consumer. This matters doubly since the card
-    // stage: the Luhn HOFs are CodegenFallback, and interpreted
-    // consumers don't share codegen's common-subexpression elimination —
-    // without staging, each of the three ccValid sites would recompute
-    // the full five-stage regex chain per row (measured ~1.5x on q53 at
-    // sf0.1).
-    val staged = df
-      .withColumn("__pii_ne", regexp_replace(col(textCol), EmailPattern, EmailToken))
-      .withColumn("__pii_ni", regexp_replace(col("__pii_ne"), Ipv4Pattern, IpToken))
-      .withColumn("__pii_np", regexp_replace(col("__pii_ni"), PhonePattern, PhoneToken))
-      .withColumn("__pii_ns", regexp_replace(col("__pii_np"), SsnPattern, SsnToken))
-      .withColumn("__pii_nb", regexp_replace(col("__pii_ns"), IbanPattern, IbanToken))
-      .withColumn("__pii_cc", ccValid(col("__pii_nb")))
+    val staged = stagedPii(df, textCol)
     staged.select(
         col(idCol),
         matchCount(col(textCol), EmailPattern).as("email_count"),

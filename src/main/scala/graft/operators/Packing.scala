@@ -25,43 +25,77 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Range-bucket boundaries for a key the CALLER knows is near-uniform
+    * over `[lo, hi]` — a hash-derived ordering key (the Sampling
+    * mid-square priority, the q174 shuffle key): `n-1` evenly spaced
+    * literals, NO data pass. The prefix-sum result is identical under
+    * ANY contiguous range split (bucket totals + offsets recompose the
+    * same global sum — PackingSpec pins uniform-bounds == quantile-
+    * bounds bit-for-bit); uniformity only balances the per-bucket
+    * window work. This removes the approxQuantile driver action AND the
+    * persist that existed solely to share lineage between two actions —
+    * for a prefix sum over a heavy value chain (tokenization), one full
+    * upstream compute per call instead of two.
+    */
+  def uniformBounds(lo: Long, hi: Long, n: Int): Seq[Column] = {
+    require(hi >= lo, s"uniformBounds: empty range [$lo, $hi]")
+    val step = (hi - lo) / math.max(n, 1)
+    (1 until n).map(i => lit(lo + step * i))
+  }
+
+  private def bucketOf(orderCol: String, bounds: Seq[Column]): Column =
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+
   /** Add `outCol` = sum of `valueCol` over all rows strictly BEFORE the
     * current row in `orderCol` order (exclusive prefix sum), computed
     * with the two-phase plan above. `orderCol` must be globally unique
-    * and numeric.
+    * and numeric. `uniformRange` (see [[uniformBounds]]) skips the
+    * quantile sketch for hash-derived keys whose range is known a
+    * priori.
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                         outCol: String, numBuckets: Int = 0): DataFrame = {
+                         outCol: String, numBuckets: Int = 0,
+                         uniformRange: Option[(Long, Long)] = None): DataFrame = {
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    // The two driver actions below (quantile sketch + bucket totals) read
-    // a persisted pruned projection so the upstream lineage (scan +
-    // per-row value computation, e.g. tokenization) runs ONCE for both;
-    // the cache is released before returning — the final windowed job
-    // recomputes the cheap projection from lineage, keeping the operator
-    // leak-free across repeated calls.
-    val projected = df.select(col(orderCol), col(valueCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (bounds, totals) =
-      try {
-        // quantile boundaries of the ordering key: bucket membership
-        // becomes a pure function of the key value (plan literals)
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        val bs =
-          if (n == 1) Array.empty[Double]
-          else projected.stat.approxQuantile(orderCol, probs, 0.001)
-        val bCol = bs.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(orderCol) > b, 1).otherwise(0)
-        }
-        // one row per bucket — the only driver-side data, O(numBuckets)
-        val ts = projected.withColumn("__bkt", bCol).groupBy("__bkt")
+    val (bounds, totals) = uniformRange.map { case (lo, hi) =>
+      uniformBounds(lo, hi, n) } match {
+      case Some(bs) =>
+        // boundaries are plan literals — ONE driver action (the bucket
+        // totals), no persist needed to share lineage across actions
+        val ts = df.select(col(orderCol), col(valueCol))
+          .withColumn("__bkt", bucketOf(orderCol, bs)).groupBy("__bkt")
           .agg(sum(col(valueCol)).cast("long").as("__btotal"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         (bs, ts)
-      } finally projected.unpersist()
-    val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(orderCol) > b, 1).otherwise(0)
+      case None =>
+        // The two driver actions below (quantile sketch + bucket totals)
+        // read a persisted pruned projection so the upstream lineage
+        // (scan + per-row value computation, e.g. tokenization) runs
+        // ONCE for both; the cache is released before returning — the
+        // final windowed job recomputes the cheap projection from
+        // lineage, keeping the operator leak-free across repeated calls.
+        val projected = df.select(col(orderCol), col(valueCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // quantile boundaries of the ordering key: bucket membership
+          // becomes a pure function of the key value (plan literals)
+          val probs = (1 until n).map(_.toDouble / n).toArray
+          val bs: Seq[Column] =
+            if (n == 1) Seq.empty
+            else projected.stat.approxQuantile(orderCol, probs, 0.001)
+              .toSeq.map(lit)
+          // one row per bucket — the only driver-side data, O(numBuckets)
+          val ts = projected.withColumn("__bkt", bucketOf(orderCol, bs))
+            .groupBy("__bkt")
+            .agg(sum(col(valueCol)).cast("long").as("__btotal"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (bs, ts)
+        } finally projected.unpersist()
     }
+    val bucketCol: Column = bucketOf(orderCol, bounds)
     val bucketed = df.withColumn("__bkt", bucketCol)
     val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -81,8 +115,10 @@ object Packing {
     * the single-task global window, without the bottleneck.
     */
   def packByBudget(df: DataFrame, orderCol: String, tokenCol: String,
-                   budget: Long, packCol: String = "pack_id"): DataFrame =
-    exclusivePrefixSum(df, orderCol, tokenCol, "__tok_before")
+                   budget: Long, packCol: String = "pack_id",
+                   uniformRange: Option[(Long, Long)] = None): DataFrame =
+    exclusivePrefixSum(df, orderCol, tokenCol, "__tok_before",
+        uniformRange = uniformRange)
       .withColumn(packCol, (col("__tok_before") / budget).cast("long"))
       .drop("__tok_before")
 
@@ -103,23 +139,30 @@ object Packing {
   def groupedExclusivePrefixSum(df: DataFrame, groupCols: Seq[String],
                                 orderCol: String, tieCol: String,
                                 valueCol: String, outCol: String,
-                                numBuckets: Int = 0): DataFrame = {
+                                numBuckets: Int = 0,
+                                uniformRange: Option[(Long, Long)] = None)
+      : DataFrame = {
     require(groupCols.nonEmpty, "groupedExclusivePrefixSum needs group columns")
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val projected = df.select(
+    // uniformRange ([[uniformBounds]]): literal boundaries, so the grouped
+    // totals are the ONLY driver action — no quantile job, no persist
+    // (which existed solely to share lineage between the two actions)
+    val known = uniformRange.map { case (lo, hi) => uniformBounds(lo, hi, n) }
+    val projected0 = df.select(
         (groupCols :+ orderCol :+ valueCol).map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val projected =
+      if (known.isDefined) projected0
+      else projected0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (bounds, totals) =
       try {
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        val bs =
-          if (n == 1) Array.empty[Double]
+        val bs: Seq[Column] = known.getOrElse {
+          val probs = (1 until n).map(_.toDouble / n).toArray
+          if (n == 1) Seq.empty
           else projected.stat.approxQuantile(orderCol, probs, 0.001)
-        val bCol = bs.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(orderCol) > b, 1).otherwise(0)
+            .toSeq.map(lit)
         }
-        val collected = projected.withColumn("__bkt", bCol)
+        val collected = projected.withColumn("__bkt", bucketOf(orderCol, bs))
           .groupBy((groupCols.map(col) :+ col("__bkt")): _*)
           .agg(sum(col(valueCol)).cast("long").as("__btotal"))
           .collect()
@@ -144,11 +187,8 @@ object Packing {
             -> r.getLong(groupCols.size + 1))
           .toMap
         (bs, ts)
-      } finally projected.unpersist()
-    val bucketCol: Column = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(orderCol) > b, 1).otherwise(0)
-    }
-    val bucketed = df.withColumn("__bkt", bucketCol)
+      } finally projected.unpersist() // no-op on the unpersisted knownBounds path
+    val bucketed = df.withColumn("__bkt", bucketOf(orderCol, bounds))
     val w = Window
       .partitionBy((groupCols.map(col) :+ col("__bkt")): _*)
       .orderBy(col(orderCol), col(tieCol))

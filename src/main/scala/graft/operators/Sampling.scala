@@ -102,9 +102,17 @@ object Sampling {
                           weightCol: Option[String] = None): DataFrame = {
     val pr = weightCol.map(wc => priority(idCol, wc, seed))
       .getOrElse(expr(prioritySql(idCol, "1", seed)))
+    // Unweighted priorities are h(id) * Scale with h uniform on [0, M):
+    // the prefix sum's range buckets come from literal evenly spaced
+    // boundaries (Packing.uniformBounds) instead of an approxQuantile
+    // job — same result under any contiguous split, one driver action
+    // fewer per mix. Weighted priorities divide by the weight and are
+    // no longer uniform; those keep the quantile sketch.
+    val range = if (weightCol.isEmpty) Some((0L, (M - 1) * Scale)) else None
     Packing.groupedExclusivePrefixSum(
         df.withColumn("priority", pr),
-        groupCols, "priority", idCol, tokenCol, "tokens_before")
+        groupCols, "priority", idCol, tokenCol, "tokens_before",
+        uniformRange = range)
       .filter(col("tokens_before") < col(budgetCol))
   }
 

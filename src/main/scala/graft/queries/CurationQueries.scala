@@ -153,14 +153,25 @@ object CurationQueries {
         val tagged = docs.select(col("doc_id"), col("lang"))
           .join(lmScores(s, d).select(col("doc_id"), col("avg_millibits")),
             Seq("doc_id"))
-        ccnetTag(tagged, ccnetCuts(tagged))
-          .join(docs.select(col("doc_id"),
+        // the BPE token count is the artifact build's CPU cost —
+        // Scatter.even widens a narrower-than-the-cluster scan so the
+        // REPLACE-chain tokenizer runs on every core (identity at scale)
+        val counted = graft.operators.Scatter.even(
+            docs.select(col("doc_id"), col("text")), Seq(col("doc_id")))
+          .select(col("doc_id"),
             graft.operators.Bpe.tokenCount(
-              graft.operators.Bpe.encode(col("text"))).as("n_tok")),
-            Seq("doc_id"))
+              graft.operators.Bpe.encode(col("text"))).as("n_tok"))
+        ccnetTag(tagged, ccnetCuts(tagged))
+          .join(counted, Seq("doc_id"))
           .withColumn("token_budget",
             when(col("bucket") === "head", 6000L)
               .when(col("bucket") === "middle", 3000L).otherwise(1000L))
+          // NOT repartitioned to cluster width before the persist
+          // (unlike the shingle/minhash index artifacts): measured at
+          // sf0.1, every consumer of this table is shuffle-bound (window
+          // sums, broadcast joins), not per-row-CPU-bound, and a 32-
+          // partition cache added ~0.4 s of per-stage task overhead to
+          // q221/q223 against no win — the coalesced layout is right here
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -256,15 +267,21 @@ object CurationQueries {
       substrMaxPermille: Long = 300L,
       lmScores: Option[DataFrame] = None,
       lmMaxAvgMillibits: Long = LmKeepMaxAvgMillibits): DataFrame = {
-    val gated = TextFns.gopherGateFrame(docs, "text")
-    val pii = PiiFns.piiFrame(docs, "doc_id", "text")
-      .select(col("doc_id"), col("has_pii"))
+    // ONE scan, one projection pass: the gate stats and the PII bit are
+    // both per-row scalars over the same text — computing them in two
+    // frames joined on doc_id paid a second full scan + text chain plus
+    // a broadcast exchange carrying nothing but the bit. Scatter.even
+    // first (identity at scale): both heavy chains run post-shuffle on
+    // every core instead of at one-row-group scan parallelism.
+    val spread = graft.operators.Scatter.even(docs, Seq(col("doc_id")))
+    val gated = PiiFns.withHasPii(
+      TextFns.gopherGateFrame(spread, "text"), "text")
     val victims = graft.operators.Dedup
       .connectedComponents(pairs)
       .filter(col("component") =!= col("doc"))
       .select(col("doc").as("doc_id"), lit(1L).as("is_victim"))
     val bucket = hashBucket(col("doc_id"))
-    val joined = gated.join(pii, "doc_id")
+    val joined = gated
       .join(victims, Seq("doc_id"), "left")
       .withColumn("is_victim", coalesce(col("is_victim"), lit(0L)))
     val keep4 = col("pass_gate") === 1L && col("has_pii") === 0L &&
@@ -802,9 +819,12 @@ object CurationQueries {
         val key = expr(
           "(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
             " % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id")
+        // k's high 31 bits are the uniform mid-square hash — literal
+        // range buckets, no quantile job (the q223 discipline)
         graft.operators.Packing.exclusivePrefixSum(
             Tables.documents(s, d).select($"doc_id", key.as("k"), lit(1L).as("__one")),
-            "k", "__one", "pos0")
+            "k", "__one", "pos0",
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
           .select($"doc_id", ($"pos0" + 1L).as("pos"))
           .orderBy($"doc_id")
       },
@@ -1686,8 +1706,13 @@ object CurationQueries {
           expr("(((doc_id + 7) % 2147483647) * ((doc_id + 7) % 2147483647))" +
             " % 2147483647 * 48271 % 2147483647 * 4294967296 + doc_id")
             .as("shuffle_key"))
+        // shuffle_key = (mid-square h) * 2^32 + doc_id with h uniform on
+        // [0, M): literal range buckets (Packing.uniformBounds) replace
+        // the approxQuantile job — same pack assignment under any
+        // contiguous split, one driver action fewer per run
         graft.operators.Packing
-          .packByBudget(keyed, "shuffle_key", "n_tok", 512L)
+          .packByBudget(keyed, "shuffle_key", "n_tok", 512L,
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
           .select($"doc_id", $"lang", $"bucket", $"n_tok",
             $"shuffle_key", $"pack_id")
           .orderBy($"doc_id")
@@ -1752,10 +1777,13 @@ object CurationQueries {
             " violated (need 0 <= doc_id < 2^29 and epoch < 8; got doc_id='," +
             " doc_id, ', epoch=', epoch, ') — keys would collide and" +
             " positions become nondeterministic')) as bigint), 0)")
+        // k's high 31 bits are the uniform mid-square hash — literal
+        // range buckets, no quantile job (the q223 discipline)
         graft.operators.Packing.exclusivePrefixSum(
             exploded.select($"doc_id", $"epoch".cast("long").as("epoch"),
               $"source", key.as("k"), lit(1L).as("__one")),
-            "k", "__one", "pos0")
+            "k", "__one", "pos0",
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
           .select($"doc_id", $"epoch", $"source", ($"pos0" + 1L).as("pos"))
           .orderBy($"doc_id", $"epoch")
       },
@@ -1793,9 +1821,14 @@ object CurationQueries {
         // arithmetic over the same two-phase prefix sum — no new
         // exchange beyond q141's; the oracle is the single-task window
         // plus the identical div/mod arithmetic.
-        val docs = Tables.documents(s, d).select($"doc_id",
-          graft.operators.Bpe.tokenCount(
-            graft.operators.Bpe.encode($"text")).as("n_tok"))
+        // Scatter.even widens a narrower-than-the-cluster scan first
+        // (identity at scale) so the REPLACE-chain tokenizer runs on
+        // every core in each of the prefix-sum passes (the q141 shape)
+        val docs = graft.operators.Scatter.even(
+            Tables.documents(s, d).select($"doc_id", $"text"), Seq($"doc_id"))
+          .select($"doc_id",
+            graft.operators.Bpe.tokenCount(
+              graft.operators.Bpe.encode($"text")).as("n_tok"))
         graft.operators.Packing.exclusivePrefixSum(
             docs, "doc_id", "n_tok", "tok_before")
           .select($"doc_id", $"n_tok",

@@ -1083,21 +1083,33 @@ object Relational {
         // self-joins shuffle once on l_orderkey (co-partitioned); the
         // supplier dim broadcasts; deterministic top-20 (count desc,
         // unique name asc).
+        // The EXISTS/NOT-EXISTS pair reduces to per-ORDER supplier
+        // counts — no self-join rows ever materialize:
+        //   exists b (same order, other supp)      <=> the order has >= 2
+        //     distinct suppliers (late rows are lineitem rows, so a's
+        //     own supplier is always among them);
+        //   not exists c in late (other supp)      <=> the order has
+        //     exactly ONE distinct late supplier — a itself, which
+        //     min(l_suppkey) then recovers.
+        // Two keyed aggregations + one key equi-join replace the
+        // mixed-equi semi + anti self-joins (the anti side planned as a
+        // sort-merge join of the distinct pair tables); the shuffles
+        // stay co-partitioned on the order key and the per-order frames
+        // are |orders|-sized. Same blamed set row-for-row (oracle
+        // unchanged).
         val o = Tables.orders(s, d).filter($"o_orderstatus" === "F")
           .select($"o_orderkey", $"o_orderdate")
-        val lines = Tables.lineitem(s, d)
-          .select($"l_orderkey", $"l_suppkey").distinct()
-        val late = Tables.lineitem(s, d)
+        val nSupp = Tables.lineitem(s, d)
+          .groupBy($"l_orderkey")
+          .agg(count_distinct($"l_suppkey").as("n_supp"))
+        val lateAgg = Tables.lineitem(s, d)
           .join(o, $"l_orderkey" === $"o_orderkey")
           .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
-          .select($"l_orderkey", $"l_suppkey").distinct()
-        val blamed = late.as("a")
-          .join(lines.as("b"),
-            $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_suppkey" =!= $"b.l_suppkey",
-            "left_semi")
-          .join(late.as("c"),
-            $"a.l_orderkey" === $"c.l_orderkey" && $"a.l_suppkey" =!= $"c.l_suppkey",
-            "left_anti")
+          .groupBy($"l_orderkey")
+          .agg(count_distinct($"l_suppkey").as("n_late"),
+            min($"l_suppkey").as("l_suppkey"))
+        val blamed = lateAgg.filter($"n_late" === 1)
+          .join(nSupp.filter($"n_supp" >= 2), Seq("l_orderkey"), "left_semi")
         blamed.groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
           .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
             $"l_suppkey" === $"s_suppkey")

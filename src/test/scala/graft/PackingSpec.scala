@@ -42,6 +42,37 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 12L))
   }
 
+  test("uniformRange literal bounds == quantile bounds bit-for-bit (grouped and ungrouped)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // hash-derived keys (the mid-square priority / q174 shuffle-key
+    // family): the uniform-bounds fast path must reproduce the quantile
+    // path EXACTLY — the prefix sum is invariant under any contiguous
+    // range split, so only the bucket boundaries differ, never the sums
+    val rows = (0L until 4000L).map { id =>
+      val x = (id + 17) % Sampling.M
+      val h = x * x % Sampling.M * Sampling.A % Sampling.M
+      (id, h * 4294967296L + id, (id % 37 + 1).toInt)
+    }.toDF("id", "k", "v").repartition(16)
+    val range = Some((0L, (Sampling.M - 1) * 4294967296L))
+    val fast = Packing.exclusivePrefixSum(rows, "k", "v", "pre",
+        numBuckets = 8, uniformRange = range)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    val slow = Packing.exclusivePrefixSum(rows, "k", "v", "pre",
+        numBuckets = 8)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    assert(fast.size == 4000 && fast == slow)
+    // grouped: same invariance with group columns in play
+    val grouped = rows.withColumn("g", ($"id" % 3).cast("string"))
+    val gFast = Packing.groupedExclusivePrefixSum(grouped, Seq("g"),
+        "k", "id", "v", "pre", numBuckets = 8, uniformRange = range)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    val gSlow = Packing.groupedExclusivePrefixSum(grouped, Seq("g"),
+        "k", "id", "v", "pre", numBuckets = 8)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    assert(gFast.size == 4000 && gFast == gSlow)
+  }
+
   test("token-true packing: BPE counts through the two-phase plan equal the global window (q141 shape)") {
     import spark.implicits._
     import graft.operators.Bpe
