@@ -120,6 +120,11 @@ object NgramRep {
     // (c DESC, g ASC) marks EVERY occurrence row of the winning gram
     // with rank 1 (same count, same key), so the top tier keeps whole
     // occurrence sets, not single rows.
+    // (r19 note: splitting the tiers — dup filter + an aggregated
+    // winner joined back — was tried and measured 3x SLOWER: each tier
+    // branch re-references the count-window subtree, and Spark reuses
+    // only exchanges, so the window recomputed once per reference. The
+    // linear two-window chain keeps every operator single-pass.)
     val byGram = Window.partitionBy(col("doc_id"), col("n"), col("g"))
     val byDocN = Window.partitionBy(col("doc_id"), col("n"))
       .orderBy(col("c").desc, col("g").asc)

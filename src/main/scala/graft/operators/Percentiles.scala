@@ -59,13 +59,45 @@ object Percentiles {
     val valueCols = byValueCol.map(_._1)
     // ONE approxQuantile pass computes every value column's bucket bounds
     // (the multi-column overload scans the input once), instead of one
-    // driver job per distinct value column
+    // driver job per distinct value column. Accuracy 0.01, not 0.001:
+    // the bounds only BUCKET — the exact answer is rank-selected inside
+    // whatever buckets result, identical under any contiguous split
+    // (PercentilesSpec pins equality with the built-in) — so the sketch
+    // precision buys nothing beyond balance, at ~2x the sketch cost.
     val boundsByCol: Map[String, Array[Double]] =
       if (n == 1) valueCols.map(_ -> Array.empty[Double]).toMap
       else valueCols.zip(df.stat.approxQuantile(valueCols.toArray,
-        (1 until n).map(_.toDouble / n).toArray, 0.001)).toMap
-    byValueCol.map { case (valueCol, colSpecs) =>
-      forOneColumn(df, groupCol, valueCol, colSpecs, boundsByCol(valueCol))
+        (1 until n).map(_.toDouble / n).toArray, 0.01)).toMap
+    // ONE per-(group, column, bucket) counting job for ALL value columns
+    // (each column's count row carries its column index): the counts
+    // drive the driver-side rank restriction, and one fused aggregation
+    // replaces |columns| scan+collect jobs. The fused limit is
+    // (cap+1)·|columns|; if it comes back FULL the result may be
+    // truncated arbitrarily across columns, so every column falls back
+    // to its own capped collect (the pre-fusion path) — completeness is
+    // only assumed when the limit was provably not hit.
+    val fusedLimit = (MaxDriverCells + 1) * valueCols.size
+    val cellStructs = valueCols.zipWithIndex.map { case (vc, i) =>
+      val bkt = boundsByCol(vc).foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(vc) > b, 1).otherwise(0)
+      }
+      struct(lit(i).as("ci"), bkt.as("bkt"), col(vc).isNotNull.as("nn"))
+    }
+    val fused = df
+      .select(col(groupCol), explode(array(cellStructs: _*)).as("e"))
+      .filter(col("e.nn"))
+      .groupBy(col(groupCol), col("e.ci").as("ci"), col("e.bkt").as("bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .limit(fusedLimit).collect()
+    val cellsByCol: Option[Map[Int, Array[org.apache.spark.sql.Row]]] =
+      if (fused.length >= fusedLimit) None
+      else Some(fused.groupBy(_.getInt(1)).map { case (ci, rows) =>
+        ci -> rows.map(r => org.apache.spark.sql.Row(r.get(0), r.getInt(2),
+          r.getLong(3)))
+      })
+    byValueCol.zipWithIndex.map { case ((valueCol, colSpecs), ci) =>
+      forOneColumn(df, groupCol, valueCol, colSpecs, boundsByCol(valueCol),
+        cellsByCol.map(_.getOrElse(ci, Array.empty)))
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
   }
 
@@ -92,7 +124,9 @@ object Percentiles {
 
   private def forOneColumn(df: DataFrame, groupCol: String, valueCol: String,
                            colSpecs: Seq[(String, Double, String)],
-                           bounds: Array[Double]): DataFrame = {
+                           bounds: Array[Double],
+                           precomputedCells: Option[Array[org.apache.spark.sql.Row]])
+      : DataFrame = {
     val spark = df.sparkSession
     // nulls are ignored like the built-in percentile's (unfiltered they
     // would be counted in __n and ranked first by row_number)
@@ -119,7 +153,11 @@ object Percentiles {
     // the needed-bucket ranking) with no duplicated aggregation subtree
     // (a distributed needed-join was measured SLOWER at bench scale:
     // three copies of the counts subtree and two extra AQE stage waves).
-    val cells = counts.limit(MaxDriverCells + 1).collect()
+    // the fused all-columns counting job supplies this column's cells
+    // when its limit provably wasn't hit; otherwise one capped collect
+    // per column (the pre-fusion path)
+    val cells = precomputedCells.getOrElse(
+      counts.limit(MaxDriverCells + 1).collect())
     val (rankedRaw, targets) = if (cells.length <= MaxDriverCells) {
       import org.apache.spark.sql.types._
       import scala.jdk.CollectionConverters._

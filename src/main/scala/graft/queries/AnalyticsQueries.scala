@@ -424,9 +424,17 @@ object AnalyticsQueries {
         // a zero-length interval. Three window passes partitioned by the
         // key and one grouped agg — no self-join, no driver state; each
         // customer's history lives in one partition's sort run.
+        // ONE key exchange serves the whole chain (guide §2.4 "two
+        // operations keyed the same way can share one exchange"): the
+        // snapshot window needs clustering on (custkey, orderdate), which
+        // hash(custkey) already provides, and every later window and the
+        // group-by are custkey-clustered too — without the explicit
+        // repartition the planner exchanges on (custkey, orderdate) first
+        // and again on custkey (3 exchanges → 2).
         val wd = Window.partitionBy($"o_custkey", $"o_orderdate").orderBy($"o_orderkey".desc)
         val daily = Tables.orders(s, d)
           .select($"o_custkey", $"o_orderpriority", $"o_orderdate", $"o_orderkey")
+          .repartition($"o_custkey")
           .withColumn("rn", row_number().over(wd))
           .filter($"rn" === 1)
           .drop("rn")

@@ -597,7 +597,8 @@ object BehaviorQueries {
         // per column (the standard way to tell a real NULL from a
         // super-aggregate row). One shuffle: Spark expands the sets
         // map-side (Expand node), aggregates once.
-        Tables.lineitem(s, d)
+        graft.operators.Scatter.even(
+            Tables.lineitem(s, d), Seq($"l_orderkey", $"l_linenumber"))
           .groupingSets(
             Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
               Seq($"l_linestatus"), Seq.empty),
@@ -630,7 +631,11 @@ object BehaviorQueries {
         // raw date/timestamp cells) and counts as longs (rule 10);
         // day-of-week is deliberately absent — the engines number
         // weekdays differently.
-        Tables(s, d, "orders")
+        // per-row calendar chain behind the ORDER BY's own range
+        // exchange (Scatter.ordered): same plan shape, every core
+        // formatting instead of the one-row-group scan task
+        graft.operators.Scatter.ordered(
+          Tables(s, d, "orders"), Seq($"o_orderkey")) { t => t
           .select(
             $"o_orderkey",
             year($"o_orderdate").cast("long").as("y"),
@@ -641,7 +646,7 @@ object BehaviorQueries {
             date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
             date_format(date_add(to_date($"o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
             datediff(to_date($"o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"))
-          .orderBy($"o_orderkey")
+        }
       },
       Some("""
         SELECT o_orderkey,

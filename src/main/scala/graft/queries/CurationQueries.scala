@@ -1535,7 +1535,12 @@ object CurationQueries {
         // Whitespace words are counted nonempty (the q141 words-CTE
         // convention); fertility_milli >= 1000 whenever words exist
         // (a word is >= 1 token) is spec-pinned.
-        val perDoc = Tables.documents(s, d).select(
+        // Scatter.even (identity at scale): the REPLACE-chain tokenizer
+        // otherwise runs on the one-row-group scan's single task
+        val perDoc = graft.operators.Scatter.even(
+            Tables.documents(s, d).select($"doc_id", $"lang", $"text"),
+            Seq($"doc_id"))
+          .select(
           $"lang",
           size(filter(split($"text", " "), w => length(w) > 0))
             .cast("long").as("nw"),

@@ -167,8 +167,12 @@ object Relational {
       "q01_pricing_summary",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
-          .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+        // Scatter.even (identity at scale): the one-row-group scan runs
+        // the decimal partial aggregation on one core otherwise
+        graft.operators.Scatter.even(
+            Tables.lineitem(s, d)
+              .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp")),
+            Seq($"l_orderkey", $"l_linenumber"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
@@ -329,7 +333,8 @@ object Relational {
         // bounded by ONE customer's order count (group key = the natural
         // entity), not corpus-scaled — the semantics require the full
         // per-customer key list.
-        Tables.orders(s, d)
+        graft.operators.Scatter.even(
+            Tables.orders(s, d), Seq($"o_orderkey"))
           .groupBy($"o_custkey")
           .agg(
             max($"o_orderdate").as("last_order"),
@@ -535,7 +540,8 @@ object Relational {
         import s.implicits._
         // Batch-expressible tumbling window over the events stream table;
         // the streaming variant lives in graft.streaming.
-        Tables.events(s, d)
+        graft.operators.Scatter.even(
+            Tables.events(s, d), Seq($"event_id"))
           .withColumn("hour", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss"))
           .groupBy($"hour", $"event_type")
           .agg(count(lit(1)).as("n"),
@@ -584,7 +590,8 @@ object Relational {
       "q29_rollup",
       (s, d) => {
         import s.implicits._
-        Tables.lineitem(s, d)
+        graft.operators.Scatter.even(
+            Tables.lineitem(s, d), Seq($"l_orderkey", $"l_linenumber"))
           .rollup($"l_returnflag", $"l_linestatus")
           .agg(count(lit(1)).as("n"),
             sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
@@ -841,7 +848,8 @@ object Relational {
         // (l_returnflag) alone is absent. grouping_id disambiguates
         // aggregated-away nulls; (gid, returnflag, linestatus) is a unique
         // order key across sets.
-        Tables.lineitem(s, d)
+        graft.operators.Scatter.even(
+            Tables.lineitem(s, d), Seq($"l_orderkey", $"l_linenumber"))
           .groupingSets(
             Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_linestatus"), Seq.empty),
             $"l_returnflag", $"l_linestatus")

@@ -173,6 +173,10 @@ object TextQueries {
         // (pos, id) structs, array_sort, project) — order-safe under
         // any partitioning, emitted as a joined string per the
         // determinism rules. OOV → 0, the conventional UNK id.
+        // (r19: Scatter.even before this explode was measured a NET LOSS
+        // — the explode feeds map-side-combining aggregates, so the
+        // pre-explode text shuffle costs more than the single-task
+        // tokenization it parallelizes; same finding on q188/q189.)
         val toks = Tables.documents(s, d)
           .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "token")))
           .filter(length($"token") > 0)
@@ -287,21 +291,32 @@ object TextQueries {
       // is the engine's standard md5 idiom (q37), replayed exactly by
       // the oracle. One scan + one bounded agg; the dense grid is
       // docs × 32 — output-sized, never corpus × vocab.
+      // The dense 32-dim vector is assembled from the sparse per-doc
+      // counts via a map lookup over the fixed bucket range — the
+      // earlier docs × 32 grid explode + (doc_id, b) join shuffled 32
+      // rows per doc to fill zeros a per-row expression can fill for
+      // free; only empty-token docs need the left-join backfill. (No
+      // Scatter here: the explode already widens the stream ahead of a
+      // map-side-combining aggregate, and the added exchange measured
+      // as a net loss.)
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
         .filter(length($"tok") > 0)
         .select($"doc_id",
           (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 32).as("b"))
-      val counts = toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("n"))
-      Tables.documents(s, d)
-        .select($"doc_id", explode(sequence(lit(0L), lit(31L))).as("b"))
-        .join(counts, Seq("doc_id", "b"), "left")
-        .select($"doc_id", $"b", coalesce($"n", lit(0L)).as("n"))
+      val vecs = toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("n"))
         .groupBy($"doc_id")
-        .agg(
-          array_join(transform(array_sort(collect_list(struct($"b", $"n"))),
-            x => x.getField("n").cast("string")), " ").as("vec"),
-          sum($"n").as("n_tokens"))
+        .agg(collect_list(struct($"b", $"n")).as("bn"), sum($"n").as("nt"))
+        .withColumn("m", map_from_entries($"bn"))
+        .select($"doc_id",
+          array_join(transform(sequence(lit(0L), lit(31L)),
+            b => coalesce(element_at($"m", b), lit(0L)).cast("string")), " ")
+            .as("v"), $"nt")
+      Tables.documents(s, d).select($"doc_id")
+        .join(vecs, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"v", lit(Seq.fill(32)("0").mkString(" "))).as("vec"),
+          coalesce($"nt", lit(0L)).as("n_tokens"))
         .orderBy($"doc_id")
     },
     Some("""
