@@ -57,46 +57,46 @@ object Packing {
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          outCol: String, numBuckets: Int = 0,
-                         uniformRange: Option[(Long, Long)] = None): DataFrame = {
+                         uniformRange: Option[(Long, Long)] = None,
+                         materialize: Boolean = true): DataFrame = {
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val (bounds, totals) = uniformRange.map { case (lo, hi) =>
-      uniformBounds(lo, hi, n) } match {
-      case Some(bs) =>
-        // boundaries are plan literals — ONE driver action (the bucket
-        // totals), no persist needed to share lineage across actions
-        val ts = df.select(col(orderCol), col(valueCol))
-          .withColumn("__bkt", bucketOf(orderCol, bs)).groupBy("__bkt")
-          .agg(sum(col(valueCol)).cast("long").as("__btotal"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        (bs, ts)
-      case None =>
-        // The two driver actions below (quantile sketch + bucket totals)
-        // read a persisted pruned projection so the upstream lineage
-        // (scan + per-row value computation, e.g. tokenization) runs
-        // ONCE for both; the cache is released before returning — the
-        // final windowed job recomputes the cheap projection from
-        // lineage, keeping the operator leak-free across repeated calls.
-        val projected = df.select(col(orderCol), col(valueCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // quantile boundaries of the ordering key: bucket membership
-          // becomes a pure function of the key value (plan literals)
-          val probs = (1 until n).map(_.toDouble / n).toArray
-          val bs: Seq[Column] =
-            if (n == 1) Seq.empty
-            else projected.stat.approxQuantile(orderCol, probs, 0.001)
-              .toSeq.map(lit)
-          // one row per bucket — the only driver-side data, O(numBuckets)
-          val ts = projected.withColumn("__bkt", bucketOf(orderCol, bs))
-            .groupBy("__bkt")
-            .agg(sum(col(valueCol)).cast("long").as("__btotal"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          (bs, ts)
-        } finally projected.unpersist()
-    }
+    // ONE materialization serves every phase (r19): the input is
+    // localCheckpoint'd (lazily — the first driver action below runs
+    // the upstream plan), so the heavy per-row value chain feeding
+    // `valueCol` (tokenization in the packing rows) computes EXACTLY
+    // ONCE per call; the quantile sketch (when needed), the bucket
+    // totals, and the caller's final windowed job all read the same
+    // executor-local blocks. Callers pass pruned frames (a few numeric
+    // columns — guide §2.3), so the blocks are narrow; the
+    // ContextCleaner releases them when the returned frame dies.
+    // (The previous shape persisted a pruned projection for the driver
+    // actions but let the final job RECOMPUTE the chain from lineage —
+    // one extra full pass of the heaviest work per call.)
+    // `materialize = false` opts a CHEAP value chain (a literal count
+    // over a bare scan) back into plain two-pass lineage: re-scanning
+    // columnar parquet twice beats one row-block store+read (measured
+    // on q163); the quantile path always snapshots — its extra sketch
+    // pass made even cheap chains lose without one.
+    val snap =
+      if (materialize || uniformRange.isEmpty) df.localCheckpoint(false)
+      else df
+    val bounds: Seq[Column] = uniformRange
+      .map { case (lo, hi) => uniformBounds(lo, hi, n) }
+      .getOrElse {
+        // quantile boundaries of the ordering key: bucket membership
+        // becomes a pure function of the key value (plan literals)
+        if (n == 1) Seq.empty
+        else snap.stat.approxQuantile(
+          orderCol, (1 until n).map(_.toDouble / n).toArray, 0.001)
+          .toSeq.map(lit)
+      }
     val bucketCol: Column = bucketOf(orderCol, bounds)
-    val bucketed = df.withColumn("__bkt", bucketCol)
+    val bucketed = snap.withColumn("__bkt", bucketCol)
+    // one row per bucket — the only driver-side data, O(numBuckets)
+    val totals = bucketed.groupBy("__bkt")
+      .agg(sum(col(valueCol)).cast("long").as("__btotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val w = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed
@@ -116,9 +116,10 @@ object Packing {
     */
   def packByBudget(df: DataFrame, orderCol: String, tokenCol: String,
                    budget: Long, packCol: String = "pack_id",
-                   uniformRange: Option[(Long, Long)] = None): DataFrame =
+                   uniformRange: Option[(Long, Long)] = None,
+                   materialize: Boolean = true): DataFrame =
     exclusivePrefixSum(df, orderCol, tokenCol, "__tok_before",
-        uniformRange = uniformRange)
+        uniformRange = uniformRange, materialize = materialize)
       .withColumn(packCol, (col("__tok_before") / budget).cast("long"))
       .drop("__tok_before")
 
@@ -140,29 +141,32 @@ object Packing {
                                 orderCol: String, tieCol: String,
                                 valueCol: String, outCol: String,
                                 numBuckets: Int = 0,
-                                uniformRange: Option[(Long, Long)] = None)
+                                uniformRange: Option[(Long, Long)] = None,
+                                materialize: Boolean = true)
       : DataFrame = {
     require(groupCols.nonEmpty, "groupedExclusivePrefixSum needs group columns")
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    // uniformRange ([[uniformBounds]]): literal boundaries, so the grouped
-    // totals are the ONLY driver action — no quantile job, no persist
-    // (which existed solely to share lineage between the two actions)
+    // ONE materialization serves every phase (r19, same shape as
+    // [[exclusivePrefixSum]]): localCheckpoint the pruned input lazily —
+    // the heavy value chain computes once; the optional quantile job,
+    // the grouped totals, and the final windowed job read the same
+    // narrow executor-local blocks (ContextCleaner-released).
     val known = uniformRange.map { case (lo, hi) => uniformBounds(lo, hi, n) }
-    val projected0 = df.select(
-        (groupCols :+ orderCol :+ valueCol).map(col): _*)
-    val projected =
-      if (known.isDefined) projected0
-      else projected0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snap =
+      if (materialize || known.isEmpty) df.localCheckpoint(false)
+      else df
     val (bounds, totals) =
-      try {
+      {
         val bs: Seq[Column] = known.getOrElse {
           val probs = (1 until n).map(_.toDouble / n).toArray
           if (n == 1) Seq.empty
-          else projected.stat.approxQuantile(orderCol, probs, 0.001)
+          else snap.stat.approxQuantile(orderCol, probs, 0.001)
             .toSeq.map(lit)
         }
-        val collected = projected.withColumn("__bkt", bucketOf(orderCol, bs))
+        val collected = snap
+          .select((groupCols :+ orderCol :+ valueCol).map(col): _*)
+          .withColumn("__bkt", bucketOf(orderCol, bs))
           .groupBy((groupCols.map(col) :+ col("__bkt")): _*)
           .agg(sum(col(valueCol)).cast("long").as("__btotal"))
           .collect()
@@ -187,8 +191,8 @@ object Packing {
             -> r.getLong(groupCols.size + 1))
           .toMap
         (bs, ts)
-      } finally projected.unpersist() // no-op on the unpersisted knownBounds path
-    val bucketed = df.withColumn("__bkt", bucketOf(orderCol, bounds))
+      }
+    val bucketed = snap.withColumn("__bkt", bucketOf(orderCol, bounds))
     val w = Window
       .partitionBy((groupCols.map(col) :+ col("__bkt")): _*)
       .orderBy(col(orderCol), col(tieCol))

@@ -42,11 +42,19 @@ object PageRank {
 
   private def base(n: Long): Long = (Scale * 15L) / (100L * n)
 
-  /** One synchronous round: pr' = base + ⌊0.85 · Σ_in ⌊pr/d⌋⌋. */
+  /** One synchronous round: pr' = base + ⌊0.85 · Σ_in ⌊pr/d⌋⌋.
+    *
+    * The per-node contribution ⌊pr/d⌋ is computed on the VECTOR-sized
+    * pr ⋈ deg join (both node-keyed, O(|V|)) and the edge list is then
+    * joined ONCE — the previous shape joined el against pr and deg
+    * separately, paying the big-side join twice per round for the same
+    * integers (guide §1.2: same passes, half the big-side join work).
+    */
   def step(el: DataFrame, deg: DataFrame, pr: DataFrame, n: Long): DataFrame =
-    el.join(pr.select(col("node").as("u"), col("pr")), "u")
-      .join(deg.select(col("node").as("u"), col("d")), "u")
-      .select(col("v"), expr("pr div d").as("contrib"))
+    el.join(
+        pr.join(deg, "node")
+          .select(col("node").as("u"), expr("pr div d").as("contrib")),
+        "u")
       .groupBy(col("v").as("node"))
       .agg(sum(col("contrib")).as("c"))
       .select(col("node"), (lit(base(n)) + expr("(85 * c) div 100")).as("pr"))

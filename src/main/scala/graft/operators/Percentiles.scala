@@ -49,7 +49,9 @@ object Percentiles {
     */
   def exactInterpolated(df: DataFrame, groupCol: String,
                         specs: Seq[(String, Double, String)],
-                        numBuckets: Int = 0): DataFrame = {
+                        numBuckets: Int = 0,
+                        envelope: Map[String, (Double, Double)] = Map.empty)
+      : DataFrame = {
     require(specs.nonEmpty, "at least one (valueCol, p, outName) spec required")
     specs.foreach { case (_, p, _) => require(p >= 0.0 && p <= 1.0, s"p out of range: $p") }
     val spark = df.sparkSession
@@ -64,10 +66,31 @@ object Percentiles {
     // whatever buckets result, identical under any contiguous split
     // (PercentilesSpec pins equality with the built-in) — so the sketch
     // precision buys nothing beyond balance, at ~2x the sketch cost.
-    val boundsByCol: Map[String, Array[Double]] =
-      if (n == 1) valueCols.map(_ -> Array.empty[Double]).toMap
-      else valueCols.zip(df.stat.approxQuantile(valueCols.toArray,
+    //
+    // `envelope` (r19, the [[Packing.uniformBounds]] discipline): a
+    // caller that KNOWS a column's value envelope a priori (a generator
+    // law, a spec-bounded score) supplies (lo, hi) and that column's
+    // bounds become evenly spaced literals — NO data pass. This is
+    // correctness-free tuning in the strictest sense: bounds only
+    // bucket, rank selection inside the buckets is exact under ANY
+    // contiguous split, and values OUTSIDE a mis-stated envelope merely
+    // land in the first/last bucket (balance degrades, the answer does
+    // not). The sketch job runs only for columns without an envelope.
+    val sketchCols = valueCols.filterNot(envelope.contains)
+    val sketched: Map[String, Array[Double]] =
+      if (n == 1 || sketchCols.isEmpty) Map.empty
+      else sketchCols.zip(df.stat.approxQuantile(sketchCols.toArray,
         (1 until n).map(_.toDouble / n).toArray, 0.01)).toMap
+    val boundsByCol: Map[String, Array[Double]] =
+      valueCols.map { vc =>
+        vc -> (if (n == 1) Array.empty[Double]
+               else envelope.get(vc) match {
+                 case Some((lo, hi)) =>
+                   val step = (hi - lo) / n
+                   (1 until n).map(i => lo + step * i).toArray
+                 case None => sketched(vc)
+               })
+      }.toMap
     // ONE per-(group, column, bucket) counting job for ALL value columns
     // (each column's count row carries its column index): the counts
     // drive the driver-side rank restriction, and one fused aggregation

@@ -112,7 +112,10 @@ object Sampling {
     Packing.groupedExclusivePrefixSum(
         df.withColumn("priority", pr),
         groupCols, "priority", idCol, tokenCol, "tokens_before",
-        uniformRange = range)
+        uniformRange = range,
+        // tokenCol is a stored column of the caller's (usually memoized)
+        // frame, not a computed chain — no snapshot on the uniform path
+        materialize = false)
       .filter(col("tokens_before") < col(budgetCol))
   }
 

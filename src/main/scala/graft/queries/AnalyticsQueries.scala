@@ -616,8 +616,10 @@ object AnalyticsQueries {
         // canonical triple join — same answer, different (non-scalable)
         // plan.
         val edges = coEdges(s, d) // memoized edge table (see above)
-        val deg = edges.select($"u".as("node")).union(edges.select($"v".as("node")))
-          .groupBy($"node").agg(count(lit(1)).as("deg"))
+        // the undirected degree IS q86's memoized both-ways degree table
+        // (each (u,v) edge counts once toward u and once toward v): reuse
+        // it instead of re-aggregating a 2|E|-row union per execution
+        val deg = coDegrees(s, d).select($"node", $"d".as("deg"))
         val oriented = edges
           .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
           .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
@@ -846,7 +848,10 @@ object AnalyticsQueries {
           li, "g", Seq(
             ("l_extendedprice", 0.25, "q1"),
             ("l_extendedprice", 0.50, "q2"),
-            ("l_extendedprice", 0.75, "q3")))
+            ("l_extendedprice", 0.75, "q3")),
+          // generator-law envelope (q35's note): literal bucket bounds,
+          // no sketch job; a violated envelope only unbalances buckets
+          envelope = Map("l_extendedprice" -> (900.0, 105000.0)))
           .head()
         val (q1, q2, q3) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
         li.select(

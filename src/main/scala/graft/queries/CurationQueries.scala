@@ -824,7 +824,10 @@ object CurationQueries {
         graft.operators.Packing.exclusivePrefixSum(
             Tables.documents(s, d).select($"doc_id", key.as("k"), lit(1L).as("__one")),
             "k", "__one", "pos0",
-            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)),
+            // literal-count value over a bare scan: two columnar passes
+            // beat one row-block snapshot (Packing r19 note)
+            materialize = false)
           .select($"doc_id", ($"pos0" + 1L).as("pos"))
           .orderBy($"doc_id")
       },
@@ -1717,7 +1720,9 @@ object CurationQueries {
         // contiguous split, one driver action fewer per run
         graft.operators.Packing
           .packByBudget(keyed, "shuffle_key", "n_tok", 512L,
-            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)),
+            // n_tok is a stored column of the memoized mix — cheap chain
+            materialize = false)
           .select($"doc_id", $"lang", $"bucket", $"n_tok",
             $"shuffle_key", $"pack_id")
           .orderBy($"doc_id")
@@ -1788,7 +1793,9 @@ object CurationQueries {
             exploded.select($"doc_id", $"epoch".cast("long").as("epoch"),
               $"source", key.as("k"), lit(1L).as("__one")),
             "k", "__one", "pos0",
-            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)))
+            uniformRange = Some((0L, (graft.operators.Sampling.M - 1) * 4294967296L)),
+            // literal-count value over the cheap epoch explode: no snapshot
+            materialize = false)
           .select($"doc_id", $"epoch", $"source", ($"pos0" + 1L).as("pos"))
           .orderBy($"doc_id", $"epoch")
       },

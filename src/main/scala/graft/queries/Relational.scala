@@ -679,11 +679,19 @@ object Relational {
         // per-group value map in one aggregation buffer (executor-memory
         // bomb for near-unique doubles at 100 TB). Percentiles is
         // bit-identical (PercentilesSpec) and never co-locates a group.
+        // envelope = the TPC-H generator laws (quantity uniform on
+        // [1,50]; extendedprice = quantity × retailprice ∈ [900,105000]
+        // at every SF): literal bucket bounds, NO sketch job. A violated
+        // envelope only unbalances buckets — rank selection inside them
+        // stays exact (Percentiles r19 note).
         graft.operators.Percentiles.exactInterpolated(
             Tables.lineitem(s, d), "l_returnflag", Seq(
               ("l_quantity", 0.5, "p50_qty"),
               ("l_extendedprice", 0.25, "p25_price"),
-              ("l_extendedprice", 0.95, "p95_price")))
+              ("l_extendedprice", 0.95, "p95_price")),
+            envelope = Map(
+              "l_quantity" -> (1.0, 50.0),
+              "l_extendedprice" -> (900.0, 105000.0)))
           .select($"l_returnflag", $"p50_qty", $"p25_price", $"p95_price")
           .orderBy($"l_returnflag")
       },
@@ -1320,7 +1328,11 @@ object Relational {
         // map-side-combined aggregation pass.
         val xc = round($"l_quantity" * 100).cast("long")
         val yc = round($"l_extendedprice" * 100).cast("long")
-        Tables.lineitem(s, d)
+        // Scatter.even (identity at scale): the round/decimal moment
+        // chain is the q01-family shape — partial aggregation must not
+        // run on the one-row-group scan task
+        graft.operators.Scatter.even(
+            Tables.lineitem(s, d), Seq($"l_orderkey", $"l_linenumber"))
           .select($"l_returnflag", xc.as("xc"), yc.as("yc"))
           .groupBy($"l_returnflag")
           .agg(

@@ -596,7 +596,16 @@ object SimQueries {
         val unit = (c: org.apache.spark.sql.Column) => VectorFns.unitVector(c)
         val bench = emb.filter($"vec_id" % 20 === 0)
           .select(unit($"embedding").as("vb"))
-        emb.filter($"vec_id" % 20 =!= 0)
+        // Scatter.even (identity at scale): the broadcast nested-loop
+        // anti join evaluates |bench| dots per train row INSIDE the scan
+        // stage — on a one-row-group input that is the whole train×bench
+        // dot grid on one core. One exchange of (vec_id, embedding)
+        // moves the quadratic work to every core; the join itself never
+        // shuffles (broadcast), so semantics and scale shape are
+        // unchanged.
+        graft.operators.Scatter.even(
+            emb.filter($"vec_id" % 20 =!= 0).select($"vec_id", $"embedding"),
+            Seq($"vec_id"))
           .select($"vec_id", unit($"embedding").as("va"))
           .join(broadcast(bench), VectorFns.dotPre($"va", $"vb") >= 0.45, "left_anti")
           .select($"vec_id")

@@ -71,6 +71,18 @@ class PackingSpec extends AnyFunSuite {
         "k", "id", "v", "pre", numBuckets = 8)
       .select($"id", $"pre").as[(Long, Long)].collect().toMap
     assert(gFast.size == 4000 && gFast == gSlow)
+    // materialize=false (plain two-pass lineage, no localCheckpoint
+    // snapshot — the cheap-value-chain opt-out) must be bit-identical
+    // on both shapes
+    val fastNoSnap = Packing.exclusivePrefixSum(rows, "k", "v", "pre",
+        numBuckets = 8, uniformRange = range, materialize = false)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    assert(fastNoSnap == slow)
+    val gFastNoSnap = Packing.groupedExclusivePrefixSum(grouped, Seq("g"),
+        "k", "id", "v", "pre", numBuckets = 8, uniformRange = range,
+        materialize = false)
+      .select($"id", $"pre").as[(Long, Long)].collect().toMap
+    assert(gFastNoSnap == gSlow)
   }
 
   test("token-true packing: BPE counts through the two-phase plan equal the global window (q141 shape)") {

@@ -77,6 +77,30 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got.head.getDouble(1) == 2.0)
   }
 
+  test("envelope literal bounds == builtin, even under a WRONG envelope") {
+    val li = Tables.lineitem(spark, sf)
+    val specs = Seq(
+      ("l_quantity", 0.5, "p50_qty"),
+      ("l_extendedprice", 0.25, "p25_price"),
+      ("l_extendedprice", 0.95, "p95_price"))
+    val cols = "l_returnflag" +: specs.map(_._3)
+    val exp = builtin(li, "l_returnflag", specs)
+      .select(cols.map(col): _*).orderBy(col("l_returnflag")).collect().toSeq
+    // the generator-law envelope (the q35/q88 call shape)
+    val good = Percentiles.exactInterpolated(li, "l_returnflag", specs,
+        envelope = Map("l_quantity" -> (1.0, 50.0),
+          "l_extendedprice" -> (900.0, 105000.0)))
+      .select(cols.map(col): _*).orderBy(col("l_returnflag")).collect().toSeq
+    assert(good == exp)
+    // a deliberately WRONG envelope: bounds only bucket, so out-of-range
+    // values land in the edge buckets and the rank selection stays exact
+    val bad = Percentiles.exactInterpolated(li, "l_returnflag", specs,
+        envelope = Map("l_quantity" -> (20.0, 25.0),
+          "l_extendedprice" -> (-5.0, 10.0)))
+      .select(cols.map(col): _*).orderBy(col("l_returnflag")).collect().toSeq
+    assert(bad == exp)
+  }
+
   test("plan has no single-task group window: ranks partition by (group, bucket)") {
     val df = Percentiles.exactInterpolated(Tables.lineitem(spark, sf), "l_returnflag",
       Seq(("l_extendedprice", 0.5, "p50")))
