@@ -695,6 +695,11 @@ object Dedup {
     * converges in log(diameter) rounds instead.
     */
   private[graft] def labelPropComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // (r19: caching the edges pre-partitioned on dst — to let each
+    // round's join skip an edge-side exchange — was tried and measured
+    // SLOWER: at near-dup-pair volumes the per-round join is a broadcast
+    // hash join with no edge shuffle at all, so the repartition was pure
+    // added cost. The plain cache stays.)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -709,14 +714,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc"))
         .groupBy(col("src").as("doc2")).agg(min(col("component")).as("nmin"))
+      // the round carries its own change bit (r19): the convergence
+      // probe reads the checkpointed round's blocks instead of
+      // re-joining next against labels — one join + one shuffle fewer
+      // per round, same fixpoint predicate
       val next = Lineage.cut(labels
         .join(neighborMin, labels("doc") === neighborMin("doc2"), "left")
         .select(col("doc"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component")))
-      converged = next.join(labels.withColumnRenamed("component", "old"), "doc")
-        .filter(col("component") =!= col("old")).isEmpty
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).as("__chg")))
+      converged = next.filter(col("__chg")).isEmpty
       Lineage.release(labels) // superseded round: free its blocks now
-      labels = next
+      labels = next.select(col("doc"), col("component"))
       iter += 1
     }
     edges.unpersist()

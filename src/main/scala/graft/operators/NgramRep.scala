@@ -101,6 +101,11 @@ object NgramRep {
     val gramTextCols = allNs.map(nn =>
       expr(s"if(size(aw) >= $nn, concat_ws(' ', slice(aw, 1, $nn)), null)")
         .as(s"gs$nn"))
+    // (r19 note 2: narrowing g to the 16-byte digest — unhex(md5), an
+    // order-preserving halving of the thrice-sorted gram key — was tried
+    // per guide §2.3 and measured ~20% SLOWER: Spark's radix/prefix sort
+    // on UTF8String outruns BinaryType comparison, and the unhex adds a
+    // per-gram allocation. The hex-string key stays.)
     val gramStructSql = allNs.map(nn =>
       s"""if(gs$nn is null, null,
             named_struct('n', $nn, 'st', st,
