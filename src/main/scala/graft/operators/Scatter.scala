@@ -118,11 +118,20 @@ object Scatter {
     * per-row shuffle write+read (regex chains, tokenizers, shingling —
     * measured: cheap decimal aggregates get SLOWER, heavy scalar chains
     * 2-3× faster).
+    *
+    * The exchange hashes `spreadCols` DIRECTLY (plain `repartition(n,
+    * cols)` = HashPartitioning(cols)), not an xxhash64 wrapper (r19):
+    * murmur3 on near-unique ids spreads just as uniformly, is equally
+    * deterministic under retries, and — decisively — leaves an output
+    * partitioning that downstream joins/aggregations KEYED ON THE SAME
+    * COLUMNS can reuse (guide §2.4). The manifest family joins its
+    * per-doc signal legs on doc_id right after the scatter; wrapping the
+    * key in xxhash64 forced every one of those joins to re-exchange.
     */
   def even(df: DataFrame, spreadCols: Seq[Column]): DataFrame = {
     val target = parallelism(df)
     val planned = df.rdd.getNumPartitions
     if (planned >= target) df
-    else df.repartition(target, xxhash64(spreadCols: _*))
+    else df.repartition(target, spreadCols: _*)
   }
 }

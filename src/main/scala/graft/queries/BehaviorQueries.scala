@@ -370,11 +370,20 @@ object BehaviorQueries {
         val ev = Tables.events(s, d).select($"event_type",
           (unix_micros($"ts") / 3600000000L).cast("long").as("hr"))
         val agg = ev.groupBy($"event_type", $"hr").agg(count(lit(1)).as("n0"))
+        // the dense grid is referenced THREE times downstream (median
+        // input, deviation join, final projection) and Spark re-derives
+        // a referenced subtree per consumer — 24 exchanges in the
+        // executed plan, three of them full event scans. The grid is
+        // BOUNDED by construction (hours × event types, never
+        // corpus-scaled), so one localCheckpoint makes every consumer
+        // read the same few-KB blocks (r19; guide §1.2 "don't compute
+        // things you throw away"). Same for `dev` below (two consumers).
         val series = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
           .select(explode(sequence($"h0", $"h1")).as("hr"))
           .crossJoin(ev.select($"event_type").distinct())
           .join(agg, Seq("event_type", "hr"), "left")
           .select($"event_type", $"hr", coalesce($"n0", lit(0L)).as("n"))
+          .localCheckpoint(false)
         def discMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
                        out: String) = df
           .withColumn("rn", row_number().over(
@@ -385,6 +394,7 @@ object BehaviorQueries {
         val med = discMedian(series, "n", "med")
         val dev = series.join(med, "event_type")
           .withColumn("ad", abs($"n" - $"med"))
+          .localCheckpoint(false)
         val mad = discMedian(dev, "ad", "mad")
         dev.join(mad, "event_type")
           .filter($"ad" > lit(3L) * $"mad")
