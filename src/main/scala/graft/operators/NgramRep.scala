@@ -121,24 +121,39 @@ object NgramRep {
       .select(col("doc_id"), col("gr.n").as("n"), col("gr.st").as("st"),
         col("gr.en").as("en"), col("gr.g").as("g"))
 
-    // stage B — occurrence counts and the top-gram rank. dense_rank over
-    // (c DESC, g ASC) marks EVERY occurrence row of the winning gram
-    // with rank 1 (same count, same key), so the top tier keeps whole
-    // occurrence sets, not single rows.
+    // stage B — occurrence counts and the top-gram winner. The winner
+    // test marks EVERY occurrence row of the winning gram (same count,
+    // same key), so the top tier keeps whole occurrence sets, not
+    // single rows.
     // (r19 note: splitting the tiers — dup filter + an aggregated
     // winner joined back — was tried and measured 3x SLOWER: each tier
     // branch re-references the count-window subtree, and Spark reuses
-    // only exchanges, so the window recomputed once per reference. The
-    // linear two-window chain keeps every operator single-pass.)
+    // only exchanges, so the window recomputed per reference. The
+    // linear window chain keeps every operator single-pass.)
+    // (r20, guide §2.4 "remove shuffles/sorts outright": the previous
+    // form ranked the winner with dense_rank() OVER (PARTITION BY
+    // doc_id, n ORDER BY c DESC, g ASC) — a SECOND full sort of the
+    // gram rows on (doc_id, n, c, g), right after the count window had
+    // already sorted them on (doc_id, n, g). "rank == 1 under
+    // (c DESC, g ASC)" is just "(-c, g) equals its per-(doc, n)
+    // minimum": an UNORDERED min(struct(-c, g)) window computes the
+    // winner with NO order spec, and its required sort on the bare
+    // partition keys (doc_id, n) is a PREFIX of the count window's
+    // (doc_id, n, g) output order — the planner inserts no sort at all.
+    // Three gram-row sorts become two (the count sort + stage C's
+    // island sort); same winner rows bit-for-bit: all occurrences of
+    // the winning gram share (c, g), ties on c break toward min g
+    // exactly as (c DESC, g ASC) ranked them.)
     val byGram = Window.partitionBy(col("doc_id"), col("n"), col("g"))
     val byDocN = Window.partitionBy(col("doc_id"), col("n"))
-      .orderBy(col("c").desc, col("g").asc)
     val kept = grams
       .withColumn("c", count(lit(1)).over(byGram))
-      .withColumn("rnk", dense_rank().over(byDocN))
+      .withColumn("k", struct((-col("c")).as("nc"), col("g").as("g")))
+      .withColumn("best", min(col("k")).over(byDocN))
       .filter(
         (col("n").isin(dupNs.map(Int.box): _*) && col("c") >= 2L) ||
-          (col("n").isin(topNs.map(Int.box): _*) && col("rnk") === 1))
+          (col("n").isin(topNs.map(Int.box): _*) && col("k") === col("best")))
+      .drop("k", "best")
 
     // stage C — interval union per (doc, n): the mergeSpans island rule
     // over character spans ((doc, n, st) is unique for a fixed

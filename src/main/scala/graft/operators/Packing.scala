@@ -62,8 +62,11 @@ object Packing {
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     // ONE materialization serves every phase (r19): the input is
-    // localCheckpoint'd (lazily — the first driver action below runs
-    // the upstream plan), so the heavy per-row value chain feeding
+    // snapshot via Lineage.cut (lazily — the first driver action below
+    // runs the upstream plan; the cut honors the
+    // spark.graft.checkpoint.reliable opt-in so a cluster with executor
+    // loss recovers from durable storage), so the heavy per-row value
+    // chain feeding
     // `valueCol` (tokenization in the packing rows) computes EXACTLY
     // ONCE per call; the quantile sketch (when needed), the bucket
     // totals, and the caller's final windowed job all read the same
@@ -79,7 +82,7 @@ object Packing {
     // on q163); the quantile path always snapshots — its extra sketch
     // pass made even cheap chains lose without one.
     val snap =
-      if (materialize || uniformRange.isEmpty) df.localCheckpoint(false)
+      if (materialize || uniformRange.isEmpty) Lineage.cut(df)
       else df
     val bounds: Seq[Column] = uniformRange
       .map { case (lo, hi) => uniformBounds(lo, hi, n) }
@@ -148,13 +151,20 @@ object Packing {
     val n = math.max(1, if (numBuckets > 0) numBuckets
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     // ONE materialization serves every phase (r19, same shape as
-    // [[exclusivePrefixSum]]): localCheckpoint the pruned input lazily —
-    // the heavy value chain computes once; the optional quantile job,
+    // [[exclusivePrefixSum]]): Lineage.cut the FULL CALLER FRAME lazily
+    // — the heavy value chain computes once; the optional quantile job,
     // the grouped totals, and the final windowed job read the same
-    // narrow executor-local blocks (ContextCleaner-released).
+    // blocks (ContextCleaner-released). NOTE the snapshot stores every
+    // caller column, not a pruned projection (only the totals job below
+    // prunes): the weighted sampleToTokenBudget path passes its full
+    // frame, so wide columns ride in the blocks — accepted, because a
+    // pruned snapshot would need a join back on the final windowed job
+    // (the caller's output keeps all its columns) and that join was the
+    // measured loss in the r19 "distributed needed-join" experiment.
+    // Callers that CAN prune cheaply should select before calling.
     val known = uniformRange.map { case (lo, hi) => uniformBounds(lo, hi, n) }
     val snap =
-      if (materialize || known.isEmpty) df.localCheckpoint(false)
+      if (materialize || known.isEmpty) Lineage.cut(df)
       else df
     val (bounds, totals) =
       {

@@ -59,6 +59,16 @@ object Percentiles {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val byValueCol = specs.groupBy(_._1).toSeq
     val valueCols = byValueCol.map(_._1)
+    // (r20 negative result, kept as a note: Scatter.even on the pruned
+    // projection — spreading the fused counting job and the ranking
+    // pass past the one-row-group scan — was tried and measured WORSE
+    // (q88 build 0.6 -> 1.0 s, q214 build 0.5 -> 1.1 s): the per-row
+    // work here is a |buckets|-deep when-fold plus a narrow explode,
+    // too cheap to repay a full shuffle write+read, and the exchange
+    // is re-paid by BOTH driver actions since exchanges are not reused
+    // across jobs. The same lesson as r19's q137/q188/q189 revert:
+    // scatter only pays for genuinely heavy scalar chains.)
+    val pruned = df.select((groupCol +: valueCols).distinct.map(col): _*)
     // ONE approxQuantile pass computes every value column's bucket bounds
     // (the multi-column overload scans the input once), instead of one
     // driver job per distinct value column. Accuracy 0.01, not 0.001:
@@ -79,7 +89,7 @@ object Percentiles {
     val sketchCols = valueCols.filterNot(envelope.contains)
     val sketched: Map[String, Array[Double]] =
       if (n == 1 || sketchCols.isEmpty) Map.empty
-      else sketchCols.zip(df.stat.approxQuantile(sketchCols.toArray,
+      else sketchCols.zip(pruned.stat.approxQuantile(sketchCols.toArray,
         (1 until n).map(_.toDouble / n).toArray, 0.01)).toMap
     val boundsByCol: Map[String, Array[Double]] =
       valueCols.map { vc =>
@@ -106,7 +116,7 @@ object Percentiles {
       }
       struct(lit(i).as("ci"), bkt.as("bkt"), col(vc).isNotNull.as("nn"))
     }
-    val fused = df
+    val fused = pruned
       .select(col(groupCol), explode(array(cellStructs: _*)).as("e"))
       .filter(col("e.nn"))
       .groupBy(col(groupCol), col("e.ci").as("ci"), col("e.bkt").as("bkt"))
@@ -119,7 +129,7 @@ object Percentiles {
           r.getLong(3)))
       })
     byValueCol.zipWithIndex.map { case ((valueCol, colSpecs), ci) =>
-      forOneColumn(df, groupCol, valueCol, colSpecs, boundsByCol(valueCol),
+      forOneColumn(pruned, groupCol, valueCol, colSpecs, boundsByCol(valueCol),
         cellsByCol.map(_.getOrElse(ci, Array.empty)))
     }.reduce((a, b) => a.join(b, Seq(groupCol)))
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.xxhash64
 
 /** Parallelism placement for per-row-HEAVY scalar pipelines over narrow
   * scans (optimization guide §2.5 "input skew: one huge unsplittable
@@ -115,9 +114,13 @@ object Scatter {
     * reproduce the same row placement by construction (guide §2.5).
     *
     * ONLY worth it when the per-row work downstream clearly outweighs a
-    * per-row shuffle write+read (regex chains, tokenizers, shingling —
-    * measured: cheap decimal aggregates get SLOWER, heavy scalar chains
-    * 2-3× faster).
+    * per-row shuffle write+read. Measured r19: heavy scalar chains
+    * (regex, tokenizers, try_cast, BigDecimal rounding/grouping-set
+    * partial aggregation — the q01/q29/q63/q145 family) 2-3× faster;
+    * but a chain whose output is immediately map-side-combined off a
+    * CHEAP projection loses (the pre-explode text shuffle on
+    * q137/q188/q189 shipped the full payload to buy back single-task
+    * tokenization — reverted, see TextQueries notes).
     *
     * The exchange hashes `spreadCols` DIRECTLY (plain `repartition(n,
     * cols)` = HashPartitioning(cols)), not an xxhash64 wrapper (r19):

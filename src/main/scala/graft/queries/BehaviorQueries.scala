@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Lineage
 
 /** Round-7 widening: user-journey / behavioral analytics over the event
   * stream, plus the sort-based 2-D skyline — the operator families a
@@ -375,15 +376,17 @@ object BehaviorQueries {
         // a referenced subtree per consumer — 24 exchanges in the
         // executed plan, three of them full event scans. The grid is
         // BOUNDED by construction (hours × event types, never
-        // corpus-scaled), so one localCheckpoint makes every consumer
-        // read the same few-KB blocks (r19; guide §1.2 "don't compute
-        // things you throw away"). Same for `dev` below (two consumers).
-        val series = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
-          .select(explode(sequence($"h0", $"h1")).as("hr"))
-          .crossJoin(ev.select($"event_type").distinct())
-          .join(agg, Seq("event_type", "hr"), "left")
-          .select($"event_type", $"hr", coalesce($"n0", lit(0L)).as("n"))
-          .localCheckpoint(false)
+        // corpus-scaled), so one Lineage.cut snapshot makes every
+        // consumer read the same few-KB blocks (r19; guide §1.2 "don't
+        // compute things you throw away") — and honors the
+        // spark.graft.checkpoint.reliable opt-in. Same for `dev` below
+        // (two consumers).
+        val series = Lineage.cut(
+          ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+            .select(explode(sequence($"h0", $"h1")).as("hr"))
+            .crossJoin(ev.select($"event_type").distinct())
+            .join(agg, Seq("event_type", "hr"), "left")
+            .select($"event_type", $"hr", coalesce($"n0", lit(0L)).as("n")))
         def discMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
                        out: String) = df
           .withColumn("rn", row_number().over(
@@ -392,9 +395,9 @@ object BehaviorQueries {
           .groupBy($"event_type")
           .agg(max(when($"rn" === expr("(cnt + 1) div 2"), col(valueCol))).as(out))
         val med = discMedian(series, "n", "med")
-        val dev = series.join(med, "event_type")
-          .withColumn("ad", abs($"n" - $"med"))
-          .localCheckpoint(false)
+        val dev = Lineage.cut(
+          series.join(med, "event_type")
+            .withColumn("ad", abs($"n" - $"med")))
         val mad = discMedian(dev, "ad", "mad")
         dev.join(mad, "event_type")
           .filter($"ad" > lit(3L) * $"mad")

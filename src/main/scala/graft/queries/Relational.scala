@@ -333,13 +333,22 @@ object Relational {
         // bounded by ONE customer's order count (group key = the natural
         // entity), not corpus-scaled — the semantics require the full
         // per-customer key list.
+        // The distinct-priority count is size(collect_set(...)), NOT
+        // countDistinct (r20, guide §2.4): a distinct aggregate plans as
+        // TWO aggregation levels — partial by (custkey, priority), an
+        // exchange on (custkey, priority), then a second exchange on
+        // custkey — dragging the collect_list buffers through two full
+        // shuffles. collect_set's state is bounded by the priority
+        // domain (5 values), does map-side partial aggregation, and
+        // keeps the whole query at ONE custkey exchange. Same integer:
+        // both ignore nulls and count distinct values.
         graft.operators.Scatter.even(
             Tables.orders(s, d), Seq($"o_orderkey"))
           .groupBy($"o_custkey")
           .agg(
             max($"o_orderdate").as("last_order"),
             count(lit(1)).as("n_orders"),
-            countDistinct($"o_orderpriority").as("n_priorities"),
+            size(collect_set($"o_orderpriority")).cast("long").as("n_priorities"),
             sum(dec2($"o_totalprice")).cast("double").as("total_spend"),
             concat_ws(",",
               transform(array_sort(collect_list($"o_orderkey")), _.cast("string"))).as("order_keys"))
@@ -1107,25 +1116,36 @@ object Relational {
         //   not exists c in late (other supp)      <=> the order has
         //     exactly ONE distinct late supplier — a itself, which
         //     min(l_suppkey) then recovers.
-        // Two keyed aggregations + one key equi-join replace the
-        // mixed-equi semi + anti self-joins (the anti side planned as a
-        // sort-merge join of the distinct pair tables); the shuffles
-        // stay co-partitioned on the order key and the per-order frames
-        // are |orders|-sized. Same blamed set row-for-row (oracle
-        // unchanged).
+        // (r20, guide §1.2/§2.4: the r19 form computed the two counts
+        // as SEPARATE aggregations — one over all lineitem, one over
+        // lineitem ⋈ F-orders — then semi-joined them: two full
+        // lineitem exchanges, two expand-based distinct aggregates, one
+        // extra join. But n_supp is only ever consulted for orders that
+        // appear in the late aggregate, i.e. F-status orders, and the
+        // join to F-orders drops no lineitem row OF an F order — so
+        // both counts compute from ONE lineitem ⋈ orders pass: a
+        // per-(order, supplier) late bit, then per-order counts. Both
+        // aggregations reuse the join's hash(l_orderkey) partitioning
+        // (subset rule), so the whole chain is one lineitem exchange +
+        // one orders exchange with no distinct-aggregate Expand and no
+        // semi join. Same blamed set row-for-row: n_supp = distinct
+        // suppliers with any line, n_late = distinct suppliers with a
+        // late line, supplier = min late suppkey. Oracle unchanged.)
         val o = Tables.orders(s, d).filter($"o_orderstatus" === "F")
           .select($"o_orderkey", $"o_orderdate")
-        val nSupp = Tables.lineitem(s, d)
-          .groupBy($"l_orderkey")
-          .agg(count_distinct($"l_suppkey").as("n_supp"))
-        val lateAgg = Tables.lineitem(s, d)
+        val perPair = Tables.lineitem(s, d)
+          .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
           .join(o, $"l_orderkey" === $"o_orderkey")
-          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+          .withColumn("lb",
+            when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), 1L)
+              .otherwise(0L))
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max($"lb").as("lb"))
+        val blamed = perPair
           .groupBy($"l_orderkey")
-          .agg(count_distinct($"l_suppkey").as("n_late"),
-            min($"l_suppkey").as("l_suppkey"))
-        val blamed = lateAgg.filter($"n_late" === 1)
-          .join(nSupp.filter($"n_supp" >= 2), Seq("l_orderkey"), "left_semi")
+          .agg(count(lit(1)).as("n_supp"), sum($"lb").as("n_late"),
+            min(when($"lb" === 1L, $"l_suppkey")).as("l_suppkey"))
+          .filter($"n_late" === 1 && $"n_supp" >= 2)
         blamed.groupBy($"l_suppkey").agg(count(lit(1)).as("numwait"))
           .join(broadcast(Tables.supplier(s, d).select($"s_suppkey", $"s_name")),
             $"l_suppkey" === $"s_suppkey")

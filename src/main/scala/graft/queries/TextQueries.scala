@@ -291,12 +291,16 @@ object TextQueries {
       // is the engine's standard md5 idiom (q37), replayed exactly by
       // the oracle. One scan + one bounded agg; the dense grid is
       // docs × 32 — output-sized, never corpus × vocab.
-      // The dense 32-dim vector is assembled from the sparse per-doc
-      // counts via a map lookup over the fixed bucket range — the
-      // earlier docs × 32 grid explode + (doc_id, b) join shuffled 32
-      // rows per doc to fill zeros a per-row expression can fill for
-      // free; only empty-token docs need the left-join backfill. (No
-      // Scatter here: the explode already widens the stream ahead of a
+      // The dense 32-dim vector is assembled as 32 CONDITIONAL COUNTERS
+      // in ONE doc-keyed aggregation (r20, guide §2.4): the fixed
+      // output dimension means the whole histogram fits a constant-
+      // width aggregation buffer (32 longs), so the per-(doc_id, b)
+      // pre-aggregation + second per-doc aggregation of the earlier
+      // form — TWO exchanges, a collect_list and a map lookup — fuse
+      // into one map-side-combined pass with one exchange. Zeros fill
+      // themselves (a sum over an empty condition is 0); only
+      // token-less docs need the left-join backfill. (No Scatter here:
+      // the explode already widens the stream ahead of a
       // map-side-combining aggregate, and the added exchange measured
       // as a net loss.)
       val toks = Tables.documents(s, d)
@@ -304,13 +308,12 @@ object TextQueries {
         .filter(length($"tok") > 0)
         .select($"doc_id",
           (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % 32).as("b"))
-      val vecs = toks.groupBy($"doc_id", $"b").agg(count(lit(1)).as("n"))
-        .groupBy($"doc_id")
-        .agg(collect_list(struct($"b", $"n")).as("bn"), sum($"n").as("nt"))
-        .withColumn("m", map_from_entries($"bn"))
+      val bucketCounts = (0L until 32L).map(i =>
+        sum(when($"b" === i, 1L).otherwise(0L)).as(s"c$i"))
+      val vecs = toks.groupBy($"doc_id")
+        .agg(bucketCounts.head, bucketCounts.tail :+ count(lit(1)).as("nt"): _*)
         .select($"doc_id",
-          array_join(transform(sequence(lit(0L), lit(31L)),
-            b => coalesce(element_at($"m", b), lit(0L)).cast("string")), " ")
+          concat_ws(" ", (0L until 32L).map(i => col(s"c$i").cast("string")): _*)
             .as("v"), $"nt")
       Tables.documents(s, d).select($"doc_id")
         .join(vecs, Seq("doc_id"), "left")
