@@ -31,6 +31,23 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r20 (guide §2.5/§7, measured from the event log): AQE's
+      // byte-targeted coalescing squeezed every post-shuffle stage whose
+      // INPUT is small but whose OPERATOR is CPU-heavy down to ONE task —
+      // q211's whole gram-window chain (1.07 MB of shuffle, ~2.5 s of
+      // md5/sort work) ran single-threaded, q218's extraction ladder and
+      // the session/window rows likewise. The default minPartitionSize
+      // (1 MB) is a BYTES heuristic; 64k keeps compact-key stages (hash
+      // keys, gram digests, packed signatures — bytes-per-CPU-second is
+      // tiny by design) wide while leaving genuinely large shuffles
+      // governed by parallelismFirst/advisory sizing exactly as before.
+      // NOT a local[32] tune: nothing here keys on core count, and at
+      // cluster scale the same class of stage (a heavily filtered slice
+      // feeding a window or regex chain) hits the same 1-task squeeze.
+      // Measured back-to-back: q211 2.7 -> 0.6-0.8 s, q218 1.3 -> 0.38,
+      // q212 2.3 -> 1.0, q156/q65/q76 -20-30%; cost: ~0.1 s on two
+      // text-payload rows (q188/q189) from extra task overhead.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -230,11 +230,22 @@ object IvfSearch {
       .filter(col("ark") <= shortlist)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
 
-    val raw = unit(rawCorpus).select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
+    // r20 rerank shape (guide §3.1): broadcast the BOUNDED shortlist
+    // (≤ |queries|·shortlist rows) and STREAM the raw corpus through the
+    // join, normalizing only matched rows. The previous join let the
+    // planner broadcast unit(rawCorpus) — the WHOLE normalized corpus
+    // built into a broadcast relation (driver + every-executor copies;
+    // a corpus-sized broadcast is exactly the 8 GB-cap failure at
+    // scale), with every corpus row paying the sqrt/divide chain before
+    // the join could drop it. Same rows bit-for-bit: inner join on the
+    // same keys, the same unit/dot expressions on the matched rows.
+    val rawSlim = rawCorpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__emb"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    short.join(raw, "neighbor_id")
-      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+    broadcast(short).join(rawSlim, Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorFns.dotPre(col("qv"), VectorFns.unitVector(col("__emb"))))
       .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cosine", "rk")
@@ -301,11 +312,15 @@ object IvfSearch {
       .withColumn("hrk", row_number().over(wHam))
       .filter(col("hrk") <= shortlist)
       .select(col("query_id"), col("qv"), col("neighbor_id"))
-    val raw = unit(rawCorpus).select(col("vec_id").as("neighbor_id"), col("uv").as("cv"))
+    // r20 rerank shape — see topKQuantized: broadcast the bounded
+    // shortlist, stream the corpus, normalize only matched rows.
+    val rawSlim = rawCorpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__emb"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    short.join(raw, Seq("neighbor_id"))
-      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+    broadcast(short).join(rawSlim, Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorFns.dotPre(col("qv"), VectorFns.unitVector(col("__emb"))))
       .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
       .select("query_id", "neighbor_id", "cosine", "rk")

@@ -51,8 +51,15 @@ object SimSearch {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VectorFns.unitVector(col("embedding")).as("qv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      VectorFns.unitVector(col("embedding")).as("cv"))
+    // r20 (the q184 change-14 precedent, guide §2.5): the |corpus| ×
+    // |queries| dot grid evaluates INSIDE the corpus scan stage — on a
+    // one-row-group input that is the whole quadratic grid on one core.
+    // Scatter.even on the pruned projection moves it behind one narrow
+    // exchange (identity when the scan already plans cluster-wide).
+    val c = Scatter.even(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq(col("neighbor_id")))
+      .select(col("neighbor_id"), VectorFns.unitVector(col("embedding")).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
@@ -210,10 +217,16 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col("vec_id").as("query_id"),
       VectorFns.unitVector(col("embedding")).as("qv"))
-    val cv = corpus.select(col("vec_id").as("neighbor_id"),
-      VectorFns.unitVector(col("embedding")).as("cv"))
-    val scored = cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
-      .withColumn("cosine", VectorFns.dotPre(col("qv"), col("cv")))
+    // r20 rerank shape (guide §3.1, the IvfSearch discipline): the
+    // candidate×query side is bounded (≤ |queries|·shortlist rows) —
+    // broadcast IT and stream the corpus, normalizing only matched
+    // rows, instead of letting the planner build the whole normalized
+    // corpus into a broadcast relation.
+    val scored = broadcast(cand.join(broadcast(qv), "query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__emb")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorFns.dotPre(col("qv"), VectorFns.unitVector(col("__emb"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -38,7 +38,12 @@ object SimQueries {
       ivfCache.getOrElseUpdate((s, d), {
         val corpus = Tables.embeddings(s, d)
         val index = graft.operators.IvfSearch.build(corpus, k = 16, iters = 2)
+        // persist at cluster width (the r19 change-3 discipline, applied
+        // to the ANN artifacts in r20): assign() is a pure scan
+        // projection, so the cache inherits the one-row-group scan's ONE
+        // partition and every probe's scoring scan ran single-threaded
         val lists = graft.operators.IvfSearch.assign(corpus, index)
+          .repartition(graft.operators.Scatter.cores(s), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (index, lists)
       })
@@ -54,6 +59,7 @@ object SimQueries {
       srpCache.getOrElseUpdate((s, d),
         SimSearch.srpIndex(Tables.embeddings(s, d), bits = 12, bands = 8,
             dimOverride = embeddingDim(s, d))
+          .repartition(graft.operators.Scatter.cores(s), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
@@ -76,6 +82,7 @@ object SimQueries {
         // cannot flake
         val index = graft.operators.PqSearch.train(corpus, m = 16, ks = 64, iters = 5)
         val codes = graft.operators.PqSearch.encode(corpus, index)
+          .repartition(graft.operators.Scatter.cores(s), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (index, codes)
       })
@@ -109,6 +116,7 @@ object SimQueries {
         // than the raw float lists q31 serves from
         graft.operators.IvfSearch.quantizeAssigned(
             graft.operators.IvfSearch.assignMulti(Tables.embeddings(s, d), index, nassign = 2))
+          .repartition(graft.operators.Scatter.cores(s), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
@@ -123,6 +131,7 @@ object SimQueries {
       sigCache.getOrElseUpdate((s, d), {
         val (index, _) = ivfIndexAndLists(s, d)
         graft.operators.IvfSearch.signAssigned(Tables.embeddings(s, d), index)
+          .repartition(graft.operators.Scatter.cores(s), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
